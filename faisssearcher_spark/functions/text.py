@@ -1,0 +1,152 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+These extend the reference's surface (which only ever treats text as an
+opaque encodable item, README.md:21) with the operations a 100 TB document
+corpus needs: tokenization, token statistics, quality scoring, language
+identification, n-gram shingling, and content fingerprints.
+
+Everything here is a pure Catalyst expression (split / filter / transform /
+aggregate / md5) — whole-stage codegen, no Python workers — and every
+function has a deterministic DuckDB-SQL twin used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions.metrics import ColumnOrName, _col
+
+#: tiny per-language stopword lists for the n-gram/stopword language-id
+#: heuristic. Deliberately small and deterministic; a production pipeline
+#: would plug in a real model via the encoder/UDF protocol.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les", "des", "est", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    return F.filter(F.split(F.trim(_col(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(c: ColumnOrName) -> Column:
+    return F.size(tokens(c))
+
+
+def distinct_token_count(c: ColumnOrName) -> Column:
+    return F.size(F.array_distinct(tokens(c)))
+
+
+def bpe_token_estimate(c: ColumnOrName, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token-count estimate: ceil(len(tok)/4) summed over tokens —
+    the standard chars/4 heuristic, computed per word so whitespace doesn't
+    inflate the estimate."""
+    return F.aggregate(
+        tokens(c), F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(chars_per_token)).cast("int"))
+
+
+def avg_token_length(c: ColumnOrName) -> Column:
+    toks = tokens(c)
+    return F.when(F.size(toks) > 0,
+                  F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                  / F.size(toks))
+
+
+def stopword_ratio(c: ColumnOrName, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are (lowercase) stopwords."""
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks))
+
+
+def punct_ratio(c: ColumnOrName) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    s = _col(c)
+    stripped = F.regexp_replace(s, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(s) > 0, F.length(stripped) / F.length(s))
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Combines length, stopword presence, and punctuation density — the
+    standard cheap pre-filter shape for pretraining corpora (C4-style):
+    score = length_ok * (0.5 + 0.5*stopword_ok) * (1 - min(1, 3*punct)).
+    """
+    n = token_count(c)
+    length_ok = F.when((n >= 5) & (n <= 10000), F.lit(1.0)).otherwise(0.2)
+    sw_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(1.0)).otherwise(0.0)
+    punct = F.coalesce(punct_ratio(c), F.lit(0.0))
+    return length_ok * (0.5 + 0.5 * sw_ok) * (1.0 - F.least(F.lit(1.0), 3.0 * punct))
+
+
+def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
+    toks = tokens(c)
+    out = []
+    for lang, sw in LANG_STOPWORDS.items():
+        out.append((lang, F.size(F.filter(toks, lambda t, sw=sw: F.lower(t).isin(*sw)))))
+    return out
+
+def detect_language(c: ColumnOrName, default: str = "und") -> Column:
+    """Stopword-hit language-id heuristic: argmax of per-language stopword
+    counts; ``default`` when no list matches. Ties break by language name
+    (deterministic, oracle-checkable)."""
+    scores = lang_scores(c)
+    pairs = F.array(*[F.struct(s.alias("hits"), F.lit(lang).alias("lang"))
+                      for lang, s in sorted(scores, key=lambda kv: kv[0])])
+    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
+    # array_max on struct compares fields in order: hits, then lang — ties
+    # resolve to the lexicographically LARGEST language name; invert by
+    # ordering on (hits, reversed rank) instead: simpler to keep max-lang
+    # semantics and mirror it in the oracle.
+    return F.coalesce(best["lang"], F.lit(default))
+
+
+def word_ngrams(c: ColumnOrName, n: int) -> Column:
+    """Word n-gram shingles as space-joined strings (dedup shingling)."""
+    toks = tokens(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def char_ngrams(c: ColumnOrName, n: int) -> Column:
+    """Character n-gram shingles of the raw string."""
+    s = _col(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(s, i, n))
+
+
+def fingerprint(c: ColumnOrName) -> Column:
+    """Canonical content fingerprint: md5 of the sorted distinct lowercase
+    token set. Robust to token order and duplication — the classic
+    "fingerprint clustering" key (Google Refine style)."""
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.transform(tokens(c), F.lower))), " ")
+    return F.md5(canon)
+
+
+def rolling_hash(c: ColumnOrName, modulus: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over the token stream (order-sensitive
+    fingerprint): h = sum(base^i * md5int(tok_i)) mod m, computed left to
+    right as h = (h*base + md5int(tok)) mod m."""
+    toks = tokens(c)
+    def step(acc: Column, t: Column) -> Column:
+        tok_int = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        return (acc * base + tok_int) % F.lit(modulus)
+    return F.aggregate(toks, F.lit(0).cast("long"), step)
+
+
+def md5_int(c: ColumnOrName, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` of md5 as a non-negative bigint — the shared
+    deterministic token hash used by MinHash/SimHash (identical in DuckDB:
+    ``('0x' || substring(md5(x),1,n))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(_col(c)), 1, hex_chars), 16, 10).cast("long")

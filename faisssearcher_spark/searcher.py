@@ -1,0 +1,268 @@
+"""SparkSearcher — DataFrame-native facade with the reference's API shape.
+
+Reference parity: ``FaissSearcher`` (backend/faiss_searcher.py:21-208). The
+constructor keeps the reference's two modes:
+
+1. **encoder mode** (README.md:27-41): ``items`` is a DataFrame whose *item
+   column* holds encodable text and whose remaining columns are payload
+   carried into results. The reference uses positional convention ("first
+   column is the item", README.md:21, faiss_searcher.py:56); here the
+   convention survives as the *default* (``item_col=None`` → first column)
+   but can be named explicitly.
+2. **raw-vector mode** (README.md:43-57, faiss_searcher.py:35-40): ``items``
+   already has a vector column; ``item_list`` becomes an explicit key column
+   (``vec_col`` + ``key_col``) instead of positional alignment.
+
+``train()`` materializes the encoded/normalized corpus (the analog of FAISS
+train+add, faiss_searcher.py:116-125); ``search()`` answers batched top-K
+queries (faiss_searcher.py:161-187) including the multi-K dict form;
+``cal_sim()`` is exact pairwise scoring (faiss_searcher.py:192-198);
+``save()``/``load()`` replace whole-object pickling (faiss_searcher.py:
+200-208) with Parquet + JSON metadata ("a searcher is data + config").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Iterable, Mapping, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.encoders.base import Encoder, encoder_udf
+from faisssearcher_spark.functions import metrics as M
+from faisssearcher_spark.functions.vector import (
+    l2_normalize, to_float32, validate_vectors)
+from faisssearcher_spark.operators.knn import knn_join, knn_join_multi_k, cal_sim
+from faisssearcher_spark.operators.whitening import VecsWhitening
+
+_VEC = "__vec"
+
+
+class SparkSearcher:
+    def __init__(
+        self,
+        items: DataFrame,
+        *,
+        encoder: Encoder | None = None,
+        item_col: str | None = None,
+        vec_col: str | None = None,
+        key_col: str | None = None,
+        measurement: str = "cos",
+        norm_vec: bool = False,
+        p: float | None = None,
+        whitening: VecsWhitening | None = None,
+        query_feature_sep: str | None = None,
+        doc_feature_sep: str | None = None,
+    ):
+        if encoder is None and vec_col is None:
+            # faiss_searcher.py:37-38: without an encoder, input must be raw vectors
+            raise TypeError("without an encoder, items must carry a vector "
+                            "column (pass vec_col=...)")
+        # fail fast on unknown metrics (M9, faiss_searcher.py:87-90)
+        M.resolve_metric(measurement, p=p)
+        self.measurement = measurement
+        self.p = p
+        # cos forces normalization, faiss_searcher.py:53
+        self.norm_vec = True if measurement == "cos" else norm_vec
+        self.encoder = encoder
+        self.whitening = whitening
+        self.items = items
+        self.vec_col = vec_col
+        # positional "first column is the item" default (README.md:21)
+        self.item_col = item_col or (items.columns[0] if encoder else None)
+        self.key_col = key_col or self.item_col
+        if self.key_col is None:
+            raise TypeError("raw-vector mode needs key_col (the reference's "
+                            "item_list, faiss_searcher.py:39-40)")
+        # feature-sep kwargs only apply in encoder mode (faiss_searcher.py:60-61)
+        self.query_feature_sep = query_feature_sep if encoder else None
+        self.doc_feature_sep = doc_feature_sep if encoder else None
+        self.corpus: DataFrame | None = None
+        self.vec_dim: int | None = None
+
+    # -- encode pipeline (get_vecs, faiss_searcher.py:63-73) -----------------
+
+    def _vectorize(self, df: DataFrame, text_col: str | None,
+                   vec_col: str | None) -> DataFrame:
+        if self.encoder is not None:
+            udf = encoder_udf(self.encoder)
+            out = df.withColumn(_VEC, udf(F.col(text_col)))
+        else:
+            out = df.withColumn(_VEC, F.col(vec_col))
+        if self.whitening is not None:
+            out = out.withColumn(_VEC, self.whitening.transform_expr(_VEC))
+        if self.norm_vec:
+            out = out.withColumn(_VEC, l2_normalize(_VEC))
+        # float32 storage parity (faiss_searcher.py:92-94); metric math
+        # re-promotes to float64.
+        return out.withColumn(_VEC, to_float32(_VEC))
+
+    # -- train (faiss_searcher.py:116-125) ------------------------------------
+
+    def train(self, validate: bool = True) -> "SparkSearcher":
+        self.corpus = self._vectorize(
+            self.items, self.item_col, self.vec_col).cache()
+        if validate:
+            self.vec_dim = validate_vectors(self.corpus, _VEC)
+        return self
+
+    def _require_trained(self) -> DataFrame:
+        if self.corpus is None:
+            # faiss_searcher.py:186-187
+            raise RuntimeError("searcher is not trained; call train() first")
+        return self.corpus
+
+    # -- search (faiss_searcher.py:161-187) -----------------------------------
+
+    def search(
+        self,
+        target: Union[DataFrame, Sequence[str]],
+        topK: Union[int, Iterable[int]] = 10,
+        keep_rank_no: bool = False,
+        score_scale: int | None = None,
+    ) -> Union[DataFrame, Mapping[int, DataFrame]]:
+        corpus = self._require_trained()
+        spark = corpus.sparkSession
+        if not isinstance(target, DataFrame):
+            # List[str] queries (reference's primary form) become a DataFrame:
+            # queries are data, not driver-side state.
+            target = spark.createDataFrame(
+                [(str(t),) for t in target], "source_item string")
+            q_text, q_vec = "source_item", None
+        elif self.encoder is not None:
+            q_text, q_vec = (self.item_col
+                             if self.item_col in target.columns
+                             else target.columns[0]), None
+        else:
+            q_text, q_vec = None, self.vec_col
+
+        queries = self._vectorize(target, q_text, q_vec)
+        src_col = q_text if q_text is not None else self.key_col
+        queries = queries.select(F.col(src_col).alias("source_item"),
+                                 F.col(_VEC))
+
+        payload = [c for c in self.items.columns
+                   if c not in (self.item_col, self.vec_col, self.key_col)]
+        kwargs: dict[str, Any] = dict(
+            metric=self.measurement,
+            query_vec_col=_VEC,
+            item_vec_col=_VEC,
+            query_item_col="source_item",
+            item_key_col=self.key_col,
+            payload_cols=payload,
+            # corpus vectors were already normalized at train time (O3);
+            # don't re-normalize inside the join.
+            normalize=False,
+            p=self.p,
+            score_scale=score_scale,
+        )
+        if self.measurement == "cos":
+            kwargs["metric"] = "ip"  # normalized at encode time → dot product
+
+        if isinstance(topK, int):
+            res = knn_join(queries, corpus, k=topK,
+                           keep_rank_no=keep_rank_no, **kwargs)
+            return self._post(res, keep_rank_no)
+        ks = list(topK)
+        multi = knn_join_multi_k(queries, corpus, ks, **kwargs)
+        return {k: self._post(df if keep_rank_no else df.drop("rank_no"),
+                              keep_rank_no)
+                for k, df in multi.items()}
+
+    def _post(self, res: DataFrame, keep_rank_no: bool) -> DataFrame:
+        """Apply the feature-sep splits (faiss_searcher.py:150-156)."""
+        if self.query_feature_sep:
+            res = res.withColumn(
+                "source_item",
+                F.split(F.col("source_item").cast("string"),
+                        re.escape(self.query_feature_sep)).getItem(0))
+        if self.doc_feature_sep:
+            res = res.withColumn(
+                "sim_item",
+                F.split(F.col("sim_item").cast("string"),
+                        re.escape(self.doc_feature_sep)).getItem(0))
+        return res
+
+    # -- cal_sim (faiss_searcher.py:192-198) -----------------------------------
+
+    def cal_sim(self, item1: str, items2: Union[DataFrame, Sequence[str]]) -> DataFrame:
+        if self.encoder is None:
+            raise RuntimeError("cal_sim requires an encoder (reference "
+                               "contract: faiss_searcher.py:193-194)")
+        corpus = self.items if isinstance(items2, DataFrame) else None
+        spark = (corpus or self.items).sparkSession
+        if corpus is None:
+            items2 = spark.createDataFrame(
+                [(str(t),) for t in items2], "item string")
+            cand_text = "item"
+        else:
+            items2 = items2
+            cand_text = self.item_col
+        query = spark.createDataFrame([(str(item1),)], "q string")
+        # NOTE: raw dot product, not normalized — preserved reference wrinkle
+        # (faiss_searcher.py:195); vectors here bypass norm_vec deliberately.
+        udf = encoder_udf(self.encoder)
+        qv = query.withColumn(_VEC, udf(F.col("q")))
+        cv = items2.withColumn(_VEC, udf(F.col(cand_text)))
+        if self.whitening is not None:
+            qv = qv.withColumn(_VEC, self.whitening.transform_expr(_VEC))
+            cv = cv.withColumn(_VEC, self.whitening.transform_expr(_VEC))
+        return cal_sim(qv, cv, query_vec_col=_VEC, cand_vec_col=_VEC,
+                       cand_key_col=cand_text).withColumnRenamed(cand_text, "item")
+
+    # -- persistence (replaces pickle, faiss_searcher.py:200-208) -------------
+
+    def save(self, path: str) -> None:
+        corpus = self._require_trained()
+        corpus.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+        meta = {
+            "measurement": self.measurement,
+            "norm_vec": self.norm_vec,
+            "p": self.p,
+            "item_col": self.item_col,
+            "key_col": self.key_col,
+            "vec_col": self.vec_col,
+            "vec_dim": self.vec_dim,
+            "query_feature_sep": self.query_feature_sep,
+            "doc_feature_sep": self.doc_feature_sep,
+            "has_encoder": self.encoder is not None,
+        }
+        spark = corpus.sparkSession
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+        if self.whitening is not None:
+            self.whitening.save(spark, os.path.join(path, "whitening"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             encoder: Encoder | None = None) -> "SparkSearcher":
+        meta = json.loads(
+            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        corpus = spark.read.parquet(os.path.join(path, "corpus"))
+        whitening = None
+        wpath = os.path.join(path, "whitening")
+        if os.path.exists(wpath):
+            whitening = VecsWhitening.load(spark, wpath)
+        if meta["has_encoder"] and encoder is None:
+            raise ValueError("this searcher was saved with an encoder; pass "
+                             "the encoder to load() (models are code, not data)")
+        searcher = cls(
+            items=corpus.drop(_VEC),
+            encoder=encoder,
+            item_col=meta["item_col"],
+            vec_col=meta["vec_col"],
+            key_col=meta["key_col"],
+            measurement=meta["measurement"],
+            norm_vec=meta["norm_vec"],
+            p=meta["p"],
+            whitening=whitening,
+            query_feature_sep=meta["query_feature_sep"],
+            doc_feature_sep=meta["doc_feature_sep"],
+        )
+        searcher.corpus = corpus.cache()
+        searcher.vec_dim = meta["vec_dim"]
+        return searcher
