@@ -90,10 +90,13 @@ def quality_score(c: ColumnOrName) -> Column:
 
 def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
     toks = tokens(c)
-    out = []
-    for lang, sw in LANG_STOPWORDS.items():
-        out.append((lang, F.size(F.filter(toks, lambda t, sw=sw: F.lower(t).isin(*sw)))))
-    return out
+
+    def hit_counter(sw: tuple[str, ...]):
+        # NB: the predicate must be a 1-arg lambda — F.filter treats a
+        # second parameter as the element *index*.
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+
+    return [(lang, hit_counter(sw)) for lang, sw in LANG_STOPWORDS.items()]
 
 def detect_language(c: ColumnOrName, default: str = "und") -> Column:
     """Stopword-hit language-id heuristic: argmax of per-language stopword
@@ -111,18 +114,25 @@ def detect_language(c: ColumnOrName, default: str = "und") -> Column:
 
 
 def word_ngrams(c: ColumnOrName, n: int) -> Column:
-    """Word n-gram shingles as space-joined strings (dedup shingling)."""
+    """Word n-gram shingles as space-joined strings (dedup shingling).
+    Documents shorter than n tokens yield an empty array (NB: Spark's
+    ``sequence(1, 0)`` DESCENDS rather than being empty, so short docs
+    need the explicit guard)."""
     toks = tokens(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def char_ngrams(c: ColumnOrName, n: int) -> Column:
-    """Character n-gram shingles of the raw string."""
+    """Character n-gram shingles of the raw string; strings shorter than n
+    yield an empty array."""
     s = _col(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(s, i, n))
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    grams = F.transform(idx, lambda i: F.substring(s, i, n))
+    return F.when(F.length(s) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def fingerprint(c: ColumnOrName) -> Column:

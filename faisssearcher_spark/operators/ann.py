@@ -1,0 +1,254 @@
+"""Approximate nearest-neighbor search paths.
+
+The reference delegates ANN to FAISS index structures (HNSW / IVF via
+``index_factory``, faiss_searcher.py:100-107). Spark has no resident index;
+the scale-path equivalents are *partitioned pruning* strategies where the
+candidate set comes from an equi-join on a derived bucket key:
+
+- :func:`brute_force_topk` — the exact baseline (recall 1.0), see
+  operators/knn.py;
+- :class:`SignLSH` — random-hyperplane sign buckets: items hash to a
+  ``num_bits``-bit bucket; queries probe their own bucket (+ optional
+  multi-probe neighbors at hamming 1). The items⋈queries meeting is an
+  equi-join on the bucket key → shuffled hash join, no cross product.
+- :class:`IVFIndex` — the IVF analog: k-means coarse quantizer (MLlib),
+  items assigned to nearest centroid cell, queries probe ``nprobe``
+  nearest cells. Equivalent semantics to FAISS ``IVF<k>,Flat``.
+- :func:`faiss_topk` — optional real-FAISS path: per-executor search over a
+  broadcast serialized index inside ``mapInPandas``; import-gated because
+  faiss is not a hard dependency.
+
+Recall is validated against the exact path (SURVEY.md §5.4) — the same way
+FAISS validates itself.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions import metrics as M
+from faisssearcher_spark.operators.knn import knn_join
+
+brute_force_topk = knn_join
+
+
+def _rank_topk(scored: DataFrame, k: int, higher_is_closer: bool) -> DataFrame:
+    order = [F.col("sim_val").desc() if higher_is_closer else F.col("sim_val").asc(),
+             F.col("sim_item").asc()]
+    w = Window.partitionBy("source_item").orderBy(*order)
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .withColumn("rank_no", F.col("__rn") - 1).drop("__rn"))
+
+
+class SignLSH:
+    """Random-hyperplane sign-bucket LSH for cosine similarity.
+
+    ``hyperplanes`` is a (num_bits, dim) float matrix. With ``seed`` they
+    are drawn from a deterministic RNG; with ``use_leading_dims=True`` the
+    "hyperplanes" are axis-aligned unit vectors on the first ``num_bits``
+    dimensions — zero constants in the plan and exactly reproducible in
+    plain SQL (the oracle-checkable variant).
+    """
+
+    def __init__(self, dim: int, num_bits: int = 8, seed: int = 42,
+                 use_leading_dims: bool = False):
+        self.dim = dim
+        self.num_bits = num_bits
+        self.use_leading_dims = use_leading_dims
+        if use_leading_dims:
+            if num_bits > dim:
+                raise ValueError("num_bits must be <= dim for leading-dim buckets")
+            self.hyperplanes = np.eye(num_bits, dim)
+        else:
+            rng = np.random.default_rng(seed)
+            self.hyperplanes = rng.standard_normal((num_bits, dim))
+
+    def bucket_expr(self, vec_col: Column | str) -> Column:
+        """Bucket id: bit j set iff dot(v, hyperplane_j) >= 0."""
+        v = M.as_double(vec_col)
+        bits = []
+        for j in range(self.num_bits):
+            if self.use_leading_dims:
+                proj = F.element_at(v, j + 1)
+            else:
+                hp = F.array(*[F.lit(float(x)) for x in self.hyperplanes[j]])
+                proj = F.aggregate(F.zip_with(v, hp, lambda x, y: x * y),
+                                   F.lit(0.0), lambda a, x: a + x)
+            bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out.cast("int")
+
+    def topk(self, queries: DataFrame, items: DataFrame, *, k: int = 10,
+             query_item_col: str = "query_id", item_key_col: str = "item",
+             query_vec_col: str = "embedding", item_vec_col: str = "embedding",
+             multiprobe_bits: int = 0) -> DataFrame:
+        """Top-k cosine within the query's bucket (+ hamming-1 probes over
+        the ``multiprobe_bits`` lowest bits). The items⋈queries meeting is
+        an equi-join on bucket — shuffle keyed by bucket id, never m×n.
+
+        Returns ``(source_item, sim_item, sim_val, rank_no)``.
+        """
+        it = items.select(
+            F.col(item_key_col).alias("sim_item"),
+            F.col(item_vec_col).alias("__i_vec"),
+            self.bucket_expr(item_vec_col).alias("bucket"))
+        q_bucket = self.bucket_expr(query_vec_col)
+        probes = F.array(F.lit(0), *[F.lit(1 << j) for j in range(multiprobe_bits)])
+        q = queries.select(
+            F.col(query_item_col).alias("source_item"),
+            F.col(query_vec_col).alias("__q_vec"),
+            F.explode(F.array_distinct(F.transform(
+                probes, lambda m: q_bucket.bitwiseXOR(m)))).alias("bucket"))
+        scored = q.join(it, "bucket").withColumn(
+            "sim_val", M.cosine(F.col("__q_vec"), F.col("__i_vec")))
+        return _rank_topk(scored, k, higher_is_closer=True).select(
+            "source_item", "sim_item", "sim_val", "rank_no")
+
+
+class IVFIndex:
+    """IVF-style coarse quantization: k-means cells + nprobe search.
+
+    Parity target: FAISS ``index_factory(dim, "IVF<n>,Flat", metric)``
+    (faiss_searcher.py:104). fit() trains MLlib k-means (distributed) and
+    assigns every item to its nearest centroid; search() finds each query's
+    ``nprobe`` nearest centroids (broadcast join against the tiny centroid
+    table) and runs exact scoring *within the probed cells only* — the
+    item⋈query meeting is an equi-join on cell id.
+    """
+
+    def __init__(self, n_cells: int = 64, nprobe: int = 4, seed: int = 42,
+                 metric: str = "cos"):
+        self.n_cells = n_cells
+        self.nprobe = nprobe
+        self.seed = seed
+        self.metric = metric
+        self.centroids: np.ndarray | None = None
+        self._items: DataFrame | None = None
+        self._item_key = None
+        self._item_vec = None
+
+    def _centroid_df(self, spark):
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
+        return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+    def _nearest_cells_expr(self, vec_col: str, n: int) -> Column:
+        """array of the n nearest cell ids by L2 — computed against the
+        broadcast centroid literal table, returned as array<int>."""
+        # ranked via array sort over (distance, cell) structs
+        v = M.as_double(vec_col)
+        cents = F.array(*[
+            F.struct(
+                M.l2_squared(v, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("cell"))
+            for i, c in enumerate(self.centroids)])
+        return F.slice(F.transform(F.array_sort(cents), lambda s: s["cell"]), 1, n)
+
+    def fit(self, items: DataFrame, *, item_key_col: str = "item",
+            item_vec_col: str = "embedding") -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = items.select(
+            F.col(item_key_col).alias("__key"),
+            array_to_vector(F.col(item_vec_col).cast("array<double>")).alias("features"))
+        km = KMeans(k=self.n_cells, seed=self.seed, maxIter=20)
+        model = km.fit(feats)
+        self.centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+        self._item_key, self._item_vec = item_key_col, item_vec_col
+        # assign once; persist the assignment like FAISS's add()
+        assigned = items.withColumn(
+            "cell", F.element_at(self._nearest_cells_expr(item_vec_col, 1), 1))
+        self._items = assigned.cache()
+        return self
+
+    def search(self, queries: DataFrame, *, k: int = 10,
+               query_item_col: str = "query_id",
+               query_vec_col: str = "embedding") -> DataFrame:
+        if self._items is None:
+            raise RuntimeError("IVFIndex is not fit; call fit() first")
+        metric_fn, higher = M.resolve_metric(self.metric)
+        q = queries.select(
+            F.col(query_item_col).alias("source_item"),
+            F.col(query_vec_col).alias("__q_vec"),
+            F.explode(self._nearest_cells_expr(query_vec_col, self.nprobe))
+            .alias("cell"))
+        it = self._items.select(
+            F.col(self._item_key).alias("sim_item"),
+            F.col(self._item_vec).alias("__i_vec"), "cell")
+        scored = q.join(it, "cell").withColumn(
+            "sim_val", metric_fn(F.col("__q_vec"), F.col("__i_vec")))
+        return _rank_topk(scored, k, higher).select(
+            "source_item", "sim_item", "sim_val", "rank_no")
+
+
+def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
+               index_param: str = "HNSW32", metric: str = "cos",
+               query_item_col: str = "query_id", item_key_col: str = "item",
+               query_vec_col: str = "embedding", item_vec_col: str = "embedding") -> DataFrame:
+    """Real-FAISS approximate path (optional dependency).
+
+    Builds the index driver-side from the (collected) item vectors, then
+    broadcasts the serialized blob and searches per query-partition inside
+    ``mapInPandas`` — the Spark translation of the reference's
+    train+search (faiss_searcher.py:116-125, 161-187). Suitable when the
+    *corpus* fits one machine but queries are huge; for corpora beyond one
+    machine, shard items and merge per-shard top-k (not yet implemented).
+
+    Raises ImportError when faiss is not installed (it is optional; the
+    exact path and SignLSH/IVF need no native deps).
+    """
+    import faiss  # noqa: F401  (import-gated: optional native dep)
+
+    item_pdf = items.select(item_key_col, item_vec_col).toPandas()
+    mat = np.ascontiguousarray(
+        np.array(item_pdf[item_vec_col].to_list(), dtype=np.float32))
+    dim = mat.shape[1]
+    faiss_metric = (faiss.METRIC_INNER_PRODUCT if metric in ("cos", "ip")
+                    else faiss.METRIC_L2)
+    if metric == "cos":
+        faiss.normalize_L2(mat)
+    if "HNSW" in index_param.upper() and "," not in index_param:
+        index = faiss.IndexHNSWFlat(dim, int(index_param.upper().split("HNSW")[-1]),
+                                    faiss_metric)
+    else:
+        index = faiss.index_factory(dim, index_param, faiss_metric)
+    index.train(mat)
+    index.add(mat)
+    blob = faiss.serialize_index(index)
+    keys = item_pdf[item_key_col].to_numpy()
+    spark = queries.sparkSession
+    b_blob = spark.sparkContext.broadcast(bytes(blob))
+    b_keys = spark.sparkContext.broadcast(keys)
+    normalize = metric == "cos"
+
+    def _search(batches):
+        import faiss as fa
+        import pandas as pd
+        idx = fa.deserialize_index(np.frombuffer(b_blob.value, dtype=np.uint8))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.ascontiguousarray(
+                np.array(pdf[query_vec_col].to_list(), dtype=np.float32))
+            if normalize:
+                fa.normalize_L2(qmat)
+            dist, ind = idx.search(qmat, k)
+            rows = {
+                "source_item": np.repeat(pdf[query_item_col].to_numpy(), k),
+                "sim_item": b_keys.value[ind.ravel()],
+                "sim_val": dist.ravel().astype("float64"),
+                "rank_no": np.tile(np.arange(k), len(pdf)),
+            }
+            yield pd.DataFrame(rows)
+
+    out_schema = ("source_item string, sim_item string, "
+                  "sim_val double, rank_no int")
+    return queries.select(query_item_col, query_vec_col).mapInPandas(
+        _search, out_schema)

@@ -1,0 +1,326 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): the reference only ever
+searches; a 100 TB pretraining corpus also needs dedup. Five strategies,
+each shaped for Spark's execution model — **no strategy ever materializes
+the O(n²) pair space**; candidates always come from an equi-join on a
+derived key (shingle, band, bucket), which Catalyst executes as a shuffled
+hash join on that key:
+
+- :func:`dedup_exact` — hash-groupBy on content (or any key columns);
+- :func:`ngram_jaccard_join` — shingle explode → self-equi-join on shingle
+  → per-pair intersection counts → Jaccard filter (inverted-index join);
+- :func:`minhash_signatures` / :func:`minhash_lsh_join` — MinHash + banded
+  LSH: only documents sharing a band hash ever meet in the join;
+- :func:`simhash` / :func:`simhash_pairs` — 32-bit SimHash fingerprints,
+  candidate pairs from 8-bit band equality (pigeonhole: hamming ≤ 3 pairs
+  must share one of 4 bands), verified by XOR popcount;
+- :func:`embedding_cosine_pairs` — semantic near-dup via cosine threshold
+  (pluggable candidate prefilter; brute force only within explicit bounds).
+
+Hashes are md5-derived (bit-identical in Spark SQL, DuckDB, and Python),
+so every operator here is checkable against the DuckDB oracle — see
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions import metrics as M
+from faisssearcher_spark.functions import text as T
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key_cols: Sequence[str], *,
+                tie_col: str | None = None) -> DataFrame:
+    """Keep exactly one row per distinct ``key_cols`` value.
+
+    With ``tie_col`` the survivor is deterministic (min tie_col — typically
+    the id column); without it this is ``dropDuplicates`` (arbitrary but
+    single survivor). Executes as one hash aggregation / window on the key —
+    map-side partial aggregation keeps the shuffle proportional to the
+    number of *distinct* keys.
+    """
+    if tie_col is None:
+        return df.dropDuplicates(list(key_cols))
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(tie_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join — the exact near-dup baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       threshold: float = 0.5) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ threshold.
+
+    Plan shape: distinct shingles per doc → explode → self-equi-join on the
+    shingle string (shuffled hash join keyed by shingle; docs sharing no
+    shingle never meet) → groupBy pair counting common shingles → Jaccard
+    via |A∩B| / (|A|+|B|−|A∩B|). Returns ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b``.
+
+    Scale note: hot shingles (boilerplate) skew the join; production runs
+    should drop shingles with document frequency above a cap — AQE skew
+    join handles moderate skew, the df-cap handles pathological skew.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.word_ngrams(text_col, n)).alias("sh"))
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    exploded = shingled.select("id", F.explode("sh").alias("s"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+                    F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+#: modulus for the affine MinHash permutations — Mersenne prime 2^61−1.
+#: With a < 2^30 and h < 2^32 the product a·h + b stays under 2^63, so the
+#: arithmetic is overflow-free in signed int64 in Spark, DuckDB, and Python.
+MINHASH_MERSENNE = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-permutation parameters, shared verbatim
+    by the Spark plan and the DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, size=num_hashes)
+    b = rng.integers(0, 1 << 30, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_n: int | None = None,
+                       seed: int = 42) -> DataFrame:
+    """Per-document MinHash signature over the distinct token (or
+    word-``shingle_n``-gram) set.
+
+    Each shingle is hashed ONCE (md5 → int64); the ``num_hashes``
+    permutations are cheap affine maps ``(a_i·h + b_i) mod (2^61−1)`` over
+    that base hash — not ``num_hashes`` separate md5 passes. The shingle
+    array and base-hash array are materialized as columns so Catalyst
+    computes them once, not once per signature component.
+    """
+    units = (T.word_ngrams(text_col, shingle_n) if shingle_n
+             else T.tokens(text_col))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.array_distinct(units).alias("token_set"))
+    hashed = base.withColumn(
+        "__hs", F.transform(F.col("token_set"), lambda t: T.md5_int(t)))
+    def perm(a: int, b: int):
+        # closure factory — NOT lambda default-args, which F.transform
+        # would miscount as extra lambda parameters
+        return F.array_min(F.transform(
+            F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MERSENNE))
+
+    sig = F.array(*[perm(a, b) for a, b in minhash_params(num_hashes, seed)])
+    return hashed.select("id", sig.alias("signature"), "token_set")
+
+
+def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", num_hashes: int = 16,
+                     bands: int = 4, shingle_n: int | None = None,
+                     seed: int = 42,
+                     verify_threshold: float | None = 0.5) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    ``num_hashes`` must divide into ``bands`` equal rows-per-band. Candidate
+    pairs are documents agreeing on *any* full band (equi-join keyed by
+    ``(band_index, band_value)`` — the classic LSH bucket join; the n² pair
+    space is never formed). With ``verify_threshold`` each candidate is
+    verified with the exact Jaccard of its token sets.
+
+    Returns ``(id_a, id_b, jaccard)`` (or candidates with NULL jaccard when
+    verification is off), ``id_a < id_b``.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n,
+                              seed=seed)
+
+    # '|'-joined so distinct component sequences can't collide as strings
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws("|", F.slice(F.col("signature"), b * r + 1, r)))
+    banded = sigs.select(
+        "id", "token_set",
+        F.posexplode(band_arr).alias("band_idx", "band_val"))
+
+    a = banded.select("id", "band_idx", "band_val").alias("a")
+    b = banded.select("id", "band_idx", "band_val").alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+
+    tok = sigs.select("id", "token_set")
+    verified = (
+        cand
+        .join(tok.select(F.col("id").alias("id_a"), F.col("token_set").alias("ts_a")), "id_a")
+        .join(tok.select(F.col("id").alias("id_b"), F.col("token_set").alias("ts_b")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("ts_a", "ts_b")))
+        .withColumn("jaccard", F.col("n_common") /
+                    (F.size("ts_a") + F.size("ts_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(text_col: str | Column, bits: int = 32) -> Column:
+    """``bits``-bit SimHash of the whitespace token stream (term-frequency
+    weighted: duplicate tokens vote once per occurrence).
+
+    Per bit j: vote = Σ_tokens (+1 if bit j of md5int(token) else −1);
+    fingerprint bit j = 1 iff vote > 0. Pure Catalyst and bit-identical in
+    the DuckDB oracle.
+
+    Single-pass plan: tokens are md5-hashed once into an int array, then
+    ONE ``aggregate`` folds the hash array into a ``bits``-wide vote vector
+    (``zip_with`` against the bit-index sequence), and one final fold packs
+    votes into the fingerprint — O(tokens · bits) work with no repeated
+    tokenization or hashing.
+    """
+    hashes = F.transform(T.tokens(text_col), lambda t: T.md5_int(t))
+
+    def bits_of(h: Column) -> Column:
+        # statically unrolled ±1 votes per bit (shift amounts must be
+        # Python ints for shiftright)
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for j in range(bits)])
+
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda v, b: v + b))
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    packed = F.zip_with(
+        votes, masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     simhash_expr(text_col, bits).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  max_hamming: int = 3) -> DataFrame:
+    """Document pairs within ``max_hamming`` bits of SimHash distance.
+
+    Candidates come from 8-bit band equality: with 4 bands of 8 bits, any
+    pair at hamming ≤ 3 matches on at least one band (pigeonhole), so the
+    join is an equi-join on ``(band_idx, band_byte)`` — never a cross join.
+    Verification is XOR + popcount.
+    """
+    if bits % 8:
+        raise ValueError("bits must be a multiple of 8 for byte banding")
+    n_bands = bits // 8
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < number of bands ({n_bands}) "
+            "for the pigeonhole guarantee")
+    fps = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+
+    band_arr = F.array(*[
+        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
+        for b in range(n_bands)])
+    banded = fps.select(
+        "id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_byte"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_byte") == F.col("b.band_byte"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("fp_a"),
+                F.col("b.id").alias("id_b"), F.col("b.simhash").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(
+            F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.9,
+                           score_scale: int | None = None) -> DataFrame:
+    """Semantic near-duplicate pairs: cosine(a, b) ≥ threshold, id_a < id_b.
+
+    Vectors are L2-normalized ONCE per row in the child projections (the
+    reference's O3 rewrite) so the per-pair work inside the O(n²) join is a
+    single dot product — not dot + two norms (3× the flops).
+
+    This is the verification kernel; at corpus scale the candidate set must
+    come from an ANN prefilter (see operators/ann.py sign-LSH buckets) —
+    joining each bucket instead of the full cross product. Used standalone
+    it is an explicit brute-force O(n²) scorer for bounded inputs.
+    """
+    from faisssearcher_spark.functions.vector import l2_normalize
+
+    a = df.select(F.col(id_col).alias("id_a"),
+                  l2_normalize(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  l2_normalize(vec_col).alias("v_b"))
+    score = M.inner_product(F.col("v_a"), F.col("v_b"))
+    if score_scale is not None:
+        score = F.round(score, score_scale)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", score)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

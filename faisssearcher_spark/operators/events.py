@@ -1,0 +1,69 @@
+"""Event-stream operators (batch forms; streaming twins in streaming/).
+
+Beyond-reference surface: the reference has no time/JSON/windowed
+semantics (SURVEY.md §2.10); these give the engine the event-pipeline
+operations of a production analytics stack, all as Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame, *, ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Tumbling 1-hour event-time rollup: count + value sum/avg per
+    (hour, event_type). Single hash aggregation; partial aggregation
+    (map-side combine) keeps the shuffle at |hours × types| rows."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col(ts_col)),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col(type_col).alias("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(value_col), 2).alias("sum_value"),
+             F.round(F.avg(value_col), 4).alias("avg_value"))
+    )
+
+
+def json_props(events: DataFrame, *, props_col: str = "props",
+               field: str = "k") -> DataFrame:
+    """Extract a JSON field from the props payload and aggregate per
+    event_type. get_json_object evaluates JVM-side (Jackson), no UDF."""
+    return (
+        events.withColumn(
+            "prop_val",
+            F.get_json_object(F.col(props_col), f"$.{field}").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count("prop_val").alias("n_with_prop"),
+             F.sum("prop_val").alias("sum_prop"),
+             F.max("prop_val").alias("max_prop"))
+    )
+
+
+def sessionize(events: DataFrame, *, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Classic lag + cumulative-sum
+    windows — one shuffle keyed by user, then per-user ordered scan.
+
+    Returns per-session rows: (user_id, session_id, n_events,
+    session_start, session_end).
+    """
+    w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w_user)
+    with_break = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    with_sid = with_break.withColumn(
+        "session_seq", F.sum("__new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        with_sid.groupBy(F.col(user_col), F.col("session_seq"))
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+             F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"))
+        .withColumnRenamed("session_seq", "session_id")
+    )

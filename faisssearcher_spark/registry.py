@@ -1,0 +1,866 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) -> DataFrame
+callable plus its DuckDB oracle SQL (the driver's correctness gate).
+
+Conventions (FIXTURES.md §3):
+- every computed column is aliased identically in Spark and SQL;
+- similarity/distance scores are rounded to 4 decimals on BOTH sides and
+  rounding happens BEFORE ranking, so top-K tie-breaking is deterministic
+  across engines (ties broken by item id);
+- timestamps are formatted to strings to dodge timezone representation
+  differences between engines.
+
+Oracle-less entries (approx-ANN recall, whitening) are listed in
+NO_ORACLE — the driver records a weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.encoders.mock import HashingEncoder
+from faisssearcher_spark.functions import metrics as M
+from faisssearcher_spark.functions import text as T
+from faisssearcher_spark.operators import ann, dedup, events, text_analysis
+from faisssearcher_spark.operators.knn import cal_sim, knn_join
+from faisssearcher_spark.operators.whitening import VecsWhitening
+from faisssearcher_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# L2-normalized double vector for DuckDB (column `embedding`)
+_NORM = ("list_transform(embedding::DOUBLE[], x -> x / "
+         "sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))))")
+
+# dot product of two double lists a, b
+def _dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> {a}[i] * {b}[i]))")
+
+# whitespace tokens, empties dropped (matches functions/text.py::tokens)
+_TOKS = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+         "t -> t != '')")
+
+_MD5INT = "('0x' || substring(md5({x}), 1, 8))::BIGINT"
+
+
+# ===========================================================================
+# 1. vector parity surface (reference operators)
+# ===========================================================================
+
+def q_knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: exact top-5 cosine neighbors for 20 query vectors
+    (reference J1/W1/W2/M1 path, faiss_searcher.py:161-187)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join(q, emb, metric="cos", k=5, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=["label"],
+                   score_scale=4)
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no", "label")
+
+
+ORACLE_KNN_COS = f"""
+WITH q AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings WHERE vec_id < 20),
+     it AS (SELECT vec_id, label, {_NORM} AS iv FROM embeddings),
+     scored AS (SELECT q.qid, it.vec_id, it.label,
+                       round({_dot('q.qv', 'it.iv')}, 4) AS sim_val
+                FROM q CROSS JOIN it),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
+                FROM scored)
+SELECT qid AS source_item, vec_id AS sim_item, sim_val,
+       (rn - 1)::INT AS rank_no, label
+FROM ranked WHERE rn <= 5
+"""
+
+
+def q_knn_l2_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 under squared-L2 (FAISS METRIC_L2 convention, ascending)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join(q, emb, metric="l2", k=5, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=[], score_scale=4)
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no")
+
+
+ORACLE_KNN_L2 = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+     it AS (SELECT vec_id, embedding::DOUBLE[] AS iv FROM embeddings),
+     scored AS (SELECT q.qid, it.vec_id,
+                       round(list_sum(list_transform(range(1, len(q.qv)+1),
+                             i -> (q.qv[i]-it.iv[i])*(q.qv[i]-it.iv[i]))), 4) AS sim_val
+                FROM q CROSS JOIN it),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY sim_val ASC, vec_id ASC) AS rn
+                FROM scored)
+SELECT qid AS source_item, vec_id AS sim_item, sim_val, (rn - 1)::INT AS rank_no
+FROM ranked WHERE rn <= 5
+"""
+
+
+def q_cal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cal_sim parity (faiss_searcher.py:192-198): raw dot product of one
+    query vector against every item, all N returned ranked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    res = cal_sim(q, emb, cand_key_col="vec_id")
+    return res.select(F.col("vec_id").alias("sim_item"),
+                      F.round("score", 4).alias("score"), "label")
+
+
+ORACLE_CAL_SIM = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+     it AS (SELECT vec_id, label, embedding::DOUBLE[] AS iv FROM embeddings)
+SELECT it.vec_id AS sim_item, round({_dot('q.qv', 'it.iv')}, 4) AS score, label
+FROM q CROSS JOIN it
+"""
+
+
+def q_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full metric library M1-M8 over consecutive-id vector pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"),
+                   F.col("embedding").alias("vb"))
+    pairs = a.join(b, "id_a")
+    abs_a = F.transform(M.as_double("va"), F.abs)
+    abs_b = F.transform(M.as_double("vb"), F.abs)
+    return pairs.select(
+        "id_a",
+        F.round(M.cosine("va", "vb"), 4).alias("cos_sim"),
+        F.round(M.inner_product("va", "vb"), 4).alias("ip"),
+        F.round(M.l2_squared("va", "vb"), 4).alias("l2_sq"),
+        F.round(M.l1("va", "vb"), 4).alias("l1_dist"),
+        F.round(M.l_inf("va", "vb"), 4).alias("linf_dist"),
+        F.round(M.l_p("va", "vb", 3.0), 4).alias("lp3_dist"),
+        F.round(M.bray_curtis("va", "vb"), 4).alias("braycurtis_dist"),
+        F.round(M.canberra("va", "vb"), 4).alias("canberra_dist"),
+        F.round(M.jensen_shannon(abs_a, abs_b), 4).alias("js_div"),
+    )
+
+
+ORACLE_PAIRWISE = """
+WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
+           FROM embeddings WHERE vec_id < 100),
+     b AS (SELECT vec_id - 1 AS id_a, embedding::DOUBLE[] AS vb FROM embeddings),
+     p AS (SELECT a.id_a, va, vb,
+                  list_transform(va, x -> abs(x)) AS aa,
+                  list_transform(vb, x -> abs(x)) AS ab
+           FROM a JOIN b USING (id_a))
+SELECT id_a,
+  round(list_sum(list_transform(range(1, len(va)+1), i -> va[i]*vb[i]))
+        / (sqrt(list_sum(list_transform(va, x -> x*x)))
+           * sqrt(list_sum(list_transform(vb, x -> x*x)))), 4) AS cos_sim,
+  round(list_sum(list_transform(range(1, len(va)+1), i -> va[i]*vb[i])), 4) AS ip,
+  round(list_sum(list_transform(range(1, len(va)+1),
+        i -> (va[i]-vb[i])*(va[i]-vb[i]))), 4) AS l2_sq,
+  round(list_sum(list_transform(range(1, len(va)+1), i -> abs(va[i]-vb[i]))), 4) AS l1_dist,
+  round(list_max(list_transform(range(1, len(va)+1), i -> abs(va[i]-vb[i]))), 4) AS linf_dist,
+  round(list_sum(list_transform(range(1, len(va)+1), i -> abs(va[i]-vb[i])**3)), 4) AS lp3_dist,
+  round(list_sum(list_transform(range(1, len(va)+1), i -> abs(va[i]-vb[i])))
+        / list_sum(list_transform(range(1, len(va)+1), i -> abs(va[i]+vb[i]))), 4) AS braycurtis_dist,
+  round(list_sum(list_transform(range(1, len(va)+1),
+        i -> CASE WHEN abs(va[i]) + abs(vb[i]) != 0
+                  THEN abs(va[i]-vb[i]) / (abs(va[i])+abs(vb[i])) ELSE 0 END)), 4) AS canberra_dist,
+  round(0.5 * list_sum(list_transform(range(1, len(aa)+1), i ->
+        (CASE WHEN aa[i] > 0 THEN aa[i]*ln(2*aa[i]/(aa[i]+ab[i])) ELSE 0 END)
+      + (CASE WHEN ab[i] > 0 THEN ab[i]*ln(2*ab[i]/(aa[i]+ab[i])) ELSE 0 END))), 4) AS js_div
+FROM p
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization building block (P3/A4): per-vector L2 norm and dim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(M.l2_norm("embedding"), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+ORACLE_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 4) AS l2_norm,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
+
+def q_multik_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-K semantics (O2, faiss_searcher.py:170-183): the K=2 slice of a
+    K=5 ranked result equals a direct K=2 search; output is the K=2 slice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    from faisssearcher_spark.operators.knn import knn_join_multi_k
+    multi = knn_join_multi_k(q, emb, [2, 5], metric="cos",
+                             query_item_col="qid", item_key_col="vec_id",
+                             payload_cols=[], score_scale=4)
+    res = multi[2]
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no")
+
+
+ORACLE_MULTIK = f"""
+WITH q AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings WHERE vec_id < 10),
+     it AS (SELECT vec_id, {_NORM} AS iv FROM embeddings),
+     scored AS (SELECT q.qid, it.vec_id,
+                       round({_dot('q.qv', 'it.iv')}, 4) AS sim_val
+                FROM q CROSS JOIN it),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
+                FROM scored)
+SELECT qid AS source_item, vec_id AS sim_item, sim_val, (rn - 1)::INT AS rank_no
+FROM ranked WHERE rn <= 2
+"""
+
+
+def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end encoder-mode search (reference mode 1, README.md:27-41):
+    documents encoded with the deterministic HashingEncoder pandas_udf,
+    cosine top-3 with payload carry — the full U1→P3→J1→J2 pipeline."""
+    from faisssearcher_spark.searcher import SparkSearcher
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("text", "lang", "source")
+    searcher = SparkSearcher(corpus, encoder=HashingEncoder(dim=8),
+                             measurement="cos")
+    searcher.train(validate=False)
+    queries = [r["text"] for r in
+               docs.filter(F.col("doc_id") < 5).orderBy("doc_id").collect()]
+    res = searcher.search(queries, topK=3, keep_rank_no=True, score_scale=4)
+    return res.select("source_item", "sim_item", "sim_val", "rank_no",
+                      "lang", "source")
+
+
+def _oracle_encoder(dim: int = 8) -> str:
+    enc = HashingEncoder(dim=dim).duckdb_sql("text")
+    return (f"SELECT text, lang, source, {enc} AS emb FROM documents")
+
+
+ORACLE_SEARCHER_TEXT = f"""
+WITH enc AS ({_oracle_encoder(8)}),
+     nrm AS (SELECT text, lang, source,
+                    list_transform(emb, x -> x / sqrt(list_sum(
+                        list_transform(emb, y -> y*y)))) AS v
+             FROM enc),
+     q AS (SELECT d.text AS source_item, n.v AS qv
+           FROM documents d JOIN nrm n ON d.text = n.text
+           WHERE d.doc_id < 5),
+     scored AS (SELECT q.source_item, nrm.text AS sim_item, nrm.lang, nrm.source,
+                       round({_dot('q.qv', 'nrm.v')}, 4) AS sim_val
+                FROM q CROSS JOIN nrm),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY source_item ORDER BY sim_val DESC, sim_item ASC) AS rn
+                FROM scored)
+SELECT source_item, sim_item, sim_val, (rn - 1)::INT AS rank_no, lang, source
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ===========================================================================
+# 2. ANN (bucketed approximate path — oracle-checkable variant)
+# ===========================================================================
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed top-3: candidates restricted to the query's
+    8-bit sign bucket (leading dims — zero plan constants), cosine-ranked.
+    The item⋈query meeting is an equi-join on the bucket key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = lsh.topk(q, emb, k=3, query_item_col="qid", item_key_col="vec_id")
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      F.round("sim_val", 4).alias("sim_val"), "rank_no")
+
+
+ORACLE_LSH = f"""
+WITH e AS (SELECT vec_id, {_NORM} AS v,
+                  list_sum(list_transform(range(1, 9),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
+           FROM embeddings),
+     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 50),
+     scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                FROM q JOIN e USING (bucket)),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
+                FROM scored)
+SELECT qid AS source_item, vec_id AS sim_item,
+       round(sim_val, 4) AS sim_val, (rn - 1)::INT AS rank_no
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ===========================================================================
+# 3. dedup suite
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per (lang, source) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, ["lang", "source"], tie_col="doc_id") \
+        .select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 (inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = dedup.ngram_jaccard_join(docs, n=3, threshold=0.3)
+    return res.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+     sh AS (SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(toks)-2, 0)+1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM t),
+     sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+     ex AS (SELECT id, unnest(g) AS s FROM sh),
+     common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidates over 3-gram shingles, verified
+    with exact shingle-set Jaccard ≥ 0.3."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = dedup.minhash_lsh_join(docs, num_hashes=16, bands=4, shingle_n=3,
+                                 verify_threshold=0.3)
+    return res.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _oracle_minhash_sig() -> str:
+    """Signature expression with the SAME affine params as the Spark plan."""
+    from faisssearcher_spark.operators.dedup import (MINHASH_MERSENNE,
+                                                     minhash_params)
+    comps = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % "
+        f"{MINHASH_MERSENNE}))"
+        for a, b in minhash_params(16))
+    return f"[{comps}]"
+
+
+ORACLE_MINHASH = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+     sh AS (SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(toks)-2, 0)+1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM t),
+     hsh AS (SELECT id, g,
+                    list_transform(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs
+             FROM sh),
+     sig AS (SELECT id, g, {_oracle_minhash_sig()} AS sg FROM hsh),
+     banded AS (SELECT id, g, b.band_idx,
+                       array_to_string(sg[b.band_idx*4+1 : b.band_idx*4+4], '|') AS band_val
+                FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b),
+     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.id < b.id),
+     verified AS (SELECT id_a, id_b,
+                         len(list_filter(sa.g, x -> list_contains(sb.g, x)))::DOUBLE
+                         / (len(sa.g) + len(sb.g)
+                            - len(list_filter(sa.g, x -> list_contains(sb.g, x)))) AS jaccard
+                  FROM cand
+                  JOIN sh sa ON sa.id = id_a
+                  JOIN sh sb ON sb.id = id_b)
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.3
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (tf-weighted bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32).withColumnRenamed("id", "doc_id")
+
+
+ORACLE_SIMHASH = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     h AS (SELECT doc_id,
+                  list_transform(toks, x -> {_MD5INT.format(x='x')}) AS hs
+           FROM t)
+SELECT doc_id,
+       list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform(hs,
+                     h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+FROM h
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ 0.45 over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4)
+    return res
+
+
+ORACLE_EMB_NEARDUP = f"""
+WITH e AS (SELECT vec_id, {_NORM} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_dot('a.v', 'b.v')}, 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_dot('a.v', 'b.v')}, 4) >= 0.45
+"""
+
+
+# ===========================================================================
+# 4. text analysis
+# ===========================================================================
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.token_stats(docs)
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::INT))::INT AS n_bpe_tokens,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len
+FROM t
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.quality_scores(docs)
+
+
+_SW_EN = "['the','a','of','and','to','in','is','it','that','for']"
+
+ORACLE_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+     m AS (SELECT doc_id,
+                  len(toks) AS n,
+                  len(list_filter(toks, x -> list_contains({_SW_EN}, lower(x))))::DOUBLE
+                    / len(toks) AS swr,
+                  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                    / length(text) AS pr
+           FROM t)
+SELECT doc_id,
+       round(swr, 4) AS stopword_ratio,
+       round(pr, 4) AS punct_ratio,
+       round((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.2 END)
+             * (0.5 + 0.5 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END))
+             * (1.0 - least(1.0, 3.0 * pr)), 4) AS quality
+FROM m
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.detect_languages(docs)
+
+
+def _oracle_langid() -> str:
+    from faisssearcher_spark.functions.text import LANG_STOPWORDS
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        arr = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains({arr}, lower(x)))) AS s_{lang}")
+    structs = ", ".join(
+        f"{{'hits': s_{lang}, 'lang': '{lang}'}}" for lang in sorted(LANG_STOPWORDS))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
+     best AS (SELECT doc_id,
+                     list_max(list_filter([{structs}], p -> p.hits > 0)) AS b
+              FROM s)
+SELECT doc_id, coalesce(b.lang, 'und') AS lang_pred FROM best
+"""
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.fingerprints(docs)
+
+
+ORACLE_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_transform(toks, x -> lower(x)))), ' ')) AS fingerprint,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(toks, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT)),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+FROM t
+"""
+
+
+def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.ngram_frequencies(docs, n=3, top=20)
+
+
+ORACLE_NGRAM_FREQ = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+     g AS (SELECT unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+           FROM t)
+SELECT ngram, count(*) AS freq FROM g GROUP BY ngram
+ORDER BY freq DESC, ngram ASC LIMIT 20
+"""
+
+
+# ===========================================================================
+# 5. relational / events (extended inventory over the TPC-H-ish tables)
+# ===========================================================================
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
+    Filter pushes to the parquet scan; partial aggregation map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                           * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.
+    customer is the small side (broadcast); orders⋈lineitem shuffles on
+    the join key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter((F.col("c_mktsegment") == "BUILDING")
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, revenue per nation. Dimension
+    tables broadcast; only orders⋈lineitem shuffles."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 customers by account balance per nation
+    (rank-limit pushes below the shuffle via WindowGroupLimit)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("n_name", "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"), "rank_in_nation")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+       rank_in_nation
+FROM (SELECT n_name, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey ASC)
+               AS rank_in_nation
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+WHERE rank_in_nation <= 3
+"""
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + aggregation: per-customer order counts including
+    zero-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+             .alias("total_spent"))
+    )
+
+
+ORACLE_CUSTOMER_STATS = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return events.hourly_rollup(ev)
+
+
+ORACLE_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return events.json_props(ev)
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       count(prop_val) AS n_with_prop,
+       sum(prop_val)::BIGINT AS sum_prop,
+       max(prop_val) AS max_prop
+FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS prop_val
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return events.sessionize(ev, gap_minutes=30)
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (SELECT user_id, ts,
+                  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts ASC) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                            IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+     s AS (SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+           FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ===========================================================================
+# 6. oracle-less entries (rows-only driver check)
+# ===========================================================================
+
+def q_whitening_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening fit+transform (vecs_whitening.py parity): output dim ==
+    n_components; covariance ≈ I is asserted in tests (SVD sign ambiguity
+    makes kernel values non-oracle-comparable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = VecsWhitening(8).fit(emb, "embedding")
+    out = model.transform(emb, "embedding", out_col="whitened")
+    return out.select("vec_id", F.size("whitened").alias("out_dim"))
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(16 cells, nprobe 4) recall@10 vs the exact path — the approx
+    path's self-oracle (SURVEY.md §5.4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    index = ann.IVFIndex(n_cells=16, nprobe=4, metric="cos").fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    approx = index.search(q, k=10, query_item_col="qid")
+    exact = knn_join(q, emb, metric="cos", k=10, query_item_col="qid",
+                     item_key_col="vec_id", payload_cols=[])
+    hits = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.source_item") == F.col("e.source_item"))
+        & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(float(hits) / total if total else 0.0, hits, total)],
+        "recall_at_10 double, hits long, total long")
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference parity (vector search)
+    "knn_cosine_top5": q_knn_cosine_top5,
+    "knn_l2_top5": q_knn_l2_top5,
+    "knn_multik_slice": q_multik_rank_filter,
+    "cal_sim_dot": q_cal_sim,
+    "pairwise_metrics": q_pairwise_metrics,
+    "vector_norms": q_vector_norms,
+    "searcher_text_knn": q_searcher_text_knn,
+    # ANN
+    "ann_lsh_bucket_top3": q_ann_lsh_bucket,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    # dedup
+    "dedup_exact_keyed": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash_fingerprint": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    # text analysis
+    "text_token_stats": q_text_token_stats,
+    "text_quality_scores": q_text_quality,
+    "text_language_id": q_text_langid,
+    "text_fingerprints": q_text_fingerprints,
+    "text_ngram_topk": q_text_ngram_freq,
+    # relational / events
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "customer_order_stats": q_customer_order_stats,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_json_props": q_events_json_props,
+    "events_sessionize": q_events_sessionize,
+    # oracle-less
+    "whitening_transform": q_whitening_transform,
+}
+
+ORACLES: dict[str, str] = {
+    "knn_cosine_top5": ORACLE_KNN_COS,
+    "knn_l2_top5": ORACLE_KNN_L2,
+    "knn_multik_slice": ORACLE_MULTIK,
+    "cal_sim_dot": ORACLE_CAL_SIM,
+    "pairwise_metrics": ORACLE_PAIRWISE,
+    "vector_norms": ORACLE_NORMS,
+    "searcher_text_knn": ORACLE_SEARCHER_TEXT,
+    "ann_lsh_bucket_top3": ORACLE_LSH,
+    "dedup_exact_keyed": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash_fingerprint": ORACLE_SIMHASH,
+    "dedup_embedding_cosine": ORACLE_EMB_NEARDUP,
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality_scores": ORACLE_QUALITY,
+    "text_language_id": _oracle_langid(),
+    "text_fingerprints": ORACLE_FINGERPRINTS,
+    "text_ngram_topk": ORACLE_NGRAM_FREQ,
+    "tpch_q1_pricing": ORACLE_Q1,
+    "tpch_q3_shipping": ORACLE_Q3,
+    "tpch_q5_local_supplier": ORACLE_Q5,
+    "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
+    "customer_order_stats": ORACLE_CUSTOMER_STATS,
+    "events_hourly_rollup": ORACLE_HOURLY,
+    "events_json_props": ORACLE_JSON,
+    "events_sessionize": ORACLE_SESSIONIZE,
+}
+
+#: queries with no SQL oracle (driver does a rows-only check)
+NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -20,7 +21,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright. Read it as raw nanos (legacy conf) and convert
+    to a microsecond timestamp — the driver data carries no sub-microsecond
+    components, so the conversion is lossless (verified against DuckDB's
+    native TIMESTAMP_NS read)."""
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "timestamp":
+            df.schema  # force schema resolution
+            return df
+    except Exception:  # noqa: BLE001
+        pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

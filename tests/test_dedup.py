@@ -1,0 +1,105 @@
+"""Dedup suite: planted-duplicate recovery, LSH candidate soundness,
+hash determinism vs Python reference implementations."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-token diff
+    other = "completely different text about spark query engines and columnar io"
+    rows = [(0, base), (1, base), (2, near), (3, other),
+            (4, "singleton text unlike anything else entirely")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExact:
+    def test_keeps_min_id_survivor(self, docs_with_dups):
+        out = dedup.dedup_exact(docs_with_dups, ["text"], tie_col="doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [0, 2, 3, 4]  # doc 1 (dup of 0) removed
+
+    def test_no_tie_col_still_one_per_key(self, docs_with_dups):
+        out = dedup.dedup_exact(docs_with_dups, ["text"])
+        assert out.count() == 4
+
+
+class TestNgramJaccard:
+    def test_finds_planted_near_dups(self, docs_with_dups):
+        out = dedup.ngram_jaccard_join(docs_with_dups, n=3, threshold=0.5)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (0, 1) in pairs          # exact dup: jaccard 1.0
+        assert (0, 2) in pairs          # near dup
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_exact_dup_jaccard_is_one(self, docs_with_dups):
+        out = dedup.ngram_jaccard_join(docs_with_dups, n=3, threshold=0.99)
+        row = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert row[(0, 1)] == pytest.approx(1.0)
+
+
+class TestMinHash:
+    def test_lsh_finds_planted_dups(self, docs_with_dups):
+        out = dedup.minhash_lsh_join(docs_with_dups, num_hashes=16, bands=4,
+                                     shingle_n=3, verify_threshold=0.5)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (0, 1) in pairs
+
+    def test_identical_docs_identical_signature(self, docs_with_dups):
+        sigs = dedup.minhash_signatures(docs_with_dups, num_hashes=8).collect()
+        by_id = {r["id"]: r["signature"] for r in sigs}
+        assert by_id[0] == by_id[1]
+        assert by_id[0] != by_id[3]
+
+    def test_signature_matches_python_reference(self, spark):
+        # independent Python recomputation of the affine-minhash definition
+        text = "alpha beta gamma delta"
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        sig = dedup.minhash_signatures(df, num_hashes=4).first()["signature"]
+        toks = list(dict.fromkeys(text.split()))
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        for i, (a, b) in enumerate(dedup.minhash_params(4)):
+            expect = min((a * h + b) % dedup.MINHASH_MERSENNE for h in hs)
+            assert sig[i] == expect
+
+    def test_bands_must_divide(self, docs_with_dups):
+        with pytest.raises(ValueError, match="divide"):
+            dedup.minhash_lsh_join(docs_with_dups, num_hashes=16, bands=5)
+
+
+class TestSimHash:
+    def test_identical_docs_same_fingerprint(self, docs_with_dups):
+        fps = {r["id"]: r["simhash"] for r in dedup.simhash(docs_with_dups).collect()}
+        assert fps[0] == fps[1]
+        assert 0 <= fps[0] < (1 << 32)
+
+    def test_near_dup_small_hamming(self, spark, docs_with_dups):
+        fps = {r["id"]: r["simhash"] for r in dedup.simhash(docs_with_dups).collect()}
+        ham = bin(fps[0] ^ fps[2]).count("1")
+        ham_far = bin(fps[0] ^ fps[3]).count("1")
+        assert ham < ham_far
+
+    def test_pairs_finds_exact_dup(self, docs_with_dups):
+        out = dedup.simhash_pairs(docs_with_dups, max_hamming=3)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (0, 1) in pairs
+
+    def test_pigeonhole_guard(self, docs_with_dups):
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.simhash_pairs(docs_with_dups, bits=32, max_hamming=4)
+
+
+class TestEmbeddingCosine:
+    def test_near_identical_vectors_found(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+                (2, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = dedup.embedding_cosine_pairs(df, threshold=0.95)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert pairs == {(0, 1)}

@@ -1,0 +1,139 @@
+"""Exact k-NN join: known-answer fixtures, numpy ground truth, tie-breaking,
+multi-K consistency, payload carry, plan shape (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.knn import cal_sim, knn_join, knn_join_multi_k
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    """4 orthonormal dim-4 vectors + 1 duplicate of v0 (FIXTURES.md §1)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),  # duplicate of 0
+    ]
+    return spark.createDataFrame(rows, "vid long, embedding array<double>")
+
+
+class TestMicroFixtures:
+    def test_duplicate_is_top1_with_sim_one(self, spark, micro):
+        q = micro.filter(F.col("vid") == 4).select(
+            F.col("vid").alias("qid"), "embedding")
+        res = knn_join(q, micro, metric="cos", k=2, query_item_col="qid",
+                       item_key_col="vid").collect()
+        # tie between vid 0 and vid 4 (identical): id order breaks the tie
+        assert [(r["sim_item"], r["rank_no"]) for r in res] == [(0, 0), (4, 1)]
+        assert all(r["sim_val"] == pytest.approx(1.0) for r in res)
+
+    def test_orthogonal_has_zero_sim(self, spark, micro):
+        q = micro.filter(F.col("vid") == 1).select(
+            F.col("vid").alias("qid"), "embedding")
+        res = knn_join(q, micro, metric="cos", k=5, query_item_col="qid",
+                       item_key_col="vid").collect()
+        by_item = {r["sim_item"]: r["sim_val"] for r in res}
+        assert by_item[1] == pytest.approx(1.0)
+        for other in (0, 2, 3, 4):
+            assert by_item[other] == pytest.approx(0.0)
+
+    def test_l2_ascending_order(self, spark, micro):
+        q = micro.filter(F.col("vid") == 0).select(
+            F.col("vid").alias("qid"), "embedding")
+        res = knn_join(q, micro, metric="l2", k=5, query_item_col="qid",
+                       item_key_col="vid").collect()
+        vals = [r["sim_val"] for r in sorted(res, key=lambda r: r["rank_no"])]
+        assert vals == sorted(vals)          # distances ascend
+        assert vals[0] == pytest.approx(0.0)  # self first
+
+
+class TestAgainstNumpy:
+    @pytest.mark.parametrize("metric", ["cos", "l2", "l1", "l_inf"])
+    def test_topk_matches_numpy(self, spark, embeddings, metric):
+        pdf = embeddings.toPandas()
+        mat = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        mat, ids = mat[order], ids[order]
+
+        if metric == "cos":
+            m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = m[:5] @ m.T
+            best = lambda row: np.lexsort((ids, -row))[:4]  # noqa: E731
+        else:
+            diffs = mat[:5, None, :] - mat[None, :, :]
+            if metric == "l2":
+                scores = (diffs ** 2).sum(-1)
+            elif metric == "l1":
+                scores = np.abs(diffs).sum(-1)
+            else:
+                scores = np.abs(diffs).max(-1)
+            best = lambda row: np.lexsort((ids, row))[:4]  # noqa: E731
+
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric=metric, k=4,
+                       query_item_col="qid", item_key_col="vec_id",
+                       payload_cols=[]).toPandas()
+        for qi in range(5):
+            got = res[res.source_item == qi].sort_values("rank_no")["sim_item"].tolist()
+            want = [int(ids[j]) for j in best(scores[qi])]
+            assert got == want, f"metric={metric} q={qi}"
+
+
+class TestMultiK:
+    def test_smaller_k_is_prefix_of_larger(self, spark, embeddings):
+        q = embeddings.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        multi = knn_join_multi_k(q, embeddings, [2, 7], metric="cos",
+                                 query_item_col="qid", item_key_col="vec_id",
+                                 payload_cols=[])
+        k2 = {(r["source_item"], r["sim_item"]) for r in multi[2].collect()}
+        k7 = {(r["source_item"], r["sim_item"], r["rank_no"])
+              for r in multi[7].collect()}
+        assert len(k2) == 6 and len(k7) == 21
+        prefix = {(s, i) for s, i, rk in k7 if rk < 2}
+        assert prefix == k2
+
+    def test_empty_ks_raises(self, spark, embeddings):
+        with pytest.raises(ValueError):
+            knn_join_multi_k(embeddings, embeddings, [])
+
+
+class TestPayloadAndShape:
+    def test_payload_carry_and_column_order(self, spark, embeddings):
+        q = embeddings.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric="cos", k=2,
+                       query_item_col="qid", item_key_col="vec_id")
+        # reference result shape: [source_item, sim_item, sim_val, rank_no, *payload]
+        assert res.columns == ["source_item", "sim_item", "sim_val",
+                               "rank_no", "label"]
+
+    def test_keep_rank_no_false(self, spark, embeddings):
+        q = embeddings.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric="cos", k=2, keep_rank_no=False,
+                       query_item_col="qid", item_key_col="vec_id")
+        assert "rank_no" not in res.columns
+
+    def test_plan_has_windowgrouplimit_and_broadcast(self, spark, embeddings):
+        q = embeddings.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric="cos", k=2,
+                       query_item_col="qid", item_key_col="vec_id")
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestCalSim:
+    def test_raw_dot_not_normalized(self, spark):
+        # the reference wrinkle: cal_sim scores are raw dot products
+        cands = spark.createDataFrame(
+            [("a", [2.0, 0.0]), ("b", [0.5, 0.0])],
+            "item string, embedding array<double>")
+        q = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+        res = cal_sim(q, cands).collect()
+        assert [(r["item"], r["score"]) for r in res] == [("a", 2.0), ("b", 0.5)]

@@ -1,0 +1,135 @@
+"""Text analysis functions, ANN paths (SignLSH / IVF recall vs exact),
+and the vector validation utilities."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions import text as T
+from faisssearcher_spark.functions.vector import (validate_vectors, vector_dim)
+from faisssearcher_spark.operators import ann
+from faisssearcher_spark.operators.knn import knn_join
+
+
+class TestTextFunctions:
+    def test_tokens_drop_empties(self, spark):
+        df = spark.createDataFrame([("  a  b   c ",), ("", )], "text string")
+        out = df.select(T.token_count("text").alias("n")).collect()
+        assert [r["n"] for r in out] == [3, 0]
+
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        out = df.select(T.word_ngrams("text", 3).alias("g")).first()["g"]
+        assert out == ["a b c", "b c d"]
+
+    def test_word_ngrams_short_doc_empty(self, spark):
+        df = spark.createDataFrame([("a b",)], "text string")
+        assert df.select(T.word_ngrams("text", 3).alias("g")).first()["g"] == []
+
+    def test_langid_picks_stopword_majority(self, spark):
+        df = spark.createDataFrame(
+            [("the cat of the house and the dog",),
+             ("el gato de la casa y el perro",),
+             ("zzz qqq xxx",)], "text string")
+        out = [r[0] for r in df.select(T.detect_language("text")).collect()]
+        assert out == ["en", "es", "und"]
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [("alpha beta gamma",), ("gamma alpha beta",), ("alpha beta",)],
+            "text string")
+        fps = [r[0] for r in df.select(T.fingerprint("text")).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_rolling_hash_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [("alpha beta",), ("beta alpha",)], "text string")
+        hs = [r[0] for r in df.select(T.rolling_hash("text")).collect()]
+        assert hs[0] != hs[1]
+
+    def test_quality_score_range(self, documents):
+        out = documents.select(T.quality_score("text").alias("q")).collect()
+        assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+class TestVectorValidation:
+    def test_vector_dim(self, embeddings):
+        assert vector_dim(embeddings, "embedding") == 64
+
+    def test_validate_ok(self, embeddings):
+        assert validate_vectors(embeddings, "embedding") == 64
+
+    def test_ragged_raises(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0],), ([1.0],)], "embedding array<double>")
+        with pytest.raises(ValueError, match="ragged"):
+            validate_vectors(df, "embedding")
+
+    def test_wrong_dim_raises(self, embeddings):
+        with pytest.raises(ValueError, match="expected dim"):
+            validate_vectors(embeddings, "embedding", dim=8)
+
+    def test_non_array_raises(self, documents):
+        with pytest.raises(TypeError, match="array"):
+            vector_dim(documents, "text")
+
+
+def _recall(approx, exact):
+    a = {(r["source_item"], r["sim_item"]) for r in approx.collect()}
+    e = {(r["source_item"], r["sim_item"]) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def queries(self, embeddings):
+        return embeddings.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "embedding")
+
+    @pytest.fixture(scope="class")
+    def exact10(self, queries, embeddings):
+        return knn_join(queries, embeddings, metric="cos", k=10,
+                        query_item_col="qid", item_key_col="vec_id",
+                        payload_cols=[]).cache()
+
+    def test_signlsh_self_always_found(self, queries, embeddings):
+        lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
+        res = lsh.topk(queries, embeddings, k=3, query_item_col="qid",
+                       item_key_col="vec_id").collect()
+        rank0 = {r["source_item"]: r["sim_item"] for r in res
+                 if r["rank_no"] == 0}
+        # a query is always in its own bucket → finds itself at rank 0
+        assert all(src == item for src, item in rank0.items())
+
+    def test_signlsh_hyperplanes_deterministic(self, queries, embeddings):
+        lsh1 = ann.SignLSH(dim=64, num_bits=6, seed=7)
+        lsh2 = ann.SignLSH(dim=64, num_bits=6, seed=7)
+        r1 = lsh1.topk(queries, embeddings, k=2, query_item_col="qid",
+                       item_key_col="vec_id").collect()
+        r2 = lsh2.topk(queries, embeddings, k=2, query_item_col="qid",
+                       item_key_col="vec_id").collect()
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    def test_ivf_recall_vs_exact(self, queries, embeddings, exact10):
+        index = ann.IVFIndex(n_cells=8, nprobe=4, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        approx = index.search(queries, k=10, query_item_col="qid")
+        # nprobe=half the cells → recall should be high (≥0.9 per BASELINE.md)
+        assert _recall(approx, exact10) >= 0.9
+
+    def test_ivf_full_probe_is_exact(self, queries, embeddings, exact10):
+        index = ann.IVFIndex(n_cells=4, nprobe=4, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        approx = index.search(queries, k=10, query_item_col="qid")
+        assert _recall(approx, exact10) == 1.0
+
+    def test_ivf_unfit_raises(self, queries):
+        with pytest.raises(RuntimeError, match="fit"):
+            ann.IVFIndex().search(queries)
+
+    def test_faiss_gated(self, queries, embeddings):
+        try:
+            import faiss  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError):
+                ann.faiss_topk(queries, embeddings, k=2,
+                               query_item_col="qid", item_key_col="vec_id")
