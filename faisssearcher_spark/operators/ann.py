@@ -188,6 +188,54 @@ class IVFIndex:
             "source_item", "sim_item", "sim_val", "rank_no")
 
 
+    # -- persistence (index lifecycle S2/S3, faiss_searcher.py:109-114,189-190)
+
+    def save(self, path: str) -> None:
+        """Persist centroids + cell-assigned corpus as Parquet (replaces
+        faiss.write_index; an IVF 'index' here is data + config)."""
+        if self._items is None or self.centroids is None:
+            raise RuntimeError("IVFIndex is not fit; nothing to save")
+        import json
+        import os
+
+        spark = self._items.sparkSession
+        self._items.write.mode("overwrite").parquet(os.path.join(path, "items"))
+        meta = {
+            "n_cells": self.n_cells, "nprobe": self.nprobe,
+            "seed": self.seed, "metric": self.metric,
+            "item_key": self._item_key, "item_vec": self._item_vec,
+            "centroids": [[float(x) for x in c] for c in self.centroids],
+        }
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        """Load + revalidate (the reference asserts ntotal/dim/is_trained on
+        load, faiss_searcher.py:112-114; here: corpus non-empty and cell ids
+        within range)."""
+        import json
+        import os
+
+        meta = json.loads(
+            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        index = cls(meta["n_cells"], meta["nprobe"], meta["seed"], meta["metric"])
+        index.centroids = np.array(meta["centroids"])
+        index._item_key, index._item_vec = meta["item_key"], meta["item_vec"]
+        items = spark.read.parquet(os.path.join(path, "items"))
+        stats = items.select(
+            F.count("*").alias("n"), F.max("cell").alias("max_cell")).first()
+        if not stats["n"]:
+            raise ValueError("loaded IVF index has an empty corpus")
+        if stats["max_cell"] >= meta["n_cells"]:
+            raise ValueError(
+                f"cell id {stats['max_cell']} out of range for "
+                f"{meta['n_cells']} cells — corrupt index?")
+        index._items = items.cache()
+        return index
+
+
 def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
                index_param: str = "HNSW32", metric: str = "cos",
                query_item_col: str = "query_id", item_key_col: str = "item",

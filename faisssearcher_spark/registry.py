@@ -271,6 +271,38 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def q_knn_matrix_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-vector-mode array output (faiss_searcher.py:133-136): one row per
+    query, rank-ordered neighbor-id and score arrays."""
+    from faisssearcher_spark.operators.knn import knn_join_arrays
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join_arrays(q, emb, metric="cos", k=3, query_item_col="qid",
+                          item_key_col="vec_id", payload_cols=[],
+                          score_scale=4)
+    return res.select(
+        F.col("source_item").cast("long").alias("source_item"),
+        F.col("sim_items").cast("array<long>").alias("sim_items"),
+        "sim_vals")
+
+
+ORACLE_KNN_MATRIX = f"""
+WITH q AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings WHERE vec_id < 10),
+     it AS (SELECT vec_id, {_NORM} AS iv FROM embeddings),
+     scored AS (SELECT q.qid, it.vec_id,
+                       round({_dot('q.qv', 'it.iv')}, 4) AS sim_val
+                FROM q CROSS JOIN it),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
+                FROM scored)
+SELECT qid AS source_item,
+       list(vec_id ORDER BY rn) AS sim_items,
+       list(sim_val ORDER BY rn) AS sim_vals
+FROM ranked WHERE rn <= 3 GROUP BY qid
+"""
+
+
 # ===========================================================================
 # 2. ANN (bucketed approximate path — oracle-checkable variant)
 # ===========================================================================
@@ -801,6 +833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_top5": q_knn_cosine_top5,
     "knn_l2_top5": q_knn_l2_top5,
     "knn_multik_slice": q_multik_rank_filter,
+    "knn_matrix_output": q_knn_matrix_output,
     "cal_sim_dot": q_cal_sim,
     "pairwise_metrics": q_pairwise_metrics,
     "vector_norms": q_vector_norms,
@@ -837,6 +870,7 @@ ORACLES: dict[str, str] = {
     "knn_cosine_top5": ORACLE_KNN_COS,
     "knn_l2_top5": ORACLE_KNN_L2,
     "knn_multik_slice": ORACLE_MULTIK,
+    "knn_matrix_output": ORACLE_KNN_MATRIX,
     "cal_sim_dot": ORACLE_CAL_SIM,
     "pairwise_metrics": ORACLE_PAIRWISE,
     "vector_norms": ORACLE_NORMS,

@@ -1,0 +1,135 @@
+"""Structured Streaming twins (windowed agg, streaming dedup) driven with
+availableNow triggers, and the multimodal column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import multimodal
+from faisssearcher_spark.streaming import events as sev
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+class TestStreaming:
+    def test_windowed_counts_match_batch(self, spark, sf_dir, events_stream):
+        agg = sev.windowed_event_counts(events_stream, window="1 hour",
+                                        watermark="1 hour")
+        sev.run_to_memory(agg, "win_counts", output_mode="append")
+        got = spark.table("win_counts").toPandas()
+        # batch ground truth over the same file
+        from faisssearcher_spark.sources.catalog import load_table
+        batch = (load_table(spark, sf_dir, "events")
+                 .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                        "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                          "event_type")
+                 .agg(F.count("*").alias("n_events"))).toPandas()
+        g = got.set_index(["window_start", "event_type"])["n_events"].sort_index()
+        b = batch.set_index(["window_start", "event_type"])["n_events"].sort_index()
+        # append mode only emits windows closed by the final watermark
+        # (max_ts − 1h); the trailing windows legitimately stay open, so the
+        # stream output must be a prefix-subset of batch with equal counts,
+        # and anything missing must be within 2h of the stream's end.
+        assert set(g.index) <= set(b.index)
+        assert g.equals(b.loc[g.index.intersection(b.index)].sort_index())
+        missing = b.index.difference(g.index)
+        max_ws = max(ws for ws, _ in b.index)
+        import pandas as pd
+        cutoff = pd.Timestamp(max_ws) - pd.Timedelta(hours=2)
+        assert all(pd.Timestamp(ws) >= cutoff for ws, _ in missing)
+
+    def test_streaming_dedup_drops_duplicate_ids(self, spark, events_stream):
+        dedup = sev.streaming_dedup(events_stream, key_cols=["event_id"])
+        sev.run_to_memory(dedup, "dedup_events", output_mode="append")
+        out = spark.table("dedup_events")
+        assert out.count() == out.select("event_id").distinct().count()
+
+    def test_stream_is_streaming(self, events_stream):
+        assert events_stream.isStreaming
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (0, "image", "image/png", b"\x89PNGfake0", 64, 64, None),
+        (1, "image", "image/png", b"\x89PNGfake1", 32, 32, None),
+        (2, "audio", "audio/wav", b"RIFFfake", None, None, 2500),
+        (3, "video", "video/mp4", b"mp4fake", 640, 480, 3500),
+        (4, "video", "video/mp4", b"mp4fake2", 640, 480, 60_000),
+    ]
+    return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+
+
+class TestMultimodal:
+    def test_asset_stats_metadata_only(self, assets):
+        stats = {r["modality"]: r["n_assets"]
+                 for r in multimodal.asset_stats(assets).collect()}
+        assert stats == {"image": 2, "audio": 1, "video": 2}
+
+    def test_real_decoder_is_stubbed(self, assets):
+        with pytest.raises(Exception, match="NotImplementedError|real media"):
+            multimodal.decode_media(assets, decoder="real").collect()
+
+    def test_fake_decoder_deterministic(self, assets):
+        a = multimodal.decode_media(assets, decoder="fake").toPandas()
+        b = multimodal.decode_media(assets, decoder="fake").toPandas()
+        assert len(a) == 5
+        assert all(len(f) == multimodal.FEATURE_DIM for f in a["features"])
+        fa = {r.asset_id: list(r.features) for r in a.itertuples()}
+        fb = {r.asset_id: list(r.features) for r in b.itertuples()}
+        assert fa == fb
+        assert fa[0] != fa[1]  # different payloads → different features
+
+    def test_decoded_features_feed_knn(self, spark, assets):
+        # the seam that matters: decode output joins the vector operators
+        from faisssearcher_spark.operators.knn import knn_join
+        feats = multimodal.decode_media(assets, decoder="fake")
+        q = feats.limit(2).select(F.col("asset_id").alias("qid"),
+                                  F.col("features").alias("embedding"))
+        it = feats.select("asset_id", F.col("features").alias("embedding"))
+        res = knn_join(q, it, metric="cos", k=2, query_item_col="qid",
+                       item_key_col="asset_id", payload_cols=[])
+        rows = res.filter(F.col("rank_no") == 0).collect()
+        assert all(r["source_item"] == r["sim_item"] for r in rows)
+
+    def test_frame_sample_bounds(self, assets):
+        frames = multimodal.frame_sample(assets, every_ms=1000, max_frames=16)
+        by_asset = frames.groupBy("asset_id").count().collect()
+        counts = {r["asset_id"]: r["count"] for r in by_asset}
+        assert counts[3] == 4          # 3500ms → frames at 0,1000,2000,3000
+        assert counts[4] == 16         # capped at max_frames
+        offs = frames.filter(F.col("asset_id") == 3) \
+            .select("frame_offset_ms").collect()
+        assert sorted(r[0] for r in offs) == [0, 1000, 2000, 3000]
+
+    def test_invalid_decoder_name(self, assets):
+        with pytest.raises(ValueError, match="decoder"):
+            multimodal.decode_media(assets, decoder="gpu")
+
+
+class TestPlanInspection:
+    def test_pushed_filters_and_helpers(self, spark, embeddings, sf_dir):
+        from faisssearcher_spark import plans
+        from faisssearcher_spark.operators.knn import knn_join
+        q = embeddings.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric="cos", k=2, query_item_col="qid",
+                       item_key_col="vec_id")
+        assert plans.has_window_group_limit(res)
+        assert plans.has_broadcast_join(res)
+
+    def test_pushed_filters_on_parquet_scan(self, spark, sf_dir):
+        # NB: must use a table that is NOT .cache()d anywhere in the session —
+        # the CacheManager silently swaps matching plans for InMemoryRelation,
+        # and cached scans carry no PushedFilters.
+        from faisssearcher_spark import plans
+        from faisssearcher_spark.sources.catalog import load_table
+        li = load_table(spark, sf_dir, "lineitem")
+        res = li.filter(F.col("l_orderkey") < 100).select("l_orderkey",
+                                                          "l_quantity")
+        pushed = plans.pushed_filters(res)
+        assert any("l_orderkey" in f for f in pushed)
+        # column pruning: the scan's ReadSchema carries only the 2 columns
+        assert "l_extendedprice" not in plans.executed_plan(res)

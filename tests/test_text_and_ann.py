@@ -126,6 +126,21 @@ class TestANN:
         with pytest.raises(RuntimeError, match="fit"):
             ann.IVFIndex().search(queries)
 
+    def test_ivf_save_load_roundtrip(self, spark, queries, embeddings,
+                                     tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("ivf") / "index")
+        index = ann.IVFIndex(n_cells=4, nprobe=2, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        before = index.search(queries, k=5, query_item_col="qid").collect()
+        index.save(path)
+        loaded = ann.IVFIndex.load(spark, path)
+        after = loaded.search(queries, k=5, query_item_col="qid").collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    def test_ivf_save_unfit_raises(self, tmp_path_factory):
+        with pytest.raises(RuntimeError, match="fit"):
+            ann.IVFIndex().save(str(tmp_path_factory.mktemp("ivf2")))
+
     def test_faiss_gated(self, queries, embeddings):
         try:
             import faiss  # noqa: F401
