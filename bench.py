@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_fingerprint",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     # text
     "text_token_stats",
     "text_quality_scores",
@@ -40,9 +41,14 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "tpch_q6_revenue",
+    "tpch_q18_big_orders",
+    "lineitem_rollup",
     "top_customers_per_nation",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 

@@ -375,3 +375,76 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
         .mapInPandas(_score_block, "id_a long, id_b long, cos_sim double")
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clustering (connected components over a pair list)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iterations: int = 50) -> DataFrame:
+    """Resolve near-duplicate pairs into clusters: connected components
+    with ``cluster_id = min(member id)`` — the step that turns a pair
+    list (from MinHash/SimHash/embedding dedup) into "keep one document
+    per group".
+
+    Iterative min-label propagation over the undirected edge set:
+    every node starts labeled with its own id; each round, a node takes
+    the minimum of its label, its neighbors' labels, and its label's
+    label (pointer jumping), so chains collapse in O(log diameter)
+    rounds. Each round is one shuffled aggregation over the edge list;
+    the driver holds only the per-round changed-count (a scalar), never
+    the data. ``localCheckpoint`` truncates the logical plan each round
+    — iterative algorithms otherwise grow an exponentially deep lineage
+    (each round references the previous labels 4×) that overflows plan
+    analysis long before data size matters; on a real cluster with a
+    checkpoint dir, ``checkpoint()`` additionally survives executor
+    loss.
+
+    Returns ``(id, cluster_id)`` for every node that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("a"),
+                     F.col(id_b).cast("long").alias("b"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("a"),
+                            F.col(id_a).cast("long").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct() \
+        .withColumn("label", F.col("id"))
+
+    for _ in range(max_iterations):
+        # candidate label per node: min over neighbors' labels...
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # ...shortcut: pointer jumping — a node also takes its label's
+        # label (label(label(x))), collapsing chains in O(log n) rounds.
+        jump = (
+            labels.join(labels.select(F.col("id").alias("label"),
+                                      F.col("label").alias("jump_label")),
+                        "label")
+            .select("id", "jump_label")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .join(jump, "id", "left")
+            .select("id", F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbr_label"), F.col("label")),
+                F.coalesce(F.col("jump_label"), F.col("label")),
+            ).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -1,0 +1,169 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Beyond-reference surface (the reference has no time semantics at all,
+SURVEY.md §2.10) — these are the two temporal joins a large-scale event /
+feature pipeline needs that Spark lacks as built-ins:
+
+- :func:`asof_join` — for each left row, the single most recent right row
+  at-or-before its timestamp (per key, optionally within a tolerance).
+  The classic "point-in-time correct feature lookup".
+- :func:`range_join` — all (left, right) pairs whose timestamps fall
+  within a bounded window of each other, without a cross product.
+
+Both are pure compositions of built-in DataFrame ops (union / window /
+bucketed equi-join) so Catalyst plans, AQE re-plans, and whole-stage
+codegen apply end-to-end. No Python on any hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__ts"
+_SIDE = "__side"
+_TIE = "__tie"
+_R = "__r"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    right_prefix: str = "right_",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """As-of (point-in-time) left join: for every left row, attach the
+    latest right row with ``right_ts <= left_ts`` sharing the join key.
+
+    Scale design — the union-scan trick, NOT a per-key loop or an
+    inequality theta-join (which Catalyst can only plan as a per-key
+    cross product):
+
+    1. tag both inputs and union them into one stream;
+    2. ONE shuffle keyed by ``on``, ordered by ``(ts, side, tie)`` —
+       right rows sort before left rows at equal timestamps, so
+       "at-or-before" is inclusive;
+    3. a running ``last(struct(right cols), ignorenulls=True)`` window
+       carries the most recent right row forward onto later left rows;
+    4. keep the left rows, unpack the struct.
+
+    Cost is one shuffle + one per-key ordered scan over |L|+|R| rows —
+    the plan a hand-written merge-join would produce. No m×n blowup;
+    skew follows the key distribution only (AQE's skew-join split still
+    applies to the exchange).
+
+    ``tolerance_seconds`` voids matches older than the window (matched
+    columns become NULL; the left row is kept — left-join semantics).
+    ``tie_break``: a right-side column ordering ties at equal
+    timestamps (larger wins, e.g. an event id).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in keys and c != right_ts]
+
+    payload = F.struct(F.col(right_ts).alias(right_ts),
+                       *[F.col(c).alias(c) for c in right_cols])
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        (F.col(tie_break) if tie_break is not None else F.lit(0)).alias(_TIE),
+        payload.alias(_R),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+    )
+    l_tag = left.select(
+        *left.columns,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r_tag.schema[_TIE].dataType).alias(_TIE),
+        F.lit(None).cast(r_tag.schema[_R].dataType).alias(_R),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        # right (side 0) sorts before left (side 1) at equal ts → the
+        # match is inclusive; _TIE only discriminates right-vs-right.
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag.select(*l_tag.columns))
+        .withColumn(_R, F.last(_R, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+    )
+
+    match = F.col(_R)
+    if tolerance_seconds is not None:
+        age = (F.col(left_ts).cast("double")
+               - match[right_ts].cast("double"))
+        match = F.when(age <= F.lit(float(tolerance_seconds)), match)
+    out = [F.col(c) for c in left.columns]
+    out.append(match[right_ts].alias(right_prefix + right_ts))
+    out += [match[c].alias(right_prefix + c) for c in right_cols]
+    return carried.select(*out)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 60.0,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Bounded-interval join: all (left, right) pairs with the same key
+    and ``right_ts - left_ts`` in ``[lower_seconds, upper_seconds]``.
+
+    Scale design — time-bucketing instead of the naive inequality join
+    (a per-key cross product under Catalyst): each left row explodes
+    into the one-or-two coarse buckets its window overlaps, both sides
+    equi-join on ``(key, bucket)``, and the exact band predicate prunes
+    the candidates. Join fan-out is bounded by rows-per-bucket, not
+    rows-per-key, so a hot key no longer degrades to O(n²) — the
+    interval-bucketing rewrite behind Databricks' range-join hint,
+    which open-source Spark lacks.
+
+    Bucket width = the window width. Output columns: join keys
+    unprefixed, every other column ``l_``/``r_``-prefixed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    width = float(upper_seconds - lower_seconds)
+    if width <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+
+    lo = F.col(left_ts).cast("double") + F.lit(float(lower_seconds))
+    hi = F.col(left_ts).cast("double") + F.lit(float(upper_seconds))
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(left_prefix + c) for c in left.columns if c not in keys],
+        F.explode(F.sequence(F.floor(lo / width), F.floor(hi / width)))
+        .alias("__bucket"))
+    r_side = right.select(
+        *[F.col(k).alias("__rk_" + k) for k in keys],
+        *[F.col(c).alias(right_prefix + c) for c in right.columns if c not in keys],
+        F.floor(F.col(right_ts).cast("double") / width).alias("__bucket"))
+
+    cond = [l_side[k] == r_side["__rk_" + k] for k in keys]
+    cond.append(l_side["__bucket"] == r_side["__bucket"])
+    delta = (F.col(right_prefix + right_ts).cast("double")
+             - F.col(left_prefix + left_ts).cast("double"))
+    return (
+        l_side.join(r_side, cond)
+        .filter((delta >= F.lit(float(lower_seconds)))
+                & (delta <= F.lit(float(upper_seconds))))
+        .drop("__bucket", *["__rk_" + k for k in keys])
+    )

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from faisssearcher_spark.encoders.mock import HashingEncoder
 from faisssearcher_spark.functions import metrics as M
 from faisssearcher_spark.functions import text as T
-from faisssearcher_spark.operators import ann, dedup, events, text_analysis
+from faisssearcher_spark.operators import (ann, dedup, events, temporal,
+                                           text_analysis)
 from faisssearcher_spark.operators.knn import cal_sim, knn_join
 from faisssearcher_spark.operators.whitening import VecsWhitening
 from faisssearcher_spark.sources.catalog import load_table
@@ -789,6 +790,195 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click matched to the user's most recent
+    view at-or-before it, voided past a 1-hour tolerance (operators/
+    temporal.asof_join — union + ordered window scan, one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id", "value")
+    res = temporal.asof_join(clicks, views, on="user_id",
+                             right_cols=["event_id", "value"],
+                             tolerance_seconds=3600, tie_break="event_id")
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("right_event_id").alias("view_event_id"),
+        F.round("right_value", 2).alias("view_value"))
+
+
+ORACLE_ASOF = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     views  AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN epoch(c.ts) - epoch(v.ts) <= 3600 THEN v.event_id END AS view_event_id,
+       CASE WHEN epoch(c.ts) - epoch(v.ts) <= 3600 THEN round(v.value, 2) END AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval join: every click within 30 minutes AFTER an error
+    by the same user (operators/temporal.range_join — time-bucketed
+    equi-join, no per-key cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts")
+    res = temporal.range_join(errors, clicks, on="user_id",
+                              lower_seconds=0.0, upper_seconds=1800.0)
+    delta = F.col("r_ts").cast("double") - F.col("l_ts").cast("double")
+    return res.select(
+        "user_id",
+        F.col("l_event_id").alias("error_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.round(delta, 1).alias("delta_s"))
+
+
+ORACLE_RANGE_JOIN = """
+SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+       round(epoch(c.ts) - epoch(e.ts), 1) AS delta_s
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND epoch(c.ts) - epoch(e.ts) >= 0 AND epoch(c.ts) - epoch(e.ts) <= 1800
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: connected components (min-label propagation)
+    over the MinHash-LSH pair list — the "keep one per cluster" resolution
+    step of a dedup pipeline. Oracle: recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(docs, num_hashes=16, bands=4,
+                                   shingle_n=3, verify_threshold=0.3)
+    return dedup.dedup_clusters(pairs).orderBy("id")
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH}),
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach(id, r) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-filter-aggregate. Every predicate pushes
+    into the parquet scan (PushedFilters) and only 4 columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & (F.col("l_discount").between(0.03, 0.07))
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: having-filtered aggregate (orders above a quantity
+    threshold) joined back to customer — the aggregate runs FIRST so the
+    join input is the small filtered set, and the customer join broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(F.col("c_name"), F.col("c_custkey"), F.col("o_orderkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.col("total_qty"))
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 1) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 150)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (returnflag → linestatus hierarchy with
+    subtotals and a grand total) — Spark plans one Expand + single hash
+    aggregate, not one pass per grouping set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n_rows", "sum_price", "avg_disc")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 4) AS avg_disc
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate (HLL++) distinct users per event type. The
+    approx column is checked for sketch sanity (within 5% of exact) so
+    the row stays deterministic enough to oracle-check the exact part."""
+    ev = load_table(spark, sf_dir, "events")
+    res = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("n_users"),
+                F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+                F.count("*").alias("n_events")))
+    return res.select(
+        "event_type", "n_users", "n_events",
+        (F.abs(F.col("n_users_approx") - F.col("n_users"))
+         <= 0.05 * F.col("n_users")).alias("approx_within_5pct"))
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       true AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # 6. oracle-less entries (rows-only driver check)
 # ===========================================================================
@@ -862,6 +1052,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
+    "events_distinct_users": q_events_distinct_users,
+    "dedup_clusters": q_dedup_clusters,
+    "tpch_q6_revenue": q_tpch_q6_revenue,
+    "tpch_q18_big_orders": q_tpch_q18_big_orders,
+    "lineitem_rollup": q_lineitem_rollup,
     # oracle-less
     "whitening_transform": q_whitening_transform,
 }
@@ -894,6 +1091,13 @@ ORACLES: dict[str, str] = {
     "events_hourly_rollup": ORACLE_HOURLY,
     "events_json_props": ORACLE_JSON,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "events_asof_join": ORACLE_ASOF,
+    "events_range_join": ORACLE_RANGE_JOIN,
+    "events_distinct_users": ORACLE_DISTINCT_USERS,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "tpch_q6_revenue": ORACLE_Q6,
+    "tpch_q18_big_orders": ORACLE_Q18,
+    "lineitem_rollup": ORACLE_ROLLUP,
 }
 
 #: queries with no SQL oracle (driver does a rows-only check)
