@@ -73,23 +73,25 @@ def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
     Scale note: hot shingles (boilerplate) skew the join; production runs
     should drop shingles with document frequency above a cap — AQE skew
     join handles moderate skew, the df-cap handles pathological skew.
+    The set sizes ride through the explode and the pair aggregation
+    (grouping keys), so no post-aggregation lookup joins are needed —
+    two fewer shuffles for one extra int per exploded row.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(T.word_ngrams(text_col, n)).alias("sh"))
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("id", F.explode("sh").alias("s"))
+    exploded = shingled.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
 
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
         .agg(F.count("*").alias("n_common"))
     )
     return (
         common
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn("jaccard",
                     F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)

@@ -30,10 +30,16 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries from every parquet scan in the plan."""
+    """PushedFilters entries from every parquet scan in the plan.
+
+    Spark's plan toString truncates long field lists ("..." with no
+    closing bracket), so parse up to the bracket, an ellipsis, or the
+    next `key:` — whichever comes first.
+    """
     plan = executed_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    for m in re.finditer(
+            r"PushedFilters: \[(.*?)(?:\]|\.\.\.|, [A-Z]\w+:)", plan):
         if m.group(1).strip():
             out.extend(s.strip() for s in m.group(1).split(","))
     return out

@@ -1,0 +1,85 @@
+"""Plan-shape regression tests — the engine's scale guarantees.
+
+Correctness says "the answer is right at sf0.01"; these say "the plan
+would still be the right plan at 1000× the data". Each invariant here is
+one the 100 TB design depends on:
+
+- knn: rank-limit pushdown (WindowGroupLimit) bounds shuffle volume at
+  O(queries × k) per map task; the query side broadcasts so the corpus
+  never shuffles.
+- scans: predicates reach the parquet reader (PushedFilters) and only
+  referenced columns are read (ReadSchema pruning).
+- temporal range join: time-bucketed equi-join, never a cartesian /
+  broadcast-nested-loop pair blowup.
+- dedup joins: candidates meet through equi-join keys (shingle, band,
+  bucket) — same no-cross-product invariant.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import dedup, temporal
+from faisssearcher_spark.operators.knn import knn_join
+from faisssearcher_spark.plans import inspect
+from faisssearcher_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def knn_plan_df(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return knn_join(q, embeddings, metric="cos", k=3, query_item_col="qid",
+                    item_key_col="vec_id", payload_cols=[])
+
+
+class TestKnnPlan:
+    def test_rank_limit_pushdown(self, knn_plan_df):
+        assert inspect.has_window_group_limit(knn_plan_df)
+
+    def test_queries_broadcast(self, knn_plan_df):
+        assert inspect.has_broadcast_join(knn_plan_df)
+
+    def test_no_python_on_scoring_path(self, knn_plan_df):
+        plan = inspect.executed_plan(knn_plan_df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestScanPruning:
+    def test_q6_filters_reach_parquet(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                        & (F.col("l_quantity") < 24))
+              .select("l_extendedprice"))
+        pushed = " ".join(inspect.pushed_filters(df))
+        assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+    def test_column_pruning(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        plan = inspect.executed_plan(li.select("l_orderkey", "l_quantity"))
+        m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert m and "l_extendedprice" not in m[0], \
+            "projection should prune unread columns from the parquet scan"
+
+
+class TestJoinShapes:
+    def test_range_join_is_equi(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        a = ev.filter(F.col("event_type") == "error")
+        b = ev.filter(F.col("event_type") == "click")
+        plan = inspect.executed_plan(
+            temporal.range_join(a, b, on="user_id", upper_seconds=300.0))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_minhash_candidates_meet_via_equi_join(self, documents):
+        plan = inspect.executed_plan(
+            dedup.minhash_lsh_join(documents, num_hashes=16, bands=4,
+                                   shingle_n=3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_jaccard_join_is_equi(self, documents):
+        plan = inspect.executed_plan(
+            dedup.ngram_jaccard_join(documents, n=3, threshold=0.3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
