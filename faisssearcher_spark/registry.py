@@ -979,6 +979,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful STREAMING operator (applyInPandasWithState): gap
+    sessionization run as an availableNow stream over the events parquet,
+    drained to a table. Deterministic: emits exactly the batch sessions
+    that are provably closed at end-of-input — a later event exists past
+    the gap, or the final watermark (max ts − 1h) passed last_ts + gap."""
+    from faisssearcher_spark.streaming import events as sev
+    from faisssearcher_spark.streaming import sessionize as ssz
+
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = ssz.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    name = "q_stateful_sessions"
+    sev.run_to_memory(out, name, output_mode="append")
+    res = spark.table(name)
+    return res.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events", F.round("sum_value", 2).alias("sum_value"))
+
+
+ORACLE_STREAMING_SESSIONIZE = """
+WITH g AS (SELECT user_id, ts, value,
+                  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts ASC) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                            IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+     s AS (SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM g),
+     sess AS (SELECT user_id, session_seq,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                     max(max(ts)) OVER (PARTITION BY user_id) AS user_last_ts
+              FROM s GROUP BY user_id, session_seq),
+     wm AS (SELECT max(ts) AS max_ts FROM events)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events, sum_value
+FROM sess, wm
+WHERE session_end < user_last_ts                    -- gap-closed (not final)
+   OR epoch(max_ts) - 3600 > epoch(session_end) + 1800  -- timeout-closed
+"""
+
+
 # ===========================================================================
 # 6. oracle-less entries (rows-only driver check)
 # ===========================================================================
@@ -1055,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_distinct_users": q_events_distinct_users,
+    "events_streaming_sessionize": q_streaming_sessionize,
     "dedup_clusters": q_dedup_clusters,
     "tpch_q6_revenue": q_tpch_q6_revenue,
     "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -1094,6 +1144,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": ORACLE_ASOF,
     "events_range_join": ORACLE_RANGE_JOIN,
     "events_distinct_users": ORACLE_DISTINCT_USERS,
+    "events_streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "tpch_q6_revenue": ORACLE_Q6,
     "tpch_q18_big_orders": ORACLE_Q18,

@@ -133,3 +133,37 @@ class TestPlanInspection:
         assert any("l_orderkey" in f for f in pushed)
         # column pruning: the scan's ReadSchema carries only the 2 columns
         assert "l_extendedprice" not in plans.executed_plan(res)
+
+
+class TestStatefulSessionize:
+    def test_closed_sessions_match_batch(self, spark, sf_dir, events_stream):
+        from faisssearcher_spark.operators import events as bev
+        from faisssearcher_spark.sources.catalog import load_table
+        from faisssearcher_spark.streaming import sessionize as ssz
+
+        out = ssz.sessionize_stream(events_stream, gap_minutes=30)
+        sev.run_to_memory(out, "stateful_sessions", output_mode="append")
+        got = spark.table("stateful_sessions").toPandas()
+
+        batch = bev.sessionize(load_table(spark, sf_dir, "events"),
+                               gap_minutes=30).toPandas()
+
+        g = set(got.assign(
+            ss=got["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S"))
+            [["user_id", "ss", "n_events"]].itertuples(index=False, name=None))
+        b = set(batch[["user_id", "session_start", "n_events"]]
+                .itertuples(index=False, name=None))
+        # every emitted session must be a real batch session, byte-for-byte
+        assert g <= b
+        # the only sessions a stream may NOT have closed are per-user FINAL
+        # sessions still inside the watermark+gap horizon at end of input:
+        # a gap-closed session always has a later event proving it over, and
+        # the availableNow final watermark times out everything older.
+        last = set(batch.sort_values(["user_id", "session_start"])
+                   .groupby("user_id").tail(1)
+                   [["user_id", "session_start", "n_events"]]
+                   .itertuples(index=False, name=None))
+        missing = b - g
+        assert missing <= last
+        # non-final sessions are ALL present
+        assert (b - last) <= g
