@@ -63,6 +63,28 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # JVM/codegen warmup (generic — touches no bench table): JIT the
+    # codegen'd aggregate/window/HOF paths so the first timed query
+    # measures the query, not interpreter-to-JIT transition.
+    from pyspark.sql import functions as F
+    warm = spark.range(100_000).select(
+        F.col("id"), F.transform(F.sequence(F.lit(1), F.lit(8)),
+                                 lambda i: i * F.col("id")).alias("v"))
+    warm.select(F.sum(F.aggregate("v", F.lit(0).cast("long"),
+                                  lambda a, x: a + x))).collect()
+    # ...and spawn the Python worker pool (Arrow pandas_udf stages) so the
+    # first encoder query measures encoding, not 32 process forks.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wu(s):
+        return s * 1.0
+
+    spark.range(100_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .select(_wu(F.col("id").cast("double"))).write \
+        .mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
