@@ -384,27 +384,42 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
 # ---------------------------------------------------------------------------
 
 def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iterations: int = 50) -> DataFrame:
+                   id_b: str = "id_b", max_iterations: int = 50,
+                   driver_edge_threshold: int = 1_000_000) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: connected components
     with ``cluster_id = min(member id)`` — the step that turns a pair
     list (from MinHash/SimHash/embedding dedup) into "keep one document
     per group".
 
-    Iterative min-label propagation over the undirected edge set:
-    every node starts labeled with its own id; each round, a node takes
-    the minimum of its label, its neighbors' labels, and its label's
-    label (pointer jumping), so chains collapse in O(log diameter)
-    rounds. Each round is one shuffled aggregation over the edge list;
-    the driver holds only the per-round changed-count (a scalar), never
-    the data. ``localCheckpoint`` truncates the logical plan each round
-    — iterative algorithms otherwise grow an exponentially deep lineage
-    (each round references the previous labels 4×) that overflows plan
-    analysis long before data size matters; on a real cluster with a
-    checkpoint dir, ``checkpoint()`` additionally survives executor
-    loss.
+    Adaptive execution, same spirit as Spark's broadcast-join threshold:
+    the edge list is usually TINY relative to the corpus (near-dup pairs
+    after LSH), and an iterative distributed loop pays several shuffled
+    jobs per round for it. Below ``driver_edge_threshold`` edges the
+    component resolution collects the pair list and runs a path-halving
+    union-find on the driver (O(E α(E)), microseconds per edge), then
+    re-parallelizes the labels. Above it — or with
+    ``driver_edge_threshold=0`` — it runs distributed min-label
+    propagation over the edge set: every node starts labeled with its
+    own id; each round takes the min of its label, its neighbors'
+    labels, and its label's label (pointer jumping), collapsing chains
+    in O(log diameter) rounds; each round is one shuffled aggregation,
+    the driver holds only the changed-count scalar.
+    ``localCheckpoint`` truncates the per-round lineage — iterative
+    plans otherwise grow exponentially deep (each round references the
+    previous labels 4×) and overflow analysis long before data size
+    matters; on a real cluster with a checkpoint dir, ``checkpoint()``
+    additionally survives executor loss.
 
     Returns ``(id, cluster_id)`` for every node that appears in a pair.
     """
+    if driver_edge_threshold:
+        # one-shot probe: pull at most threshold+1 edges — if they all fit,
+        # that IS the edge list (upstream pair join runs once, not twice)
+        probe = pairs.select(F.col(id_a).cast("long"),
+                             F.col(id_b).cast("long")) \
+            .limit(driver_edge_threshold + 1).collect()
+        if len(probe) <= driver_edge_threshold:
+            return _dedup_clusters_driver(pairs.sparkSession, probe)
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("a"),
                      F.col(id_b).cast("long").alias("b"))
@@ -450,3 +465,27 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _dedup_clusters_driver(spark, rows) -> DataFrame:
+    """Driver-side union-find (path halving + union by root id) for
+    bounded edge lists; min member id becomes the cluster id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps roots == cluster ids directly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    labels = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(labels, "id long, cluster_id long")

@@ -113,20 +113,27 @@ class TestRangeJoin:
 
 
 class TestDedupClusters:
-    def test_components(self, spark):
+    # threshold=0 forces the distributed label-propagation loop; the
+    # default exercises the driver union-find fast path.
+    @pytest.mark.parametrize("thresh", [1_000_000, 0],
+                             ids=["driver", "distributed"])
+    def test_components(self, spark, thresh):
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
             "id_a long, id_b long")
         out = {r["id"]: r["cluster_id"]
-               for r in dedup.dedup_clusters(pairs).collect()}
+               for r in dedup.dedup_clusters(
+                   pairs, driver_edge_threshold=thresh).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5,
                        8: 8, 9: 8, 10: 8}
 
-    def test_long_chain_converges(self, spark):
+    @pytest.mark.parametrize("thresh", [1_000_000, 0],
+                             ids=["driver", "distributed"])
+    def test_long_chain_converges(self, spark, thresh):
         n = 40  # one path graph: 0-1-2-...-39
         pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
                                       "id_a long, id_b long")
-        out = dedup.dedup_clusters(pairs)
+        out = dedup.dedup_clusters(pairs, driver_edge_threshold=thresh)
         assert {r["cluster_id"] for r in out.collect()} == {0}
         assert out.count() == n + 1
 
