@@ -1,0 +1,84 @@
+"""Tests for operators/balance.py: salted joins/aggregations equal their
+plain counterparts, and bucketed tables join without an Exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import balance
+from faisssearcher_spark.plans import inspect
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 0 — the pathological-key shape
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 10)
+        .alias("k"), F.col("id").alias("payload"))
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(10).select(F.col("id").alias("k"),
+                                  F.concat(F.lit("d"), F.col("id")).alias("name"))
+
+
+class TestSaltedJoin:
+    def test_matches_plain_inner(self, skewed, dim):
+        plain = skewed.join(dim, "k").groupBy("k").count()
+        salted = balance.salted_join(skewed, dim, "k", salts=8) \
+            .groupBy("k").count()
+        assert sorted(map(tuple, plain.collect())) \
+            == sorted(map(tuple, salted.collect()))
+
+    def test_matches_plain_left(self, spark, dim):
+        left = spark.range(20).select((F.col("id") % 30).alias("k"))
+        plain = left.join(dim, "k", "left")
+        salted = balance.salted_join(left, dim, "k", salts=4, how="left")
+        assert sorted(map(tuple, plain.select("k", "name").collect())) \
+            == sorted(map(tuple, salted.select("k", "name").collect()))
+
+    def test_rejects_unsupported_how(self, skewed, dim):
+        with pytest.raises(ValueError):
+            balance.salted_join(skewed, dim, "k", how="full")
+
+    def test_salt_spreads_hot_key(self, skewed, dim):
+        out = (skewed.withColumn("__salt",
+                                 F.floor(F.rand(42) * 8).cast("int"))
+               .filter(F.col("k") == 0).groupBy("__salt").count())
+        assert out.count() > 1  # the hot key occupies multiple salt groups
+
+
+class TestSaltedCount:
+    def test_matches_plain(self, skewed):
+        plain = skewed.groupBy("k").count()
+        salted = balance.salted_count(skewed, "k", salts=16)
+        assert sorted(map(tuple, plain.collect())) \
+            == sorted(map(tuple, salted.collect()))
+
+
+class TestBucketedJoin:
+    def test_no_exchange_between_bucketed_tables(self, spark, sf_dir):
+        from faisssearcher_spark.sources.catalog import load_table
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem") \
+            .select("l_orderkey", "l_quantity")
+        balance.write_bucketed(orders, "t_orders_b",
+                               bucket_col="o_orderkey", n_buckets=8)
+        balance.write_bucketed(li, "t_lineitem_b",
+                               bucket_col="l_orderkey", n_buckets=8)
+        try:
+            a = balance.bucketed_table(spark, "t_orders_b")
+            b = balance.bucketed_table(spark, "t_lineitem_b")
+            # the merge hint keeps the tiny test tables off the broadcast
+            # path — at fact-table scale SortMergeJoin is the planner's own
+            # choice and the hint is unnecessary
+            joined = a.hint("merge").join(b, a.o_orderkey == b.l_orderkey)
+            plan = inspect.executed_plan(joined)
+            assert "Exchange" not in plan, \
+                "same-bucketing join must not shuffle either side"
+            # and it is still correct
+            assert joined.count() == \
+                orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
