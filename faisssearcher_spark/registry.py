@@ -1028,6 +1028,43 @@ WHERE session_end < user_last_ts                    -- gap-closed (not final)
 """
 
 
+def q_searcher_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank (reference U6 interact mode,
+    bert_encoder.py:187-192): cosine top-3 candidates re-scored by the
+    deterministic token-Jaccard pair scorer (pandas_udf cross-encoder
+    protocol) and re-ranked per query."""
+    from faisssearcher_spark.operators.rerank import rerank_pairs
+
+    base = q_searcher_text_knn(spark, sf_dir)
+    out = rerank_pairs(base.drop("rank_no"), k=2, score_scale=4)
+    return out.select("source_item", "sim_item", "sim_val",
+                      "rerank_score", "rank_no")
+
+
+ORACLE_RERANK = f"""
+WITH base AS ({ORACLE_SEARCHER_TEXT}),
+     toks AS (SELECT *,
+                list_distinct(list_filter(
+                    regexp_split_to_array(trim(source_item), '\\s+'), t -> t != '')) AS ta,
+                list_distinct(list_filter(
+                    regexp_split_to_array(trim(sim_item), '\\s+'), t -> t != '')) AS tb
+              FROM base),
+     scored AS (SELECT source_item, sim_item, sim_val,
+                       round(CASE WHEN len(ta) + len(tb) = 0 THEN 0.0
+                             ELSE len(list_filter(ta, x -> list_contains(tb, x)))::DOUBLE
+                                  / (len(ta) + len(tb)
+                                     - len(list_filter(ta, x -> list_contains(tb, x))))
+                             END, 4) AS rerank_score
+                FROM toks),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY source_item
+                   ORDER BY rerank_score DESC, sim_item ASC) AS rn
+                FROM scored)
+SELECT source_item, sim_item, sim_val, rerank_score, (rn - 1)::INT AS rank_no
+FROM ranked WHERE rn <= 2
+"""
+
+
 # ===========================================================================
 # 6. oracle-less entries (rows-only driver check)
 # ===========================================================================
@@ -1077,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pairwise_metrics": q_pairwise_metrics,
     "vector_norms": q_vector_norms,
     "searcher_text_knn": q_searcher_text_knn,
+    "searcher_rerank": q_searcher_rerank,
     # ANN
     "ann_lsh_bucket_top3": q_ann_lsh_bucket,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -1122,6 +1160,7 @@ ORACLES: dict[str, str] = {
     "pairwise_metrics": ORACLE_PAIRWISE,
     "vector_norms": ORACLE_NORMS,
     "searcher_text_knn": ORACLE_SEARCHER_TEXT,
+    "searcher_rerank": ORACLE_RERANK,
     "ann_lsh_bucket_top3": ORACLE_LSH,
     "dedup_exact_keyed": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -53,3 +53,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_csv(spark: SparkSession, path: str, *, schema=None,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """CSV corpus reader — S1 parity (the reference documents
+    ``pd.read_csv(item_path)`` as the corpus loader, README.md:30).
+
+    Prefer an explicit ``schema``: schema inference scans the data twice
+    and infers permissive types; with a schema the read is one pass and
+    malformed rows surface as nulls (PERMISSIVE mode default). CSV scans
+    support column pruning but no predicate pushdown — convert long-lived
+    corpora to Parquet (``df.write.parquet``) for pushdown + column
+    statistics.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
