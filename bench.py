@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_simhash_fingerprint",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "curate_documents",
     # text
     "text_token_stats",
     "text_quality_scores",

@@ -1065,6 +1065,90 @@ FROM ranked WHERE rn <= 2
 """
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (the composed 100 TB pipeline): quality
+    threshold → exact dedup by content fingerprint → MinHash-LSH near-dup
+    removal keeping min doc_id per cluster. Oracle re-derives the whole
+    pipeline in SQL including the recursive-CTE component resolution."""
+    from faisssearcher_spark.operators.curate import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(docs, min_quality=0.3, languages=None,
+                            near_dup_threshold=0.3)
+
+
+def _oracle_curate() -> str:
+    from faisssearcher_spark.functions.text import LANG_STOPWORDS
+
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        arr = "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains({arr}, lower(x)))) AS s_{lang}")
+    structs = ", ".join(
+        f"{{'hits': s_{lang}, 'lang': '{lang}'}}" for lang in sorted(LANG_STOPWORDS))
+
+    return f"""
+WITH RECURSIVE
+  t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+  m AS (SELECT doc_id, text, toks, len(toks) AS n,
+               len(list_filter(toks, x -> list_contains({_SW_EN}, lower(x))))::DOUBLE
+                 / len(toks) AS swr,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                 / length(text) AS pr,
+               {', '.join(score_cols)}
+        FROM t),
+  q AS (SELECT doc_id, text, toks, n AS n_tokens,
+               round((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.2 END)
+                     * (0.5 + 0.5 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END))
+                     * (1.0 - least(1.0, 3.0 * pr)), 4) AS quality,
+               coalesce(list_max(list_filter([{structs}], p -> p.hits > 0)).lang,
+                        'und') AS lang_pred,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_transform(toks, x -> lower(x)))), ' ')) AS fp
+        FROM m),
+  kept AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id ASC) AS rn
+             FROM q WHERE quality >= 0.3)
+           WHERE rn = 1),
+  sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+              range(1, greatest(len(toks)-2, 0)+1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+         FROM kept),
+  hsh AS (SELECT id, g,
+                 list_transform(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs
+          FROM sh),
+  sig AS (SELECT id, g, {_oracle_minhash_sig()} AS sg FROM hsh),
+  banded AS (SELECT id, g, b.band_idx,
+                    array_to_string(sg[b.band_idx*4+1 : b.band_idx*4+4], '|') AS band_val
+             FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b),
+  cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.id < b.id),
+  verified AS (SELECT id_a, id_b
+               FROM (SELECT id_a, id_b,
+                            len(list_filter(sa.g, x -> list_contains(sb.g, x)))::DOUBLE
+                            / (len(sa.g) + len(sb.g)
+                               - len(list_filter(sa.g, x -> list_contains(sb.g, x)))) AS j
+                     FROM cand
+                     JOIN sh sa ON sa.id = id_a
+                     JOIN sh sb ON sb.id = id_b)
+               WHERE j >= 0.3),
+  edges AS (SELECT id_a AS a, id_b AS b FROM verified
+            UNION SELECT id_b, id_a FROM verified),
+  reach(id, r) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+  clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, quality, lang_pred, n_tokens
+FROM kept
+WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+"""
+
+
 # ===========================================================================
 # 6. oracle-less entries (rows-only driver check)
 # ===========================================================================
@@ -1144,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_distinct_users": q_events_distinct_users,
     "events_streaming_sessionize": q_streaming_sessionize,
     "dedup_clusters": q_dedup_clusters,
+    "curate_documents": q_curate_documents,
     "tpch_q6_revenue": q_tpch_q6_revenue,
     "tpch_q18_big_orders": q_tpch_q18_big_orders,
     "lineitem_rollup": q_lineitem_rollup,
@@ -1185,6 +1270,7 @@ ORACLES: dict[str, str] = {
     "events_distinct_users": ORACLE_DISTINCT_USERS,
     "events_streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "curate_documents": _oracle_curate(),
     "tpch_q6_revenue": ORACLE_Q6,
     "tpch_q18_big_orders": ORACLE_Q18,
     "lineitem_rollup": ORACLE_ROLLUP,
