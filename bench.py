@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     # reference-parity vector surface
     "knn_cosine_top5",
+    "knn_self_similar",
     "knn_l2_top5",
     "cal_sim_dot",
     "pairwise_metrics",

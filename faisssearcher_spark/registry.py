@@ -110,6 +110,51 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q_knn_blocked_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME query as knn_cosine_top5 through the blocked-matmul
+    strategy (broadcast corpus matrix + numpy GEMM in mapInPandas) —
+    hash-checked against the identical oracle to prove the fast path is
+    exact, ties included."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join(q, emb, metric="cos", k=5, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=["label"],
+                   score_scale=4, strategy="blocked")
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no", "label")
+
+
+def q_knn_self_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs self-similarity (item-to-item recommendation shape):
+    EVERY vector queries the full corpus for its top-3 cosine neighbors —
+    the m=n workload where the blocked GEMM path is ~17× the per-pair
+    expression plan at sf0.1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join(q, emb, metric="cos", k=3, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=[],
+                   score_scale=4, strategy="blocked")
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no")
+
+
+ORACLE_KNN_SELF = f"""
+WITH q AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings),
+     it AS (SELECT vec_id, {_NORM} AS iv FROM embeddings),
+     scored AS (SELECT q.qid, it.vec_id,
+                       round({_dot('q.qv', 'it.iv')}, 4) AS sim_val
+                FROM q CROSS JOIN it),
+     ranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
+                FROM scored)
+SELECT qid AS source_item, vec_id AS sim_item, sim_val, (rn - 1)::INT AS rank_no
+FROM ranked WHERE rn <= 3
+"""
+
+
 def q_cal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cal_sim parity (faiss_searcher.py:192-198): raw dot product of one
     query vector against every item, all N returned ranked."""
@@ -1191,6 +1236,8 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference parity (vector search)
     "knn_cosine_top5": q_knn_cosine_top5,
+    "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
+    "knn_self_similar": q_knn_self_similar,
     "knn_l2_top5": q_knn_l2_top5,
     "knn_multik_slice": q_multik_rank_filter,
     "knn_matrix_output": q_knn_matrix_output,
@@ -1238,6 +1285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "knn_cosine_top5": ORACLE_KNN_COS,
+    "knn_blocked_cos_top5": ORACLE_KNN_COS,
+    "knn_self_similar": ORACLE_KNN_SELF,
     "knn_l2_top5": ORACLE_KNN_L2,
     "knn_multik_slice": ORACLE_MULTIK,
     "knn_matrix_output": ORACLE_KNN_MATRIX,

@@ -137,3 +137,36 @@ class TestCalSim:
         q = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
         res = cal_sim(q, cands).collect()
         assert [(r["item"], r["score"]) for r in res] == [("a", 2.0), ("b", 0.5)]
+
+
+class TestBlockedStrategy:
+    """knn_join(strategy='blocked') must be indistinguishable from the
+    catalyst plan, ties included (rounded scores force tie-breaking)."""
+
+    def test_equals_catalyst_cos_and_l2(self, spark, embeddings):
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.operators.knn import knn_join
+
+        q = embeddings.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        for metric in ("cos", "l2", "ip"):
+            a = knn_join(q, embeddings, metric=metric, k=4,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=["label"], score_scale=4)
+            b = knn_join(q, embeddings, metric=metric, k=4,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=["label"], score_scale=4,
+                         strategy="blocked")
+            assert sorted(map(tuple, a.collect())) \
+                == sorted(map(tuple, b.collect())), metric
+
+    def test_unsupported_metric_raises(self, spark, embeddings):
+        import pytest
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.operators.knn import knn_join
+
+        q = embeddings.limit(1).select(F.col("vec_id").alias("qid"),
+                                       "embedding")
+        with pytest.raises(ValueError):
+            knn_join(q, embeddings, metric="canberra", query_item_col="qid",
+                     item_key_col="vec_id", strategy="blocked")
