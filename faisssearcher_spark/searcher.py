@@ -123,6 +123,7 @@ class SparkSearcher:
         topK: Union[int, Iterable[int]] = 10,
         keep_rank_no: bool = False,
         score_scale: int | None = None,
+        strategy: str = "catalyst",
     ) -> Union[DataFrame, Mapping[int, DataFrame]]:
         corpus = self._require_trained()
         spark = corpus.sparkSession
@@ -158,6 +159,9 @@ class SparkSearcher:
             normalize=False,
             p=self.p,
             score_scale=score_scale,
+            # "blocked" = broadcast-corpus GEMM path for large query sets
+            # (knn_join docstring); "catalyst" = pure-plan default.
+            strategy=strategy,
         )
         if self.measurement == "cos":
             kwargs["metric"] = "ip"  # normalized at encode time → dot product
