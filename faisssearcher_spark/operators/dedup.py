@@ -61,42 +61,81 @@ def dedup_exact(df: DataFrame, key_cols: Sequence[str], *,
 
 def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       threshold: float = 0.5) -> DataFrame:
+                       threshold: float = 0.5,
+                       prefix_filter: bool = False) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard ≥ threshold.
 
-    Plan shape: distinct shingles per doc → explode → self-equi-join on the
-    shingle string (shuffled hash join keyed by shingle; docs sharing no
-    shingle never meet) → groupBy pair counting common shingles → Jaccard
-    via |A∩B| / (|A|+|B|−|A∩B|). Returns ``(id_a, id_b, jaccard)`` with
-    ``id_a < id_b``.
+    Plan shape (default): distinct shingles per doc → explode →
+    self-equi-join on the shingle string (shuffled hash join keyed by
+    shingle; docs sharing no shingle never meet) → groupBy pair counting
+    common shingles → Jaccard via |A∩B| / (|A|+|B|−|A∩B|). Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``. The set sizes ride
+    through the explode and the pair aggregation (grouping keys), so no
+    post-aggregation lookup joins are needed.
 
-    Scale note: hot shingles (boilerplate) skew the join; production runs
-    should drop shingles with document frequency above a cap — AQE skew
-    join handles moderate skew, the df-cap handles pathological skew.
-    The set sizes ride through the explode and the pair aggregation
-    (grouping keys), so no post-aggregation lookup joins are needed —
-    two fewer shuffles for one extra int per exploded row.
+    ``prefix_filter=True`` enables AllPairs/PPJoin-style candidate
+    pruning (Bayardo et al. WWW'07; Xiao et al. WWW'08): order every
+    document's shingles by ascending global document frequency; for
+    Jaccard ≥ t, two sets must share a shingle within their first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles under ANY common total order — so only
+    prefix shingles join, and rare shingles (the front of the DF order)
+    do the joining while boilerplate shingles (the skew risk) drop out of
+    candidate generation entirely. Candidates are then verified with one
+    exact ``array_intersect``. Same results, provably; the join volume
+    shrinks by roughly the threshold factor and hot-shingle skew
+    disappears — the setting for corpus-scale runs.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(T.word_ngrams(text_col, n)).alias("sh"))
+
+    if not prefix_filter:
+        exploded = shingled.select(
+            "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+        a, b = exploded.alias("a"), exploded.alias("b")
+        common = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (
+            common
+            .withColumn("jaccard",
+                        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     exploded = shingled.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    # global document frequency per shingle — the canonical order
+    doc_freq = exploded.groupBy("s").agg(F.count("*").alias("df"))
+    # rank each doc's shingles rarest-first ((df, s) breaks ties totally)
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    ranked = (exploded.join(doc_freq, "s")
+              .withColumn("pos", F.row_number().over(w)))
+    # prefix length |A| - ceil(t*|A|) + 1
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1)
 
-    a, b = exploded.alias("a"), exploded.alias("b")
-    common = (
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    return (
-        common
-        .withColumn("jaccard",
-                    F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    sets = shingled.select("id", "sh")
+    verified = (
+        cand
+        .join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("jaccard", F.col("n_common") /
+                    (F.size("sa") + F.size("sb") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

@@ -103,3 +103,40 @@ class TestEmbeddingCosine:
         out = dedup.embedding_cosine_pairs(df, threshold=0.95)
         pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert pairs == {(0, 1)}
+
+
+class TestPrefixFilter:
+    """AllPairs/PPJoin prefix filtering must be result-identical to the
+    plain inverted-index join (it only prunes candidates, never pairs)."""
+
+    def test_equal_on_documents(self, documents):
+        for t in (0.3, 0.6):
+            a = dedup.ngram_jaccard_join(documents, n=3, threshold=t)
+            b = dedup.ngram_jaccard_join(documents, n=3, threshold=t,
+                                         prefix_filter=True)
+            assert sorted(map(tuple, a.collect())) \
+                == sorted(map(tuple, b.collect()))
+
+    def test_boilerplate_shingle_prunes(self, spark):
+        # every doc shares one boilerplate shingle but nothing else:
+        # no pair reaches Jaccard 0.5, and the hot shingle ranks LAST in
+        # the document-frequency order so it never joins in prefix mode
+        docs = spark.createDataFrame(
+            [(i, f"common header line unique{i} words{i} here{i} "
+                 f"tail{i} extra{i}") for i in range(20)],
+            "doc_id long, text string")
+        out = dedup.ngram_jaccard_join(docs, n=3, threshold=0.5,
+                                       prefix_filter=True)
+        plain = dedup.ngram_jaccard_join(docs, n=3, threshold=0.5)
+        assert out.count() == plain.count() == 0
+
+    def test_near_dup_found_through_prefix(self, spark):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " upsilon"), (3, "totally different "
+              "words in this one that share nothing at all with others")],
+            "doc_id long, text string")
+        got = dedup.ngram_jaccard_join(docs, n=3, threshold=0.5,
+                                       prefix_filter=True).collect()
+        assert len(got) == 1 and (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
