@@ -140,3 +140,74 @@ class TestDedupClusters:
     def test_empty_pairs(self, spark):
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup.dedup_clusters(pairs).count() == 0
+
+
+class TestAsofRandomized:
+    """Differential test: asof_join vs pandas.merge_asof on randomized
+    event sets — an independent reference implementation of the same
+    semantics (backward search, inclusive, with tolerance)."""
+
+    @pytest.mark.parametrize("seed", [7, 23, 99])
+    def test_matches_pandas_merge_asof(self, spark, seed):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        def mk(n):
+            return pd.DataFrame({
+                "key": rng.integers(0, 5, n),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 100_000, n) * 1_000_000_000 + 1_600_000_000 * 10**9),
+                "v": np.round(rng.standard_normal(n), 3),
+            }).drop_duplicates(subset=["key", "ts"])
+        left = mk(150).rename(columns={"v": "lv"})
+        right = mk(150).rename(columns={"v": "rv"})
+
+        expected = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="key", direction="backward",
+            tolerance=pd.Timedelta(seconds=5000))
+
+        got = temporal.asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="key", right_cols=["rv"], tolerance_seconds=5000,
+        ).toPandas()
+
+        e = expected.sort_values(["key", "ts"]).reset_index(drop=True)
+        g = got.sort_values(["key", "ts"]).reset_index(drop=True)
+        assert len(e) == len(g)
+        assert (e["key"].tolist() == g["key"].tolist()
+                and e["ts"].tolist() == g["ts"].tolist())
+        er = e["rv"].fillna(float("nan")).tolist()
+        gr = g["right_rv"].fillna(float("nan")).tolist()
+        assert all((pd.isna(x) and pd.isna(y)) or x == y
+                   for x, y in zip(er, gr))
+
+
+class TestRangeRandomized:
+    @pytest.mark.parametrize("seed", [3, 41])
+    def test_matches_bruteforce(self, spark, seed):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        def mk(n, tag):
+            return pd.DataFrame({
+                "key": rng.integers(0, 4, n),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 50_000, n) * 1_000_000_000 + 1_600_000_000 * 10**9),
+                tag: np.arange(n),
+            })
+        left, right = mk(80, "lid"), mk(80, "rid")
+
+        lo, hi = -120.0, 300.0
+        cross = left.merge(right, on="key", suffixes=("_l", "_r"))
+        delta = (cross["ts_r"] - cross["ts_l"]).dt.total_seconds()
+        expected = set(map(tuple, cross[(delta >= lo) & (delta <= hi)]
+                           [["lid", "rid"]].itertuples(index=False, name=None)))
+
+        got = temporal.range_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="key", lower_seconds=lo, upper_seconds=hi)
+        got_pairs = set(map(tuple, got.select("l_lid", "r_rid").collect()))
+        assert got_pairs == expected
