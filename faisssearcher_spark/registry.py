@@ -1194,6 +1194,44 @@ WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
 """
 
 
+def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME aggregations (beyond ranking): per-customer running
+    order total (rows unbounded-preceding) and 3-order moving average —
+    one shuffle on the partition key serves both frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_run = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        # a moving SUM, not avg: the avg quotient lands on .xx5 round
+        # boundaries where Spark (decimal-string HALF_UP) and DuckDB
+        # (binary) round() disagree; window sums are bit-identical
+        F.round(F.sum("o_totalprice").over(w_mov), 2).alias("moving_sum_3"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")).alias("order_seq"))
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       round(sum(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum_3,
+       row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             ::INT AS order_seq
+FROM orders
+"""
+
+
 # ===========================================================================
 # 6. oracle-less entries (rows-only driver check)
 # ===========================================================================
@@ -1279,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6_revenue": q_tpch_q6_revenue,
     "tpch_q18_big_orders": q_tpch_q18_big_orders,
     "lineitem_rollup": q_lineitem_rollup,
+    "orders_running_totals": q_orders_running_totals,
     # oracle-less
     "whitening_transform": q_whitening_transform,
 }
@@ -1323,6 +1362,7 @@ ORACLES: dict[str, str] = {
     "tpch_q6_revenue": ORACLE_Q6,
     "tpch_q18_big_orders": ORACLE_Q18,
     "lineitem_rollup": ORACLE_ROLLUP,
+    "orders_running_totals": ORACLE_RUNNING,
 }
 
 #: queries with no SQL oracle (driver does a rows-only check)
