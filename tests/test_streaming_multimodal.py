@@ -167,3 +167,52 @@ class TestStatefulSessionize:
         assert missing <= last
         # non-final sessions are ALL present
         assert (b - last) <= g
+
+
+class TestStreamingKnn:
+    def test_stream_results_match_batch(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                       LongType, StructField, StructType)
+        from faisssearcher_spark.operators.knn import knn_join
+        from faisssearcher_spark.streaming.knn import streaming_knn_search
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ])
+        d, base = f"{sf_dir}", "embeddings.parquet"
+        stream = (spark.readStream.schema(schema)
+                  .parquet(f"{d}/[{base[0]}]{base[1:]}")
+                  .filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("qid"), "embedding"))
+
+        out = streaming_knn_search(stream, emb, metric="cos", k=3,
+                                   query_item_col="qid",
+                                   item_key_col="vec_id",
+                                   payload_cols=["label"], score_scale=4)
+        q = (out.writeStream.format("memory").queryName("stream_knn")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table("stream_knn").collect()))
+
+        batch_q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        expected = sorted(map(tuple, knn_join(
+            batch_q, emb, metric="cos", k=3, query_item_col="qid",
+            item_key_col="vec_id", payload_cols=["label"], score_scale=4,
+            strategy="blocked").collect()))
+        assert got == expected and len(got) == 30
+
+    def test_rejects_batch_input(self, spark, sf_dir):
+        import pytest
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.streaming.knn import streaming_knn_search
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError):
+            streaming_knn_search(
+                emb.select(F.col("vec_id").alias("qid"), "embedding"), emb,
+                query_item_col="qid", item_key_col="vec_id")
