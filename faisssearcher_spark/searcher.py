@@ -109,6 +109,22 @@ class SparkSearcher:
             self.vec_dim = validate_vectors(self.corpus, _VEC)
         return self
 
+    def add_items(self, items: DataFrame, validate: bool = False) -> "SparkSearcher":
+        """Append new items to a trained corpus — the analog of FAISS
+        ``index.add`` after training (faiss_searcher.py:124). New rows go
+        through the identical encode/whiten/normalize pipeline and union
+        with the cached corpus; at cluster scale this is a metadata-only
+        union (no reshuffle — both sides keep their partitioning), so
+        incremental ingest costs only the encoding of the new rows."""
+        corpus = self._require_trained()
+        new = self._vectorize(items, self.item_col, self.vec_col)
+        new = new.select(*corpus.columns)
+        self.items = self.items.unionByName(items)
+        self.corpus = corpus.unionByName(new).cache()
+        if validate:
+            self.vec_dim = validate_vectors(self.corpus, _VEC, self.vec_dim)
+        return self
+
     def _require_trained(self) -> DataFrame:
         if self.corpus is None:
             # faiss_searcher.py:186-187

@@ -100,3 +100,35 @@ class TestPersistence:
         s.save(path)
         with pytest.raises(ValueError, match="encoder"):
             SparkSearcher.load(spark, path)
+
+
+class TestAddItems:
+    def test_incremental_add_matches_full_retrain(self, spark, documents):
+        from faisssearcher_spark.encoders import HashingEncoder
+        from faisssearcher_spark.searcher import SparkSearcher
+
+        corpus = documents.select("text", "lang")
+        first = corpus.limit(30)
+        rest = corpus.subtract(first)
+
+        inc = SparkSearcher(first, encoder=HashingEncoder(dim=8),
+                            measurement="cos").train(validate=False)
+        inc.add_items(rest)
+        full = SparkSearcher(corpus, encoder=HashingEncoder(dim=8),
+                             measurement="cos").train(validate=False)
+
+        q = ["spark join merge"]
+        a = inc.search(q, topK=5, keep_rank_no=True, score_scale=4)
+        b = full.search(q, topK=5, keep_rank_no=True, score_scale=4)
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+
+    def test_add_before_train_raises(self, spark, documents):
+        import pytest
+        from faisssearcher_spark.encoders import HashingEncoder
+        from faisssearcher_spark.searcher import SparkSearcher
+
+        s = SparkSearcher(documents.select("text"),
+                          encoder=HashingEncoder(dim=8))
+        with pytest.raises(RuntimeError):
+            s.add_items(documents.select("text"))
