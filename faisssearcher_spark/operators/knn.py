@@ -102,6 +102,15 @@ def knn_join(
       ``cos``/``ip``/``l2``. Results are bit-identically ranked (float64
       accumulation, ties by item key) and gate-checked against the same
       DuckDB oracle as the catalyst path.
+    - ``"sharded"``: the converse — for corpora LARGER than any one
+      machine. The (small) query matrix broadcasts to executors; each
+      Arrow batch of items scores against it with one numpy GEMM and
+      emits only its local top-k; a final window merges the per-shard
+      candidates into the global top-k. The corpus never moves and the
+      only shuffle is the tiny candidate merge (≤ m·k rows per batch),
+      so memory stays constant as the corpus grows — `repartition` the
+      items first to choose the shard count. Same metrics and the same
+      exact, tie-deterministic ranking as "blocked".
     """
     if strategy == "blocked":
         return _knn_join_blocked(
@@ -110,8 +119,15 @@ def knn_join(
             query_item_col=query_item_col, item_key_col=item_key_col,
             payload_cols=payload_cols, keep_rank_no=keep_rank_no,
             normalize=normalize, score_scale=score_scale)
+    if strategy == "sharded":
+        return _knn_join_sharded(
+            queries, items, metric=metric, k=k,
+            query_vec_col=query_vec_col, item_vec_col=item_vec_col,
+            query_item_col=query_item_col, item_key_col=item_key_col,
+            payload_cols=payload_cols, keep_rank_no=keep_rank_no,
+            normalize=normalize, score_scale=score_scale)
     if strategy != "catalyst":
-        raise ValueError("strategy must be 'catalyst' or 'blocked'")
+        raise ValueError("strategy must be 'catalyst', 'blocked' or 'sharded'")
     if normalize is None:
         normalize = metric == "cos"
     score_metric = metric
@@ -281,6 +297,117 @@ def _knn_join_blocked(
                     *payload_cols)
     if not keep_rank_no:
         ranked = ranked.drop("rank_no")
+    return ranked
+
+
+def _knn_join_sharded(
+    queries: DataFrame,
+    items: DataFrame,
+    *,
+    metric: str,
+    k: int,
+    query_vec_col: str,
+    item_vec_col: str,
+    query_item_col: str | None,
+    item_key_col: str,
+    payload_cols: Sequence[str] | None,
+    keep_rank_no: bool,
+    normalize: bool | None,
+    score_scale: int | None,
+) -> DataFrame:
+    """Shard-and-merge exact top-k: broadcast query matrix, per-item-batch
+    local top-k, global candidate merge. See ``knn_join(strategy="sharded")``."""
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("cos", "ip", "l2"):
+        raise ValueError("sharded strategy supports metrics 'cos', 'ip', 'l2'")
+    if normalize is None:
+        normalize = metric == "cos"
+    higher_is_closer = metric in ("cos", "ip")
+
+    if query_item_col is None:
+        query_item_col = item_key_col if item_key_col in queries.columns else None
+    if query_item_col is None:
+        raise ValueError("sharded strategy needs query_item_col (no implicit "
+                         "positional ids across executors)")
+    if payload_cols is None:
+        payload_cols = [c for c in items.columns
+                        if c not in (item_vec_col, item_key_col)]
+
+    q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
+    if not len(q_pdf):
+        raise ValueError("sharded strategy needs a non-empty query set "
+                         "(the query matrix is driver-collected)")
+    qmat = np.array(q_pdf[query_vec_col].to_list(), dtype=np.float64)
+    if normalize:
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.where(qn == 0, 1.0, qn)  # keep 0-vec rows zero
+    spark = items.sparkSession
+    b_q = spark.sparkContext.broadcast(qmat)
+    b_qid = spark.sparkContext.broadcast(q_pdf[query_item_col].to_numpy())
+    b_qsq = spark.sparkContext.broadcast((qmat * qmat).sum(axis=1))
+
+    key_field = items.schema[item_key_col]
+    q_key_field = queries.schema[query_item_col]
+    met, kk, nrm, scale, higher = metric, k, normalize, score_scale, higher_is_closer
+
+    def _local(batches):
+        q, qids, qsq = b_q.value, b_qid.value, b_qsq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf["__ik"].to_numpy()
+            # columns in key order → the stable argsort below breaks score
+            # ties by smallest key, matching the merge window's order
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            mat = np.array(pdf["__iv"].to_list(), dtype=np.float64)[order]
+            if nrm:
+                n = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(n == 0, 1.0, n)
+            if met == "l2":
+                sims = qsq[:, None] - 2.0 * (q @ mat.T) \
+                    + (mat * mat).sum(axis=1)[None, :]
+                sims = np.maximum(sims, 0.0)
+            else:
+                sims = q @ mat.T
+            if scale is not None:
+                sims = np.round(sims, scale)
+            kc = min(kk, sims.shape[1])
+            rank_key = -sims if higher else sims
+            idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+            yield pd.DataFrame({
+                "source_item": np.repeat(qids, kc),
+                "sim_item": keys[idx.ravel()],
+                "sim_val": np.take_along_axis(sims, idx, axis=1).ravel(),
+            })
+
+    cand_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                   f"sim_item {key_field.dataType.simpleString()}, "
+                   "sim_val double")
+    cand = items.select(
+        F.col(item_key_col).alias("__ik"),
+        F.col(item_vec_col).cast("array<double>").alias("__iv"),
+    ).mapInPandas(_local, cand_schema)
+
+    order = [F.col("sim_val").desc() if higher_is_closer else F.col("sim_val").asc(),
+             F.col("sim_item").asc()]
+    w = Window.partitionBy("source_item").orderBy(*order)
+    ranked = (cand.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k))
+    out = [F.col("source_item"), F.col("sim_item"), F.col("sim_val")]
+    if keep_rank_no:
+        out.append((F.col("__rn") - 1).alias("rank_no"))
+    ranked = ranked.select(*out)
+    if payload_cols:
+        base = ["source_item", "sim_item", "sim_val"]
+        if keep_rank_no:
+            base.append("rank_no")
+        payload = items.select(F.col(item_key_col).alias("sim_item"),
+                               *[F.col(c) for c in payload_cols])
+        ranked = ranked.join(F.broadcast(payload), "sim_item") \
+            .select(*base, *payload_cols)
     return ranked
 
 

@@ -170,3 +170,58 @@ class TestBlockedStrategy:
         with pytest.raises(ValueError):
             knn_join(q, embeddings, metric="canberra", query_item_col="qid",
                      item_key_col="vec_id", strategy="blocked")
+
+
+class TestShardedStrategy:
+    """knn_join(strategy='sharded') — per-item-shard local top-k + merge —
+    must be indistinguishable from the catalyst plan across shard layouts,
+    ties included (rounded scores force tie-breaking at the k boundary)."""
+
+    def test_equals_catalyst_across_shard_counts(self, spark, embeddings):
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.operators.knn import knn_join
+
+        q = embeddings.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        expect = {}
+        for metric in ("cos", "l2", "ip"):
+            a = knn_join(q, embeddings, metric=metric, k=4,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=["label"], score_scale=4)
+            expect[metric] = sorted(map(tuple, a.collect()))
+        # 1 shard (degenerate) and 7 shards (merge crosses boundaries)
+        for shards in (1, 7):
+            for metric in ("cos", "l2", "ip"):
+                b = knn_join(q, embeddings.repartition(shards), metric=metric,
+                             k=4, query_item_col="qid", item_key_col="vec_id",
+                             payload_cols=["label"], score_scale=4,
+                             strategy="sharded")
+                assert sorted(map(tuple, b.collect())) \
+                    == expect[metric], (metric, shards)
+
+    def test_k_larger_than_shard(self, spark, embeddings):
+        # k bigger than any single shard's row count: local top-k emits
+        # whole shards and the merge must still produce exactly k rows
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.operators.knn import knn_join
+
+        small = embeddings.filter(F.col("vec_id") < 40)
+        q = small.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, small.repartition(16), metric="cos", k=10,
+                       query_item_col="qid", item_key_col="vec_id",
+                       payload_cols=[], score_scale=4, strategy="sharded")
+        counts = {r["source_item"]: r["n"] for r in
+                  res.groupBy("source_item").agg(
+                      F.count("*").alias("n")).collect()}
+        assert all(n == 10 for n in counts.values())
+
+    def test_empty_queries_raise(self, spark, embeddings):
+        import pytest
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.operators.knn import knn_join
+
+        q = embeddings.filter(F.lit(False)).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="non-empty"):
+            knn_join(q, embeddings, metric="cos", query_item_col="qid",
+                     item_key_col="vec_id", strategy="sharded")
