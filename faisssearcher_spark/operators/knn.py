@@ -126,8 +126,16 @@ def knn_join(
             query_item_col=query_item_col, item_key_col=item_key_col,
             payload_cols=payload_cols, keep_rank_no=keep_rank_no,
             normalize=normalize, score_scale=score_scale)
+    if strategy == "grid":
+        return _knn_join_grid(
+            queries, items, metric=metric, k=k,
+            query_vec_col=query_vec_col, item_vec_col=item_vec_col,
+            query_item_col=query_item_col, item_key_col=item_key_col,
+            payload_cols=payload_cols, keep_rank_no=keep_rank_no,
+            normalize=normalize, score_scale=score_scale)
     if strategy != "catalyst":
-        raise ValueError("strategy must be 'catalyst', 'blocked' or 'sharded'")
+        raise ValueError(
+            "strategy must be 'catalyst', 'blocked', 'sharded' or 'grid'")
     if normalize is None:
         normalize = metric == "cos"
     score_metric = metric
@@ -143,8 +151,13 @@ def knn_join(
     q_vec: Column = F.col(query_vec_col)
     i_vec: Column = F.col(item_vec_col)
     if normalize:
-        q_vec = l2_normalize(q_vec)
-        i_vec = l2_normalize(i_vec)
+        # zero_norm_nan=False: a zero-norm vector stays zero (score 0)
+        # instead of becoming NaN — Spark sorts NaN above every double in a
+        # descending order, so a single zero vector would otherwise rank
+        # first for every query; the numpy kernels (blocked/sharded/grid)
+        # already keep zero vectors zero, and this aligns all strategies.
+        q_vec = l2_normalize(q_vec, zero_norm_nan=False)
+        i_vec = l2_normalize(i_vec, zero_norm_nan=False)
 
     if query_item_col is not None:
         q_src = F.col(query_item_col)

@@ -337,7 +337,12 @@ FROM ranked WHERE rn <= 3
 
 def q_knn_matrix_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-vector-mode array output (faiss_searcher.py:133-136): one row per
-    query, rank-ordered neighbor-id and score arrays."""
+    query, rank-ordered neighbor-id and score arrays.
+
+    Gate representation: the arrays are serialized to comma-joined strings
+    (ids verbatim; scores scaled to 1e4 integers) because the driver's
+    canonicalizer sorts/hashes flat scalar columns. The underlying operator
+    (``knn_join_arrays``) still returns true array columns."""
     from faisssearcher_spark.operators.knn import knn_join_arrays
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -347,8 +352,15 @@ def q_knn_matrix_output(spark: SparkSession, sf_dir: str) -> DataFrame:
                           score_scale=4)
     return res.select(
         F.col("source_item").cast("long").alias("source_item"),
-        F.col("sim_items").cast("array<long>").alias("sim_items"),
-        "sim_vals")
+        F.array_join(
+            F.transform("sim_items",
+                        lambda x: x.cast("long").cast("string")),
+            ",").alias("sim_items"),
+        F.array_join(
+            F.transform("sim_vals",
+                        lambda v: F.round(v * 10000).cast("long")
+                                   .cast("string")),
+            ",").alias("sim_vals"))
 
 
 ORACLE_KNN_MATRIX = f"""
@@ -361,8 +373,9 @@ WITH q AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings WHERE vec_id < 10
                   (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
                 FROM scored)
 SELECT qid AS source_item,
-       list(vec_id ORDER BY rn) AS sim_items,
-       list(sim_val ORDER BY rn) AS sim_vals
+       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS sim_items,
+       string_agg(CAST(CAST(round(sim_val * 10000) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY rn) AS sim_vals
 FROM ranked WHERE rn <= 3 GROUP BY qid
 """
 
@@ -423,9 +436,13 @@ SELECT doc_id, lang, source FROM (
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 (inverted-index join)."""
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 (inverted-index join,
+    PPJoin prefix filter on — each doc indexes only its rarest shingles,
+    which removes the hot-shingle skew at scale; results are provably
+    identical to the unfiltered join)."""
     docs = load_table(spark, sf_dir, "documents")
-    res = dedup.ngram_jaccard_join(docs, n=3, threshold=0.3)
+    res = dedup.ngram_jaccard_join(docs, n=3, threshold=0.3,
+                                   prefix_filter=True)
     return res.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

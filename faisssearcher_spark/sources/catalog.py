@@ -28,21 +28,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects outright. Read it as raw nanos (legacy conf) and convert
-    to a microsecond timestamp — the driver data carries no sub-microsecond
-    components, so the conversion is lossless (verified against DuckDB's
-    native TIMESTAMP_NS read)."""
-    try:
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "timestamp":
-            df.schema  # force schema resolution
-            return df
-    except Exception:  # noqa: BLE001
-        pass
+    """events.ts may be written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects at execution time. Setting ``nanosAsLong``
+    BEFORE the read makes a NANOS column surface as ``bigint`` (while
+    ordinary MICROS/MILLIS columns still read as ``timestamp``), so we can
+    branch on the resolved schema — a driver-side footer read, no Spark job
+    is launched or failed. The nanos→micros conversion is lossless here:
+    the driver data carries no sub-microsecond components (verified against
+    DuckDB's native TIMESTAMP_NS read)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
