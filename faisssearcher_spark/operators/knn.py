@@ -63,6 +63,8 @@ def knn_join(
     score_scale: int | None = None,
     broadcast_queries: bool | None = None,
     strategy: str = "catalyst",
+    n_query_blocks: int = 4,
+    n_item_shards: int = 4,
 ) -> DataFrame:
     """For each query row, find the top-``k`` item rows under ``metric``.
 
@@ -111,6 +113,17 @@ def knn_join(
       so memory stays constant as the corpus grows — `repartition` the
       items first to choose the shard count. Same metrics and the same
       exact, tie-deterministic ranking as "blocked".
+    - ``"grid"``: the fourth quadrant — BOTH sides too big for one
+      machine. Queries hash into ``n_query_blocks`` blocks, items into
+      ``n_item_shards`` shards; a cogrouped ``applyInPandas`` pairs every
+      (block × shard) cell, runs one numpy GEMM per cell emitting that
+      cell's local top-k, and a final window merges per-query candidates
+      into the global top-k. Data movement is the distributed-GEMM lower
+      bound — each query row is replicated ``n_item_shards`` times, each
+      item row ``n_query_blocks`` times — and per-executor memory is one
+      cell (|queries|/blocks × |items|/shards), tunable independently of
+      either total size. Same metrics and exact tie-deterministic
+      ranking as "blocked"/"sharded".
     """
     if strategy == "blocked":
         return _knn_join_blocked(
@@ -132,7 +145,8 @@ def knn_join(
             query_vec_col=query_vec_col, item_vec_col=item_vec_col,
             query_item_col=query_item_col, item_key_col=item_key_col,
             payload_cols=payload_cols, keep_rank_no=keep_rank_no,
-            normalize=normalize, score_scale=score_scale)
+            normalize=normalize, score_scale=score_scale,
+            n_query_blocks=n_query_blocks, n_item_shards=n_item_shards)
     if strategy != "catalyst":
         raise ValueError(
             "strategy must be 'catalyst', 'blocked', 'sharded' or 'grid'")
@@ -199,6 +213,52 @@ def knn_join(
         out.append((F.col("__rn") - 1).alias("rank_no"))
     out += [F.col(c) for c in payload_cols]
     return ranked.select(*out)
+
+
+def _attach_payload(ranked: DataFrame, items: DataFrame, *,
+                    item_key_col: str,
+                    payload_cols: Sequence[str]) -> DataFrame:
+    """Re-attach item payload columns to a ranked (source_item, sim_item,
+    sim_val[, rank_no]) frame by key.
+
+    The payload frame is deterministically deduplicated first (min-struct
+    per key): a duplicate item key would otherwise multiply every ranked
+    row it matches — the catalyst path carries payload inline per corpus
+    row, so the kernel strategies guard the equi-join the same way the
+    reference's positional item_list assumes unique items
+    (faiss_searcher.py:56-58).
+    """
+    if not payload_cols:
+        return ranked
+    base = [c for c in ("source_item", "sim_item", "sim_val", "rank_no")
+            if c in ranked.columns]
+    payload = items.select(F.col(item_key_col).alias("sim_item"),
+                           *[F.col(c) for c in payload_cols])
+    payload = (
+        payload.groupBy("sim_item")
+        .agg(F.min(F.struct(*[F.col(c) for c in payload_cols])).alias("__p"))
+        .select("sim_item",
+                *[F.col("__p").getField(c).alias(c) for c in payload_cols]))
+    return ranked.join(F.broadcast(payload), "sim_item").select(*base, *payload_cols)
+
+
+def _merge_candidates(cand: DataFrame, items: DataFrame, *, k: int,
+                      higher_is_closer: bool, item_key_col: str,
+                      payload_cols: Sequence[str],
+                      keep_rank_no: bool) -> DataFrame:
+    """Global top-k merge of per-shard/per-cell candidates: one window over
+    (score, sim_item) — ≤ m·k rows per source shard ever reach the shuffle."""
+    order = [F.col("sim_val").desc() if higher_is_closer else F.col("sim_val").asc(),
+             F.col("sim_item").asc()]
+    w = Window.partitionBy("source_item").orderBy(*order)
+    ranked = (cand.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k))
+    out = [F.col("source_item"), F.col("sim_item"), F.col("sim_val")]
+    if keep_rank_no:
+        out.append((F.col("__rn") - 1).alias("rank_no"))
+    ranked = ranked.select(*out)
+    return _attach_payload(ranked, items, item_key_col=item_key_col,
+                           payload_cols=payload_cols)
 
 
 def _knn_join_blocked(
@@ -302,12 +362,8 @@ def _knn_join_blocked(
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
     ).mapInPandas(_score, out_schema)
 
-    if payload_cols:
-        payload = items.select(F.col(item_key_col).alias("sim_item"),
-                               *[F.col(c) for c in payload_cols])
-        ranked = ranked.join(F.broadcast(payload), "sim_item") \
-            .select("source_item", "sim_item", "sim_val", "rank_no",
-                    *payload_cols)
+    ranked = _attach_payload(ranked, items, item_key_col=item_key_col,
+                             payload_cols=payload_cols)
     if not keep_rank_no:
         ranked = ranked.drop("rank_no")
     return ranked
@@ -404,24 +460,127 @@ def _knn_join_sharded(
         F.col(item_vec_col).cast("array<double>").alias("__iv"),
     ).mapInPandas(_local, cand_schema)
 
-    order = [F.col("sim_val").desc() if higher_is_closer else F.col("sim_val").asc(),
-             F.col("sim_item").asc()]
-    w = Window.partitionBy("source_item").orderBy(*order)
-    ranked = (cand.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") <= k))
-    out = [F.col("source_item"), F.col("sim_item"), F.col("sim_val")]
-    if keep_rank_no:
-        out.append((F.col("__rn") - 1).alias("rank_no"))
-    ranked = ranked.select(*out)
-    if payload_cols:
-        base = ["source_item", "sim_item", "sim_val"]
-        if keep_rank_no:
-            base.append("rank_no")
-        payload = items.select(F.col(item_key_col).alias("sim_item"),
-                               *[F.col(c) for c in payload_cols])
-        ranked = ranked.join(F.broadcast(payload), "sim_item") \
-            .select(*base, *payload_cols)
-    return ranked
+    return _merge_candidates(cand, items, k=k,
+                             higher_is_closer=higher_is_closer,
+                             item_key_col=item_key_col,
+                             payload_cols=payload_cols,
+                             keep_rank_no=keep_rank_no)
+
+
+def _knn_join_grid(
+    queries: DataFrame,
+    items: DataFrame,
+    *,
+    metric: str,
+    k: int,
+    query_vec_col: str,
+    item_vec_col: str,
+    query_item_col: str | None,
+    item_key_col: str,
+    payload_cols: Sequence[str] | None,
+    keep_rank_no: bool,
+    normalize: bool | None,
+    score_scale: int | None,
+    n_query_blocks: int,
+    n_item_shards: int,
+) -> DataFrame:
+    """Grid GEMM exact top-k for the "both sides too big for one machine"
+    quadrant: query-block × item-shard cells via cogrouped applyInPandas,
+    per-cell GEMM local top-k, global window merge.
+    See ``knn_join(strategy="grid")``."""
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("cos", "ip", "l2"):
+        raise ValueError("grid strategy supports metrics 'cos', 'ip', 'l2'")
+    if normalize is None:
+        normalize = metric == "cos"
+    higher_is_closer = metric in ("cos", "ip")
+    if n_query_blocks < 1 or n_item_shards < 1:
+        raise ValueError("n_query_blocks and n_item_shards must be >= 1")
+
+    if query_item_col is None:
+        query_item_col = item_key_col if item_key_col in queries.columns else None
+    if query_item_col is None:
+        raise ValueError("grid strategy needs query_item_col (no implicit "
+                         "positional ids across executors)")
+    if payload_cols is None:
+        payload_cols = [c for c in items.columns
+                        if c not in (item_vec_col, item_key_col)]
+
+    spark = items.sparkSession
+    key_field = items.schema[item_key_col]
+    q_key_field = queries.schema[query_item_col]
+
+    qb = queries.select(
+        F.col(query_item_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+        F.pmod(F.xxhash64(F.col(query_item_col)), F.lit(n_query_blocks))
+        .cast("int").alias("__gb"))
+    ib = items.select(
+        F.col(item_key_col).alias("__ik"),
+        F.col(item_vec_col).cast("array<double>").alias("__iv"),
+        F.pmod(F.xxhash64(F.col(item_key_col)), F.lit(n_item_shards))
+        .cast("int").alias("__gs"))
+    # replicate so block b meets shard s exactly once: queries fan out over
+    # shard ids, items over block ids — O(m·shards + n·blocks) movement,
+    # the distributed-matmul communication lower bound.
+    shard_ids = spark.range(n_item_shards).select(
+        F.col("id").cast("int").alias("__gs"))
+    block_ids = spark.range(n_query_blocks).select(
+        F.col("id").cast("int").alias("__gb"))
+    q_rep = qb.crossJoin(F.broadcast(shard_ids))
+    i_rep = ib.crossJoin(F.broadcast(block_ids))
+
+    met, kk, nrm, scale, higher = metric, k, normalize, score_scale, higher_is_closer
+
+    def _cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"source_item": pd.Series([], dtype=object),
+                              "sim_item": pd.Series([], dtype=object),
+                              "sim_val": pd.Series([], dtype="float64")})
+        if not len(left) or not len(right):
+            return empty
+        keys = right["__ik"].to_numpy()
+        # columns in key order → stable argsort breaks score ties by
+        # smallest key, matching the merge window's (score, key) order
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        mat = np.array(right["__iv"].to_list(), dtype=np.float64)[order]
+        q = np.array(left["__qv"].to_list(), dtype=np.float64)
+        if nrm:
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(qn == 0, 1.0, qn)  # keep 0-vec rows zero
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(n == 0, 1.0, n)
+        if met == "l2":
+            sims = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ mat.T) \
+                + (mat * mat).sum(axis=1)[None, :]
+            sims = np.maximum(sims, 0.0)
+        else:
+            sims = q @ mat.T
+        if scale is not None:
+            sims = np.round(sims, scale)
+        kc = min(kk, sims.shape[1])
+        rank_key = -sims if higher else sims
+        idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+        return pd.DataFrame({
+            "source_item": np.repeat(left["__qid"].to_numpy(), kc),
+            "sim_item": keys[idx.ravel()],
+            "sim_val": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
+
+    cand_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                   f"sim_item {key_field.dataType.simpleString()}, "
+                   "sim_val double")
+    cand = (q_rep.groupby("__gb", "__gs")
+            .cogroup(i_rep.groupby("__gb", "__gs"))
+            .applyInPandas(_cell, cand_schema))
+
+    return _merge_candidates(cand, items, k=k,
+                             higher_is_closer=higher_is_closer,
+                             item_key_col=item_key_col,
+                             payload_cols=payload_cols,
+                             keep_rank_no=keep_rank_no)
 
 
 def knn_join_multi_k(

@@ -144,6 +144,24 @@ def q_knn_sharded_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim_val", "rank_no", "label")
 
 
+def q_knn_grid_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME query as knn_cosine_top5 through the grid strategy
+    (query-block × item-shard cogrouped GEMM cells + two-level top-k
+    merge — the plan when BOTH sides exceed one machine). A non-trivial
+    3×5 grid so the merge genuinely crosses cell boundaries; hash-checked
+    against the identical oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join(q, emb, metric="cos", k=5, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=["label"],
+                   score_scale=4, strategy="grid",
+                   n_query_blocks=3, n_item_shards=5)
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no", "label")
+
+
 def q_knn_self_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs self-similarity (item-to-item recommendation shape):
     EVERY vector queries the full corpus for its top-3 cosine neighbors —
@@ -1311,6 +1329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_top5": q_knn_cosine_top5,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
     "knn_sharded_cos_top5": q_knn_sharded_cos_top5,
+    "knn_grid_cos_top5": q_knn_grid_cos_top5,
     "knn_self_similar": q_knn_self_similar,
     "knn_l2_top5": q_knn_l2_top5,
     "knn_multik_slice": q_multik_rank_filter,
@@ -1362,6 +1381,7 @@ ORACLES: dict[str, str] = {
     "knn_cosine_top5": ORACLE_KNN_COS,
     "knn_blocked_cos_top5": ORACLE_KNN_COS,
     "knn_sharded_cos_top5": ORACLE_KNN_COS,
+    "knn_grid_cos_top5": ORACLE_KNN_COS,
     "knn_self_similar": ORACLE_KNN_SELF,
     "knn_l2_top5": ORACLE_KNN_L2,
     "knn_multik_slice": ORACLE_MULTIK,
