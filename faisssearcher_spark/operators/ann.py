@@ -236,6 +236,23 @@ class IVFIndex:
         return index
 
 
+def _build_faiss_index(mat: "np.ndarray", index_param: str, faiss_metric):
+    """index_factory wrapper with the reference's HNSW special-case
+    (faiss_searcher.py:100-107): a bare "HNSW<m>" spec maps to
+    IndexHNSWFlat because index_factory would reject the metric combo."""
+    import faiss
+
+    dim = mat.shape[1]
+    if "HNSW" in index_param.upper() and "," not in index_param:
+        index = faiss.IndexHNSWFlat(
+            dim, int(index_param.upper().split("HNSW")[-1]), faiss_metric)
+    else:
+        index = faiss.index_factory(dim, index_param, faiss_metric)
+    index.train(mat)
+    index.add(mat)
+    return index
+
+
 def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
                index_param: str = "HNSW32", metric: str = "cos",
                query_item_col: str = "query_id", item_key_col: str = "item",
@@ -247,7 +264,7 @@ def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
     ``mapInPandas`` — the Spark translation of the reference's
     train+search (faiss_searcher.py:116-125, 161-187). Suitable when the
     *corpus* fits one machine but queries are huge; for corpora beyond one
-    machine, shard items and merge per-shard top-k (not yet implemented).
+    machine use :func:`faiss_topk_sharded` (per-shard index + merge).
 
     Raises ImportError when faiss is not installed (it is optional; the
     exact path and SignLSH/IVF need no native deps).
@@ -257,18 +274,11 @@ def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
     item_pdf = items.select(item_key_col, item_vec_col).toPandas()
     mat = np.ascontiguousarray(
         np.array(item_pdf[item_vec_col].to_list(), dtype=np.float32))
-    dim = mat.shape[1]
     faiss_metric = (faiss.METRIC_INNER_PRODUCT if metric in ("cos", "ip")
                     else faiss.METRIC_L2)
     if metric == "cos":
         faiss.normalize_L2(mat)
-    if "HNSW" in index_param.upper() and "," not in index_param:
-        index = faiss.IndexHNSWFlat(dim, int(index_param.upper().split("HNSW")[-1]),
-                                    faiss_metric)
-    else:
-        index = faiss.index_factory(dim, index_param, faiss_metric)
-    index.train(mat)
-    index.add(mat)
+    index = _build_faiss_index(mat, index_param, faiss_metric)
     blob = faiss.serialize_index(index)
     keys = item_pdf[item_key_col].to_numpy()
     spark = queries.sparkSession
@@ -288,15 +298,101 @@ def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
             if normalize:
                 fa.normalize_L2(qmat)
             dist, ind = idx.search(qmat, k)
+            # FAISS pads short result lists with -1 indices (fewer than k
+            # reachable neighbors); mask them out instead of letting -1
+            # wrap to the last corpus key with a garbage distance.
+            valid = ind >= 0
+            n_valid = valid.sum(axis=1)
             rows = {
-                "source_item": np.repeat(pdf[query_item_col].to_numpy(), k),
-                "sim_item": b_keys.value[ind.ravel()],
-                "sim_val": dist.ravel().astype("float64"),
-                "rank_no": np.tile(np.arange(k), len(pdf)),
+                "source_item": np.repeat(pdf[query_item_col].to_numpy(),
+                                         n_valid),
+                "sim_item": b_keys.value[ind[valid]],
+                "sim_val": dist[valid].astype("float64"),
+                "rank_no": np.concatenate(
+                    [np.arange(c) for c in n_valid]) if len(n_valid)
+                else np.array([], dtype="int64"),
             }
             yield pd.DataFrame(rows)
 
-    out_schema = ("source_item string, sim_item string, "
+    q_key_field = queries.schema[query_item_col]
+    key_field = items.schema[item_key_col]
+    out_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                  f"sim_item {key_field.dataType.simpleString()}, "
                   "sim_val double, rank_no int")
     return queries.select(query_item_col, query_vec_col).mapInPandas(
         _search, out_schema)
+
+
+def faiss_topk_sharded(queries: DataFrame, items: DataFrame, *, k: int = 10,
+                       index_param: str = "HNSW32", metric: str = "cos",
+                       query_item_col: str = "query_id",
+                       item_key_col: str = "item",
+                       query_vec_col: str = "embedding",
+                       item_vec_col: str = "embedding",
+                       keep_rank_no: bool = True) -> DataFrame:
+    """FAISS over a corpus too big for one machine: the (small) query
+    matrix broadcasts; each item partition builds its OWN index inside
+    ``mapInPandas``, searches the broadcast queries, and emits only its
+    local top-k; a final window merges per-shard candidates into the
+    global top-k (same two-level merge as ``knn_join(strategy="sharded")``,
+    operators/knn.py). The corpus never moves — ``repartition`` the items
+    first to choose the shard count / per-shard index size.
+
+    Per-shard recall composes: the merged result can only be MORE complete
+    than a single index at the same parameters (each shard's graph is
+    smaller and denser). Use per-shard-friendly specs — ``HNSW<m>`` or
+    ``Flat``; an ``IVF<n>`` spec needs enough training rows per shard.
+
+    Raises ImportError when faiss is not installed.
+    """
+    import faiss
+    from faisssearcher_spark.operators.knn import _merge_candidates
+
+    q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
+    if not len(q_pdf):
+        raise ValueError("faiss_topk_sharded needs a non-empty query set "
+                         "(the query matrix is driver-collected)")
+    qmat = np.ascontiguousarray(
+        np.array(q_pdf[query_vec_col].to_list(), dtype=np.float32))
+    normalize = metric == "cos"
+    if normalize:
+        faiss.normalize_L2(qmat)
+    faiss_metric_ip = metric in ("cos", "ip")
+    spark = items.sparkSession
+    b_q = spark.sparkContext.broadcast(qmat)
+    b_qid = spark.sparkContext.broadcast(q_pdf[query_item_col].to_numpy())
+    param, kk, nrm = index_param, k, normalize
+
+    def _local(batches):
+        import faiss as fa
+        import pandas as pd
+        fm = (fa.METRIC_INNER_PRODUCT if faiss_metric_ip else fa.METRIC_L2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.ascontiguousarray(
+                np.array(pdf[item_vec_col].to_list(), dtype=np.float32))
+            if nrm:
+                fa.normalize_L2(mat)
+            index = _build_faiss_index(mat, param, fm)
+            dist, ind = index.search(b_q.value, min(kk, len(pdf)))
+            valid = ind >= 0  # mask FAISS's -1 "no result" padding
+            n_valid = valid.sum(axis=1)
+            keys = pdf[item_key_col].to_numpy()
+            yield pd.DataFrame({
+                "source_item": np.repeat(b_qid.value, n_valid),
+                "sim_item": keys[ind[valid]],
+                "sim_val": dist[valid].astype("float64"),
+            })
+
+    q_key_field = queries.schema[query_item_col]
+    key_field = items.schema[item_key_col]
+    cand_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                   f"sim_item {key_field.dataType.simpleString()}, "
+                   "sim_val double")
+    cand = items.select(item_key_col, item_vec_col).mapInPandas(
+        _local, cand_schema)
+    return _merge_candidates(cand, items, k=k,
+                             higher_is_closer=faiss_metric_ip,
+                             item_key_col=item_key_col, payload_cols=[],
+                             keep_rank_no=keep_rank_no)

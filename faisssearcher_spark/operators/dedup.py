@@ -62,7 +62,8 @@ def dedup_exact(df: DataFrame, key_cols: Sequence[str], *,
 def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.5,
-                       prefix_filter: bool = False) -> DataFrame:
+                       prefix_filter: bool = False,
+                       broadcast_doc_freq: bool = True) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard ≥ threshold.
 
     Plan shape (default): distinct shingles per doc → explode →
@@ -84,6 +85,20 @@ def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
     exact ``array_intersect``. Same results, provably; the join volume
     shrinks by roughly the threshold factor and hot-shingle skew
     disappears — the setting for corpus-scale runs.
+
+    Cost note (measured, BENCH r2→r3): the prefix path pays two extra
+    full shuffles of the posting list (the global DF aggregation and the
+    per-doc prefix window), so on corpora WITHOUT hot-shingle skew the
+    plain inverted-index join is ~1.5-2× faster; prefix filtering wins
+    when a few boilerplate shingles dominate the join volume (the actual
+    failure mode at corpus scale). Both paths are result-identical
+    (tests/test_dedup.py::TestPrefixFilter); pick by your data.
+
+    ``broadcast_doc_freq``: the DF table is |distinct shingles| rows —
+    broadcast it (default) so the posting list never shuffles for the DF
+    join. Disable when the shingle vocabulary exceeds executor memory
+    (billions of distinct shingles); the join then falls back to a
+    shuffled hash join.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
@@ -109,15 +124,25 @@ def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
 
     exploded = shingled.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    # global document frequency per shingle — the canonical order
+    # global document frequency per shingle — the canonical order. The DF
+    # table is |distinct shingles| rows of (string, count) — small relative
+    # to the exploded posting list at any scale — so BROADCAST it: the
+    # exploded side then never shuffles for this join (r2 verdict: the
+    # shuffle join here was half the PPJoin overhead).
     doc_freq = exploded.groupBy("s").agg(F.count("*").alias("df"))
+    if broadcast_doc_freq:
+        doc_freq = F.broadcast(doc_freq)
     # rank each doc's shingles rarest-first ((df, s) breaks ties totally)
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
     ranked = (exploded.join(doc_freq, "s")
               .withColumn("pos", F.row_number().over(w)))
-    # prefix length |A| - ceil(t*|A|) + 1
+    # prefix length |A| - ceil(t*|A|) + 1; the epsilon keeps ceil from
+    # overshooting when t·n is mathematically an integer but the float
+    # product rounds up (which would shorten the prefix and silently drop
+    # valid pairs).
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1)
+        F.col("pos") <= F.col("n_sh")
+        - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1)
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

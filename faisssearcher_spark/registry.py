@@ -454,13 +454,13 @@ SELECT doc_id, lang, source FROM (
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 (inverted-index join,
-    PPJoin prefix filter on — each doc indexes only its rarest shingles,
-    which removes the hot-shingle skew at scale; results are provably
-    identical to the unfiltered join)."""
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.3 (plain inverted-index
+    join — the measured-faster plan on this unskewed corpus; the PPJoin
+    prefix-filtered variant stays selectable for hot-shingle-skewed
+    corpora and is proven result-identical in
+    tests/test_dedup.py::TestPrefixFilter)."""
     docs = load_table(spark, sf_dir, "documents")
-    res = dedup.ngram_jaccard_join(docs, n=3, threshold=0.3,
-                                   prefix_filter=True)
+    res = dedup.ngram_jaccard_join(docs, n=3, threshold=0.3)
     return res.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

