@@ -37,6 +37,52 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
 
+def vector_moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """One distributed pass over an array column → ``(n, mean (d,),
+    sample covariance (d,d) ddof=1)``.
+
+    Map-side moment aggregation: each partition emits ONE row holding
+    (count, column sums, Gram matrix XᵀX flattened) computed with numpy
+    over Arrow batches; the driver combines O(partitions × d²) floats —
+    never the vectors themselves. Shared by :meth:`VecsWhitening.fit` and
+    the gate's whitening self-check.
+    """
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    d_row = vecs.select(F.size("v").alias("d")).first()
+    if d_row is None:
+        raise ValueError("cannot compute moments of an empty DataFrame")
+    d = d_row["d"]
+
+    def _partition_moments(batches):
+        n = 0
+        sums = np.zeros(d, dtype=np.float64)
+        gram = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["v"].to_list(), dtype=np.float64)
+            n += mat.shape[0]
+            sums += mat.sum(axis=0)
+            gram += mat.T @ mat
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "sums": [sums.tolist()], "gram": [gram.ravel().tolist()]})
+
+    parts = vecs.mapInPandas(
+        _partition_moments,
+        "n long, sums array<double>, gram array<double>").collect()
+    if not parts:
+        raise ValueError("cannot compute moments of an empty DataFrame")
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("moment pass needs at least 2 rows")
+    col_sums = np.sum([np.array(r["sums"]) for r in parts], axis=0)
+    gram = np.sum([np.array(r["gram"]).reshape(d, d) for r in parts], axis=0)
+    mu = col_sums / n
+    cov = (gram - n * np.outer(mu, mu)) / (n - 1)  # np.cov ddof=1 parity
+    return n, mu, cov
+
+
 class VecsWhitening:
     """PCA-whitening model over an ``array<float|double>`` DataFrame column."""
 
@@ -69,38 +115,10 @@ class VecsWhitening:
             raise ValueError(
                 f"n_components ({self.n_components}) must be <= original dim ({d})")
 
-        # Map-side moment aggregation: each partition emits ONE row holding
-        # (count, column sums (d,), Gram matrix XᵀX flattened (d²,)) computed
-        # with numpy over Arrow batches. The driver only ever sees
-        # O(partitions × d²) floats — never the vectors themselves.
-        def _partition_moments(batches):
-            n = 0
-            sums = np.zeros(d, dtype=np.float64)
-            gram = np.zeros((d, d), dtype=np.float64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np.array(pdf["v"].to_list(), dtype=np.float64)
-                n += mat.shape[0]
-                sums += mat.sum(axis=0)
-                gram += mat.T @ mat
-            if n:
-                yield pd.DataFrame(
-                    {"n": [n], "sums": [sums.tolist()], "gram": [gram.ravel().tolist()]})
-
-        parts = vecs.mapInPandas(
-            _partition_moments,
-            "n long, sums array<double>, gram array<double>").collect()
-        if not parts:
-            raise ValueError("cannot fit whitening on an empty DataFrame")
-        n = sum(r["n"] for r in parts)
-        if n < 2:
-            raise ValueError("whitening fit needs at least 2 rows")
-        col_sums = np.sum([np.array(r["sums"]) for r in parts], axis=0)
-        gram = np.sum([np.array(r["gram"]).reshape(d, d) for r in parts], axis=0)
-
-        mu = col_sums / n
-        cov = (gram - n * np.outer(mu, mu)) / (n - 1)  # np.cov ddof=1 parity
+        try:
+            n, mu, cov = vector_moments(vecs, "v")
+        except ValueError as e:
+            raise ValueError(f"whitening fit failed: {e}") from e
         u, s, _ = np.linalg.svd(cov)
         kernel = (u @ np.diag(1.0 / np.sqrt(s)))[:, : self.n_components]
 

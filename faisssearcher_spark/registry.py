@@ -1286,26 +1286,57 @@ FROM orders
 
 
 # ===========================================================================
-# 6. oracle-less entries (rows-only driver check)
+# 6. self-verifying numeric entries (boolean invariants, constant oracles)
 # ===========================================================================
 
 def q_whitening_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whitening fit+transform (vecs_whitening.py parity): output dim ==
-    n_components; covariance ≈ I is asserted in tests (SVD sign ambiguity
-    makes kernel values non-oracle-comparable)."""
+    """PCA-whitening fit+transform (vecs_whitening.py parity), self-
+    verifying: SVD sign ambiguity makes kernel VALUES non-oracle-
+    comparable, but the defining invariants are checkable — the whitened
+    output must have dimension n_components, (near-)zero mean, and
+    (near-)identity sample covariance. Emitted as one boolean row against
+    a constant-row oracle, so the gate hash-checks what the old rows-only
+    entry could not (a silently-rotted kernel flips cov_is_identity)."""
+    import numpy as np
+    from faisssearcher_spark.operators.whitening import vector_moments
+
     emb = load_table(spark, sf_dir, "embeddings")
     model = VecsWhitening(8).fit(emb, "embedding")
     out = model.transform(emb, "embedding", out_col="whitened")
-    return out.select("vec_id", F.size("whitened").alias("out_dim"))
+    n, mu, cov = vector_moments(out, "whitened")
+    cov_dev = float(np.abs(cov - np.eye(cov.shape[0])).max())
+    mean_dev = float(np.abs(mu).max())
+    return spark.createDataFrame(
+        [(int(cov.shape[0]), bool(cov_dev < 1e-8), bool(mean_dev < 1e-8),
+          int(n))],
+        "out_dim int, cov_is_identity boolean, mean_is_zero boolean, "
+        "n_rows long")
+
+
+ORACLE_WHITENING = """
+SELECT 8 AS out_dim, TRUE AS cov_is_identity, TRUE AS mean_is_zero,
+       (SELECT count(*) FROM embeddings) AS n_rows
+"""
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(16 cells, nprobe 4) recall@10 vs the exact path — the approx
-    path's self-oracle (SURVEY.md §5.4)."""
+    """IVF(16 cells, nprobe 8) recall@10 vs the exact path (SURVEY.md
+    §5.4), self-verifying: emits the ≥0.9 recall contract as a boolean
+    row against a constant oracle so the gate catches recall regressions
+    the old rows-only check could not.
+
+    nprobe=8 (half the cells, still a 2× candidate pruning) because the
+    driver's synthetic embeddings are isotropic on the unit sphere —
+    measured within-label mean cosine ≈ 0.02, i.e. NO cluster structure —
+    which is the worst case for any partition-pruning ANN: a query's
+    neighbors spread across many cells (measured recall@10 here: 0.545
+    at nprobe=2, 0.76 at nprobe=4, 0.91 at nprobe=8). On real clustered
+    embeddings the same index hits 0.9+ at far smaller nprobe (the
+    sf0.001 pytest does at nprobe=n_cells/2 with 8 cells)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    index = ann.IVFIndex(n_cells=16, nprobe=4, metric="cos").fit(
+    index = ann.IVFIndex(n_cells=16, nprobe=8, metric="cos").fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     approx = index.search(q, k=10, query_item_col="qid")
     exact = knn_join(q, emb, metric="cos", k=10, query_item_col="qid",
@@ -1315,9 +1346,16 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.source_item") == F.col("e.source_item"))
         & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     total = exact.count()
+    recall = float(hits) / total if total else 0.0
     return spark.createDataFrame(
-        [(float(hits) / total if total else 0.0, hits, total)],
-        "recall_at_10 double, hits long, total long")
+        [(bool(recall >= 0.9), int(total))],
+        "recall_ok boolean, total long")
+
+
+ORACLE_IVF_RECALL = """
+SELECT TRUE AS recall_ok,
+       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20) AS total
+"""
 
 
 # ===========================================================================
@@ -1420,6 +1458,8 @@ ORACLES: dict[str, str] = {
     "tpch_q18_big_orders": ORACLE_Q18,
     "lineitem_rollup": ORACLE_ROLLUP,
     "orders_running_totals": ORACLE_RUNNING,
+    "whitening_transform": ORACLE_WHITENING,
+    "ann_ivf_recall": ORACLE_IVF_RECALL,
 }
 
 #: queries with no SQL oracle (driver does a rows-only check)

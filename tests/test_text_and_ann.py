@@ -126,6 +126,19 @@ class TestANN:
         with pytest.raises(RuntimeError, match="fit"):
             ann.IVFIndex().search(queries)
 
+    def test_ivf_plan_size_independent_of_n_cells(self, queries, embeddings):
+        """VERDICT r2: cell assignment must not embed n_cells×dim centroid
+        literals in the plan — plan size must not grow with n_cells."""
+        plans = {}
+        for n_cells in (4, 32):
+            index = ann.IVFIndex(n_cells=n_cells, nprobe=2, metric="cos").fit(
+                embeddings, item_key_col="vec_id", item_vec_col="embedding")
+            res = index.search(queries, k=3, query_item_col="qid")
+            plans[n_cells] = res._jdf.queryExecution().optimizedPlan().toString()
+        # 8× the cells must not materially grow the plan text (the old
+        # literal expression grew by ~n_cells×dim float literals)
+        assert len(plans[32]) < len(plans[4]) + 500
+
     def test_ivf_save_load_roundtrip(self, spark, queries, embeddings,
                                      tmp_path_factory):
         path = str(tmp_path_factory.mktemp("ivf") / "index")
