@@ -252,19 +252,25 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
         .alias(f"__s{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes, seed))])
 
-    # '|'-joined so distinct component sequences can't collide as strings
+    # '|'-joined so distinct component sequences can't collide as strings,
+    # then xxhash64'd to an 8-byte join key — the bucket self-join shuffles
+    # long ints instead of ~40-char strings. A (astronomically unlikely)
+    # hash collision only merges two buckets, i.e. adds a candidate pair
+    # that exact verification below filters out; with verification off a
+    # collision could emit one false pair at ~2^-64 per bucket pair.
     band_arr = F.array(*[
         F.concat_ws("|", *[F.col(f"__s{bi * r + j}").cast("string")
                            for j in range(r)])
         for bi in range(bands)])
     banded = sigs.select(
-        "id", F.posexplode(band_arr).alias("band_idx", "band_val"))
+        "id", F.posexplode(band_arr).alias("band_idx", "band_val")) \
+        .select("id", "band_idx", F.xxhash64("band_val").alias("band_key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

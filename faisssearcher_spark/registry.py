@@ -9,8 +9,10 @@ Conventions (FIXTURES.md §3):
 - timestamps are formatted to strings to dodge timezone representation
   differences between engines.
 
-Oracle-less entries (approx-ANN recall, whitening) are listed in
-NO_ORACLE — the driver records a weaker rows-only check for those.
+Every entry carries an oracle (NO_ORACLE is empty as of r3): the two
+non-SQL-expressible numerics (approx-ANN recall, whitening) emit their
+defining invariants as boolean rows against constant-row oracles, so even
+they are hash-checked.
 """
 
 from __future__ import annotations
@@ -33,9 +35,16 @@ from faisssearcher_spark.sources.catalog import load_table
 # shared SQL fragments (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-# L2-normalized double vector for DuckDB (column `embedding`)
-_NORM = ("list_transform(embedding::DOUBLE[], x -> x / "
-         "sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))))")
+# L2-normalized double vector for DuckDB (column `embedding`). The CASE
+# guards the zero norm the same way the Spark side does
+# (l2_normalize(zero_norm_nan=False), operators/knn.py): a zero vector
+# stays zero (score 0) instead of dividing to NaN — DuckDB sorts NaN
+# greatest, so an unguarded oracle would rank a zero vector FIRST while
+# Spark ranks it last (r2 ADVICE divergence).
+_NORM = ("list_transform(embedding::DOUBLE[], x -> x * "
+         "(CASE WHEN list_sum(list_transform(embedding::DOUBLE[], y -> y*y)) = 0 "
+         "THEN 0.0 ELSE 1.0 / "
+         "sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))) END))")
 
 # dot product of two double lists a, b
 def _dot(a: str, b: str) -> str:

@@ -27,16 +27,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Driver-side parquet-footer probe: does ``ts`` carry TIMESTAMP(NANOS)?
+    Uses pyarrow (no Spark job, no session conf touched); on any probe
+    failure (remote FS scheme pyarrow can't open, etc.) assume nanos —
+    the conservative branch still reads MICROS files correctly."""
+    try:
+        import pyarrow.dataset as ds
+        field = ds.dataset(path, format="parquet").schema.field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return True
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts may be written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects at execution time. Setting ``nanosAsLong``
-    BEFORE the read makes a NANOS column surface as ``bigint`` (while
-    ordinary MICROS/MILLIS columns still read as ``timestamp``), so we can
-    branch on the resolved schema — a driver-side footer read, no Spark job
-    is launched or failed. The nanos→micros conversion is lossless here:
-    the driver data carries no sub-microsecond components (verified against
-    DuckDB's native TIMESTAMP_NS read)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    vectorized reader rejects at execution time. Only when the footer probe
+    confirms NANOS do we set ``nanosAsLong`` (surfacing the column as
+    ``bigint``) and rebuild a timestamp from it — an ordinary MICROS/MILLIS
+    file never touches the session conf (r2 ADVICE: the conf was set
+    unconditionally and leaked into every later read). When set, the conf
+    must STAY set for this frame's lifetime — executors re-resolve the
+    footer at action time — which is also why it cannot be restored in a
+    ``finally``; the trade-off is documented: with the conf on, a later
+    NANOS read surfaces as bigint instead of erroring. The nanos→micros
+    conversion is lossless here: the driver data carries no
+    sub-microsecond components (verified against DuckDB's native
+    TIMESTAMP_NS read)."""
+    if _events_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
