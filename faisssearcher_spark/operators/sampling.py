@@ -1,0 +1,95 @@
+"""Deterministic sampling for training-data curation.
+
+A pretraining pipeline samples constantly — down-weighting a crawl,
+up-weighting a quality source, carving out held-out splits — and at
+100 TB the sample must be (a) a single scan-and-filter with NO shuffle,
+(b) reproducible run-to-run and engine-to-engine, and (c) stable under
+re-partitioning and incremental appends. ``df.sample()`` fails (b) and
+(c): it draws from a partition-seeded RNG, so the sampled set changes
+whenever partitioning does, and no other engine can reproduce it.
+
+These operators instead hash a stable row key: a row is kept iff
+``md5_int(key, seed) mod 1e6 < fraction · 1e6``. Membership is a pure
+function of (key, seed, fraction) — the filter evaluates inside the scan
+stage (one pass, no shuffle, no state),
+composes with incremental ingest (new rows don't resample old ones), and
+has an exact SQL twin (registry oracles run the same md5 arithmetic in
+DuckDB). Fraction precision is 1e-6; like any Bernoulli sampler the
+realized fraction is approximate (binomial), but the SET is exact given
+the inputs.
+
+Growing a sample is monotone: ``fraction=0.3`` is a superset of
+``fraction=0.2`` at the same seed — the property that lets you scale a
+data mix up or down without invalidating what models already trained on
+(salt the seed when you want independent draws instead).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions.text import md5_int
+
+#: hash-space denominator — 1e6 gives ppm-precision fractions while the
+#: 32-bit md5 prefix (md5_int's 8 hex chars) stays ~4300× finer grained.
+SAMPLE_DENOM = 1_000_000
+
+
+def sample_bucket(key_col: Column | str, seed: int = 42) -> Column:
+    """The row's deterministic bucket in [0, 1e6): ``md5_int(seed || key)
+    mod 1e6``. Shared by every sampler here and by the DuckDB oracle SQL
+    (registry `_SAMPLE_BUCKET`)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    salted = F.concat(F.lit(f"{seed}|"), key.cast("string"))
+    return F.pmod(md5_int(salted), F.lit(SAMPLE_DENOM))
+
+
+def hash_sample(df: DataFrame, fraction: float, *,
+                key_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose bucket falls below
+    ``fraction``. One scan, no shuffle, reproducible anywhere md5 exists."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * SAMPLE_DENOM))
+    return df.filter(sample_bucket(key_col, seed) < threshold)
+
+
+def stratified_hash_sample(df: DataFrame, fractions: Mapping[str, float], *,
+                           stratum_col: str, key_col: str,
+                           default_fraction: float = 0.0,
+                           seed: int = 42) -> DataFrame:
+    """Per-stratum deterministic sampling — the "data mixture" operator:
+    ``fractions`` maps stratum values (e.g. source names) to keep rates;
+    strata not listed keep ``default_fraction``. Still one scan-and-filter:
+    the per-stratum threshold is a CASE expression on ``stratum_col``, so
+    there is no join and nothing shuffles."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1]")
+    threshold: Column = F.lit(int(round(default_fraction * SAMPLE_DENOM)))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(F.col(stratum_col) == value,
+                           F.lit(int(round(frac * SAMPLE_DENOM)))) \
+            .otherwise(threshold)
+    return df.filter(sample_bucket(key_col, seed) < threshold)
+
+
+def hash_split(df: DataFrame, *, key_col: str, test_fraction: float = 0.01,
+               seed: int = 42, split_col: str = "split") -> DataFrame:
+    """Tag every row 'test' or 'train' by hash bucket — the held-out-split
+    operator. Deterministic per key: a document keeps its split across
+    reruns, repartitions, and incremental appends (the property that
+    prevents train/test leakage when the corpus grows); derived datasets
+    re-tag identically because the tag is a pure function of the key."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    threshold = int(round(test_fraction * SAMPLE_DENOM))
+    return df.withColumn(
+        split_col,
+        F.when(sample_bucket(key_col, seed) < threshold, F.lit("test"))
+        .otherwise(F.lit("train")))

@@ -1295,6 +1295,70 @@ FROM orders
 
 
 # ===========================================================================
+# 5b. deterministic sampling (training-data mixture surface)
+# ===========================================================================
+
+def _sample_bucket_sql(key_sql: str, seed: int = 42) -> str:
+    """DuckDB twin of operators/sampling.sample_bucket — identical md5
+    arithmetic, so sample membership matches Spark row-for-row."""
+    return (f"(('0x' || substring(md5('{seed}|' || ({key_sql})::VARCHAR), "
+            f"1, 8))::BIGINT % 1000000)")
+
+
+def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample of documents by doc_id hash —
+    reproducible engine-to-engine (the oracle recomputes membership row
+    by row), shuffle-free, monotone in the fraction."""
+    from faisssearcher_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    res = sampling.hash_sample(docs, 0.25, key_col="doc_id")
+    return res.select("doc_id", "lang", "source")
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_sample_bucket_sql('doc_id')} < 250000
+"""
+
+
+def q_sample_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixture sampling: up-weight src1 (80%), down-weight
+    src2 (10%), default 30% — one CASE-thresholded scan, no join."""
+    from faisssearcher_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    res = sampling.stratified_hash_sample(
+        docs, {"src1": 0.8, "src2": 0.1}, stratum_col="source",
+        key_col="doc_id", default_fraction=0.3)
+    return res.select("doc_id", "lang", "source")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_sample_bucket_sql('doc_id')} <
+      CASE source WHEN 'src1' THEN 800000 WHEN 'src2' THEN 100000
+           ELSE 300000 END
+"""
+
+
+def q_sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-split tagging: every document deterministically 'test'
+    (10%) or 'train' by key hash — stable across reruns, repartitions and
+    corpus growth (no train/test leakage on append)."""
+    from faisssearcher_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    res = sampling.hash_split(docs, key_col="doc_id", test_fraction=0.1)
+    return res.select("doc_id", "split")
+
+
+ORACLE_SAMPLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_sample_bucket_sql('doc_id')} < 100000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# ===========================================================================
 # 6. self-verifying numeric entries (boolean invariants, constant oracles)
 # ===========================================================================
 
@@ -1395,6 +1459,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_fingerprint": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    # sampling
+    "sample_documents_hash": q_sample_documents_hash,
+    "sample_stratified_mixture": q_sample_stratified_mixture,
+    "sample_train_test_split": q_sample_train_test_split,
     # text analysis
     "text_token_stats": q_text_token_stats,
     "text_quality_scores": q_text_quality,
@@ -1444,6 +1512,9 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash_fingerprint": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMB_NEARDUP,
+    "sample_documents_hash": ORACLE_SAMPLE_HASH,
+    "sample_stratified_mixture": ORACLE_SAMPLE_STRATIFIED,
+    "sample_train_test_split": ORACLE_SAMPLE_SPLIT,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_quality_scores": ORACLE_QUALITY,
     "text_language_id": _oracle_langid(),

@@ -1,0 +1,97 @@
+"""Deterministic hash sampling: reproducibility, partition invariance,
+monotone growth, stratified rates, split stability (SURVEY.md §5 model —
+property tests over the driver fixtures)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import sampling
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+class TestHashSample:
+    def test_deterministic_and_partition_invariant(self, documents):
+        a = _ids(sampling.hash_sample(documents, 0.3, key_col="doc_id"))
+        b = _ids(sampling.hash_sample(documents.repartition(13), 0.3,
+                                      key_col="doc_id"))
+        assert a == b and a  # same set regardless of partitioning
+
+    def test_monotone_in_fraction(self, documents):
+        small = _ids(sampling.hash_sample(documents, 0.2, key_col="doc_id"))
+        big = _ids(sampling.hash_sample(documents, 0.4, key_col="doc_id"))
+        assert small < big  # strict superset at these sizes
+
+    def test_seed_changes_the_draw(self, documents):
+        a = _ids(sampling.hash_sample(documents, 0.3, key_col="doc_id", seed=1))
+        b = _ids(sampling.hash_sample(documents, 0.3, key_col="doc_id", seed=2))
+        assert a != b
+
+    def test_realized_fraction_near_nominal(self, documents):
+        n = documents.count()
+        k = sampling.hash_sample(documents, 0.5, key_col="doc_id").count()
+        assert abs(k / n - 0.5) < 0.15  # binomial tolerance at fixture size
+
+    def test_edge_fractions(self, documents):
+        assert sampling.hash_sample(documents, 0.0, key_col="doc_id").count() == 0
+        assert sampling.hash_sample(documents, 1.0, key_col="doc_id").count() \
+            == documents.count()
+
+    def test_bad_fraction_raises(self, documents):
+        with pytest.raises(ValueError, match="fraction"):
+            sampling.hash_sample(documents, 1.5, key_col="doc_id")
+
+    def test_no_shuffle_in_plan(self, documents):
+        res = sampling.hash_sample(documents, 0.3, key_col="doc_id")
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestStratified:
+    def test_rates_differ_by_stratum(self, documents):
+        res = sampling.stratified_hash_sample(
+            documents, {"en": 0.9, "de": 0.1}, stratum_col="lang",
+            key_col="doc_id", default_fraction=0.0)
+        by_lang = {r["lang"]: r["n"] for r in
+                   res.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        totals = {r["lang"]: r["n"] for r in
+                  documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert set(by_lang) <= {"en", "de"}  # default 0 drops other strata
+        assert by_lang["en"] / totals["en"] > by_lang.get("de", 0) / totals["de"]
+
+    def test_stratum_sample_is_subset_of_plain(self, documents):
+        # same seed → stratified keep-set is the plain sample's keep-set
+        # restricted per-stratum (the bucket is stratum-independent)
+        plain = _ids(sampling.hash_sample(documents, 0.4, key_col="doc_id"))
+        strat = sampling.stratified_hash_sample(
+            documents, {"en": 0.4}, stratum_col="lang", key_col="doc_id",
+            default_fraction=0.0)
+        assert _ids(strat) == plain & _ids(documents.filter(F.col("lang") == "en"))
+
+    def test_bad_fraction_raises(self, documents):
+        with pytest.raises(ValueError, match="fraction"):
+            sampling.stratified_hash_sample(
+                documents, {"en": 2.0}, stratum_col="lang", key_col="doc_id")
+
+
+class TestHashSplit:
+    def test_partition_of_corpus(self, documents):
+        res = sampling.hash_split(documents, key_col="doc_id",
+                                  test_fraction=0.2)
+        n = documents.count()
+        counts = {r["split"]: r["n"] for r in
+                  res.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert counts["test"] + counts["train"] == n
+        assert 0 < counts["test"] < counts["train"]
+
+    def test_split_stable_under_append(self, documents):
+        # a doc's split must not change when the corpus grows
+        half = documents.filter(F.col("doc_id") < 250)
+        full_split = sampling.hash_split(documents, key_col="doc_id")
+        half_split = sampling.hash_split(half, key_col="doc_id")
+        full_map = {r["doc_id"]: r["split"] for r in
+                    full_split.select("doc_id", "split").collect()}
+        for r in half_split.select("doc_id", "split").collect():
+            assert full_map[r["doc_id"]] == r["split"]
