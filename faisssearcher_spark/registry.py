@@ -598,6 +598,34 @@ FROM t
 """
 
 
+def q_text_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (p25/p50/p75/max) — the
+    length-histogram diagnostic every curation pass starts with. Exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: both evaluate h=(n−1)p with linear interpolation;
+    the quarter weights are binary-exact so the doubles agree bit-for-bit
+    on integer inputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", T.token_count("text").alias("n"))
+    return (toks.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.percentile("n", F.lit(0.25)), 4).alias("p25_tokens"),
+                 F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_tokens"),
+                 F.round(F.percentile("n", F.lit(0.75)), 4).alias("p75_tokens"),
+                 F.max("n").alias("max_tokens")))
+
+
+ORACLE_TOKEN_PERCENTILES = f"""
+WITH t AS (SELECT lang, len({_TOKS}) AS n FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n, 0.25), 4) AS p25_tokens,
+       round(quantile_cont(n, 0.50), 4) AS p50_tokens,
+       round(quantile_cont(n, 0.75), 4) AS p75_tokens,
+       max(n) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.quality_scores(docs)
@@ -1465,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_train_test_split": q_sample_train_test_split,
     # text analysis
     "text_token_stats": q_text_token_stats,
+    "text_token_percentiles": q_text_token_percentiles,
     "text_quality_scores": q_text_quality,
     "text_language_id": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
@@ -1516,6 +1545,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified_mixture": ORACLE_SAMPLE_STRATIFIED,
     "sample_train_test_split": ORACLE_SAMPLE_SPLIT,
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "text_quality_scores": ORACLE_QUALITY,
     "text_language_id": _oracle_langid(),
     "text_fingerprints": ORACLE_FINGERPRINTS,

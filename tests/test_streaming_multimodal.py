@@ -49,6 +49,25 @@ class TestStreaming:
     def test_stream_is_streaming(self, events_stream):
         assert events_stream.isStreaming
 
+    def test_streaming_hash_sample_matches_batch(self, spark, sf_dir,
+                                                 events_stream):
+        """The deterministic samplers are stateless filters, so they apply
+        unchanged to a stream and must select EXACTLY the batch sample's
+        rows (membership is a pure function of the key — no RNG, no
+        partition dependence)."""
+        from faisssearcher_spark.operators import sampling
+        from faisssearcher_spark.sources.catalog import load_table
+
+        sampled = sampling.hash_sample(events_stream, 0.3,
+                                       key_col="event_id")
+        sev.run_to_memory(sampled.select("event_id"), "sampled_events",
+                          output_mode="append")
+        got = {r["event_id"] for r in spark.table("sampled_events").collect()}
+        batch = sampling.hash_sample(load_table(spark, sf_dir, "events"),
+                                     0.3, key_col="event_id")
+        want = {r["event_id"] for r in batch.select("event_id").collect()}
+        assert got == want
+
 
 @pytest.fixture(scope="module")
 def assets(spark):
