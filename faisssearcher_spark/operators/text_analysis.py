@@ -64,7 +64,11 @@ def ngram_frequencies(df: DataFrame, *, text_col: str = "text", n: int = 3,
     """Corpus-wide word n-gram frequencies (explode → hash aggregate with
     map-side partial combine). ``top`` keeps the most frequent shingles
     (ties broken by shingle text for determinism)."""
-    grams = df.select(F.explode(T.word_ngrams(text_col, n)).alias("ngram"))
+    # explode_outer + isNotNull: plain explode gets size/isnotnull filters
+    # inferred beneath the Generate and pushdown inlines the n-gram
+    # expression into them — 3× the tokenize CPU (see dedup.py).
+    grams = df.select(F.explode_outer(T.word_ngrams(text_col, n))
+                      .alias("ngram")).filter(F.col("ngram").isNotNull())
     freq = grams.groupBy("ngram").agg(F.count("*").alias("freq"))
     if top is not None:
         freq = freq.orderBy(F.col("freq").desc(), F.col("ngram").asc()).limit(top)
