@@ -110,9 +110,14 @@ def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
     # expression into that filter — tokenizing every row ~3× (measured
     # ~20% of query time at sf0.1). The outer variant infers nothing; the
     # null rows (empty docs) die on a cheap attribute filter instead.
+    # n_sh wrapped in coalesce(·, -1): the join's downstream constraints
+    # otherwise infer `isnotnull(n_sh)` and inline size(<shingle expr>)
+    # into yet another Filter; a provably-non-nullable n_sh folds that
+    # constraint to true. (-1 only ever applies to rows the s-null filter
+    # already dropped.)
     def _exploded():
         return shingled.select(
-            "id", F.size("sh").alias("n_sh"),
+            "id", F.coalesce(F.size("sh"), F.lit(-1)).alias("n_sh"),
             F.explode_outer("sh").alias("s")).filter(F.col("s").isNotNull())
 
     if not prefix_filter:

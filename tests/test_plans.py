@@ -83,3 +83,46 @@ class TestJoinShapes:
             dedup.ngram_jaccard_join(documents, n=3, threshold=0.3))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_jaccard_posting_list_never_broadcasts(self, documents):
+        """r3 finding: the posting list's STATIC size estimate (taken from
+        the tiny pre-explode scan) tricked the planner into a driver-built
+        broadcast of the whole exploded side — 40% of query time, and a
+        driver OOM at corpus scale. The shuffle_hash hint pins the
+        scale-correct shuffled hash join."""
+        plan = inspect.executed_plan(
+            dedup.ngram_jaccard_join(documents, n=3, threshold=0.3))
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_jaccard_no_inferred_shingle_refilter(self, documents):
+        """r3 finding: a non-outer explode gets size/isnotnull filters
+        inferred beneath it, and pushdown inlines the whole shingle
+        expression into them (~3× tokenize CPU). The explode_outer +
+        attribute-filter shape must keep the n-gram machinery out of any
+        Filter node."""
+        plan = inspect.executed_plan(
+            dedup.ngram_jaccard_join(documents, n=3, threshold=0.3))
+        filters = [ln for ln in plan.splitlines() if "+- Filter" in ln]
+        assert filters, "expected at least the attribute null filter"
+        assert not any("zip_with" in ln for ln in filters), \
+            "shingle expression leaked into a Filter node"
+
+
+class TestGridAndSamplingPlans:
+    def test_grid_uses_cogrouped_cells(self, embeddings):
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric="cos", k=3,
+                       query_item_col="qid", item_key_col="vec_id",
+                       payload_cols=[], strategy="grid",
+                       n_query_blocks=2, n_item_shards=3)
+        plan = inspect.executed_plan(res)
+        assert "FlatMapCoGroupsInPandas" in plan  # per-cell GEMM kernel
+        assert "WindowGroupLimit" in plan         # merge top-k pushdown
+
+    def test_hash_sample_is_scan_and_filter(self, documents):
+        from faisssearcher_spark.operators import sampling
+        plan = inspect.executed_plan(
+            sampling.hash_sample(documents, 0.3, key_col="doc_id"))
+        assert "Exchange" not in plan  # no shuffle, no state
