@@ -412,7 +412,10 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.9,
                            score_scale: int | None = None,
-                           strategy: str = "blocked") -> DataFrame:
+                           strategy: str = "blocked",
+                           lsh_tables: int = 8, lsh_bits: int = 4,
+                           lsh_seed: int = 42,
+                           lsh_dim: int | None = None) -> DataFrame:
     """Semantic near-duplicate pairs: cosine(a, b) ≥ threshold, id_a < id_b.
 
     Strategies:
@@ -423,16 +426,35 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
       pairs are emitted. Work distributes by row-block, the O(n²) pair
       space is never materialized as rows, and the vectorized kernel is
       ~10× the codegen'd per-pair expression. Requires the corpus matrix
-      (n·d doubles) to fit executor memory — at larger n, shard the
-      broadcast side or use an ANN prefilter (SignLSH buckets) first.
+      (n·d doubles) to fit executor memory — at larger n, use ``"lsh"``.
     - ``"catalyst"``: pure-SQL self-join with codegen'd dot products.
       Vectors L2-normalize ONCE in the child projections (O3 rewrite) so
       per-pair work is a single dot product. No Python, no broadcast-size
       bound; slower per pair.
+    - ``"lsh"``: the unbounded-scale path — OR-amplified sign-LSH (the
+      cosine analog of MinHash banding): ``lsh_tables`` independent hash
+      tables of ``lsh_bits`` sign-bits each; two rows become a candidate
+      iff they share a bucket in ANY table (equi-join on (table, bucket) —
+      the pair space never materializes, nothing broadcasts), and every
+      candidate is verified with the exact dot product, so precision is
+      1.0 and recall ≈ 1−(1−p^b)^T with p = 1−θ/π (θ = acos(threshold));
+      the defaults give ~0.998 at threshold 0.9. With ``lsh_dim=None``
+      the "hyperplanes" are axis-aligned on the leading
+      ``lsh_tables·lsh_bits`` dimensions (bucket = sign bits of raw
+      coordinates — deterministic, SQL-expressible, oracle-checked);
+      pass ``lsh_dim`` to draw seeded random hyperplanes instead (better
+      bucket balance on anisotropic data).
 
-    Both produce identical results (float64 accumulation; the blocked
-    kernel's matmul is verified against the SQL oracle in the gate).
+    blocked/catalyst produce identical results (float64 accumulation;
+    the blocked kernel's matmul is verified against the SQL oracle in the
+    gate); lsh is exact on every pair it emits and misses a quantified
+    tail.
     """
+    if strategy == "lsh":
+        return _embedding_pairs_lsh(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            score_scale=score_scale, tables=lsh_tables, bits=lsh_bits,
+            seed=lsh_seed, dim=lsh_dim)
     if strategy == "catalyst":
         from faisssearcher_spark.functions.vector import l2_normalize
 
@@ -489,6 +511,69 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
         .mapInPandas(_score_block, "id_a long, id_b long, cos_sim double")
+
+
+def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
+                         threshold: float, score_scale: int | None,
+                         tables: int, bits: int, seed: int,
+                         dim: int | None) -> DataFrame:
+    """OR-amplified sign-LSH candidate generation + exact verification.
+    See ``embedding_cosine_pairs(strategy="lsh")``."""
+    from faisssearcher_spark.functions.vector import l2_normalize
+
+    if tables < 1 or bits < 1:
+        raise ValueError("lsh_tables and lsh_bits must be >= 1")
+
+    v = M.as_double(vec_col)
+    if dim is None:
+        # axis-aligned: bit j of table t = sign of raw coordinate t·b+j
+        # (normalization preserves sign, so bucketing the raw vector is
+        # identical and keeps the oracle SQL trivial)
+        def proj(t: int, j: int) -> Column:
+            return F.element_at(v, t * bits + j + 1)
+    else:
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((tables * bits, dim))
+
+        def proj(t: int, j: int) -> Column:
+            hp = F.array(*[F.lit(float(x)) for x in planes[t * bits + j]])
+            return F.aggregate(F.zip_with(v, hp, lambda x, y: x * y),
+                               F.lit(0.0), lambda a, x: a + x)
+
+    def bucket(t: int) -> Column:
+        out = F.lit(0)
+        for j in range(bits):
+            out = out + F.when(proj(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return out.cast("int")
+
+    tb = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
+        .alias("t", "bucket"))
+    a, b = tb.alias("a"), tb.alias("b")
+    cand = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    nrm = df.select(F.col(id_col).alias("id"),
+                    l2_normalize(v, zero_norm_nan=False).alias("v"))
+    score = M.inner_product(F.col("v_a"), F.col("v_b"))
+    if score_scale is not None:
+        score = F.round(score, score_scale)
+    return (
+        cand
+        .join(nrm.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")),
+              "id_a")
+        .join(nrm.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")),
+              "id_b")
+        .withColumn("cos_sim", score)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -578,6 +578,41 @@ WHERE round({_dot('a.v', 'b.v')}, 4) >= 0.45
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-scale semantic near-dup path: OR-amplified sign-LSH
+    candidate buckets (8 tables × 4 sign-bits on the leading dims) +
+    exact dot-product verification. The oracle replicates the EXACT
+    bucket assignment and verification in SQL, so the gate checks the
+    full candidate-generation + verify pipeline, not just the survivors'
+    scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4,
+                                       strategy="lsh", lsh_tables=8,
+                                       lsh_bits=4)
+    return res
+
+
+def _oracle_emb_lsh(tables: int = 8, bits: int = 4,
+                    threshold: float = 0.45) -> str:
+    # bucket of table t = sum_j (embedding[t*bits+j+1] >= 0) << j —
+    # identical to the Spark leading-dims sign bucket (sign is invariant
+    # under the positive normalize scale).
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[t.t*{bits}+{j + 1}] >= 0 "
+        f"THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tb AS (SELECT vec_id AS id, t.t AS t, ({bucket}) AS bucket
+            FROM embeddings, (SELECT unnest(range(0, {tables})) AS t) t),
+     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM tb a JOIN tb b
+                ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+     e AS (SELECT vec_id, {_NORM} AS v FROM embeddings)
+SELECT id_a, id_b, round({_dot('ea.v', 'eb.v')}, 4) AS cos_sim
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE round({_dot('ea.v', 'eb.v')}, 4) >= {threshold}
+"""
+
+
 # ===========================================================================
 # 4. text analysis
 # ===========================================================================
@@ -1487,6 +1522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_fingerprint": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     # sampling
     "sample_documents_hash": q_sample_documents_hash,
     "sample_stratified_mixture": q_sample_stratified_mixture,
@@ -1541,6 +1577,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash_fingerprint": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMB_NEARDUP,
+    "dedup_embedding_lsh": _oracle_emb_lsh(),
     "sample_documents_hash": ORACLE_SAMPLE_HASH,
     "sample_stratified_mixture": ORACLE_SAMPLE_STRATIFIED,
     "sample_train_test_split": ORACLE_SAMPLE_SPLIT,

@@ -104,6 +104,57 @@ class TestEmbeddingCosine:
         pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert pairs == {(0, 1)}
 
+    def test_lsh_subset_of_exact_with_exact_scores(self, embeddings):
+        """LSH pairs must be a subset of the exact pair set with identical
+        scores (precision 1.0 — every candidate is exactly verified)."""
+        exact = dedup.embedding_cosine_pairs(
+            embeddings, threshold=0.45, score_scale=4, strategy="catalyst")
+        lsh = dedup.embedding_cosine_pairs(
+            embeddings, threshold=0.45, score_scale=4, strategy="lsh")
+        e = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in exact.collect()}
+        l = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in lsh.collect()}
+        assert set(l) <= set(e)
+        assert all(e[k] == v for k, v in l.items())
+
+    def test_lsh_high_threshold_recall(self, spark):
+        """At tight thresholds (the dedup regime) OR-amplification recovers
+        essentially every pair: near-identical vector pairs must be found."""
+        import numpy as np
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 32))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((2 * i, [float(x) for x in v]))
+            rows.append((2 * i + 1,  # tiny perturbation → cos ≈ 0.999
+                         [float(x) for x in v + rng.standard_normal(32) * 0.01]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = dedup.embedding_cosine_pairs(df, threshold=0.99, strategy="lsh",
+                                           lsh_tables=8, lsh_bits=4)
+        found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        planted = {(2 * i, 2 * i + 1) for i in range(40)}
+        assert len(found & planted) >= 39  # ≥97.5% of planted near-dups
+
+    def test_lsh_random_hyperplanes_variant(self, embeddings):
+        lsh = dedup.embedding_cosine_pairs(
+            embeddings, threshold=0.45, score_scale=4, strategy="lsh",
+            lsh_dim=64, lsh_tables=6, lsh_bits=3)
+        exact = dedup.embedding_cosine_pairs(
+            embeddings, threshold=0.45, score_scale=4, strategy="catalyst")
+        assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} \
+            <= {(r["id_a"], r["id_b"]) for r in exact.collect()}
+
+    def test_lsh_no_cartesian_no_broadcast_of_corpus(self, embeddings):
+        from faisssearcher_spark.plans import inspect
+        plan = inspect.executed_plan(dedup.embedding_cosine_pairs(
+            embeddings, threshold=0.9, strategy="lsh"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_lsh_bad_params_raise(self, embeddings):
+        with pytest.raises(ValueError, match="lsh_tables"):
+            dedup.embedding_cosine_pairs(embeddings, strategy="lsh",
+                                         lsh_tables=0)
+
 
 class TestPrefixFilter:
     """AllPairs/PPJoin prefix filtering must be result-identical to the
