@@ -72,6 +72,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def load_jsonl(spark: SparkSession, path: str, *, schema=None,
+               multiline: bool = False) -> DataFrame:
+    """JSON-lines corpus reader — the interchange format LLM training
+    corpora actually ship in (one document object per line).
+
+    Prefer an explicit ``schema``: inference scans the data once extra and
+    unions object shapes permissively. JSON scans support column pruning
+    but no predicate pushdown, and each line is parsed in full even for a
+    two-column projection — land long-lived corpora as Parquet
+    (``df.write.parquet``) before repeated analytics. ``multiline=True``
+    parses one object spanning multiple lines (whole-file records) —
+    that mode cannot split files across tasks, so keep it for small
+    side inputs only.
+    """
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_csv(spark: SparkSession, path: str, *, schema=None,
              header: bool = True, sep: str = ",") -> DataFrame:
     """CSV corpus reader — S1 parity (the reference documents
