@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from faisssearcher_spark.functions.text import md5_int
@@ -77,6 +77,44 @@ def stratified_hash_sample(df: DataFrame, fractions: Mapping[str, float], *,
                            F.lit(int(round(frac * SAMPLE_DENOM)))) \
             .otherwise(threshold)
     return df.filter(sample_bucket(key_col, seed) < threshold)
+
+
+def pack_token_budget(df: DataFrame, *, budget: int, size_col: str,
+                      key_col: str, n_shards: int = 32,
+                      seed: int = 42) -> DataFrame:
+    """Assign every row to a fixed-token-budget bin — the "pack documents
+    into ~budget-token training chunks" operator.
+
+    Rows hash into ``n_shards`` independent shards (same md5 bucketing as
+    the samplers, so assignment is deterministic and append-stable for
+    existing rows' shards); within a shard, rows are ordered by key and
+    greedily cut into bins whenever the running token total passes the
+    budget: ``bin = floor((cumsum(size) − size) / budget)``. Each window
+    partition is one shard, so the sort is per-shard — there is NO global
+    ordering and no single-partition window, which is what makes this
+    shape survive 100 TB (each of the ``n_shards`` windows is an
+    independent task; raise ``n_shards`` with the corpus).
+
+    A bin's total overshoots the budget by at most one document — the
+    standard streaming-packing guarantee; oversized single documents get
+    bins of their own. Returns the input plus ``(shard, bin, cum_tokens)``
+    where (shard, bin) identifies the chunk and ``cum_tokens`` is the
+    running total through this row.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(sample_bucket(key_col, seed), F.lit(n_shards))
+    out = df.withColumn("shard", shard.cast("int"))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = out.withColumn("cum_tokens",
+                         F.sum(F.col(size_col)).over(w).cast("long"))
+    return out.withColumn(
+        "bin",
+        F.floor((F.col("cum_tokens") - F.col(size_col)) / budget).cast("int"))
 
 
 def hash_split(df: DataFrame, *, key_col: str, test_fraction: float = 0.01,

@@ -1403,6 +1403,33 @@ WHERE {_sample_bucket_sql('doc_id')} <
 """
 
 
+def q_sample_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: documents hash into 8 shards and greedily cut
+    into ~2000-token training bins within each shard (per-shard windows —
+    no global sort, the shape that survives 100 TB). The oracle replays
+    the identical shard hash + running-sum cut in SQL."""
+    from faisssearcher_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    res = sampling.pack_token_budget(sized, budget=2000, size_col="n_tokens",
+                                     key_col="doc_id", n_shards=8)
+    return res.select("doc_id", "shard", "bin", "n_tokens", "cum_tokens")
+
+
+ORACLE_SAMPLE_PACK = f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens,
+                  ({_sample_bucket_sql('doc_id')} % 8)::INT AS shard
+           FROM documents),
+     c AS (SELECT doc_id, shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+           FROM t)
+SELECT doc_id, shard, floor((cum_tokens - n_tokens) / 2000)::INT AS bin,
+       n_tokens, cum_tokens
+FROM c
+"""
+
+
 def q_sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out-split tagging: every document deterministically 'test'
     (10%) or 'train' by key hash — stable across reruns, repartitions and
@@ -1527,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_documents_hash": q_sample_documents_hash,
     "sample_stratified_mixture": q_sample_stratified_mixture,
     "sample_train_test_split": q_sample_train_test_split,
+    "sample_pack_token_budget": q_sample_pack_token_budget,
     # text analysis
     "text_token_stats": q_text_token_stats,
     "text_token_percentiles": q_text_token_percentiles,
@@ -1581,6 +1609,7 @@ ORACLES: dict[str, str] = {
     "sample_documents_hash": ORACLE_SAMPLE_HASH,
     "sample_stratified_mixture": ORACLE_SAMPLE_STRATIFIED,
     "sample_train_test_split": ORACLE_SAMPLE_SPLIT,
+    "sample_pack_token_budget": ORACLE_SAMPLE_PACK,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "text_quality_scores": ORACLE_QUALITY,

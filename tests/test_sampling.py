@@ -76,6 +76,55 @@ class TestStratified:
                 documents, {"en": 2.0}, stratum_col="lang", key_col="doc_id")
 
 
+class TestPackTokenBudget:
+    @pytest.fixture(scope="class")
+    def sized(self, documents):
+        from faisssearcher_spark.functions.text import token_count
+        return documents.select(
+            "doc_id", token_count("text").alias("n_tokens")).cache()
+
+    def test_bins_respect_budget_plus_one_doc(self, sized):
+        res = sampling.pack_token_budget(sized, budget=500,
+                                         size_col="n_tokens",
+                                         key_col="doc_id", n_shards=4)
+        stats = (res.groupBy("shard", "bin")
+                 .agg(F.sum("n_tokens").alias("total"),
+                      F.max("n_tokens").alias("biggest")).collect())
+        for r in stats:
+            # streaming-packing guarantee: overshoot < one document
+            assert r["total"] < 500 + r["biggest"]
+
+    def test_every_row_assigned_and_deterministic(self, sized):
+        a = sampling.pack_token_budget(sized, budget=500,
+                                       size_col="n_tokens",
+                                       key_col="doc_id", n_shards=4)
+        b = sampling.pack_token_budget(sized.repartition(11), budget=500,
+                                       size_col="n_tokens",
+                                       key_col="doc_id", n_shards=4)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) == sized.count()
+
+    def test_bins_fill_before_opening_next(self, sized):
+        res = sampling.pack_token_budget(sized, budget=800,
+                                         size_col="n_tokens",
+                                         key_col="doc_id", n_shards=2)
+        # within a shard, bin ids are non-decreasing in key order and a
+        # new bin only opens once the running total passed the budget
+        rows = sorted(res.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+        for prev, cur in zip(rows, rows[1:]):
+            if prev["shard"] != cur["shard"]:
+                continue
+            assert cur["bin"] >= prev["bin"]
+            if cur["bin"] > prev["bin"]:
+                assert prev["cum_tokens"] + cur["n_tokens"] > 800 * cur["bin"]
+
+    def test_bad_params_raise(self, sized):
+        with pytest.raises(ValueError, match="budget"):
+            sampling.pack_token_budget(sized, budget=0,
+                                       size_col="n_tokens", key_col="doc_id")
+
+
 class TestHashSplit:
     def test_partition_of_corpus(self, documents):
         res = sampling.hash_split(documents, key_col="doc_id",
