@@ -123,6 +123,48 @@ class TestProperties:
             float(np.abs(a - b).max()), rel=1e-9)
 
 
+class TestExtremeValues:
+    """Numerics agreement with numpy float64 on adversarial magnitudes —
+    the engine promises float64 accumulation everywhere, so Spark must
+    track numpy bit-for-bit-ish (rel 1e-12) or agree on the non-finite."""
+
+    CASES = [
+        ("large", [1e150, -1e150, 1e150], [-1e150, 1e150, 1e150]),
+        ("tiny", [1e-300, 5e-300, -1e-300], [2e-300, -1e-300, 1e-300]),
+        ("mixed_mag", [1e10, 1e-10, -1.0], [-1e-10, 1e10, 1.0]),
+        ("neg_zero", [-0.0, 0.0, 1.0], [0.0, -0.0, 1.0]),
+    ]
+
+    @pytest.mark.parametrize("name,a,b", CASES)
+    def test_matches_numpy(self, spark, name, a, b):
+        na, nb = np.array(a), np.array(b)
+        want = {
+            "l1": float(np.abs(na - nb).sum()),
+            "linf": float(np.abs(na - nb).max()),
+            "ip": float(na @ nb),
+        }
+        got = spark.createDataFrame([(a, b)], "a array<double>, b array<double>") \
+            .select(M.l1(F.col("a"), F.col("b")).alias("l1"),
+                    M.l_inf(F.col("a"), F.col("b")).alias("linf"),
+                    M.inner_product(F.col("a"), F.col("b")).alias("ip")) \
+            .first()
+        for k, w in want.items():
+            g = got[k]
+            if np.isfinite(w):
+                assert g == pytest.approx(w, rel=1e-12, abs=1e-300), (name, k)
+            else:
+                assert not np.isfinite(g), (name, k)
+
+    def test_l2_overflow_agrees_with_numpy(self, spark):
+        # (2e200)^2 overflows float64 → both engines must say +inf
+        a, b = [1e200, 0.0], [-1e200, 0.0]
+        na, nb = np.array(a), np.array(b)
+        want = float(((na - nb) ** 2).sum())
+        got = spark.createDataFrame([(a, b)], "a array<double>, b array<double>") \
+            .select(M.l2_squared(F.col("a"), F.col("b")).alias("d")).first()["d"]
+        assert np.isinf(want) and np.isinf(got)
+
+
 class TestRegistry:
     def test_unknown_metric_raises_listing_supported(self):
         with pytest.raises(ValueError, match="Unsupported measurement"):
