@@ -562,6 +562,29 @@ FROM h
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming ≤ 3 of the 32-bit
+    fingerprint: pigeonhole byte-band equi-join candidates + XOR/popcount
+    verification — the full pair pipeline, not just the fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, bits=32, max_hamming=3)
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH fp AS ({ORACLE_SIMHASH.strip().rstrip()}),
+     banded AS (SELECT doc_id AS id, simhash, b.b AS band_idx,
+                       (simhash >> (b.b * 8)) & 255 AS band_byte
+                FROM fp, (SELECT unnest(range(0, 4)) AS b) b),
+     cand AS (SELECT DISTINCT a.id AS id_a, a.simhash AS fp_a,
+                     b.id AS id_b, b.simhash AS fp_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte
+                   AND a.id < b.id)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ 0.45 over the embeddings table."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1101,6 +1124,59 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_orders_semi_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the slimmed schema: LEFT SEMI join — 1996 orders
+    that have at least one returned line, counted per priority. The semi
+    join never duplicates orders however many lines matched, and ships
+    only the join key from the lineitem side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1997-01-01"))
+        .join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_SEMI_RETURNS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — parts with no line shipped since 2001 (the
+    dead-stock query), per brand. The anti join ships only l_partkey from
+    the filtered big side (shipdate predicate pushes to the scan) and
+    emits each part at most once."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(F.col("l_shipdate") >= "2001-01-01").select("l_partkey")
+    return (
+        part.join(recent, part.p_partkey == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_stale"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
+ORACLE_PARTS_NEVER_ORDERED = """
+SELECT p_brand, count(*) AS n_stale, round(avg(p_retailprice), 2) AS avg_price
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_shipdate >= '2001-01-01')
+GROUP BY p_brand
+"""
+
+
 def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (returnflag → linestatus hierarchy with
     subtotals and a grand total) — Spark plans one Expand + single hash
@@ -1548,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_fingerprint": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     # sampling
@@ -1579,6 +1656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents": q_curate_documents,
     "tpch_q6_revenue": q_tpch_q6_revenue,
     "tpch_q18_big_orders": q_tpch_q18_big_orders,
+    "orders_semi_returns": q_orders_semi_returns,
+    "parts_never_ordered": q_parts_never_ordered,
     "lineitem_rollup": q_lineitem_rollup,
     "orders_running_totals": q_orders_running_totals,
     # oracle-less
@@ -1604,6 +1683,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash_fingerprint": ORACLE_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_embedding_cosine": ORACLE_EMB_NEARDUP,
     "dedup_embedding_lsh": _oracle_emb_lsh(),
     "sample_documents_hash": ORACLE_SAMPLE_HASH,
@@ -1632,6 +1712,8 @@ ORACLES: dict[str, str] = {
     "curate_documents": _oracle_curate(),
     "tpch_q6_revenue": ORACLE_Q6,
     "tpch_q18_big_orders": ORACLE_Q18,
+    "orders_semi_returns": ORACLE_SEMI_RETURNS,
+    "parts_never_ordered": ORACLE_PARTS_NEVER_ORDERED,
     "lineitem_rollup": ORACLE_ROLLUP,
     "orders_running_totals": ORACLE_RUNNING,
     "whitening_transform": ORACLE_WHITENING,
