@@ -1,3 +1,6 @@
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
+from faisssearcher_spark.operators import (balance, curate, dedup, sampling,
+                                           temporal, text_analysis)
 
-__all__ = ["knn_join", "cal_sim"]
+__all__ = ["knn_join", "cal_sim", "balance", "curate", "dedup", "sampling",
+           "temporal", "text_analysis"]

@@ -145,6 +145,7 @@ class SparkSearcher:
         keep_rank_no: bool = False,
         score_scale: int | None = None,
         strategy: str = "catalyst",
+        **strategy_kwargs: Any,
     ) -> Union[DataFrame, Mapping[int, DataFrame]]:
         corpus = self._require_trained()
         spark = corpus.sparkSession
@@ -183,6 +184,9 @@ class SparkSearcher:
             # "blocked" = broadcast-corpus GEMM path for large query sets
             # (knn_join docstring); "catalyst" = pure-plan default.
             strategy=strategy,
+            # tuning knobs forwarded to the chosen kernel (e.g. the grid
+            # strategy's n_query_blocks / n_item_shards)
+            **strategy_kwargs,
         )
         if self.measurement == "cos":
             kwargs["metric"] = "ip"  # normalized at encode time → dot product
