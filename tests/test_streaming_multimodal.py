@@ -49,6 +49,48 @@ class TestStreaming:
     def test_stream_is_streaming(self, events_stream):
         assert events_stream.isStreaming
 
+    def test_streaming_curate_matches_batch_semantics(self, spark, documents,
+                                                      tmp_path_factory):
+        """curate_stream over an availableNow document stream must keep
+        exactly the batch pipeline's (filter + sample) rows, one survivor
+        per content fingerprint (which duplicate survives is arrival-order
+        dependent; the fingerprint SET is not)."""
+        from faisssearcher_spark.streaming import curate as scur
+        from faisssearcher_spark.operators import sampling
+        from faisssearcher_spark.functions import text as T
+        from pyspark.sql import functions as FF
+
+        src = documents.select(
+            "doc_id", "text",
+            FF.timestamp_micros(FF.col("doc_id") * 1_000_000)
+            .alias("ingest_ts"))
+        path = str(tmp_path_factory.mktemp("docs_stream") / "landing")
+        src.write.mode("overwrite").parquet(path)
+
+        stream = (spark.readStream.schema(src.schema).parquet(path))
+        out = scur.curate_stream(stream, min_quality=0.3,
+                                 sample_fraction=0.5, watermark="1 hour")
+        (out.writeStream.format("memory").queryName("curated_docs")
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination())
+        got = spark.table("curated_docs")
+
+        batch = src.select(
+            "doc_id",
+            FF.round(T.quality_score("text"), 4).alias("quality"),
+            T.fingerprint("text").alias("fingerprint"))
+        batch = batch.filter(FF.col("quality") >= 0.3)
+        batch = sampling.hash_sample(batch, 0.5, key_col="doc_id")
+
+        got_fps = {r["fingerprint"] for r in got.collect()}
+        want_fps = {r["fingerprint"] for r in batch.collect()}
+        assert got_fps == want_fps and got_fps
+        # one survivor per fingerprint
+        assert got.count() == len(got_fps)
+        # every surviving doc_id is a member of the deterministic sample
+        want_ids = {r["doc_id"] for r in batch.collect()}
+        assert {r["doc_id"] for r in got.collect()} <= want_ids
+
     def test_streaming_hash_sample_matches_batch(self, spark, sf_dir,
                                                  events_stream):
         """The deterministic samplers are stateless filters, so they apply
