@@ -252,6 +252,21 @@ class TestGridStrategy:
                 assert sorted(map(tuple, b.collect())) \
                     == expect[metric], (metric, blocks, shards)
 
+    def test_empty_query_blocks(self, spark, embeddings):
+        # more blocks than queries → many (items, no-queries) cells; the
+        # cogroup kernel must emit nothing for them and still be exact
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        base = knn_join(q, embeddings, metric="cos", k=3,
+                        query_item_col="qid", item_key_col="vec_id",
+                        payload_cols=[], score_scale=4)
+        grid = knn_join(q, embeddings, metric="cos", k=3,
+                        query_item_col="qid", item_key_col="vec_id",
+                        payload_cols=[], score_scale=4, strategy="grid",
+                        n_query_blocks=64, n_item_shards=3)
+        assert sorted(map(tuple, grid.collect())) \
+            == sorted(map(tuple, base.collect()))
+
     def test_k_larger_than_cell(self, spark, embeddings):
         small = embeddings.filter(F.col("vec_id") < 40)
         q = small.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
