@@ -39,9 +39,19 @@ def asof_join(
     tolerance_seconds: float | None = None,
     right_prefix: str = "right_",
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of (point-in-time) left join: for every left row, attach the
     latest right row with ``right_ts <= left_ts`` sharing the join key.
+
+    ``direction`` (pandas ``merge_asof`` parity):
+
+    - ``"backward"`` (default): latest right row at-or-before,
+    - ``"forward"``: earliest right row at-or-after (the same union-scan
+      with the timestamp order reversed),
+    - ``"nearest"``: whichever of the two is closer in time (ties go
+      backward); both carries run over the SAME shuffle — two window
+      sorts, one exchange.
 
     Scale design — the union-scan trick, NOT a per-key loop or an
     inequality theta-join (which Catalyst can only plan as a per-key
@@ -65,6 +75,9 @@ def asof_join(
     ``tie_break``: a right-side column ordering ties at equal
     timestamps (larger wins, e.g. an event id).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns
@@ -89,24 +102,50 @@ def asof_join(
         F.lit(None).cast(r_tag.schema[_R].dataType).alias(_R),
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        # right (side 0) sorts before left (side 1) at equal ts → the
-        # match is inclusive; _TIE only discriminates right-vs-right.
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = (
-        l_tag.unionByName(r_tag.select(*l_tag.columns))
-        .withColumn(_R, F.last(_R, ignorenulls=True).over(w))
-        .filter(F.col(_SIDE) == 1)
-    )
+    def scan_window(ascending: bool) -> Window:
+        # right (side 0) sorts before left (side 1) at equal ts in either
+        # direction → the match is inclusive; _TIE only discriminates
+        # right-vs-right (last carried wins → largest tie).
+        ts_order = F.col(_TS).asc() if ascending else F.col(_TS).desc()
+        return (Window.partitionBy(*keys)
+                .orderBy(ts_order, F.col(_SIDE).asc(),
+                         F.col(_TIE).asc_nulls_first())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    match = F.col(_R)
-    if tolerance_seconds is not None:
-        age = (F.col(left_ts).cast("double")
-               - match[right_ts].cast("double"))
-        match = F.when(age <= F.lit(float(tolerance_seconds)), match)
+    union = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    if direction == "backward":
+        carried = union.withColumn(_R, F.last(_R, ignorenulls=True)
+                                   .over(scan_window(True)))
+    elif direction == "forward":
+        carried = union.withColumn(_R, F.last(_R, ignorenulls=True)
+                                   .over(scan_window(False)))
+    else:  # nearest: both carries over the same exchange (two sorts)
+        carried = (union
+                   .withColumn("__rb", F.last(_R, ignorenulls=True)
+                               .over(scan_window(True)))
+                   .withColumn("__rf", F.last(_R, ignorenulls=True)
+                               .over(scan_window(False))))
+    carried = carried.filter(F.col(_SIDE) == 1)
+
+    def age_of(m, forward: bool):
+        signed = (m[right_ts].cast("double")
+                  - F.col(left_ts).cast("double"))
+        return signed if forward else -signed
+
+    def gated(m, forward: bool):
+        if tolerance_seconds is None:
+            return m
+        return F.when(age_of(m, forward) <= F.lit(float(tolerance_seconds)), m)
+
+    if direction == "nearest":
+        mb = gated(F.col("__rb"), False)
+        mf = gated(F.col("__rf"), True)
+        match = (F.when(mb.isNull(), mf)
+                 .when(mf.isNull(), mb)
+                 .when(age_of(mf, True) < age_of(mb, False), mf)
+                 .otherwise(mb))  # tie in |age| → backward wins
+    else:
+        match = gated(F.col(_R), direction == "forward")
     out = [F.col(c) for c in left.columns]
     out.append(match[right_ts].alias(right_prefix + right_ts))
     out += [match[c].alias(right_prefix + c) for c in right_cols]

@@ -1014,6 +1014,38 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's NEXT view
+    at-or-after it within 1 hour (direction='forward' — the reversed
+    union-scan; DuckDB's ASOF JOIN mirrors it with v.ts >= c.ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id", "value")
+    res = temporal.asof_join(clicks, views, on="user_id",
+                             right_cols=["event_id", "value"],
+                             tolerance_seconds=3600, tie_break="event_id",
+                             direction="forward")
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("right_event_id").alias("view_event_id"),
+        F.round("right_value", 2).alias("view_value"))
+
+
+ORACLE_ASOF_FORWARD = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     views  AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN epoch(v.ts) - epoch(c.ts) <= 3600 THEN v.event_id END AS view_event_id,
+       CASE WHEN epoch(v.ts) - epoch(c.ts) <= 3600 THEN round(v.value, 2) END AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts >= c.ts
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-interval join: every click within 30 minutes AFTER an error
     by the same user (operators/temporal.range_join — time-bucketed
@@ -1649,6 +1681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
+    "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
     "events_distinct_users": q_events_distinct_users,
     "events_streaming_sessionize": q_streaming_sessionize,
@@ -1705,6 +1738,7 @@ ORACLES: dict[str, str] = {
     "events_json_props": ORACLE_JSON,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_asof_join": ORACLE_ASOF,
+    "events_asof_forward": ORACLE_ASOF_FORWARD,
     "events_range_join": ORACLE_RANGE_JOIN,
     "events_distinct_users": ORACLE_DISTINCT_USERS,
     "events_streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,

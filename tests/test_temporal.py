@@ -54,6 +54,59 @@ class TestAsofJoin:
         assert temporal.asof_join(trades, quotes, on="key").count() \
             == trades.count()
 
+    def test_forward_direction(self, trades, quotes):
+        out = temporal.asof_join(trades, quotes, on="key",
+                                 right_cols=["price"],
+                                 direction="forward") \
+            .select("trade", "right_price").collect()
+        got = {r["trade"]: r["right_price"] for r in out}
+        assert got == {
+            "t1": 100.0,   # equal timestamp matches (inclusive)
+            "t2": 102.0,   # equal-ts quote (10:05) is the earliest ≥
+            "t3": None,    # no quote after 10:30 for key 1
+            "t4": 200.0,   # key 2's 10:20 quote is ahead of 10:10
+            "t5": None,    # key 3 has no quotes
+        }
+
+    def test_nearest_direction(self, trades, quotes):
+        out = temporal.asof_join(trades, quotes, on="key",
+                                 right_cols=["price"],
+                                 direction="nearest") \
+            .select("trade", "right_price").collect()
+        got = {r["trade"]: r["right_price"] for r in out}
+        assert got == {
+            "t1": 100.0,   # exact
+            "t2": 102.0,   # exact
+            "t3": 102.0,   # only backward exists
+            "t4": 200.0,   # only forward exists
+            "t5": None,
+        }
+
+    def test_nearest_picks_closer_side_and_tolerance(self, spark):
+        lefts = spark.createDataFrame(
+            [(1, _ts(10), "a")], "key long, ts timestamp, tag string")
+        rights = spark.createDataFrame(
+            [(1, _ts(7), 1.0), (1, _ts(12), 2.0)],
+            "key long, ts timestamp, price double")
+        near = temporal.asof_join(lefts, rights, on="key",
+                                  right_cols=["price"],
+                                  direction="nearest").first()
+        assert near["right_price"] == 2.0  # 2 min forward beats 3 min back
+        gated = temporal.asof_join(lefts, rights, on="key",
+                                   right_cols=["price"],
+                                   direction="nearest",
+                                   tolerance_seconds=150).first()
+        assert gated["right_price"] == 2.0  # forward inside, backward out
+        none = temporal.asof_join(lefts, rights, on="key",
+                                  right_cols=["price"],
+                                  direction="nearest",
+                                  tolerance_seconds=60).first()
+        assert none["right_price"] is None
+
+    def test_bad_direction_raises(self, trades, quotes):
+        with pytest.raises(ValueError, match="direction"):
+            temporal.asof_join(trades, quotes, on="key", direction="upward")
+
     def test_tolerance_voids_stale(self, trades, quotes):
         out = temporal.asof_join(trades, quotes, on="key",
                                  right_cols=["price"],
