@@ -29,6 +29,37 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def broadcast_exchange_subtrees(df: DataFrame) -> list[str]:
+    """The plan subtree under each BroadcastExchange node.
+
+    Lets tests assert *what* is being broadcast, not merely that a
+    broadcast exists — e.g. the sharded/grid knn payload join must
+    broadcast the ≤ m·k ranked candidates, never the |items|-row payload
+    projection. Subtrees are cut by the tree-drawing indentation of
+    ``toString`` (children are indented past their parent's ``+-``/``:-``
+    marker).
+    """
+    lines = executed_plan(df).splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m is not None else -1
+
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if nd <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries from every parquet scan in the plan.
 

@@ -31,12 +31,23 @@ def _events_ts_is_nanos(path: str) -> bool:
     """Driver-side parquet-footer probe: does ``ts`` carry TIMESTAMP(NANOS)?
     Uses pyarrow (no Spark job, no session conf touched); on any probe
     failure (remote FS scheme pyarrow can't open, etc.) assume nanos —
-    the conservative branch still reads MICROS files correctly."""
+    the conservative branch still reads MICROS files correctly — but WARN,
+    because the fallback sets the session-wide ``nanosAsLong`` conf in
+    exactly the remote-storage case the probe could not inspect (r3
+    ADVICE: a later NANOS read in the same session then silently
+    surfaces as bigint instead of erroring)."""
     try:
         import pyarrow.dataset as ds
         field = ds.dataset(path, format="parquet").schema.field("ts")
         return getattr(field.type, "unit", None) == "ns"
-    except Exception:
+    except Exception as exc:
+        import warnings
+        warnings.warn(
+            f"events ts-unit probe failed for {path!r} ({exc!r}); assuming "
+            "TIMESTAMP(NANOS) and setting spark.sql.legacy.parquet."
+            "nanosAsLong for the session — later NANOS reads will surface "
+            "as bigint. If the file is MICROS this is harmless.",
+            RuntimeWarning, stacklevel=2)
         return True
 
 
@@ -57,8 +68,16 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     if _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # plain MICROS/MILLIS files surface as TIMESTAMP_NTZ; normalize to
+        # TIMESTAMP so every downstream consumer sees one type regardless
+        # of how the file was written. The session timezone is pinned to
+        # UTC (session.py), so the instant is unchanged — and it matches
+        # what the NANOS branch produces via timestamp_micros.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -35,15 +35,25 @@ def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """Read an events parquet directory as a stream.
 
-    NB: the driver's events.parquet uses TIMESTAMP(NANOS); streaming reads
-    need the same nanos workaround as the batch catalog, so ``ts`` is
-    declared long-compatible via the legacy conf and converted.
+    NB: ``ts`` may be written as TIMESTAMP(NANOS) (which Spark's reader
+    rejects) or plain MICROS/MILLIS; the same footer probe as the batch
+    catalog picks the declared schema — LongType + the ``nanosAsLong``
+    conf for NANOS files, TIMESTAMP_NTZ otherwise — and both branches
+    normalize to TIMESTAMP (session tz is pinned UTC, so the instant is
+    identical either way).
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import TimestampNTZType
+
+    from faisssearcher_spark.sources.catalog import _events_ts_is_nanos
+
+    is_nanos = _events_ts_is_nanos(path)
+    ts_type = LongType() if is_nanos else TimestampNTZType()
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = StructType([
-        f if f.name != "ts" else StructField("ts", LongType())
+        f if f.name != "ts" else StructField("ts", ts_type)
         for f in EVENTS_SCHEMA.fields])
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -55,7 +65,9 @@ def read_events_stream(spark: SparkSession, path: str,
         d, base = os.path.split(path)
         path = os.path.join(d, f"[{base[0]}]{base[1:]}")
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(stream: DataFrame, *, window: str = "1 hour",

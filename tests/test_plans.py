@@ -121,6 +121,29 @@ class TestGridAndSamplingPlans:
         assert "FlatMapCoGroupsInPandas" in plan  # per-cell GEMM kernel
         assert "WindowGroupLimit" in plan         # merge top-k pushdown
 
+    @pytest.mark.parametrize("strategy,extra", [
+        ("sharded", {}),
+        ("grid", {"n_query_blocks": 2, "n_item_shards": 3}),
+    ])
+    def test_payload_join_never_broadcasts_items(self, embeddings, strategy,
+                                                 extra):
+        """r3 verdict #1: the payload re-attach used to F.broadcast the
+        |items|-row payload frame — a driver/executor OOM at exactly the
+        "corpus larger than one machine" scale sharded/grid exist for.
+        The broadcast build side must be the ≤ m·k ranked candidates
+        (kernel output), never a bare projection of the items table."""
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, embeddings, metric="cos", k=3,
+                       query_item_col="qid", item_key_col="vec_id",
+                       payload_cols=["label"], strategy=strategy, **extra)
+        subs = inspect.broadcast_exchange_subtrees(res)
+        assert subs, "payload join should broadcast the small ranked side"
+        for sub in subs:
+            assert ("MapInPandas" in sub or "FlatMapCoGroupsInPandas" in sub
+                    or "Range" in sub), \
+                f"items-side broadcast leaked into the plan:\n{sub}"
+
     def test_hash_sample_is_scan_and_filter(self, documents):
         from faisssearcher_spark.operators import sampling
         plan = inspect.executed_plan(
