@@ -38,12 +38,24 @@ from faisssearcher_spark.functions.text import md5_int
 SAMPLE_DENOM = 1_000_000
 
 
-def sample_bucket(key_col: Column | str, seed: int = 42) -> Column:
-    """The row's deterministic bucket in [0, 1e6): ``md5_int(seed || key)
-    mod 1e6``. Shared by every sampler here and by the DuckDB oracle SQL
-    (registry `_SAMPLE_BUCKET`)."""
+def sample_bucket(key_col: Column | str, seed: int = 42,
+                  op: str = "") -> Column:
+    """The row's deterministic bucket in [0, 1e6): ``md5_int(op | seed |
+    key) mod 1e6``. Shared by every sampler here and by the DuckDB oracle
+    SQL (registry ``_sample_bucket_sql``).
+
+    ``op`` decorrelates operator FAMILIES from each other: the keep-set
+    samplers share 'sample' (so a stratified sample stays the plain
+    sample restricted per-stratum — a documented, tested property),
+    while 'pack' and 'split' draw independently. Without the prefixes,
+    ``hash_sample(0.1)`` followed by ``hash_split(test_fraction=0.1)``
+    at the same seed tagged 100% of the surviving rows 'test' (both
+    kept exactly the rows whose shared bucket < 1e5) — the r3 ADVICE
+    correlation bug. An empty ``op`` reproduces the raw ``seed|key``
+    bucket."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    salted = F.concat(F.lit(f"{seed}|"), key.cast("string"))
+    prefix = f"{op}|{seed}|" if op else f"{seed}|"
+    salted = F.concat(F.lit(prefix), key.cast("string"))
     return F.pmod(md5_int(salted), F.lit(SAMPLE_DENOM))
 
 
@@ -54,7 +66,7 @@ def hash_sample(df: DataFrame, fraction: float, *,
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(round(fraction * SAMPLE_DENOM))
-    return df.filter(sample_bucket(key_col, seed) < threshold)
+    return df.filter(sample_bucket(key_col, seed, op="sample") < threshold)
 
 
 def stratified_hash_sample(df: DataFrame, fractions: Mapping[str, float], *,
@@ -76,7 +88,7 @@ def stratified_hash_sample(df: DataFrame, fractions: Mapping[str, float], *,
         threshold = F.when(F.col(stratum_col) == value,
                            F.lit(int(round(frac * SAMPLE_DENOM)))) \
             .otherwise(threshold)
-    return df.filter(sample_bucket(key_col, seed) < threshold)
+    return df.filter(sample_bucket(key_col, seed, op="sample") < threshold)
 
 
 def pack_token_budget(df: DataFrame, *, budget: int, size_col: str,
@@ -105,7 +117,7 @@ def pack_token_budget(df: DataFrame, *, budget: int, size_col: str,
         raise ValueError(f"budget must be >= 1, got {budget}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    shard = F.pmod(sample_bucket(key_col, seed), F.lit(n_shards))
+    shard = F.pmod(sample_bucket(key_col, seed, op="pack"), F.lit(n_shards))
     out = df.withColumn("shard", shard.cast("int"))
     w = (Window.partitionBy("shard")
          .orderBy(F.col(key_col).asc())
@@ -123,11 +135,14 @@ def hash_split(df: DataFrame, *, key_col: str, test_fraction: float = 0.01,
     operator. Deterministic per key: a document keeps its split across
     reruns, repartitions, and incremental appends (the property that
     prevents train/test leakage when the corpus grows); derived datasets
-    re-tag identically because the tag is a pure function of the key."""
+    re-tag identically because the tag is a pure function of the key.
+    The split hash is salted independently of the samplers' ('split' vs
+    'sample' op prefix), so tagging a hash-sampled corpus at the same
+    seed yields an unbiased split — not a 100%-test degenerate one."""
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
     threshold = int(round(test_fraction * SAMPLE_DENOM))
     return df.withColumn(
         split_col,
-        F.when(sample_bucket(key_col, seed) < threshold, F.lit("test"))
+        F.when(sample_bucket(key_col, seed, op="split") < threshold, F.lit("test"))
         .otherwise(F.lit("train")))

@@ -1469,10 +1469,13 @@ FROM orders
 # 5b. deterministic sampling (training-data mixture surface)
 # ===========================================================================
 
-def _sample_bucket_sql(key_sql: str, seed: int = 42) -> str:
+def _sample_bucket_sql(key_sql: str, seed: int = 42, op: str = "") -> str:
     """DuckDB twin of operators/sampling.sample_bucket — identical md5
-    arithmetic, so sample membership matches Spark row-for-row."""
-    return (f"(('0x' || substring(md5('{seed}|' || ({key_sql})::VARCHAR), "
+    arithmetic (including the per-operator ``op`` salt prefix that
+    decorrelates composed samplers), so sample membership matches Spark
+    row-for-row."""
+    prefix = f"{op}|{seed}|" if op else f"{seed}|"
+    return (f"(('0x' || substring(md5('{prefix}' || ({key_sql})::VARCHAR), "
             f"1, 8))::BIGINT % 1000000)")
 
 
@@ -1488,7 +1491,7 @@ def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_HASH = f"""
 SELECT doc_id, lang, source FROM documents
-WHERE {_sample_bucket_sql('doc_id')} < 250000
+WHERE {_sample_bucket_sql('doc_id', op='sample')} < 250000
 """
 
 
@@ -1505,7 +1508,7 @@ def q_sample_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang, source FROM documents
-WHERE {_sample_bucket_sql('doc_id')} <
+WHERE {_sample_bucket_sql('doc_id', op='sample')} <
       CASE source WHEN 'src1' THEN 800000 WHEN 'src2' THEN 100000
            ELSE 300000 END
 """
@@ -1526,7 +1529,7 @@ def q_sample_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_PACK = f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens,
-                  ({_sample_bucket_sql('doc_id')} % 8)::INT AS shard
+                  ({_sample_bucket_sql('doc_id', op='pack')} % 8)::INT AS shard
            FROM documents),
      c AS (SELECT doc_id, shard, n_tokens,
                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1550,7 +1553,7 @@ def q_sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_SPLIT = f"""
 SELECT doc_id,
-       CASE WHEN {_sample_bucket_sql('doc_id')} < 100000
+       CASE WHEN {_sample_bucket_sql('doc_id', op='split')} < 100000
             THEN 'test' ELSE 'train' END AS split
 FROM documents
 """

@@ -144,3 +144,19 @@ class TestHashSplit:
                     full_split.select("doc_id", "split").collect()}
         for r in half_split.select("doc_id", "split").collect():
             assert full_map[r["doc_id"]] == r["split"]
+
+    def test_split_independent_of_sample(self, documents):
+        """r3 ADVICE: all samplers used the same '{seed}|key' salt, so
+        hash_sample(f) then hash_split(test_fraction=f) at default seeds
+        tagged EVERY surviving row 'test' (train split silently empty).
+        The op-salted hashes must give the sampled subset a split whose
+        test rate tracks the nominal fraction, not 100%."""
+        sampled = sampling.hash_sample(documents, 0.2, key_col="doc_id")
+        split = sampling.hash_split(sampled, key_col="doc_id",
+                                    test_fraction=0.2)
+        counts = {r["split"]: r["n"] for r in
+                  split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        n = sum(counts.values())
+        assert counts.get("train", 0) > 0 and counts.get("test", 0) > 0
+        # binomial(n, 0.2) — allow a generous band, the degenerate case is 1.0
+        assert counts["test"] / n < 0.6
