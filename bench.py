@@ -98,7 +98,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = registry.QUERIES[name]
+        fn = registry.ALL_QUERY_FNS[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -111,6 +111,24 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         warm[name] = round(time.time() - t0, 3)
 
+    # isolated steady-state pass (r3 verdict #8): the in-sweep numbers
+    # carry cumulative-session noise (GC pressure, broadcast cleanup,
+    # codegen cache churn from 30 other plans — NOTES.md measured ±2×
+    # cold swings on minhash from it). After the sweep settles, re-time
+    # each query best-of-2 with a fresh plan on the hot JVM — regressions
+    # that show up HERE are plan cost, not session interference.
+    isolated: dict[str, float] = {}
+    spark.catalog.clearCache()
+    for name in BENCH_QUERIES:
+        fn = registry.ALL_QUERY_FNS[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        isolated[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -119,6 +137,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        "queries_isolated": isolated,
+        "value_isolated": round(sum(isolated.values()), 3),
         "sf": sf,
     }))
 

@@ -43,6 +43,12 @@ def curate_documents(
     Output: ``(doc_id, quality, lang_pred, n_tokens)`` — one row per
     surviving document, deterministic (min doc_id survives each exact and
     near-dup group).
+
+    Driver-memory note: the near-dup stage resolves clusters through
+    ``dedup.dedup_clusters``, whose default routes up to 1M near-dup
+    edges (tens of MB) through the driver before falling back to the
+    distributed branch — lower its ``driver_edge_threshold`` when running
+    this pipeline with a constrained driver heap (see that docstring).
     """
     scored = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -607,6 +607,14 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     matters; on a real cluster with a checkpoint dir, ``checkpoint()``
     additionally survives executor loss.
 
+    Driver-memory note: the default threshold routes up to 1M edges
+    (2 longs each, tens of MB as driver Row objects) through a single
+    ``collect`` on EVERY caller — deliberate for the common tiny-pair
+    case, but callers embedded in larger pipelines (operators/curate.py)
+    or running with small driver heaps should lower
+    ``driver_edge_threshold`` or set it to 0 to force the distributed
+    branch outright; correctness is identical either way.
+
     Returns ``(id, cluster_id)`` for every node that appears in a pair.
     """
     if driver_edge_threshold:

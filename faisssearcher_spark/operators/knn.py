@@ -45,6 +45,58 @@ _Q_VEC = "__q_vec"
 _Q_ID = "__q_id"
 _SRC = "source_item"
 
+#: default cap on broadcasting the query side (catalyst strategy) — the
+#: same order as Spark's autoBroadcastJoinThreshold ballpark for a frame
+#: that every executor must hold in memory.
+QUERY_BROADCAST_CAP_BYTES = 64 << 20
+#: default cap on single-machine corpus materialization (blocked strategy
+#: collects the item matrix to the driver and broadcasts it).
+ITEMS_MEMORY_CAP_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes, or None when the
+    estimate is unavailable/unknown (JVM default = Long.Max-ish)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    # Catalyst signals "no idea" with a defaultSizeInBytes near Long.Max
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def _auto_strategy(q_bytes: int | None, i_bytes: int | None, *,
+                   query_cap: int = QUERY_BROADCAST_CAP_BYTES,
+                   items_cap: int = ITEMS_MEMORY_CAP_BYTES) -> str:
+    """Pick the knn_join execution strategy from the two sides' estimated
+    sizes — the quadrant matrix the four strategies were designed for:
+
+    =============  ==============  =========
+    queries        items           strategy
+    =============  ==============  =========
+    small (≤caps)  small           catalyst (broadcast queries, pure plan)
+    small          large           sharded  (queries broadcast, corpus
+                                   never moves, per-shard GEMM + merge)
+    large          small           blocked  (corpus broadcast, per-batch
+                                   GEMM over streaming queries)
+    large          large           grid     (block × shard GEMM cells)
+    =============  ==============  =========
+
+    An unknown estimate is treated as LARGE: every strategy is exact, so
+    the only risk of guessing big is extra shuffle — guessing small risks
+    a driver/executor OOM. The small-queries quadrants differ: catalyst
+    needs only broadcast room (shuffle O(m·k)), while sharded additionally
+    drives one GEMM per Arrow batch — at small corpora the pure plan wins
+    on latency, at large corpora BLAS wins on throughput."""
+    q_small = q_bytes is not None and q_bytes <= query_cap
+    i_small = i_bytes is not None and i_bytes <= items_cap
+    if q_small:
+        return "catalyst" if i_small else "sharded"
+    return "blocked" if i_small else "grid"
+
 
 def knn_join(
     queries: DataFrame,
@@ -92,6 +144,9 @@ def knn_join(
 
     ``strategy``:
 
+    - ``"auto"``: pick one of the four below from Catalyst's size
+      estimates of the two sides (see :func:`_auto_strategy` for the
+      quadrant matrix and the treat-unknown-as-large rule).
     - ``"catalyst"`` (default): the pure-plan path above. Scales in BOTH
       dimensions (nothing is collected anywhere) — the safe default.
     - ``"blocked"``: SURVEY §7 hard-part (a)'s mitigation for LARGE query
@@ -125,6 +180,9 @@ def knn_join(
       either total size. Same metrics and exact tie-deterministic
       ranking as "blocked"/"sharded".
     """
+    if strategy == "auto":
+        strategy = _auto_strategy(_plan_size_bytes(queries),
+                                  _plan_size_bytes(items))
     if strategy == "blocked":
         return _knn_join_blocked(
             queries, items, metric=metric, k=k,
@@ -148,8 +206,8 @@ def knn_join(
             normalize=normalize, score_scale=score_scale,
             n_query_blocks=n_query_blocks, n_item_shards=n_item_shards)
     if strategy != "catalyst":
-        raise ValueError(
-            "strategy must be 'catalyst', 'blocked', 'sharded' or 'grid'")
+        raise ValueError("strategy must be 'auto', 'catalyst', 'blocked', "
+                         "'sharded' or 'grid'")
     if normalize is None:
         normalize = metric == "cos"
     score_metric = metric
@@ -187,7 +245,13 @@ def knn_join(
     it = items.select(*it_cols)
 
     if broadcast_queries is None:
-        broadcast_queries = True  # m ≪ n is the designed-for shape
+        # m ≪ n is the designed-for shape, but never broadcast a query
+        # side that Catalyst estimates past the cap (r3 verdict #3: the
+        # old unconditional True let a large query set OOM the executors);
+        # an unknown estimate keeps the designed-for default.
+        q_bytes = _plan_size_bytes(queries)
+        broadcast_queries = (q_bytes is None
+                             or q_bytes <= QUERY_BROADCAST_CAP_BYTES)
     joined = it.join(F.broadcast(q)) if broadcast_queries else q.crossJoin(it)
 
     score = metric_fn(F.col(_Q_VEC), F.col("__i_vec"))

@@ -171,6 +171,38 @@ def q_knn_grid_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim_val", "rank_no", "label")
 
 
+def q_knn_cos_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL FOUR knn_join execution strategies answering the identical
+    query (top-5 cosine for 20 query vectors with payload carry),
+    tag-unioned into one gate row: catalyst (pure-plan BNLJ + window),
+    blocked (broadcast corpus GEMM), sharded (broadcast queries,
+    per-shard local top-k + merge), grid (block × shard cogrouped GEMM
+    cells). Every variant must hash-match the SAME DuckDB oracle
+    replicated once per strategy tag — one driver row proves the whole
+    strategy matrix exact, ties included (r3 verdict #2: the variants
+    held three of the 54 registry slots while the driver records 50)."""
+    parts = []
+    for tag, fn in (("catalyst", q_knn_cosine_top5),
+                    ("blocked", q_knn_blocked_cos_top5),
+                    ("sharded", q_knn_sharded_cos_top5),
+                    ("grid", q_knn_grid_cos_top5)):
+        parts.append(fn(spark, sf_dir).select(
+            F.lit(tag).alias("strategy"), "source_item", "sim_item",
+            "sim_val", "rank_no", "label"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_KNN_STRATEGIES = f"""
+WITH base AS ({ORACLE_KNN_COS})
+SELECT s.strategy, b.source_item, b.sim_item, b.sim_val, b.rank_no, b.label
+FROM base b CROSS JOIN (SELECT unnest(['catalyst', 'blocked', 'sharded',
+                                      'grid']) AS strategy) s
+"""
+
+
 def q_knn_self_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs self-similarity (item-to-item recommendation shape):
     EVERY vector queries the full corpus for its top-3 cosine neighbors —
@@ -636,6 +668,33 @@ WHERE round({_dot('ea.v', 'eb.v')}, 4) >= {threshold}
 """
 
 
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both semantic near-dup strategies over the same corpus and
+    threshold, tag-unioned into one gate row: 'blocked' (exhaustive
+    blocked-GEMM pairs — the recall-1.0 baseline) and 'lsh' (OR-amplified
+    sign-LSH candidate buckets + exact verification — the unbounded-scale
+    path). Each side hash-matches its own oracle: the blocked oracle is
+    the plain all-pairs SQL; the LSH oracle replicates the exact bucket
+    assignment, so candidate generation is checked, not just survivor
+    scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = dedup.embedding_cosine_pairs(emb, threshold=0.45,
+                                           score_scale=4)
+    lsh = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4,
+                                       strategy="lsh", lsh_tables=8,
+                                       lsh_bits=4)
+    return (blocked.select(F.lit("blocked").alias("strategy"), "*")
+            .unionByName(lsh.select(F.lit("lsh").alias("strategy"), "*")))
+
+
+def _oracle_emb_neardup_strategies() -> str:
+    return f"""
+SELECT 'blocked' AS strategy, * FROM ({ORACLE_EMB_NEARDUP})
+UNION ALL
+SELECT 'lsh' AS strategy, * FROM ({_oracle_emb_lsh()})
+"""
+
+
 # ===========================================================================
 # 4. text analysis
 # ===========================================================================
@@ -1046,6 +1105,85 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+def q_events_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three as-of join directions over the same click/view inputs,
+    tag-unioned into one gate row: backward (most recent view at-or-
+    before), forward (next view at-or-after), nearest (whichever is
+    closer in time, ties backward) — each within a 1-hour tolerance.
+    The oracle mirrors backward/forward with DuckDB's native ASOF JOIN
+    and derives nearest by combining the two candidate sets with the
+    identical gating + tie rule, so the union-scan implementation of
+    every direction (operators/temporal.py:31-152) is hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id", "value")
+    parts = []
+    for direction in ("backward", "forward", "nearest"):
+        res = temporal.asof_join(clicks, views, on="user_id",
+                                 right_cols=["event_id", "value"],
+                                 tolerance_seconds=3600,
+                                 tie_break="event_id", direction=direction)
+        parts.append(res.select(
+            F.lit(direction).alias("direction"),
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("right_event_id").alias("view_event_id"),
+            F.round("right_value", 2).alias("view_value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_ASOF_DIRECTIONS = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     views  AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+     bk AS (SELECT c.event_id, c.user_id, c.ts,
+                   v.event_id AS vid, v.value AS vval, v.ts AS vts
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts),
+     fw AS (SELECT c.event_id,
+                   v.event_id AS vid, v.value AS vval, v.ts AS vts
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts >= c.ts),
+     nr AS (SELECT b.event_id, b.user_id, b.ts,
+                   b.vid AS b_vid, b.vval AS b_vval,
+                   f.vid AS f_vid, f.vval AS f_vval,
+                   (b.vts IS NOT NULL
+                    AND epoch(b.ts) - epoch(b.vts) <= 3600) AS b_ok,
+                   (f.vts IS NOT NULL
+                    AND epoch(f.vts) - epoch(b.ts) <= 3600) AS f_ok,
+                   epoch(b.ts) - epoch(b.vts) AS b_age,
+                   epoch(f.vts) - epoch(b.ts) AS f_age
+            FROM bk b JOIN fw f ON b.event_id = f.event_id)
+SELECT 'backward' AS direction, event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN epoch(ts) - epoch(vts) <= 3600 THEN vid END AS view_event_id,
+       CASE WHEN epoch(ts) - epoch(vts) <= 3600 THEN round(vval, 2) END AS view_value
+FROM bk
+UNION ALL
+SELECT 'forward', c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S'),
+       CASE WHEN epoch(f.vts) - epoch(c.ts) <= 3600 THEN f.vid END,
+       CASE WHEN epoch(f.vts) - epoch(c.ts) <= 3600 THEN round(f.vval, 2) END
+FROM clicks c JOIN fw f ON c.event_id = f.event_id
+UNION ALL
+SELECT 'nearest', event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S'),
+       CASE WHEN NOT b_ok THEN (CASE WHEN f_ok THEN f_vid END)
+            WHEN NOT f_ok THEN b_vid
+            WHEN f_age < b_age THEN f_vid
+            ELSE b_vid END,
+       round(CASE WHEN NOT b_ok THEN (CASE WHEN f_ok THEN f_vval END)
+                  WHEN NOT f_ok THEN b_vval
+                  WHEN f_age < b_age THEN f_vval
+                  ELSE b_vval END, 2)
+FROM nr
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-interval join: every click within 30 minutes AFTER an error
     by the same user (operators/temporal.range_join — time-bucketed
@@ -1427,6 +1565,65 @@ WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
 """
 
 
+def q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation end-state (streaming/curate.py): the documents
+    table replayed as an availableNow stream through quality filter →
+    deterministic 50% hash sample → watermarked first-wins exact dedup,
+    drained to memory. WHICH duplicate survives is arrival-order
+    dependent (legitimately nondeterministic under parallel replay), but
+    the surviving FINGERPRINT SET and the one-row-per-fingerprint
+    guarantee are exact — so the gate projects to (fingerprint, n_rows)
+    and the oracle derives the same set relationally: every fingerprint
+    of a quality-passing sampled document, exactly once."""
+    import tempfile
+
+    from faisssearcher_spark.streaming import curate as scur
+    from faisssearcher_spark.streaming.events import run_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one-day base offset: an event time of exactly epoch 0 sits on the
+    # initial-watermark boundary and dropDuplicatesWithinWatermark
+    # discards it as late (observed: doc_id 0 vanished from the gate)
+    src = docs.select(
+        "doc_id", "text",
+        F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000)
+        .alias("ingest_ts"))
+    path = tempfile.mkdtemp(prefix="curate_stream_gate_")
+    src.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    # watermark must exceed the replayed corpus's ingest_ts span (doc_id
+    # seconds) or a duplicate arriving after state expiry would slip
+    # through — 24h covers every driver SF
+    out = scur.curate_stream(stream, min_quality=0.3, sample_fraction=0.5,
+                             watermark="24 hours")
+    run_to_memory(out, "q_curate_stream_state", output_mode="append")
+    state = spark.table("q_curate_stream_state")
+    return state.groupBy("fingerprint").agg(F.count("*").alias("n_rows"))
+
+
+def _oracle_curate_stream() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+     m AS (SELECT doc_id, toks, len(toks) AS n,
+                  len(list_filter(toks, x -> list_contains({_SW_EN}, lower(x))))::DOUBLE
+                    / len(toks) AS swr,
+                  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                    / length(text) AS pr
+           FROM t),
+     q AS (SELECT doc_id,
+                  round((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.2 END)
+                        * (0.5 + 0.5 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END))
+                        * (1.0 - least(1.0, 3.0 * pr)), 4) AS quality,
+                  md5(array_to_string(list_sort(list_distinct(
+                      list_transform(toks, x -> lower(x)))), ' ')) AS fp
+           FROM m)
+SELECT fp AS fingerprint, 1::BIGINT AS n_rows
+FROM q
+WHERE quality >= 0.3 AND {_sample_bucket_sql('doc_id', op='sample')} < 500000
+GROUP BY fp
+"""
+
+
 def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAME aggregations (beyond ranking): per-customer running
     order total (rows unbounded-preceding) and 3-order moving average —
@@ -1637,11 +1834,10 @@ SELECT TRUE AS recall_ok,
 # ===========================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # reference parity (vector search)
-    "knn_cosine_top5": q_knn_cosine_top5,
-    "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
-    "knn_sharded_cos_top5": q_knn_sharded_cos_top5,
-    "knn_grid_cos_top5": q_knn_grid_cos_top5,
+    # reference parity (vector search) — the flagship catalyst query is
+    # covered inside the strategies composite; its standalone callable
+    # stays exported for the driver's entry() smoke check
+    "knn_cos_strategies_top5": q_knn_cos_strategies,
     "knn_self_similar": q_knn_self_similar,
     "knn_l2_top5": q_knn_l2_top5,
     "knn_multik_slice": q_multik_rank_filter,
@@ -1660,8 +1856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_fingerprint": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_neardup": q_dedup_embedding_neardup,
     # sampling
     "sample_documents_hash": q_sample_documents_hash,
     "sample_stratified_mixture": q_sample_stratified_mixture,
@@ -1683,13 +1878,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
-    "events_asof_join": q_events_asof_join,
-    "events_asof_forward": q_events_asof_forward,
+    "events_asof_directions": q_events_asof_directions,
     "events_range_join": q_events_range_join,
     "events_distinct_users": q_events_distinct_users,
     "events_streaming_sessionize": q_streaming_sessionize,
     "dedup_clusters": q_dedup_clusters,
     "curate_documents": q_curate_documents,
+    "curate_stream": q_curate_stream,
     "tpch_q6_revenue": q_tpch_q6_revenue,
     "tpch_q18_big_orders": q_tpch_q18_big_orders,
     "orders_semi_returns": q_orders_semi_returns,
@@ -1701,10 +1896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
-    "knn_cosine_top5": ORACLE_KNN_COS,
-    "knn_blocked_cos_top5": ORACLE_KNN_COS,
-    "knn_sharded_cos_top5": ORACLE_KNN_COS,
-    "knn_grid_cos_top5": ORACLE_KNN_COS,
+    "knn_cos_strategies_top5": ORACLE_KNN_STRATEGIES,
     "knn_self_similar": ORACLE_KNN_SELF,
     "knn_l2_top5": ORACLE_KNN_L2,
     "knn_multik_slice": ORACLE_MULTIK,
@@ -1720,8 +1912,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash_fingerprint": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
-    "dedup_embedding_cosine": ORACLE_EMB_NEARDUP,
-    "dedup_embedding_lsh": _oracle_emb_lsh(),
+    "dedup_embedding_neardup": _oracle_emb_neardup_strategies(),
     "sample_documents_hash": ORACLE_SAMPLE_HASH,
     "sample_stratified_mixture": ORACLE_SAMPLE_STRATIFIED,
     "sample_train_test_split": ORACLE_SAMPLE_SPLIT,
@@ -1740,13 +1931,13 @@ ORACLES: dict[str, str] = {
     "events_hourly_rollup": ORACLE_HOURLY,
     "events_json_props": ORACLE_JSON,
     "events_sessionize": ORACLE_SESSIONIZE,
-    "events_asof_join": ORACLE_ASOF,
-    "events_asof_forward": ORACLE_ASOF_FORWARD,
+    "events_asof_directions": ORACLE_ASOF_DIRECTIONS,
     "events_range_join": ORACLE_RANGE_JOIN,
     "events_distinct_users": ORACLE_DISTINCT_USERS,
     "events_streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "curate_documents": _oracle_curate(),
+    "curate_stream": _oracle_curate_stream(),
     "tpch_q6_revenue": ORACLE_Q6,
     "tpch_q18_big_orders": ORACLE_Q18,
     "orders_semi_returns": ORACLE_SEMI_RETURNS,
@@ -1759,3 +1950,20 @@ ORACLES: dict[str, str] = {
 
 #: queries with no SQL oracle (driver does a rows-only check)
 NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
+
+#: every gate callable PLUS the per-variant building blocks the composite
+#: gates fold together — bench.py and tools/explain_plans.py time/audit
+#: the variants individually even though the driver sees one composite
+#: row for each family (r3 verdict #2: the registry must hold <= 50
+#: driver-checked entries so nothing falls past the driver's cap).
+ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **QUERIES,
+    "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
+    "knn_sharded_cos_top5": q_knn_sharded_cos_top5,
+    "knn_grid_cos_top5": q_knn_grid_cos_top5,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "events_asof_join": q_events_asof_join,
+    "events_asof_forward": q_events_asof_forward,
+    "knn_cosine_top5": q_knn_cosine_top5,
+}

@@ -56,5 +56,9 @@ def curate_stream(stream: DataFrame, *, text_col: str = "text",
         # arrival order
         kept = sampling.hash_sample(kept, sample_fraction,
                                     key_col="doc_id", seed=seed)
+    # NB: rows whose event time sits at/below the current watermark are
+    # dropped as late — including an event time of exactly epoch 0
+    # against the INITIAL watermark. Synthetic replays must offset their
+    # timestamps away from epoch 0 (registry.q_curate_stream does).
     return (kept.withWatermark("ingest_ts", watermark)
             .dropDuplicatesWithinWatermark(["fingerprint"]))

@@ -306,6 +306,76 @@ class TestStrategyDispatch:
                      item_key_col="vec_id", strategy="nope")
 
 
+class TestAutoStrategy:
+    """strategy='auto' picks the quadrant the four strategies were
+    designed for (r3 verdict #3) and its results equal every explicit
+    strategy's on the same inputs."""
+
+    KB = 1 << 10
+    GB = 1 << 30
+
+    @pytest.mark.parametrize("q_bytes,i_bytes,want", [
+        (KB, KB, "catalyst"),      # both broadcast-able
+        (KB, GB, "sharded"),       # corpus larger than one machine
+        (GB, KB, "blocked"),       # huge query set, one-machine corpus
+        (GB, GB, "grid"),          # both huge
+        (None, None, "grid"),      # unknown == large (never guess small)
+        (KB, None, "sharded"),
+        (None, KB, "blocked"),
+    ])
+    def test_quadrant_matrix(self, q_bytes, i_bytes, want):
+        from faisssearcher_spark.operators.knn import _auto_strategy
+        assert _auto_strategy(q_bytes, i_bytes) == want
+
+    def test_parquet_estimates_resolve(self, embeddings, spark, sf_dir):
+        # a real parquet scan must produce a usable (non-None) estimate —
+        # the auto path depends on it
+        from faisssearcher_spark.operators.knn import _plan_size_bytes
+        from faisssearcher_spark.sources.catalog import load_table
+        raw = load_table(spark, sf_dir, "embeddings")
+        size = _plan_size_bytes(raw)
+        assert size is not None and size > 0
+
+    def test_auto_equals_explicit(self, spark, embeddings):
+        q = embeddings.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        auto = knn_join(q, embeddings, metric="cos", k=3,
+                        query_item_col="qid", item_key_col="vec_id",
+                        payload_cols=["label"], score_scale=4,
+                        strategy="auto")
+        explicit = knn_join(q, embeddings, metric="cos", k=3,
+                            query_item_col="qid", item_key_col="vec_id",
+                            payload_cols=["label"], score_scale=4,
+                            strategy="catalyst")
+        key = lambda r: (r["source_item"], r["rank_no"])
+        assert sorted(map(tuple, auto.collect()), key=lambda t: (t[0], t[3])) \
+            == sorted(map(tuple, explicit.collect()), key=lambda t: (t[0], t[3]))
+
+    def test_large_query_estimate_disables_broadcast(self, spark, embeddings,
+                                                     monkeypatch):
+        # force the estimator to claim the query side is huge: knn_join's
+        # FORCED broadcast hint must switch off. (Catalyst may still pick
+        # a broadcast join from its own — real, tiny — stats; the fixed
+        # footgun was our hint overriding those stats at any size.)
+        from faisssearcher_spark.operators import knn as knn_mod
+
+        def analyzed(df):
+            return df._jdf.queryExecution().analyzed().toString()
+
+        q = embeddings.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        kwargs = dict(metric="cos", k=2, query_item_col="qid",
+                      item_key_col="vec_id", payload_cols=[], score_scale=4)
+        # positive control: with the real (small) estimate the hint is on
+        assert "ResolvedHint" in analyzed(knn_mod.knn_join(q, embeddings,
+                                                           **kwargs))
+        monkeypatch.setattr(knn_mod, "_plan_size_bytes",
+                            lambda df: 1 << 40)
+        res = knn_mod.knn_join(q, embeddings, **kwargs)
+        assert "ResolvedHint" not in analyzed(res)
+        assert res.count() == 6  # still exact
+
+
 class TestPayloadDedupe:
     """Kernel strategies re-attach payload via an equi-join on the item
     key; duplicate keys must not multiply result rows (r1/r2 ADVICE)."""
