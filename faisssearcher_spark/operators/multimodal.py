@@ -4,10 +4,13 @@ North-star surface (BASELINE.json): a 100 TB training-data pipeline
 carries images/audio/video as ``binary`` columns with structured metadata
 alongside. The *Spark-side* machinery here is real and tested — schemas,
 Arrow-batched ``mapInPandas`` decode/feature/resize/frame-sample stages,
-partition-size guidance — while the actual media codecs are STUBBED:
-``decode_media`` raises NotImplementedError unless the deterministic fake
-decoder is selected (image/audio libraries are not available in this
-container, and the engine's semantics don't depend on the codec).
+partition-size guidance — while the media codecs are IMPORT-GATED
+(the optional-FAISS pattern, operators/ann.py): ``decode_media``'s real
+path lights up when Pillow is importable (grayscale intensity features
+for images) and raises NotImplementedError cleanly when it is not, or
+for audio/video modalities (soundfile/ffmpeg out of scope in this
+container); the deterministic fake decoder always works, so the
+engine's semantics never depend on a codec being present.
 
 Scale notes:
 - binary payloads dominate row size: cap ``spark.sql.files.maxPartitionBytes``
@@ -62,17 +65,53 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def pillow_available() -> bool:
+    """True when Pillow can be imported — the same import-gating pattern
+    as the optional FAISS kernels (operators/ann.py): the engine never
+    hard-depends on codec libraries, it lights up the real path when the
+    environment provides one."""
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode_image(payload: bytes, dim: int) -> np.ndarray:
+    """Real image decode via Pillow: grayscale → ``dim×1`` resize →
+    [0, 1] floats. Deterministic (no RNG, bilinear on fixed input) and
+    engine-independent — the simplest honest 'decode + feature-extract'
+    a real pipeline would replace with a learned encoder."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return (np.asarray(img, dtype=np.float32).ravel() / 255.0)[:dim]
+
+
 def decode_media(df: DataFrame, *, decoder: str = "real",
                  feature_dim: int = FEATURE_DIM) -> DataFrame:
     """Decode payloads into fixed-size feature vectors via mapInPandas.
 
-    ``decoder="real"`` raises NotImplementedError (media codecs are not
-    bundled — plug in PIL/torchvision/ffmpeg here on a real cluster);
+    ``decoder="real"`` is import-gated on Pillow (the FAISS pattern,
+    operators/ann.py): when Pillow is present, image payloads decode to
+    grayscale ``feature_dim``-pixel intensity vectors in [0, 1]; when it
+    is absent — or a non-image modality reaches the real path (audio/
+    video codecs are out of scope for this container) — the call raises
+    NotImplementedError CLEANLY at plan-build time, before any job runs.
     ``decoder="fake"`` uses the deterministic md5-seeded stub so the full
-    pipeline (schema, batching, downstream k-NN over features) is testable.
+    pipeline (schema, batching, downstream k-NN over features) is
+    testable with no codec libraries at all.
     """
     if decoder not in ("real", "fake"):
         raise ValueError("decoder must be 'real' or 'fake'")
+    if decoder == "real" and not pillow_available():
+        raise NotImplementedError(
+            "real media decoding requires Pillow, which is not installed "
+            "in this environment; use decoder='fake' for pipeline testing "
+            "or install Pillow (audio/video additionally need soundfile/"
+            "ffmpeg and remain out of scope)")
 
     out_schema = StructType([
         StructField("asset_id", LongType()),
@@ -83,12 +122,17 @@ def decode_media(df: DataFrame, *, decoder: str = "real",
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries (PIL/"
-                    "ffmpeg) not bundled with the engine; use decoder='fake' "
-                    "for pipeline testing or register a codec UDF")
-            feats = [_fake_decode(p, feature_dim).tolist()
-                     for p in pdf["payload"]]
+                bad = pdf.loc[pdf["modality"] != "image", "modality"]
+                if len(bad):
+                    raise NotImplementedError(
+                        f"real decoding implemented for modality='image' "
+                        f"only (got {sorted(set(bad))}); audio/video need "
+                        f"soundfile/ffmpeg")
+                feats = [_real_decode_image(p, feature_dim).tolist()
+                         for p in pdf["payload"]]
+            else:
+                feats = [_fake_decode(p, feature_dim).tolist()
+                         for p in pdf["payload"]]
             yield pd.DataFrame({"asset_id": pdf["asset_id"],
                                 "modality": pdf["modality"],
                                 "features": feats})

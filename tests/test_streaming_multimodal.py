@@ -60,9 +60,11 @@ class TestStreaming:
         from faisssearcher_spark.functions import text as T
         from pyspark.sql import functions as FF
 
+        # +1 day: an ingest_ts of exactly epoch 0 sits on the initial
+        # watermark boundary and is dropped as late (see streaming/curate)
         src = documents.select(
             "doc_id", "text",
-            FF.timestamp_micros(FF.col("doc_id") * 1_000_000)
+            FF.timestamp_micros((FF.col("doc_id") + 86_400) * 1_000_000)
             .alias("ingest_ts"))
         path = str(tmp_path_factory.mktemp("docs_stream") / "landing")
         src.write.mode("overwrite").parquet(path)
@@ -129,9 +131,38 @@ class TestMultimodal:
                  for r in multimodal.asset_stats(assets).collect()}
         assert stats == {"image": 2, "audio": 1, "video": 2}
 
-    def test_real_decoder_is_stubbed(self, assets):
-        with pytest.raises(Exception, match="NotImplementedError|real media"):
-            multimodal.decode_media(assets, decoder="real").collect()
+    def test_real_decoder_gated_on_pillow(self, assets):
+        if multimodal.pillow_available():
+            pytest.skip("Pillow installed — covered by the real-decode test")
+        # plan-BUILD-time failure: no Spark job should launch first
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.decode_media(assets, decoder="real")
+
+    @pytest.mark.skipif("not __import__('faisssearcher_spark.operators."
+                        "multimodal', fromlist=['x']).pillow_available()",
+                        reason="Pillow not installed")
+    def test_real_decoder_decodes_png(self, spark):
+        # a real 2x1 PNG (black | white) → grayscale intensity features
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.frombytes("L", (2, 1), bytes([0, 255])).save(buf, format="PNG")
+        df = spark.createDataFrame(
+            [(0, "image", "image/png", buf.getvalue(), 2, 1, None)],
+            multimodal.ASSET_SCHEMA)
+        row = multimodal.decode_media(df, decoder="real",
+                                      feature_dim=2).collect()[0]
+        assert row["features"] == pytest.approx([0.0, 1.0], abs=0.02)
+
+    @pytest.mark.skipif("not __import__('faisssearcher_spark.operators."
+                        "multimodal', fromlist=['x']).pillow_available()",
+                        reason="Pillow not installed")
+    def test_real_decoder_rejects_non_image(self, assets):
+        with pytest.raises(Exception, match="image"):
+            multimodal.decode_media(assets.filter("modality = 'audio'"),
+                                    decoder="real").collect()
 
     def test_fake_decoder_deterministic(self, assets):
         a = multimodal.decode_media(assets, decoder="fake").toPandas()
