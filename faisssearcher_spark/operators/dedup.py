@@ -415,7 +415,8 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
                            strategy: str = "blocked",
                            lsh_tables: int = 8, lsh_bits: int = 4,
                            lsh_seed: int = 42,
-                           lsh_dim: int | None = None) -> DataFrame:
+                           lsh_dim: int | None = None,
+                           lsh_planes: str = "random") -> DataFrame:
     """Semantic near-duplicate pairs: cosine(a, b) ≥ threshold, id_a < id_b.
 
     Strategies:
@@ -438,12 +439,15 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
       the pair space never materializes, nothing broadcasts), and every
       candidate is verified with the exact dot product, so precision is
       1.0 and recall ≈ 1−(1−p^b)^T with p = 1−θ/π (θ = acos(threshold));
-      the defaults give ~0.998 at threshold 0.9. With ``lsh_dim=None``
-      the "hyperplanes" are axis-aligned on the leading
-      ``lsh_tables·lsh_bits`` dimensions (bucket = sign bits of raw
-      coordinates — deterministic, SQL-expressible, oracle-checked);
-      pass ``lsh_dim`` to draw seeded random hyperplanes instead (better
-      bucket balance on anisotropic data).
+      the defaults give ~0.998 at threshold 0.9 — a formula that holds
+      for RANDOM hyperplanes, hence the default ``lsh_planes="random"``:
+      seeded Gaussian hyperplanes (dimension ``lsh_dim``, inferred from
+      the first row when None — must equal the vector length). Real LLM
+      embeddings are anisotropic with non-zero-mean coordinates, so the
+      alternative ``lsh_planes="axis"`` (bit j of table t = sign of raw
+      coordinate t·bits+j — the cheapest SQL-expressible bucketing) can
+      degenerate toward one bucket on such data; it validates
+      ``tables·bits ≤ dim`` so no bit ever reads past the vector.
 
     blocked/catalyst produce identical results (float64 accumulation;
     the blocked kernel's matmul is verified against the SQL oracle in the
@@ -454,7 +458,7 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
         return _embedding_pairs_lsh(
             df, id_col=id_col, vec_col=vec_col, threshold=threshold,
             score_scale=score_scale, tables=lsh_tables, bits=lsh_bits,
-            seed=lsh_seed, dim=lsh_dim)
+            seed=lsh_seed, dim=lsh_dim, planes_mode=lsh_planes)
     if strategy == "catalyst":
         from faisssearcher_spark.functions.vector import l2_normalize
 
@@ -513,28 +517,55 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
         .mapInPandas(_score_block, "id_a long, id_b long, cos_sim double")
 
 
+def lsh_hyperplanes(tables: int, bits: int, dim: int, seed: int):
+    """The seeded Gaussian hyperplane matrix (tables·bits × dim) shared by
+    the Spark bucketing and the DuckDB oracle twin — one definition, two
+    engines, bit-identical projections (same multiply-then-left-fold
+    order)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables * bits, dim))
+
+
 def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
                          threshold: float, score_scale: int | None,
                          tables: int, bits: int, seed: int,
-                         dim: int | None) -> DataFrame:
+                         dim: int | None,
+                         planes_mode: str = "random") -> DataFrame:
     """OR-amplified sign-LSH candidate generation + exact verification.
     See ``embedding_cosine_pairs(strategy="lsh")``."""
     from faisssearcher_spark.functions.vector import l2_normalize
 
     if tables < 1 or bits < 1:
         raise ValueError("lsh_tables and lsh_bits must be >= 1")
+    if planes_mode not in ("random", "axis"):
+        raise ValueError("lsh_planes must be 'random' or 'axis'")
 
     v = M.as_double(vec_col)
-    if dim is None:
+    if planes_mode == "axis" or dim is None:
+        # one-row probe: the true vector length (drives random-plane dim
+        # inference and the axis-mode bounds check)
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None:
+            raise ValueError("cannot infer the vector dimension from an "
+                             "empty frame; pass lsh_dim explicitly")
+        vec_len = int(probe["d"])
+    if planes_mode == "axis":
         # axis-aligned: bit j of table t = sign of raw coordinate t·b+j
         # (normalization preserves sign, so bucketing the raw vector is
         # identical and keeps the oracle SQL trivial)
+        if tables * bits > vec_len:
+            raise ValueError(
+                f"axis-aligned sign-LSH needs tables*bits <= dim "
+                f"({tables}*{bits} > {vec_len}); dims past the vector "
+                f"would silently yield constant bits")
+
         def proj(t: int, j: int) -> Column:
             return F.element_at(v, t * bits + j + 1)
     else:
-        import numpy as np
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((tables * bits, dim))
+        if dim is None:
+            dim = vec_len
+        planes = lsh_hyperplanes(tables, bits, dim, seed)
 
         def proj(t: int, j: int) -> Column:
             hp = F.array(*[F.lit(float(x)) for x in planes[t * bits + j]])

@@ -635,29 +635,46 @@ WHERE round({_dot('a.v', 'b.v')}, 4) >= 0.45
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unbounded-scale semantic near-dup path: OR-amplified sign-LSH
-    candidate buckets (8 tables × 4 sign-bits on the leading dims) +
-    exact dot-product verification. The oracle replicates the EXACT
-    bucket assignment and verification in SQL, so the gate checks the
-    full candidate-generation + verify pipeline, not just the survivors'
-    scores."""
+    candidate buckets (8 tables × 4 sign-bits, seeded RANDOM Gaussian
+    hyperplanes — the default; axis-aligned bits degenerate on
+    anisotropic embeddings, r3 ADVICE) + exact dot-product verification.
+    The oracle replicates the EXACT plane constants and bucket
+    assignment in SQL, so the gate checks the full candidate-generation
+    + verify pipeline, not just the survivors' scores."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4,
                                        strategy="lsh", lsh_tables=8,
-                                       lsh_bits=4)
+                                       lsh_bits=4, lsh_dim=64)
     return res
 
 
 def _oracle_emb_lsh(tables: int = 8, bits: int = 4,
-                    threshold: float = 0.45) -> str:
-    # bucket of table t = sum_j (embedding[t*bits+j+1] >= 0) << j —
-    # identical to the Spark leading-dims sign bucket (sign is invariant
-    # under the positive normalize scale).
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[t.t*{bits}+{j + 1}] >= 0 "
-        f"THEN {1 << j} ELSE 0 END)" for j in range(bits))
+                    threshold: float = 0.45, dim: int = 64,
+                    seed: int = 42) -> str:
+    # Random-hyperplane twin (dedup.lsh_hyperplanes is the single source
+    # of the plane constants): bit j of table t = sign of the projection
+    # onto plane t·bits+j, inlined as an explicit left-associated
+    # multiply-add chain so the float64 summation order matches Spark's
+    # zip_with → aggregate fold term for term.
+    from faisssearcher_spark.operators.dedup import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(tables, bits, dim, seed)
+
+    def proj(row: int) -> str:
+        return " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE * {float(planes[row][i])!r})"
+            for i in range(dim))
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({proj(t * bits + j)}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)" for j in range(bits))
+
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS id, {t} AS t, ({bucket(t)}) AS bucket "
+        f"FROM embeddings" for t in range(tables))
     return f"""
-WITH tb AS (SELECT vec_id AS id, t.t AS t, ({bucket}) AS bucket
-            FROM embeddings, (SELECT unnest(range(0, {tables})) AS t) t),
+WITH tb AS ({per_table}),
      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
               FROM tb a JOIN tb b
                 ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),

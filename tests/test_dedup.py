@@ -143,6 +143,42 @@ class TestEmbeddingCosine:
         assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} \
             <= {(r["id_a"], r["id_b"]) for r in exact.collect()}
 
+    def test_lsh_axis_mode_validates_dim(self, spark):
+        """r3 ADVICE: axis-aligned bits past the vector length were
+        silently constant (element_at null). Now axis mode requires
+        tables*bits <= dim up front."""
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="tables\\*bits"):
+            dedup.embedding_cosine_pairs(df, strategy="lsh", lsh_tables=8,
+                                         lsh_bits=4, lsh_planes="axis")
+        # within bounds the axis mode still runs
+        out = dedup.embedding_cosine_pairs(df, threshold=0.9,
+                                           strategy="lsh", lsh_tables=1,
+                                           lsh_bits=3, lsh_planes="axis")
+        assert out.count() == 0
+
+    def test_lsh_bad_planes_mode_raises(self, embeddings):
+        with pytest.raises(ValueError, match="lsh_planes"):
+            dedup.embedding_cosine_pairs(embeddings, strategy="lsh",
+                                         lsh_planes="hexagonal")
+
+    def test_lsh_infers_dim_on_default_random(self, spark):
+        # no lsh_dim given: dimension probed from the data, random planes
+        import numpy as np
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((20, 12))
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)] + \
+               [(100 + i, [float(x) for x in v * 1.001])
+                for i, v in enumerate(base)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = dedup.embedding_cosine_pairs(df, threshold=0.999,
+                                           strategy="lsh")
+        found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert {(i, 100 + i) for i in range(20)} <= found
+
     def test_lsh_no_cartesian_no_broadcast_of_corpus(self, embeddings):
         from faisssearcher_spark.plans import inspect
         plan = inspect.executed_plan(dedup.embedding_cosine_pairs(
