@@ -738,15 +738,31 @@ def q_text_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentiles (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``: both evaluate h=(n−1)p with linear interpolation;
     the quarter weights are binary-exact so the doubles agree bit-for-bit
-    on integer inputs)."""
+    on integer inputs).
+
+    The scale path rides along self-verified: ``approx_percentile``
+    (a mergeable quantile sketch — single pass, bounded memory, the
+    only option when one partition's values can't all be held) must land
+    within the sketch's accuracy bound of the exact p50, emitted as a
+    hash-checked boolean against a constant-true oracle (the
+    ann_ivf_recall pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", T.token_count("text").alias("n"))
-    return (toks.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.round(F.percentile("n", F.lit(0.25)), 4).alias("p25_tokens"),
-                 F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_tokens"),
-                 F.round(F.percentile("n", F.lit(0.75)), 4).alias("p75_tokens"),
-                 F.max("n").alias("max_tokens")))
+    res = (toks.groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.round(F.percentile("n", F.lit(0.25)), 4).alias("p25_tokens"),
+                F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_tokens"),
+                F.round(F.percentile("n", F.lit(0.75)), 4).alias("p75_tokens"),
+                F.max("n").alias("max_tokens"),
+                F.approx_percentile("n", F.lit(0.5), F.lit(10_000))
+                .alias("__p50_sketch")))
+    return res.select(
+        "lang", "n_docs", "p25_tokens", "p50_tokens", "p75_tokens",
+        "max_tokens",
+        # accuracy=10000 → rank error ≤ n/10000; on integer token counts
+        # a generous ±5% value band holds with huge margin
+        (F.abs(F.col("__p50_sketch") - F.col("p50_tokens"))
+         <= 0.05 * F.col("p50_tokens") + 1).alias("sketch_within_5pct"))
 
 
 ORACLE_TOKEN_PERCENTILES = f"""
@@ -755,7 +771,8 @@ SELECT lang, count(*) AS n_docs,
        round(quantile_cont(n, 0.25), 4) AS p25_tokens,
        round(quantile_cont(n, 0.50), 4) AS p50_tokens,
        round(quantile_cont(n, 0.75), 4) AS p75_tokens,
-       max(n) AS max_tokens
+       max(n) AS max_tokens,
+       true AS sketch_within_5pct
 FROM t GROUP BY lang
 """
 
