@@ -82,6 +82,11 @@ def main() -> None:
                                  lambda i: i * F.col("id")).alias("v"))
     warm.select(F.sum(F.aggregate("v", F.lit(0).cast("long"),
                                   lambda a, x: a + x))).collect()
+    # ...and the driver-side Arrow collect path (toPandas): its first use
+    # in a session costs seconds of one-time init (measured 4-7 s in r4),
+    # which otherwise lands on whichever kernel query collects a matrix
+    # first (knn_self_similar's blocked path in list order).
+    warm.limit(1000).toPandas()
     # ...and spawn the Python worker pool (Arrow pandas_udf stages) so the
     # first encoder query measures encoding, not 32 process forks.
     import pandas as pd  # noqa: F401

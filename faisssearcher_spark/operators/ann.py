@@ -285,7 +285,8 @@ def _build_faiss_index(mat: "np.ndarray", index_param: str, faiss_metric):
 def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
                index_param: str = "HNSW32", metric: str = "cos",
                query_item_col: str = "query_id", item_key_col: str = "item",
-               query_vec_col: str = "embedding", item_vec_col: str = "embedding") -> DataFrame:
+               query_vec_col: str = "embedding", item_vec_col: str = "embedding",
+               payload_cols: "Sequence[str] | None" = None) -> DataFrame:
     """Real-FAISS approximate path (optional dependency).
 
     Builds the index driver-side from the (collected) item vectors, then
@@ -348,8 +349,14 @@ def faiss_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
     out_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
                   f"sim_item {key_field.dataType.simpleString()}, "
                   "sim_val double, rank_no int")
-    return queries.select(query_item_col, query_vec_col).mapInPandas(
+    ranked = queries.select(query_item_col, query_vec_col).mapInPandas(
         _search, out_schema)
+    from faisssearcher_spark.operators.knn import _attach_payload
+    # one-machine bound already implied (the corpus was collected to build
+    # the index), so the payload side broadcasts — same rule as blocked
+    return _attach_payload(ranked, items, item_key_col=item_key_col,
+                           payload_cols=list(payload_cols or []),
+                           broadcast_side="payload")
 
 
 def faiss_topk_sharded(queries: DataFrame, items: DataFrame, *, k: int = 10,
@@ -358,7 +365,8 @@ def faiss_topk_sharded(queries: DataFrame, items: DataFrame, *, k: int = 10,
                        item_key_col: str = "item",
                        query_vec_col: str = "embedding",
                        item_vec_col: str = "embedding",
-                       keep_rank_no: bool = True) -> DataFrame:
+                       keep_rank_no: bool = True,
+                       payload_cols: "Sequence[str] | None" = None) -> DataFrame:
     """FAISS over a corpus too big for one machine: the (small) query
     matrix broadcasts; each item partition builds its OWN index inside
     ``mapInPandas``, searches the broadcast queries, and emits only its
@@ -421,7 +429,11 @@ def faiss_topk_sharded(queries: DataFrame, items: DataFrame, *, k: int = 10,
                    "sim_val double")
     cand = items.select(item_key_col, item_vec_col).mapInPandas(
         _local, cand_schema)
+    # payload re-attach broadcasts the <= m*k ranked side, never the
+    # items side (operators/knn._attach_payload) — consistent with this
+    # strategy's corpus-bigger-than-one-machine premise
     return _merge_candidates(cand, items, k=k,
                              higher_is_closer=faiss_metric_ip,
-                             item_key_col=item_key_col, payload_cols=[],
+                             item_key_col=item_key_col,
+                             payload_cols=list(payload_cols or []),
                              keep_rank_no=keep_rank_no)

@@ -184,3 +184,20 @@ class TestANN:
             queries, embeddings.repartition(5), k=10, index_param="Flat",
             metric="cos", query_item_col="qid", item_key_col="vec_id")
         assert _recall(approx, exact10) == 1.0
+
+    @pytest.mark.parametrize("fn,extra", [
+        (ann.faiss_topk, {}),
+        (ann.faiss_topk_sharded, {}),
+    ])
+    def test_faiss_payload_carry(self, queries, embeddings, fn, extra):
+        """payload_cols rides the scale-correct re-attach join on both
+        FAISS paths (sharded: ranked side broadcasts, never the corpus)."""
+        faiss = pytest.importorskip("faiss")  # noqa: F841
+        res = fn(queries, embeddings, k=3, index_param="Flat", metric="cos",
+                 query_item_col="qid", item_key_col="vec_id",
+                 payload_cols=["label"], **extra)
+        rows = res.collect()
+        assert rows and all(r["label"] is not None for r in rows)
+        want = {r["vec_id"]: r["label"]
+                for r in embeddings.select("vec_id", "label").collect()}
+        assert all(want[r["sim_item"]] == r["label"] for r in rows)
