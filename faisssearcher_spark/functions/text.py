@@ -167,3 +167,31 @@ def md5_int(c: ColumnOrName, hex_chars: int = 8) -> Column:
     deterministic token hash used by MinHash/SimHash (identical in DuckDB:
     ``('0x' || substring(md5(x),1,n))::BIGINT``)."""
     return F.conv(F.substring(F.md5(_col(c)), 1, hex_chars), 16, 10).cast("long")
+
+
+def lines(c: ColumnOrName) -> Column:
+    """Non-blank lines of the document (whitespace-trimmed split on \\n)."""
+    return F.filter(F.transform(F.split(_col(c), r"\n"), F.trim),
+                    lambda t: t != "")
+
+
+def duplicate_line_count(c: ColumnOrName) -> Column:
+    """Number of line occurrences beyond each line's first — the Gopher /
+    C4 boilerplate signal (nav bars, cookie banners, repeated headers).
+    Emitted as an exact integer so cross-engine checks never hit float
+    rounding; divide by ``size(lines(c))`` for the ratio."""
+    ls = lines(c)
+    return F.size(ls) - F.size(F.array_distinct(ls))
+
+
+def top_element_count(arr: Column) -> Column:
+    """Highest occurrence count of any single element in ``arr`` (0 for
+    empty). Pass an ATTRIBUTE (materialized via ``withColumn``), not a
+    derived expression: Catalyst re-evaluates expressions referenced
+    inside higher-order lambdas per element (NOTES.md trap), so a derived
+    gram array would re-tokenize O(|arr|) times per row."""
+    return F.coalesce(
+        F.array_max(F.transform(
+            F.array_distinct(arr),
+            lambda g: F.size(F.filter(arr, lambda y: y == g)))),
+        F.lit(0))

@@ -30,12 +30,27 @@ def token_stats(df: DataFrame, *, id_col: str = "doc_id",
 
 def quality_scores(df: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    """Quality heuristics per document (C4-style cheap pre-filters)."""
-    return df.select(
+    """Quality heuristics per document: C4-style cheap pre-filters plus
+    Gopher-style repetition signals (duplicate lines, most-common-bigram
+    dominance). The repetition columns are exact integers — ratios of
+    small integers can land on decimal halves where Spark and other
+    engines round differently (NOTES.md); callers derive ratios as
+    needed.
+
+    The bigram array materializes once via ``withColumn`` before the
+    counting lambda touches it — Catalyst re-evaluates derived
+    expressions inside higher-order lambdas per element, so inlining
+    ``word_ngrams`` there would re-tokenize O(n_grams) times per row."""
+    grams = df.withColumn("__g2", T.word_ngrams(text_col, 2))
+    return grams.select(
         F.col(id_col),
         F.round(T.stopword_ratio(text_col), 4).alias("stopword_ratio"),
         F.round(T.punct_ratio(text_col), 4).alias("punct_ratio"),
         F.round(T.quality_score(text_col), 4).alias("quality"),
+        F.size(T.lines(text_col)).alias("n_lines"),
+        T.duplicate_line_count(text_col).alias("n_dup_lines"),
+        T.top_element_count(F.col("__g2")).alias("top_bigram_count"),
+        F.size(F.col("__g2")).alias("n_bigrams"),
     )
 
 
@@ -73,3 +88,45 @@ def ngram_frequencies(df: DataFrame, *, text_col: str = "text", n: int = 3,
     if top is not None:
         freq = freq.orderBy(F.col("freq").desc(), F.col("ngram").asc()).limit(top)
     return freq
+
+
+def chunk_documents(df: DataFrame, *, max_tokens: int = 512,
+                    overlap: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard context-length prep step before packing/training.
+
+    Window ``i`` covers tokens ``[1 + i·stride, … + max_tokens]`` with
+    ``stride = max_tokens − overlap``; the tail window may be shorter,
+    every token lands in at least one window, and empty documents yield
+    no rows. Output: ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: one projection + one generate — tokenization happens
+    ONCE per document (the token array materializes as an attribute
+    before any lambda references it; Catalyst re-evaluates derived
+    expressions inside higher-order lambdas per element, the NOTES.md
+    trap), chunks explode map-side with no shuffle, and row growth is
+    the unavoidable ``n_tokens/stride`` replication (bounded by
+    1 + max_tokens/stride ≤ 2× at overlap ≤ half-window).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    toked = df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                   F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toked.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            starts, lambda s: F.slice(F.col("__toks"), s, max_tokens)))
+        .alias("chunk_idx", "__chunk"))
+    return chunks.select(
+        F.col(id_col), "chunk_idx",
+        F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
+        F.size(F.col("__chunk")).alias("n_chunk_tokens"))

@@ -785,8 +785,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW_EN = "['the','a','of','and','to','in','is','it','that','for']"
 
 ORACLE_QUALITY = f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-     m AS (SELECT doc_id,
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                  list_filter(list_transform(str_split(text, chr(10)),
+                                             x -> trim(x)),
+                              x -> x != '') AS ls,
+                  list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+                                 i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]) AS g2
+           FROM documents),
+     m AS (SELECT doc_id, ls, g2,
                   len(toks) AS n,
                   len(list_filter(toks, x -> list_contains({_SW_EN}, lower(x))))::DOUBLE
                     / len(toks) AS swr,
@@ -798,7 +804,13 @@ SELECT doc_id,
        round(pr, 4) AS punct_ratio,
        round((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.2 END)
              * (0.5 + 0.5 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END))
-             * (1.0 - least(1.0, 3.0 * pr)), 4) AS quality
+             * (1.0 - least(1.0, 3.0 * pr)), 4) AS quality,
+       len(ls)::INT AS n_lines,
+       (len(ls) - len(list_distinct(ls)))::INT AS n_dup_lines,
+       coalesce(list_max(list_transform(list_distinct(g2),
+                x -> len(list_filter(g2, y -> y = x)))), 0)::INT
+         AS top_bigram_count,
+       len(g2)::INT AS n_bigrams
 FROM m
 """
 

@@ -50,6 +50,24 @@ class TestTextFunctions:
         out = documents.select(T.quality_score("text").alias("q")).collect()
         assert all(0.0 <= r["q"] <= 1.0 for r in out)
 
+    def test_repetition_signals(self, spark):
+        from pyspark.sql import functions as F
+        from faisssearcher_spark.operators.text_analysis import quality_scores
+        rows = [
+            (0, "menu\nhome\nmenu\nabout\nmenu"),     # 'menu' ×3 → 2 dups
+            (1, "a b a b a b"),                       # 'a b' bigram ×3 of 5
+            (2, "all words unique here now"),
+            (3, ""),                                  # empty doc edge
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in quality_scores(df).collect()}
+        assert got[0]["n_lines"] == 5 and got[0]["n_dup_lines"] == 2
+        assert got[1]["n_bigrams"] == 5 and got[1]["top_bigram_count"] == 3
+        assert got[2]["n_dup_lines"] == 0
+        assert got[2]["top_bigram_count"] == 1
+        assert got[3]["n_lines"] == 0 and got[3]["n_bigrams"] == 0
+        assert got[3]["top_bigram_count"] == 0
+
 
 class TestVectorValidation:
     def test_vector_dim(self, embeddings):
@@ -201,3 +219,58 @@ class TestANN:
         want = {r["vec_id"]: r["label"]
                 for r in embeddings.select("vec_id", "label").collect()}
         assert all(want[r["sim_item"]] == r["label"] for r in rows)
+
+
+class TestChunkDocuments:
+    """Sliding token-window chunking: coverage, overlap, tail, edges."""
+
+    def _chunk(self, spark, texts, **kw):
+        from faisssearcher_spark.operators.text_analysis import chunk_documents
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        out = chunk_documents(df, **kw).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]))
+        for v in by_doc.values():
+            v.sort()
+        return by_doc
+
+    def test_no_overlap_partition(self, spark):
+        got = self._chunk(spark, ["a b c d e f g"], max_tokens=3)
+        assert [c[1] for c in got[0]] == ["a b c", "d e f", "g"]
+        assert [c[2] for c in got[0]] == [3, 3, 1]
+
+    def test_overlap_windows(self, spark):
+        got = self._chunk(spark, ["t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"],
+                          max_tokens=5, overlap=2)
+        texts = [c[1] for c in got[0]]
+        assert texts == ["t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8", "t7 t8 t9 t10"]
+
+    def test_every_token_covered(self, spark):
+        toks = [f"w{i}" for i in range(23)]
+        got = self._chunk(spark, [" ".join(toks)], max_tokens=4, overlap=1)
+        covered = set()
+        for _, text, _ in got[0]:
+            covered.update(text.split())
+        assert covered == set(toks)
+
+    def test_short_and_empty_docs(self, spark):
+        got = self._chunk(spark, ["only two", "", "   "], max_tokens=10)
+        assert got.get(0) == [(0, "only two", 2)]
+        assert 1 not in got and 2 not in got
+
+    def test_bad_params_raise(self, spark):
+        from faisssearcher_spark.operators.text_analysis import chunk_documents
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, max_tokens=4, overlap=4)
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(df, max_tokens=0)
+
+    def test_no_shuffle_in_plan(self, spark, documents):
+        from faisssearcher_spark.operators.text_analysis import chunk_documents
+        from faisssearcher_spark.plans import inspect
+        plan = inspect.executed_plan(chunk_documents(documents, max_tokens=64))
+        assert "Exchange" not in plan  # chunking explodes map-side
