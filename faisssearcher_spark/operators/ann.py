@@ -199,9 +199,15 @@ class IVFIndex:
 
     def search(self, queries: DataFrame, *, k: int = 10,
                query_item_col: str = "query_id",
-               query_vec_col: str = "embedding") -> DataFrame:
+               query_vec_col: str = "embedding",
+               payload_cols: Sequence[str] | None = None) -> DataFrame:
+        """``payload_cols`` carry item columns into the result inline —
+        they ride the cell equi-join on the fitted assignment (the
+        catalyst knn pattern), so no re-attach join and no broadcast of
+        anything item-sized."""
         if self._items is None:
             raise RuntimeError("IVFIndex is not fit; call fit() first")
+        payload = list(payload_cols or [])
         metric_fn, higher = M.resolve_metric(self.metric)
         q = queries.select(
             F.col(query_item_col).alias("source_item"),
@@ -210,11 +216,12 @@ class IVFIndex:
             .alias("cell"))
         it = self._items.select(
             F.col(self._item_key).alias("sim_item"),
-            F.col(self._item_vec).alias("__i_vec"), "cell")
+            F.col(self._item_vec).alias("__i_vec"), "cell",
+            *[F.col(c) for c in payload])
         scored = q.join(it, "cell").withColumn(
             "sim_val", metric_fn(F.col("__q_vec"), F.col("__i_vec")))
         return _rank_topk(scored, k, higher).select(
-            "source_item", "sim_item", "sim_val", "rank_no")
+            "source_item", "sim_item", "sim_val", "rank_no", *payload)
 
 
     # -- persistence (index lifecycle S2/S3, faiss_searcher.py:109-114,189-190)

@@ -213,3 +213,16 @@ class TestCombinedKwargs:
                 assert "##" not in r["sim_item"]
             # payload carried
             assert multi[k].columns[-2:] == ["topic", "pid"]
+
+
+class TestAutoStrategyThroughSearcher:
+    def test_search_with_auto_strategy(self, doc_searcher):
+        """strategy='auto' flows through the facade: encoded query frames
+        have no usable size estimate (Python UDF stage), so auto must
+        still resolve to a working kernel and match the default path."""
+        a = doc_searcher.search(["spark join merge"], topK=3,
+                                keep_rank_no=True, score_scale=4)
+        b = doc_searcher.search(["spark join merge"], topK=3,
+                                keep_rank_no=True, score_scale=4,
+                                strategy="auto")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

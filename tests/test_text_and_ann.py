@@ -274,3 +274,17 @@ class TestChunkDocuments:
         from faisssearcher_spark.plans import inspect
         plan = inspect.executed_plan(chunk_documents(documents, max_tokens=64))
         assert "Exchange" not in plan  # chunking explodes map-side
+
+
+class TestIvfPayload:
+    def test_ivf_search_payload_carry(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        index = ann.IVFIndex(n_cells=4, nprobe=4, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        res = index.search(queries, k=3, query_item_col="qid",
+                           payload_cols=["label"]).collect()
+        assert res
+        want = {r["vec_id"]: r["label"]
+                for r in embeddings.select("vec_id", "label").collect()}
+        assert all(want[r["sim_item"]] == r["label"] for r in res)
