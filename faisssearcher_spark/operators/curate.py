@@ -68,6 +68,12 @@ def curate_documents(
             .filter(F.col("__rn") == 1).drop("__rn", "__fp"))
 
     if near_dup_threshold is not None:
+        # the survivor frame feeds BOTH the near-dup pair generation and
+        # the final anti-join; persist it so the quality scoring + exact
+        # dedup window (tokenize-heavy) computes once, not twice — at
+        # pipeline scale this is the landing-table materialization the
+        # streaming half writes anyway (streaming/curate.py)
+        kept = kept.persist()
         pairs = dedup.minhash_lsh_join(
             kept, id_col="doc_id", text_col="text",
             num_hashes=minhash_hashes, bands=minhash_bands,
