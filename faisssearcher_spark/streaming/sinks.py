@@ -1,0 +1,61 @@
+"""Idempotent streaming sinks (exactly-once landing on replay).
+
+Structured Streaming guarantees at-least-once delivery to ``foreachBatch``:
+after a crash between "batch written" and "offset committed", the SAME
+epoch is re-delivered with the SAME ``batch_id``. Exactly-once therefore
+reduces to making the per-epoch write idempotent — here, each epoch
+OVERWRITES its own hive-style partition directory
+(``<path>/batch_id=<n>``), so a replayed epoch replaces itself instead of
+appending duplicates. This is the standard file-sink transactional
+pattern (what Delta's txn log generalizes) built from parquet alone.
+
+Scale notes:
+- one directory per epoch keeps the commit unit small and the replay
+  blast radius a single micro-batch; compact epochs downstream if small
+  files accumulate (a batch ``chunk``/``pack`` job — operators/sampling);
+- readers get the epoch id for free as the ``batch_id`` partition column
+  (`spark.read.parquet(path)` discovers it), and partition pruning on it
+  makes incremental downstream consumption a pushed filter;
+- the checkpoint directory is the source of truth for WHICH epochs are
+  committed — never share one checkpoint across two queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def idempotent_parquet_sink(stream_df: DataFrame, *, path: str,
+                            checkpoint_dir: str,
+                            query_name: str = "idempotent_parquet_sink",
+                            available_now: bool = True) -> StreamingQuery:
+    """Start a foreachBatch parquet sink whose epochs are replay-safe.
+
+    Returns the started :class:`StreamingQuery`; with
+    ``available_now=True`` (the incremental-batch shape), call
+    ``awaitTermination()`` to drain currently-available input.
+    """
+
+    def _write_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(path, f"batch_id={batch_id}")))
+
+    writer = (stream_df.writeStream.foreachBatch(_write_epoch)
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read everything the sink has landed; ``batch_id`` arrives as a
+    partition column (pruned when filtered). Refreshes Spark's file-status
+    cache first — an epoch replay OVERWRITES its directory with new part
+    files, and a reader that listed the old names would fail with
+    FILE_NOT_EXIST."""
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
