@@ -55,17 +55,11 @@ ITEMS_MEMORY_CAP_BYTES = 256 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan size estimate in bytes, or None when the
-    estimate is unavailable/unknown (JVM default = Long.Max-ish)."""
-    try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes()))
-    except Exception:
-        return None
-    # Catalyst signals "no idea" with a defaultSizeInBytes near Long.Max
-    if size <= 0 or size >= (1 << 62):
-        return None
-    return size
+    """Catalyst's optimized-plan size estimate (see
+    plans/inspect.plan_size_bytes — shared with the sink compactor);
+    module-level so tests can monkeypatch the estimator."""
+    from faisssearcher_spark.plans.inspect import plan_size_bytes
+    return plan_size_bytes(df)
 
 
 def _auto_strategy(q_bytes: int | None, i_bytes: int | None, *,

@@ -29,6 +29,21 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes, or None when the
+    estimate is unavailable/unknown (the JVM signals "no idea" with a
+    defaultSizeInBytes near Long.Max). Used by knn_join's auto-strategy
+    quadrant pick and the sink compactor's file-count sizing."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
+
 def broadcast_exchange_subtrees(df: DataFrame) -> list[str]:
     """The plan subtree under each BroadcastExchange node.
 

@@ -59,3 +59,28 @@ def read_sink(spark: SparkSession, path: str) -> DataFrame:
     FILE_NOT_EXIST."""
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
+
+
+def compact_sink(spark: SparkSession, path: str, dest: str, *,
+                 target_file_bytes: int = 128 << 20) -> int:
+    """Compact a sink's accumulated epoch directories into evenly-sized
+    parquet files at ``dest`` — the periodic maintenance job that fixes
+    the small-files problem every per-epoch landing zone develops (one
+    directory per micro-batch → thousands of KB-scale files → listing
+    and open() overhead dominates scans at 100 TB).
+
+    File count comes from Catalyst's size estimate over the actual data
+    (≈ size / target_file_bytes, minimum 1); the write is a plain
+    ``repartition(n)`` overwrite of ``dest`` — run it from ONE scheduled
+    job, then point readers at ``dest`` and truncate the landing zone.
+    Returns the number of files written.
+    """
+    from faisssearcher_spark.plans.inspect import plan_size_bytes
+
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be >= 1")
+    df = read_sink(spark, path).drop("batch_id")
+    est = plan_size_bytes(df)
+    n_files = max(1, -(-est // target_file_bytes)) if est else 1
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return n_files

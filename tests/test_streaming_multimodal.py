@@ -368,3 +368,22 @@ class TestIdempotentSink:
                 checkpoint_dir=ckpt).awaitTermination()
         sink = read_sink(spark, out)
         assert sink.count() == sink.select("event_id").distinct().count()
+
+    def test_compact_sink(self, spark, sf_dir, tmp_path_factory):
+        from faisssearcher_spark.streaming import events as sev
+        from faisssearcher_spark.streaming.sinks import (
+            compact_sink, idempotent_parquet_sink, read_sink)
+
+        base = tmp_path_factory.mktemp("compact")
+        out, ckpt, dest = (str(base / d) for d in ("out", "ckpt", "compact"))
+        stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+        idempotent_parquet_sink(stream.select("event_id", "user_id"),
+                                path=out,
+                                checkpoint_dir=ckpt).awaitTermination()
+        n_rows = read_sink(spark, out).count()
+        n_files = compact_sink(spark, out, dest, target_file_bytes=1 << 20)
+        compacted = spark.read.parquet(dest)
+        assert compacted.count() == n_rows
+        assert "batch_id" not in compacted.columns
+        import glob
+        assert len(glob.glob(f"{dest}/part-*.parquet")) == n_files
