@@ -29,11 +29,12 @@ from faisssearcher_spark.searcher import SparkSearcher
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
 from faisssearcher_spark.operators import (ann, balance, curate, dedup,
                                            events, multimodal, rerank,
-                                           temporal, text_analysis)
+                                           sampling, temporal,
+                                           text_analysis)
 from faisssearcher_spark.functions import metrics
 
 __all__ = ["SparkSearcher", "knn_join", "cal_sim", "metrics",
            "ann", "balance", "curate", "dedup", "events", "multimodal",
-           "rerank", "temporal", "text_analysis"]
+           "rerank", "sampling", "temporal", "text_analysis"]
 
 __version__ = "0.1.0"

@@ -107,7 +107,11 @@ class WordVecEncoder:
         pick broadcast vs shuffle from the vocabulary's real size), one
         groupBy fold per document. The explode_outer + attribute-filter
         shape keeps the tokenizer out of inferred filters (the r3
-        Catalyst trap, NOTES.md)."""
+        Catalyst trap, NOTES.md). The fold buffers one document's matched
+        vectors (collect_list) per aggregation group — bounded by
+        tokens·dim doubles for the LONGEST document, so chunk pathological
+        documents first (operators/text_analysis.chunk_documents) rather
+        than feeding multi-million-token rows through any encoder."""
         doc_cols = df.columns
         toks = df.withColumn(
             "__tok",
