@@ -387,6 +387,20 @@ def _knn_join_blocked(
 
     spark = items.sparkSession
     item_pdf = items.select(item_key_col, item_vec_col).toPandas()
+    key_field = items.schema[item_key_col]
+    q_key_field = queries.schema[query_item_col]
+    if not len(item_pdf):
+        # top-k of an empty corpus is an empty result, same as catalyst —
+        # without the guard the kernel's (0,)-shaped matrix breaks axis
+        # math before any task runs
+        empty_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                        f"sim_item {key_field.dataType.simpleString()}, "
+                        "sim_val double, rank_no int")
+        ranked = spark.createDataFrame([], empty_schema)
+        ranked = _attach_payload(ranked, items, item_key_col=item_key_col,
+                                 payload_cols=payload_cols,
+                                 broadcast_side="payload")
+        return ranked if keep_rank_no else ranked.drop("rank_no")
     mat = np.array(item_pdf[item_vec_col].to_list(), dtype=np.float64)
     if normalize:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -396,8 +410,6 @@ def _knn_join_blocked(
     b_keys = spark.sparkContext.broadcast(keys)
     b_sq = spark.sparkContext.broadcast((mat * mat).sum(axis=1))
 
-    key_field = items.schema[item_key_col]
-    q_key_field = queries.schema[query_item_col]
     met, kk, nrm, scale = metric, k, normalize, score_scale
 
     def _score(batches):

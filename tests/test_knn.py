@@ -399,3 +399,49 @@ class TestPayloadDedupe:
         # deterministic survivor: min payload struct → label "b"
         labels = {r["sim_item"]: r["label"] for r in res}
         assert labels[1] == "b"
+
+
+class TestEmptyInputs:
+    """Empty corpus / empty query edge semantics across strategies: empty
+    results (or the documented driver-collect error), never a kernel
+    crash (r4: blocked hit numpy axis errors on a 0-row corpus)."""
+
+    @pytest.fixture()
+    def tiny(self, spark):
+        return spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(5)],
+            "vec_id long, embedding array<double>")
+
+    @pytest.mark.parametrize("strategy", ["catalyst", "blocked", "grid",
+                                          "sharded"])
+    def test_empty_corpus_yields_empty(self, spark, tiny, strategy):
+        q = tiny.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, tiny.filter("vec_id < 0"), metric="cos", k=3,
+                       query_item_col="qid", item_key_col="vec_id",
+                       payload_cols=[], strategy=strategy)
+        assert res.count() == 0
+        assert res.columns[:3] == ["source_item", "sim_item", "sim_val"]
+
+    def test_empty_corpus_with_payload_keeps_schema(self, spark, tiny):
+        items = tiny.withColumn("label", F.lit("x")).filter("vec_id < 0")
+        q = tiny.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, items, metric="cos", k=2, query_item_col="qid",
+                       item_key_col="vec_id", payload_cols=["label"],
+                       strategy="blocked")
+        assert res.count() == 0 and "label" in res.columns
+
+    @pytest.mark.parametrize("strategy", ["catalyst", "blocked", "grid"])
+    def test_empty_queries_yield_empty(self, spark, tiny, strategy):
+        q = tiny.filter("vec_id < 0").select(
+            F.col("vec_id").alias("qid"), "embedding")
+        res = knn_join(q, tiny, metric="cos", k=3, query_item_col="qid",
+                       item_key_col="vec_id", payload_cols=[],
+                       strategy=strategy)
+        assert res.count() == 0
+
+    def test_sharded_empty_queries_raise_documented(self, spark, tiny):
+        q = tiny.filter("vec_id < 0").select(
+            F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="non-empty query"):
+            knn_join(q, tiny, metric="cos", k=3, query_item_col="qid",
+                     item_key_col="vec_id", strategy="sharded")
