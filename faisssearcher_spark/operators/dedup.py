@@ -484,6 +484,11 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     spark = df.sparkSession
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
         .toPandas()
+    if not len(pdf):
+        # near-dups of an empty corpus: empty pair set (the kernel's
+        # (0,)-shaped matrix would otherwise break axis math)
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double")
     ids = pdf["id"].to_numpy()
     mat = np.array(pdf["v"].to_list(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

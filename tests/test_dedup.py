@@ -227,3 +227,19 @@ class TestPrefixFilter:
         got = dedup.ngram_jaccard_join(docs, n=3, threshold=0.5,
                                        prefix_filter=True).collect()
         assert len(got) == 1 and (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+
+    def test_empty_frame_all_strategies(self, spark):
+        """Empty corpus → empty pair set on every strategy (blocked used
+        to break on the kernel's 0-row matrix; lsh documents its
+        dimension-inference requirement)."""
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        for strategy in ("blocked", "catalyst"):
+            out = dedup.embedding_cosine_pairs(emb, threshold=0.5,
+                                               strategy=strategy)
+            assert out.count() == 0, strategy
+            assert out.columns == ["id_a", "id_b", "cos_sim"]
+        out = dedup.embedding_cosine_pairs(emb, threshold=0.5,
+                                           strategy="lsh", lsh_dim=4)
+        assert out.count() == 0
+        with pytest.raises(ValueError, match="empty"):
+            dedup.embedding_cosine_pairs(emb, threshold=0.5, strategy="lsh")
