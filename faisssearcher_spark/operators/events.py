@@ -67,3 +67,33 @@ def sessionize(events: DataFrame, *, user_col: str = "user_id",
              F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"))
         .withColumnRenamed("session_seq", "session_id")
     )
+
+
+def sessionize_native(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window``
+    aggregation — one hash aggregate with codegen'd session merging, no
+    analytic window scan. Same output shape as :func:`sessionize` minus
+    ``session_id`` (the native operator does not number sessions; derive
+    one with ``row_number`` over (user, session_start) if needed).
+
+    Boundary semantics differ at EXACTLY the gap: ``session_window``
+    closes a session when the next event lands at or after
+    ``last_ts + gap`` (splits on gap ≥ g), while :func:`sessionize`
+    splits on gap > g — events at the exact boundary belong to the
+    previous session there and to a new one here. Anywhere off that
+    measure-zero boundary the two agree row for row.
+
+    Prefer this form when session ids are not needed: the aggregate
+    pre-merges map-side and avoids the full per-user ordered scan, and
+    the same expression works in Structured Streaming group-bys.
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (events.groupBy(F.col(user_col), sw.alias("__w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min(ts_col),
+                               "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                 F.date_format(F.max(ts_col),
+                               "yyyy-MM-dd HH:mm:ss").alias("session_end"))
+            .drop("__w"))
