@@ -174,6 +174,22 @@ def knn_join(
       either total size. Same metrics and exact tie-deterministic
       ranking as "blocked"/"sharded".
     """
+    for col, df, side in ((query_vec_col, queries, "queries"),
+                          (item_vec_col, items, "items"),
+                          (item_key_col, items, "items")):
+        if col not in df.columns:
+            raise ValueError(
+                f"column {col!r} not found in {side} frame "
+                f"(columns: {df.columns})")
+    if query_item_col is not None and query_item_col not in queries.columns:
+        raise ValueError(
+            f"query_item_col {query_item_col!r} not found in queries "
+            f"frame (columns: {queries.columns})")
+    missing_payload = [c for c in (payload_cols or []) if c not in items.columns]
+    if missing_payload:
+        raise ValueError(
+            f"payload_cols {missing_payload} not found in items frame "
+            f"(columns: {items.columns})")
     if strategy == "auto":
         strategy = _auto_strategy(_plan_size_bytes(queries),
                                   _plan_size_bytes(items))

@@ -445,3 +445,25 @@ class TestEmptyInputs:
         with pytest.raises(ValueError, match="non-empty query"):
             knn_join(q, tiny, metric="cos", k=3, query_item_col="qid",
                      item_key_col="vec_id", strategy="sharded")
+
+
+class TestInputValidation:
+    """Misnamed columns fail fast with the frame's actual columns in the
+    message, not a deep Catalyst resolution error."""
+
+    def test_bad_vec_col(self, spark, embeddings):
+        q = embeddings.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="emb_typo.*queries"):
+            knn_join(q, embeddings, query_vec_col="emb_typo",
+                     query_item_col="qid", item_key_col="vec_id")
+
+    def test_bad_item_key(self, spark, embeddings):
+        q = embeddings.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="nope.*items"):
+            knn_join(q, embeddings, query_item_col="qid", item_key_col="nope")
+
+    def test_bad_payload(self, spark, embeddings):
+        q = embeddings.limit(1).select(F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="payload_cols.*ghost"):
+            knn_join(q, embeddings, query_item_col="qid",
+                     item_key_col="vec_id", payload_cols=["ghost"])
