@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "text_fingerprints",
     "text_ngram_topk",
+    "text_chunk_documents",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "top_customers_per_nation",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_sessionize_native",
     "events_asof_join",
     "events_range_join",
 ]

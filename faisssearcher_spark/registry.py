@@ -2002,6 +2002,23 @@ NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
 #: the variants individually even though the driver sees one composite
 #: row for each family (r3 verdict #2: the registry must hold <= 50
 #: driver-checked entries so nothing falls past the driver's cap).
+def q_text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: 256-token windows with 32-token overlap over the
+    documents corpus (map-side explode; tested in tests, not driver-gated
+    — the registry sits at the driver's 50-row cap)."""
+    from faisssearcher_spark.operators.text_analysis import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=256, overlap=32)
+
+
+def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the built-in session_window sessionizer (equality vs
+    the gated lag+cumsum implementation pinned in tests)."""
+    from faisssearcher_spark.operators.events import sessionize_native
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_native(ev, gap_minutes=30)
+
+
 ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
@@ -2012,4 +2029,6 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
     "knn_cosine_top5": q_knn_cosine_top5,
+    "text_chunk_documents": q_text_chunk_documents,
+    "events_sessionize_native": q_events_sessionize_native,
 }
