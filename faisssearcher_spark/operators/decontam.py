@@ -1,0 +1,91 @@
+"""Train/eval contamination detection — cross-corpus n-gram overlap.
+
+The decontamination step every benchmark-honest training pipeline runs:
+find training documents that share long word n-grams with an evaluation
+set, so they can be dropped (or the eval items flagged) before training.
+This is the GPT-3/PaLM-style n-gram collision check expressed as a
+relational plan:
+
+    shingle both corpora → equi-join on the shingle (inverted index) →
+    per-pair distinct-collision count → overlap fraction vs the eval
+    document's shingle count
+
+Scale shape: candidates meet ONLY through the shingle equi-join (no
+cross product — the same invariant as the dedup family); the eval side
+is typically tiny next to the training corpus, so Catalyst/AQE broadcast
+it on real size estimates, and the training corpus never shuffles more
+than its exploded shingles. Shingles hash to 64-bit via xxhash64 before
+the join so the shuffle carries longs, not strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions import text as T
+
+
+def _shingle_ids(df: DataFrame, id_col: str, text_col: str, n: int,
+                 out_id: str) -> DataFrame:
+    grams = df.withColumn("__g", T.word_ngrams(text_col, n))
+    exploded = grams.select(
+        F.col(id_col).alias(out_id),
+        F.explode_outer(F.array_distinct(F.col("__g"))).alias("__shingle"))
+    return (exploded.filter(F.col("__shingle").isNotNull())
+            .select(out_id, F.xxhash64("__shingle").alias("__sh")))
+
+
+def contamination_pairs(train: DataFrame, eval_df: DataFrame, *,
+                        n: int = 8,
+                        min_overlap_fraction: float = 0.0,
+                        min_collisions: int = 1,
+                        train_id_col: str = "doc_id",
+                        eval_id_col: str = "doc_id",
+                        train_text_col: str = "text",
+                        eval_text_col: str = "text") -> DataFrame:
+    """(train_id, eval_id) pairs sharing ≥ ``min_collisions`` distinct
+    word ``n``-grams, with the collision count and the fraction of the
+    EVAL document's shingles that collide (the contamination measure —
+    an eval item fully contained in a training document scores 1.0).
+
+    ``n`` defaults to 8: long enough that natural-language collisions
+    are overwhelmingly true containment, the standard decontamination
+    setting; lower it for short eval items (an item with fewer than
+    ``n`` tokens has no shingles and cannot be flagged — count such
+    items separately via ``token_count``).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = _shingle_ids(train, train_id_col, train_text_col, n, "train_id")
+    e = _shingle_ids(eval_df, eval_id_col, eval_text_col, n, "eval_id")
+    e_sizes = e.groupBy("eval_id").agg(
+        F.count("*").alias("__n_eval_shingles"))
+    collisions = (
+        t.join(e, "__sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_collisions")))
+    out = (collisions.join(e_sizes, "eval_id")
+           .withColumn("overlap_fraction",
+                       F.col("n_collisions") / F.col("__n_eval_shingles"))
+           .filter((F.col("n_collisions") >= min_collisions)
+                   & (F.col("overlap_fraction") >= min_overlap_fraction)))
+    return out.select("train_id", "eval_id", "n_collisions",
+                      F.round("overlap_fraction", 6).alias("overlap_fraction"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, *,
+                  n: int = 8, min_overlap_fraction: float = 0.5,
+                  train_id_col: str = "doc_id",
+                  eval_id_col: str = "doc_id",
+                  train_text_col: str = "text",
+                  eval_text_col: str = "text") -> DataFrame:
+    """The training corpus minus every document contaminated against the
+    eval set (overlap fraction ≥ threshold for ANY eval item) — one
+    anti-join over :func:`contamination_pairs`."""
+    flagged = contamination_pairs(
+        train, eval_df, n=n, min_overlap_fraction=min_overlap_fraction,
+        train_id_col=train_id_col, eval_id_col=eval_id_col,
+        train_text_col=train_text_col, eval_text_col=eval_text_col
+    ).select(F.col("train_id").alias(train_id_col)).distinct()
+    return train.join(flagged, train_id_col, "left_anti")

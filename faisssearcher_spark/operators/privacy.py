@@ -1,0 +1,68 @@
+"""PII redaction for training corpora — pure-Catalyst regex scrubbing.
+
+The standard pre-release curation step: emails, phone numbers, IP
+addresses, and long digit runs (card/account shapes) are replaced with
+stable placeholder tokens so models neither memorize nor regurgitate
+them. Every rule is a single ``regexp_replace`` compiled into whole-stage
+codegen — the scrub runs at scan speed over a 100 TB corpus with no
+Python, and the per-rule hit counts come from ``regexp_count`` in the
+same projection (one pass: count then replace).
+
+Deliberately heuristic and conservative (like the C4/Gopher cleanups):
+regex PII detection has both false positives and negatives; the operator
+exists to make the common shapes cheap and auditable, not to promise
+completeness — plug an NER model in via mapInPandas where a stronger
+guarantee is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: redaction rules: name → (regex, replacement token). ORDER IS LOAD-
+#: BEARING: emails go before the digit rules can eat their local parts,
+#: and IPv4 before the phone shape (a dotted quad's first two octets
+#: parse as a dotted phone number otherwise).
+PII_RULES: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)", "<IP>"),
+    "phone": (r"(?<!\d)(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?"
+              r"\d{3}[-. ]\d{3,4}(?:[-. ]\d{3,4})?(?!\d)",
+              "<PHONE>"),
+    "long_digits": (r"(?<!\d)\d{9,}(?!\d)", "<NUMBER>"),
+}
+
+
+def redact_text(c: Column | str, rules: dict[str, tuple[str, str]]
+                | None = None) -> Column:
+    """The redacted text column (rules applied in declaration order)."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pattern, token in (rules or PII_RULES).values():
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii(df: DataFrame, *, text_col: str = "text",
+               out_col: str | None = None,
+               rules: dict[str, tuple[str, str]] | None = None,
+               with_counts: bool = True) -> DataFrame:
+    """Replace ``text_col`` (or append ``out_col``) with redacted text;
+    ``with_counts`` adds one ``n_<rule>`` int column per rule — the audit
+    trail a compliance review reads. Each rule counts against the text
+    AS THE PRIOR RULES LEFT IT, so the counts equal the replacements the
+    rule actually made (an IP already redacted is not double-counted as
+    a phone number)."""
+    rules = rules or PII_RULES
+    target = out_col or text_col
+    proj = [F.col(c) for c in df.columns if c != target]
+    counts = []
+    cur = F.col(text_col)
+    for name, (pattern, token) in rules.items():
+        counts.append(F.regexp_count(cur, F.lit(pattern)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pattern, token)
+    proj.append(cur.alias(target))
+    if with_counts:
+        proj += counts
+    return df.select(*proj)

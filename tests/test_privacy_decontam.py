@@ -1,0 +1,84 @@
+"""PII redaction and train/eval contamination detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import decontam, privacy
+
+
+class TestRedactPii:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "contact bob@example.com or +1 555-123-4567 today"),
+            (1, "server at 192.168.10.20 logged card 4111111111111111"),
+            (2, "perfectly clean text with the number 42 in it"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_redacts_all_shapes(self, corpus):
+        got = {r["doc_id"]: r["text"]
+               for r in privacy.redact_pii(corpus).collect()}
+        assert got[0] == "contact <EMAIL> or <PHONE> today"
+        assert got[1] == "server at <IP> logged card <NUMBER>"
+        assert got[2] == "perfectly clean text with the number 42 in it"
+
+    def test_counts_are_audit_trail(self, corpus):
+        got = {r["doc_id"]: r for r in privacy.redact_pii(corpus).collect()}
+        assert (got[0]["n_email"], got[0]["n_phone"]) == (1, 1)
+        assert (got[1]["n_ipv4"], got[1]["n_long_digits"]) == (1, 1)
+        assert sum(got[2][f"n_{k}"] for k in privacy.PII_RULES) == 0
+
+    def test_out_col_preserves_original(self, corpus):
+        out = privacy.redact_pii(corpus, out_col="clean_text",
+                                 with_counts=False)
+        row = out.filter("doc_id = 0").first()
+        assert "bob@example.com" in row["text"]
+        assert "<EMAIL>" in row["clean_text"]
+
+    def test_no_python_in_plan(self, corpus):
+        from faisssearcher_spark.plans import inspect
+        plan = inspect.executed_plan(privacy.redact_pii(corpus))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestContamination:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        eval_text = "the quick brown fox jumps over the lazy dog"
+        train = spark.createDataFrame(
+            [(0, f"prefix words here {eval_text} and suffix words"),
+             (1, "totally unrelated training document about spark plans"),
+             (2, "the quick brown fox jumps over a different dog today")],
+            "doc_id long, text string")
+        ev = spark.createDataFrame([(100, eval_text)],
+                                   "doc_id long, text string")
+        return train, ev
+
+    def test_full_containment_scores_one(self, corpora):
+        train, ev = corpora
+        pairs = decontam.contamination_pairs(train, ev, n=5).collect()
+        by_train = {r["train_id"]: r for r in pairs}
+        assert by_train[0]["overlap_fraction"] == pytest.approx(1.0)
+        assert 1 not in by_train
+        # doc 2 shares a 5-gram prefix but not all shingles
+        assert 0 < by_train[2]["overlap_fraction"] < 1.0
+
+    def test_decontaminate_drops_contaminated(self, corpora):
+        train, ev = corpora
+        kept = decontam.decontaminate(train, ev, n=5,
+                                      min_overlap_fraction=0.9)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+
+    def test_no_cross_product_in_plan(self, corpora):
+        from faisssearcher_spark.plans import inspect
+        train, ev = corpora
+        plan = inspect.executed_plan(
+            decontam.contamination_pairs(train, ev, n=5))
+        assert "CartesianProduct" not in plan
+
+    def test_short_eval_items_unflaggable(self, spark, corpora):
+        train, _ = corpora
+        ev = spark.createDataFrame([(200, "too short")],
+                                   "doc_id long, text string")
+        assert decontam.contamination_pairs(train, ev, n=8).count() == 0
