@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "text_ngram_topk",
     "text_chunk_documents",
+    "text_redact_pii",
+    "decontam_pairs",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

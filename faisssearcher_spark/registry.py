@@ -2019,6 +2019,23 @@ def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_native(ev, gap_minutes=30)
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: PII scrub + audit counts over the documents corpus
+    (pure codegen'd regex chain — runs at scan speed)."""
+    from faisssearcher_spark.operators.privacy import redact_pii
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs)
+
+
+def q_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: contamination check of the corpus against a 20-doc
+    eval slice (inverted-index n-gram collision join)."""
+    from faisssearcher_spark.operators.decontam import contamination_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.limit(20).select("doc_id", "text")
+    return contamination_pairs(docs, ev, n=8)
+
+
 ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
@@ -2031,4 +2048,6 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_top5": q_knn_cosine_top5,
     "text_chunk_documents": q_text_chunk_documents,
     "events_sessionize_native": q_events_sessionize_native,
+    "text_redact_pii": q_text_redact_pii,
+    "decontam_pairs": q_decontam_pairs,
 }
