@@ -186,12 +186,25 @@ def duplicate_line_count(c: ColumnOrName) -> Column:
 
 def top_element_count(arr: Column) -> Column:
     """Highest occurrence count of any single element in ``arr`` (0 for
-    empty). Pass an ATTRIBUTE (materialized via ``withColumn``), not a
-    derived expression: Catalyst re-evaluates expressions referenced
-    inside higher-order lambdas per element (NOTES.md trap), so a derived
-    gram array would re-tokenize O(|arr|) times per row."""
-    return F.coalesce(
-        F.array_max(F.transform(
-            F.array_distinct(arr),
-            lambda g: F.size(F.filter(arr, lambda y: y == g)))),
-        F.lit(0))
+    empty).
+
+    Linear shape: sort the array once, then a single fold counts the
+    longest run of equal neighbours — O(n log n) per row, one pass, no
+    shuffle. (The obvious ``array_max(transform(array_distinct(a), g ->
+    size(filter(a, y -> y == g))))`` is O(n²) per row — a 10k-token
+    document costs ~10⁸ string compares that no partitioning fixes; it
+    was the engine's one quadratic expression and the measured cause of
+    the round-4 quality-gate regression.)
+
+    Pass an ATTRIBUTE (materialized via ``withColumn``), not a derived
+    expression: Catalyst re-evaluates expressions referenced inside
+    higher-order lambdas per element (NOTES.md trap), so a derived gram
+    array would re-tokenize O(|arr|) times per row."""
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"),
+                        run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+    zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+    return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
