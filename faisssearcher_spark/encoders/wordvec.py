@@ -113,15 +113,25 @@ class WordVecEncoder:
         documents first (operators/text_analysis.chunk_documents) rather
         than feeding multi-million-token rows through any encoder."""
         doc_cols = df.columns
-        toks = df.withColumn(
+        # Group on a generated row key, NOT on the document columns:
+        # grouping by every input column silently collapses fully-duplicate
+        # rows (a corpus without an id column) and fails outright on
+        # non-orderable column types (map). The key is per-row unique, the
+        # payload columns ride through first() aggregates (constant within
+        # each group), and the shuffle volume is unchanged.
+        rid = "__wv_rid"
+        while rid in doc_cols:
+            rid += "_"
+        toks = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
             "__tok",
             F.explode_outer(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                                      lambda t: t != "")))
         joined = toks.join(self._weights, "__tok", "left")
         zero = F.array_repeat(F.lit(0.0), self.dim)
         summed = (
-            joined.groupBy(*[F.col(c) for c in doc_cols])
-            .agg(F.count("__wv").alias("__n"),
+            joined.groupBy(rid)
+            .agg(*[F.first(c).alias(c) for c in doc_cols],
+                 F.count("__wv").alias("__n"),
                  F.aggregate(
                      F.collect_list("__wv"), zero,
                      lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))

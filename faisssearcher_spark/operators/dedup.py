@@ -547,14 +547,24 @@ def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
         raise ValueError("lsh_planes must be 'random' or 'axis'")
 
     v = M.as_double(vec_col)
-    if planes_mode == "axis" or dim is None:
-        # one-row probe: the true vector length (drives random-plane dim
-        # inference and the axis-mode bounds check)
-        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if probe is None or probe["d"] is None:
+    # one-row probe: the true vector length. Runs even when lsh_dim was
+    # passed explicitly — a wrong lsh_dim in random mode would null-pad
+    # the zip_with, null the fold, evaluate every bit to 0, and land ALL
+    # vectors in one bucket per table: a silent quadratic candidate
+    # blowup. Fail loudly instead (mirrors the axis-mode bounds check).
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None or probe["d"] is None:
+        if dim is None:
             raise ValueError("cannot infer the vector dimension from an "
                              "empty frame; pass lsh_dim explicitly")
+        vec_len = int(dim)
+    else:
         vec_len = int(probe["d"])
+        if dim is not None and int(dim) != vec_len:
+            raise ValueError(
+                f"lsh_dim={dim} does not match the actual vector length "
+                f"{vec_len}; a mismatched hyperplane dim would zero every "
+                f"bucket bit and collapse all vectors into one bucket")
     if planes_mode == "axis":
         # axis-aligned: bit j of table t = sign of raw coordinate t·b+j
         # (normalization preserves sign, so bucketing the raw vector is

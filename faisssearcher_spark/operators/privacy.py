@@ -56,6 +56,17 @@ def redact_pii(df: DataFrame, *, text_col: str = "text",
     a phone number)."""
     rules = rules or PII_RULES
     target = out_col or text_col
+    # fail loudly on output-name collisions: a frame that already has an
+    # n_<rule> (or the out_col) column would end up with duplicate column
+    # names, which breaks every later select-by-name
+    taken = set(df.columns) - ({target} if out_col is None else set())
+    new_names = ([target] if out_col else []) \
+        + ([f"n_{name}" for name in rules] if with_counts else [])
+    clashes = [n for n in new_names if n in taken]
+    if clashes:
+        raise ValueError(
+            f"redact_pii output column(s) {clashes} already exist in the "
+            f"input frame; rename them or pass custom rules/out_col")
     proj = [F.col(c) for c in df.columns if c != target]
     counts = []
     cur = F.col(text_col)

@@ -70,17 +70,38 @@ def compact_sink(spark: SparkSession, path: str, dest: str, *,
     and open() overhead dominates scans at 100 TB).
 
     File count comes from Catalyst's size estimate over the actual data
-    (≈ size / target_file_bytes, minimum 1); the write is a plain
-    ``repartition(n)`` overwrite of ``dest`` — run it from ONE scheduled
-    job, then point readers at ``dest`` and truncate the landing zone.
+    (≈ size / target_file_bytes, minimum 1); when the estimate is
+    unavailable the on-disk byte size of the landing zone stands in (with
+    a warning) rather than silently writing one file. The write is a
+    plain ``repartition(n)`` overwrite of ``dest`` — run it from ONE
+    scheduled job, then point readers at ``dest`` and truncate the
+    landing zone. ``dest`` must differ from ``path``: an in-place
+    overwrite would destroy the very directories the job is reading.
     Returns the number of files written.
     """
+    import warnings
+
     from faisssearcher_spark.plans.inspect import plan_size_bytes
 
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
+    if os.path.abspath(dest) == os.path.abspath(path):
+        raise ValueError(
+            f"compact_sink dest must differ from the landing zone "
+            f"({path!r}): overwriting the directory being read would "
+            f"destroy the sink mid-scan")
     df = read_sink(spark, path).drop("batch_id")
     est = plan_size_bytes(df)
+    if not est:
+        # Catalyst estimate missing — fall back to summing the landing
+        # zone's actual parquet bytes so n_files still tracks data size.
+        est = sum(os.path.getsize(os.path.join(root, name))
+                  for root, _, names in os.walk(path) for name in names
+                  if name.endswith(".parquet"))
+        warnings.warn(
+            "compact_sink: no Catalyst size estimate for the landing "
+            f"zone; using on-disk parquet bytes ({est}) to size files",
+            stacklevel=2)
     n_files = max(1, -(-est // target_file_bytes)) if est else 1
     df.repartition(n_files).write.mode("overwrite").parquet(dest)
     return n_files

@@ -179,6 +179,22 @@ class TestEmbeddingCosine:
         found = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert {(i, 100 + i) for i in range(20)} <= found
 
+    def test_lsh_random_mode_validates_explicit_dim(self, spark):
+        """r4 ADVICE: an lsh_dim that disagrees with the vector length
+        null-padded zip_with, zeroed every bit, and collapsed ALL vectors
+        into one bucket per table — silently quadratic. Now it raises."""
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="does not match"):
+            dedup.embedding_cosine_pairs(df, strategy="lsh", lsh_dim=64,
+                                         lsh_tables=2, lsh_bits=2)
+        # matching explicit dim still runs
+        out = dedup.embedding_cosine_pairs(df, threshold=0.9, strategy="lsh",
+                                           lsh_dim=3, lsh_tables=2,
+                                           lsh_bits=2)
+        assert out.count() == 0
+
     def test_lsh_no_cartesian_no_broadcast_of_corpus(self, embeddings):
         from faisssearcher_spark.plans import inspect
         plan = inspect.executed_plan(dedup.embedding_cosine_pairs(

@@ -41,6 +41,20 @@ class TestRedactPii:
         plan = inspect.executed_plan(privacy.redact_pii(corpus))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_output_column_collisions_raise(self, spark, corpus):
+        # r4 ADVICE: a frame already carrying n_email (or the out_col)
+        # would get duplicate column names — fail loudly instead
+        with_n = corpus.withColumn("n_email", F.lit(9))
+        with pytest.raises(ValueError, match="n_email"):
+            privacy.redact_pii(with_n)
+        with_out = corpus.withColumn("clean_text", F.lit("x"))
+        with pytest.raises(ValueError, match="clean_text"):
+            privacy.redact_pii(with_out, out_col="clean_text",
+                               with_counts=False)
+        # counts disabled → n_<rule> collisions are not collisions
+        out = privacy.redact_pii(with_n, with_counts=False)
+        assert out.columns.count("n_email") == 1
+
 
 class TestContamination:
     @pytest.fixture(scope="class")

@@ -387,3 +387,9 @@ class TestIdempotentSink:
         assert "batch_id" not in compacted.columns
         import glob
         assert len(glob.glob(f"{dest}/part-*.parquet")) == n_files
+        # r4 ADVICE: in-place compaction would overwrite the landing zone
+        # while reading it — must refuse
+        with pytest.raises(ValueError, match="landing zone"):
+            compact_sink(spark, out, out)
+        with pytest.raises(ValueError, match="landing zone"):
+            compact_sink(spark, out, out + "/../" + out.rsplit("/", 1)[-1])

@@ -70,6 +70,25 @@ class TestWordVecEncoder:
         enc = WordVecEncoder.from_dataframe(w)
         assert enc.encode(["tok"])[0] == pytest.approx([1.0, 0.0])
 
+    def test_encode_df_keeps_duplicate_rows(self, spark, enc):
+        # corpus with no unique id: fully-duplicate rows must each get an
+        # embedding, not collapse through the fold's grouping (ADVICE r4)
+        df = spark.createDataFrame(
+            [("apple pie",)] * 3 + [("spark join",)], "text string")
+        out = enc.encode_df(df).collect()
+        assert len(out) == 4
+        assert sum(r["text"] == "apple pie" for r in out) == 3
+
+    def test_encode_df_nongroupable_column_types(self, spark, enc):
+        # map-typed payload columns are not groupable; the row-key fold
+        # must carry them through untouched (ADVICE r4)
+        df = spark.createDataFrame(
+            [(0, "apple pie", {"k": "v"})],
+            "doc_id long, text string, props map<string,string>")
+        row = enc.encode_df(df).collect()[0]
+        assert row["props"] == {"k": "v"}
+        assert np.array(row["embedding"]) == pytest.approx([0.5, 0.5, 0.0])
+
     def test_save_load_roundtrip(self, spark, enc, tmp_path):
         path = str(tmp_path / "weights")
         enc.save(path)
