@@ -182,7 +182,8 @@ def q_knn_cos_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy matrix exact, ties included (r3 verdict #2: the variants
     held three of the 54 registry slots while the driver records 50)."""
     parts = []
-    for tag, fn in (("catalyst", q_knn_cosine_top5),
+    for tag, fn in (("auto", q_knn_auto_cos_top5),
+                    ("catalyst", q_knn_cosine_top5),
                     ("blocked", q_knn_blocked_cos_top5),
                     ("sharded", q_knn_sharded_cos_top5),
                     ("grid", q_knn_grid_cos_top5)):
@@ -195,11 +196,27 @@ def q_knn_cos_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_knn_auto_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME query as knn_cosine_top5 through ``strategy="auto"`` —
+    the size-estimated dispatch (operators/knn.py) picks the kernel from
+    Catalyst's real byte estimates end-to-end; hash-checked against the
+    identical oracle so whichever kernel it routes to must be exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = knn_join(q, emb, metric="cos", k=5, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=["label"],
+                   score_scale=4, strategy="auto")
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no", "label")
+
+
 ORACLE_KNN_STRATEGIES = f"""
 WITH base AS ({ORACLE_KNN_COS})
 SELECT s.strategy, b.source_item, b.sim_item, b.sim_val, b.rank_no, b.label
-FROM base b CROSS JOIN (SELECT unnest(['catalyst', 'blocked', 'sharded',
-                                      'grid']) AS strategy) s
+FROM base b CROSS JOIN (SELECT unnest(['auto', 'catalyst', 'blocked',
+                                      'sharded', 'grid']) AS strategy) s
 """
 
 
@@ -1394,28 +1411,48 @@ GROUP BY p_brand
 
 
 def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation (returnflag → linestatus hierarchy with
-    subtotals and a grand total) — Spark plans one Expand + single hash
-    aggregate, not one pass per grouping set."""
+    """Multi-dimensional subtotal aggregation, tag-unioned (the 50-cap
+    extension pattern): ``rollup`` = returnflag → linestatus hierarchy
+    with subtotals and a grand total; ``gsets`` = explicit GROUPING SETS
+    over the two one-dimension slices (the cells ROLLUP skips — together
+    they cover the full CUBE). Both plan as one Expand + a single hash
+    aggregate, not one pass per grouping set, so the scan cost is
+    independent of the number of sets."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"),
-             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-             F.round(F.avg("l_discount"), 4).alias("avg_disc"))
-        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-                "n_rows", "sum_price", "avg_disc")
-    )
+
+    def agg_sets(grouped, tag: str) -> DataFrame:
+        return (
+            grouped.agg(F.count("*").alias("n_rows"),
+                        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                        F.round(F.avg("l_discount"), 4).alias("avg_disc"))
+            .select(F.lit(tag).alias("tag"),
+                    F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n_rows", "sum_price", "avg_disc"))
+
+    rollup = agg_sets(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+    gsets = agg_sets(
+        li.groupingSets([["l_returnflag"], ["l_linestatus"]],
+                        "l_returnflag", "l_linestatus"), "gsets")
+    return rollup.unionByName(gsets)
 
 
 ORACLE_ROLLUP = """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+SELECT 'rollup' AS tag,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_rows,
        round(sum(l_extendedprice), 2) AS sum_price,
        round(avg(l_discount), 4) AS avg_disc
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets' AS tag,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 4) AS avg_disc
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
@@ -1612,18 +1649,28 @@ WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
 
 
 def q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING curation end-state (streaming/curate.py): the documents
+    """STREAMING composite, tag-unioned (the 50-cap extension pattern).
+
+    ``curate`` — curation end-state (streaming/curate.py): the documents
     table replayed as an availableNow stream through quality filter →
     deterministic 50% hash sample → watermarked first-wins exact dedup,
     drained to memory. WHICH duplicate survives is arrival-order
     dependent (legitimately nondeterministic under parallel replay), but
     the surviving FINGERPRINT SET and the one-row-per-fingerprint
-    guarantee are exact — so the gate projects to (fingerprint, n_rows)
+    guarantee are exact — so the tag projects to (fingerprint, n_rows)
     and the oracle derives the same set relationally: every fingerprint
-    of a quality-passing sampled document, exactly once."""
+    of a quality-passing sampled document, exactly once.
+
+    ``enrich`` — stream-static dimension enrichment (streaming/enrich.py):
+    the events stream left-joined to the static customer dimension
+    (broadcast, stateless, append-safe) under availableNow, drained, then
+    counted per market segment — hash-checked against the batch join
+    twin, proving the streaming join loses/duplicates nothing."""
     import tempfile
 
     from faisssearcher_spark.streaming import curate as scur
+    from faisssearcher_spark.streaming import events as sev
+    from faisssearcher_spark.streaming.enrich import enrich_stream
     from faisssearcher_spark.streaming.events import run_to_memory
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1644,7 +1691,23 @@ def q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                              watermark="24 hours")
     run_to_memory(out, "q_curate_stream_state", output_mode="append")
     state = spark.table("q_curate_stream_state")
-    return state.groupBy("fingerprint").agg(F.count("*").alias("n_rows"))
+    curate = state.groupBy(F.col("fingerprint").alias("key")) \
+        .agg(F.count("*").alias("n_rows")) \
+        .select(F.lit("curate").alias("tag"), "key", "n_rows")
+
+    ev = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = enrich_stream(ev, cust, stream_key="user_id",
+                             dim_key="c_custkey",
+                             dim_cols=["c_mktsegment"], how="left")
+    run_to_memory(enriched.select("event_id", "c_mktsegment"),
+                  "q_enrich_stream_state", output_mode="append")
+    enrich = (spark.table("q_enrich_stream_state")
+              .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                       .alias("key"))
+              .agg(F.count("*").alias("n_rows"))
+              .select(F.lit("enrich").alias("tag"), "key", "n_rows"))
+    return curate.unionByName(enrich)
 
 
 def _oracle_curate_stream() -> str:
@@ -1663,10 +1726,15 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
                   md5(array_to_string(list_sort(list_distinct(
                       list_transform(toks, x -> lower(x)))), ' ')) AS fp
            FROM m)
-SELECT fp AS fingerprint, 1::BIGINT AS n_rows
+SELECT 'curate' AS tag, fp AS key, 1::BIGINT AS n_rows
 FROM q
 WHERE quality >= 0.3 AND {_sample_bucket_sql('doc_id', op='sample')} < 500000
 GROUP BY fp
+UNION ALL
+SELECT 'enrich' AS tag, coalesce(c.c_mktsegment, 'UNKNOWN') AS key,
+       count(*) AS n_rows
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 2
 """
 
 

@@ -49,6 +49,42 @@ class TestStreaming:
     def test_stream_is_streaming(self, events_stream):
         assert events_stream.isStreaming
 
+    def test_enrich_stream_matches_batch_join(self, spark, sf_dir,
+                                              events_stream):
+        """Stream-static dimension enrichment (availableNow) must equal
+        the batch left join — nothing lost, nothing duplicated."""
+        from faisssearcher_spark.sources.catalog import load_table
+        from faisssearcher_spark.streaming.enrich import enrich_stream
+        cust = load_table(spark, sf_dir, "customer")
+        out = enrich_stream(events_stream, cust, stream_key="user_id",
+                            dim_key="c_custkey", dim_cols=["c_mktsegment"])
+        assert out.isStreaming
+        sev.run_to_memory(out.select("event_id", "c_mktsegment"),
+                          "enrich_vs_batch", output_mode="append")
+        got = {(r["event_id"], r["c_mktsegment"])
+               for r in spark.table("enrich_vs_batch").collect()}
+        ev = load_table(spark, sf_dir, "events")
+        want = {(r["event_id"], r["c_mktsegment"])
+                for r in ev.join(cust, ev.user_id == cust.c_custkey, "left")
+                .select("event_id", "c_mktsegment").collect()}
+        assert got == want
+        assert spark.table("enrich_vs_batch").count() == ev.count()
+
+    def test_enrich_stream_validation(self, spark, sf_dir, events_stream):
+        from faisssearcher_spark.sources.catalog import load_table
+        from faisssearcher_spark.streaming.enrich import enrich_stream
+        cust = load_table(spark, sf_dir, "customer")
+        with pytest.raises(ValueError, match="inner.*left|how"):
+            enrich_stream(events_stream, cust, stream_key="user_id",
+                          dim_key="c_custkey", how="full")
+        with pytest.raises(ValueError, match="lacks"):
+            enrich_stream(events_stream, cust, stream_key="user_id",
+                          dim_key="c_custkey", dim_cols=["nope"])
+        with pytest.raises(ValueError, match="already exist"):
+            enrich_stream(events_stream, cust.withColumnRenamed(
+                "c_mktsegment", "value"), stream_key="user_id",
+                dim_key="c_custkey", dim_cols=["value"])
+
     def test_streaming_curate_matches_batch_semantics(self, spark, documents,
                                                       tmp_path_factory):
         """curate_stream over an availableNow document stream must keep
