@@ -74,18 +74,45 @@ def punct_ratio(c: ColumnOrName) -> Column:
     return F.when(F.length(s) > 0, F.length(stripped) / F.length(s))
 
 
+def quality_score_parts(n_tokens: Column, sw_ratio: Column,
+                        p_ratio: Column) -> Column:
+    """The quality composite over pre-computed parts — the single source
+    of truth for the formula. Callers that already materialized the token
+    array (operators/text_analysis.quality_scores) feed attribute-derived
+    parts so the tokenizer runs once per row; :func:`quality_score` is
+    the convenience form over the raw text column."""
+    length_ok = F.when((n_tokens >= 5) & (n_tokens <= 10000),
+                       F.lit(1.0)).otherwise(0.2)
+    sw_ok = F.when(sw_ratio >= 0.05, F.lit(1.0)).otherwise(0.0)
+    punct = F.coalesce(p_ratio, F.lit(0.0))
+    return length_ok * (0.5 + 0.5 * sw_ok) \
+        * (1.0 - F.least(F.lit(1.0), 3.0 * punct))
+
+
 def quality_score(c: ColumnOrName) -> Column:
     """Composite document-quality heuristic in [0, 1].
 
     Combines length, stopword presence, and punctuation density — the
     standard cheap pre-filter shape for pretraining corpora (C4-style):
     score = length_ok * (0.5 + 0.5*stopword_ok) * (1 - min(1, 3*punct)).
-    """
-    n = token_count(c)
-    length_ok = F.when((n >= 5) & (n <= 10000), F.lit(1.0)).otherwise(0.2)
-    sw_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(1.0)).otherwise(0.0)
-    punct = F.coalesce(punct_ratio(c), F.lit(0.0))
-    return length_ok * (0.5 + 0.5 * sw_ok) * (1.0 - F.least(F.lit(1.0), 3.0 * punct))
+
+    NB: this form re-tokenizes per part (the higher-order-function
+    expressions are CodegenFallback, and the interpreted projection does
+    NOT common-subexpression-eliminate — measured ~18% on the documents
+    corpus). In a projection that computes several token-derived columns,
+    materialize the token array once and use
+    :func:`quality_score_parts`."""
+    return quality_score_parts(token_count(c), stopword_ratio(c),
+                               punct_ratio(c))
+
+
+def token_array_stopword_ratio(toks: Column,
+                               stopwords: tuple[str, ...] = ENGLISH_STOPWORDS
+                               ) -> Column:
+    """stopword_ratio over an already-materialized token-array ATTRIBUTE
+    (tokenize-once discipline; see quality_score notes)."""
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks))
 
 
 def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:

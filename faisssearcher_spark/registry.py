@@ -1826,16 +1826,43 @@ WHERE {_sample_bucket_sql('doc_id', op='sample')} <
 
 
 def q_sample_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget packing: documents hash into 8 shards and greedily cut
-    into ~2000-token training bins within each shard (per-shard windows —
-    no global sort, the shape that survives 100 TB). The oracle replays
-    the identical shard hash + running-sum cut in SQL."""
+    """Token-budget packing, tag-unioned (the 50-cap extension pattern).
+
+    ``docs`` — whole documents hash into 8 shards and greedily cut into
+    ~2000-token training bins within each shard (per-shard windows — no
+    global sort, the shape that survives 100 TB).
+
+    ``chunks`` — the COMPOSED pretraining-prep pipeline:
+    ``chunk_documents`` (64-token windows, 16 overlap) feeds
+    ``pack_token_budget`` (512-token bins) keyed by the stable
+    ``doc_id·1e5 + chunk_idx`` chunk key — proving chunks pack
+    deterministically end-to-end (stable (shard, bin) per chunk key).
+    The oracle replays the identical chunking, shard hash, and
+    running-sum cut in SQL."""
     from faisssearcher_spark.operators import sampling
+    from faisssearcher_spark.operators.text_analysis import chunk_documents
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
-    res = sampling.pack_token_budget(sized, budget=2000, size_col="n_tokens",
-                                     key_col="doc_id", n_shards=8)
-    return res.select("doc_id", "shard", "bin", "n_tokens", "cum_tokens")
+    packed = sampling.pack_token_budget(sized, budget=2000,
+                                        size_col="n_tokens",
+                                        key_col="doc_id", n_shards=8)
+    whole = packed.select(
+        F.lit("docs").alias("tag"), F.col("doc_id").cast("string").alias("key"),
+        "shard", "bin", "n_tokens", "cum_tokens")
+
+    chunks = chunk_documents(docs, max_tokens=64, overlap=16)
+    keyed = chunks.select(
+        (F.col("doc_id") * 100_000 + F.col("chunk_idx")).alias("pack_key"),
+        F.col("n_chunk_tokens"))
+    cpacked = sampling.pack_token_budget(keyed, budget=512,
+                                         size_col="n_chunk_tokens",
+                                         key_col="pack_key", n_shards=8)
+    chunked = cpacked.select(
+        F.lit("chunks").alias("tag"),
+        F.col("pack_key").cast("string").alias("key"),
+        "shard", "bin", F.col("n_chunk_tokens").alias("n_tokens"),
+        "cum_tokens")
+    return whole.unionByName(chunked)
 
 
 ORACLE_SAMPLE_PACK = f"""
@@ -1845,10 +1872,31 @@ WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens,
      c AS (SELECT doc_id, shard, n_tokens,
                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
-           FROM t)
-SELECT doc_id, shard, floor((cum_tokens - n_tokens) / 2000)::INT AS bin,
+           FROM t),
+     tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     ch AS (SELECT doc_id, (s - 1) // 48 AS chunk_idx,
+                   len(list_slice(toks, s, s + 63)) AS n_chunk_tokens
+            FROM (SELECT doc_id, toks, len(toks) AS n
+                  FROM tk WHERE len(toks) > 0) d,
+                 unnest(generate_series(1, greatest(n - 16, 1), 48)) AS u(s)),
+     ck AS (SELECT doc_id * 100000 + chunk_idx AS pack_key, n_chunk_tokens,
+                   ({_sample_bucket_sql('doc_id * 100000 + chunk_idx',
+                                        op='pack')} % 8)::INT AS shard
+            FROM ch),
+     cc AS (SELECT pack_key, shard, n_chunk_tokens,
+                   sum(n_chunk_tokens) OVER (PARTITION BY shard
+                       ORDER BY pack_key
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+            FROM ck)
+SELECT 'docs' AS tag, doc_id::VARCHAR AS key, shard,
+       floor((cum_tokens - n_tokens) / 2000)::INT AS bin,
        n_tokens, cum_tokens
 FROM c
+UNION ALL
+SELECT 'chunks' AS tag, pack_key::VARCHAR AS key, shard,
+       floor((cum_tokens - n_chunk_tokens) / 512)::INT AS bin,
+       n_chunk_tokens AS n_tokens, cum_tokens
+FROM cc
 """
 
 

@@ -134,6 +134,23 @@ class TestANN:
         # nprobe=half the cells → recall should be high (≥0.9 per BASELINE.md)
         assert _recall(approx, exact10) >= 0.9
 
+    def test_ivf_recall_monotone_in_nprobe(self, queries, embeddings,
+                                           exact10):
+        """Recall@10 must be non-decreasing in nprobe and reach 1.0 at
+        nprobe=n_cells (full probe = exact) — the invariant that catches
+        spherical-assignment regressions (r4 verdict #8): a broken
+        assignment shows up as a recall curve that flattens or dips."""
+        index = ann.IVFIndex(n_cells=8, nprobe=1, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        recalls = []
+        for nprobe in (1, 2, 4, 8):
+            index.nprobe = nprobe
+            approx = index.search(queries, k=10, query_item_col="qid")
+            recalls.append(_recall(approx, exact10))
+        assert recalls == sorted(recalls), recalls
+        assert recalls[-1] == 1.0
+        assert recalls[0] > 0.0  # even 1 probe finds the self-cell matches
+
     def test_ivf_full_probe_is_exact(self, queries, embeddings, exact10):
         index = ann.IVFIndex(n_cells=4, nprobe=4, metric="cos").fit(
             embeddings, item_key_col="vec_id", item_vec_col="embedding")
