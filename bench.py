@@ -138,8 +138,24 @@ def main() -> None:
             best = min(best, time.time() - t0)
         isolated[name] = round(best, 3)
 
+    # scale sweep (r4 verdict #2): measure — not just plan-argue — that the
+    # unbounded-scale paths (knn strategy matrix, minhash LSH, sign-LSH
+    # embedding near-dup) stay linear when the corpus grows 10× (sf0.1 ×10
+    # ≈ sf1). time_ratio ≲ factor per query is the criterion; see
+    # faisssearcher_spark/scalebench.py for corpus synthesis + LSH sizing.
+    scale = None
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        from faisssearcher_spark.scalebench import run_scale_sweep
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+        scale = run_scale_sweep(spark, sf_dir, factor=factor)
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # The driver keeps only the LAST 2000 chars of stdout and json-parses
+    # the final line (BENCH_r04 failed to parse at 34 queries × 3 dicts ≈
+    # 2800 chars). So: full detail → BENCH_DETAIL.json next to this file;
+    # stdout gets a compact line (cold per-query at 2 decimals + totals +
+    # scale ratios) that stays comfortably under the cap.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -148,8 +164,33 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_isolated": isolated,
         "value_isolated": round(sum(isolated.values()), 3),
+        "scale": scale,
         "sf": sf,
-    }))
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "value_warm": detail["value_warm"],
+        "value_isolated": detail["value_isolated"],
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if scale is not None:
+        compact["scale"] = {
+            "factor": scale["factor"],
+            "time_ratios": {k: q.get("time_ratio")
+                            for k, q in scale["queries"].items()},
+        }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail cap
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

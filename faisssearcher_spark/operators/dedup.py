@@ -416,7 +416,8 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
                            lsh_tables: int = 8, lsh_bits: int = 4,
                            lsh_seed: int = 42,
                            lsh_dim: int | None = None,
-                           lsh_planes: str = "random") -> DataFrame:
+                           lsh_planes: str = "random",
+                           lsh_impl: str = "auto") -> DataFrame:
     """Semantic near-duplicate pairs: cosine(a, b) ≥ threshold, id_a < id_b.
 
     Strategies:
@@ -453,12 +454,23 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     the blocked kernel's matmul is verified against the SQL oracle in the
     gate); lsh is exact on every pair it emits and misses a quantified
     tail.
+
+    ``lsh_impl`` picks how the sign bits are computed: ``"expr"`` —
+    pure-SQL projection chains, bit-identical to the DuckDB oracle;
+    ``"gemm"`` — one numpy float64 GEMM per Arrow batch (the IVF
+    assignment pattern), ~100× the interpreted HOF expression once
+    ``tables·bits·dim`` is large; ``"auto"`` (default) switches to gemm
+    above ``LSH_GEMM_WORK_THRESHOLD`` multiply-adds per row. Both
+    impls use the same hyperplanes; they can differ only when a
+    projection lands within 1 ulp of zero (accumulation order), and
+    exact verification confines any such difference to the recall tail.
     """
     if strategy == "lsh":
         return _embedding_pairs_lsh(
             df, id_col=id_col, vec_col=vec_col, threshold=threshold,
             score_scale=score_scale, tables=lsh_tables, bits=lsh_bits,
-            seed=lsh_seed, dim=lsh_dim, planes_mode=lsh_planes)
+            seed=lsh_seed, dim=lsh_dim, planes_mode=lsh_planes,
+            impl=lsh_impl)
     if strategy == "catalyst":
         from faisssearcher_spark.functions.vector import l2_normalize
 
@@ -532,11 +544,22 @@ def lsh_hyperplanes(tables: int, bits: int, dim: int, seed: int):
     return rng.standard_normal((tables * bits, dim))
 
 
+#: above this many multiply-adds per row (tables·bits·dim), the sign-LSH
+#: bucket computation auto-switches from the SQL expression form to one
+#: numpy GEMM per Arrow batch. The expression form is CodegenFallback
+#: (higher-order functions never codegen) — interpreted eval costs ~100×
+#: a BLAS flop, which is irrelevant at the gate's 8×4×64 but dominates
+#: once bits grow with log(n) as corpus-sized LSH requires (the same
+#: literals-vs-GEMM cliff IVF assignment hit at 4096×768, NOTES.md).
+LSH_GEMM_WORK_THRESHOLD = 4096
+
+
 def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
                          threshold: float, score_scale: int | None,
                          tables: int, bits: int, seed: int,
                          dim: int | None,
-                         planes_mode: str = "random") -> DataFrame:
+                         planes_mode: str = "random",
+                         impl: str = "auto") -> DataFrame:
     """OR-amplified sign-LSH candidate generation + exact verification.
     See ``embedding_cosine_pairs(strategy="lsh")``."""
     from faisssearcher_spark.functions.vector import l2_normalize
@@ -545,6 +568,8 @@ def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
         raise ValueError("lsh_tables and lsh_bits must be >= 1")
     if planes_mode not in ("random", "axis"):
         raise ValueError("lsh_planes must be 'random' or 'axis'")
+    if impl not in ("auto", "expr", "gemm"):
+        raise ValueError("lsh_impl must be 'auto', 'expr' or 'gemm'")
 
     v = M.as_double(vec_col)
     # one-row probe: the true vector length. Runs even when lsh_dim was
@@ -593,10 +618,53 @@ def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
             out = out + F.when(proj(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         return out.cast("int")
 
-    tb = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
-        .alias("t", "bucket"))
+    if impl == "auto":
+        impl = ("gemm" if planes_mode == "random"
+                and tables * bits * vec_len >= LSH_GEMM_WORK_THRESHOLD
+                else "expr")
+    if impl == "gemm" and planes_mode != "random":
+        # axis bits are a single element_at each — nothing to vectorize
+        impl = "expr"
+
+    if impl == "gemm":
+        # One float64 GEMM per Arrow batch: (batch × dim) @ (dim ×
+        # tables·bits) → sign bits → per-table bucket ints. Bit-parity
+        # caveat vs the expression form: matmul accumulation order
+        # differs from the left-assoc fold, so a projection landing
+        # within 1 ulp of 0 can flip a bit — candidates differ only in
+        # that measure-zero tail, and exact verification makes any
+        # difference a recall-tail effect, never a precision one. The
+        # DuckDB-gated path (8×4×64) stays on "expr" for bit-parity.
+        import numpy as np
+
+        P = np.asarray(planes, dtype=np.float64).T  # (dim, tables*bits)
+        pow2 = (1 << np.arange(bits)).astype(np.int64)
+        n_tables = tables
+        id_type = df.schema[id_col].dataType.simpleString()
+        src = df.select(F.col(id_col).alias("id"), v.alias("__v"))
+
+        def _buckets(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                B = (V @ P >= 0).reshape(len(pdf), n_tables, -1)
+                bk = (B * pow2).sum(axis=2).astype(np.int32)
+                ids = pdf["id"].to_numpy()
+                yield pd.DataFrame({
+                    "id": np.repeat(ids, n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32),
+                                 len(pdf)),
+                    "bucket": bk.reshape(-1)})
+
+        tb = src.mapInPandas(_buckets, schema=f"id {id_type}, t int, "
+                                              "bucket int")
+    else:
+        tb = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
+            .alias("t", "bucket"))
     a, b = tb.alias("a"), tb.alias("b")
     cand = (
         a.join(b, (F.col("a.t") == F.col("b.t"))
@@ -740,3 +808,90 @@ def _dedup_clusters_driver(spark, rows) -> DataFrame:
 
     labels = [(x, find(x)) for x in parent]
     return spark.createDataFrame(labels, "id long, cluster_id long")
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line / segment dedup
+# ---------------------------------------------------------------------------
+
+def dedup_segments(segments: DataFrame, *, id_col: str = "doc_id",
+                   pos_col: str = "pos",
+                   seg_col: str = "segment") -> DataFrame:
+    """Corpus-global keep-first segment dedup (the C4 three-sentence-span /
+    line dedup shape, Raffel et al. 2020 §2.2): of all occurrences of an
+    identical segment across the ENTIRE corpus, only the first — ordered
+    by ``(id, pos)`` — survives; every later occurrence (including
+    repeats inside the same document) is removed.
+
+    Input: one row per segment occurrence ``(id, pos, segment)``.
+    Output: the surviving occurrences, same three columns.
+
+    Scale shape: ONE aggregation keyed by the segment text —
+    ``groupBy(segment).agg(min(struct(id, pos)))`` — whose partial
+    (map-side) combine collapses hot segments *before* the shuffle, so a
+    boilerplate line appearing a billion times shuffles once per input
+    partition, not once per occurrence (the window-function formulation
+    ``row_number() over (partition by segment)`` has no partial agg and
+    sends every occurrence to one reducer — this is why the agg form is
+    used). The survivors ARE the aggregate output: no join back is
+    needed. Shuffle volume ∝ distinct segments.
+    """
+    first = F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("__first")
+    return (segments
+            .groupBy(seg_col).agg(first)
+            .select(F.col(f"__first.{id_col}").alias(id_col),
+                    F.col(f"__first.{pos_col}").alias(pos_col),
+                    F.col(seg_col)))
+
+
+def dedup_lines(df: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text", sep: str = "\n",
+                min_chars: int = 1,
+                drop_empty_docs: bool = True) -> DataFrame:
+    """C4-style global line dedup over a document corpus: split each
+    document on ``sep``, remove every duplicate occurrence of a line
+    corpus-wide (keep-first by ``(id, line position)`` — see
+    :func:`dedup_segments`), and reassemble each document from its
+    surviving lines in original order.
+
+    Lines shorter than ``min_chars`` are dropped outright (C4 drops
+    too-short lines; this also keeps empty lines from forming one giant
+    skew bucket). Documents with no surviving lines are dropped when
+    ``drop_empty_docs`` (C4 semantics), else kept with empty text.
+
+    Output: ``(id, text, n_lines, n_kept_lines)`` where ``n_lines``
+    counts the document's post-``min_chars`` lines before dedup.
+
+    Scale shape: split/explode map-side; one segment-keyed agg
+    (skew-absorbed, see :func:`dedup_segments`); two id-keyed aggs that
+    AQE co-plans. No O(n²) anywhere; shuffle ∝ lines.
+    """
+    lines = (df.select(F.col(id_col),
+                       F.posexplode_outer(F.split(F.col(text_col),
+                                                  _re_escape(sep)))
+                       .alias("pos", "line"))
+             .filter(F.length("line") >= min_chars))
+    per_doc = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    kept = dedup_segments(lines, id_col=id_col, pos_col="pos",
+                          seg_col="line")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            sep).alias(text_col),
+        F.count("*").alias("n_kept_lines"))
+    how = "inner" if drop_empty_docs else "left"
+    out = per_doc.join(rebuilt, id_col, how)
+    if not drop_empty_docs:
+        out = out.withColumn(text_col, F.coalesce(text_col, F.lit(""))) \
+                 .withColumn("n_kept_lines",
+                             F.coalesce("n_kept_lines", F.lit(0)))
+    return out.select(id_col, text_col, "n_lines", "n_kept_lines")
+
+
+def _re_escape(sep: str) -> str:
+    """Escape a literal separator for F.split's regex argument."""
+    import re
+
+    return re.escape(sep)

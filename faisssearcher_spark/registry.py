@@ -857,20 +857,72 @@ SELECT doc_id, coalesce(b.lang, 'und') AS lang_pred FROM best
 
 
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprints, EXTENDED (the 50-cap column-extension
+    pattern) with the C4-style global segment dedup: documents chunk
+    into 10-token segments, every duplicate segment occurrence corpus-
+    wide is removed keep-first by (doc_id, chunk_idx)
+    (``dedup_segments`` — one skew-absorbed agg keyed by segment text),
+    and each doc reports how many of its segments survived plus the md5
+    of its reassembled deduped text ('' when nothing survived)."""
+    from faisssearcher_spark.operators.dedup import dedup_segments
+    from faisssearcher_spark.operators.text_analysis import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.fingerprints(docs)
+    fp = text_analysis.fingerprints(docs)
+
+    chunks = chunk_documents(docs, max_tokens=10, overlap=0)
+    totals = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"))
+    kept = dedup_segments(chunks, id_col="doc_id", pos_col="chunk_idx",
+                          seg_col="chunk_text")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept_chunks"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"]),
+            " ")).alias("dedup_hash"))
+    return (fp.join(totals, "doc_id", "left")
+              .join(rebuilt, "doc_id", "left")
+              .select("doc_id", "fingerprint", "rolling_hash",
+                      F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+                      F.coalesce("n_kept_chunks", F.lit(0))
+                       .alias("n_kept_chunks"),
+                      F.coalesce("dedup_hash", F.lit(""))
+                       .alias("dedup_hash")))
 
 
 ORACLE_FINGERPRINTS = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           list_transform(toks, x -> lower(x)))), ' ')) AS fingerprint,
-       list_reduce(
-           list_prepend(0::BIGINT,
-               list_transform(toks, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT)),
-           (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
-FROM t
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     f AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(
+                      list_transform(toks, x -> lower(x)))), ' ')) AS fingerprint,
+                  list_reduce(
+                      list_prepend(0::BIGINT,
+                          list_transform(toks, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT)),
+                      (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+           FROM t),
+     ch AS (SELECT doc_id, (s - 1) // 10 AS chunk_idx,
+                   array_to_string(list_slice(toks, s, s + 9), ' ') AS chunk_text
+            FROM (SELECT doc_id, toks, len(toks) AS n
+                  FROM t WHERE len(toks) > 0) d,
+                 unnest(generate_series(1, greatest(n, 1), 10)) AS u(s)),
+     tot AS (SELECT doc_id, count(*)::INT AS n_chunks FROM ch GROUP BY doc_id),
+     kept AS (SELECT doc_id, chunk_idx, chunk_text
+              FROM (SELECT *, row_number() OVER (PARTITION BY chunk_text
+                        ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+              WHERE rn = 1),
+     reb AS (SELECT doc_id, count(*)::INT AS n_kept_chunks,
+                    md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS dedup_hash
+             FROM kept GROUP BY doc_id)
+SELECT f.doc_id, f.fingerprint, f.rolling_hash,
+       coalesce(tot.n_chunks, 0) AS n_chunks,
+       coalesce(reb.n_kept_chunks, 0) AS n_kept_chunks,
+       coalesce(reb.dedup_hash, '') AS dedup_hash
+FROM f
+LEFT JOIN tot ON f.doc_id = tot.doc_id
+LEFT JOIN reb ON f.doc_id = reb.doc_id
 """
 
 

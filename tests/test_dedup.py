@@ -143,6 +143,34 @@ class TestEmbeddingCosine:
         assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} \
             <= {(r["id_a"], r["id_b"]) for r in exact.collect()}
 
+    def test_lsh_gemm_impl_matches_expr(self, embeddings):
+        """The vectorized GEMM bucket path emits the same verified pairs
+        as the SQL expression path (same hyperplanes; differences only
+        possible within 1 ulp of a zero projection)."""
+        kw = dict(threshold=0.45, score_scale=4, strategy="lsh")
+        expr = dedup.embedding_cosine_pairs(embeddings, lsh_impl="expr", **kw)
+        gemm = dedup.embedding_cosine_pairs(embeddings, lsh_impl="gemm", **kw)
+        assert sorted(map(tuple, expr.collect())) \
+            == sorted(map(tuple, gemm.collect()))
+
+    def test_lsh_impl_auto_dispatch(self, embeddings):
+        """auto stays on the oracle-parity expr path at the gate's work
+        size (8·4·64 = 2048) and switches to the Arrow GEMM above the
+        threshold (8·16·64 = 8192)."""
+        small = dedup.embedding_cosine_pairs(
+            embeddings, strategy="lsh", lsh_bits=4)
+        big = dedup.embedding_cosine_pairs(
+            embeddings, strategy="lsh", lsh_bits=16)
+        assert "MapInPandas" not in small._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "MapInPandas" in big._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    def test_lsh_impl_validates(self, embeddings):
+        with pytest.raises(ValueError, match="lsh_impl"):
+            dedup.embedding_cosine_pairs(embeddings, strategy="lsh",
+                                         lsh_impl="vectorized")
+
     def test_lsh_axis_mode_validates_dim(self, spark):
         """r3 ADVICE: axis-aligned bits past the vector length were
         silently constant (element_at null). Now axis mode requires

@@ -149,3 +149,22 @@ class TestGridAndSamplingPlans:
         plan = inspect.executed_plan(
             sampling.hash_sample(documents, 0.3, key_col="doc_id"))
         assert "Exchange" not in plan  # no shuffle, no state
+
+
+class TestSegmentDedupPlan:
+    def test_segment_agg_has_partial_combine(self, documents):
+        """dedup_segments' keep-first is groupBy(segment).agg(min(struct))
+        BECAUSE the aggregate form partial-combines hot segments map-side
+        before the shuffle; a window (row_number over partition by
+        segment) has no partial step and funnels every occurrence of a
+        boilerplate line to one reducer. Pin: two HashAggregate nodes
+        (partial + final) keyed on the segment, and no Window."""
+        from faisssearcher_spark.operators.dedup import dedup_lines
+
+        plan = inspect.executed_plan(
+            dedup_lines(documents.withColumn(
+                "text", F.regexp_replace("text", " ", "\n"))))
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_min" in plan
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,87 @@
+"""Scale-sweep corpus synthesis invariants (faisssearcher_spark/scalebench.py).
+
+The sweep's measurements are only meaningful if the synthetic N× corpora
+preserve the base corpus's *statistics per row* while keeping replicas
+mutually dissimilar (so candidate/pair output grows linearly, not
+quadratically in replica cliques). These tests pin exactly that.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.scalebench import (scaled_documents,
+                                            scaled_embeddings)
+
+
+@pytest.fixture(scope="module")
+def emb3(embeddings):
+    return scaled_embeddings(embeddings, 3).cache()
+
+
+@pytest.fixture(scope="module")
+def docs2(documents):
+    return scaled_documents(documents, 2).cache()
+
+
+def test_embeddings_row_count_and_id_space(embeddings, emb3):
+    n = embeddings.count()
+    assert emb3.count() == 3 * n
+    assert emb3.select("vec_id").distinct().count() == 3 * n
+
+
+def test_embeddings_replica_zero_is_identity(embeddings, emb3):
+    base = {r["vec_id"]: r["embedding"]
+            for r in embeddings.select("vec_id", "embedding").collect()}
+    rep0 = emb3.filter(F.col("vec_id") % 3 == 0) \
+        .select((F.col("vec_id") / 3).cast("long").alias("vec_id"),
+                "embedding").collect()
+    assert len(rep0) == len(base)
+    for r in rep0:
+        assert r["embedding"] == base[r["vec_id"]]
+
+
+def test_embeddings_replicas_sign_flip_only(embeddings, emb3):
+    # every replica's coordinates are ±base coordinate (norms preserved,
+    # direction randomized) and at least one coordinate actually flips
+    base = {r["vec_id"]: r["embedding"]
+            for r in embeddings.select("vec_id", "embedding").collect()}
+    reps = emb3.filter(F.col("vec_id") % 3 != 0).limit(50).collect()
+    for r in reps:
+        bvec = base[r["vec_id"] // 3]
+        vec = r["embedding"]
+        assert len(vec) == len(bvec)
+        assert all(abs(a) == abs(b) for a, b in zip(vec, bvec))
+        assert any(a != b for a, b in zip(vec, bvec))
+
+
+def test_embeddings_deterministic(embeddings, emb3):
+    again = scaled_embeddings(embeddings, 3)
+    assert emb3.exceptAll(again).count() == 0
+    assert again.exceptAll(emb3).count() == 0
+
+
+def test_documents_row_count_and_token_stats(documents, docs2):
+    n = documents.count()
+    assert docs2.count() == 2 * n
+    # token counts are preserved per replica (shingle-set sizes too)
+    base_tok = documents.select(
+        F.col("doc_id"), F.size(F.split("text", r"\s+")).alias("nt"))
+    rep_tok = docs2.select(
+        (F.col("doc_id") / 2).cast("long").alias("doc_id"),
+        F.size(F.split("text", r"\s+")).alias("nt"))
+    joined = base_tok.alias("b").join(rep_tok.alias("r"), "doc_id") \
+        .filter(F.col("b.nt") != F.col("r.nt"))
+    assert joined.count() == 0
+
+
+def test_documents_no_cross_replica_token_collisions(documents, docs2):
+    # replica 1 of a doc shares NO token with its replica 0 (so shingle
+    # buckets/posting lists grow linearly — no manufactured dup cliques)
+    pairs = docs2.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("k"),
+        F.split("text", r"\s+").alias("t0")) \
+        .join(docs2.filter(F.col("doc_id") % 2 == 1).select(
+            ((F.col("doc_id") - 1) / 2).cast("long").alias("k"),
+            F.split("text", r"\s+").alias("t1")), "k") \
+        .select(F.size(F.array_intersect("t0", "t1")).alias("common"))
+    assert pairs.filter(F.col("common") > 0).count() == 0
