@@ -146,3 +146,34 @@ def hash_split(df: DataFrame, *, key_col: str, test_fraction: float = 0.01,
         split_col,
         F.when(sample_bucket(key_col, seed, op="split") < threshold, F.lit("test"))
         .otherwise(F.lit("train")))
+
+
+def cap_per_group(df: DataFrame, *, group_col: str, cap: int,
+                  key_col: str, seed: int = 42) -> DataFrame:
+    """Per-group quota: keep at most ``cap`` rows per ``group_col`` value,
+    chosen deterministically by hash order — the "max N documents per
+    domain/source" operator a crawl-derived corpus needs so one giant
+    host can't dominate the mixture.
+
+    Which rows survive is a pure function of (key, seed, cap): rows rank
+    within their group by their md5 bucket (op-salt 'cap', independent of
+    the samplers' draws; ties broken by key), and rank ≤ cap survives.
+    Raising ``cap`` only ever ADDS rows — monotone like
+    :func:`hash_sample` — and a group's survivor set is stable under
+    repartitioning. Appending rows CAN displace old survivors (a new row
+    may hash below an old one): an exact quota is necessarily a property
+    of the whole group, unlike Bernoulli membership.
+
+    Scale shape: one shuffle on ``group_col`` + a rank filter that
+    Catalyst rewrites to WindowGroupLimit (pinned in tests/test_plans.py)
+    — every map task forwards at most ``cap`` rows per group it has seen,
+    so a billion-row hot domain ships ~cap·n_partitions rows, not a
+    billion, and the reducer never materializes the full group.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(key_col, seed, op="cap").asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= cap)
+              .drop("__rn"))

@@ -139,3 +139,68 @@ def chunk_documents(df: DataFrame, *, max_tokens: int = 512,
         F.col(id_col), "chunk_idx",
         F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
         F.size(F.col("__chunk")).alias("n_chunk_tokens"))
+
+
+def fit_token_frequencies(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Reference-corpus vocabulary: one row per distinct whitespace token
+    with its corpus-wide occurrence count (``tf``) and document frequency
+    (``df``) — the fit half of the CCNet-style frequency filter
+    (score a crawl against a trusted reference corpus; Wenzek et al.
+    2020 use a reference LM, this is the exact-arithmetic relational
+    analog that a DuckDB oracle can replay).
+
+    Scale shape: explode → one (id, token) agg → one token agg; shuffle
+    ∝ distinct (doc, token) then distinct tokens. Zipf makes the output
+    tiny relative to the corpus.
+    """
+    ex = (df.select(F.col(id_col).alias("__id"),
+                    F.explode_outer(T.tokens(text_col)).alias("token"))
+          .filter(F.col("token").isNotNull()))
+    per_doc = ex.groupBy("__id", "token").agg(
+        F.count("*").alias("__occ"))
+    return per_doc.groupBy("token").agg(
+        F.sum("__occ").alias("tf"),
+        F.count("*").alias("df"))
+
+
+def token_frequency_score(df: DataFrame, vocab: DataFrame, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          token_col: str = "token",
+                          tf_col: str = "tf") -> DataFrame:
+    """Per-document commonness against a reference vocabulary, in EXACT
+    integers (engine-portable, unlike a log-prob float whose reduction
+    order differs across engines): ``sum_ref_tf`` — the summed reference
+    term frequency of the document's tokens (high ⇒ the doc is made of
+    tokens the reference corpus uses a lot), and ``n_oov`` — how many of
+    its tokens the reference has never seen (high ⇒ junk, another
+    language, or novel vocabulary). Downstream filters threshold on
+    ``sum_ref_tf / n_tokens`` and ``n_oov / n_tokens``; keeping the
+    integer numerators exact leaves the (lossy) division to the caller.
+
+    Scale shape: explode → equi-join on the token → per-doc agg. The
+    vocabulary is Zipf-small, so AQE broadcasts it at bench scale; at a
+    vocabulary too large to broadcast the same plan degrades gracefully
+    to a shuffled hash join on the token. Empty documents survive with
+    zeros (right join back onto the id set).
+    """
+    ids = df.select(F.col(id_col))
+    ex = (df.select(F.col(id_col),
+                    F.explode_outer(T.tokens(text_col)).alias("__tok"))
+          .filter(F.col("__tok").isNotNull()))
+    v = vocab.select(F.col(token_col).alias("__tok"),
+                     F.col(tf_col).alias("__tf"))
+    agg = (ex.join(v, "__tok", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.coalesce("__tf", F.lit(0))).alias("sum_ref_tf"),
+                F.sum(F.when(F.col("__tf").isNull(), 1).otherwise(0))
+                 .alias("n_oov")))
+    return (ids.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("sum_ref_tf", F.lit(0)).cast("long")
+                     .alias("sum_ref_tf"),
+                    F.coalesce("n_oov", F.lit(0)).cast("long")
+                     .alias("n_oov")))

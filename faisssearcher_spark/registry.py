@@ -734,18 +734,42 @@ SELECT 'lsh' AS strategy, * FROM ({_oracle_emb_lsh()})
 # ===========================================================================
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats, EXTENDED (50-cap column pattern) with the
+    CCNet-style reference-frequency score: a vocabulary is fit on the
+    src1 slice (`fit_token_frequencies`) and every document reports the
+    summed reference term frequency of its tokens plus its
+    out-of-reference-vocabulary token count — exact integers, so the
+    DuckDB twin matches bit-for-bit where a float log-prob could not."""
     docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.token_stats(docs)
+    stats = text_analysis.token_stats(docs)
+    ref = text_analysis.fit_token_frequencies(
+        docs.filter(F.col("source") == "src1"))
+    score = text_analysis.token_frequency_score(docs, ref) \
+        .select("doc_id", "sum_ref_tf", "n_oov")
+    return stats.join(score, "doc_id")
 
 
 ORACLE_TOKEN_STATS = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-SELECT doc_id,
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     ref AS (SELECT tok, count(*)::BIGINT AS tf
+             FROM (SELECT unnest({_TOKS}) AS tok
+                   FROM documents WHERE source = 'src1')
+             GROUP BY tok),
+     ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+     sc AS (SELECT ex.doc_id,
+                   sum(coalesce(ref.tf, 0))::BIGINT AS sum_ref_tf,
+                   sum(CASE WHEN ref.tf IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_oov
+            FROM ex LEFT JOIN ref ON ex.tok = ref.tok
+            GROUP BY ex.doc_id)
+SELECT t.doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
        list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::INT))::INT AS n_bpe_tokens,
-       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len
-FROM t
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len,
+       coalesce(sc.sum_ref_tf, 0) AS sum_ref_tf,
+       coalesce(sc.n_oov, 0) AS n_oov
+FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
 """
 
 
@@ -1843,18 +1867,36 @@ def _sample_bucket_sql(key_sql: str, seed: int = 42, op: str = "") -> str:
 
 
 def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 25% Bernoulli sample of documents by doc_id hash —
+    """Deterministic samplers, tag-unioned (the 50-cap extension pattern):
+
+    ``bernoulli`` — 25% Bernoulli sample of documents by doc_id hash,
     reproducible engine-to-engine (the oracle recomputes membership row
-    by row), shuffle-free, monotone in the fraction."""
+    by row), shuffle-free, monotone in the fraction.
+
+    ``cap`` — per-source quota (``cap_per_group``, ≤ 30 docs per source
+    by independent 'cap'-salted hash order): the "max N docs per domain"
+    crawl-balance operator; the oracle replays the identical rank with a
+    row_number window."""
     from faisssearcher_spark.operators import sampling
     docs = load_table(spark, sf_dir, "documents")
-    res = sampling.hash_sample(docs, 0.25, key_col="doc_id")
-    return res.select("doc_id", "lang", "source")
+    bern = sampling.hash_sample(docs, 0.25, key_col="doc_id") \
+        .select(F.lit("bernoulli").alias("tag"), "doc_id", "lang", "source")
+    capped = sampling.cap_per_group(docs, group_col="source", cap=30,
+                                    key_col="doc_id") \
+        .select(F.lit("cap").alias("tag"), "doc_id", "lang", "source")
+    return bern.unionByName(capped)
 
 
 ORACLE_SAMPLE_HASH = f"""
-SELECT doc_id, lang, source FROM documents
+SELECT 'bernoulli' AS tag, doc_id, lang, source FROM documents
 WHERE {_sample_bucket_sql('doc_id', op='sample')} < 250000
+UNION ALL
+SELECT 'cap' AS tag, doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY source ORDER BY
+               {_sample_bucket_sql('doc_id', op='cap')}, doc_id) AS rn
+    FROM documents)
+WHERE rn <= 30
 """
 
 

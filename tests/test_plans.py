@@ -168,3 +168,17 @@ class TestSegmentDedupPlan:
         assert "partial_min" in plan
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestCapPerGroupPlan:
+    def test_rank_limit_pushdown(self, documents):
+        """cap_per_group's rank<=cap filter must compile to
+        WindowGroupLimit (map-side per-group limit before the shuffle) —
+        the bounded-shuffle property that makes an exact per-domain
+        quota survive a billion-row hot domain."""
+        from faisssearcher_spark.operators import sampling
+
+        plan = inspect.executed_plan(
+            sampling.cap_per_group(documents, group_col="source", cap=5,
+                                   key_col="doc_id"))
+        assert "WindowGroupLimit" in plan

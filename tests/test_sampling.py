@@ -160,3 +160,52 @@ class TestHashSplit:
         assert counts.get("train", 0) > 0 and counts.get("test", 0) > 0
         # binomial(n, 0.2) — allow a generous band, the degenerate case is 1.0
         assert counts["test"] / n < 0.6
+
+
+class TestCapPerGroup:
+    def test_caps_every_group(self, documents):
+        out = sampling.cap_per_group(documents, group_col="source", cap=7,
+                                     key_col="doc_id")
+        sizes = {r["source"]: r["n"] for r in
+                 out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        orig = {r["source"]: r["n"] for r in
+                documents.groupBy("source").agg(F.count("*").alias("n"))
+                .collect()}
+        assert sizes
+        for src, n in sizes.items():
+            assert n == min(7, orig[src])
+
+    def test_monotone_in_cap(self, documents):
+        small = _ids(sampling.cap_per_group(documents, group_col="source",
+                                            cap=3, key_col="doc_id"))
+        big = _ids(sampling.cap_per_group(documents, group_col="source",
+                                          cap=10, key_col="doc_id"))
+        assert small <= big
+
+    def test_partition_invariant(self, documents):
+        a = _ids(sampling.cap_per_group(documents, group_col="source",
+                                        cap=5, key_col="doc_id"))
+        b = _ids(sampling.cap_per_group(documents.repartition(13),
+                                        group_col="source", cap=5,
+                                        key_col="doc_id"))
+        assert a == b and a
+
+    def test_decorrelated_from_bernoulli(self, documents):
+        """'cap'-salted rank order must not replay the 'sample' draw: the
+        cap survivors are not simply the lowest 'sample'-bucket rows."""
+        capped = _ids(sampling.cap_per_group(documents, group_col="source",
+                                             cap=20, key_col="doc_id"))
+        n = len(capped)
+        by_sample_bucket = documents.withColumn(
+            "__b", sampling.sample_bucket("doc_id", op="sample"))
+        w = __import__("pyspark").sql.Window.partitionBy("source") \
+            .orderBy("__b", "doc_id")
+        sample_rank = _ids(by_sample_bucket.withColumn(
+            "__rn", F.row_number().over(w)).filter(F.col("__rn") <= 20))
+        assert len(sample_rank) == n
+        assert capped != sample_rank
+
+    def test_validates_cap(self, documents):
+        with pytest.raises(ValueError, match="cap"):
+            sampling.cap_per_group(documents, group_col="source", cap=0,
+                                   key_col="doc_id")

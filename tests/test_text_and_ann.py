@@ -305,3 +305,44 @@ class TestIvfPayload:
         want = {r["vec_id"]: r["label"]
                 for r in embeddings.select("vec_id", "label").collect()}
         assert all(want[r["sim_item"]] == r["label"] for r in res)
+
+
+class TestTokenFrequencyScore:
+    @pytest.fixture(scope="class")
+    def ref_corpus(self, spark):
+        rows = [(1, "the cat sat"), (2, "the dog sat sat")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_fit_counts(self, ref_corpus):
+        from faisssearcher_spark.operators.text_analysis import \
+            fit_token_frequencies
+
+        vocab = {r["token"]: (r["tf"], r["df"])
+                 for r in fit_token_frequencies(ref_corpus).collect()}
+        assert vocab == {"the": (2, 2), "cat": (1, 1), "sat": (3, 2),
+                         "dog": (1, 1)}
+
+    def test_score_exact_ints_and_oov(self, spark, ref_corpus):
+        from faisssearcher_spark.operators.text_analysis import (
+            fit_token_frequencies, token_frequency_score)
+
+        vocab = fit_token_frequencies(ref_corpus)
+        target = spark.createDataFrame(
+            [(10, "the the zebra"),   # tf(the)=2 twice + 1 OOV
+             (11, ""),                # empty doc -> zeros, still present
+             (12, "sat")],            # tf(sat)=3
+            "doc_id long, text string")
+        out = {r["doc_id"]: (r["n_tokens"], r["sum_ref_tf"], r["n_oov"])
+               for r in token_frequency_score(target, vocab).collect()}
+        assert out[10] == (3, 4, 1)
+        assert out[11] == (0, 0, 0)
+        assert out[12] == (1, 3, 0)
+
+    def test_scoring_own_corpus_has_no_oov(self, documents):
+        from faisssearcher_spark.operators.text_analysis import (
+            fit_token_frequencies, token_frequency_score)
+
+        vocab = fit_token_frequencies(documents)
+        scored = token_frequency_score(documents, vocab)
+        assert scored.filter(F.col("n_oov") > 0).count() == 0
+        assert scored.count() == documents.count()
