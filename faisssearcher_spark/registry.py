@@ -496,18 +496,64 @@ FROM ranked WHERE rn <= 3
 # 3. dedup suite
 # ===========================================================================
 
+#: bloom gate config — small enough that the oracle's position set stays
+#: a cheap CTE, big enough for a real (≈2-3%) false-positive rate at
+#: sf0.01's 50 src1 keys, so the gate exercises FPs, not just members
+_BLOOM_BITS, _BLOOM_HASHES = 1024, 4
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one survivor (min doc_id) per (lang, source) key."""
+    """Dedup membership, tag-unioned (the 50-cap extension pattern):
+
+    ``exact`` — one survivor (min doc_id) per (lang, source) key.
+
+    ``bloom_known`` — docs flagged as possible members of a Bloom filter
+    fit on the src1 doc_ids (``operators/bloom.py``, md5 hashing): the
+    incremental-ingest screen. The decision — all k md5-derived bit
+    positions present in the fit set's position set — is deterministic,
+    so even the APPROXIMATE filter is exactly oracle-checkable: the
+    DuckDB twin rebuilds the position set and replays the k IN-tests,
+    false positives included."""
+    from faisssearcher_spark.operators.bloom import fit_bloom
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.dedup_exact(docs, ["lang", "source"], tie_col="doc_id") \
-        .select("doc_id", "lang", "source")
+    exact = dedup.dedup_exact(docs, ["lang", "source"], tie_col="doc_id") \
+        .select(F.lit("exact").alias("tag"), "doc_id", "lang", "source")
+    bf = fit_bloom(docs.filter(F.col("source") == "src1"),
+                   key_col="doc_id", n_bits=_BLOOM_BITS,
+                   n_hashes=_BLOOM_HASHES, hash_method="md5")
+    known = bf.filter_known(docs, "doc_id") \
+        .select(F.lit("bloom_known").alias("tag"), "doc_id", "lang",
+                "source")
+    return exact.unionByName(known)
 
 
-ORACLE_DEDUP_EXACT = """
-SELECT doc_id, lang, source FROM (
+def _oracle_bloom_pos(i: int, key_sql: str) -> str:
+    """DuckDB twin of bloom_position_exprs(hash_method='md5')."""
+    return (f"(('0x' || substring(md5('bloom{i}|42|' || {key_sql}), 1, 8))"
+            f"::BIGINT % {_BLOOM_BITS})")
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH bloompos AS (
+  SELECT DISTINCT pos FROM (
+    {' UNION ALL '.join(
+        f"SELECT {_oracle_bloom_pos(i, 'doc_id::VARCHAR')} AS pos "
+        f"FROM documents WHERE source = 'src1'"
+        for i in range(_BLOOM_HASHES))}
+  )
+)
+SELECT 'exact' AS tag, doc_id, lang, source FROM (
   SELECT doc_id, lang, source,
          row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
   FROM documents) WHERE rn = 1
+UNION ALL
+SELECT 'bloom_known' AS tag, doc_id, lang, source
+FROM documents d
+WHERE {' AND '.join(
+    _oracle_bloom_pos(i, 'd.doc_id::VARCHAR') +
+    ' IN (SELECT pos FROM bloompos)'
+    for i in range(_BLOOM_HASHES))}
 """
 
 
