@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "text_chunk_documents",
     "text_redact_pii",
     "decontam_pairs",
+    "dedup_lines_global",
+    "sample_cap_per_group",
+    "text_token_frequency",
+    "dedup_bloom_screen",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -2292,6 +2292,53 @@ def q_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, ev, n=8)
 
 
+def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: C4-style corpus-global segment dedup + per-doc
+    reassembly over 10-token chunks (the text_fingerprints gate runs the
+    same shape; this times it standalone)."""
+    from faisssearcher_spark.operators.dedup import dedup_segments
+    from faisssearcher_spark.operators.text_analysis import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=10, overlap=0)
+    kept = dedup_segments(chunks, id_col="doc_id", pos_col="chunk_idx",
+                          seg_col="chunk_text")
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+            lambda s: s["chunk_text"]), " ")).alias("dedup_hash"))
+
+
+def q_sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: per-source quota (max 30 docs per source by hash
+    rank — WindowGroupLimit-bounded shuffle)."""
+    from faisssearcher_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_group(docs, group_col="source", cap=30,
+                                  key_col="doc_id")
+
+
+def q_text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: reference-vocabulary fit (src1 slice) + per-doc
+    frequency/OOV scoring (the text_token_stats gate columns,
+    standalone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = text_analysis.fit_token_frequencies(
+        docs.filter(F.col("source") == "src1"))
+    return text_analysis.token_frequency_score(docs, ref)
+
+
+def q_dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: Bloom incremental-ingest screen on the FAST path
+    (xxhash64): fit on the src1 keys (eager — includes the bitmap
+    collect), then filter the whole corpus to definitely-new rows."""
+    from faisssearcher_spark.operators.bloom import fit_bloom
+    docs = load_table(spark, sf_dir, "documents")
+    bf = fit_bloom(docs.filter(F.col("source") == "src1"),
+                   key_col="doc_id", fpp=0.01)
+    return bf.filter_new(docs, "doc_id").select("doc_id", "lang", "source")
+
+
 ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
@@ -2306,4 +2353,8 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize_native": q_events_sessionize_native,
     "text_redact_pii": q_text_redact_pii,
     "decontam_pairs": q_decontam_pairs,
+    "dedup_lines_global": q_dedup_lines_global,
+    "sample_cap_per_group": q_sample_cap_per_group,
+    "text_token_frequency": q_text_token_frequency,
+    "dedup_bloom_screen": q_dedup_bloom_screen,
 }

@@ -89,3 +89,54 @@ class TestBloom:
         bf.save(spark, str(tmp_path))
         bf2 = BloomFilter.load(spark, str(tmp_path))
         assert (bf2.words == words).all()
+
+
+class TestStreamingIncrementalScreen:
+    def test_foreach_batch_screens_against_history(self, spark, tmp_path):
+        """The intended deployment shape: a foreachBatch sink screens each
+        micro-batch against a Bloom filter of every previously-accepted
+        key, then refits the filter with the accepted union — so a key
+        replayed in a later batch is rejected without ever joining
+        history. FP semantics: a genuinely-new key may be dropped
+        (~fpp), but an already-seen key is NEVER accepted twice."""
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        evens = list(range(0, 200, 2))
+        everyone = list(range(200))
+        pq.write_table(pa.table({"doc_id": pa.array(evens, pa.int64())}),
+                       landing / "b1.parquet")
+        time.sleep(1.1)  # distinct mtime -> deterministic batch order
+        pq.write_table(pa.table({"doc_id": pa.array(everyone, pa.int64())}),
+                       landing / "b2.parquet")
+
+        from faisssearcher_spark.operators.bloom import fit_bloom
+
+        state = {"bloom": None}
+        accepted: list[int] = []
+
+        def screen(batch_df, batch_id):
+            bf = state["bloom"]
+            new = batch_df if bf is None \
+                else bf.filter_new(batch_df, "doc_id")
+            accepted.extend(r["doc_id"] for r in new.collect())
+            hist = batch_df.sparkSession.createDataFrame(
+                [(k,) for k in accepted], "doc_id long")
+            state["bloom"] = fit_bloom(hist, key_col="doc_id", fpp=0.01)
+
+        (spark.readStream.schema("doc_id long")
+         .option("maxFilesPerTrigger", 1).parquet(str(landing))
+         .writeStream.foreachBatch(screen)
+         .trigger(availableNow=True).start().awaitTermination())
+
+        # no key accepted twice (the hard guarantee)
+        assert len(accepted) == len(set(accepted))
+        # batch 1 was unscreened: every even key accepted
+        assert set(evens) <= set(accepted)
+        # batch 2's odd keys are new: nearly all pass (fpp may drop a few)
+        odds = set(range(1, 200, 2))
+        assert len(odds & set(accepted)) >= 0.9 * len(odds)
