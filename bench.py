@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "sample_cap_per_group",
     "text_token_frequency",
     "dedup_bloom_screen",
+    "dedup_span_removal",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -890,6 +890,121 @@ def dedup_lines(df: DataFrame, *, id_col: str = "doc_id",
     return out.select(id_col, text_col, "n_lines", "n_kept_lines")
 
 
+def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
+                   n: int) -> tuple[DataFrame, DataFrame]:
+    """(tokenized frame, sliding n-token window occurrences).
+
+    Returns ``toked = (id, __toks)`` and ``wins = (id, start, __w)`` where
+    ``start`` is the 0-based token offset and ``__w`` the space-joined
+    window text. Tokenization runs ONCE per document (the array
+    materializes as an attribute before any lambda touches it — the
+    NOTES.md interpreted-projection trap), and short documents yield no
+    windows via a ``when``-guarded sequence instead of a filter (a filter
+    on ``size(__toks)`` would push back through the projection and
+    re-inline the split)."""
+    toked = df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+    nt = F.size("__toks")
+    starts = F.when(nt >= n, F.sequence(F.lit(1), nt - n + 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = toked.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            starts,
+            lambda s: F.array_join(F.slice(F.col("__toks"), s, n), " ")))
+        .alias("start", "__w"))
+    return toked, wins
+
+
+def duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 10) -> DataFrame:
+    """Corpus-global exact duplicate n-token spans (the substring-dedup
+    candidate set of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — suffix-array ExactSubstr
+    re-expressed as a relational plan over sliding token windows).
+
+    Every n-token window whose text occurs more than once in the corpus
+    marks all occurrences EXCEPT the first (ordered by ``(id, start)``).
+    Output: ``(id, start)`` — the 0-based token offset of each removable
+    window occurrence. Overlapping windows are expected; consumers union
+    their covered positions (:func:`remove_duplicate_spans`).
+
+    Scale shape vs a suffix array: the window self-collision is ONE
+    aggregation keyed by window text (map-side partial combine absorbs
+    hot boilerplate windows) followed by ONE equi-join back on the window
+    text to recover the non-first occurrences — shuffle ∝ windows, never
+    O(n²) pairs, no global sort. Both join inputs descend from the tiny
+    pre-explode scan, so their STATIC size estimates invite a
+    catastrophic broadcast of a billion-window side (NOTES.md trap #2);
+    the ``shuffle_hash`` hint on the (smaller, deduplicated) first-
+    occurrence side pins a shuffled hash join with it as build.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    _, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
+    first = (wins.groupBy("__w")
+             .agg(F.min(F.struct(F.col(id_col), F.col("start")))
+                  .alias("__first"),
+                  F.count("*").alias("__cnt"))
+             .filter(F.col("__cnt") > 1)
+             .select("__w", "__first"))
+    return (wins.join(first.hint("shuffle_hash"), "__w")
+            .filter(~((F.col(id_col) == F.col(f"__first.{id_col}"))
+                      & (F.col("start") == F.col("__first.start"))))
+            .select(id_col, "start"))
+
+
+def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 10,
+                           drop_empty_docs: bool = False) -> DataFrame:
+    """Remove corpus-global exact duplicate n-token spans from each
+    document (Lee et al. 2022 ExactSubstr dedup, relational form): every
+    token covered by a non-first duplicate window (:func:`duplicate_spans`)
+    is dropped, and the document is reassembled from the survivors in
+    order. Unlike whole-document or chunk dedup this catches duplicated
+    PASSAGES at any alignment — the dominant duplication mode in crawled
+    corpora — while keeping each document's unique remainder.
+
+    Output: ``(id, text, n_tokens, n_dup_tokens)`` with
+    ``n_dup_tokens`` = tokens removed; cleaned ``text`` is ``''`` when
+    everything was duplicated (kept unless ``drop_empty_docs``).
+
+    Scale shape: :func:`duplicate_spans` (shuffle ∝ windows) → explode
+    each removable window into its n positions → distinct → one
+    ``(id, pos)`` anti-join against the posexploded tokens → per-doc
+    rebuild agg. Interval merging of overlapping windows falls out of the
+    position-set distinct — no per-doc sort-and-merge loop. All joins and
+    aggs are keyed equi-operations; shuffle ∝ n·duplicated-windows +
+    tokens, never pairs.
+    """
+    toked, _ = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
+    dup = duplicate_spans(df, id_col=id_col, text_col=text_col, n=n)
+    covered = (dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"),
+                             F.col("start") + F.lit(n - 1))).alias("pos"))
+        .distinct())
+    tokpos = toked.select(F.col(id_col),
+                          F.posexplode("__toks").alias("pos", "__tok"))
+    kept = tokpos.join(covered.hint("shuffle_hash"), [id_col, "pos"],
+                       "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "__tok"))),
+                        lambda s: s["__tok"]),
+            " ").alias("__clean"),
+        F.count("*").cast("int").alias("__n_kept"))
+    per_doc = toked.select(F.col(id_col),
+                           F.size("__toks").alias("n_tokens"))
+    how = "inner" if drop_empty_docs else "left"
+    out = per_doc.join(rebuilt, id_col, how)
+    return out.select(
+        F.col(id_col),
+        F.coalesce("__clean", F.lit("")).alias(text_col),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("int").alias("n_dup_tokens"))
+
+
 def _re_escape(sep: str) -> str:
     """Escape a literal separator for F.split's regex argument."""
     import re

@@ -933,12 +933,26 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide is removed keep-first by (doc_id, chunk_idx)
     (``dedup_segments`` — one skew-absorbed agg keyed by segment text),
     and each doc reports how many of its segments survived plus the md5
-    of its reassembled deduped text ('' when nothing survived)."""
-    from faisssearcher_spark.operators.dedup import dedup_segments
+    of its reassembled deduped text ('' when nothing survived).
+
+    EXTENDED AGAIN (round 5) with the Lee et al. 2022 ExactSubstr shape
+    (``remove_duplicate_spans``): sliding 10-token windows, non-first
+    duplicate occurrences corpus-wide mark their positions, documents
+    rebuild from surviving tokens — ``n_dup_span_tokens`` counts removed
+    tokens and ``span_clean_hash`` is the md5 of the rebuilt text
+    (md5('') when fully duplicated). Catches duplicated passages at ANY
+    alignment, which the disjoint chunk dedup above cannot."""
+    from faisssearcher_spark.operators.dedup import (dedup_segments,
+                                                     remove_duplicate_spans)
     from faisssearcher_spark.operators.text_analysis import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
     fp = text_analysis.fingerprints(docs)
+
+    spans = remove_duplicate_spans(docs, n=10).select(
+        "doc_id",
+        F.col("n_dup_tokens").alias("n_dup_span_tokens"),
+        F.md5("text").alias("span_clean_hash"))
 
     chunks = chunk_documents(docs, max_tokens=10, overlap=0)
     totals = chunks.groupBy("doc_id").agg(
@@ -955,12 +969,17 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ")).alias("dedup_hash"))
     return (fp.join(totals, "doc_id", "left")
               .join(rebuilt, "doc_id", "left")
+              .join(spans, "doc_id", "left")
               .select("doc_id", "fingerprint", "rolling_hash",
                       F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
                       F.coalesce("n_kept_chunks", F.lit(0))
                        .alias("n_kept_chunks"),
                       F.coalesce("dedup_hash", F.lit(""))
-                       .alias("dedup_hash")))
+                       .alias("dedup_hash"),
+                      F.coalesce("n_dup_span_tokens", F.lit(0))
+                       .alias("n_dup_span_tokens"),
+                      F.coalesce("span_clean_hash", F.lit(""))
+                       .alias("span_clean_hash")))
 
 
 ORACLE_FINGERPRINTS = f"""
@@ -985,14 +1004,39 @@ WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
               WHERE rn = 1),
      reb AS (SELECT doc_id, count(*)::INT AS n_kept_chunks,
                     md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS dedup_hash
-             FROM kept GROUP BY doc_id)
+             FROM kept GROUP BY doc_id),
+     win AS (SELECT doc_id, s - 1 AS start,
+                    array_to_string(list_slice(toks, s, s + 9), ' ') AS w
+             FROM (SELECT doc_id, toks, len(toks) AS ntok
+                   FROM t WHERE len(toks) >= 10) d,
+                  unnest(generate_series(1, ntok - 10 + 1)) AS u(s)),
+     dupw AS (SELECT doc_id, start
+              FROM (SELECT *, row_number() OVER (PARTITION BY w
+                        ORDER BY doc_id, start) AS rn FROM win)
+              WHERE rn > 1),
+     cov AS (SELECT DISTINCT doc_id, start + o AS pos
+             FROM dupw, unnest(generate_series(0, 9)) AS g(o)),
+     tp AS (SELECT doc_id, u.p - 1 AS pos, toks[u.p] AS tok
+            FROM t, unnest(generate_series(1, len(toks))) AS u(p)),
+     keeptok AS (SELECT tp.doc_id, tp.pos, tp.tok
+                 FROM tp LEFT JOIN cov
+                   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+                 WHERE cov.pos IS NULL),
+     spanreb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
+                        md5(string_agg(tok, ' ' ORDER BY pos)) AS span_clean_hash
+                 FROM keeptok GROUP BY doc_id),
+     ntok AS (SELECT doc_id, len(toks)::INT AS n_tok FROM t)
 SELECT f.doc_id, f.fingerprint, f.rolling_hash,
        coalesce(tot.n_chunks, 0) AS n_chunks,
        coalesce(reb.n_kept_chunks, 0) AS n_kept_chunks,
-       coalesce(reb.dedup_hash, '') AS dedup_hash
+       coalesce(reb.dedup_hash, '') AS dedup_hash,
+       (ntok.n_tok - coalesce(spanreb.n_kept_tok, 0)) AS n_dup_span_tokens,
+       coalesce(spanreb.span_clean_hash, md5('')) AS span_clean_hash
 FROM f
 LEFT JOIN tot ON f.doc_id = tot.doc_id
 LEFT JOIN reb ON f.doc_id = reb.doc_id
+LEFT JOIN spanreb ON f.doc_id = spanreb.doc_id
+JOIN ntok ON f.doc_id = ntok.doc_id
 """
 
 
@@ -2328,6 +2372,15 @@ def q_text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_frequency_score(docs, ref)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: Lee et al. ExactSubstr duplicate-span removal over
+    sliding 10-token windows (the text_fingerprints gate carries the
+    hash-checked twin; this times the full operator standalone)."""
+    from faisssearcher_spark.operators.dedup import remove_duplicate_spans
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=10)
+
+
 def q_dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Bloom incremental-ingest screen on the FAST path
     (xxhash64): fit on the src1 keys (eager — includes the bitmap
@@ -2357,4 +2410,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_cap_per_group": q_sample_cap_per_group,
     "text_token_frequency": q_text_token_frequency,
     "dedup_bloom_screen": q_dedup_bloom_screen,
+    "dedup_span_removal": q_dedup_span_removal,
 }

@@ -182,3 +182,19 @@ class TestCapPerGroupPlan:
             sampling.cap_per_group(documents, group_col="source", cap=5,
                                    key_col="doc_id"))
         assert "WindowGroupLimit" in plan
+
+
+class TestSpanRemovalPlan:
+    def test_joins_are_shuffled_hash_never_python(self, documents):
+        """remove_duplicate_spans' two joins (window-text recovery,
+        (id,pos) anti) must be ShuffledHashJoin — both inputs descend
+        from the tiny pre-explode scan, so the static estimate would
+        otherwise broadcast a side that is billions of windows at scale
+        — and the whole plan must stay JVM-side with no pair blowup."""
+        from faisssearcher_spark.operators.dedup import remove_duplicate_spans
+
+        plan = inspect.executed_plan(remove_duplicate_spans(documents, n=5))
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "ArrowEvalPython" not in plan
