@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_token_frequency",
     "dedup_bloom_screen",
     "dedup_span_removal",
+    "dedup_semantic",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

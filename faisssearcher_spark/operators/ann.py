@@ -197,6 +197,15 @@ class IVFIndex:
         self._items = assigned.cache()
         return self
 
+    def assignments(self) -> DataFrame:
+        """The fitted corpus with its ``cell`` assignment column — the
+        coarse-quantization partition itself, reusable beyond search
+        (e.g. SemDeDup's within-cell near-dup candidates,
+        operators/dedup.py:semantic_cell_pairs)."""
+        if self._items is None:
+            raise RuntimeError("IVFIndex is not fit; call fit() first")
+        return self._items
+
     def search(self, queries: DataFrame, *, k: int = 10,
                query_item_col: str = "query_id",
                query_vec_col: str = "embedding",

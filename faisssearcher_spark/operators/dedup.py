@@ -814,6 +814,89 @@ def _dedup_clusters_driver(spark, rows) -> DataFrame:
 # C4-style global line / segment dedup
 # ---------------------------------------------------------------------------
 
+def semantic_cell_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95, n_cells: int = 64,
+                        seed: int = 42,
+                        score_scale: int | None = None) -> DataFrame:
+    """Within-cluster semantic near-duplicate candidate pairs — the
+    candidate stage of SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    spherical k-means partitions the corpus by embedding DIRECTION
+    (reusing :class:`~faisssearcher_spark.operators.ann.IVFIndex`'s
+    trainer), and exact cosine pairs form only WITHIN a cell.
+
+    Output: ``(id_a, id_b, cos_sim, cell)`` with ``id_a < id_b`` and
+    ``cos_sim ≥ threshold`` (rounded to ``score_scale`` first when set).
+
+    Scale shape: candidates meet through the cell equi-join — never a
+    corpus cross product — so pair work is Σ(cell_size²) over cells, not
+    n². Unlike sign-LSH (:func:`embedding_cosine_pairs` strategy
+    ``"lsh"``), cells adapt to the DATA's density (learned centroids),
+    which is why SemDeDup scales to web corpora: size ``n_cells`` so the
+    expected cell holds ~√(pairs-per-task) rows, and grow it linearly
+    with the corpus. The join is pinned ``shuffle_hash``: both sides are
+    the same cell-assigned frame whose estimate Catalyst may misjudge,
+    and a hot cell degrades to one big (but bounded) hash-join partition
+    rather than a broadcast. Misses only cross-cell pairs — the
+    quantization error SemDeDup accepts by design (raise ``n_cells``
+    recall by lowering it, or run the LSH strategy for a recall bound).
+    """
+    from faisssearcher_spark.functions.vector import l2_normalize
+    from faisssearcher_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex(n_cells=n_cells, nprobe=1, seed=seed, metric="cos").fit(
+        df, item_key_col=id_col, item_vec_col=vec_col)
+    assigned = idx.assignments().select(
+        "cell", F.col(id_col).alias("__id"),
+        l2_normalize(vec_col, zero_norm_nan=False).alias("__v"))
+    a = assigned.select("cell", F.col("__id").alias("id_a"),
+                        F.col("__v").alias("__va"))
+    b = assigned.select("cell", F.col("__id").alias("id_b"),
+                        F.col("__v").alias("__vb"))
+    score = M.inner_product(F.col("__va"), F.col("__vb"))
+    if score_scale is not None:
+        score = F.round(score, score_scale)
+    return (a.join(b.hint("shuffle_hash"), "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", score)
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim", "cell"))
+
+
+def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   n_cells: int = 64, seed: int = 42,
+                   driver_edge_threshold: int = 1_000_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): remove semantically near-identical
+    documents by embedding — cluster with spherical k-means, find
+    within-cell pairs with cosine ≥ threshold
+    (:func:`semantic_cell_pairs`), resolve pairs into connected
+    components (:func:`dedup_clusters`; components never span cells
+    since every edge is within-cell), and keep ONE representative per
+    component. Returns the surviving rows with the input schema.
+
+    Deviation from the paper, documented: the survivor is the MIN-id
+    member (the engine-wide deterministic keep-first policy shared by
+    every dedup operator and their DuckDB oracles), not the paper's
+    "farthest from centroid" choice — the paper itself reports the
+    keep-policy barely moves downstream perplexity (§4.3).
+
+    Scale shape: one k-means fit (distributed MLlib), one cell
+    equi-join for candidates, component resolution per
+    :func:`dedup_clusters` (adaptive driver/distributed), and one
+    left_anti join to drop losers — broadcast-safe because the dropped
+    set is ≤ pair nodes, usually ≪ corpus.
+    """
+    pairs = semantic_cell_pairs(df, id_col=id_col, vec_col=vec_col,
+                                threshold=threshold, n_cells=n_cells,
+                                seed=seed)
+    clusters = dedup_clusters(pairs,
+                              driver_edge_threshold=driver_edge_threshold)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+                     .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def dedup_segments(segments: DataFrame, *, id_col: str = "doc_id",
                    pos_col: str = "pos",
                    seg_col: str = "segment") -> DataFrame:

@@ -2164,14 +2164,47 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     total = exact.count()
     recall = float(hits) / total if total else 0.0
+
+    # --- tag-union row 2 (round 5, the 50-cap composite pattern):
+    # SemDeDup self-verifying invariants. k-means is iterative (not
+    # SQL-expressible), so like the recall row this gates BOOLEAN
+    # contracts against a constant oracle: (a) survivors+losers
+    # partition the corpus with losers nonempty (threshold low enough
+    # for the isotropic testdata to contain semantic near-dups);
+    # (b) every removed row was a member of >=1 verified candidate
+    # pair; (c) no candidate pair survives whole — one endpoint of
+    # every within-cell pair with cos >= threshold was removed.
+    from faisssearcher_spark.operators.dedup import (semantic_cell_pairs,
+                                                     semantic_dedup)
+    thr, cells = 0.16, 8
+    n_emb = emb.count()
+    pairs = semantic_cell_pairs(emb, threshold=thr, n_cells=cells,
+                                seed=42).cache()
+    surv = semantic_dedup(emb, threshold=thr, n_cells=cells,
+                          seed=42).select("vec_id").cache()
+    n_surv = surv.count()
+    paired = pairs.select(F.col("id_a").alias("vec_id")).union(
+        pairs.select(F.col("id_b").alias("vec_id"))).distinct()
+    removed = emb.select("vec_id").join(surv, "vec_id", "left_anti")
+    orphans = removed.join(paired, "vec_id", "left_anti").count()
+    both_live = (pairs
+                 .join(surv.withColumnRenamed("vec_id", "id_a"), "id_a")
+                 .join(surv.withColumnRenamed("vec_id", "id_b"), "id_b")
+                 .count())
+    sem_ok = (0 < n_surv < n_emb) and orphans == 0 and both_live == 0
+    pairs.unpersist()
+    surv.unpersist()
     return spark.createDataFrame(
-        [(bool(recall >= 0.9), int(total))],
-        "recall_ok boolean, total long")
+        [("ivf_recall", bool(recall >= 0.9), int(total)),
+         ("semantic_dedup", bool(sem_ok), int(n_emb))],
+        "check string, ok boolean, n long")
 
 
 ORACLE_IVF_RECALL = """
-SELECT TRUE AS recall_ok,
-       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20) AS total
+SELECT 'ivf_recall' AS check, TRUE AS ok,
+       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20) AS n
+UNION ALL
+SELECT 'semantic_dedup', TRUE, (SELECT count(*) FROM embeddings)
 """
 
 
@@ -2372,6 +2405,15 @@ def q_text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_frequency_score(docs, ref)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: SemDeDup end-to-end (k-means fit + within-cell pairs
+    + components + anti-join) on the embeddings corpus; the
+    ann_ivf_recall gate carries its boolean-invariant twin."""
+    from faisssearcher_spark.operators.dedup import semantic_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.16, n_cells=8, seed=42)
+
+
 def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Lee et al. ExactSubstr duplicate-span removal over
     sliding 10-token windows (the text_fingerprints gate carries the
@@ -2411,4 +2453,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_frequency": q_text_token_frequency,
     "dedup_bloom_screen": q_dedup_bloom_screen,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_semantic": q_dedup_semantic,
 }
