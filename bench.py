@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dedup_bloom_screen",
     "dedup_span_removal",
     "dedup_semantic",
+    "sample_dsir",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -177,3 +177,35 @@ def cap_per_group(df: DataFrame, *, group_col: str, cap: int,
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= cap)
               .drop("__rn"))
+
+
+def gumbel_topk_sample(df: DataFrame, *, k: int, weight_col: str,
+                       key_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick (Kool et al. 2019): drawing the k rows with the
+    largest ``weight + Gumbel(0,1)`` keys is distributed exactly as k
+    sequential no-replacement draws ∝ exp(weight). With ``weight_col`` =
+    DSIR's ``logw`` this IS the DSIR resampling step (arXiv:2302.03169
+    §2: sample ∝ importance weight).
+
+    The Gumbel noise is hash-derived, not RNG-drawn: u = (bucket+0.5)/1e6
+    from the engine-standard md5 bucket (op-prefix 'gumbel' — independent
+    of the 'sample'/'pack'/'split' families), g = −ln(−ln(u)). The draw
+    is therefore a pure function of (key, seed, weights) — reproducible
+    across runs, partitionings, and engines, like every sampler here.
+
+    Scale shape: scan-side key computation + ONE global top-k
+    (``orderBy(...).limit(k)`` → TakeOrderedAndProject: each task keeps
+    its local k, the driver merges n_partitions·k rows — no full sort,
+    no shuffle of the corpus). Deterministic total order: ties on the
+    sample key (md5-collision improbable) break by the row key.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (sample_bucket(key_col, seed, op="gumbel") + F.lit(0.5)) \
+        / F.lit(float(SAMPLE_DENOM))
+    gumbel = -F.log(-F.log(u))
+    return (df.withColumn("__gkey", F.col(weight_col) + gumbel)
+            .orderBy(F.col("__gkey").desc(), F.col(key_col).asc())
+            .limit(k)
+            .drop("__gkey"))

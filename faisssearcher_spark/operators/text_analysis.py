@@ -204,3 +204,78 @@ def token_frequency_score(df: DataFrame, vocab: DataFrame, *,
                      .alias("sum_ref_tf"),
                     F.coalesce("n_oov", F.lit(0)).cast("long")
                      .alias("n_oov")))
+
+
+def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
+                     raw_vocab: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", token_col: str = "token",
+                     tf_col: str = "tf", smoothing: float = 1.0,
+                     score_scale: int | None = 4) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log-likelihood ratio between a TARGET distribution
+    (the domain you want more of) and the RAW distribution (the pool you
+    are sampling from), under add-``smoothing`` unigram models fit with
+    :func:`fit_token_frequencies`:
+
+        logw(d) = Σ_t [ ln p_target(t) − ln p_raw(t) ]
+        p(t) = (tf(t) + s) / (N + s·(V+1))
+
+    with V the union vocabulary size (+1 reserves one pseudo-type for
+    out-of-both-vocab tokens, which contribute the constant
+    ln(N_raw + s(V+1)) − ln(N_target + s(V+1))). The paper uses hashed
+    n-gram features; unigrams keep the operator tokenizer-free — pass
+    pre-shingled text for the n-gram variant.
+
+    Output: ``(id, n_tokens, logw)`` — logw rounded to ``score_scale``
+    decimals (default 4) so the DuckDB oracle twin matches despite
+    libm-vs-fdlibm 1-ulp ``ln`` drift and float summation order; pass
+    ``None`` for the raw double. High logw ⇒ the document looks like the
+    target; feed into
+    :func:`~faisssearcher_spark.operators.sampling.gumbel_topk_sample`
+    to draw the DSIR sample ∝ exp(logw).
+
+    Scale shape: one full-outer vocab join (Zipf-small), a 3-scalar
+    driver agg (the normalizers — O(1) driver data), then explode →
+    token equi-join → per-doc sum. The per-token log-ratio is
+    precomputed on the VOCAB (tiny) so the per-occurrence work in the
+    big join is a coalesce and an add — no ln in the hot loop.
+    """
+    import math
+
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    t = target_vocab.select(F.col(token_col).alias("__tok"),
+                            F.col(tf_col).cast("double").alias("__tf_t"))
+    r = raw_vocab.select(F.col(token_col).alias("__tok"),
+                         F.col(tf_col).cast("double").alias("__tf_r"))
+    vocab = (t.join(r, "__tok", "full_outer")
+             .select("__tok",
+                     F.coalesce("__tf_t", F.lit(0.0)).alias("__tf_t"),
+                     F.coalesce("__tf_r", F.lit(0.0)).alias("__tf_r")))
+    tot = vocab.agg(F.sum("__tf_t"), F.sum("__tf_r"),
+                    F.count("*")).collect()[0]
+    n_t, n_r = float(tot[0] or 0.0), float(tot[1] or 0.0)
+    v = int(tot[2])
+    denom_t, denom_r = n_t + s * (v + 1), n_r + s * (v + 1)
+    lr_oov = math.log(s / denom_t) - math.log(s / denom_r)
+    lr = (vocab.select(
+        "__tok",
+        (F.log((F.col("__tf_t") + s) / denom_t)
+         - F.log((F.col("__tf_r") + s) / denom_r)).alias("__lr")))
+
+    ids = df.select(F.col(id_col))
+    ex = (df.select(F.col(id_col),
+                    F.explode_outer(T.tokens(text_col)).alias("__tok"))
+          .filter(F.col("__tok").isNotNull()))
+    logw = F.sum(F.coalesce("__lr", F.lit(lr_oov)))
+    if score_scale is not None:
+        logw = F.round(logw, score_scale)
+    agg = (ex.join(lr, "__tok", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"), logw.alias("logw")))
+    return (ids.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("logw", F.lit(0.0)).alias("logw")))

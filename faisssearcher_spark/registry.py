@@ -785,14 +785,23 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src1 slice (`fit_token_frequencies`) and every document reports the
     summed reference term frequency of its tokens plus its
     out-of-reference-vocabulary token count — exact integers, so the
-    DuckDB twin matches bit-for-bit where a float log-prob could not."""
+    DuckDB twin matches bit-for-bit where a float log-prob could not.
+
+    EXTENDED AGAIN (round 5) with the DSIR importance log-weight
+    (``dsir_log_weights``, Xie et al. 2023): target = the src1 slice,
+    raw = the whole corpus, add-1 smoothing, rounded to 4 decimals so
+    the DuckDB ``ln`` twin matches across libm implementations."""
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.token_stats(docs)
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     score = text_analysis.token_frequency_score(docs, ref) \
         .select("doc_id", "sum_ref_tf", "n_oov")
-    return stats.join(score, "doc_id")
+    raw_ref = text_analysis.fit_token_frequencies(docs)
+    dsir = text_analysis.dsir_log_weights(docs, ref, raw_ref,
+                                          score_scale=4) \
+        .select("doc_id", F.col("logw").alias("dsir_logw"))
+    return stats.join(score, "doc_id").join(dsir, "doc_id")
 
 
 ORACLE_TOKEN_STATS = f"""
@@ -807,15 +816,37 @@ WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
                    sum(CASE WHEN ref.tf IS NULL THEN 1 ELSE 0 END)::BIGINT
                        AS n_oov
             FROM ex LEFT JOIN ref ON ex.tok = ref.tok
-            GROUP BY ex.doc_id)
+            GROUP BY ex.doc_id),
+     refr AS (SELECT tok, count(*)::BIGINT AS tf
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY tok),
+     voc AS (SELECT coalesce(a.tok, b.tok) AS tok,
+                    coalesce(a.tf, 0)::DOUBLE AS tf_t,
+                    coalesce(b.tf, 0)::DOUBLE AS tf_r
+             FROM ref a FULL JOIN refr b ON a.tok = b.tok),
+     tots AS (SELECT sum(tf_t) AS n_t, sum(tf_r) AS n_r,
+                     count(*)::DOUBLE AS v FROM voc),
+     lr AS (SELECT tok,
+                   ln((tf_t + 1) / (n_t + v + 1))
+                   - ln((tf_r + 1) / (n_r + v + 1)) AS lr
+            FROM voc, tots),
+     dsir AS (SELECT ex.doc_id,
+                     round(sum(coalesce(lr.lr,
+                         (SELECT ln(1 / (n_t + v + 1))
+                          - ln(1 / (n_r + v + 1)) FROM tots))), 4)
+                         AS dsir_logw
+              FROM ex LEFT JOIN lr ON ex.tok = lr.tok
+              GROUP BY ex.doc_id)
 SELECT t.doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
        list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::INT))::INT AS n_bpe_tokens,
        round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len,
        coalesce(sc.sum_ref_tf, 0) AS sum_ref_tf,
-       coalesce(sc.n_oov, 0) AS n_oov
+       coalesce(sc.n_oov, 0) AS n_oov,
+       coalesce(dsir.dsir_logw, 0.0) AS dsir_logw
 FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+LEFT JOIN dsir ON t.doc_id = dsir.doc_id
 """
 
 
@@ -2405,6 +2436,21 @@ def q_text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_frequency_score(docs, ref)
 
 
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: DSIR end-to-end — unigram importance weights
+    (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
+    ∝ exp(logw); the text_token_stats gate carries the hash-checked
+    dsir_logw twin."""
+    from faisssearcher_spark.operators.sampling import gumbel_topk_sample
+    docs = load_table(spark, sf_dir, "documents")
+    ref = text_analysis.fit_token_frequencies(
+        docs.filter(F.col("source") == "src1"))
+    raw_ref = text_analysis.fit_token_frequencies(docs)
+    w = text_analysis.dsir_log_weights(docs, ref, raw_ref)
+    return gumbel_topk_sample(w, k=100, weight_col="logw",
+                              key_col="doc_id")
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: SemDeDup end-to-end (k-means fit + within-cell pairs
     + components + anti-join) on the embeddings corpus; the
@@ -2454,4 +2500,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom_screen": q_dedup_bloom_screen,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_semantic": q_dedup_semantic,
+    "sample_dsir": q_sample_dsir,
 }

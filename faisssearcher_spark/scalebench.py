@@ -123,6 +123,9 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         "embedding_lsh": lambda: dedup.embedding_cosine_pairs(
             emb, threshold=0.8, strategy="lsh",
             lsh_tables=8, lsh_bits=lsh_bits),
+        # replica token-salting keeps windows replica-local, so duplicate
+        # spans (and their removal cost) grow linearly with the corpus
+        "dedup_spans": lambda: dedup.remove_duplicate_spans(docs, n=10),
     }
 
 
