@@ -110,6 +110,15 @@ def main() -> None:
     spark.range(100_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_wu(F.col("id").cast("double"))).write \
         .mode("overwrite").format("noop").save()
+    # ...and MLlib's first-touch class loading (KMeans jars + Breeze init
+    # cost ~10 s the first time any estimator fits in a session — measured
+    # as dedup_semantic's cold-warm gap; a 2-row fit pays it here so the
+    # timed k-means queries measure clustering, not classloading).
+    from pyspark.ml.clustering import KMeans as _WKM
+    from pyspark.ml.functions import array_to_vector as _wav
+    _wkf = spark.range(2).select(
+        _wav(F.array(F.col("id").cast("double"))).alias("features"))
+    _WKM(k=2, maxIter=1).fit(_wkf)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -817,7 +817,7 @@ def _dedup_clusters_driver(spark, rows) -> DataFrame:
 def semantic_cell_pairs(df: DataFrame, *, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95, n_cells: int = 64,
-                        seed: int = 42,
+                        seed: int = 42, max_iter: int = 8,
                         score_scale: int | None = None) -> DataFrame:
     """Within-cluster semantic near-duplicate candidate pairs — the
     candidate stage of SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
@@ -844,7 +844,8 @@ def semantic_cell_pairs(df: DataFrame, *, id_col: str = "vec_id",
     from faisssearcher_spark.functions.vector import l2_normalize
     from faisssearcher_spark.operators.ann import IVFIndex
 
-    idx = IVFIndex(n_cells=n_cells, nprobe=1, seed=seed, metric="cos").fit(
+    idx = IVFIndex(n_cells=n_cells, nprobe=1, seed=seed, metric="cos",
+                   max_iter=max_iter).fit(
         df, item_key_col=id_col, item_vec_col=vec_col)
     assigned = idx.assignments().select(
         "cell", F.col(id_col).alias("__id"),
@@ -865,7 +866,7 @@ def semantic_cell_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
 def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
-                   n_cells: int = 64, seed: int = 42,
+                   n_cells: int = 64, seed: int = 42, max_iter: int = 8,
                    driver_edge_threshold: int = 1_000_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): remove semantically near-identical
     documents by embedding — cluster with spherical k-means, find
@@ -889,7 +890,7 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
     """
     pairs = semantic_cell_pairs(df, id_col=id_col, vec_col=vec_col,
                                 threshold=threshold, n_cells=n_cells,
-                                seed=seed)
+                                seed=seed, max_iter=max_iter)
     clusters = dedup_clusters(pairs,
                               driver_edge_threshold=driver_edge_threshold)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")) \

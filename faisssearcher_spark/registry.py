@@ -2207,7 +2207,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every within-cell pair with cos >= threshold was removed.
     from faisssearcher_spark.operators.dedup import (semantic_cell_pairs,
                                                      semantic_dedup)
-    thr, cells = 0.16, 8
+    thr, cells = 0.35, 8
     n_emb = emb.count()
     pairs = semantic_cell_pairs(emb, threshold=thr, n_cells=cells,
                                 seed=42).cache()
@@ -2454,10 +2454,13 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: SemDeDup end-to-end (k-means fit + within-cell pairs
     + components + anti-join) on the embeddings corpus; the
-    ann_ivf_recall gate carries its boolean-invariant twin."""
+    ann_ivf_recall gate carries its boolean-invariant twin. n_cells
+    follows the SemDeDup sizing discipline (grow cells with the corpus
+    so within-cell pair work stays bounded): 32 at the bench sf0.1
+    (~150 rows/cell) vs 8 at the sf0.01 gate."""
     from faisssearcher_spark.operators.dedup import semantic_dedup
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.16, n_cells=8, seed=42)
+    return semantic_dedup(emb, threshold=0.35, n_cells=32, seed=42)
 
 
 def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
