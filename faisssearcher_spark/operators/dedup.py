@@ -966,7 +966,9 @@ def dedup_lines(df: DataFrame, *, id_col: str = "doc_id",
             sep).alias(text_col),
         F.count("*").alias("n_kept_lines"))
     how = "inner" if drop_empty_docs else "left"
-    out = per_doc.join(rebuilt, id_col, how)
+    # rebuilt is doc-count-sized but statically estimated from the tiny
+    # pre-explode scan — pin off the broadcast (NOTES.md trap #2)
+    out = per_doc.join(rebuilt.hint("shuffle_hash"), id_col, how)
     if not drop_empty_docs:
         out = out.withColumn(text_col, F.coalesce(text_col, F.lit(""))) \
                  .withColumn("n_kept_lines",
@@ -1080,7 +1082,9 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
     per_doc = toked.select(F.col(id_col),
                            F.size("__toks").alias("n_tokens"))
     how = "inner" if drop_empty_docs else "left"
-    out = per_doc.join(rebuilt, id_col, how)
+    # rebuilt descends from explodes: its static estimate is the tiny
+    # pre-explode scan, but it is doc-count-sized — pin off the broadcast
+    out = per_doc.join(rebuilt.hint("shuffle_hash"), id_col, how)
     return out.select(
         F.col(id_col),
         F.coalesce("__clean", F.lit("")).alias(text_col),

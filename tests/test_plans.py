@@ -198,3 +198,6 @@ class TestSpanRemovalPlan:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "ArrowEvalPython" not in plan
+        # ALL three joins (recovery, anti, rebuild) descend from the tiny
+        # pre-explode estimate — none may statically broadcast
+        assert "BroadcastHashJoin" not in plan
