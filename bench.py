@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_span_removal",
     "dedup_semantic",
     "sample_dsir",
+    "ann_pq_topk",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -2225,9 +2225,23 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem_ok = (0 < n_surv < n_emb) and orphans == 0 and both_live == 0
     pairs.unpersist()
     surv.unpersist()
+
+    # --- tag-union row 3 (round 5): PQ ADC recall. Product quantization
+    # (PQ16 over the 64-dim corpus) against the same exact top-10; Lloyd
+    # codebooks are iterative, so this too gates a boolean contract
+    # (measured 0.845 at seed 42 on the isotropic corpus; floor 0.7
+    # leaves noise margin while catching any codebook/LUT regression).
+    pq = ann.PQIndex(m=16, metric="cos", seed=42).fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    pq_hits = pq.search(q, k=10, query_item_col="qid").alias("a").join(
+        exact.alias("e"),
+        (F.col("a.source_item") == F.col("e.source_item"))
+        & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+    pq_recall = float(pq_hits) / total if total else 0.0
     return spark.createDataFrame(
         [("ivf_recall", bool(recall >= 0.9), int(total)),
-         ("semantic_dedup", bool(sem_ok), int(n_emb))],
+         ("semantic_dedup", bool(sem_ok), int(n_emb)),
+         ("pq_recall", bool(pq_recall >= 0.7), int(total))],
         "check string, ok boolean, n long")
 
 
@@ -2236,6 +2250,9 @@ SELECT 'ivf_recall' AS check, TRUE AS ok,
        (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20) AS n
 UNION ALL
 SELECT 'semantic_dedup', TRUE, (SELECT count(*) FROM embeddings)
+UNION ALL
+SELECT 'pq_recall', TRUE,
+       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
 """
 
 
@@ -2436,6 +2453,19 @@ def q_text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_frequency_score(docs, ref)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: PQ16 ADC search end-to-end (driver Lloyd codebooks +
+    one encode pass + distributed LUT-gather top-10 for 20 queries); the
+    ann_ivf_recall gate carries the recall-contract twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    pq = ann.PQIndex(m=16, metric="cos", seed=42).fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    return pq.search(q, k=10, query_item_col="qid",
+                     payload_cols=["label"])
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: DSIR end-to-end — unigram importance weights
     (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
@@ -2504,4 +2534,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_semantic": q_dedup_semantic,
     "sample_dsir": q_sample_dsir,
+    "ann_pq_topk": q_ann_pq_topk,
 }

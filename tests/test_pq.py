@@ -1,0 +1,133 @@
+"""Product-quantization ADC search (operators/ann.py:PQIndex).
+
+Semantics pinned here: exactness when the corpus is quantization-lossless
+(every subvector is a codebook centroid), recall floor + monotone-in-m
+improvement on the real corpus, payload carry through the merge, parquet
+save/load roundtrip with load-time validation, and the error surface.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.ann import PQIndex
+from faisssearcher_spark.operators.knn import knn_join
+
+
+@pytest.fixture(scope="module")
+def lossless(spark):
+    """24 vectors in R^8 whose m=2 subvectors come from 4 prototypes each
+    — Lloyd lands centroids exactly on the points, so PQ is lossless."""
+    protos = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+              [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    rows = [(i, protos[i % 4] + protos[(i // 4) % 4], i % 3)
+            for i in range(24)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_lossless_matches_exact(spark, lossless):
+    q = lossless.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    pq = PQIndex(m=2, metric="cos", seed=1).fit(
+        lossless, item_key_col="vec_id", item_vec_col="embedding")
+    approx = pq.search(q, k=5, query_item_col="qid")
+    exact = knn_join(q, lossless, metric="cos", k=5, query_item_col="qid",
+                     item_key_col="vec_id", payload_cols=[])
+    a = {(r["source_item"], r["sim_item"]): r["sim_val"]
+         for r in approx.collect()}
+    e = {(r["source_item"], r["sim_item"]): r["sim_val"]
+         for r in exact.collect()}
+    # scores agree to fp tolerance on the shared pairs, and the result
+    # SETS agree up to equal-score ties (compare score multisets per query)
+    for key in set(a) & set(e):
+        assert a[key] == pytest.approx(e[key], abs=1e-9)
+    for qid in {k[0] for k in e}:
+        sa = sorted(v for k, v in a.items() if k[0] == qid)
+        se = sorted(v for k, v in e.items() if k[0] == qid)
+        assert sa == pytest.approx(se, abs=1e-9)
+
+
+def test_recall_floor_and_monotone_in_m(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    exact = knn_join(q, embeddings, metric="cos", k=10,
+                     query_item_col="qid", item_key_col="vec_id",
+                     payload_cols=[])
+    total = exact.count()
+
+    def recall(m):
+        pq = PQIndex(m=m, metric="cos", seed=42).fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        approx = pq.search(q, k=10, query_item_col="qid")
+        hits = approx.alias("a").join(
+            exact.alias("e"),
+            (F.col("a.source_item") == F.col("e.source_item"))
+            & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+        return hits / total
+
+    r16, r32 = recall(16), recall(32)
+    assert r16 >= 0.75          # measured 0.845 at seed 42
+    assert r32 >= r16           # finer quantization can only help here
+
+
+def test_payload_and_rank(spark, lossless):
+    q = lossless.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    pq = PQIndex(m=2, metric="cos", seed=1).fit(
+        lossless, item_key_col="vec_id", item_vec_col="embedding")
+    out = pq.search(q, k=3, query_item_col="qid",
+                    payload_cols=["label"]).collect()
+    assert len(out) == 3
+    assert [r["rank_no"] for r in sorted(out, key=lambda r: r["rank_no"])] \
+        == [0, 1, 2]
+    assert all(r["label"] == r["sim_item"] % 3 for r in out)
+
+
+def test_l2_metric_orders_ascending(spark, lossless):
+    q = lossless.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    pq = PQIndex(m=2, metric="l2", seed=1).fit(
+        lossless, item_key_col="vec_id", item_vec_col="embedding")
+    out = sorted(pq.search(q, k=5, query_item_col="qid").collect(),
+                 key=lambda r: r["rank_no"])
+    vals = [r["sim_val"] for r in out]
+    assert vals == sorted(vals)
+    assert out[0]["sim_val"] == pytest.approx(0.0, abs=1e-9)  # self hit
+
+
+def test_save_load_roundtrip(spark, lossless, tmp_path):
+    q = lossless.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    pq = PQIndex(m=2, metric="cos", seed=1).fit(
+        lossless, item_key_col="vec_id", item_vec_col="embedding")
+    before = {(r["source_item"], r["sim_item"])
+              for r in pq.search(q, k=3, query_item_col="qid").collect()}
+    path = str(tmp_path / "pq")
+    pq.save(path)
+    loaded = PQIndex.load(spark, path)
+    after = {(r["source_item"], r["sim_item"])
+             for r in loaded.search(q, k=3, query_item_col="qid").collect()}
+    assert before == after
+
+
+def test_error_surface(spark, lossless):
+    with pytest.raises(ValueError):
+        PQIndex(nbits=0)
+    with pytest.raises(ValueError):
+        PQIndex(m=0)
+    with pytest.raises(ValueError):   # 8 not divisible by 3
+        PQIndex(m=3).fit(lossless, item_key_col="vec_id",
+                         item_vec_col="embedding")
+    with pytest.raises(RuntimeError):  # search before fit
+        PQIndex(m=2).search(lossless.select(
+            F.col("vec_id").alias("qid"), "embedding"),
+            query_item_col="qid")
+    pq = PQIndex(m=2, seed=1).fit(lossless, item_key_col="vec_id",
+                                  item_vec_col="embedding")
+    with pytest.raises(ValueError):   # empty query set
+        pq.search(lossless.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("qid"), "embedding"),
+            query_item_col="qid")
+    with pytest.raises(ValueError):   # empty corpus
+        PQIndex(m=2).fit(lossless.filter(F.col("vec_id") < 0),
+                         item_key_col="vec_id", item_vec_col="embedding")
