@@ -215,6 +215,24 @@ class IVFIndex:
             raise RuntimeError("IVFIndex is not fit; call fit() first")
         return self._items
 
+    def add_items(self, items: DataFrame) -> "IVFIndex":
+        """FAISS ``index.add`` after training (faiss_searcher.py:124):
+        assign new rows to their nearest existing cell (the quantizer is
+        NOT retrained — FAISS semantics) and union them into the fitted
+        corpus. Metadata-only union: both sides keep their partitioning,
+        so incremental ingest costs one assignment pass over the new
+        rows."""
+        if self._items is None:
+            raise RuntimeError("IVFIndex is not fit; call fit() first")
+        assigned = items.withColumn(
+            "cell",
+            F.element_at(self._nearest_cells_expr(self._item_vec, 1), 1))
+        old = self._items
+        self._items = old.unionByName(
+            assigned.select(*old.columns)).cache()
+        old.unpersist()
+        return self
+
     def search(self, queries: DataFrame, *, k: int = 10,
                query_item_col: str = "query_id",
                query_vec_col: str = "embedding",
@@ -329,6 +347,7 @@ class PQIndex:
         self.codebooks: np.ndarray | None = None   # (m, ksub, dsub)
         self._items: DataFrame | None = None
         self._item_key = None
+        self._vec_col = None
 
     # -- training (driver-side Lloyd on a bounded sample) ------------------
 
@@ -395,8 +414,22 @@ class PQIndex:
             mat = mat / np.where(norms == 0, 1.0, norms)
         self.codebooks = self._train_codebooks(mat)
         self._item_key = item_key_col
+        self._vec_col = item_vec_col
         coded = items.withColumn("__codes", self._codes_expr(item_vec_col))
         self._items = coded.cache()
+        return self
+
+    def add_items(self, items: DataFrame) -> "PQIndex":
+        """FAISS ``index.add`` after training (faiss_searcher.py:124):
+        encode new rows with the EXISTING codebooks (no retrain — FAISS
+        semantics) and union them into the code table. One vectorized
+        encode pass over the new rows; metadata-only union."""
+        if self._items is None:
+            raise RuntimeError("PQIndex is not fit; call fit() first")
+        coded = items.withColumn("__codes", self._codes_expr(self._vec_col))
+        old = self._items
+        self._items = old.unionByName(coded.select(*old.columns)).cache()
+        old.unpersist()
         return self
 
     # -- ADC search --------------------------------------------------------
@@ -490,6 +523,7 @@ class PQIndex:
             "m": self.m, "nbits": self.nbits, "seed": self.seed,
             "metric": self.metric, "train_sample": self.train_sample,
             "train_iters": self.train_iters, "item_key": self._item_key,
+            "vec_col": self._vec_col,
             "codebooks": [[[float(x) for x in c] for c in book]
                           for book in self.codebooks],
         }
@@ -511,6 +545,7 @@ class PQIndex:
                     meta["train_sample"], meta["train_iters"])
         index.codebooks = np.array(meta["codebooks"])
         index._item_key = meta["item_key"]
+        index._vec_col = meta.get("vec_col")
         items = spark.read.parquet(os.path.join(path, "items"))
         stats = items.select(
             F.count("*").alias("n"),

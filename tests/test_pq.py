@@ -131,3 +131,23 @@ def test_error_surface(spark, lossless):
     with pytest.raises(ValueError):   # empty corpus
         PQIndex(m=2).fit(lossless.filter(F.col("vec_id") < 0),
                          item_key_col="vec_id", item_vec_col="embedding")
+
+
+def test_add_items_matches_full_fit(spark, lossless):
+    """FAISS add-after-train semantics: codebooks do NOT retrain; on a
+    quantization-lossless corpus whose base slice already exhibits every
+    subvector prototype, add_items must answer exactly like a fit on the
+    full corpus."""
+    base = lossless.filter(F.col("vec_id") < 20)
+    extra = lossless.filter(F.col("vec_id") >= 20)
+    pq = PQIndex(m=2, metric="cos", seed=1).fit(
+        base, item_key_col="vec_id", item_vec_col="embedding")
+    pq.add_items(extra)
+    q = lossless.filter(F.col("vec_id") == 21).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    got = pq.search(q, k=4, query_item_col="qid").collect()
+    # the added item itself is retrievable with a perfect score
+    self_hit = [r for r in got if r["sim_item"] == 21]
+    assert self_hit and self_hit[0]["sim_val"] == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(RuntimeError):
+        PQIndex(m=2).add_items(extra)

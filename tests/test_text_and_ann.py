@@ -346,3 +346,27 @@ class TestTokenFrequencyScore:
         scored = token_frequency_score(documents, vocab)
         assert scored.filter(F.col("n_oov") > 0).count() == 0
         assert scored.count() == documents.count()
+
+
+def test_ivf_add_items_exhaustive_probe_is_exact(embeddings):
+    """IVF add-after-train (FAISS index.add semantics — the quantizer is
+    not retrained): with nprobe == n_cells the search is exhaustive, so
+    results over base+added must equal the exact path on the full corpus,
+    proving added rows landed in searchable cells."""
+    from faisssearcher_spark.operators.ann import IVFIndex
+    from faisssearcher_spark.operators.knn import knn_join
+
+    base = embeddings.filter(F.col("vec_id") < 400)
+    extra = embeddings.filter(F.col("vec_id") >= 400)
+    idx = IVFIndex(n_cells=8, nprobe=8, metric="cos").fit(
+        base, item_key_col="vec_id", item_vec_col="embedding")
+    idx.add_items(extra)
+    q = embeddings.filter(F.col("vec_id").isin(1, 450)).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    approx = {(r["source_item"], r["sim_item"])
+              for r in idx.search(q, k=10, query_item_col="qid").collect()}
+    exact = {(r["source_item"], r["sim_item"])
+             for r in knn_join(q, embeddings, metric="cos", k=10,
+                               query_item_col="qid", item_key_col="vec_id",
+                               payload_cols=[]).collect()}
+    assert approx == exact
