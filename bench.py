@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "sample_dsir",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

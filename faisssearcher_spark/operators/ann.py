@@ -308,6 +308,37 @@ class IVFIndex:
         return index
 
 
+def _train_pq_codebooks(mat: np.ndarray, m: int, ksub: int,
+                        iters: int, seed: int) -> np.ndarray:
+    """Seeded per-subspace Lloyd: (m, ksub, d/m) codebooks from a sample
+    matrix. Empty clusters reseed on a random point; a sample smaller
+    than ksub pads with the first centroid (degenerate-corpus guard)."""
+    rng = np.random.default_rng(seed)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(ksub, n)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cents = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub * sub).sum(1, keepdims=True)
+                  - 2.0 * sub @ cents.T + (cents * cents).sum(1)[None, :])
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+                else:   # empty cell: reseed on a random point
+                    cents[c] = sub[rng.integers(n)]
+        books[j, :k] = cents
+        if k < ksub:   # degenerate tiny corpus: repeat centroids
+            books[j, k:] = cents[0]
+    return books
+
+
 class PQIndex:
     """Product quantization with asymmetric-distance (ADC) search — the
     native-Spark analog of FAISS ``PQ<m>`` (and the PQ half of
@@ -352,30 +383,8 @@ class PQIndex:
     # -- training (driver-side Lloyd on a bounded sample) ------------------
 
     def _train_codebooks(self, mat: np.ndarray) -> np.ndarray:
-        rng = np.random.default_rng(self.seed)
-        n, d = mat.shape
-        if d % self.m:
-            raise ValueError(f"dim {d} not divisible by m={self.m}")
-        dsub = d // self.m
-        k = min(self.ksub, n)
-        books = np.zeros((self.m, self.ksub, dsub))
-        for j in range(self.m):
-            sub = mat[:, j * dsub:(j + 1) * dsub]
-            cents = sub[rng.choice(n, size=k, replace=False)].copy()
-            for _ in range(self.train_iters):
-                d2 = ((sub * sub).sum(1, keepdims=True)
-                      - 2.0 * sub @ cents.T + (cents * cents).sum(1)[None, :])
-                assign = d2.argmin(1)
-                for c in range(k):
-                    mask = assign == c
-                    if mask.any():
-                        cents[c] = sub[mask].mean(0)
-                    else:   # empty cell: reseed on a random point
-                        cents[c] = sub[rng.integers(n)]
-            books[j, :k] = cents
-            if k < self.ksub:   # degenerate tiny corpus: repeat centroids
-                books[j, k:] = cents[0]
-        return books
+        return _train_pq_codebooks(mat, self.m, self.ksub,
+                                   self.train_iters, self.seed)
 
     def _codes_expr(self, vec_col: str) -> Column:
         """array<smallint> of per-subspace nearest-centroid codes — one
@@ -558,6 +567,156 @@ class PQIndex:
                              "corrupt index?")
         index._items = items.cache()
         return index
+
+
+class IVFPQIndex:
+    """IVF + residual PQ — the FAISS workhorse ``IVF<n>,PQ<m>``
+    (index_factory strings the reference forwards verbatim,
+    faiss_searcher.py:104), natively in Spark, cosine/inner-product only.
+
+    fit(): spherical k-means cells (:class:`IVFIndex`), then PQ codebooks
+    trained on RESIDUALS (x − assigned centroid) — residuals have far
+    less variance than raw vectors, so the same code budget quantizes
+    finer (the reason FAISS encodes residuals). Items store (cell,
+    m codes): ~m bytes instead of d floats.
+
+    search(): for inner-product scores the residual decomposition is
+    separable — ``q·x ≈ q·c_cell + Σ_j LUT[j, code_j]`` with ONE
+    cell-independent LUT per query — so the plan is: probe nprobe
+    nearest cells per query (driver GEMM over the tiny centroid table),
+    broadcast-join the (qidx, cell, q·c) rows against the code table on
+    the CELL equi-join (candidates pruned like IVF; only codes shuffle,
+    never vectors), one vectorized pandas_udf gather adds the LUT sum,
+    and the usual rank window takes top-k. Broadcast state: the LUT
+    tensor (n_queries · m · 2^nbits doubles) — the inherent ADC state,
+    independent of corpus size.
+    """
+
+    def __init__(self, n_cells: int = 64, nprobe: int = 4, m: int = 8,
+                 nbits: int = 8, seed: int = 42, metric: str = "cos",
+                 train_sample: int = 100_000, train_iters: int = 20,
+                 kmeans_max_iter: int = 20):
+        if metric not in ("cos", "ip"):
+            raise ValueError(
+                "IVFPQIndex supports 'cos'/'ip' only (the residual ADC "
+                f"decomposition is inner-product algebra), got {metric!r}")
+        if not 1 <= nbits <= 8:
+            raise ValueError(f"nbits must be in [1, 8], got {nbits}")
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        self.n_cells, self.nprobe = n_cells, nprobe
+        self.m, self.nbits, self.seed = m, nbits, seed
+        self.ksub = 1 << nbits
+        self.metric = metric
+        self.train_sample = train_sample
+        self.train_iters = train_iters
+        self.kmeans_max_iter = kmeans_max_iter
+        self._ivf: IVFIndex | None = None
+        self.codebooks: np.ndarray | None = None
+        self._items: DataFrame | None = None
+        self._item_key = None
+        self._vec_col = None
+
+    def _residual_codes_expr(self, vec_col: str, cell_col: str) -> Column:
+        books = np.ascontiguousarray(self.codebooks)
+        cents = np.ascontiguousarray(self._ivf.centroids)
+        m, dsub = self.m, books.shape[2]
+
+        @F.pandas_udf("array<smallint>")
+        def _enc(vec: pd.Series, cell: pd.Series) -> pd.Series:
+            mat = np.array(vec.to_list(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1.0, norms)
+            res = mat - cents[cell.to_numpy()]
+            codes = np.empty((len(res), m), dtype=np.int16)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                cb = books[j]
+                d2 = ((sub * sub).sum(1, keepdims=True)
+                      - 2.0 * sub @ cb.T + (cb * cb).sum(1)[None, :])
+                codes[:, j] = d2.argmin(1)
+            return pd.Series(list(codes))
+
+        return _enc(M.as_double(vec_col), F.col(cell_col))
+
+    def fit(self, items: DataFrame, *, item_key_col: str = "item",
+            item_vec_col: str = "embedding") -> "IVFPQIndex":
+        self._ivf = IVFIndex(self.n_cells, self.nprobe, self.seed,
+                             self.metric,
+                             max_iter=self.kmeans_max_iter).fit(
+            items, item_key_col=item_key_col, item_vec_col=item_vec_col)
+        assigned = self._ivf.assignments()
+        sample = assigned.select(F.col(item_vec_col).alias("v"), "cell") \
+            .limit(self.train_sample).toPandas()
+        mat = np.array(sample["v"].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        residuals = mat - self._ivf.centroids[sample["cell"].to_numpy()]
+        self.codebooks = _train_pq_codebooks(
+            residuals, self.m, self.ksub, self.train_iters, self.seed)
+        self._item_key, self._vec_col = item_key_col, item_vec_col
+        coded = assigned.withColumn(
+            "__codes", self._residual_codes_expr(item_vec_col, "cell"))
+        self._items = coded.cache()
+        return self
+
+    def search(self, queries: DataFrame, *, k: int = 10,
+               query_item_col: str = "query_id",
+               query_vec_col: str = "embedding",
+               payload_cols: Sequence[str] | None = None) -> DataFrame:
+        if self._items is None:
+            raise RuntimeError("IVFPQIndex is not fit; call fit() first")
+        payload = list(payload_cols or [])
+        q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
+        if not len(q_pdf):
+            raise ValueError("IVFPQIndex.search needs a non-empty query "
+                             "set (the query LUT tensor is driver-built)")
+        qmat = np.array(q_pdf[query_vec_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.where(norms == 0, 1.0, norms)
+        cents = self._ivf.centroids
+        books = self.codebooks
+        m, dsub = self.m, books.shape[2]
+        nprobe = min(self.nprobe, len(cents))
+        # nearest cells by L2 on normalized vectors == max inner product
+        # on the unit sphere; stable argsort matches the assignment order
+        d2 = ((qmat * qmat).sum(1, keepdims=True)
+              - 2.0 * qmat @ cents.T + (cents * cents).sum(1)[None, :])
+        probed = np.argsort(d2, kind="stable", axis=1)[:, :nprobe]
+        qdotc = np.take_along_axis(qmat @ cents.T, probed, axis=1)
+        lut = np.empty((len(qmat), m, self.ksub))
+        for j in range(m):
+            lut[:, j, :] = qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
+        spark = queries.sparkSession
+        b_lut = spark.sparkContext.broadcast(lut)
+
+        qside = pd.DataFrame({
+            "__qidx": np.repeat(np.arange(len(qmat)), nprobe),
+            "source_item": np.repeat(q_pdf[query_item_col].to_numpy(),
+                                     nprobe),
+            "cell": probed.ravel().astype("int32"),
+            "__qdotc": qdotc.ravel(),
+        })
+        q_df = spark.createDataFrame(qside)
+
+        @F.pandas_udf("double")
+        def _adc(qidx: pd.Series, codes: pd.Series) -> pd.Series:
+            tbl = b_lut.value
+            qi = qidx.to_numpy()
+            cd = np.array(codes.to_list(), dtype=np.int64)
+            out = tbl[qi[:, None],
+                      np.arange(tbl.shape[1])[None, :], cd].sum(1)
+            return pd.Series(out)
+
+        it = self._items.select(
+            F.col(self._item_key).alias("sim_item"), "cell", "__codes",
+            *[F.col(c) for c in payload])
+        scored = (it.join(F.broadcast(q_df), "cell")
+                  .withColumn("sim_val",
+                              F.col("__qdotc")
+                              + _adc(F.col("__qidx"), F.col("__codes"))))
+        return _rank_topk(scored, k, True).select(
+            "source_item", "sim_item", "sim_val", "rank_no", *payload)
 
 
 def _build_faiss_index(mat: "np.ndarray", index_param: str, faiss_metric):

@@ -2238,10 +2238,23 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.source_item") == F.col("e.source_item"))
         & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     pq_recall = float(pq_hits) / total if total else 0.0
+
+    # --- tag-union row 4 (round 5): IVF16,PQ16 residual ADC at nprobe=8
+    # — recall composes as ivf-pruning × pq-quantization (measured 0.75
+    # = 0.91 × ~0.84 at seed 42; floor 0.6 leaves margin).
+    ivfpq = ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
+                           seed=42).fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    ivfpq_hits = ivfpq.search(q, k=10, query_item_col="qid").alias("a") \
+        .join(exact.alias("e"),
+              (F.col("a.source_item") == F.col("e.source_item"))
+              & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+    ivfpq_recall = float(ivfpq_hits) / total if total else 0.0
     return spark.createDataFrame(
         [("ivf_recall", bool(recall >= 0.9), int(total)),
          ("semantic_dedup", bool(sem_ok), int(n_emb)),
-         ("pq_recall", bool(pq_recall >= 0.7), int(total))],
+         ("pq_recall", bool(pq_recall >= 0.7), int(total)),
+         ("ivfpq_recall", bool(ivfpq_recall >= 0.6), int(total))],
         "check string, ok boolean, n long")
 
 
@@ -2252,6 +2265,9 @@ UNION ALL
 SELECT 'semantic_dedup', TRUE, (SELECT count(*) FROM embeddings)
 UNION ALL
 SELECT 'pq_recall', TRUE,
+       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
+UNION ALL
+SELECT 'ivfpq_recall', TRUE,
        (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
 """
 
@@ -2466,6 +2482,20 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["label"])
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: IVF16,PQ16 residual ADC end-to-end (k-means cells +
+    residual codebooks + cell-pruned broadcast join + vectorized LUT
+    gather); the ann_ivf_recall gate carries the recall-contract twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    idx = ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
+                         seed=42).fit(emb, item_key_col="vec_id",
+                                      item_vec_col="embedding")
+    return idx.search(q, k=10, query_item_col="qid",
+                      payload_cols=["label"])
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: DSIR end-to-end — unigram importance weights
     (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
@@ -2535,4 +2565,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "sample_dsir": q_sample_dsir,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }

@@ -151,3 +151,76 @@ def test_add_items_matches_full_fit(spark, lossless):
     assert self_hit and self_hit[0]["sim_val"] == pytest.approx(1.0, abs=1e-9)
     with pytest.raises(RuntimeError):
         PQIndex(m=2).add_items(extra)
+
+
+class TestIVFPQ:
+    def test_recall_composition(self, embeddings):
+        """IVF16,PQ16 at nprobe=8: recall ~= ivf-pruning x pq-quantization
+        (measured 0.75); exhaustive probing (nprobe=n_cells) removes the
+        pruning factor (measured 0.835 ~= flat PQ's 0.845 — residuals are
+        neutral on an isotropic corpus, by design they only help on
+        clustered data)."""
+        from faisssearcher_spark.operators.ann import IVFPQIndex
+
+        q = embeddings.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = knn_join(q, embeddings, metric="cos", k=10,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=[])
+        total = exact.count()
+
+        def recall(nprobe):
+            idx = IVFPQIndex(n_cells=16, nprobe=nprobe, m=16,
+                             metric="cos", seed=42).fit(
+                embeddings, item_key_col="vec_id",
+                item_vec_col="embedding")
+            hits = idx.search(q, k=10, query_item_col="qid").alias("a") \
+                .join(exact.alias("e"),
+                      (F.col("a.source_item") == F.col("e.source_item"))
+                      & (F.col("a.sim_item") == F.col("e.sim_item"))) \
+                .count()
+            return hits / total
+
+        r_pruned, r_full = recall(8), recall(16)
+        assert r_pruned >= 0.65     # measured 0.75 at seed 42
+        assert r_full >= r_pruned   # more cells probed can only help
+
+    def test_payload_rank_and_plan(self, embeddings):
+        from faisssearcher_spark.operators.ann import IVFPQIndex
+        from faisssearcher_spark.plans import inspect
+
+        q = embeddings.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        idx = IVFPQIndex(n_cells=8, nprobe=4, m=8, metric="cos",
+                         seed=42).fit(embeddings, item_key_col="vec_id",
+                                      item_vec_col="embedding")
+        res = idx.search(q, k=5, query_item_col="qid",
+                         payload_cols=["label"])
+        rows = res.collect()
+        assert len(rows) == 15
+        assert {r["rank_no"] for r in rows} == {0, 1, 2, 3, 4}
+        assert all(r["label"] is not None for r in rows)
+        plan = inspect.executed_plan(res)
+        # the only broadcast is the tiny (qidx, cell, qdotc) query side;
+        # candidates meet through the cell equi-join, codes via one
+        # vectorized ADC gather
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" in plan
+
+    def test_error_surface(self, spark, embeddings):
+        from faisssearcher_spark.operators.ann import IVFPQIndex
+
+        with pytest.raises(ValueError):
+            IVFPQIndex(metric="l2")
+        with pytest.raises(ValueError):
+            IVFPQIndex(nbits=9)
+        with pytest.raises(RuntimeError):
+            IVFPQIndex().search(embeddings.select(
+                F.col("vec_id").alias("qid"), "embedding"),
+                query_item_col="qid")
+        idx = IVFPQIndex(n_cells=4, m=8, seed=1).fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        with pytest.raises(ValueError):   # empty query set
+            idx.search(embeddings.filter(F.col("vec_id") < 0).select(
+                F.col("vec_id").alias("qid"), "embedding"),
+                query_item_col="qid")
