@@ -2243,7 +2243,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — recall composes as ivf-pruning × pq-quantization (measured 0.75
     # = 0.91 × ~0.84 at seed 42; floor 0.6 leaves margin).
     ivfpq = ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
-                           seed=42).fit(
+                           seed=42, kmeans_max_iter=8).fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     ivfpq_hits = ivfpq.search(q, k=10, query_item_col="qid").alias("a") \
         .join(exact.alias("e"),
@@ -2490,8 +2490,8 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
     idx = ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
-                         seed=42).fit(emb, item_key_col="vec_id",
-                                      item_vec_col="embedding")
+                         seed=42, kmeans_max_iter=8).fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
     return idx.search(q, k=10, query_item_col="qid",
                       payload_cols=["label"])
 

@@ -56,6 +56,8 @@ class SparkSearcher:
         whitening: VecsWhitening | None = None,
         query_feature_sep: str | None = None,
         doc_feature_sep: str | None = None,
+        index_param: str | None = None,
+        index_kwargs: dict | None = None,
     ):
         if encoder is None and vec_col is None:
             # faiss_searcher.py:37-38: without an encoder, input must be raw vectors
@@ -80,6 +82,25 @@ class SparkSearcher:
         # feature-sep kwargs only apply in encoder mode (faiss_searcher.py:60-61)
         self.query_feature_sep = query_feature_sep if encoder else None
         self.doc_feature_sep = doc_feature_sep if encoder else None
+        # FAISS index_factory spec, forwarded like the reference does
+        # (faiss_searcher.py:30,104): IVF/PQ/IVFPQ specs map to the
+        # native Spark indexes at train(); unrecognized specs fall through
+        # to the import-gated real-FAISS path at search(). None/"Flat" =
+        # exact (the engine's default and the reference's too).
+        self.index_param = index_param
+        self.index_kwargs = dict(index_kwargs or {})
+        if index_param is not None:
+            from faisssearcher_spark.operators.ann import parse_index_param
+            self._index_plan = parse_index_param(index_param)
+            if self._index_plan[0] != "faiss" and measurement not in (
+                    "cos", "ip", "l2"):
+                raise ValueError(
+                    f"index_param={index_param!r} supports cos/ip/l2 "
+                    f"measurements only (FAISS quantizers are L2/IP "
+                    f"structures), got {measurement!r}")
+        else:
+            self._index_plan = ("flat",)
+        self._index = None
         self.corpus: DataFrame | None = None
         self.vec_dim: int | None = None
 
@@ -107,7 +128,33 @@ class SparkSearcher:
             self.items, self.item_col, self.vec_col).cache()
         if validate:
             self.vec_dim = validate_vectors(self.corpus, _VEC)
+        self._fit_index()
         return self
+
+    def _fit_index(self) -> None:
+        """Build the ANN structure the index_param spec names (IVF / PQ /
+        IVFPQ natively; FAISS specs defer to search time, where the
+        import-gated kernel builds per call like the exact strategies).
+        Corpus vectors are already normalized/whitened (_vectorize), so
+        the index metric is 'ip' for cosine — same rewrite search() does."""
+        kind = self._index_plan[0]
+        if kind in ("flat", "faiss"):
+            self._index = None
+            return
+        from faisssearcher_spark.operators import ann
+        metric = "ip" if self.measurement == "cos" else self.measurement
+        kw = dict(self.index_kwargs)
+        if kind == "ivf":
+            idx = ann.IVFIndex(n_cells=self._index_plan[1],
+                               metric=metric, **kw)
+        elif kind == "pq":
+            idx = ann.PQIndex(m=self._index_plan[1], metric=metric, **kw)
+        else:   # ivfpq
+            idx = ann.IVFPQIndex(n_cells=self._index_plan[1],
+                                 m=self._index_plan[2], metric=metric,
+                                 **kw)
+        self._index = idx.fit(self.corpus, item_key_col=self.key_col,
+                              item_vec_col=_VEC)
 
     def add_items(self, items: DataFrame, validate: bool = False) -> "SparkSearcher":
         """Append new items to a trained corpus — the analog of FAISS
@@ -128,6 +175,10 @@ class SparkSearcher:
         corpus.unpersist()
         if validate:
             self.vec_dim = validate_vectors(self.corpus, _VEC, self.vec_dim)
+        if self._index is not None:
+            # FAISS add-after-train parity: the index ingests the new rows
+            # without retraining its quantizer (operators/ann.py add_items)
+            self._index.add_items(new)
         return self
 
     def _require_trained(self) -> DataFrame:
@@ -191,6 +242,10 @@ class SparkSearcher:
         if self.measurement == "cos":
             kwargs["metric"] = "ip"  # normalized at encode time → dot product
 
+        if self._index is not None or self._index_plan[0] == "faiss":
+            return self._search_indexed(queries, corpus, topK, keep_rank_no,
+                                        payload)
+
         if isinstance(topK, int):
             res = knn_join(queries, corpus, k=topK,
                            keep_rank_no=keep_rank_no, **kwargs)
@@ -200,6 +255,44 @@ class SparkSearcher:
         return {k: self._post(df if keep_rank_no else df.drop("rank_no"),
                               keep_rank_no)
                 for k, df in multi.items()}
+
+    def _search_indexed(self, queries: DataFrame, corpus: DataFrame,
+                        topK, keep_rank_no: bool, payload: list):
+        """Search through the index_param structure (reference semantics:
+        when an index_param is given, EVERY search uses it,
+        faiss_searcher.py:161-187). Multi-K runs one search at max(K) and
+        slices by rank — the same slice≡direct-search equivalence the
+        exact multi-K path proves (knn_join_multi_k)."""
+        def one(k: int) -> DataFrame:
+            if self._index is not None:
+                res = self._index.search(
+                    queries, k=k, query_item_col="source_item",
+                    query_vec_col=_VEC, payload_cols=payload)
+            else:   # unrecognized spec → real-FAISS pass-through
+                from faisssearcher_spark.operators.ann import faiss_topk
+                metric = "ip" if self.measurement == "cos" \
+                    else self.measurement
+                res = faiss_topk(
+                    queries, corpus, k=k, index_param=self.index_param,
+                    metric=metric, query_item_col="source_item",
+                    item_key_col=self.key_col, query_vec_col=_VEC,
+                    item_vec_col=_VEC, payload_cols=payload)
+            return res
+
+        if isinstance(topK, int):
+            res = one(topK)
+            if not keep_rank_no:
+                res = res.drop("rank_no")
+            return self._post(res, keep_rank_no)
+        ks = [int(k) for k in topK]
+        res = one(max(ks))
+        out = {}
+        for k in ks:
+            sliced = res.filter(F.col("rank_no") < k)
+            if not keep_rank_no:
+                sliced = sliced.drop("rank_no")
+            out[k] = self._post(sliced, keep_rank_no)
+        return out
 
     def _post(self, res: DataFrame, keep_rank_no: bool) -> DataFrame:
         """Apply the feature-sep splits (faiss_searcher.py:150-156)."""
@@ -259,6 +352,8 @@ class SparkSearcher:
             "doc_feature_sep": self.doc_feature_sep,
             "has_encoder": self.encoder is not None,
             "has_whitening": self.whitening is not None,
+            "index_param": self.index_param,
+            "index_kwargs": self.index_kwargs,
         }
         spark = corpus.sparkSession
         spark.createDataFrame([(json.dumps(meta),)], "meta string") \
@@ -298,7 +393,13 @@ class SparkSearcher:
             whitening=whitening,
             query_feature_sep=meta["query_feature_sep"],
             doc_feature_sep=meta["doc_feature_sep"],
+            index_param=meta.get("index_param"),
+            index_kwargs=meta.get("index_kwargs"),
         )
         searcher.corpus = corpus.cache()
         searcher.vec_dim = meta["vec_dim"]
+        # the ANN structure rebuilds deterministically from the stored
+        # corpus (seeded k-means / Lloyd) — "data + config" persistence,
+        # same policy as the rest of the searcher
+        searcher._fit_index()
         return searcher

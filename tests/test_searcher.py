@@ -226,3 +226,92 @@ class TestAutoStrategyThroughSearcher:
                                 keep_rank_no=True, score_scale=4,
                                 strategy="auto")
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestIndexParam:
+    """Reference parity: FaissSearcher(index_param=...) forwards FAISS
+    index_factory specs (faiss_searcher.py:30,104). IVF / PQ / IVFPQ map
+    to the native Spark indexes; when an index_param is given EVERY
+    search routes through it; multi-K slices one max-K search."""
+
+    def test_ivf_exhaustive_probe_matches_exact(self, embeddings):
+        base = SparkSearcher(embeddings, vec_col="embedding",
+                             key_col="vec_id", measurement="cos").train()
+        ivf = SparkSearcher(embeddings, vec_col="embedding",
+                            key_col="vec_id", measurement="cos",
+                            index_param="IVF8",
+                            index_kwargs={"nprobe": 8}).train()
+        q = embeddings.limit(3)
+        exact = {(r["source_item"], r["sim_item"])
+                 for r in base.search(q, topK=5).collect()}
+        idx = {(r["source_item"], r["sim_item"])
+               for r in ivf.search(q, topK=5).collect()}
+        assert idx == exact   # nprobe == n_cells -> exhaustive == exact
+
+    def test_pq_encoder_mode_and_multik(self, documents):
+        corpus = documents.select("text", "lang", "source", "n_chars")
+        s = SparkSearcher(corpus, encoder=HashingEncoder(dim=8),
+                          measurement="cos", index_param="PQ4").train()
+        text = documents.first()["text"]
+        multi = s.search([text], topK=[1, 3], keep_rank_no=True)
+        assert set(multi) == {1, 3}
+        assert multi[1].count() == 1 and multi[3].count() == 3
+        rows3 = multi[3].collect()
+        # PQ4 over 8 hashed dims is deliberately coarse: docs whose
+        # embeddings collide in code space tie at the top, so the self
+        # text is only guaranteed within the top-3, not exact top-1
+        assert text in {r["sim_item"] for r in rows3}
+        assert all(r["lang"] is not None for r in rows3)   # payload carried
+        # multi-K slice == direct search at that K
+        direct = {(r["source_item"], r["sim_item"])
+                  for r in s.search([text], topK=3).collect()}
+        sliced = {(r["source_item"], r["sim_item"])
+                  for r in multi[3].collect()}
+        assert sliced == direct
+
+    def test_ivfpq_roundtrip_rebuilds_index(self, spark, embeddings,
+                                            tmp_path):
+        s = SparkSearcher(embeddings, vec_col="embedding",
+                          key_col="vec_id", measurement="cos",
+                          index_param="IVF8,PQ8",
+                          index_kwargs={"nprobe": 8}).train()
+        q = embeddings.limit(2)
+        before = {(r["source_item"], r["sim_item"])
+                  for r in s.search(q, topK=4).collect()}
+        path = str(tmp_path / "searcher_ivfpq")
+        s.save(path)
+        loaded = SparkSearcher.load(spark, path)
+        assert loaded.index_param == "IVF8,PQ8"
+        after = {(r["source_item"], r["sim_item"])
+                 for r in loaded.search(q, topK=4).collect()}
+        assert after == before   # seeded quantizers rebuild identically
+
+    def test_add_items_reaches_index(self, embeddings):
+        base = embeddings.filter(F.col("vec_id") < 400)
+        extra = embeddings.filter(F.col("vec_id") >= 400)
+        s = SparkSearcher(base, vec_col="embedding", key_col="vec_id",
+                          measurement="cos", index_param="IVF8",
+                          index_kwargs={"nprobe": 8}).train()
+        s.add_items(extra)
+        probe = extra.limit(1)
+        top = s.search(probe, topK=1).collect()[0]
+        assert top["sim_item"] == top["source_item"]   # added row findable
+        assert top["sim_val"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_unknown_spec_defers_to_faiss(self, embeddings):
+        s = SparkSearcher(embeddings, vec_col="embedding",
+                          key_col="vec_id", measurement="cos",
+                          index_param="HNSW32").train()
+        try:
+            import faiss  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError):
+                s.search(embeddings.limit(1), topK=3)
+        else:
+            assert s.search(embeddings.limit(1), topK=3).count() == 3
+
+    def test_unsupported_measurement_rejected(self, embeddings):
+        with pytest.raises(ValueError):
+            SparkSearcher(embeddings, vec_col="embedding",
+                          key_col="vec_id", measurement="canberra",
+                          index_param="IVF8")
