@@ -131,7 +131,8 @@ class IVFIndex:
     """
 
     def __init__(self, n_cells: int = 64, nprobe: int = 4, seed: int = 42,
-                 metric: str = "cos", max_iter: int = 20):
+                 metric: str = "cos", max_iter: int = 20,
+                 train_mode: str = "mllib", train_sample: int = 100_000):
         self.n_cells = n_cells
         self.nprobe = nprobe
         self.seed = seed
@@ -142,6 +143,17 @@ class IVFIndex:
         # ~0.5 s/iter at bench scale). Coarse quantization is insensitive
         # to late iterations; SemDeDup-style callers pass ~8.
         self.max_iter = max_iter
+        # train_mode="mllib": distributed k-means over the full corpus
+        # (the default — centroids see every row). "sample": seeded
+        # numpy Lloyd on a bounded limit(train_sample) driver collect —
+        # FAISS's own discipline (it trains coarse quantizers on
+        # max_points_per_centroid samples), ~10 Spark jobs cheaper;
+        # assignment of the full corpus is identical either way.
+        if train_mode not in ("mllib", "sample"):
+            raise ValueError(f"train_mode must be 'mllib' or 'sample', "
+                             f"got {train_mode!r}")
+        self.train_mode = train_mode
+        self.train_sample = train_sample
         # spherical quantization for cosine: cluster and assign on
         # L2-normalized vectors so cells partition by DIRECTION, not
         # magnitude (FAISS equivalently normalizes inputs before an
@@ -189,19 +201,34 @@ class IVFIndex:
 
     def fit(self, items: DataFrame, *, item_key_col: str = "item",
             item_vec_col: str = "embedding") -> "IVFIndex":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        if self.train_mode == "sample":
+            sample = items.select(F.col(item_vec_col).alias("v")) \
+                .limit(self.train_sample).toPandas()
+            if not len(sample):
+                raise ValueError("IVFIndex.fit needs a non-empty corpus")
+            mat = np.array(sample["v"].to_list(), dtype=np.float64)
+            if self._spherical:
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(norms == 0, 1.0, norms)
+            # one-subspace PQ training IS k-means over the full vector
+            self.centroids = _train_pq_codebooks(
+                mat, 1, self.n_cells, self.max_iter, self.seed)[0]
+        else:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
 
-        vec = F.col(item_vec_col).cast("array<double>")
-        if self._spherical:
-            from faisssearcher_spark.functions.vector import l2_normalize
-            vec = l2_normalize(vec, zero_norm_nan=False)
-        feats = items.select(
-            F.col(item_key_col).alias("__key"),
-            array_to_vector(vec).alias("features"))
-        km = KMeans(k=self.n_cells, seed=self.seed, maxIter=self.max_iter)
-        model = km.fit(feats)
-        self.centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+            vec = F.col(item_vec_col).cast("array<double>")
+            if self._spherical:
+                from faisssearcher_spark.functions.vector import l2_normalize
+                vec = l2_normalize(vec, zero_norm_nan=False)
+            feats = items.select(
+                F.col(item_key_col).alias("__key"),
+                array_to_vector(vec).alias("features"))
+            km = KMeans(k=self.n_cells, seed=self.seed,
+                        maxIter=self.max_iter)
+            model = km.fit(feats)
+            self.centroids = np.array(
+                [np.asarray(c) for c in model.clusterCenters()])
         self._item_key, self._item_vec = item_key_col, item_vec_col
         # assign once; persist the assignment like FAISS's add()
         assigned = items.withColumn(

@@ -844,8 +844,11 @@ def semantic_cell_pairs(df: DataFrame, *, id_col: str = "vec_id",
     from faisssearcher_spark.functions.vector import l2_normalize
     from faisssearcher_spark.operators.ann import IVFIndex
 
+    # train_mode="sample": seeded driver Lloyd on a bounded sample — the
+    # SemDeDup paper's own discipline, and ~10 Spark jobs cheaper than
+    # distributed MLlib for a clustering whose only job is bucketing
     idx = IVFIndex(n_cells=n_cells, nprobe=1, seed=seed, metric="cos",
-                   max_iter=max_iter).fit(
+                   max_iter=max_iter, train_mode="sample").fit(
         df, item_key_col=id_col, item_vec_col=vec_col)
     assigned = idx.assignments().select(
         "cell", F.col(id_col).alias("__id"),

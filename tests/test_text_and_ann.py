@@ -370,3 +370,33 @@ def test_ivf_add_items_exhaustive_probe_is_exact(embeddings):
                                query_item_col="qid", item_key_col="vec_id",
                                payload_cols=[]).collect()}
     assert approx == exact
+
+
+def test_ivf_sample_train_mode_exhaustive_is_exact(embeddings):
+    """train_mode='sample' (seeded driver Lloyd, the FAISS coarse-
+    quantizer discipline) must behave like any other centroid set:
+    exhaustive probing equals the exact path, and fit validates
+    emptiness / mode names."""
+    import pytest as _pt
+
+    from faisssearcher_spark.operators.ann import IVFIndex
+    from faisssearcher_spark.operators.knn import knn_join
+
+    idx = IVFIndex(n_cells=8, nprobe=8, metric="cos",
+                   train_mode="sample").fit(
+        embeddings, item_key_col="vec_id", item_vec_col="embedding")
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    approx = {(r["source_item"], r["sim_item"])
+              for r in idx.search(q, k=10, query_item_col="qid").collect()}
+    exact = {(r["source_item"], r["sim_item"])
+             for r in knn_join(q, embeddings, metric="cos", k=10,
+                               query_item_col="qid", item_key_col="vec_id",
+                               payload_cols=[]).collect()}
+    assert approx == exact
+    with _pt.raises(ValueError):
+        IVFIndex(train_mode="bogus")
+    with _pt.raises(ValueError):
+        IVFIndex(train_mode="sample").fit(
+            embeddings.filter(F.col("vec_id") < 0),
+            item_key_col="vec_id", item_vec_col="embedding")
