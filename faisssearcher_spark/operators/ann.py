@@ -230,6 +230,10 @@ class IVFIndex:
             self.centroids = np.array(
                 [np.asarray(c) for c in model.clusterCenters()])
         self._item_key, self._item_vec = item_key_col, item_vec_col
+        if "cell" in items.columns:
+            raise ValueError("items already has a 'cell' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
         # assign once; persist the assignment like FAISS's add()
         assigned = items.withColumn(
             "cell", F.element_at(self._nearest_cells_expr(item_vec_col, 1), 1))
@@ -466,6 +470,10 @@ class PQIndex:
         self.codebooks = self._train_codebooks(mat)
         self._item_key = item_key_col
         self._vec_col = item_vec_col
+        if "__codes" in items.columns:
+            raise ValueError("items already has a '__codes' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
         coded = items.withColumn("__codes", self._codes_expr(item_vec_col))
         self._items = coded.cache()
         return self
@@ -697,6 +705,10 @@ class IVFPQIndex:
         self.codebooks = _train_pq_codebooks(
             residuals, self.m, self.ksub, self.train_iters, self.seed)
         self._item_key, self._vec_col = item_key_col, item_vec_col
+        if "__codes" in assigned.columns:
+            raise ValueError("items already has a '__codes' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
         coded = assigned.withColumn(
             "__codes", self._residual_codes_expr(item_vec_col, "cell"))
         self._items = coded.cache()

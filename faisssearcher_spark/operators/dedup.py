@@ -1029,6 +1029,9 @@ def duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if id_col in ("start", "pos", "n_tokens", "n_dup_tokens"):
+        raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
+                         "output column; rename it first")
     _, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
     first = (wins.groupBy("__w")
              .agg(F.min(F.struct(F.col(id_col), F.col("start")))

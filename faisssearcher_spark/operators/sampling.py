@@ -205,7 +205,10 @@ def gumbel_topk_sample(df: DataFrame, *, k: int, weight_col: str,
     u = (sample_bucket(key_col, seed, op="gumbel") + F.lit(0.5)) \
         / F.lit(float(SAMPLE_DENOM))
     gumbel = -F.log(-F.log(u))
-    return (df.withColumn("__gkey", F.col(weight_col) + gumbel)
-            .orderBy(F.col("__gkey").desc(), F.col(key_col).asc())
+    gk = "__gkey"
+    while gk in df.columns:    # never clobber a user column
+        gk += "_"
+    return (df.withColumn(gk, F.col(weight_col) + gumbel)
+            .orderBy(F.col(gk).desc(), F.col(key_col).asc())
             .limit(k)
-            .drop("__gkey"))
+            .drop(gk))

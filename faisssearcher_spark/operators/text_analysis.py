@@ -264,17 +264,25 @@ def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
         (F.log((F.col("__tf_t") + s) / denom_t)
          - F.log((F.col("__tf_r") + s) / denom_r)).alias("__lr")))
 
-    ids = df.select(F.col(id_col))
-    ex = (df.select(F.col(id_col),
-                    F.explode_outer(T.tokens(text_col)).alias("__tok"))
+    # score per ROW via a generated row key, not per id value: grouping
+    # by id_col would silently merge duplicate ids' token multisets into
+    # one combined score (the wordvec encode_df defect class, r4 ADVICE)
+    rid = "__dsir_rid"
+    while rid in df.columns:
+        rid += "_"
+    keyed = df.select(F.col(id_col),
+                      F.monotonically_increasing_id().alias(rid),
+                      F.col(text_col))
+    ex = (keyed.select(rid,
+                       F.explode_outer(T.tokens(text_col)).alias("__tok"))
           .filter(F.col("__tok").isNotNull()))
     logw = F.sum(F.coalesce("__lr", F.lit(lr_oov)))
     if score_scale is not None:
         logw = F.round(logw, score_scale)
     agg = (ex.join(lr, "__tok", "left")
-           .groupBy(id_col)
+           .groupBy(rid)
            .agg(F.count("*").alias("n_tokens"), logw.alias("logw")))
-    return (ids.join(agg, id_col, "left")
+    return (keyed.select(id_col, rid).join(agg, rid, "left")
             .select(id_col,
                     F.coalesce("n_tokens", F.lit(0)).cast("long")
                      .alias("n_tokens"),

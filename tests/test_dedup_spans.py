@@ -97,3 +97,9 @@ def test_no_duplicate_window_survives(documents):
 def test_n_validation(spark, corpus):
     with pytest.raises(ValueError):
         duplicate_spans(corpus, n=0)
+
+
+def test_id_col_collision_rejected(spark, corpus):
+    renamed = corpus.withColumnRenamed("doc_id", "start")
+    with pytest.raises(ValueError):
+        duplicate_spans(renamed, id_col="start", n=3)

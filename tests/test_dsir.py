@@ -108,3 +108,25 @@ def test_gumbel_is_weighted_not_uniform(spark):
         df, k=50, weight_col="w", key_col="id").collect()]
     n_heavy = sum(1 for i in top if i < 100)
     assert n_heavy >= 45   # P[much lower] is negligible at 100:1 odds
+
+
+def test_duplicate_ids_score_per_row(spark, corpora):
+    """Duplicate id values must NOT merge into one combined score (the
+    wordvec encode_df defect class): each row scores independently."""
+    target, raw = corpora
+    tv, rv = fit_token_frequencies(target), fit_token_frequencies(raw)
+    docs = spark.createDataFrame(
+        [(1, "clean prose"), (1, "spam buy")],
+        "doc_id long, text string")
+    rows = dsir_log_weights(docs, tv, rv).collect()
+    assert len(rows) == 2
+    assert sorted(r["n_tokens"] for r in rows) == [2, 2]
+    signs = sorted(r["logw"] > 0 for r in rows)
+    assert signs == [False, True]   # one target-like, one junk
+
+
+def test_gumbel_never_clobbers_user_column(spark):
+    df = spark.createDataFrame([(1, 0.5, "x")], "id long, w double, __gkey string")
+    out = gumbel_topk_sample(df, k=1, weight_col="w", key_col="id")
+    assert out.columns == ["id", "w", "__gkey"]
+    assert out.collect()[0]["__gkey"] == "x"

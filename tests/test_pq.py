@@ -224,3 +224,16 @@ class TestIVFPQ:
             idx.search(embeddings.filter(F.col("vec_id") < 0).select(
                 F.col("vec_id").alias("qid"), "embedding"),
                 query_item_col="qid")
+
+
+def test_fit_rejects_reserved_column_collisions(spark, lossless):
+    from faisssearcher_spark.operators.ann import IVFIndex
+
+    with pytest.raises(ValueError):
+        IVFIndex(n_cells=2).fit(
+            lossless.withColumn("cell", F.lit(0)),
+            item_key_col="vec_id", item_vec_col="embedding")
+    with pytest.raises(ValueError):
+        PQIndex(m=2).fit(
+            lossless.withColumn("__codes", F.lit(0)),
+            item_key_col="vec_id", item_vec_col="embedding")
