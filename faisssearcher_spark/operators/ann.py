@@ -20,6 +20,8 @@ candidate set comes from an equi-join on a derived bucket key:
 - :class:`IVFPQIndex` — cells + residual PQ (FAISS ``IVF<n>,PQ<m>``):
   candidate pruning via the cell equi-join, separable inner-product ADC
   (``q·c_cell + Σ LUT``), only m-byte codes shuffle.
+- :class:`SQIndex` — per-dimension scalar quantizer (FAISS ``SQ8``):
+  trained [vmin, vmax] bounds, d-byte codes, decode-and-GEMM search.
 - :func:`faiss_topk` — optional real-FAISS path: per-executor search over a
   broadcast serialized index inside ``mapInPandas``; import-gated because
   faiss is not a hard dependency.
@@ -619,6 +621,153 @@ class PQIndex:
         return index
 
 
+class SQIndex:
+    """Scalar quantization (FAISS ``SQ8``/``SQ4`` via index_factory,
+    faiss_searcher.py:104): a per-DIMENSION linear quantizer — trained
+    ``[vmin, vmax]`` bounds on a bounded driver sample — stores each
+    vector as d small integer codes (d bytes at nbits=8 vs 4d float32),
+    decoded approximately at search time. The simplest of the quantizer
+    family: no codebooks, near-lossless at 8 bits, 4× smaller scans.
+
+    Scale shape (the ``faiss_topk_sharded`` pattern): the code table
+    stays distributed; the small query matrix broadcasts; each Arrow
+    batch decodes (one fused multiply-add) and GEMMs against the
+    queries, emitting its local top-k; a final window merges.
+
+    ``add_items`` encodes with the EXISTING bounds (values beyond the
+    trained range clip — FAISS behavior; retrain if the distribution
+    drifts).
+    """
+
+    def __init__(self, nbits: int = 8, metric: str = "cos",
+                 train_sample: int = 100_000):
+        if not 1 <= nbits <= 8:
+            raise ValueError(f"nbits must be in [1, 8], got {nbits}")
+        self.nbits = nbits
+        self.levels = (1 << nbits) - 1
+        self.metric = metric
+        self.train_sample = train_sample
+        self._spherical = metric in ("cos", "ip")
+        self.vmin: np.ndarray | None = None
+        self.vmax: np.ndarray | None = None
+        self._items: DataFrame | None = None
+        self._item_key = None
+        self._vec_col = None
+
+    def _codes_expr(self, vec_col: str) -> Column:
+        vmin = self.vmin
+        scale = (self.vmax - self.vmin) / self.levels
+        scale = np.where(scale == 0, 1.0, scale)   # constant dims -> code 0
+        levels, spherical = self.levels, self._spherical
+
+        @F.pandas_udf("array<smallint>")
+        def _enc(batch: pd.Series) -> pd.Series:
+            mat = np.array(batch.to_list(), dtype=np.float64)
+            if spherical:
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(norms == 0, 1.0, norms)
+            codes = np.clip(np.rint((mat - vmin) / scale),
+                            0, levels).astype(np.int16)
+            return pd.Series(list(codes))
+
+        return _enc(M.as_double(vec_col))
+
+    def fit(self, items: DataFrame, *, item_key_col: str = "item",
+            item_vec_col: str = "embedding") -> "SQIndex":
+        sample = items.select(F.col(item_vec_col).alias("v")) \
+            .limit(self.train_sample).toPandas()
+        if not len(sample):
+            raise ValueError("SQIndex.fit needs a non-empty corpus")
+        mat = np.array(sample["v"].to_list(), dtype=np.float64)
+        if self._spherical:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1.0, norms)
+        self.vmin, self.vmax = mat.min(0), mat.max(0)
+        self._item_key, self._vec_col = item_key_col, item_vec_col
+        if "__codes" in items.columns:
+            raise ValueError("items already has a '__codes' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
+        self._items = items.withColumn(
+            "__codes", self._codes_expr(item_vec_col)).cache()
+        return self
+
+    def add_items(self, items: DataFrame) -> "SQIndex":
+        if self._items is None:
+            raise RuntimeError("SQIndex is not fit; call fit() first")
+        coded = items.withColumn("__codes", self._codes_expr(self._vec_col))
+        old = self._items
+        self._items = old.unionByName(coded.select(*old.columns)).cache()
+        old.unpersist()
+        return self
+
+    def search(self, queries: DataFrame, *, k: int = 10,
+               query_item_col: str = "query_id",
+               query_vec_col: str = "embedding",
+               keep_rank_no: bool = True,
+               payload_cols: Sequence[str] | None = None) -> DataFrame:
+        if self._items is None:
+            raise RuntimeError("SQIndex is not fit; call fit() first")
+        from faisssearcher_spark.operators.knn import _merge_candidates
+
+        q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
+        if not len(q_pdf):
+            raise ValueError("SQIndex.search needs a non-empty query set "
+                             "(the query matrix is driver-collected)")
+        qmat = np.array(q_pdf[query_vec_col].to_list(), dtype=np.float64)
+        if self._spherical:
+            norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qmat = qmat / np.where(norms == 0, 1.0, norms)
+        spark = queries.sparkSession
+        b_q = spark.sparkContext.broadcast(qmat)
+        b_qid = spark.sparkContext.broadcast(
+            q_pdf[query_item_col].to_numpy())
+        vmin = self.vmin
+        scale = (self.vmax - self.vmin) / self.levels
+        scale = np.where(scale == 0, 1.0, scale)
+        higher = self._spherical
+        kk, item_key = k, self._item_key
+
+        def _local(batches):
+            qm, qids = b_q.value, b_qid.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.array(pdf["__codes"].to_list(), dtype=np.float64)
+                mat = codes * scale + vmin            # decode, fused
+                if higher:
+                    scores = qm @ mat.T               # (nq, nb) inner product
+                else:
+                    scores = (((mat * mat).sum(1)[None, :])
+                              - 2.0 * qm @ mat.T
+                              + (qm * qm).sum(1)[:, None])
+                loc = min(kk, scores.shape[1])
+                if higher:
+                    top = np.argpartition(-scores, loc - 1, axis=1)[:, :loc]
+                else:
+                    top = np.argpartition(scores, loc - 1, axis=1)[:, :loc]
+                keys = pdf[item_key].to_numpy()
+                yield pd.DataFrame({
+                    "source_item": np.repeat(qids, loc),
+                    "sim_item": keys[top.ravel()],
+                    "sim_val": np.take_along_axis(scores, top, axis=1)
+                               .ravel().astype("float64"),
+                })
+
+        q_key_field = queries.schema[query_item_col]
+        key_field = self._items.schema[self._item_key]
+        cand_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
+                       f"sim_item {key_field.dataType.simpleString()}, "
+                       "sim_val double")
+        cand = self._items.select(self._item_key, "__codes").mapInPandas(
+            _local, cand_schema)
+        return _merge_candidates(cand, self._items.drop("__codes"), k=k,
+                                 higher_is_closer=higher,
+                                 item_key_col=self._item_key,
+                                 payload_cols=list(payload_cols or []),
+                                 keep_rank_no=keep_rank_no)
+
+
 class IVFPQIndex:
     """IVF + residual PQ — the FAISS workhorse ``IVF<n>,PQ<m>``
     (index_factory strings the reference forwards verbatim,
@@ -798,8 +947,9 @@ def parse_index_param(spec: str):
     - ``"Flat"`` → ``("flat",)`` — exact search, no index;
     - ``"IVF<n>"`` / ``"IVF<n>,Flat"`` → ``("ivf", n)``;
     - ``"PQ<m>"`` → ``("pq", m)``;
+    - ``"SQ<b>"`` → ``("sq", b)`` — scalar quantizer, b ∈ {4, 8};
     - ``"IVF<n>,PQ<m>"`` → ``("ivfpq", n, m)``;
-    - anything else (HNSW, OPQ, SQ, composites) → ``("faiss", spec)`` —
+    - anything else (HNSW, OPQ, composites) → ``("faiss", spec)`` —
       the import-gated real-FAISS pass-through, exactly the reference's
       fallthrough behavior.
     """
@@ -814,6 +964,9 @@ def parse_index_param(spec: str):
     m = _re.fullmatch(r"(?i)PQ(\d+)", s)
     if m:
         return ("pq", int(m.group(1)))
+    m = _re.fullmatch(r"(?i)SQ([48])", s)
+    if m:
+        return ("sq", int(m.group(1)))
     m = _re.fullmatch(r"(?i)IVF(\d+),PQ(\d+)", s)
     if m:
         return ("ivfpq", int(m.group(1)), int(m.group(2)))

@@ -237,3 +237,81 @@ def test_fit_rejects_reserved_column_collisions(spark, lossless):
         PQIndex(m=2).fit(
             lossless.withColumn("__codes", F.lit(0)),
             item_key_col="vec_id", item_vec_col="embedding")
+
+
+class TestSQ:
+    def test_sq8_near_lossless_recall(self, embeddings):
+        """8-bit per-dim quantization of unit vectors is near-lossless:
+        top-10 against the exact path should agree almost everywhere."""
+        from faisssearcher_spark.operators.ann import SQIndex
+
+        q = embeddings.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = knn_join(q, embeddings, metric="cos", k=10,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=[])
+        total = exact.count()
+        sq = SQIndex(nbits=8, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        approx = sq.search(q, k=10, query_item_col="qid",
+                           payload_cols=["label"])
+        hits = approx.alias("a").join(
+            exact.alias("e"),
+            (F.col("a.source_item") == F.col("e.source_item"))
+            & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+        assert hits / total >= 0.97
+        assert all(r["label"] is not None for r in approx.collect())
+
+    def test_sq4_coarser_than_sq8(self, embeddings):
+        from faisssearcher_spark.operators.ann import SQIndex
+
+        q = embeddings.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = knn_join(q, embeddings, metric="cos", k=10,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=[])
+        total = exact.count()
+
+        def recall(nbits):
+            sq = SQIndex(nbits=nbits, metric="cos").fit(
+                embeddings, item_key_col="vec_id",
+                item_vec_col="embedding")
+            hits = sq.search(q, k=10, query_item_col="qid").alias("a") \
+                .join(exact.alias("e"),
+                      (F.col("a.source_item") == F.col("e.source_item"))
+                      & (F.col("a.sim_item") == F.col("e.sim_item"))) \
+                .count()
+            return hits / total
+
+        r4, r8 = recall(4), recall(8)
+        assert r8 >= r4
+        assert r4 >= 0.3    # 16 levels/dim still carries real signal
+
+    def test_add_items_and_errors(self, spark, lossless):
+        from faisssearcher_spark.operators.ann import SQIndex
+
+        base = lossless.filter(F.col("vec_id") < 20)
+        extra = lossless.filter(F.col("vec_id") >= 20)
+        sq = SQIndex(nbits=8, metric="cos").fit(
+            base, item_key_col="vec_id", item_vec_col="embedding")
+        sq.add_items(extra)
+        q = lossless.filter(F.col("vec_id") == 21).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        got = sq.search(q, k=3, query_item_col="qid").collect()
+        self_hit = [r for r in got if r["sim_item"] == 21]
+        assert self_hit and self_hit[0]["sim_val"] == pytest.approx(
+            1.0, abs=0.02)   # 8-bit decode error bound
+        with pytest.raises(ValueError):
+            SQIndex(nbits=0)
+        with pytest.raises(RuntimeError):
+            SQIndex().add_items(extra)
+
+    def test_facade_routes_sq8(self, embeddings):
+        from faisssearcher_spark.searcher import SparkSearcher
+
+        s = SparkSearcher(embeddings, vec_col="embedding",
+                          key_col="vec_id", measurement="cos",
+                          index_param="SQ8").train()
+        top = s.search(embeddings.limit(1), topK=1).collect()[0]
+        assert top["sim_item"] == top["source_item"]
+        assert top["sim_val"] == pytest.approx(1.0, abs=0.02)
