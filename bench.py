@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sample_dsir",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_sq_topk",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -2496,6 +2496,18 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       payload_cols=["label"])
 
 
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: SQ8 scalar-quantized search end-to-end (bounds fit +
+    encode pass + decode-and-GEMM top-10 for 20 queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    sq = ann.SQIndex(nbits=8, metric="cos").fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    return sq.search(q, k=10, query_item_col="qid",
+                     payload_cols=["label"])
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: DSIR end-to-end — unigram importance weights
     (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
@@ -2566,4 +2578,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_dsir": q_sample_dsir,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_sq_topk": q_ann_sq_topk,
 }
