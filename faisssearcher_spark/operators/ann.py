@@ -938,6 +938,70 @@ class IVFPQIndex:
         return _rank_topk(scored, k, True).select(
             "source_item", "sim_item", "sim_val", "rank_no", *payload)
 
+    # -- persistence (S2/S3 parity: data + config as parquet) --------------
+
+    def save(self, path: str) -> None:
+        if self._items is None or self.codebooks is None:
+            raise RuntimeError("IVFPQIndex is not fit; nothing to save")
+        import json
+        import os
+
+        spark = self._items.sparkSession
+        self._items.write.mode("overwrite").parquet(
+            os.path.join(path, "items"))
+        meta = {
+            "n_cells": self.n_cells, "nprobe": self.nprobe,
+            "m": self.m, "nbits": self.nbits, "seed": self.seed,
+            "metric": self.metric, "train_sample": self.train_sample,
+            "train_iters": self.train_iters,
+            "kmeans_max_iter": self.kmeans_max_iter,
+            "item_key": self._item_key, "vec_col": self._vec_col,
+            "centroids": [[float(x) for x in c]
+                          for c in self._ivf.centroids],
+            "codebooks": [[[float(x) for x in c] for c in book]
+                          for book in self.codebooks],
+        }
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        """Load + revalidate: corpus non-empty, cells and codes in
+        range (reference asserts on load, faiss_searcher.py:112-114)."""
+        import json
+        import os
+
+        meta = json.loads(
+            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        index = cls(meta["n_cells"], meta["nprobe"], meta["m"],
+                    meta["nbits"], meta["seed"], meta["metric"],
+                    meta["train_sample"], meta["train_iters"],
+                    meta["kmeans_max_iter"])
+        index.codebooks = np.array(meta["codebooks"])
+        index._item_key = meta["item_key"]
+        index._vec_col = meta["vec_col"]
+        ivf = IVFIndex(meta["n_cells"], meta["nprobe"], meta["seed"],
+                       meta["metric"], max_iter=meta["kmeans_max_iter"])
+        ivf.centroids = np.array(meta["centroids"])
+        ivf._item_key, ivf._item_vec = meta["item_key"], meta["vec_col"]
+        index._ivf = ivf
+        items = spark.read.parquet(os.path.join(path, "items"))
+        stats = items.select(
+            F.count("*").alias("n"), F.max("cell").alias("max_cell"),
+            F.max(F.array_max("__codes")).alias("max_code"),
+            F.min(F.size("__codes")).alias("min_m")).first()
+        if not stats["n"]:
+            raise ValueError("loaded IVFPQ index has an empty corpus")
+        if stats["max_cell"] >= meta["n_cells"] \
+                or stats["min_m"] != meta["m"] \
+                or stats["max_code"] >= index.ksub:
+            raise ValueError("stored cells/codes inconsistent with the "
+                             "quantizers — corrupt index?")
+        index._items = items.cache()
+        ivf._items = items
+        return index
+
 
 def parse_index_param(spec: str):
     """Map a FAISS ``index_factory`` spec string (the reference's

