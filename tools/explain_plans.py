@@ -55,6 +55,30 @@ AUDITS = {
         ("ArrowEvalPython", False,
          "pure Catalyst: windowing, marking, and rebuild never leave the JVM"),
     ],
+    "ann_pq_topk": [
+        ("MapInPandas", True,
+         "ADC scoring is one numpy LUT-gather per Arrow batch over the "
+         "distributed m-byte code table — item vectors never read at "
+         "query time"),
+        ("WindowGroupLimit", True,
+         "per-shard local top-k merges through the bounded rank window"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
+    "ann_ivfpq_topk": [
+        ("BroadcastHashJoin", True,
+         "the tiny (qidx, cell, q·c) query rows broadcast; candidates "
+         "prune through the cell equi-join — only codes shuffle, never "
+         "vectors"),
+        ("ArrowEvalPython", True,
+         "one vectorized LUT-gather pandas_udf adds the residual ADC sum"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
+    "ann_sq_topk": [
+        ("MapInPandas", True,
+         "decode (one fused multiply-add) + GEMM per Arrow batch over "
+         "d-byte codes — 4× smaller scans than float32 vectors"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
     "knn_grid_cos_top5": [
         ("FlatMapCoGroupsInPandas", True,
          "one GEMM per (query-block × item-shard) cell — both sides stay "
