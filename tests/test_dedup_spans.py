@@ -103,3 +103,39 @@ def test_id_col_collision_rejected(spark, corpus):
     renamed = corpus.withColumnRenamed("doc_id", "start")
     with pytest.raises(ValueError):
         duplicate_spans(renamed, id_col="start", n=3)
+
+
+def test_randomized_against_python_oracle(spark):
+    """Randomized pin: 40 docs over a 6-token alphabet (dense window
+    collisions) must match a direct Python implementation of
+    keep-first-global span marking + rebuild, for several window sizes."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "c", "d", "e", "f"]
+    docs = {did: [rng.choice(alphabet) for _ in range(rng.randint(0, 25))]
+            for did in range(40)}
+
+    def py_remove(n):
+        occ = {}
+        for did in sorted(docs):
+            toks = docs[did]
+            for s in range(max(0, len(toks) - n + 1)):
+                occ.setdefault(" ".join(toks[s:s + n]), []).append((did, s))
+        covered = {did: set() for did in docs}
+        for lst in occ.values():
+            if len(lst) > 1:
+                for did, s in sorted(lst)[1:]:
+                    covered[did].update(range(s, s + n))
+        return {did: (" ".join(t for i, t in enumerate(toks)
+                               if i not in covered[did]),
+                      len(toks), len(covered[did]))
+                for did, toks in docs.items()}
+
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs.items()],
+        "doc_id long, text string")
+    for n in (2, 3, 5):
+        got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_dup_tokens"])
+               for r in remove_duplicate_spans(df, n=n).collect()}
+        assert got == py_remove(n), f"mismatch at n={n}"
