@@ -429,3 +429,51 @@ class TestIdempotentSink:
             compact_sink(spark, out, out)
         with pytest.raises(ValueError, match="landing zone"):
             compact_sink(spark, out, out + "/../" + out.rsplit("/", 1)[-1])
+
+
+class TestStreamingIndexIngest:
+    def test_foreachbatch_add_items_indexes_streamed_rows(self, spark,
+                                                          embeddings,
+                                                          tmp_path):
+        """Streaming ingest into a trained ANN index: fit on a base
+        slice, feed the remainder through an availableNow stream whose
+        foreachBatch calls add_items (FAISS add semantics — no quantizer
+        retrain), then verify a streamed row is retrievable with a
+        perfect self-match through exhaustive probing."""
+        import time
+
+        from faisssearcher_spark.operators.ann import IVFIndex
+
+        base = embeddings.filter(F.col("vec_id") < 400)
+        extra = embeddings.filter(F.col("vec_id") >= 400)
+        landing = tmp_path / "vec_landing"
+        landing.mkdir()
+        # two files -> two micro-batches
+        extra.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite") \
+            .parquet(str(landing / "b1"))
+        time.sleep(1.1)
+        extra.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite") \
+            .parquet(str(landing / "b2"))
+
+        idx = IVFIndex(n_cells=8, nprobe=8, metric="cos",
+                       train_mode="sample").fit(
+            base, item_key_col="vec_id", item_vec_col="embedding")
+
+        def ingest(batch_df, batch_id):
+            if batch_df.count():
+                idx.add_items(batch_df)
+
+        (spark.readStream.schema(extra.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true")   # b1/b2 are parquet DIRS
+         .parquet(str(landing))
+         .writeStream.foreachBatch(ingest)
+         .trigger(availableNow=True).start().awaitTermination())
+
+        total = idx.assignments().count()
+        assert total == embeddings.count()
+        probe = extra.limit(1).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        top = idx.search(probe, k=1, query_item_col="qid").collect()[0]
+        assert top["sim_item"] == top["source_item"]
+        assert top["sim_val"] == pytest.approx(1.0, abs=1e-6)
