@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_sq_topk",
+    "text_bpe_pack",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

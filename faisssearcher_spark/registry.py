@@ -2508,6 +2508,22 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["label"])
 
 
+def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: REAL-tokenizer packing — train a 200-merge BPE on the
+    corpus (distributed word counts, driver merges on the Zipf-small
+    type table), count exact subword tokens per doc, and pack into
+    2048-token training bins (the chars/4 heuristic this replaces
+    drifts 2x+ across languages)."""
+    from faisssearcher_spark.operators import sampling
+    from faisssearcher_spark.operators.bpe import BPETokenizer
+    docs = load_table(spark, sf_dir, "documents")
+    tok = BPETokenizer.train(docs, n_merges=200)
+    counts = tok.token_counts(docs)
+    return sampling.pack_token_budget(counts, budget=2048,
+                                      size_col="n_bpe_tokens",
+                                      key_col="doc_id")
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: DSIR end-to-end — unigram importance weights
     (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
@@ -2579,4 +2595,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_sq_topk": q_ann_sq_topk,
+    "text_bpe_pack": q_text_bpe_pack,
 }
