@@ -203,9 +203,18 @@ class IVFIndex:
 
     def fit(self, items: DataFrame, *, item_key_col: str = "item",
             item_vec_col: str = "embedding") -> "IVFIndex":
+        if "cell" in items.columns:   # guard BEFORE the expensive train
+            raise ValueError("items already has a 'cell' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
         if self.train_mode == "sample":
-            sample = items.select(F.col(item_vec_col).alias("v")) \
-                .limit(self.train_sample).toPandas()
+            # orderBy(key).limit(n) = per-partition top-n + driver merge
+            # (TakeOrdered): DETERMINISTIC given the corpus, unlike a bare
+            # limit whose rows depend on partition layout — load()'s
+            # rebuild-from-corpus contract needs the same sample anywhere
+            sample = items.select(F.col(item_key_col).alias("k"),
+                                  F.col(item_vec_col).alias("v")) \
+                .orderBy("k").limit(self.train_sample).toPandas()
             if not len(sample):
                 raise ValueError("IVFIndex.fit needs a non-empty corpus")
             mat = np.array(sample["v"].to_list(), dtype=np.float64)
@@ -232,10 +241,6 @@ class IVFIndex:
             self.centroids = np.array(
                 [np.asarray(c) for c in model.clusterCenters()])
         self._item_key, self._item_vec = item_key_col, item_vec_col
-        if "cell" in items.columns:
-            raise ValueError("items already has a 'cell' column — the "
-                             "index would silently overwrite it; rename "
-                             "it first")
         # assign once; persist the assignment like FAISS's add()
         assigned = items.withColumn(
             "cell", F.element_at(self._nearest_cells_expr(item_vec_col, 1), 1))
@@ -422,7 +427,12 @@ class PQIndex:
         self.metric = metric
         self.train_sample = train_sample
         self.train_iters = train_iters
-        self._spherical = metric in ("cos", "ip")
+        # normalize only for cosine: METRIC_INNER_PRODUCT scores RAW
+        # magnitudes in FAISS — normalizing here silently turned ip
+        # into cos (review r5 finding #1). Scoring DIRECTION is a
+        # separate flag: ip still ranks descending.
+        self._spherical = metric == "cos"
+        self._higher = metric in ("cos", "ip")
         self.codebooks: np.ndarray | None = None   # (m, ksub, dsub)
         self._items: DataFrame | None = None
         self._item_key = None
@@ -461,8 +471,14 @@ class PQIndex:
 
     def fit(self, items: DataFrame, *, item_key_col: str = "item",
             item_vec_col: str = "embedding") -> "PQIndex":
-        sample = items.select(F.col(item_vec_col).alias("v")) \
-            .limit(self.train_sample).toPandas()
+        if "__codes" in items.columns:   # guard BEFORE the expensive train
+            raise ValueError("items already has a '__codes' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
+        # deterministic bounded sample (TakeOrdered) — see IVFIndex.fit
+        sample = items.select(F.col(item_key_col).alias("k"),
+                              F.col(item_vec_col).alias("v")) \
+            .orderBy("k").limit(self.train_sample).toPandas()
         if not len(sample):
             raise ValueError("PQIndex.fit needs a non-empty corpus")
         mat = np.array(sample["v"].to_list(), dtype=np.float64)
@@ -472,10 +488,6 @@ class PQIndex:
         self.codebooks = self._train_codebooks(mat)
         self._item_key = item_key_col
         self._vec_col = item_vec_col
-        if "__codes" in items.columns:
-            raise ValueError("items already has a '__codes' column — the "
-                             "index would silently overwrite it; rename "
-                             "it first")
         coded = items.withColumn("__codes", self._codes_expr(item_vec_col))
         self._items = coded.cache()
         return self
@@ -514,7 +526,7 @@ class PQIndex:
             qmat = qmat / np.where(norms == 0, 1.0, norms)
         books = self.codebooks
         m, dsub = self.m, books.shape[2]
-        higher = self._spherical
+        higher = self._higher
         # LUT[q, j, c]: subspace score of query q vs centroid c of book j
         lut = np.empty((len(qmat), m, self.ksub))
         for j in range(m):
@@ -611,10 +623,12 @@ class PQIndex:
         stats = items.select(
             F.count("*").alias("n"),
             F.max(F.array_max("__codes")).alias("max_code"),
-            F.min(F.size("__codes")).alias("min_m")).first()
+            F.min(F.size("__codes")).alias("min_m"),
+            F.max(F.size("__codes")).alias("max_m")).first()
         if not stats["n"]:
             raise ValueError("loaded PQ index has an empty corpus")
-        if stats["min_m"] != meta["m"] or stats["max_code"] >= index.ksub:
+        if stats["min_m"] != meta["m"] or stats["max_m"] != meta["m"] \
+                or stats["max_code"] >= index.ksub:
             raise ValueError("stored codes inconsistent with codebooks — "
                              "corrupt index?")
         index._items = items.cache()
@@ -647,7 +661,10 @@ class SQIndex:
         self.levels = (1 << nbits) - 1
         self.metric = metric
         self.train_sample = train_sample
-        self._spherical = metric in ("cos", "ip")
+        # normalize only for cosine (ip scores raw magnitudes); ip still
+        # ranks descending — direction is a separate flag
+        self._spherical = metric == "cos"
+        self._higher = metric in ("cos", "ip")
         self.vmin: np.ndarray | None = None
         self.vmax: np.ndarray | None = None
         self._items: DataFrame | None = None
@@ -674,8 +691,14 @@ class SQIndex:
 
     def fit(self, items: DataFrame, *, item_key_col: str = "item",
             item_vec_col: str = "embedding") -> "SQIndex":
-        sample = items.select(F.col(item_vec_col).alias("v")) \
-            .limit(self.train_sample).toPandas()
+        if "__codes" in items.columns:   # guard BEFORE the sample collect
+            raise ValueError("items already has a '__codes' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
+        # deterministic bounded sample (TakeOrdered) — see IVFIndex.fit
+        sample = items.select(F.col(item_key_col).alias("k"),
+                              F.col(item_vec_col).alias("v")) \
+            .orderBy("k").limit(self.train_sample).toPandas()
         if not len(sample):
             raise ValueError("SQIndex.fit needs a non-empty corpus")
         mat = np.array(sample["v"].to_list(), dtype=np.float64)
@@ -684,10 +707,6 @@ class SQIndex:
             mat = mat / np.where(norms == 0, 1.0, norms)
         self.vmin, self.vmax = mat.min(0), mat.max(0)
         self._item_key, self._vec_col = item_key_col, item_vec_col
-        if "__codes" in items.columns:
-            raise ValueError("items already has a '__codes' column — the "
-                             "index would silently overwrite it; rename "
-                             "it first")
         self._items = items.withColumn(
             "__codes", self._codes_expr(item_vec_col)).cache()
         return self
@@ -725,7 +744,7 @@ class SQIndex:
         vmin = self.vmin
         scale = (self.vmax - self.vmin) / self.levels
         scale = np.where(scale == 0, 1.0, scale)
-        higher = self._spherical
+        higher = self._higher
         kk, item_key = k, self._item_key
 
         def _local(batches):
@@ -821,11 +840,15 @@ class IVFPQIndex:
         cents = np.ascontiguousarray(self._ivf.centroids)
         m, dsub = self.m, books.shape[2]
 
+        normalize = self.metric == "cos"
+
         @F.pandas_udf("array<smallint>")
         def _enc(vec: pd.Series, cell: pd.Series) -> pd.Series:
             mat = np.array(vec.to_list(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            mat = mat / np.where(norms == 0, 1.0, norms)
+            if normalize:   # ip scores raw magnitudes (review r5 #1);
+                # q·x = q·c + q·(x−c) is exact either way
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(norms == 0, 1.0, norms)
             res = mat - cents[cell.to_numpy()]
             codes = np.empty((len(res), m), dtype=np.int16)
             for j in range(m):
@@ -840,24 +863,27 @@ class IVFPQIndex:
 
     def fit(self, items: DataFrame, *, item_key_col: str = "item",
             item_vec_col: str = "embedding") -> "IVFPQIndex":
+        if "__codes" in items.columns:   # guard BEFORE the expensive train
+            raise ValueError("items already has a '__codes' column — the "
+                             "index would silently overwrite it; rename "
+                             "it first")
         self._ivf = IVFIndex(self.n_cells, self.nprobe, self.seed,
                              self.metric,
                              max_iter=self.kmeans_max_iter).fit(
             items, item_key_col=item_key_col, item_vec_col=item_vec_col)
         assigned = self._ivf.assignments()
-        sample = assigned.select(F.col(item_vec_col).alias("v"), "cell") \
-            .limit(self.train_sample).toPandas()
+        # deterministic bounded sample (TakeOrdered) — see IVFIndex.fit
+        sample = assigned.select(F.col(item_key_col).alias("k"),
+                                 F.col(item_vec_col).alias("v"), "cell") \
+            .orderBy("k").limit(self.train_sample).toPandas()
         mat = np.array(sample["v"].to_list(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(norms == 0, 1.0, norms)
+        if self.metric == "cos":
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1.0, norms)
         residuals = mat - self._ivf.centroids[sample["cell"].to_numpy()]
         self.codebooks = _train_pq_codebooks(
             residuals, self.m, self.ksub, self.train_iters, self.seed)
         self._item_key, self._vec_col = item_key_col, item_vec_col
-        if "__codes" in assigned.columns:
-            raise ValueError("items already has a '__codes' column — the "
-                             "index would silently overwrite it; rename "
-                             "it first")
         coded = assigned.withColumn(
             "__codes", self._residual_codes_expr(item_vec_col, "cell"))
         self._items = coded.cache()
@@ -892,8 +918,9 @@ class IVFPQIndex:
             raise ValueError("IVFPQIndex.search needs a non-empty query "
                              "set (the query LUT tensor is driver-built)")
         qmat = np.array(q_pdf[query_vec_col].to_list(), dtype=np.float64)
-        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
-        qmat = qmat / np.where(norms == 0, 1.0, norms)
+        if self.metric == "cos":
+            norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qmat = qmat / np.where(norms == 0, 1.0, norms)
         cents = self._ivf.centroids
         books = self.codebooks
         m, dsub = self.m, books.shape[2]
@@ -990,11 +1017,13 @@ class IVFPQIndex:
         stats = items.select(
             F.count("*").alias("n"), F.max("cell").alias("max_cell"),
             F.max(F.array_max("__codes")).alias("max_code"),
-            F.min(F.size("__codes")).alias("min_m")).first()
+            F.min(F.size("__codes")).alias("min_m"),
+            F.max(F.size("__codes")).alias("max_m")).first()
         if not stats["n"]:
             raise ValueError("loaded IVFPQ index has an empty corpus")
         if stats["max_cell"] >= meta["n_cells"] \
                 or stats["min_m"] != meta["m"] \
+                or stats["max_m"] != meta["m"] \
                 or stats["max_code"] >= index.ksub:
             raise ValueError("stored cells/codes inconsistent with the "
                              "quantizers — corrupt index?")

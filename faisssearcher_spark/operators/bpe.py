@@ -162,7 +162,15 @@ class BPETokenizer:
         """array<string> of subword tokens for a text column — one
         vectorized pandas_udf pass; merge ranks ride the task closure;
         a per-batch word cache collapses Zipf-repeated words."""
+        import re
+
         ranks = {p: i for i, p in enumerate(self.merges)}
+        # MUST split exactly like functions/text.tokens (Java \s+ = ASCII
+        # whitespace only): Python str.split() also breaks on Unicode
+        # whitespace (NBSP,  , …), which would segment words the
+        # trainer saw as single types — merges would never apply and
+        # counts would drift from the trained distribution.
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         @F.pandas_udf("array<string>")
         def _enc(batch: pd.Series) -> pd.Series:
@@ -172,7 +180,9 @@ class BPETokenizer:
                 if text is None:
                     return []
                 out: list[str] = []
-                for w in text.split():
+                for w in ascii_ws.split(text.strip(" \t\n\x0b\f\r")):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = _encode_word(w, ranks)

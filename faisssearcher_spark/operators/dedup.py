@@ -870,7 +870,8 @@ def semantic_cell_pairs(df: DataFrame, *, id_col: str = "vec_id",
 def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    n_cells: int = 64, seed: int = 42, max_iter: int = 8,
-                   driver_edge_threshold: int = 1_000_000) -> DataFrame:
+                   driver_edge_threshold: int = 1_000_000,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): remove semantically near-identical
     documents by embedding — cluster with spherical k-means, find
     within-cell pairs with cosine ≥ threshold
@@ -891,9 +892,12 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
     left_anti join to drop losers — broadcast-safe because the dropped
     set is ≤ pair nodes, usually ≪ corpus.
     """
-    pairs = semantic_cell_pairs(df, id_col=id_col, vec_col=vec_col,
-                                threshold=threshold, n_cells=n_cells,
-                                seed=seed, max_iter=max_iter)
+    if pairs is None:
+        pairs = semantic_cell_pairs(df, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold, n_cells=n_cells,
+                                    seed=seed, max_iter=max_iter)
+    # (callers that already hold the pair set — e.g. the invariant gate —
+    # pass it to avoid a second k-means fit + cell self-join)
     clusters = dedup_clusters(pairs,
                               driver_edge_threshold=driver_edge_threshold)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
@@ -1033,6 +1037,13 @@ def duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
         raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
                          "output column; rename it first")
     _, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
+    return _span_marks(wins, id_col=id_col)
+
+
+def _span_marks(wins: DataFrame, *, id_col: str) -> DataFrame:
+    """Non-first duplicate window occurrences from a windows frame
+    (shared by :func:`duplicate_spans` and
+    :func:`remove_duplicate_spans` so the corpus tokenizes once)."""
     first = (wins.groupBy("__w")
              .agg(F.min(F.struct(F.col(id_col), F.col("start")))
                   .alias("__first"),
@@ -1068,8 +1079,13 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
     aggs are keyed equi-operations; shuffle ∝ n·duplicated-windows +
     tokens, never pairs.
     """
-    toked, _ = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
-    dup = duplicate_spans(df, id_col=id_col, text_col=text_col, n=n)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if id_col in ("start", "pos", "n_tokens", "n_dup_tokens"):
+        raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
+                         "output column; rename it first")
+    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
+    dup = _span_marks(wins, id_col=id_col)
     covered = (dup.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("start"),

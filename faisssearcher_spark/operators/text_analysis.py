@@ -266,24 +266,28 @@ def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
 
     # score per ROW via a generated row key, not per id value: grouping
     # by id_col would silently merge duplicate ids' token multisets into
-    # one combined score (the wordvec encode_df defect class, r4 ADVICE)
+    # one combined score (the wordvec encode_df defect class, r4 ADVICE).
+    # SINGLE lineage — the row key is referenced only inside one plan
+    # branch (explode_outer keeps empty docs as a null-token row, so no
+    # join back onto a second recomputation of monotonically_increasing_id
+    # whose values are partition-layout-dependent; review r5 finding #2).
     rid = "__dsir_rid"
     while rid in df.columns:
         rid += "_"
-    keyed = df.select(F.col(id_col),
-                      F.monotonically_increasing_id().alias(rid),
-                      F.col(text_col))
-    ex = (keyed.select(rid,
-                       F.explode_outer(T.tokens(text_col)).alias("__tok"))
-          .filter(F.col("__tok").isNotNull()))
-    logw = F.sum(F.coalesce("__lr", F.lit(lr_oov)))
+    # the row key MUST materialize in its own projection BELOW the
+    # generate: putting monotonically_increasing_id() in the same select
+    # as the explode re-evaluates it per exploded token row
+    keyed = df.withColumn(rid, F.monotonically_increasing_id())
+    ex = keyed.select(F.col(id_col), F.col(rid),
+                      F.explode_outer(T.tokens(text_col)).alias("__tok"))
+    logw = F.sum(F.when(F.col("__tok").isNotNull(),
+                        F.coalesce("__lr", F.lit(lr_oov)))
+                 .otherwise(F.lit(0.0)))
     if score_scale is not None:
         logw = F.round(logw, score_scale)
-    agg = (ex.join(lr, "__tok", "left")
-           .groupBy(rid)
-           .agg(F.count("*").alias("n_tokens"), logw.alias("logw")))
-    return (keyed.select(id_col, rid).join(agg, rid, "left")
-            .select(id_col,
-                    F.coalesce("n_tokens", F.lit(0)).cast("long")
-                     .alias("n_tokens"),
-                    F.coalesce("logw", F.lit(0.0)).alias("logw")))
+    return (ex.join(lr, "__tok", "left")
+            .groupBy(rid)
+            .agg(F.first(id_col).alias(id_col),
+                 F.count("__tok").cast("long").alias("n_tokens"),
+                 logw.alias("logw"))
+            .select(id_col, "n_tokens", "logw"))

@@ -2211,8 +2211,10 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_emb = emb.count()
     pairs = semantic_cell_pairs(emb, threshold=thr, n_cells=cells,
                                 seed=42).cache()
+    # pass the SAME pair set into dedup: one k-means fit, and the
+    # invariants compare survivors against the very pairs that formed them
     surv = semantic_dedup(emb, threshold=thr, n_cells=cells,
-                          seed=42).select("vec_id").cache()
+                          seed=42, pairs=pairs).select("vec_id").cache()
     n_surv = surv.count()
     paired = pairs.select(F.col("id_a").alias("vec_id")).union(
         pairs.select(F.col("id_b").alias("vec_id"))).distinct()

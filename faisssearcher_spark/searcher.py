@@ -246,8 +246,17 @@ class SparkSearcher:
             kwargs["metric"] = "ip"  # normalized at encode time → dot product
 
         if self._index is not None or self._index_plan[0] == "faiss":
+            # index_param overrides the exact-strategy matrix (reference
+            # semantics: every search uses the built index). Refuse a
+            # conflicting explicit strategy rather than silently ignore
+            # it; score_scale still applies to the returned scores.
+            if strategy != "catalyst" or strategy_kwargs:
+                raise ValueError(
+                    f"strategy={strategy!r} conflicts with index_param="
+                    f"{self.index_param!r} — an indexed searcher routes "
+                    "every search through its index")
             return self._search_indexed(queries, corpus, topK, keep_rank_no,
-                                        payload)
+                                        payload, score_scale)
 
         if isinstance(topK, int):
             res = knn_join(queries, corpus, k=topK,
@@ -260,7 +269,8 @@ class SparkSearcher:
                 for k, df in multi.items()}
 
     def _search_indexed(self, queries: DataFrame, corpus: DataFrame,
-                        topK, keep_rank_no: bool, payload: list):
+                        topK, keep_rank_no: bool, payload: list,
+                        score_scale: int | None = None):
         """Search through the index_param structure (reference semantics:
         when an index_param is given, EVERY search uses it,
         faiss_searcher.py:161-187). Multi-K runs one search at max(K) and
@@ -280,6 +290,9 @@ class SparkSearcher:
                     metric=metric, query_item_col="source_item",
                     item_key_col=self.key_col, query_vec_col=_VEC,
                     item_vec_col=_VEC, payload_cols=payload)
+            if score_scale is not None:
+                res = res.withColumn("sim_val",
+                                     F.round("sim_val", score_scale))
             return res
 
         if isinstance(topK, int):

@@ -338,3 +338,29 @@ def test_ivfpq_save_load_roundtrip(spark, embeddings, tmp_path):
     loaded.add_items(embeddings.filter(F.col("vec_id") < 0))  # no-op union
     with pytest.raises(RuntimeError):
         IVFPQIndex().save(str(tmp_path / "nope"))
+
+
+def test_ip_metric_scores_raw_magnitudes(spark):
+    """Review r5 finding #1: metric='ip' must rank by RAW inner product
+    (FAISS METRIC_INNER_PRODUCT never normalizes) — a large-magnitude
+    item beats a well-aligned small one."""
+    from faisssearcher_spark.operators.ann import SQIndex
+
+    rows = [(1, [0.1, 0.0, 0.0, 0.0]),    # aligned but tiny
+            (2, [5.0, 5.0, 0.0, 0.0]),    # big magnitude
+            (3, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "qid long, embedding array<double>")
+    for idx in (PQIndex(m=2, metric="ip", seed=1),
+                SQIndex(nbits=8, metric="ip")):
+        top = idx.fit(df, item_key_col="vec_id",
+                      item_vec_col="embedding") \
+            .search(q, k=1, query_item_col="qid").collect()[0]
+        assert top["sim_item"] == 2, type(idx).__name__
+        assert top["sim_val"] == pytest.approx(5.0, abs=0.1)
+    # cosine still prefers the aligned item
+    top = PQIndex(m=2, metric="cos", seed=1).fit(
+        df, item_key_col="vec_id", item_vec_col="embedding") \
+        .search(q, k=1, query_item_col="qid").collect()[0]
+    assert top["sim_item"] == 1
