@@ -212,3 +212,49 @@ def gumbel_topk_sample(df: DataFrame, *, k: int, weight_col: str,
             .orderBy(F.col(gk).desc(), F.col(key_col).asc())
             .limit(k)
             .drop(gk))
+
+
+def temperature_fractions(df: DataFrame, *, stratum_col: str,
+                          target_rows: int,
+                          alpha: float = 0.3) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-based mixture sampling
+    (the multilingual/multi-source re-weighting of Raffel et al. 2020
+    §3.4.3 / mT5: sample stratum s with probability ∝ count(s)^alpha).
+
+    alpha=1 reproduces natural proportions; alpha→0 equalizes strata;
+    in between up-weights small sources without drowning large ones.
+    Rates are ``min(1, target_rows·p_s / n_s)`` — a stratum too small to
+    fill its temperature share keeps everything (no upsampling; feed the
+    result through repetition factors if you need epochs>1).
+
+    One tiny agg (distinct strata) collects to the driver; feed the
+    returned dict straight into :func:`stratified_hash_sample`, so the
+    realized sample keeps every determinism/monotonicity property of the
+    md5 bucket."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(stratum_col).alias("s"))
+                .agg(F.count("*").alias("n")).collect()}
+    if not counts:
+        return {}
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    total_w = sum(weights.values())
+    return {s: min(1.0, target_rows * (w / total_w) / counts[s])
+            for s, w in weights.items()}
+
+
+def temperature_mixture(df: DataFrame, *, stratum_col: str, key_col: str,
+                        target_rows: int, alpha: float = 0.3,
+                        seed: int = 42) -> DataFrame:
+    """Temperature-sampled data mixture: compute per-stratum rates
+    (:func:`temperature_fractions`) and realize them with the
+    deterministic md5 sampler — one scan-and-filter, reproducible,
+    append-stable. Realized sizes are binomial around the targets, like
+    every Bernoulli sampler here."""
+    fracs = temperature_fractions(df, stratum_col=stratum_col,
+                                  target_rows=target_rows, alpha=alpha)
+    return stratified_hash_sample(df, fracs, stratum_col=stratum_col,
+                                  key_col=key_col, seed=seed)

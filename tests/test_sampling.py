@@ -209,3 +209,67 @@ class TestCapPerGroup:
         with pytest.raises(ValueError, match="cap"):
             sampling.cap_per_group(documents, group_col="source", cap=0,
                                    key_col="doc_id")
+
+
+class TestTemperatureMixture:
+    def test_alpha_one_is_proportional(self, documents):
+        from faisssearcher_spark.operators.sampling import (
+            temperature_fractions)
+        fr = temperature_fractions(documents, stratum_col="source",
+                                   target_rows=100, alpha=1.0)
+        # natural proportions: every stratum keeps the SAME rate
+        rates = set(round(v, 9) for v in fr.values())
+        assert len(rates) == 1
+        n = documents.count()
+        assert next(iter(rates)) == pytest.approx(100 / n, rel=1e-6)
+
+    def test_alpha_zero_equalizes_strata(self, documents):
+        from faisssearcher_spark.operators.sampling import (
+            temperature_fractions)
+        counts = {r["source"]: r["n"] for r in documents.groupBy("source")
+                  .agg(F.count("*").alias("n")).collect()}
+        k = len(counts)
+        fr = temperature_fractions(documents, stratum_col="source",
+                                   target_rows=40, alpha=0.0)
+        # expected rows per stratum equal: rate_s * n_s == target / k
+        for s, rate in fr.items():
+            assert rate * counts[s] == pytest.approx(40 / k, rel=1e-6)
+
+    def test_rates_clip_at_one_and_sample_is_deterministic(self, documents):
+        from faisssearcher_spark.operators.sampling import (
+            temperature_fractions, temperature_mixture)
+        n = documents.count()
+        fr = temperature_fractions(documents, stratum_col="source",
+                                   target_rows=n * 10, alpha=0.3)
+        assert all(v == 1.0 for v in fr.values())   # no upsampling
+        a = {r["doc_id"] for r in temperature_mixture(
+            documents, stratum_col="source", key_col="doc_id",
+            target_rows=100, alpha=0.3).select("doc_id").collect()}
+        b = {r["doc_id"] for r in temperature_mixture(
+            documents.repartition(5), stratum_col="source",
+            key_col="doc_id", target_rows=100,
+            alpha=0.3).select("doc_id").collect()}
+        assert a == b and 0 < len(a) < n
+
+    def test_alpha_upweights_small_sources(self, documents):
+        """0 < alpha < 1: smaller strata keep a HIGHER rate."""
+        from faisssearcher_spark.operators.sampling import (
+            temperature_fractions)
+        counts = {r["source"]: r["n"] for r in documents.groupBy("source")
+                  .agg(F.count("*").alias("n")).collect()}
+        fr = temperature_fractions(documents, stratum_col="source",
+                                   target_rows=50, alpha=0.3)
+        small = min(counts, key=counts.get)
+        big = max(counts, key=counts.get)
+        if counts[small] < counts[big]:
+            assert fr[small] > fr[big]
+
+    def test_validation(self, documents):
+        from faisssearcher_spark.operators.sampling import (
+            temperature_fractions)
+        with pytest.raises(ValueError):
+            temperature_fractions(documents, stratum_col="source",
+                                  target_rows=0)
+        with pytest.raises(ValueError):
+            temperature_fractions(documents, stratum_col="source",
+                                  target_rows=10, alpha=-1)
