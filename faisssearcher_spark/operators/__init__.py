@@ -1,7 +1,9 @@
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
-from faisssearcher_spark.operators import (balance, bloom, curate, decontam,
-                                           dedup, privacy, sampling,
-                                           temporal, text_analysis)
+from faisssearcher_spark.operators import (balance, bloom, bpe, curate,
+                                           decontam, dedup, privacy,
+                                           sampling, temporal,
+                                           text_analysis)
 
-__all__ = ["knn_join", "cal_sim", "balance", "bloom", "curate", "decontam",
-           "dedup", "privacy", "sampling", "temporal", "text_analysis"]
+__all__ = ["knn_join", "cal_sim", "balance", "bloom", "bpe", "curate",
+           "decontam", "dedup", "privacy", "sampling", "temporal",
+           "text_analysis"]
