@@ -101,7 +101,7 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
     holds tables fixed because it measures join cost, not recall.)"""
     import math
 
-    from faisssearcher_spark.operators import dedup, knn
+    from faisssearcher_spark.operators import ann, dedup, knn
 
     def _knn(strategy):
         return lambda: knn.knn_join(
@@ -126,6 +126,12 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # replica token-salting keeps windows replica-local, so duplicate
         # spans (and their removal cost) grow linearly with the corpus
         "dedup_spans": lambda: dedup.remove_duplicate_spans(docs, n=10),
+        # quantized search: fit (bounded driver sample + one encode pass)
+        # + ADC over the growing code table — the serving shape for a
+        # corpus whose float vectors no longer fit anywhere
+        "ann_pq": lambda: ann.PQIndex(m=8, metric="cos", seed=42).fit(
+            emb, item_key_col="vec_id", item_vec_col="embedding"
+        ).search(queries, k=5, query_item_col="vec_id"),
     }
 
 
