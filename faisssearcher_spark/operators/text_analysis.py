@@ -291,3 +291,127 @@ def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
                  F.count("__tok").cast("long").alias("n_tokens"),
                  logw.alias("logw"))
             .select(id_col, "n_tokens", "logw"))
+
+
+def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   token_col: str = "token", tf_col: str = "tf",
+                   smoothing: float = 1.0,
+                   score_scale: int | None = 4) -> DataFrame:
+    """Per-document cross-entropy under an add-``smoothing`` unigram
+    language model fit on a reference corpus (CCNet-style perplexity
+    filtering, Wenzek et al. 2020, arXiv:1911.00359 — the paper scores a
+    crawl with a KenLM 5-gram trained on Wikipedia and keeps the
+    low-perplexity head; a unigram LM keeps the operator exactly
+    replayable by a SQL oracle while preserving the ranking semantics):
+
+        logppl(d) = -(1/n) Σ_t ln p(t)
+        p(t)      = (tf(t) + s) / (N + s·(V+1))
+
+    with ``N = Σ tf`` and ``V`` the LM vocabulary size (+1 reserves a
+    pseudo-type for out-of-vocab tokens, which contribute the constant
+    -ln(s / (N + s(V+1)))). Perplexity itself is ``exp(logppl)`` —
+    monotone in logppl, so thresholds/buckets work on either; the log
+    form avoids overflow on junk documents. Fit ``lm_vocab`` with
+    :func:`fit_token_frequencies` on the trusted reference slice.
+
+    Output: ``(id, n_tokens, logppl)``; empty documents get NULL logppl
+    (there is no 0-token distribution to take a mean over). ``logppl``
+    is rounded to ``score_scale`` decimals (default 4) so a DuckDB twin
+    matches across libm ``ln`` implementations; ``None`` keeps the raw
+    double. Feed into :func:`perplexity_buckets` for the CCNet
+    head/middle/tail split.
+
+    Scale shape (the :func:`dsir_log_weights` pattern): per-token
+    -ln p precomputed on the Zipf-small vocabulary, explode → token
+    equi-join (AQE broadcasts a small LM, degrades to shuffled hash
+    join on a huge one) → one per-row-key mean. No ln in the
+    per-occurrence hot loop, no driver data beyond two scalars.
+    """
+    import math
+
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    v_rows = lm_vocab.select(F.col(token_col).alias("__tok"),
+                             F.col(tf_col).cast("double").alias("__tf"))
+    tot = v_rows.agg(F.sum("__tf"), F.count("*")).collect()[0]
+    n_lm = float(tot[0] or 0.0)
+    v_lm = int(tot[1])
+    denom = n_lm + s * (v_lm + 1)
+    nlp_oov = -math.log(s / denom)
+    nlp = v_rows.select(
+        "__tok", (-F.log((F.col("__tf") + s) / denom)).alias("__nlp"))
+
+    # per-ROW key (not id_col) so duplicate ids never merge, single
+    # lineage, key materialized below the generate — the dsir/wordvec
+    # discipline (r4 ADVICE + r5 review finding #2).
+    rid = "__ppl_rid"
+    while rid in df.columns:
+        rid += "_"
+    keyed = df.withColumn(rid, F.monotonically_increasing_id())
+    ex = keyed.select(F.col(id_col), F.col(rid),
+                      F.explode_outer(T.tokens(text_col)).alias("__tok"))
+    n = F.count("__tok")
+    total = F.sum(F.when(F.col("__tok").isNotNull(),
+                         F.coalesce("__nlp", F.lit(nlp_oov)))
+                  .otherwise(F.lit(0.0)))
+    logppl = F.when(n > 0, total / n)
+    if score_scale is not None:
+        logppl = F.round(logppl, score_scale)
+    return (ex.join(nlp, "__tok", "left")
+            .groupBy(rid)
+            .agg(F.first(id_col).alias(id_col),
+                 n.cast("long").alias("n_tokens"),
+                 logppl.alias("logppl"))
+            .select(id_col, "n_tokens", "logppl"))
+
+
+def perplexity_buckets(scored: DataFrame, *, id_col: str = "doc_id",
+                       score_col: str = "logppl", n_buckets: int = 3,
+                       thresholds: list[float] | None = None,
+                       out_col: str = "ppl_bucket") -> DataFrame:
+    """CCNet head/middle/tail split: bucket documents by their LM score
+    (Wenzek et al. 2020 cut the crawl into perplexity thirds and train
+    mostly on the head). Appends ``out_col`` (int, 1-based; bucket 1 =
+    lowest perplexity = most reference-like). NULL scores (empty
+    documents) get bucket 0 — they carry no LM evidence either way.
+
+    Two modes, pick by scale:
+
+    - ``thresholds=[t1, t2, ...]`` (len ``n_buckets``-1, ascending) —
+      the 100 TB path: a pure scan-side CASE, no shuffle, no global
+      state. Fit thresholds once on a sample (``approx_percentile`` or
+      a previous epoch) and reuse; CCNet itself fixes thresholds per
+      language from a held-out run.
+    - ``thresholds=None`` — exact ``ntile(n_buckets)`` over
+      ``(score, id)``: engine-portable (identical remainder semantics in
+      Spark and DuckDB, deterministic under ties via the id tiebreak)
+      but a single-partition global window — bench/oracle scale only,
+      documented limit, warned at plan-build time for none-threshold use.
+    """
+    if thresholds is not None:
+        if len(thresholds) != n_buckets - 1:
+            raise ValueError(
+                f"need {n_buckets - 1} thresholds for {n_buckets} "
+                f"buckets, got {len(thresholds)}")
+        if sorted(thresholds) != list(thresholds):
+            raise ValueError(f"thresholds must ascend: {thresholds}")
+        bucket = F.lit(n_buckets)
+        for i in range(n_buckets - 2, -1, -1):
+            bucket = F.when(F.col(score_col) <= thresholds[i],
+                            i + 1).otherwise(bucket)
+    else:
+        from pyspark.sql import Window
+        # partition by the null flag: NULL scores must not consume ntile
+        # slots (they'd shift every non-null boundary), and Spark sorts
+        # NULLs first where DuckDB sorts them last — isolating them makes
+        # the non-null tiling identical in both engines. The null
+        # partition's tile numbers are discarded to 0 below.
+        w = (Window.partitionBy(F.col(score_col).isNull())
+             .orderBy(F.col(score_col), F.col(id_col)))
+        bucket = F.ntile(n_buckets).over(w)
+    out = F.when(F.col(score_col).isNull(), F.lit(0)).otherwise(bucket)
+    if out_col in scored.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    return scored.withColumn(out_col, out.cast("int"))

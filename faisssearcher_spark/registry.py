@@ -790,7 +790,14 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXTENDED AGAIN (round 5) with the DSIR importance log-weight
     (``dsir_log_weights``, Xie et al. 2023): target = the src1 slice,
     raw = the whole corpus, add-1 smoothing, rounded to 4 decimals so
-    the DuckDB ``ln`` twin matches across libm implementations."""
+    the DuckDB ``ln`` twin matches across libm implementations.
+
+    EXTENDED AGAIN (round 5 session 3) with CCNet perplexity filtering
+    (``unigram_logppl`` + ``perplexity_buckets``, Wenzek et al. 2020):
+    per-doc cross-entropy under the add-1 unigram LM fit on the src1
+    slice (4dp-rounded), plus the head/middle/tail third each document
+    lands in (ntile over the non-null scores, id tiebreak; empty docs
+    bucket 0)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.token_stats(docs)
     ref = text_analysis.fit_token_frequencies(
@@ -801,7 +808,12 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = text_analysis.dsir_log_weights(docs, ref, raw_ref,
                                           score_scale=4) \
         .select("doc_id", F.col("logw").alias("dsir_logw"))
-    return stats.join(score, "doc_id").join(dsir, "doc_id")
+    ppl = text_analysis.perplexity_buckets(
+        text_analysis.unigram_logppl(docs, ref, score_scale=4),
+        n_buckets=3) \
+        .select("doc_id", "logppl", "ppl_bucket")
+    return (stats.join(score, "doc_id").join(dsir, "doc_id")
+            .join(ppl, "doc_id"))
 
 
 ORACLE_TOKEN_STATS = f"""
@@ -836,7 +848,21 @@ WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
                           - ln(1 / (n_r + v + 1)) FROM tots))), 4)
                          AS dsir_logw
               FROM ex LEFT JOIN lr ON ex.tok = lr.tok
-              GROUP BY ex.doc_id)
+              GROUP BY ex.doc_id),
+     lmt AS (SELECT sum(tf)::DOUBLE AS n_lm, count(*)::DOUBLE AS v_lm
+             FROM ref),
+     nlp AS (SELECT tok, -ln((tf + 1) / (n_lm + v_lm + 1)) AS nlp
+             FROM ref, lmt),
+     ppl AS (SELECT ex.doc_id,
+                    round(sum(coalesce(nlp.nlp,
+                        (SELECT -ln(1 / (n_lm + v_lm + 1)) FROM lmt)))
+                          / count(*), 4) AS logppl
+             FROM ex LEFT JOIN nlp ON ex.tok = nlp.tok
+             GROUP BY ex.doc_id),
+     buck AS (SELECT doc_id, logppl,
+                     ntile(3) OVER (ORDER BY logppl, doc_id)
+                         AS ppl_bucket
+              FROM ppl)
 SELECT t.doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
@@ -844,9 +870,12 @@ SELECT t.doc_id,
        round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len,
        coalesce(sc.sum_ref_tf, 0) AS sum_ref_tf,
        coalesce(sc.n_oov, 0) AS n_oov,
-       coalesce(dsir.dsir_logw, 0.0) AS dsir_logw
+       coalesce(dsir.dsir_logw, 0.0) AS dsir_logw,
+       buck.logppl AS logppl,
+       coalesce(buck.ppl_bucket, 0)::INT AS ppl_bucket
 FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
 LEFT JOIN dsir ON t.doc_id = dsir.doc_id
+LEFT JOIN buck ON t.doc_id = buck.doc_id
 """
 
 

@@ -1,0 +1,127 @@
+"""CCNet-style perplexity filtering (operators/text_analysis.py:
+unigram_logppl / perplexity_buckets; Wenzek et al. 2020).
+
+Semantics pinned here: logppl is the mean per-token negative
+log-likelihood under the add-s unigram LM (reserved OOV pseudo-type);
+lower = more reference-like; empty docs get NULL logppl and bucket 0;
+the ntile bucketing excludes NULLs from the tiling; the threshold mode
+is a pure scan-side CASE equal to the ntile split at its own cut
+points.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.text_analysis import (
+    fit_token_frequencies, perplexity_buckets, unigram_logppl)
+
+
+@pytest.fixture(scope="module")
+def lm_and_docs(spark):
+    ref = spark.createDataFrame(
+        [(1, "good clean prose"), (2, "clean prose flows")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "good clean prose"),          # pure in-vocab
+         (11, "clean prose flows flows"),   # in-vocab, repeated
+         (12, "zorble quux xyzzy"),         # pure OOV
+         (13, "")],                         # empty
+        "doc_id long, text string")
+    vocab = fit_token_frequencies(ref)
+    return vocab, docs
+
+
+def _python_logppl(text, ref_texts, s=1.0):
+    from collections import Counter
+    tf = Counter(w for t in ref_texts for w in t.split())
+    n, v = sum(tf.values()), len(tf)
+    denom = n + s * (v + 1)
+    toks = text.split()
+    if not toks:
+        return None
+    return sum(-math.log((tf.get(w, 0) + s) / denom) for w in toks) / len(toks)
+
+
+def test_logppl_matches_python_model(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    ref_texts = ["good clean prose", "clean prose flows"]
+    got = {r["doc_id"]: r["logppl"]
+           for r in unigram_logppl(docs, vocab, score_scale=None).collect()}
+    for doc_id, text in [(10, "good clean prose"),
+                         (11, "clean prose flows flows"),
+                         (12, "zorble quux xyzzy")]:
+        assert got[doc_id] == pytest.approx(_python_logppl(text, ref_texts),
+                                            abs=1e-12)
+    assert got[13] is None
+
+
+def test_logppl_orders_reference_like_below_oov(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    got = {r["doc_id"]: r["logppl"]
+           for r in unigram_logppl(docs, vocab).collect()}
+    # pure in-vocab docs beat the pure-OOV doc
+    assert got[10] < got[12] and got[11] < got[12]
+
+
+def test_logppl_duplicate_ids_stay_separate(spark, lm_and_docs):
+    vocab, _ = lm_and_docs
+    dup = spark.createDataFrame(
+        [(1, "good clean prose"), (1, "zorble quux xyzzy")],
+        "doc_id long, text string")
+    rows = unigram_logppl(dup, vocab).collect()
+    assert len(rows) == 2
+    assert len({r["logppl"] for r in rows}) == 2
+
+
+def test_logppl_rejects_bad_smoothing(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    with pytest.raises(ValueError, match="smoothing"):
+        unigram_logppl(docs, vocab, smoothing=0.0)
+
+
+def test_ntile_buckets_exclude_nulls_and_order(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    scored = unigram_logppl(docs, vocab)
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(scored, n_buckets=3).collect()}
+    # 3 non-null scores -> one per bucket, ordered by logppl; empty doc 0
+    assert out[13] == 0
+    assert sorted([out[10], out[11], out[12]]) == [1, 2, 3]
+    assert out[12] == 3  # the OOV doc has the worst perplexity
+
+
+def test_threshold_mode_matches_ntile_cuts(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    scored = unigram_logppl(docs, vocab).cache()
+    vals = sorted(r["logppl"] for r in scored.collect()
+                  if r["logppl"] is not None)
+    # thresholds at the ntile cut points reproduce the ntile split
+    thr = [vals[0], vals[1]]
+    nt = {r["doc_id"]: r["ppl_bucket"]
+          for r in perplexity_buckets(scored, n_buckets=3).collect()}
+    th = {r["doc_id"]: r["ppl_bucket"]
+          for r in perplexity_buckets(scored, n_buckets=3,
+                                      thresholds=thr).collect()}
+    assert nt == th
+
+
+def test_threshold_mode_is_scan_only(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    scored = unigram_logppl(docs, vocab)
+    plan = perplexity_buckets(
+        scored, n_buckets=2, thresholds=[5.0])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_threshold_validation(spark, lm_and_docs):
+    vocab, docs = lm_and_docs
+    scored = unigram_logppl(docs, vocab)
+    with pytest.raises(ValueError, match="thresholds"):
+        perplexity_buckets(scored, n_buckets=3, thresholds=[1.0])
+    with pytest.raises(ValueError, match="ascend"):
+        perplexity_buckets(scored, n_buckets=3, thresholds=[2.0, 1.0])
+    with pytest.raises(ValueError, match="already exists"):
+        perplexity_buckets(scored.withColumn("ppl_bucket", F.lit(1)))
