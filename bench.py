@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sample_dsir",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_opq_topk",
     "ann_sq_topk",
     "text_bpe_pack",
     # relational / events

@@ -392,6 +392,67 @@ def _train_pq_codebooks(mat: np.ndarray, m: int, ksub: int,
     return books
 
 
+def _pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) nearest-centroid codes of ``mat`` under ``books`` —
+    the driver-side twin of the encode pandas_udf (shared by OPQ
+    training, which needs encode/decode inside its alternation)."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cb = books[j]
+        d2 = ((sub * sub).sum(1, keepdims=True)
+              - 2.0 * sub @ cb.T + (cb * cb).sum(1)[None, :])
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def _pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode (n, m) codes back to (n, d) centroid concatenations."""
+    return np.concatenate(
+        [books[j][codes[:, j]] for j in range(books.shape[0])], axis=1)
+
+
+def _train_opq_rotation(mat: np.ndarray, m: int, ksub: int, iters: int,
+                        seed: int, opq_iters: int = 10
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ-NP (Ge et al. 2013, "Optimized Product Quantization", CVPR —
+    the non-parametric alternation FAISS's ``OPQ<m>`` pretransform
+    implements): learn an orthonormal rotation R that minimizes PQ
+    quantization error ‖XR − Q(XR)‖² by alternating
+
+      (a) refresh the per-subspace codebooks on the rotated data XR,
+      (b) the orthogonal-Procrustes solve  R = U Vᵀ  of
+          U S Vᵀ = SVD(Xᵀ · recon(XR))
+
+    Rotation spreads variance across the m subspaces and decorrelates
+    them, so the same code budget quantizes finer whenever the data is
+    anisotropic/correlated (on an isotropic corpus R is a no-op by
+    symmetry). Returns ``(R, codebooks)`` with codebooks trained on
+    ``mat @ R`` at full ``iters``. Pure driver numpy on the bounded
+    training sample — the per-iteration cost is one d×d SVD plus a
+    cheap Lloyd refresh; the distributed encode applies R inside the
+    existing one-GEMM-per-batch pandas_udf, so the cluster-side plan is
+    unchanged.
+    """
+    rng = np.random.default_rng(seed)
+    d = mat.shape[1]
+    # random orthonormal init (QR of a Gaussian): identity is a fixed
+    # point whenever the axis-aligned split is already a local minimum —
+    # a random start escapes it (FAISS inits OPQ randomly too)
+    r_mat, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    inner = max(4, iters // 4)   # cheap refreshes inside the alternation
+    books = None
+    for _ in range(max(1, opq_iters)):
+        rotated = mat @ r_mat
+        books = _train_pq_codebooks(rotated, m, ksub, inner, seed)
+        recon = _pq_reconstruct(_pq_assign(rotated, books), books)
+        u, _, vt = np.linalg.svd(mat.T @ recon)
+        r_mat = u @ vt
+    books = _train_pq_codebooks(mat @ r_mat, m, ksub, iters, seed)
+    return r_mat, books
+
+
 class PQIndex:
     """Product quantization with asymmetric-distance (ADC) search — the
     native-Spark analog of FAISS ``PQ<m>`` (and the PQ half of
@@ -417,7 +478,8 @@ class PQIndex:
 
     def __init__(self, m: int = 8, nbits: int = 8, seed: int = 42,
                  metric: str = "cos", train_sample: int = 100_000,
-                 train_iters: int = 20):
+                 train_iters: int = 20, opq: bool = False,
+                 opq_iters: int = 10):
         if not 1 <= nbits <= 8:
             raise ValueError(f"nbits must be in [1, 8], got {nbits}")
         if m < 1:
@@ -427,6 +489,12 @@ class PQIndex:
         self.metric = metric
         self.train_sample = train_sample
         self.train_iters = train_iters
+        # OPQ pretransform (FAISS "OPQ<m>,PQ<m>"): learn an orthonormal
+        # rotation minimizing quantization error before splitting into
+        # subspaces. Orthonormal ⇒ (Rq)·(Rx) = q·x and ‖Rq−Rx‖ = ‖q−x‖,
+        # so scoring in rotated space is exact for every metric here.
+        self.opq, self.opq_iters = opq, opq_iters
+        self.rotation: np.ndarray | None = None
         # normalize only for cosine: METRIC_INNER_PRODUCT scores RAW
         # magnitudes in FAISS — normalizing here silently turned ip
         # into cos (review r5 finding #1). Scoring DIRECTION is a
@@ -451,6 +519,8 @@ class PQIndex:
         books = np.ascontiguousarray(self.codebooks)
         m, spherical = self.m, self._spherical
         dsub = books.shape[2]
+        rot = None if self.rotation is None \
+            else np.ascontiguousarray(self.rotation)
 
         @F.pandas_udf("array<smallint>")
         def _enc(batch: pd.Series) -> pd.Series:
@@ -458,6 +528,8 @@ class PQIndex:
             if spherical:
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 mat = mat / np.where(norms == 0, 1.0, norms)
+            if rot is not None:   # OPQ: rotate AFTER normalize (the
+                mat = mat @ rot   # rotation was trained on unit vectors)
             codes = np.empty((len(mat), m), dtype=np.int16)
             for j in range(m):
                 sub = mat[:, j * dsub:(j + 1) * dsub]
@@ -485,7 +557,12 @@ class PQIndex:
         if self._spherical:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.where(norms == 0, 1.0, norms)
-        self.codebooks = self._train_codebooks(mat)
+        if self.opq:
+            self.rotation, self.codebooks = _train_opq_rotation(
+                mat, self.m, self.ksub, self.train_iters, self.seed,
+                self.opq_iters)
+        else:
+            self.codebooks = self._train_codebooks(mat)
         self._item_key = item_key_col
         self._vec_col = item_vec_col
         coded = items.withColumn("__codes", self._codes_expr(item_vec_col))
@@ -524,6 +601,8 @@ class PQIndex:
         if self._spherical:
             norms = np.linalg.norm(qmat, axis=1, keepdims=True)
             qmat = qmat / np.where(norms == 0, 1.0, norms)
+        if self.rotation is not None:   # OPQ: same rotation as encode —
+            qmat = qmat @ self.rotation  # (Rq)·(Rx) = q·x, exact scores
         books = self.codebooks
         m, dsub = self.m, books.shape[2]
         higher = self._higher
@@ -597,6 +676,9 @@ class PQIndex:
             "metric": self.metric, "train_sample": self.train_sample,
             "train_iters": self.train_iters, "item_key": self._item_key,
             "vec_col": self._vec_col,
+            "opq": self.opq, "opq_iters": self.opq_iters,
+            "rotation": None if self.rotation is None else
+                        [[float(x) for x in row] for row in self.rotation],
             "codebooks": [[[float(x) for x in c] for c in book]
                           for book in self.codebooks],
         }
@@ -615,8 +697,16 @@ class PQIndex:
         meta = json.loads(
             spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
         index = cls(meta["m"], meta["nbits"], meta["seed"], meta["metric"],
-                    meta["train_sample"], meta["train_iters"])
+                    meta["train_sample"], meta["train_iters"],
+                    opq=meta.get("opq", False),
+                    opq_iters=meta.get("opq_iters", 10))
         index.codebooks = np.array(meta["codebooks"])
+        if meta.get("rotation") is not None:
+            index.rotation = np.array(meta["rotation"])
+            d = index.codebooks.shape[0] * index.codebooks.shape[2]
+            if index.rotation.shape != (d, d):
+                raise ValueError("stored OPQ rotation inconsistent with "
+                                 "codebook dimensions — corrupt index?")
         index._item_key = meta["item_key"]
         index._vec_col = meta.get("vec_col")
         items = spark.read.parquet(os.path.join(path, "items"))
@@ -813,7 +903,8 @@ class IVFPQIndex:
     def __init__(self, n_cells: int = 64, nprobe: int = 4, m: int = 8,
                  nbits: int = 8, seed: int = 42, metric: str = "cos",
                  train_sample: int = 100_000, train_iters: int = 20,
-                 kmeans_max_iter: int = 20):
+                 kmeans_max_iter: int = 20, opq: bool = False,
+                 opq_iters: int = 10):
         if metric not in ("cos", "ip"):
             raise ValueError(
                 "IVFPQIndex supports 'cos'/'ip' only (the residual ADC "
@@ -829,6 +920,12 @@ class IVFPQIndex:
         self.train_sample = train_sample
         self.train_iters = train_iters
         self.kmeans_max_iter = kmeans_max_iter
+        # OPQ on the RESIDUALS (the quantity PQ actually quantizes):
+        # cells stay in the original space — rotation preserves the
+        # geometry the coarse quantizer sees, and q·x = q·c + q·r =
+        # q·c + (qR)·(rR) keeps the separable ADC algebra exact.
+        self.opq, self.opq_iters = opq, opq_iters
+        self.rotation: np.ndarray | None = None
         self._ivf: IVFIndex | None = None
         self.codebooks: np.ndarray | None = None
         self._items: DataFrame | None = None
@@ -839,6 +936,8 @@ class IVFPQIndex:
         books = np.ascontiguousarray(self.codebooks)
         cents = np.ascontiguousarray(self._ivf.centroids)
         m, dsub = self.m, books.shape[2]
+        rot = None if self.rotation is None \
+            else np.ascontiguousarray(self.rotation)
 
         normalize = self.metric == "cos"
 
@@ -850,6 +949,8 @@ class IVFPQIndex:
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 mat = mat / np.where(norms == 0, 1.0, norms)
             res = mat - cents[cell.to_numpy()]
+            if rot is not None:   # OPQ: rotate the residual (q·r ==
+                res = res @ rot   # (qR)·(rR) keeps ADC exact)
             codes = np.empty((len(res), m), dtype=np.int16)
             for j in range(m):
                 sub = res[:, j * dsub:(j + 1) * dsub]
@@ -881,8 +982,13 @@ class IVFPQIndex:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.where(norms == 0, 1.0, norms)
         residuals = mat - self._ivf.centroids[sample["cell"].to_numpy()]
-        self.codebooks = _train_pq_codebooks(
-            residuals, self.m, self.ksub, self.train_iters, self.seed)
+        if self.opq:
+            self.rotation, self.codebooks = _train_opq_rotation(
+                residuals, self.m, self.ksub, self.train_iters,
+                self.seed, self.opq_iters)
+        else:
+            self.codebooks = _train_pq_codebooks(
+                residuals, self.m, self.ksub, self.train_iters, self.seed)
         self._item_key, self._vec_col = item_key_col, item_vec_col
         coded = assigned.withColumn(
             "__codes", self._residual_codes_expr(item_vec_col, "cell"))
@@ -931,9 +1037,12 @@ class IVFPQIndex:
               - 2.0 * qmat @ cents.T + (cents * cents).sum(1)[None, :])
         probed = np.argsort(d2, kind="stable", axis=1)[:, :nprobe]
         qdotc = np.take_along_axis(qmat @ cents.T, probed, axis=1)
+        # OPQ: the LUT half scores rotated residuals, so it uses the
+        # rotated query; the q·c half stays in the original space
+        qlut = qmat if self.rotation is None else qmat @ self.rotation
         lut = np.empty((len(qmat), m, self.ksub))
         for j in range(m):
-            lut[:, j, :] = qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
+            lut[:, j, :] = qlut[:, j * dsub:(j + 1) * dsub] @ books[j].T
         spark = queries.sparkSession
         b_lut = spark.sparkContext.broadcast(lut)
 
@@ -983,6 +1092,9 @@ class IVFPQIndex:
             "train_iters": self.train_iters,
             "kmeans_max_iter": self.kmeans_max_iter,
             "item_key": self._item_key, "vec_col": self._vec_col,
+            "opq": self.opq, "opq_iters": self.opq_iters,
+            "rotation": None if self.rotation is None else
+                        [[float(x) for x in row] for row in self.rotation],
             "centroids": [[float(x) for x in c]
                           for c in self._ivf.centroids],
             "codebooks": [[[float(x) for x in c] for c in book]
@@ -1004,8 +1116,16 @@ class IVFPQIndex:
         index = cls(meta["n_cells"], meta["nprobe"], meta["m"],
                     meta["nbits"], meta["seed"], meta["metric"],
                     meta["train_sample"], meta["train_iters"],
-                    meta["kmeans_max_iter"])
+                    meta["kmeans_max_iter"],
+                    opq=meta.get("opq", False),
+                    opq_iters=meta.get("opq_iters", 10))
         index.codebooks = np.array(meta["codebooks"])
+        if meta.get("rotation") is not None:
+            index.rotation = np.array(meta["rotation"])
+            d = index.codebooks.shape[0] * index.codebooks.shape[2]
+            if index.rotation.shape != (d, d):
+                raise ValueError("stored OPQ rotation inconsistent with "
+                                 "codebook dimensions — corrupt index?")
         index._item_key = meta["item_key"]
         index._vec_col = meta["vec_col"]
         ivf = IVFIndex(meta["n_cells"], meta["nprobe"], meta["seed"],
@@ -1042,7 +1162,12 @@ def parse_index_param(spec: str):
     - ``"PQ<m>"`` → ``("pq", m)``;
     - ``"SQ<b>"`` → ``("sq", b)`` — scalar quantizer, b ∈ {4, 8};
     - ``"IVF<n>,PQ<m>"`` → ``("ivfpq", n, m)``;
-    - anything else (HNSW, OPQ, composites) → ``("faiss", spec)`` —
+    - ``"OPQ<m>,PQ<m>"`` → ``("opq_pq", m)`` and
+      ``"OPQ<m>,IVF<n>,PQ<m>"`` → ``("opq_ivfpq", n, m)`` — the OPQ
+      rotation pretransform, native when the OPQ block count equals the
+      PQ block count (the common spec); mismatched counts (FAISS allows
+      ``OPQ<m>_<d'>`` output-dim games) fall through to real FAISS;
+    - anything else (HNSW, composites) → ``("faiss", spec)`` —
       the import-gated real-FAISS pass-through, exactly the reference's
       fallthrough behavior.
     """
@@ -1063,6 +1188,12 @@ def parse_index_param(spec: str):
     m = _re.fullmatch(r"(?i)IVF(\d+),PQ(\d+)", s)
     if m:
         return ("ivfpq", int(m.group(1)), int(m.group(2)))
+    m = _re.fullmatch(r"(?i)OPQ(\d+),PQ(\d+)", s)
+    if m and m.group(1) == m.group(2):
+        return ("opq_pq", int(m.group(2)))
+    m = _re.fullmatch(r"(?i)OPQ(\d+),IVF(\d+),PQ(\d+)", s)
+    if m and m.group(1) == m.group(3):
+        return ("opq_ivfpq", int(m.group(2)), int(m.group(3)))
     return ("faiss", s)
 
 

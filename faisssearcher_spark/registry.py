@@ -2270,6 +2270,20 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     pq_recall = float(pq_hits) / total if total else 0.0
 
+    # --- tag-union row 5 (round 5 session 3): OPQ16,PQ16 — the learned
+    # rotation must not hurt (on the isotropic corpus it is a near-no-op
+    # by symmetry; on anisotropic data it strictly helps — pinned in
+    # tests/test_opq.py) and the rotated ADC algebra must stay exact:
+    # same floor as plain PQ.
+    opq = ann.PQIndex(m=16, metric="cos", seed=42, opq=True,
+                      opq_iters=6).fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    opq_hits = opq.search(q, k=10, query_item_col="qid").alias("a").join(
+        exact.alias("e"),
+        (F.col("a.source_item") == F.col("e.source_item"))
+        & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+    opq_recall = float(opq_hits) / total if total else 0.0
+
     # --- tag-union row 4 (round 5): IVF16,PQ16 residual ADC at nprobe=8
     # — recall composes as ivf-pruning × pq-quantization (measured 0.75
     # = 0.91 × ~0.84 at seed 42; floor 0.6 leaves margin).
@@ -2285,6 +2299,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("ivf_recall", bool(recall >= 0.9), int(total)),
          ("semantic_dedup", bool(sem_ok), int(n_emb)),
          ("pq_recall", bool(pq_recall >= 0.7), int(total)),
+         ("opq_recall", bool(opq_recall >= 0.7), int(total)),
          ("ivfpq_recall", bool(ivfpq_recall >= 0.6), int(total))],
         "check string, ok boolean, n long")
 
@@ -2296,6 +2311,9 @@ UNION ALL
 SELECT 'semantic_dedup', TRUE, (SELECT count(*) FROM embeddings)
 UNION ALL
 SELECT 'pq_recall', TRUE,
+       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
+UNION ALL
+SELECT 'opq_recall', TRUE,
        (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
 UNION ALL
 SELECT 'ivfpq_recall', TRUE,
@@ -2527,6 +2545,21 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       payload_cols=["label"])
 
 
+def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: OPQ16,PQ16 — the OPQ-NP rotation alternation (Ge et
+    al. 2013) on the training sample, then rotated ADC search; the
+    rotation rides the encode pandas_udf, so the distributed plan is
+    byte-identical to plain PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    pq = ann.PQIndex(m=16, metric="cos", seed=42, opq=True,
+                     opq_iters=6).fit(
+        emb, item_key_col="vec_id", item_vec_col="embedding")
+    return pq.search(q, k=10, query_item_col="qid",
+                     payload_cols=["label"])
+
+
 def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: SQ8 scalar-quantized search end-to-end (bounds fit +
     encode pass + decode-and-GEMM top-10 for 20 queries)."""
@@ -2625,6 +2658,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_dsir": q_sample_dsir,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_opq_topk": q_ann_opq_topk,
     "ann_sq_topk": q_ann_sq_topk,
     "text_bpe_pack": q_text_bpe_pack,
 }

@@ -149,9 +149,16 @@ class SparkSearcher:
                                metric=metric, **kw)
         elif kind == "pq":
             idx = ann.PQIndex(m=self._index_plan[1], metric=metric, **kw)
+        elif kind == "opq_pq":
+            idx = ann.PQIndex(m=self._index_plan[1], metric=metric,
+                              opq=True, **kw)
         elif kind == "sq":
             idx = ann.SQIndex(nbits=self._index_plan[1], metric=metric,
                               **kw)
+        elif kind == "opq_ivfpq":
+            idx = ann.IVFPQIndex(n_cells=self._index_plan[1],
+                                 m=self._index_plan[2], metric=metric,
+                                 opq=True, **kw)
         else:   # ivfpq
             idx = ann.IVFPQIndex(n_cells=self._index_plan[1],
                                  m=self._index_plan[2], metric=metric,
