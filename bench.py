@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ann_opq_topk",
     "ann_sq_topk",
     "text_bpe_pack",
+    "layout_zorder",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -29,14 +29,15 @@ from faisssearcher_spark.searcher import SparkSearcher
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
 from faisssearcher_spark.operators import (ann, balance, bpe, curate,
                                            decontam, dedup, events,
-                                           multimodal, privacy, rerank,
+                                           layout, multimodal, privacy,
+                                           rerank,
                                            sampling, temporal,
                                            text_analysis)
 from faisssearcher_spark.functions import metrics
 
 __all__ = ["SparkSearcher", "knn_join", "cal_sim", "metrics",
            "ann", "balance", "bpe", "curate", "decontam", "dedup",
-           "events", "multimodal", "privacy", "rerank", "sampling",
+           "events", "layout", "multimodal", "privacy", "rerank", "sampling",
            "temporal", "text_analysis"]
 
 __version__ = "0.1.0"

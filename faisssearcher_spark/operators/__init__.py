@@ -1,9 +1,10 @@
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
 from faisssearcher_spark.operators import (balance, bloom, bpe, curate,
-                                           decontam, dedup, privacy,
+                                           decontam, dedup, layout,
+                                           privacy,
                                            sampling, temporal,
                                            text_analysis)
 
 __all__ = ["knn_join", "cal_sim", "balance", "bloom", "bpe", "curate",
-           "decontam", "dedup", "privacy", "sampling", "temporal",
+           "decontam", "dedup", "layout", "privacy", "sampling", "temporal",
            "text_analysis"]

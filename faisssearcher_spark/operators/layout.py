@@ -1,0 +1,130 @@
+"""Multi-dimensional data layout (Z-order clustering) for scan pruning.
+
+Beyond-reference, north-star surface: at 100 TB the dominant cost of
+every selective query is the parquet scan, and parquet prunes row
+groups/files with min-max statistics. A table sorted by ONE column
+prunes filters on that column only; interleaving the bits of several
+columns' rank-buckets (a Morton/Z-order curve — the same layout
+Delta Lake's ``OPTIMIZE ZORDER BY`` and Databricks' liquid clustering
+produce) gives every participating column ~n^(1/k) locality per file,
+so min-max pruning works for ALL of them at once.
+
+Scale shape: one ``approxQuantile`` pass per column (a single-pass,
+mergeable Greenwald-Khanna sketch — driver state is just the 2^bits
+boundary list), one scan projecting the z-key (a codegen'd binary-
+search CASE tree + integer bit ops — no Python, no shuffle), then ONE
+``repartitionByRange`` on the key (the same sampled range shuffle a
+global sort costs) with an in-partition sort. That is exactly the
+cost profile of a compaction/OPTIMIZE maintenance job; readers never
+pay anything — they just prune more.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double",
+            "decimal", "date", "timestamp", "timestamp_ntz")
+
+
+def _rank_bucket_expr(col: Column, boundaries: list[float],
+                      n_buckets: int) -> Column:
+    """Bucket ``col`` into [0, n_buckets) by binary-searching the sampled
+    quantile ``boundaries`` (len n_buckets-1, ascending): a balanced tree
+    of nested CASE WHEN — O(bits) comparisons per row, plain codegen'd
+    integer/double compares (a higher-order-function fold over the
+    boundary array would run interpreted and O(n_buckets) per row,
+    NOTES.md). NULLs land in bucket 0, matching NULLS FIRST sort order.
+    """
+    def tree(lo: int, hi: int) -> Column:
+        # bucket index range [lo, hi]; boundaries[b-1] is the lower edge
+        # of bucket b
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return (F.when(col >= F.lit(boundaries[mid - 1]), tree(mid, hi))
+                .otherwise(tree(lo, mid - 1)))
+
+    return F.when(col.isNull(), F.lit(0)).otherwise(tree(0, n_buckets - 1))
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
+               out_col: str = "__zorder",
+               relative_error: float = 0.001) -> DataFrame:
+    """Append the Z-order (Morton) key of ``cols``: each column is
+    rank-bucketed into ``2**bits`` quantile buckets (skew-robust — equal
+    ROW mass per bucket, unlike value-range bucketing) and the bucket
+    bits are interleaved into one long. Rows close on the Z-curve are
+    close in EVERY participating column, which is what turns min-max
+    footer stats into multi-column file pruning.
+
+    ``bits`` is per-column; ``bits * len(cols)`` must fit a long (≤ 62)
+    and the CASE tree grows as 2^bits nodes per column, so keep bits in
+    the default 6-10 range — pruning benefits saturate once
+    2^bits ≫ number of output files anyway.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if not 1 <= bits * len(cols) <= 62:
+        raise ValueError(
+            f"bits*len(cols) must be in [1, 62] to fit a long, got "
+            f"{bits}*{len(cols)}")
+    if bits > 12:
+        raise ValueError(
+            f"bits={bits} would build a 2^{bits}-node expression tree; "
+            f"use <= 12 (pruning saturates far earlier)")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if not dt.startswith(_NUMERIC):
+            raise ValueError(
+                f"zorder column {c!r} has type {dt}: rank-bucketing needs "
+                f"an ordered numeric/temporal type (hashing a string "
+                f"would destroy the locality the layout exists for)")
+    n_buckets = 1 << bits
+    # date/timestamp -> numeric for the quantile sketch + compares
+    casted = {c: F.col(c).cast("double") for c in cols}
+    probe = df.select(*[casted[c].alias(f"__zq_{i}")
+                        for i, c in enumerate(cols)])
+    quantiles = [float(q) / n_buckets for q in range(1, n_buckets)]
+    all_bnds = probe.approxQuantile(
+        [f"__zq_{i}" for i in range(len(cols))], quantiles, relative_error)
+    buckets = []
+    for c, bnds in zip(cols, all_bnds):
+        if not bnds:   # all-NULL column: every row buckets to 0
+            buckets.append(F.lit(0))
+        else:
+            buckets.append(_rank_bucket_expr(casted[c], bnds, n_buckets))
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * ncols + j))
+    return df.withColumn(out_col, z)
+
+
+def zorder_layout(df: DataFrame, cols: Sequence[str], *,
+                  n_files: int, bits: int = 8,
+                  relative_error: float = 0.001) -> DataFrame:
+    """Cluster ``df`` on the Z-curve of ``cols`` and split it into
+    ``n_files`` range partitions, sorted within each — write the result
+    with ``.write.parquet(...)`` and every file's min-max footer spans
+    only its Z-range, i.e. a ~n_files^(-1/len(cols)) slice of EACH
+    column. The helper column is dropped; the partitioning and order
+    survive the write.
+
+    This is the maintenance-job half of the exactly-once sink pattern
+    (``streaming/sinks.compact_sink``): run it on cold data on a
+    schedule, point readers at the result.
+    """
+    keyed = zorder_key(df, cols, bits=bits, relative_error=relative_error)
+    return (keyed.repartitionByRange(n_files, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder"))

@@ -2572,6 +2572,19 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["label"])
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: Z-order layout job over lineitem on (l_orderkey,
+    l_partkey) — the OPTIMIZE ZORDER maintenance shape: one
+    approxQuantile sketch pass, one codegen'd key projection, one
+    range shuffle + in-partition sort. File-span shrinkage itself is
+    pinned from real parquet footers in tests/test_layout.py."""
+    from faisssearcher_spark.operators import layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return layout.zorder_layout(li, ["l_orderkey", "l_partkey"],
+                                n_files=32, bits=6)
+
+
 def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: REAL-tokenizer packing — train a 200-merge BPE on the
     corpus (distributed word counts, driver merges on the Zipf-small
@@ -2661,4 +2674,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_opq_topk": q_ann_opq_topk,
     "ann_sq_topk": q_ann_sq_topk,
     "text_bpe_pack": q_text_bpe_pack,
+    "layout_zorder": q_layout_zorder,
 }
