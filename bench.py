@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ann_sq_topk",
     "text_bpe_pack",
     "layout_zorder",
+    "text_quality_classifier",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -1,10 +1,11 @@
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
-from faisssearcher_spark.operators import (balance, bloom, bpe, curate,
+from faisssearcher_spark.operators import (balance, bloom, bpe, classifier,
+                                           curate,
                                            decontam, dedup, layout,
                                            privacy,
                                            sampling, temporal,
                                            text_analysis)
 
-__all__ = ["knn_join", "cal_sim", "balance", "bloom", "bpe", "curate",
+__all__ = ["knn_join", "cal_sim", "balance", "bloom", "bpe", "classifier", "curate",
            "decontam", "dedup", "layout", "privacy", "sampling", "temporal",
            "text_analysis"]

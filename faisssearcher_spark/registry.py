@@ -2572,6 +2572,26 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["label"])
 
 
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the GPT-3 quality-filter pipeline end-to-end — train
+    bag-of-words logistic regression (src1 slice = trusted reference,
+    rest = raw pool; MLlib CountVectorizer + LogisticRegression), score
+    the whole corpus RELATIONALLY (token-weight join + sigmoid, no
+    Python), apply the Pareto keep rule. On this synthetic corpus the
+    two classes share one token distribution, so scores sit at the class
+    prior and the Pareto tail keeps ~0.2% — the MECHANICS are the bench
+    subject; separation quality is pinned on separable corpora in
+    tests/test_classifier.py."""
+    from faisssearcher_spark.operators.classifier import (
+        fit_quality_classifier, pareto_keep)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source") == "src1")
+    neg = docs.filter(F.col("source") != "src1")
+    qc = fit_quality_classifier(pos, neg, max_iter=20)
+    return pareto_keep(qc.score(docs), key_col="doc_id")
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Z-order layout job over lineitem on (l_orderkey,
     l_partkey) — the OPTIMIZE ZORDER maintenance shape: one
@@ -2675,4 +2695,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq_topk": q_ann_sq_topk,
     "text_bpe_pack": q_text_bpe_pack,
     "layout_zorder": q_layout_zorder,
+    "text_quality_classifier": q_text_quality_classifier,
 }
