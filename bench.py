@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "text_bpe_pack",
     "layout_zorder",
     "text_quality_classifier",
+    "text_bm25_topk",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -27,7 +27,8 @@ rollups (batch + Structured Streaming).
 
 from faisssearcher_spark.searcher import SparkSearcher
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
-from faisssearcher_spark.operators import (ann, balance, bpe, classifier,
+from faisssearcher_spark.operators import (ann, balance, bm25, bpe,
+                                           classifier,
                                            curate,
                                            decontam, dedup, events,
                                            layout, multimodal, privacy,
@@ -37,7 +38,7 @@ from faisssearcher_spark.operators import (ann, balance, bpe, classifier,
 from faisssearcher_spark.functions import metrics
 
 __all__ = ["SparkSearcher", "knn_join", "cal_sim", "metrics",
-           "ann", "balance", "bpe", "classifier", "curate", "decontam", "dedup",
+           "ann", "balance", "bm25", "bpe", "classifier", "curate", "decontam", "dedup",
            "events", "layout", "multimodal", "privacy", "rerank", "sampling",
            "temporal", "text_analysis"]
 

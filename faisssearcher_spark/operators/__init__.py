@@ -1,11 +1,12 @@
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
-from faisssearcher_spark.operators import (balance, bloom, bpe, classifier,
+from faisssearcher_spark.operators import (balance, bloom, bm25, bpe,
+                                           classifier,
                                            curate,
                                            decontam, dedup, layout,
                                            privacy,
                                            sampling, temporal,
                                            text_analysis)
 
-__all__ = ["knn_join", "cal_sim", "balance", "bloom", "bpe", "classifier", "curate",
+__all__ = ["knn_join", "cal_sim", "balance", "bloom", "bm25", "bpe", "classifier", "curate",
            "decontam", "dedup", "layout", "privacy", "sampling", "temporal",
            "text_analysis"]

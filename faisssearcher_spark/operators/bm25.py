@@ -1,0 +1,162 @@
+"""BM25 lexical retrieval and reciprocal-rank-fusion hybrid search.
+
+Beyond-reference, north-star surface: the reference is a vector
+searcher, but production search over a 100 TB corpus is HYBRID — a
+lexical BM25 leg (exact term matching, no training, no embedding cost)
+fused with the vector leg (``knn_join`` / the ANN indexes) by
+reciprocal rank fusion (Cormack et al. 2009). Both legs and the fusion
+are pure relational plans, so a SQL oracle replays them exactly.
+
+BM25 (Robertson/Spärck Jones; the Lucene variant of the idf):
+
+    score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf(t,d)·(k1+1)
+                                      / (tf(t,d) + k1·(1 − b + b·dl/avgdl))
+    idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+Scale shape: fit = one (doc, token) count, one token-level count (the
+Zipf-small document-frequency table), one join back — the per-(token,
+doc) partial score is PRECOMPUTED into the postings table, so a search
+is explode(query) → postings equi-join (query side broadcasts) → one
+(query, doc) sum → the shared top-k window. The corpus text is never
+touched at query time; the postings list is the index. avgdl is
+computed as exact-integer sum/count (one division — engine-portable
+where a float ``avg`` reduction would drift).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions import text as T
+from faisssearcher_spark.operators.ann import _rank_topk
+
+
+class BM25Index:
+    """Inverted BM25 index over a document corpus.
+
+    The postings table carries the fully materialized per-(token, doc)
+    BM25 partial score; ``search`` is join + sum + rank. Documents
+    sharing no term with the query are absent from the result (standard
+    BM25 — there is no evidence to score them on).
+    """
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        if k1 < 0 or not 0 <= b <= 1:
+            raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, "
+                             f"got k1={k1}, b={b}")
+        self.k1, self.b = float(k1), float(b)
+        self._postings: DataFrame | None = None
+        self._docs: DataFrame | None = None
+        self._id_col: str | None = None
+        self.n_docs: int | None = None
+        self.avgdl: float | None = None
+
+    def fit(self, docs: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text") -> "BM25Index":
+        ex = docs.select(F.col(id_col).alias("__id"),
+                         T.tokens(text_col).alias("__toks"))
+        dl = ex.select("__id", F.size("__toks").alias("__dl"), "__toks")
+        # exact-integer totals, ONE division: sum(long)/count is the same
+        # double in every engine, a floating avg() reduction is not
+        tot = dl.agg(F.sum("__dl"), F.count("*")).collect()[0]
+        n = int(tot[1])
+        if not n:
+            raise ValueError("BM25Index.fit needs a non-empty corpus")
+        self.n_docs, self.avgdl = n, float(tot[0] or 0) / n
+        post = (dl.select("__id", "__dl",
+                          F.explode("__toks").alias("__tok"))
+                .groupBy("__id", "__tok")
+                .agg(F.count("*").cast("double").alias("__tf"),
+                     F.first("__dl").alias("__dl")))
+        dft = post.groupBy("__tok").agg(F.count("*").cast("double")
+                                        .alias("__df"))
+        idf = dft.select(
+            "__tok",
+            F.log(1.0 + (F.lit(float(n)) - F.col("__df") + 0.5)
+                  / (F.col("__df") + 0.5)).alias("__idf"))
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        w = (post.join(idf, "__tok")
+             .select("__tok", "__id",
+                     (F.col("__idf") * F.col("__tf") * (k1 + 1.0)
+                      / (F.col("__tf")
+                         + k1 * (1.0 - b + b * F.col("__dl") / avgdl)))
+                     .alias("__w")))
+        self._postings = w.cache()
+        self._docs = docs
+        self._id_col = id_col
+        return self
+
+    def search(self, queries: DataFrame, *, k: int = 10,
+               query_item_col: str = "query_id",
+               query_text_col: str = "text",
+               score_scale: int | None = None,
+               payload_cols: Sequence[str] | None = None) -> DataFrame:
+        """Top-``k`` per query: ``(source_item, sim_item, sim_val,
+        rank_no, *payload)`` — the engine-standard ranked shape, so BM25
+        results feed :func:`rrf_fuse` and the rerankers unchanged.
+        ``score_scale`` rounds sim_val BEFORE ranking (ties then break
+        on sim_item, engine-portably) — pass 4 for oracle-checked runs,
+        None for the raw double."""
+        if self._postings is None:
+            raise RuntimeError("BM25Index is not fit; call fit() first")
+        qt = queries.select(
+            F.col(query_item_col).alias("source_item"),
+            F.explode(F.array_distinct(T.tokens(query_text_col)))
+            .alias("__tok"))
+        score = F.sum("__w")
+        if score_scale is not None:
+            score = F.round(score, score_scale)
+        scored = (qt.join(self._postings, "__tok")
+                  .groupBy("source_item", "__id")
+                  .agg(score.alias("sim_val"))
+                  .withColumnRenamed("__id", "sim_item"))
+        ranked = _rank_topk(scored, k, True)
+        payload = list(payload_cols or [])
+        if payload:
+            side = self._docs.select(
+                F.col(self._id_col).alias("sim_item"), *payload)
+            ranked = ranked.join(F.broadcast(side), "sim_item")
+        return ranked.select("source_item", "sim_item", "sim_val",
+                             "rank_no", *payload)
+
+
+def rrf_fuse(ranked: Sequence[DataFrame], *, k: int = 10, c: int = 60,
+             weights: Sequence[float] | None = None) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher 2009): fuse
+    result lists that share the engine-standard ranked shape
+    ``(source_item, sim_item, rank_no)`` into
+
+        rrf(d) = Σ_i  w_i / (c + rank_no_i + 1)
+
+    and re-rank. RRF deliberately ignores the incomparable raw scores
+    (cosine vs BM25 units) — only ranks matter, which also makes the
+    fused sim_val ENGINE-EXACT: sums of 1/(c+r+1) on small integers are
+    bit-identical everywhere, no rounding needed.
+
+    Scale shape: the inputs are already top-k lists (≤ queries·k rows
+    each), so the union + one (query, doc) sum + the re-rank window is
+    driver-cheap at any corpus size; the heavy lifting stayed in the
+    legs. Documents missing from a leg simply contribute nothing — the
+    standard RRF treatment.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    if weights is None:
+        weights = [1.0] * len(ranked)
+    if len(weights) != len(ranked):
+        raise ValueError(f"{len(ranked)} inputs but {len(weights)} weights")
+    legs = []
+    for df, w in zip(ranked, weights):
+        legs.append(df.select(
+            "source_item", "sim_item",
+            (F.lit(float(w)) / (F.lit(float(c)) + F.col("rank_no") + 1.0))
+            .alias("__rrf")))
+    fused = legs[0]
+    for leg in legs[1:]:
+        fused = fused.unionByName(leg)
+    fused = (fused.groupBy("source_item", "sim_item")
+             .agg(F.sum("__rrf").alias("sim_val")))
+    return _rank_topk(fused, k, True)

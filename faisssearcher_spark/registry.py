@@ -369,10 +369,10 @@ FROM ranked WHERE rn <= 2
 """
 
 
-def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end encoder-mode search (reference mode 1, README.md:27-41):
-    documents encoded with the deterministic HashingEncoder pandas_udf,
-    cosine top-3 with payload carry — the full U1→P3→J1→J2 pipeline."""
+def _q_searcher_text_hash_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoder-mode vector leg on its own (reference mode 1,
+    README.md:27-41) — shared by the searcher_text_knn composite and the
+    rerank gate (which must rerank ONE candidate set, not the union)."""
     from faisssearcher_spark.searcher import SparkSearcher
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("text", "lang", "source")
@@ -386,12 +386,56 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang", "source")
 
 
+def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text search, tag-union composite (50-cap pattern):
+
+    - ``hash_knn`` — encoder-mode vector search (reference mode 1,
+      README.md:27-41): documents encoded with the deterministic
+      HashingEncoder pandas_udf, cosine top-3 with payload carry — the
+      full U1→P3→J1→J2 pipeline;
+    - ``bm25`` — lexical retrieval over the same corpus/queries
+      (operators/bm25.py): inverted postings with precomputed partial
+      scores, Lucene idf, k1=1.2 b=0.75, top-3 (round-5 session 3);
+    - ``rrf`` — reciprocal rank fusion of the two legs (c=60) — the
+      hybrid-search shape; fused sim_val is exact rational arithmetic
+      on the legs' ranks, so it hash-matches with NO rounding."""
+    from faisssearcher_spark.operators.bm25 import BM25Index, rrf_fuse
+    docs = load_table(spark, sf_dir, "documents")
+    hash_leg = _q_searcher_text_hash_leg(spark, sf_dir)
+
+    bm = BM25Index().fit(docs, id_col="doc_id", text_col="text")
+    qdf = docs.filter(F.col("doc_id") < 5).select(
+        F.col("text").alias("qid"), "text")
+    raw = bm.search(qdf, k=3, query_item_col="qid", query_text_col="text",
+                    score_scale=4)
+    # the index ids by doc_id (texts are not guaranteed unique at every
+    # sf) — map sim_item to the text + payload for the shared schema
+    side = docs.select(F.col("doc_id").alias("sim_item"),
+                       F.col("text").alias("__sim_text"), "lang", "source")
+    bm25_leg = raw.join(side, "sim_item").select(
+        "source_item", F.col("__sim_text").alias("sim_item"), "sim_val",
+        "rank_no", "lang", "source")
+
+    fused = rrf_fuse(
+        [hash_leg.select("source_item", "sim_item", "rank_no"),
+         bm25_leg.select("source_item", "sim_item", "rank_no")], k=3)
+    pay = docs.select(F.col("text").alias("sim_item"), "lang", "source")
+    rrf_leg = fused.join(pay, "sim_item").select(
+        "source_item", "sim_item", "sim_val", "rank_no", "lang", "source")
+
+    return (hash_leg.select(F.lit("hash_knn").alias("strategy"), "*")
+            .unionByName(bm25_leg.select(F.lit("bm25").alias("strategy"),
+                                         "*"))
+            .unionByName(rrf_leg.select(F.lit("rrf").alias("strategy"),
+                                        "*")))
+
+
 def _oracle_encoder(dim: int = 8) -> str:
     enc = HashingEncoder(dim=dim).duckdb_sql("text")
     return (f"SELECT text, lang, source, {enc} AS emb FROM documents")
 
 
-ORACLE_SEARCHER_TEXT = f"""
+_ORACLE_SEARCHER_TEXT_HASH = f"""
 WITH enc AS ({_oracle_encoder(8)}),
      nrm AS (SELECT text, lang, source,
                     list_transform(emb, x -> x / sqrt(list_sum(
@@ -408,6 +452,59 @@ WITH enc AS ({_oracle_encoder(8)}),
                 FROM scored)
 SELECT source_item, sim_item, sim_val, (rn - 1)::INT AS rank_no, lang, source
 FROM ranked WHERE rn <= 3
+"""
+
+# BM25 leg: Lucene idf, k1=1.2 b=0.75, distinct query terms, score
+# rounded to 4dp BEFORE ranking, ties on doc_id — mirrors
+# operators/bm25.py term for term (same association order everywhere a
+# float divide/multiply chain could drift; avgdl is exact-integer
+# sum/count).
+_ORACLE_SEARCHER_TEXT_BM25 = f"""
+WITH t AS (SELECT doc_id, text, lang, source, {_TOKS} AS toks
+           FROM documents),
+     st AS (SELECT (SELECT sum(len(toks)) FROM t)::DOUBLE
+                   / (SELECT count(*) FROM t) AS avgdl,
+                   (SELECT count(*) FROM t)::DOUBLE AS n),
+     post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok),
+     dft AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY tok),
+     dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+     w AS (SELECT post.doc_id, post.tok,
+                  ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS w
+           FROM post JOIN dft USING (tok) JOIN dl USING (doc_id), st),
+     q AS (SELECT text AS source_item, unnest(list_distinct(toks)) AS tok
+           FROM t WHERE doc_id < 5),
+     sc AS (SELECT q.source_item, w.doc_id, round(sum(w.w), 4) AS sim_val
+            FROM q JOIN w ON q.tok = w.tok GROUP BY q.source_item, w.doc_id),
+     bm_rk AS (SELECT sc.*, row_number() OVER (PARTITION BY source_item
+                 ORDER BY sim_val DESC, doc_id ASC) AS rn FROM sc)
+SELECT r.source_item, d.text AS sim_item, r.sim_val,
+       (r.rn - 1)::INT AS rank_no, d.lang, d.source
+FROM bm_rk r JOIN documents d ON r.doc_id = d.doc_id
+WHERE r.rn <= 3
+"""
+
+ORACLE_SEARCHER_TEXT = f"""
+WITH hash_leg AS ({_ORACLE_SEARCHER_TEXT_HASH}),
+     bm25_leg AS ({_ORACLE_SEARCHER_TEXT_BM25}),
+     legs AS (SELECT source_item, sim_item,
+                     1.0 / (60 + rank_no + 1) AS r FROM hash_leg
+              UNION ALL
+              SELECT source_item, sim_item,
+                     1.0 / (60 + rank_no + 1) FROM bm25_leg),
+     fus AS (SELECT source_item, sim_item, sum(r) AS sim_val
+             FROM legs GROUP BY source_item, sim_item),
+     fus_rk AS (SELECT fus.*, row_number() OVER (PARTITION BY source_item
+                  ORDER BY sim_val DESC, sim_item ASC) AS rn FROM fus),
+     rrf_leg AS (SELECT f.source_item, f.sim_item, f.sim_val,
+                        (f.rn - 1)::INT AS rank_no, d.lang, d.source
+                 FROM fus_rk f JOIN documents d ON f.sim_item = d.text
+                 WHERE f.rn <= 3)
+SELECT 'hash_knn' AS strategy, * FROM hash_leg
+UNION ALL SELECT 'bm25', * FROM bm25_leg
+UNION ALL SELECT 'rrf', * FROM rrf_leg
 """
 
 
@@ -1760,14 +1857,14 @@ def q_searcher_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol) and re-ranked per query."""
     from faisssearcher_spark.operators.rerank import rerank_pairs
 
-    base = q_searcher_text_knn(spark, sf_dir)
+    base = _q_searcher_text_hash_leg(spark, sf_dir)
     out = rerank_pairs(base.drop("rank_no"), k=2, score_scale=4)
     return out.select("source_item", "sim_item", "sim_val",
                       "rerank_score", "rank_no")
 
 
 ORACLE_RERANK = f"""
-WITH base AS ({ORACLE_SEARCHER_TEXT}),
+WITH base AS ({_ORACLE_SEARCHER_TEXT_HASH}),
      toks AS (SELECT *,
                 list_distinct(list_filter(
                     regexp_split_to_array(trim(source_item), '\\s+'), t -> t != '')) AS ta,
@@ -2572,6 +2669,22 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["label"])
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: BM25 end-to-end — inverted-postings fit over the
+    corpus (two aggs + one join, partial scores precomputed) and a
+    20-query top-10 search (explode → postings equi-join → sum → rank
+    window). The searcher_text_knn gate carries the oracle-checked twin
+    (bm25 + rrf tag-union legs)."""
+    from faisssearcher_spark.operators.bm25 import BM25Index
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = BM25Index().fit(docs)
+    q = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), "text")
+    return bm.search(q, k=10, query_item_col="qid",
+                     payload_cols=["lang"])
+
+
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the GPT-3 quality-filter pipeline end-to-end — train
     bag-of-words logistic regression (src1 slice = trusted reference,
@@ -2696,4 +2809,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pack": q_text_bpe_pack,
     "layout_zorder": q_layout_zorder,
     "text_quality_classifier": q_text_quality_classifier,
+    "text_bm25_topk": q_text_bm25_topk,
 }
