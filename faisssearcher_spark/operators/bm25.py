@@ -43,10 +43,22 @@ class BM25Index:
     BM25 — there is no evidence to score them on).
     """
 
-    def __init__(self, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, k1: float = 1.2, b: float = 0.75, *,
+                 max_df_ratio: float | None = None, min_df: int = 1):
         if k1 < 0 or not 0 <= b <= 1:
             raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, "
                              f"got k1={k1}, b={b}")
+        if max_df_ratio is not None and not 0 < max_df_ratio <= 1:
+            raise ValueError(f"max_df_ratio must be in (0, 1], "
+                             f"got {max_df_ratio}")
+        # posting-list pruning, the BM25 scale lever: the Zipf HEAD
+        # dominates postings volume (a term in every document owns a
+        # posting per document) while contributing idf ≈ ln(1 + 0.5/N)
+        # ≈ 0 to every score. Dropping terms with df/N > max_df_ratio
+        # (and df < min_df typo-noise) removes the scale-dominant lists
+        # — the classic stop-list, derived from the corpus itself.
+        self.max_df_ratio = max_df_ratio
+        self.min_df = int(min_df)
         self.k1, self.b = float(k1), float(b)
         self._postings: DataFrame | None = None
         self._docs: DataFrame | None = None
@@ -73,6 +85,10 @@ class BM25Index:
                      F.first("__dl").alias("__dl")))
         dft = post.groupBy("__tok").agg(F.count("*").cast("double")
                                         .alias("__df"))
+        if self.max_df_ratio is not None:
+            dft = dft.filter(F.col("__df") <= self.max_df_ratio * n)
+        if self.min_df > 1:
+            dft = dft.filter(F.col("__df") >= self.min_df)
         idf = dft.select(
             "__tok",
             F.log(1.0 + (F.lit(float(n)) - F.col("__df") + 0.5)

@@ -132,7 +132,21 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         "ann_pq": lambda: ann.PQIndex(m=8, metric="cos", seed=42).fit(
             emb, item_key_col="vec_id", item_vec_col="embedding"
         ).search(queries, k=5, query_item_col="vec_id"),
+        # lexical retrieval: postings build is two aggs + a join (∝
+        # corpus tokens); a FIXED 20-query search against the growing
+        # postings (replica token-salting keeps per-term posting lists
+        # the size of the base corpus's, so the equi-join output stays
+        # linear — exactly how a real 10× crawl grows the long tail)
+        "text_bm25": lambda: _bm25_fit_search(docs),
     }
+
+
+def _bm25_fit_search(docs: DataFrame) -> DataFrame:
+    from faisssearcher_spark.operators.bm25 import BM25Index
+
+    q = docs.orderBy("doc_id").limit(20).select(
+        F.col("doc_id").alias("qid"), "text")
+    return BM25Index().fit(docs).search(q, k=10, query_item_col="qid")
 
 
 def run_scale_sweep(spark: SparkSession, sf_dir: str, *,

@@ -140,3 +140,24 @@ def test_rrf_validation(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="weights"):
         rrf_fuse([a, a], weights=[1.0])
+
+
+def test_df_pruning_drops_stoplist_and_preserves_other_scores(spark):
+    """'the' appears in 5/6 docs; with max_df_ratio=0.5 its postings
+    vanish while rarer terms' contributions are unchanged (idf keeps the
+    full N — pruning is a storage decision, not a model change)."""
+    rows = [(0, "the quick fox"), (1, "the lazy dog"), (2, "the blue hare"),
+            (3, "the tall tree"), (4, "the old boat"), (5, "rare words only")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    full = BM25Index().fit(corpus)
+    pruned = BM25Index(max_df_ratio=0.5).fit(corpus)
+    assert pruned._postings.filter(F.col("__tok") == "the").count() == 0
+    assert full._postings.filter(F.col("__tok") == "the").count() == 5
+    q = spark.createDataFrame([(1, "quick fox rare")], "qid long, text string")
+    want = {r["sim_item"]: r["sim_val"]
+            for r in full.search(q, k=10, query_item_col="qid").collect()}
+    got = {r["sim_item"]: r["sim_val"]
+           for r in pruned.search(q, k=10, query_item_col="qid").collect()}
+    assert got == want   # no query term was pruned -> identical scores
+    with pytest.raises(ValueError, match="max_df_ratio"):
+        BM25Index(max_df_ratio=1.5)
