@@ -61,6 +61,7 @@ class BM25Index:
         self.min_df = int(min_df)
         self.k1, self.b = float(k1), float(b)
         self._postings: DataFrame | None = None
+        self._idf: DataFrame | None = None
         self._docs: DataFrame | None = None
         self._id_col: str | None = None
         self.n_docs: int | None = None
@@ -93,6 +94,9 @@ class BM25Index:
             "__tok",
             F.log(1.0 + (F.lit(float(n)) - F.col("__df") + 0.5)
                   / (F.col("__df") + 0.5)).alias("__idf"))
+        # keep the (Zipf-small) idf table: add_items scores new postings
+        # against the FROZEN fit-time statistics
+        self._idf = idf.cache()
         k1, b, avgdl = self.k1, self.b, self.avgdl
         w = (post.join(idf, "__tok")
              .select("__tok", "__id",
@@ -103,6 +107,40 @@ class BM25Index:
         self._postings = w.cache()
         self._docs = docs
         self._id_col = id_col
+        return self
+
+    def add_items(self, docs: DataFrame, *, text_col: str = "text"
+                  ) -> "BM25Index":
+        """Append documents WITHOUT refitting corpus statistics — the
+        add-after-train discipline every index here follows (FAISS
+        ``index.add`` semantics, faiss_searcher.py:124): N, avgdl, df and
+        therefore idf stay frozen at fit time, new docs contribute
+        postings for FIT-VOCABULARY terms only (a frozen model has no
+        weight for unseen terms — the classifier/OOV treatment). Refit
+        periodically when drift matters; the frozen scores drift only
+        through idf staleness, which moves slowly in a Zipf corpus."""
+        if self._postings is None:
+            raise RuntimeError("BM25Index is not fit; call fit() first")
+        ex = docs.select(F.col(self._id_col).alias("__id"),
+                         T.tokens(text_col).alias("__toks"))
+        dl = ex.select("__id", F.size("__toks").alias("__dl"), "__toks")
+        post = (dl.select("__id", "__dl",
+                          F.explode("__toks").alias("__tok"))
+                .groupBy("__id", "__tok")
+                .agg(F.count("*").cast("double").alias("__tf"),
+                     F.first("__dl").alias("__dl")))
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        idf = self._idf
+        w = (post.join(idf, "__tok")
+             .select("__tok", "__id",
+                     (F.col("__idf") * F.col("__tf") * (k1 + 1.0)
+                      / (F.col("__tf")
+                         + k1 * (1.0 - b + b * F.col("__dl") / avgdl)))
+                     .alias("__w")))
+        old = self._postings
+        self._postings = old.unionByName(w).cache()
+        old.unpersist()
+        self._docs = self._docs.unionByName(docs.select(*self._docs.columns))
         return self
 
     def search(self, queries: DataFrame, *, k: int = 10,
@@ -137,6 +175,57 @@ class BM25Index:
             ranked = ranked.join(F.broadcast(side), "sim_item")
         return ranked.select("source_item", "sim_item", "sim_val",
                              "rank_no", *payload)
+
+
+    # -- persistence (S2/S3 parity: data + config as parquet) --------------
+
+    def save(self, path: str) -> None:
+        if self._postings is None:
+            raise RuntimeError("BM25Index is not fit; nothing to save")
+        import json
+        import os
+
+        spark = self._postings.sparkSession
+        self._postings.write.mode("overwrite").parquet(
+            os.path.join(path, "postings"))
+        self._idf.write.mode("overwrite").parquet(
+            os.path.join(path, "idf"))
+        self._docs.write.mode("overwrite").parquet(
+            os.path.join(path, "docs"))
+        meta = {"k1": self.k1, "b": self.b, "n_docs": self.n_docs,
+                "avgdl": self.avgdl, "id_col": self._id_col,
+                "max_df_ratio": self.max_df_ratio, "min_df": self.min_df}
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BM25Index":
+        """Load + revalidate (the reference asserts on load,
+        faiss_searcher.py:112-114): postings non-empty, idf finite."""
+        import json
+        import os
+
+        meta = json.loads(
+            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        index = cls(meta["k1"], meta["b"],
+                    max_df_ratio=meta.get("max_df_ratio"),
+                    min_df=meta.get("min_df", 1))
+        index.n_docs, index.avgdl = meta["n_docs"], meta["avgdl"]
+        index._id_col = meta["id_col"]
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        idf = spark.read.parquet(os.path.join(path, "idf"))
+        if not postings.count():
+            raise ValueError("loaded BM25 index has empty postings")
+        bad = idf.filter(F.col("__idf").isNull()
+                         | F.isnan("__idf")).count()
+        if bad:
+            raise ValueError(f"loaded BM25 idf table has {bad} "
+                             f"null/NaN entries — corrupt index?")
+        index._postings = postings.cache()
+        index._idf = idf.cache()
+        index._docs = spark.read.parquet(os.path.join(path, "docs"))
+        return index
 
 
 def rrf_fuse(ranked: Sequence[DataFrame], *, k: int = 10, c: int = 60,

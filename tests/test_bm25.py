@@ -161,3 +161,45 @@ def test_df_pruning_drops_stoplist_and_preserves_other_scores(spark):
     assert got == want   # no query term was pruned -> identical scores
     with pytest.raises(ValueError, match="max_df_ratio"):
         BM25Index(max_df_ratio=1.5)
+
+
+def test_add_items_scores_with_frozen_stats(spark):
+    base = [(0, "the quick fox"), (1, "lazy dog naps"), (2, "blue hare runs")]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    idx = BM25Index().fit(corpus)
+    n0, avgdl0 = idx.n_docs, idx.avgdl
+    idx.add_items(spark.createDataFrame([(3, "dog dog barks loud")],
+                                        "doc_id long, text string"))
+    assert (idx.n_docs, idx.avgdl) == (n0, avgdl0)   # frozen at fit
+    q = spark.createDataFrame([(1, "dog")], "qid long, text string")
+    got = {r["sim_item"]: r["sim_val"]
+           for r in idx.search(q, k=10, query_item_col="qid").collect()}
+    assert set(got) == {1, 3}   # the added doc is findable
+    # the added doc scores by the FIT-time model: tf=2, df('dog')=1,
+    # n=3, dl=4, avgdl=3
+    import math as m
+    idf = m.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    want = idf * 2 * 2.2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 4 / 3))
+    assert got[3] == pytest.approx(want, rel=1e-12)
+    # unseen-at-fit terms carry no weight in the frozen model
+    q2 = spark.createDataFrame([(1, "barks")], "qid long, text string")
+    assert idx.search(q2, k=10, query_item_col="qid").count() == 0
+    with pytest.raises(RuntimeError, match="not fit"):
+        BM25Index().add_items(corpus)
+
+
+def test_bm25_save_load_roundtrip(spark, corpus, index, tmp_path):
+    path = str(tmp_path / "bm25_idx")
+    index.save(path)
+    back = BM25Index.load(spark, path)
+    assert (back.n_docs, back.avgdl) == (index.n_docs, index.avgdl)
+    q = spark.createDataFrame([(1, "quick brown dog")], "qid long, text string")
+    want = {(r["source_item"], r["sim_item"]): r["sim_val"]
+            for r in index.search(q, k=10, query_item_col="qid").collect()}
+    got = {(r["source_item"], r["sim_item"]): r["sim_val"]
+           for r in back.search(q, k=10, query_item_col="qid").collect()}
+    assert got.keys() == want.keys()
+    for key in want:
+        assert got[key] == pytest.approx(want[key], rel=1e-12)
+    with pytest.raises(RuntimeError, match="nothing to save"):
+        BM25Index().save(str(tmp_path / "nope"))

@@ -122,6 +122,37 @@ AUDITS = {
          "candidates meet only through the (table, bucket) equi-join"),
         ("BroadcastNestedLoopJoin", False, "no pair-space blowup"),
     ],
+    "text_bm25_topk": [
+        ("WindowGroupLimit", True,
+         "top-k keeps rank<=k below the exchange, the knn discipline"),
+        ("CartesianProduct", False,
+         "query terms meet postings only through the token equi-join"),
+        ("BatchEvalPython", False,
+         "pure Catalyst: postings join + per-(query,doc) sum — no Python"),
+    ],
+    "ann_opq_topk": [
+        ("MapInPandas", True,
+         "rotated ADC is the same numpy LUT-gather per Arrow batch — the "
+         "OPQ rotation lives in the encode udf and the driver LUT, the "
+         "distributed plan is byte-identical to plain PQ"),
+        ("WindowGroupLimit", True,
+         "per-shard local top-k merges through the bounded rank window"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
+    "layout_zorder": [
+        ("rangepartitioning", True,
+         "ONE sampled range shuffle places rows on the Z-curve; the key "
+         "projection is a codegen'd CASE tree + integer bit ops"),
+        ("BatchEvalPython", False, "no Python anywhere in the layout job"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
+    "text_quality_classifier": [
+        ("CartesianProduct", False,
+         "scores meet the vocabulary only through the token equi-join"),
+        ("BatchEvalPython", False,
+         "the SCORING pass is relational — MLlib runs at fit time only, "
+         "never in the per-document plan"),
+    ],
 }
 
 
