@@ -202,6 +202,20 @@ def lines(c: ColumnOrName) -> Column:
                     lambda t: t != "")
 
 
+def normalize_text(c: ColumnOrName) -> Column:
+    """Canonical form for dedup keys (the C4/RefinedWeb normalize-before-
+    dedup step): lowercase, non-alphanumerics to spaces, whitespace
+    collapsed, trimmed — so punctuation/casing/spacing variants of the
+    same passage collide. ASCII canonicalization only: Unicode NFKC
+    would need ICU, which neither the container nor a DuckDB oracle
+    carries; the regex classes below are ASCII in Java and RE2 alike,
+    so the SQL twin is byte-exact. Pure codegen'd string ops — scan
+    speed on a 100 TB corpus."""
+    lowered = F.lower(_col(c))
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def duplicate_line_count(c: ColumnOrName) -> Column:
     """Number of line occurrences beyond each line's first — the Gopher /
     C4 boilerplate signal (nav bars, cookie banners, repeated headers).

@@ -74,12 +74,15 @@ def detect_languages(df: DataFrame, *, id_col: str = "doc_id",
 
 def fingerprints(df: DataFrame, *, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """Content fingerprints: order-insensitive md5 set-fingerprint plus an
-    order-sensitive polynomial rolling hash."""
+    """Content fingerprints: order-insensitive md5 set-fingerprint, an
+    order-sensitive polynomial rolling hash, and the md5 of the
+    normalized text (``norm_hash`` — punctuation/casing/spacing variants
+    of one passage collide, the C4/RefinedWeb dedup key)."""
     return df.select(
         F.col(id_col),
         T.fingerprint(text_col).alias("fingerprint"),
         T.rolling_hash(text_col).alias("rolling_hash"),
+        F.md5(T.normalize_text(text_col)).alias("norm_hash"),
     )
 
 

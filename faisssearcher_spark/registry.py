@@ -1127,7 +1127,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fp.join(totals, "doc_id", "left")
               .join(rebuilt, "doc_id", "left")
               .join(spans, "doc_id", "left")
-              .select("doc_id", "fingerprint", "rolling_hash",
+              .select("doc_id", "fingerprint", "rolling_hash", "norm_hash",
                       F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
                       F.coalesce("n_kept_chunks", F.lit(0))
                        .alias("n_kept_chunks"),
@@ -1140,10 +1140,13 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FINGERPRINTS = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
      f AS (SELECT doc_id,
                   md5(array_to_string(list_sort(list_distinct(
                       list_transform(toks, x -> lower(x)))), ' ')) AS fingerprint,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+                      AS norm_hash,
                   list_reduce(
                       list_prepend(0::BIGINT,
                           list_transform(toks, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT)),
@@ -1183,7 +1186,7 @@ WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
                         md5(string_agg(tok, ' ' ORDER BY pos)) AS span_clean_hash
                  FROM keeptok GROUP BY doc_id),
      ntok AS (SELECT doc_id, len(toks)::INT AS n_tok FROM t)
-SELECT f.doc_id, f.fingerprint, f.rolling_hash,
+SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        coalesce(tot.n_chunks, 0) AS n_chunks,
        coalesce(reb.n_kept_chunks, 0) AS n_kept_chunks,
        coalesce(reb.dedup_hash, '') AS dedup_hash,

@@ -125,3 +125,18 @@ def test_threshold_validation(spark, lm_and_docs):
         perplexity_buckets(scored, n_buckets=3, thresholds=[2.0, 1.0])
     with pytest.raises(ValueError, match="already exists"):
         perplexity_buckets(scored.withColumn("ppl_bucket", F.lit(1)))
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from faisssearcher_spark.functions.text import normalize_text
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO-WORLD."),
+         (4, "  hello \t world  "), (5, "héllo world")],
+        "id long, text string")
+    out = {r["id"]: r["n"]
+           for r in df.select("id", normalize_text("text").alias("n"))
+           .collect()}
+    # punctuation/casing/spacing variants collide...
+    assert out[1] == out[2] == out[3] == out[4] == "hello world"
+    # ...but non-ASCII letters are stripped, not folded (documented)
+    assert out[5] == "h llo world"
