@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "layout_zorder",
     "text_quality_classifier",
     "text_bm25_topk",
+    "pipeline_pretrain_prep",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",

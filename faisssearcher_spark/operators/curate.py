@@ -85,3 +85,107 @@ def curate_documents(
         kept = kept.join(drop, "doc_id", "left_anti")
 
     return kept.select("doc_id", "quality", "lang_pred", "n_tokens")
+
+
+def prepare_pretraining_data(
+    docs: DataFrame,
+    *,
+    reference: DataFrame | None = None,
+    eval_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] | None = None,
+    near_dup_threshold: float | None = 0.5,
+    ppl_keep_buckets: tuple[int, ...] = (1, 2),
+    ppl_thresholds: list[float] | None = None,
+    classifier_alpha: float | None = 9.0,
+    classifier_max_iter: int = 20,
+    chunk_max_tokens: int = 512,
+    chunk_overlap: int = 0,
+    pack_budget: int = 4096,
+    pack_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The COMPLETE pretraining-prep path, one call — the composition a
+    real 100 TB pipeline runs, built from the engine's gated stages:
+
+        heuristics + exact/near dedup     (curate_documents — oracle-gated)
+        → CCNet perplexity head/middle    (unigram_logppl + buckets, when
+          keep                             ``reference`` is given)
+        → GPT-3 classifier + Pareto keep  (fit on reference-vs-pool,
+                                           relational scoring; skipped when
+                                           ``reference`` or ``classifier_
+                                           alpha`` is None)
+        → eval decontamination            (n-gram collision anti-join,
+                                           when ``eval_docs`` is given)
+        → context-window chunking         (chunk_documents)
+        → token-budget packing            (pack_token_budget)
+
+    Output: one row per training chunk —
+    ``(doc_id, chunk_idx, chunk_text, n_tokens, shard, bin)`` — ready to
+    write partitioned by ``shard``. Deterministic end to end: every
+    stochastic stage draws from the seeded md5 samplers, so reruns and
+    repartitions produce the identical corpus.
+
+    Scale shape: stages 1-4 are filters over one persisted survivor
+    frame (filter-first: the cheap scans cut the corpus before any
+    shuffle); the LM/classifier models are Zipf-small broadcast tables;
+    chunking explodes only survivors; packing shuffles once on the
+    shard key. ``ppl_thresholds`` switches the perplexity split to the
+    scan-only CASE (fit thresholds on a sample/prior epoch) — REQUIRED
+    at real scale; the default ntile split is a global window for
+    bench/oracle-sized runs.
+    """
+    from faisssearcher_spark.operators.classifier import (
+        fit_quality_classifier, pareto_keep)
+    from faisssearcher_spark.operators.decontam import decontaminate
+    from faisssearcher_spark.operators.sampling import pack_token_budget
+    from faisssearcher_spark.operators.text_analysis import (
+        chunk_documents, fit_token_frequencies, perplexity_buckets,
+        unigram_logppl)
+
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    survivors = curate_documents(
+        base, min_quality=min_quality, languages=languages,
+        near_dup_threshold=near_dup_threshold).select("doc_id")
+    kept = base.join(survivors, "doc_id").persist()
+
+    if reference is not None:
+        lm = fit_token_frequencies(reference, text_col=text_col)
+        scored = unigram_logppl(kept, lm)
+        n_b = max(len(ppl_keep_buckets) + 1,
+                  (len(ppl_thresholds) + 1) if ppl_thresholds else 3)
+        bucketed = perplexity_buckets(scored, n_buckets=n_b,
+                                      thresholds=ppl_thresholds)
+        keep_ids = bucketed.filter(
+            F.col("ppl_bucket").isin(*ppl_keep_buckets)) \
+            .select("doc_id")
+        kept = kept.join(keep_ids, "doc_id")
+
+        if classifier_alpha is not None:
+            qc = fit_quality_classifier(
+                reference.select(F.col(text_col).alias("text")),
+                kept.select("text"), max_iter=classifier_max_iter)
+            kept = pareto_keep(qc.score(kept), key_col="doc_id",
+                               alpha=classifier_alpha, seed=seed) \
+                .drop("quality_score")
+
+    if eval_docs is not None:
+        kept = decontaminate(kept, eval_docs,
+                             eval_id_col=id_col, eval_text_col=text_col)
+
+    chunks = chunk_documents(kept, max_tokens=chunk_max_tokens,
+                             overlap=chunk_overlap)
+    chunks = chunks.withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")))
+    chunks = chunks.withColumn(
+        "__pack_key",
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_idx").cast("string")))
+    packed = pack_token_budget(chunks, budget=pack_budget,
+                               size_col="n_tokens", key_col="__pack_key",
+                               n_shards=pack_shards, seed=seed)
+    return packed.select("doc_id", "chunk_idx", "chunk_text", "n_tokens",
+                         "shard", "bin")

@@ -2708,6 +2708,26 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_keep(qc.score(docs), key_col="doc_id")
 
 
+def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the COMPLETE pretraining-prep composition
+    (``prepare_pretraining_data``) — heuristics + exact/near dedup →
+    perplexity head/middle keep → classifier + Pareto keep → eval
+    decontamination → chunking → token-budget packing. The cost is the
+    honest sum of the stages the bench also times individually; every
+    SQL-expressible stage is oracle-gated on its own. alpha=2 because
+    the synthetic classes are indistinguishable (see
+    text_quality_classifier)."""
+    from faisssearcher_spark.operators.curate import prepare_pretraining_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    ev = docs.orderBy("doc_id").limit(50).select("doc_id", "text")
+    return prepare_pretraining_data(
+        docs.select("doc_id", "text"), reference=ref, eval_docs=ev,
+        classifier_alpha=2.0, classifier_max_iter=10,
+        chunk_max_tokens=256, pack_budget=2048)
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Z-order layout job over lineitem on (l_orderkey,
     l_partkey) — the OPTIMIZE ZORDER maintenance shape: one
@@ -2813,4 +2833,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_zorder": q_layout_zorder,
     "text_quality_classifier": q_text_quality_classifier,
     "text_bm25_topk": q_text_bm25_topk,
+    "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
 }
