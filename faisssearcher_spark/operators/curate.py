@@ -189,3 +189,36 @@ def prepare_pretraining_data(
                                n_shards=pack_shards, seed=seed)
     return packed.select("doc_id", "chunk_idx", "chunk_text", "n_tokens",
                          "shard", "bin")
+
+
+def write_training_shards(packed: DataFrame, path: str) -> dict:
+    """Land a packed corpus (the :func:`prepare_pretraining_data` output)
+    as training shards: parquet partitioned by ``shard``, rows sorted by
+    (bin, doc_id, chunk_idx) within each file so a sequential reader
+    streams whole bins, plus a ``_manifest`` directory recording per-
+    shard chunk/token/bin totals (the reader's integrity check and the
+    sampler's shard-weighting input). Returns the manifest as a dict.
+
+    Scale shape: ONE hash shuffle on the shard key (every downstream
+    trainer reads shards independently — no global order exists to
+    preserve), an in-partition sort, and a metadata-only manifest agg.
+    Idempotent overwrite per shard directory — re-running replaces, the
+    exactly-once discipline of streaming/sinks.py.
+    """
+    import os
+
+    (packed.repartition("shard")
+     .sortWithinPartitions("bin", "doc_id", "chunk_idx")
+     .write.partitionBy("shard").mode("overwrite")
+     .parquet(os.path.join(path, "shards")))
+    man = (packed.groupBy("shard")
+           .agg(F.count("*").alias("n_chunks"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.countDistinct("bin").alias("n_bins"))
+           .orderBy("shard"))
+    man.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_manifest"))
+    return {int(r["shard"]): {"n_chunks": int(r["n_chunks"]),
+                              "n_tokens": int(r["n_tokens"]),
+                              "n_bins": int(r["n_bins"])}
+            for r in man.collect()}

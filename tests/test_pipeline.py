@@ -80,3 +80,22 @@ def test_stages_are_optional(corpus):
     survivors = curate_documents(corpus.select("doc_id", "text")) \
         .select("doc_id")
     assert out.select("doc_id").distinct().count() == survivors.count()
+
+
+def test_write_training_shards_roundtrip(spark, prepared, tmp_path):
+    from faisssearcher_spark.operators.curate import write_training_shards
+
+    path = str(tmp_path / "shards_out")
+    manifest = write_training_shards(prepared, path)
+    back = spark.read.parquet(path + "/shards")
+    assert back.count() == prepared.count()
+    got = {r["shard"]: (r["n"], r["t"])
+           for r in back.groupBy("shard")
+           .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+           .collect()}
+    assert set(got) == set(manifest)
+    for s, (n, t) in got.items():
+        assert manifest[s]["n_chunks"] == n
+        assert manifest[s]["n_tokens"] == t
+    mdf = spark.read.parquet(path + "/_manifest")
+    assert mdf.count() == len(manifest)
