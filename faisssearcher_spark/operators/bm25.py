@@ -265,3 +265,32 @@ def rrf_fuse(ranked: Sequence[DataFrame], *, k: int = 10, c: int = 60,
     fused = (fused.groupBy("source_item", "sim_item")
              .agg(F.sum("__rrf").alias("sim_val")))
     return _rank_topk(fused, k, True)
+
+
+def mine_hard_negatives(ranked: DataFrame, positives: DataFrame, *,
+                        k: int = 10) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the DPR /
+    contrastive-learning prep step, Karpukhin et al. 2020): from a
+    ranked candidate list (any of this engine's searchers — BM25, knn,
+    the ANN indexes, or an :func:`rrf_fuse` hybrid), drop each query's
+    TRUE positives (``positives``: one row per (source_item, sim_item)
+    gold pair) and keep the top ``k`` surviving candidates — documents
+    the retriever scored high but that are NOT relevant, exactly the
+    negatives a contrastive loss learns most from.
+
+    Scale shape: one anti-join on the (query, doc) pair (the gold set
+    is broadcast-small per query) and the shared re-rank window over
+    ≤ queries·k rows. The expensive retrieval already happened in the
+    leg that produced ``ranked``.
+    """
+    for c in ("source_item", "sim_item"):
+        if c not in ranked.columns or c not in positives.columns:
+            raise ValueError(
+                f"both inputs need ({'source_item'!r}, {'sim_item'!r}) "
+                f"columns; missing {c!r}")
+    gold = positives.select("source_item", "sim_item").distinct()
+    neg = ranked.join(F.broadcast(gold), ["source_item", "sim_item"],
+                      "left_anti")
+    if "sim_val" not in neg.columns:   # rank-only inputs: preserve order
+        neg = neg.withColumn("sim_val", -F.col("rank_no").cast("double"))
+    return _rank_topk(neg.drop("rank_no"), k, True)

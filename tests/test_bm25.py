@@ -203,3 +203,30 @@ def test_bm25_save_load_roundtrip(spark, corpus, index, tmp_path):
         assert got[key] == pytest.approx(want[key], rel=1e-12)
     with pytest.raises(RuntimeError, match="nothing to save"):
         BM25Index().save(str(tmp_path / "nope"))
+
+
+def test_mine_hard_negatives_drops_gold_and_reranks(spark, corpus, index):
+    q = corpus.select(F.col("doc_id").alias("qid"), "text")
+    ranked = index.search(q, k=5, query_item_col="qid")
+    # gold = the self match (rank 0 for every query here)
+    gold = spark.createDataFrame([(i, i) for i in range(5)],
+                                 "source_item long, sim_item long")
+    from faisssearcher_spark.operators.bm25 import mine_hard_negatives
+    neg = mine_hard_negatives(ranked, gold, k=3)
+    rows = neg.collect()
+    assert all(r["source_item"] != r["sim_item"] for r in rows)
+    # re-ranked densely from 0 per query
+    for qid in {r["source_item"] for r in rows}:
+        ranks = sorted(r["rank_no"] for r in rows if r["source_item"] == qid)
+        assert ranks == list(range(len(ranks)))
+    # ordering preserved: negatives keep their relative retrieval order
+    before = {(r["source_item"], r["sim_item"]): r["rank_no"]
+              for r in ranked.collect()}
+    for qid in {r["source_item"] for r in rows}:
+        mine = sorted((r["rank_no"], r["sim_item"]) for r in rows
+                      if r["source_item"] == qid)
+        orig = [s for _, s in sorted((before[(qid, s)], s)
+                                     for _, s in mine)]
+        assert [s for _, s in mine] == orig
+    with pytest.raises(ValueError, match="columns"):
+        mine_hard_negatives(ranked.drop("sim_item"), gold)
