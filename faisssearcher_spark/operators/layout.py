@@ -86,8 +86,15 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
                 f"an ordered numeric/temporal type (hashing a string "
                 f"would destroy the locality the layout exists for)")
     n_buckets = 1 << bits
-    # date/timestamp -> numeric for the quantile sketch + compares
-    casted = {c: F.col(c).cast("double") for c in cols}
+    # temporal -> numeric for the quantile sketch + compares. DATE does
+    # not cast to double directly (silently NULL outside ANSI mode —
+    # every row would bucket to 0); route it through timestamp, which
+    # casts to epoch seconds.
+    casted = {}
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c).cast("timestamp") if dt == "date" else F.col(c)
+        casted[c] = col.cast("double")
     probe = df.select(*[casted[c].alias(f"__zq_{i}")
                         for i, c in enumerate(cols)])
     quantiles = [float(q) / n_buckets for q in range(1, n_buckets)]

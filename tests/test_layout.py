@@ -145,3 +145,18 @@ def test_zkey_plan_is_codegen_no_shuffle(spark, grid_df):
         ._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "Window", "Python", "FlatMapsInPandas"):
         assert bad not in plan, f"{bad} leaked into the z-key plan"
+
+
+def test_date_columns_bucket_by_value_not_null(spark):
+    """DATE doesn't cast to double (NULL outside ANSI) — the key must
+    route dates through timestamp or every row silently buckets to 0."""
+    import datetime as dt
+
+    rows = [(i, dt.date(2020, 1, 1) + dt.timedelta(days=i), float(i))
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, d date, x double")
+    out = zorder_key(df, ["d", "x"], bits=4).collect()
+    zs = {r["id"]: r["__zorder"] for r in out}
+    assert len(set(zs.values())) > 8   # dates actually spread buckets
+    # same value in both dims -> z keys must be monotone along the diag
+    assert zs[0] < zs[32] < zs[63]
