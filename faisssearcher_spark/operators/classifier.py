@@ -57,6 +57,11 @@ class QualityClassifier:
         discipline, r4 ADVICE)."""
         if out_col in df.columns:
             raise ValueError(f"column {out_col!r} already exists")
+        if "__tok" in df.columns or "__w" in df.columns:
+            # the explode would overwrite __tok and first("__tok") would
+            # then aggregate the token, silently corrupting the column
+            raise ValueError("input frame carries a reserved __tok/__w "
+                             "column; rename it before scoring")
         doc_cols = df.columns
         rid = "__qc_rid"
         while rid in doc_cols:

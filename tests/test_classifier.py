@@ -154,3 +154,10 @@ def test_pareto_alpha_validation(spark):
                                    "doc_id long, quality_score double")
     with pytest.raises(ValueError, match="alpha"):
         pareto_keep(scored, key_col="doc_id", alpha=0.0)
+
+
+def test_reserved_column_rejected(spark, model):
+    docs = spark.createDataFrame([(1, "x", "y")],
+                                 "doc_id long, text string, __tok string")
+    with pytest.raises(ValueError, match="reserved"):
+        model.score(docs)
