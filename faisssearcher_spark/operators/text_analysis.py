@@ -145,7 +145,8 @@ def chunk_documents(df: DataFrame, *, max_tokens: int = 512,
 
 
 def fit_token_frequencies(df: DataFrame, *, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          ngram: int = 1) -> DataFrame:
     """Reference-corpus vocabulary: one row per distinct whitespace token
     with its corpus-wide occurrence count (``tf``) and document frequency
     (``df``) — the fit half of the CCNet-style frequency filter
@@ -157,8 +158,14 @@ def fit_token_frequencies(df: DataFrame, *, id_col: str = "doc_id",
     ∝ distinct (doc, token) then distinct tokens. Zipf makes the output
     tiny relative to the corpus.
     """
+    # ngram > 1 fits the model on word shingles: the n-gram LM that
+    # makes perplexity ORDER-sensitive (CCNet's KenLM is a 5-gram; the
+    # shingle unigram keeps the relational/oracle-replayable shape while
+    # capturing local order). Pair with unigram_logppl(ngram=n).
+    units = T.tokens(text_col) if ngram == 1 \
+        else T.word_ngrams(text_col, ngram)
     ex = (df.select(F.col(id_col).alias("__id"),
-                    F.explode_outer(T.tokens(text_col)).alias("token"))
+                    F.explode_outer(units).alias("token"))
           .filter(F.col("token").isNotNull()))
     per_doc = ex.groupBy("__id", "token").agg(
         F.count("*").alias("__occ"))
@@ -299,7 +306,7 @@ def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
 def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    token_col: str = "token", tf_col: str = "tf",
-                   smoothing: float = 1.0,
+                   smoothing: float = 1.0, ngram: int = 1,
                    score_scale: int | None = 4) -> DataFrame:
     """Per-document cross-entropy under an add-``smoothing`` unigram
     language model fit on a reference corpus (CCNet-style perplexity
@@ -353,8 +360,14 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
     while rid in df.columns:
         rid += "_"
     keyed = df.withColumn(rid, F.monotonically_increasing_id())
+    # ngram > 1: score word shingles against an ngram-fit vocabulary —
+    # order-sensitive perplexity (a scrambled document keeps its unigram
+    # score but its bigrams fall out of vocabulary). Fit the LM with
+    # fit_token_frequencies(ngram=n) on the SAME n.
+    units = T.tokens(text_col) if ngram == 1 \
+        else T.word_ngrams(text_col, ngram)
     ex = keyed.select(F.col(id_col), F.col(rid),
-                      F.explode_outer(T.tokens(text_col)).alias("__tok"))
+                      F.explode_outer(units).alias("__tok"))
     n = F.count("__tok")
     total = F.sum(F.when(F.col("__tok").isNotNull(),
                          F.coalesce("__nlp", F.lit(nlp_oov)))

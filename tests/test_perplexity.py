@@ -140,3 +140,24 @@ def test_normalize_text_canonicalizes_variants(spark):
     assert out[1] == out[2] == out[3] == out[4] == "hello world"
     # ...but non-ASCII letters are stripped, not folded (documented)
     assert out[5] == "h llo world"
+
+
+def test_bigram_lm_is_order_sensitive(spark):
+    """A scrambled document keeps its unigram perplexity but loses its
+    bigram perplexity — the reason CCNet uses an n-gram LM."""
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox sleeps")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "the quick brown fox"),    # natural order
+         (11, "fox brown quick the")],   # same tokens, scrambled
+        "doc_id long, text string")
+    uni = fit_token_frequencies(ref)
+    bi = fit_token_frequencies(ref, ngram=2)
+    u = {r["doc_id"]: r["logppl"]
+         for r in unigram_logppl(docs, uni).collect()}
+    b = {r["doc_id"]: r["logppl"]
+         for r in unigram_logppl(docs, bi, ngram=2).collect()}
+    assert u[10] == u[11]          # unigram LM is order-blind
+    assert b[10] < b[11]           # bigram LM punishes the scramble
