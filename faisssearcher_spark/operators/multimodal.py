@@ -90,6 +90,79 @@ def _real_decode_image(payload: bytes, dim: int) -> np.ndarray:
     return (np.asarray(img, dtype=np.float32).ravel() / 255.0)[:dim]
 
 
+def _parse_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (h, w, 3) uint8. Pure numpy —
+    PPM is a whitespace-delimited header plus raw RGB bytes, no codec
+    needed. Comments (#…) are legal anywhere in the header."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1   # single whitespace after maxval, then raw pixels
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    n = w * h * 3
+    pix = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB. Pure numpy — the
+    format is a fixed little-endian header plus padded BGR rows
+    (bottom-up unless height is negative)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(got bpp={bpp}, compression={comp})")
+    stride = ((abs(w) * 3 + 3) // 4) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h),
+                         offset=off).reshape(abs(h), stride)
+    img = rows[:, :abs(w) * 3].reshape(abs(h), abs(w), 3)[..., ::-1]  # BGR→RGB
+    if h > 0:   # positive height = bottom-up row order
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _native_decode_image(payload: bytes, dim: int) -> np.ndarray:
+    """Dependency-free decode + feature-extract for the formats a plain
+    numpy parser can read (P6 PPM, 24-bit BMP): grayscale = mean(RGB),
+    features = per-segment means of the row-major flattened image split
+    into ``dim`` near-equal runs, scaled to [0, 1]. Exact, seedless, and
+    identical on every platform — a REAL decode path with zero codec
+    dependencies (Pillow stays the route for compressed formats)."""
+    if payload[:2] == b"P6":
+        img = _parse_ppm(payload)
+    elif payload[:2] == b"BM":
+        img = _parse_bmp(payload)
+    else:
+        magic = bytes(payload[:4]) if payload else b""
+        raise NotImplementedError(
+            f"native decode reads P6 PPM and 24-bit BMP only (magic "
+            f"{magic!r}); compressed formats need Pillow "
+            f"(decoder='real')")
+    gray = img.astype(np.float64).mean(axis=2).ravel()
+    segs = np.array_split(gray, dim)
+    return np.array([s.mean() if len(s) else 0.0 for s in segs],
+                    dtype=np.float32) / np.float32(255.0)
+
+
 def decode_media(df: DataFrame, *, decoder: str = "real",
                  feature_dim: int = FEATURE_DIM) -> DataFrame:
     """Decode payloads into fixed-size feature vectors via mapInPandas.
@@ -103,9 +176,15 @@ def decode_media(df: DataFrame, *, decoder: str = "real",
     ``decoder="fake"`` uses the deterministic md5-seeded stub so the full
     pipeline (schema, batching, downstream k-NN over features) is
     testable with no codec libraries at all.
+
+    ``decoder="native"`` is the dependency-free REAL path: a pure-numpy
+    parser for P6 PPM and uncompressed 24-bit BMP image payloads —
+    always available, no Pillow, no codecs; unsupported magics raise
+    NotImplementedError per batch (format is a data property, not a
+    plan property).
     """
-    if decoder not in ("real", "fake"):
-        raise ValueError("decoder must be 'real' or 'fake'")
+    if decoder not in ("real", "fake", "native"):
+        raise ValueError("decoder must be 'real', 'fake', or 'native'")
     if decoder == "real" and not pillow_available():
         raise NotImplementedError(
             "real media decoding requires Pillow, which is not installed "
@@ -121,14 +200,16 @@ def decode_media(df: DataFrame, *, decoder: str = "real",
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
+            if decoder in ("real", "native"):
                 bad = pdf.loc[pdf["modality"] != "image", "modality"]
                 if len(bad):
                     raise NotImplementedError(
-                        f"real decoding implemented for modality='image' "
-                        f"only (got {sorted(set(bad))}); audio/video need "
-                        f"soundfile/ffmpeg")
-                feats = [_real_decode_image(p, feature_dim).tolist()
+                        f"{decoder} decoding implemented for modality="
+                        f"'image' only (got {sorted(set(bad))}); "
+                        f"audio/video need soundfile/ffmpeg")
+                fn = _real_decode_image if decoder == "real" \
+                    else _native_decode_image
+                feats = [fn(p, feature_dim).tolist()
                          for p in pdf["payload"]]
             else:
                 feats = [_fake_decode(p, feature_dim).tolist()

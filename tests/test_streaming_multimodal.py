@@ -477,3 +477,83 @@ class TestStreamingIndexIngest:
         top = idx.search(probe, k=1, query_item_col="qid").collect()[0]
         assert top["sim_item"] == top["source_item"]
         assert top["sim_val"] == pytest.approx(1.0, abs=1e-6)
+
+
+def _ppm_bytes(w, h):
+    """P6 gradient image with a header comment (legal per the spec)."""
+    header = f"P6\n# synthetic\n{w} {h}\n255\n".encode()
+    pix = bytes((x * 3 + c) % 256 for y in range(h)
+                for x in range(w) for c in range(3))
+    return header + pix
+
+
+def _bmp_bytes(w, h):
+    """Uncompressed 24-bit bottom-up BMP of the same gradient."""
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):   # bottom-up storage
+        row = bytes(b for x in range(w)
+                    for b in ((x * 3 + 2) % 256, (x * 3 + 1) % 256,
+                              (x * 3 + 0) % 256))   # BGR on disk
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    size = off + len(rows)
+    head = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+            + b"\x00" * 16)
+    return head + rows
+
+
+class TestNativeDecode:
+    """Dependency-free PPM/BMP decode (operators/multimodal.py:
+    _native_decode_image) — a REAL decode path with zero codecs."""
+
+    def test_ppm_and_bmp_agree_with_python_reference(self, spark):
+        import numpy as np
+        w, h, dim = 12, 5, 4
+        rows = [(0, "image", "image/x-ppm", _ppm_bytes(w, h), w, h, None),
+                (1, "image", "image/bmp", _bmp_bytes(w, h), w, h, None)]
+        df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        out = {r["asset_id"]: r["features"]
+               for r in multimodal.decode_media(
+                   df, decoder="native", feature_dim=dim).collect()}
+        # identical pixels through two containers -> identical features
+        assert out[0] == pytest.approx(out[1], abs=1e-7)
+        # hand-computed reference: gray = mean(RGB), 4 segment means / 255
+        gray = np.array([[(x * 3 + 0) % 256 + (x * 3 + 1) % 256
+                          + (x * 3 + 2) % 256 for x in range(w)]
+                         for _ in range(h)], dtype=np.float64) / 3.0
+        segs = np.array_split(gray.ravel(), dim)
+        want = [s.mean() / 255.0 for s in segs]
+        assert out[0] == pytest.approx(want, abs=1e-6)
+
+    def test_unsupported_magic_raises_per_batch(self, spark):
+        rows = [(0, "image", "image/png", b"\x89PNGfake", 8, 8, None)]
+        df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        with pytest.raises(Exception, match="native decode reads"):
+            multimodal.decode_media(df, decoder="native").collect()
+
+    def test_native_rejects_non_image_modality(self, assets):
+        with pytest.raises(Exception, match="modality"):
+            multimodal.decode_media(
+                assets.filter("modality = 'audio'"),
+                decoder="native").collect()
+
+    def test_native_features_feed_knn(self, spark):
+        from faisssearcher_spark.operators.knn import knn_join
+        rows = [(i, "image", "image/x-ppm", _ppm_bytes(8 + i, 4), 8 + i,
+                 4, None) for i in range(6)]
+        df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        feats = multimodal.decode_media(df, decoder="native",
+                                        feature_dim=8) \
+            .withColumnRenamed("features", "embedding")
+        q = feats.limit(2).select(F.col("asset_id").alias("qid"),
+                                  "embedding")
+        res = knn_join(q, feats, metric="cos", k=2, query_item_col="qid",
+                       item_key_col="asset_id", payload_cols=[])
+        assert res.count() == 4
