@@ -362,15 +362,18 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                      simhash_expr(text_col, bits).alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, *, id_col: str = "doc_id",
-                  text_col: str = "text", bits: int = 32,
-                  max_hamming: int = 3) -> DataFrame:
-    """Document pairs within ``max_hamming`` bits of SimHash distance.
+def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
+                  fp_col: str = "fp", bits: int, max_hamming: int
+                  ) -> DataFrame:
+    """Pairs of rows whose ``bits``-bit integer fingerprints are within
+    ``max_hamming`` bits of each other — the shared kernel behind SimHash
+    document pairs and perceptual-hash image pairs.
 
-    Candidates come from 8-bit band equality: with 4 bands of 8 bits, any
-    pair at hamming ≤ 3 matches on at least one band (pigeonhole), so the
-    join is an equi-join on ``(band_idx, band_byte)`` — never a cross join.
-    Verification is XOR + popcount.
+    Candidates come from 8-bit band equality: with ``bits/8`` bands, any
+    pair at hamming ≤ bands−1 matches on at least one band (pigeonhole),
+    so the join is an equi-join on ``(band_idx, band_byte)`` — never a
+    cross join. Verification is XOR + popcount. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
     if bits % 8:
         raise ValueError("bits must be a multiple of 8 for byte banding")
@@ -379,21 +382,21 @@ def simhash_pairs(df: DataFrame, *, id_col: str = "doc_id",
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < number of bands ({n_bands}) "
             "for the pigeonhole guarantee")
-    fps = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    fps = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
 
     band_arr = F.array(*[
-        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
+        F.shiftright(F.col("fp"), b * 8).bitwiseAND(F.lit(255))
         for b in range(n_bands)])
     banded = fps.select(
-        "id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_byte"))
+        "id", "fp", F.posexplode(band_arr).alias("band_idx", "band_byte"))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_byte") == F.col("b.band_byte"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("fp_a"),
-                F.col("b.id").alias("id_b"), F.col("b.simhash").alias("fp_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("a.fp").alias("fp_a"),
+                F.col("b.id").alias("id_b"), F.col("b.fp").alias("fp_b"))
         .distinct()
     )
     return (
@@ -402,6 +405,19 @@ def simhash_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  max_hamming: int = 3) -> DataFrame:
+    """Document pairs within ``max_hamming`` bits of SimHash distance.
+
+    Candidate generation and popcount verification are
+    :func:`hamming_pairs` over the :func:`simhash` fingerprint frame.
+    """
+    fps = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    return hamming_pairs(fps, id_col="id", fp_col="simhash", bits=bits,
+                         max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------

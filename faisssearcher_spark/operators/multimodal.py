@@ -222,6 +222,132 @@ def decode_media(df: DataFrame, *, decoder: str = "real",
         _decode, out_schema)
 
 
+def _decode_gray(payload: bytes, decoder: str) -> np.ndarray:
+    """Payload → 2-D float64 grayscale pixel array, per decoder route
+    (shared by the perceptual-hash path, which needs spatial structure
+    rather than the 1-D feature vector :func:`decode_media` emits)."""
+    if decoder == "native":
+        if payload[:2] == b"P6":
+            img = _parse_ppm(payload)
+        elif payload[:2] == b"BM":
+            img = _parse_bmp(payload)
+        else:
+            magic = bytes(payload[:4]) if payload else b""
+            raise NotImplementedError(
+                f"native decode reads P6 PPM and 24-bit BMP only "
+                f"(magic {magic!r})")
+        return img.astype(np.float64).mean(axis=2)
+    if decoder == "real":
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"),
+                          dtype=np.float64)
+    # fake: md5-seeded pseudo-image, stable across processes
+    h = hashlib.md5(payload or b"").digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    return rng.uniform(0.0, 255.0, size=(16, 17))
+
+
+def _block_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean downsample to (out_h, out_w): partition rows/cols into
+    near-equal runs and average each block. Deterministic, seedless, and
+    decoder-independent — unlike interpolating resizers, every platform
+    computes the identical result."""
+    h, w = gray.shape
+    if h < out_h or w < out_w:
+        raise ValueError(
+            f"image {h}x{w} smaller than target grid {out_h}x{out_w}")
+    r_bounds = (np.arange(out_h) * h) // out_h
+    c_bounds = (np.arange(out_w) * w) // out_w
+    sums = np.add.reduceat(np.add.reduceat(gray, r_bounds, axis=0),
+                           c_bounds, axis=1)
+    r_sizes = np.diff(np.append(r_bounds, h))
+    c_sizes = np.diff(np.append(c_bounds, w))
+    return sums / np.outer(r_sizes, c_sizes)
+
+
+def dhash_int(payload: bytes, *, decoder: str = "native",
+              hash_size: int = 8) -> int:
+    """Difference hash (dHash) of an image payload as a SIGNED 64-bit int
+    (two's complement — Spark LongType): grayscale → area-mean resize to
+    ``hash_size × (hash_size+1)`` → bit j = 1 iff pixel[i, k+1] > pixel[i, k],
+    packed row-major MSB-first. Near-duplicate images (re-encodes, small
+    crops, brightness shifts) land within a few bits; unrelated images are
+    ~32 bits apart (the classic image-dedup fingerprint)."""
+    small = _block_mean_resize(_decode_gray(payload, decoder),
+                               hash_size, hash_size + 1)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    n_bits = hash_size * hash_size
+    if val >= 1 << (n_bits - 1) and n_bits == 64:
+        val -= 1 << 64
+    return val
+
+
+def perceptual_hash(df: DataFrame, *, decoder: str = "native",
+                    hash_size: int = 8) -> DataFrame:
+    """Per-asset dHash fingerprints: ``(asset_id, phash: long)``.
+
+    One vectorized ``mapInPandas`` stage — payloads never leave their
+    partition, only 8-byte fingerprints come out, so the downstream
+    near-dup join shuffles fingerprints, not images (the property that
+    makes image dedup feasible at 100 TB of media).
+
+    ``decoder`` routes like :func:`decode_media`: ``"native"`` (pure-numpy
+    PPM/BMP, always available), ``"real"`` (Pillow, import-gated),
+    ``"fake"`` (md5-seeded pseudo-image — pipeline tests without images).
+    """
+    if decoder not in ("real", "fake", "native"):
+        raise ValueError("decoder must be 'real', 'fake', or 'native'")
+    if decoder == "real" and not pillow_available():
+        raise NotImplementedError(
+            "decoder='real' requires Pillow; use decoder='native' for "
+            "PPM/BMP payloads or decoder='fake' for pipeline testing")
+    out_schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("phash", LongType()),
+    ])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder in ("real", "native"):
+                bad = pdf.loc[pdf["modality"] != "image", "modality"]
+                if len(bad):
+                    raise NotImplementedError(
+                        f"perceptual hashing is image-only "
+                        f"(got {sorted(set(bad))})")
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "phash": [dhash_int(p, decoder=decoder, hash_size=hash_size)
+                          for p in pdf["payload"]],
+            })
+
+    return df.select("asset_id", "modality", "payload").mapInPandas(
+        _hash, out_schema)
+
+
+def image_near_dup_pairs(df: DataFrame, *, decoder: str = "native",
+                         hash_size: int = 8,
+                         max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs: dHash fingerprints within
+    ``max_hamming`` bits, via the shared banded-hamming kernel
+    (:func:`~faisssearcher_spark.operators.dedup.hamming_pairs` — the same
+    pigeonhole byte-band equi-join + popcount verify that backs SimHash
+    text dedup). Returns ``(id_a, id_b, hamming)``; the pair space is
+    explored through band-bucket equi-joins over 8-byte fingerprints, so
+    nothing image-sized ever shuffles or broadcasts."""
+    from faisssearcher_spark.operators.dedup import hamming_pairs
+
+    fps = perceptual_hash(df, decoder=decoder, hash_size=hash_size)
+    return hamming_pairs(fps, id_col="asset_id", fp_col="phash",
+                         bits=hash_size * hash_size,
+                         max_hamming=max_hamming)
+
+
 def frame_sample(df: DataFrame, *, every_ms: int = 1000,
                  max_frames: int = 16) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled frame offset.

@@ -95,6 +95,37 @@ class TestSimHash:
             dedup.simhash_pairs(docs_with_dups, bits=32, max_hamming=4)
 
 
+class TestHammingPairs:
+    """The shared banded-hamming kernel (dedup.hamming_pairs) that backs
+    both simhash_pairs and multimodal.image_near_dup_pairs."""
+
+    def _fps(self, spark, vals):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, fp long")
+
+    def test_exact_hamming_on_known_ints(self, spark):
+        # 0b0 vs 0b111 -> hamming 3; 0b0 vs 1<<20 -> hamming 1
+        out = dedup.hamming_pairs(
+            self._fps(spark, [0, 7, 1 << 20]), bits=32, max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+        assert got[(0, 1)] == 3
+        assert got[(0, 2)] == 1
+        assert (1, 2) not in got  # hamming 4 > max 3
+
+    def test_negative_fingerprints_band_correctly(self, spark):
+        # signed 64-bit fps (top byte set): -1 vs -2 differ in 1 bit and
+        # must be found via band equality on the HIGH bytes
+        out = dedup.hamming_pairs(
+            self._fps(spark, [-1, -2]), bits=64, max_hamming=2)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["hamming"] == 1
+
+    def test_bits_multiple_of_8(self, spark):
+        with pytest.raises(ValueError, match="multiple of 8"):
+            dedup.hamming_pairs(self._fps(spark, [0]), bits=12,
+                                max_hamming=1)
+
+
 class TestEmbeddingCosine:
     def test_near_identical_vectors_found(self, spark):
         rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),

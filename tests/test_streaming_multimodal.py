@@ -557,3 +557,86 @@ class TestNativeDecode:
         res = knn_join(q, feats, metric="cos", k=2, query_item_col="qid",
                        item_key_col="asset_id", payload_cols=[])
         assert res.count() == 4
+
+
+def _noise_ppm(seed, w=32, h=33):
+    """P6 image of seeded uniform noise — mixed dHash bits (a gradient
+    image would hash to all-ones and make every pair 'near-dup')."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+
+def _perturb_ppm(payload, seed, n_pixels=20, delta=6):
+    """Copy with n_pixels nudged by ±delta — a near-duplicate."""
+    import numpy as np
+    hdr_end = payload.index(b"255\n") + 4
+    pix = np.frombuffer(payload[hdr_end:], dtype=np.uint8).copy()
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(pix), size=n_pixels, replace=False)
+    pix[idx] = np.clip(pix[idx].astype(np.int32)
+                       + rng.choice([-delta, delta], size=n_pixels),
+                       0, 255).astype(np.uint8)
+    return payload[:hdr_end] + pix.tobytes()
+
+
+class TestPerceptualHash:
+    """dHash image fingerprints + banded hamming near-dup pairs
+    (operators/multimodal.py perceptual_hash / image_near_dup_pairs,
+    sharing operators/dedup.hamming_pairs with SimHash)."""
+
+    def test_dhash_deterministic_and_container_independent(self, spark):
+        w, h = 12, 9
+        a = multimodal.dhash_int(_ppm_bytes(w, h))
+        b = multimodal.dhash_int(_bmp_bytes(w, h))
+        assert a == multimodal.dhash_int(_ppm_bytes(w, h))
+        assert a == b   # identical pixels through two containers
+
+    def test_dhash_is_signed_64bit(self):
+        # find a seed whose hash sets the sign bit, then pin it: the
+        # value must round-trip Spark LongType (two's complement)
+        for seed in range(64):
+            v = multimodal.dhash_int(_noise_ppm(seed))
+            if v < 0:
+                assert v >= -(1 << 63)
+                return
+        raise AssertionError("no negative dHash in 64 noise images")
+
+    def test_distributed_hash_matches_driver(self, spark):
+        rows = [(i, "image", "image/x-ppm", _noise_ppm(i), 32, 33, None)
+                for i in range(5)]
+        df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        got = {r["asset_id"]: r["phash"]
+               for r in multimodal.perceptual_hash(df).collect()}
+        want = {i: multimodal.dhash_int(_noise_ppm(i)) for i in range(5)}
+        assert got == want
+
+    def test_near_dup_pairs_find_perturbed_copies_only(self, spark):
+        rows = []
+        for i in range(3):
+            base = _noise_ppm(seed=100 + i)
+            rows.append((2 * i, "image", "image/x-ppm", base, 32, 33, None))
+            rows.append((2 * i + 1, "image", "image/x-ppm",
+                         _perturb_ppm(base, seed=7), 32, 33, None))
+        df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in multimodal.image_near_dup_pairs(
+                     df, max_hamming=6).collect()}
+        assert pairs == {(0, 1), (2, 3), (4, 5)}
+
+    def test_fake_decoder_hashes_arbitrary_bytes(self, spark, assets):
+        out = multimodal.perceptual_hash(assets, decoder="fake").collect()
+        assert len(out) == assets.count()
+        assert all(r["phash"] is not None for r in out)
+
+    def test_native_rejects_non_image(self, spark, assets):
+        with pytest.raises(Exception, match="image-only"):
+            multimodal.perceptual_hash(
+                assets.filter("modality = 'audio'")).collect()
+
+    def test_real_gated_on_pillow(self, assets):
+        if multimodal.pillow_available():
+            pytest.skip("Pillow present; gate does not trigger")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.perceptual_hash(assets, decoder="real")
