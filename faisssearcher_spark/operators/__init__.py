@@ -4,9 +4,10 @@ from faisssearcher_spark.operators import (balance, bloom, bm25, bpe,
                                            curate,
                                            decontam, dedup, layout,
                                            privacy,
-                                           sampling, temporal,
+                                           sampling, sketches,
+                                           temporal,
                                            text_analysis)
 
 __all__ = ["knn_join", "cal_sim", "balance", "bloom", "bm25", "bpe", "classifier", "curate",
-           "decontam", "dedup", "layout", "privacy", "sampling", "temporal",
+           "decontam", "dedup", "layout", "privacy", "sampling", "sketches", "temporal",
            "text_analysis"]

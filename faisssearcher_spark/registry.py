@@ -1201,18 +1201,42 @@ JOIN ntok ON f.doc_id = ntok.doc_id
 
 
 def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-20 word trigrams (deterministic tie-break)."""
+    """Corpus-wide top-20 word trigrams (deterministic tie-break), each
+    carrying its count-min-sketch estimate (operators/sketches.py): the
+    relational CMS collapses the unbounded trigram key space into a
+    4×512 cell grid with md5-derived buckets, so the DuckDB twin
+    reproduces every cell — and therefore every estimate — bit-for-bit.
+    CMS guarantees cms_est ≥ freq; at this width collisions add the
+    occasional overcount, identically in both engines."""
+    from faisssearcher_spark.operators import sketches
+
     docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.ngram_frequencies(docs, n=3, top=20)
+    top = text_analysis.ngram_frequencies(docs, n=3, top=20)
+    grams = (docs.select(F.explode_outer(T.word_ngrams("text", 3))
+                         .alias("ngram"))
+             .filter(F.col("ngram").isNotNull()))
+    cms = sketches.cms_table(grams, "ngram", depth=4, width=512)
+    return (sketches.cms_lookup(cms, top, "ngram", depth=4, width=512)
+            .orderBy(F.col("freq").desc(), F.col("ngram").asc()))
 
 
 ORACLE_NGRAM_FREQ = f"""
 WITH t AS (SELECT {_TOKS} AS toks FROM documents),
      g AS (SELECT unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
-           FROM t)
-SELECT ngram, count(*) AS freq FROM g GROUP BY ngram
-ORDER BY freq DESC, ngram ASC LIMIT 20
+           FROM t),
+     top AS (SELECT ngram, count(*) AS freq FROM g GROUP BY ngram
+             ORDER BY freq DESC, ngram ASC LIMIT 20),
+     cells AS (SELECT d.i AS row_idx,
+                      ('0x' || substring(md5('cms|' || d.i || '|' || g.ngram), 1, 8))::BIGINT % 512 AS bucket,
+                      count(*) AS cnt
+               FROM g, (SELECT unnest(range(4)) AS i) d
+               GROUP BY 1, 2)
+SELECT top.ngram, top.freq, min(cells.cnt) AS cms_est
+FROM top JOIN cells
+  ON cells.bucket = ('0x' || substring(md5('cms|' || cells.row_idx || '|' || top.ngram), 1, 8))::BIGINT % 512
+GROUP BY top.ngram, top.freq
+ORDER BY freq DESC, ngram ASC
 """
 
 
@@ -1783,23 +1807,44 @@ FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 
 
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + approximate (HLL++) distinct users per event type. The
-    approx column is checked for sketch sanity (within 5% of exact) so
-    the row stays deterministic enough to oracle-check the exact part."""
+    """Exact + approximate (HLL++) distinct users per event type, plus the
+    mergeable-sketch invariants from operators/sketches.py: ``hll_ok``
+    (whole-pass DataSketches HLL estimate within 5% of exact) and
+    ``hll_merge_ok`` (per-day sketches UNIONED per type land within 2% of
+    the whole-pass estimate — the store-fine-roll-up-coarse property that
+    lets a 100 TB pipeline answer distinct-count rollups from stored
+    few-KB sketches instead of rescanning). Approx columns are checked as
+    booleans so the row stays deterministic enough to oracle-check."""
+    from faisssearcher_spark.operators import sketches
+
     ev = load_table(spark, sf_dir, "events")
     res = (ev.groupBy("event_type")
            .agg(F.countDistinct("user_id").alias("n_users"),
                 F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
                 F.count("*").alias("n_events")))
-    return res.select(
-        "event_type", "n_users", "n_events",
-        (F.abs(F.col("n_users_approx") - F.col("n_users"))
-         <= 0.05 * F.col("n_users")).alias("approx_within_5pct"))
+    daily = sketches.hll_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"],
+        "user_id")
+    rolled = sketches.hll_rollup(daily, ["event_type"]) \
+        .withColumnRenamed("n_distinct_approx", "hll_rolled")
+    whole = sketches.hll_rollup(
+        sketches.hll_sketches(ev, ["event_type"], "user_id"),
+        ["event_type"]) \
+        .withColumnRenamed("n_distinct_approx", "hll_whole")
+    return (res.join(rolled, "event_type").join(whole, "event_type")
+            .select(
+                "event_type", "n_users", "n_events",
+                (F.abs(F.col("n_users_approx") - F.col("n_users"))
+                 <= 0.05 * F.col("n_users")).alias("approx_within_5pct"),
+                (F.abs(F.col("hll_whole") - F.col("n_users"))
+                 <= 0.05 * F.col("n_users")).alias("hll_ok"),
+                (F.abs(F.col("hll_rolled") - F.col("hll_whole"))
+                 <= 0.02 * F.col("hll_whole")).alias("hll_merge_ok")))
 
 
 ORACLE_DISTINCT_USERS = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-       true AS approx_within_5pct
+       true AS approx_within_5pct, true AS hll_ok, true AS hll_merge_ok
 FROM events GROUP BY event_type
 """
 
