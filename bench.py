@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "text_bm25_topk",
     "pipeline_pretrain_prep",
+    "text_heavy_hitters",
     # relational / events
     "tpch_q1_pricing",
     "tpch_q3_shipping",
@@ -79,6 +80,7 @@ BENCH_QUERIES = [
     "events_sessionize_native",
     "events_asof_join",
     "events_range_join",
+    "events_hll_rollup",
 ]
 
 

@@ -2753,6 +2753,34 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_keep(qc.score(docs), key_col="doc_id")
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: bounded-shuffle heavy hitters over the exploded token
+    stream (operators/sketches.heavy_hitters) — candidates from a
+    per-Arrow-batch local top-m mapInPandas scan, exact counts for the
+    broadcast candidate set only. Equality with the exact groupBy top-k
+    is pinned in tests/test_sketches.py."""
+    from faisssearcher_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode_outer(T.tokens("text")).alias("tok")) \
+        .filter(F.col("tok").isNotNull())
+    return sketches.heavy_hitters(toks, "tok", k=20)
+
+
+def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the store-fine/roll-up-coarse HLL pattern — per
+    (event_type, day) DataSketches sketches, unioned to per-type distinct
+    estimates (operators/sketches.hll_rollup). Accuracy and merge
+    invariants are gated on events_distinct_users."""
+    from faisssearcher_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.hll_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"],
+        "user_id")
+    return sketches.hll_rollup(daily, ["event_type"])
+
+
 def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the COMPLETE pretraining-prep composition
     (``prepare_pretraining_data``) — heuristics + exact/near dedup →
@@ -2879,4 +2907,6 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": q_text_quality_classifier,
     "text_bm25_topk": q_text_bm25_topk,
     "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
+    "text_heavy_hitters": q_text_heavy_hitters,
+    "events_hll_rollup": q_events_hll_rollup,
 }
