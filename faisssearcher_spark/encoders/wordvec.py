@@ -52,14 +52,30 @@ class WordVecEncoder:
 
     ``mode="mean"`` divides by the number of IN-VOCABULARY tokens (the
     fastText/GloVe sentence-embedding convention); ``mode="sum"`` skips
-    the division (matches :class:`HashingEncoder`'s additive shape).
+    the division (matches :class:`HashingEncoder`'s additive shape);
+    ``mode="sif"`` is the smooth-inverse-frequency weighted average
+    (Arora et al. 2017, "A Simple but Tough-to-Beat Baseline"): each
+    token vector scales by ``a / (a + p(token))`` with ``p`` the corpus
+    unigram probability (``sif_probs`` table, fit with
+    :meth:`fit_sif_probs`), damping stopword dominance. The scaling is
+    folded INTO the weight table at construction, so both encode paths
+    (relational join and driver dict) run the identical mean machinery;
+    tokens absent from the probs table get weight ≈ 1 (p → 0). Complete
+    the SIF recipe by removing the corpus' first principal component
+    from the encoded output (:func:`fit_first_component` +
+    :func:`remove_component`).
     """
 
     def __init__(self, weights: DataFrame, *, token_col: str = "token",
                  vec_col: str = "vector", mode: str = "mean",
-                 max_driver_vocab: int = 2_000_000):
-        if mode not in ("mean", "sum"):
-            raise ValueError("mode must be 'mean' or 'sum'")
+                 max_driver_vocab: int = 2_000_000,
+                 sif_probs: DataFrame | None = None, sif_a: float = 1e-3,
+                 prob_token_col: str = "token", prob_col: str = "p"):
+        if mode not in ("mean", "sum", "sif"):
+            raise ValueError("mode must be 'mean', 'sum', or 'sif'")
+        if mode == "sif" and sif_probs is None:
+            raise ValueError("mode='sif' needs a sif_probs table "
+                             "(fit one with WordVecEncoder.fit_sif_probs)")
         first = weights.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None:
             raise ValueError("weights table is empty — cannot discover dim "
@@ -73,11 +89,45 @@ class WordVecEncoder:
                            F.col(vec_col).cast("array<double>").alias("__wv"))
             .groupBy("__tok").agg(F.min(F.struct("__wv")).alias("__s"))
             .select("__tok", F.col("__s.__wv").alias("__wv")))
+        if mode == "sif":
+            # fold a/(a+p) into the vectors once; duplicate prob rows
+            # dedup by min so the join can never fan out
+            probs = (sif_probs
+                     .select(F.col(prob_token_col).alias("__tok"),
+                             F.col(prob_col).cast("double").alias("__p"))
+                     .groupBy("__tok").agg(F.min("__p").alias("__p")))
+            w = F.lit(float(sif_a)) \
+                / (F.lit(float(sif_a)) + F.coalesce(F.col("__p"), F.lit(0.0)))
+            self._weights = (
+                self._weights.join(probs, "__tok", "left")
+                .withColumn("__sifw", w)
+                .select("__tok",
+                        F.transform("__wv",
+                                    lambda x: x * F.col("__sifw"))
+                        .alias("__wv")))
         self.mode = mode
         self.max_driver_vocab = max_driver_vocab
         self._vocab: dict[str, np.ndarray] | None = None
 
     # -- construction / persistence (S7: weights live in storage) ----------
+
+    @staticmethod
+    def fit_sif_probs(corpus: DataFrame, *, text_col: str = "text") -> DataFrame:
+        """Corpus unigram probabilities ``(token, p)`` for ``mode="sif"``:
+        one explode + hash aggregate; the total token count is a single
+        driver scalar (the dsir normalizer pattern), so ``p`` divides
+        exactly once per distinct token."""
+        toks = (corpus.select(
+            F.explode_outer(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                                     lambda t: t != "")).alias("token"))
+            .filter(F.col("token").isNotNull()))
+        counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+        total_row = counts.agg(F.sum("cnt").alias("t")).first()
+        total = int(total_row["t"] or 0)
+        if total == 0:
+            raise ValueError("cannot fit SIF probabilities on an empty corpus")
+        return counts.select("token",
+                             (F.col("cnt") / F.lit(float(total))).alias("p"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, **kwargs) -> "WordVecEncoder":
@@ -137,7 +187,7 @@ class WordVecEncoder:
                      lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
                  .alias("__sum")))
         vec = F.col("__sum")
-        if self.mode == "mean":
+        if self.mode in ("mean", "sif"):
             vec = F.when(F.col("__n") > 0,
                          F.transform(vec, lambda x: x / F.col("__n"))) \
                 .otherwise(zero)
@@ -170,7 +220,7 @@ class WordVecEncoder:
                 if vec is not None:
                     out[i] += vec
                     hits += 1
-            if self.mode == "mean" and hits:
+            if self.mode in ("mean", "sif") and hits:
                 out[i] /= hits
         return out.astype(np.float32)
 
@@ -179,6 +229,63 @@ class WordVecEncoder:
         # vocab (bounded), never the DataFrame/session handle
         vocab = self._vocab_dict()
         return (_rebuild_wordvec, (vocab, self.dim, self.mode))
+
+
+def fit_first_component(df: DataFrame, *, vec_col: str = "embedding"
+                        ) -> np.ndarray:
+    """Top principal direction of the UNCENTERED embedding matrix — the
+    common-discourse component the SIF recipe removes (Arora et al. 2017
+    compute the first singular vector of the stacked sentence
+    embeddings, no centering).
+
+    One distributed moment pass (reuses
+    :func:`~faisssearcher_spark.operators.whitening.vector_moments` —
+    only O(partitions · d²) floats reach the driver), then a d×d eigh.
+    Sign is canonicalized (first non-zero entry positive) so the
+    component is deterministic across runs."""
+    from faisssearcher_spark.operators.whitening import vector_moments
+
+    n, mu, cov = vector_moments(df, vec_col)
+    gram = cov * (n - 1) + n * np.outer(mu, mu)   # reconstruct XᵀX
+    _, vecs = np.linalg.eigh(gram)
+    u = vecs[:, -1]
+    nz = np.flatnonzero(np.abs(u) > 1e-12)
+    if len(nz) and u[nz[0]] < 0:
+        u = -u
+    return u
+
+
+def remove_component(df: DataFrame, component: "np.ndarray | list[float]",
+                     *, vec_col: str = "embedding",
+                     out_col: str | None = None) -> DataFrame:
+    """Project the component out of every vector: ``v − (v·u)u``.
+
+    Pure Catalyst — the unit direction ships as an inline literal array
+    (the dsir/LSH plane-constant pattern), the dot product materializes
+    as its own column BEFORE the subtraction ``zip_with`` (expressions
+    referenced inside higher-order lambdas re-evaluate per element —
+    NOTES.md trap — so inlining the dot would cost O(d²) per row)."""
+    u = np.asarray(component, dtype=np.float64)
+    norm = float(np.linalg.norm(u))
+    if norm == 0:
+        raise ValueError("component must be non-zero")
+    u = u / norm
+    out_col = out_col or vec_col
+    u_lit = F.array(*[F.lit(float(x)) for x in u])
+    v = F.col(vec_col).cast("array<double>")
+    dot_tmp = "__pc_dot"
+    while dot_tmp in df.columns:
+        dot_tmp += "_"
+    dotted = df.withColumn(
+        dot_tmp,
+        F.aggregate(F.zip_with(v, u_lit, lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x))
+    return (dotted.withColumn(
+        out_col,
+        F.zip_with(v, u_lit,
+                   lambda a, b: a - F.col(dot_tmp) * b)
+        .cast("array<float>"))
+        .drop(dot_tmp))
 
 
 def _rebuild_wordvec(vocab: dict, dim: int, mode: str) -> "WordVecEncoder":

@@ -116,3 +116,88 @@ class TestWordVecEncoder:
         assert top["sim_item"] == "apple pie"
         assert top["sim_val"] == pytest.approx(1.0, abs=1e-4)
         assert top["pid"] == 1  # payload carried
+
+
+class TestSif:
+    """SIF weighted pooling (Arora et al. 2017): a/(a+p) token weights
+    folded into the weight table + first-component removal."""
+
+    A = 0.01
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(0, "apple apple apple pie"), (1, "apple spark"),
+                (2, "pie apple apple")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def sif_enc(self, weights_df, corpus):
+        probs = WordVecEncoder.fit_sif_probs(corpus)
+        return WordVecEncoder.from_dataframe(
+            weights_df, mode="sif", sif_probs=probs, sif_a=self.A)
+
+    def test_probs_sum_to_one(self, corpus):
+        probs = WordVecEncoder.fit_sif_probs(corpus)
+        total = probs.agg(F.sum("p")).first()[0]
+        assert total == pytest.approx(1.0, abs=1e-12)
+        p = {r["token"]: r["p"] for r in probs.collect()}
+        assert p["apple"] == pytest.approx(6 / 9)
+        assert p["pie"] == pytest.approx(2 / 9)
+
+    def test_encode_df_matches_manual(self, sif_enc, corpus):
+        out = {r["doc_id"]: np.array(r["embedding"]) for r in
+               sif_enc.encode_df(corpus).collect()}
+        vec = {"apple": np.array([1.0, 0, 0]), "pie": np.array([0, 1.0, 0]),
+               "spark": np.array([0, 0, 1.0])}
+        p = {"apple": 6 / 9, "pie": 2 / 9, "spark": 1 / 9}
+        w = {t: self.A / (self.A + p[t]) for t in p}
+        doc0 = (3 * w["apple"] * vec["apple"] + w["pie"] * vec["pie"]) / 4
+        assert out[0] == pytest.approx(doc0, rel=1e-6)
+        doc1 = (w["apple"] * vec["apple"] + w["spark"] * vec["spark"]) / 2
+        assert out[1] == pytest.approx(doc1, rel=1e-6)
+
+    def test_protocol_path_matches_df_path(self, sif_enc, corpus):
+        texts = [r["text"] for r in corpus.orderBy("doc_id").collect()]
+        proto = sif_enc.encode(texts)
+        df = np.array([r["embedding"] for r in
+                       sif_enc.encode_df(corpus).orderBy("doc_id").collect()])
+        assert proto == pytest.approx(df, rel=1e-5)
+
+    def test_stopword_downweighted(self, sif_enc, corpus):
+        """'apple' dominates the corpus; SIF must shrink its share of a
+        mixed document relative to plain mean pooling."""
+        mixed = corpus.sparkSession.createDataFrame(
+            [(0, "apple spark")], "doc_id long, text string")
+        sif = np.array(sif_enc.encode_df(mixed).first()["embedding"])
+        assert sif[2] > sif[0]     # rare 'spark' outweighs frequent 'apple'
+
+    def test_sif_requires_probs(self, weights_df):
+        with pytest.raises(ValueError, match="sif_probs"):
+            WordVecEncoder.from_dataframe(weights_df, mode="sif")
+
+
+class TestComponentRemoval:
+    def test_fit_recovers_dominant_direction(self, spark):
+        from faisssearcher_spark.encoders.wordvec import (fit_first_component,
+                                                          remove_component)
+        rng = np.random.default_rng(0)
+        u = np.array([0.6, 0.8, 0.0])
+        mat = np.outer(rng.uniform(1, 2, 200), u) \
+            + 0.01 * rng.standard_normal((200, 3))
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(mat)],
+            "vec_id long, embedding array<float>")
+        comp = fit_first_component(df)
+        assert np.abs(comp @ u) == pytest.approx(1.0, abs=1e-3)
+        cleaned = remove_component(df, comp)
+        res = np.array([r["embedding"] for r in cleaned.collect()])
+        assert np.abs(res @ comp).max() < 1e-3   # orthogonal residual
+        # deterministic sign: first non-zero entry positive
+        assert comp[np.flatnonzero(np.abs(comp) > 1e-12)[0]] > 0
+
+    def test_zero_component_rejected(self, spark):
+        from faisssearcher_spark.encoders.wordvec import remove_component
+        df = spark.createDataFrame([(0, [1.0, 2.0])],
+                                   "id long, embedding array<float>")
+        with pytest.raises(ValueError, match="non-zero"):
+            remove_component(df, [0.0, 0.0])
