@@ -27,8 +27,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """Driver-side parquet-footer probe: does ``ts`` carry TIMESTAMP(NANOS)?
+def _events_ts_kind(path: str) -> str:
+    """Driver-side parquet-footer probe for the ``ts`` column's storage:
+
+    - ``"nanos"`` — annotated TIMESTAMP(NANOS), which Spark's reader
+      rejects unless surfaced as bigint via ``nanosAsLong``;
+    - ``"instant"`` — physical INT96 (legacy Spark/Hive writer default)
+      or tz-adjusted micros/millis: Spark reads these as TIMESTAMP
+      natively. INT96 must be detected from the PHYSICAL type — pyarrow
+      reports it as ``timestamp[ns]``, indistinguishable from annotated
+      NANOS at the arrow-schema level, and declaring bigint over it
+      fails the read (hit when a stream re-lands events with Spark's
+      default writer);
+    - ``"naive"`` — plain un-adjusted MICROS/MILLIS (TIMESTAMP_NTZ).
+
     Uses pyarrow (no Spark job, no session conf touched); on any probe
     failure (remote FS scheme pyarrow can't open, etc.) assume nanos —
     the conservative branch still reads MICROS files correctly — but WARN,
@@ -38,8 +50,20 @@ def _events_ts_is_nanos(path: str) -> bool:
     surfaces as bigint instead of erroring)."""
     try:
         import pyarrow.dataset as ds
-        field = ds.dataset(path, format="parquet").schema.field("ts")
-        return getattr(field.type, "unit", None) == "ns"
+        import pyarrow.parquet as pq
+
+        dset = ds.dataset(path, format="parquet")
+        frag = next(iter(dset.get_fragments()), None)
+        if frag is not None:
+            pqs = pq.read_metadata(frag.path).schema
+            for i in range(len(pqs)):
+                col = pqs.column(i)
+                if col.name == "ts" and col.physical_type == "INT96":
+                    return "instant"
+        field = dset.schema.field("ts")
+        if getattr(field.type, "unit", None) == "ns":
+            return "nanos"
+        return "instant" if getattr(field.type, "tz", None) else "naive"
     except Exception as exc:
         import warnings
         warnings.warn(
@@ -48,7 +72,11 @@ def _events_ts_is_nanos(path: str) -> bool:
             "nanosAsLong for the session — later NANOS reads will surface "
             "as bigint. If the file is MICROS this is harmless.",
             RuntimeWarning, stacklevel=2)
-        return True
+        return "nanos"
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    return _events_ts_kind(path) == "nanos"
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

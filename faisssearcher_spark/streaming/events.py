@@ -36,20 +36,25 @@ def read_events_stream(spark: SparkSession, path: str,
     """Read an events parquet directory as a stream.
 
     NB: ``ts`` may be written as TIMESTAMP(NANOS) (which Spark's reader
-    rejects) or plain MICROS/MILLIS; the same footer probe as the batch
-    catalog picks the declared schema — LongType + the ``nanosAsLong``
-    conf for NANOS files, TIMESTAMP_NTZ otherwise — and both branches
-    normalize to TIMESTAMP (session tz is pinned UTC, so the instant is
+    rejects), legacy INT96/adjusted micros (a Spark writer re-landing the
+    stream — reads natively as TIMESTAMP), or plain naive MICROS/MILLIS;
+    the same footer probe as the batch catalog picks the declared
+    schema — LongType + the ``nanosAsLong`` conf for NANOS files,
+    TIMESTAMP for instants, TIMESTAMP_NTZ otherwise — and every branch
+    normalizes to TIMESTAMP (session tz is pinned UTC, so the instant is
     identical either way).
     """
     import os
 
     from pyspark.sql.types import TimestampNTZType
 
-    from faisssearcher_spark.sources.catalog import _events_ts_is_nanos
+    from faisssearcher_spark.sources.catalog import _events_ts_kind
 
-    is_nanos = _events_ts_is_nanos(path)
-    ts_type = LongType() if is_nanos else TimestampNTZType()
+    kind = _events_ts_kind(path)
+    is_nanos = kind == "nanos"
+    ts_type = (LongType() if is_nanos
+               else TimestampType() if kind == "instant"
+               else TimestampNTZType())
     if is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = StructType([

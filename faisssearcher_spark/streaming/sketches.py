@@ -1,0 +1,95 @@
+"""Incrementally-maintained sketch state for streams.
+
+The batch half of the sketch story (operators/sketches.py) materializes
+per-group HLL sketches once and serves rollups from them; this module
+keeps that state CURRENT under a stream: each micro-batch's sketches are
+UNIONED into the persisted state, so distinct-count dashboards read a
+few-KB table that is always up to date, and the raw events are never
+rescanned. Mergeability is exactly what makes this correct — per-batch
+sketches union associatively, so arrival order and batching don't change
+the state (unlike exact per-batch distinct counts, which cannot be
+merged).
+
+Replay safety follows the idempotent-sink pattern (streaming/sinks.py):
+epoch ``N``'s state is a pure function of epoch ``N−1``'s state plus
+batch ``N``, written by OVERWRITING ``<state_dir>/epoch=<N>`` — a
+re-delivered batch recomputes byte-identical state over itself.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from faisssearcher_spark.operators.sketches import hll_sketches
+
+_EPOCH_RE = re.compile(r"^epoch=(\d+)$")
+
+
+def _epochs(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        m = _EPOCH_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
+                    value_col: str, state_dir: str, checkpoint_dir: str,
+                    lg_k: int = 12,
+                    query_name: str = "hll_sketch_sink",
+                    available_now: bool = True) -> StreamingQuery:
+    """Maintain per-group HLL sketch state under a stream.
+
+    Each epoch: sketch the micro-batch (one aggregation of batch rows),
+    union with the latest PRIOR epoch's state (a sketch-table-sized
+    read — KBs, not the corpus), overwrite this epoch's directory.
+    Query the state any time with :func:`read_sketch_state` +
+    ``operators.sketches.hll_rollup``.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    group_cols = list(group_cols)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = hll_sketches(batch_df, group_cols, value_col, lg_k=lg_k)
+        prior = [e for e in _epochs(state_dir) if e < batch_id]
+        if prior:
+            prev_path = os.path.join(state_dir, f"epoch={prior[-1]}")
+            spark.catalog.refreshByPath(prev_path)
+            prev = spark.read.parquet(prev_path)
+            merged = (prev.unionByName(new)
+                      .groupBy(*group_cols)
+                      .agg(F.hll_union_agg("hll").alias("hll")))
+        else:
+            merged = new
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(state_dir, f"epoch={batch_id}")))
+
+    writer = (stream_df.writeStream.foreachBatch(_merge)
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The latest epoch's sketch table (``group_cols... + hll binary``).
+    Old epochs stay on disk as recovery points; prune them like any
+    checkpointed state once a retention window passes."""
+    epochs = _epochs(state_dir)
+    if not epochs:
+        raise FileNotFoundError(f"no sketch state under {state_dir!r}")
+    path = os.path.join(state_dir, f"epoch={epochs[-1]}")
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,79 @@
+"""Incrementally-maintained HLL sketch state (streaming/sketches.py)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators import sketches
+from faisssearcher_spark.sources.catalog import load_table
+from faisssearcher_spark.streaming import events as sev
+from faisssearcher_spark.streaming.sketches import (hll_sketch_sink,
+                                                    read_sketch_state)
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, sf_dir, tmp_path_factory):
+    """Events re-landed as 4 files so maxFilesPerTrigger=1 yields 4
+    micro-batches."""
+    path = str(tmp_path_factory.mktemp("ev_src") / "events")
+    load_table(spark, sf_dir, "events").repartition(4) \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(spark, src, state, ckpt):
+    stream = sev.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = hll_sketch_sink(stream, group_cols=["event_type"],
+                        value_col="user_id", state_dir=state,
+                        checkpoint_dir=ckpt)
+    q.awaitTermination()
+
+
+class TestHllSketchSink:
+    def test_incremental_state_matches_batch(self, spark, sf_dir,
+                                             multi_file_events,
+                                             tmp_path_factory):
+        base = tmp_path_factory.mktemp("hll_state")
+        state, ckpt = str(base / "state"), str(base / "ckpt")
+        _run(spark, multi_file_events, state, ckpt)
+
+        import os
+        epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+        assert len(epochs) >= 2      # genuinely incremental
+
+        est = {r["event_type"]: r["n_distinct_approx"] for r in
+               sketches.hll_rollup(read_sketch_state(spark, state),
+                                   ["event_type"]).collect()}
+        exact = {r["event_type"]: r["n"] for r in
+                 load_table(spark, sf_dir, "events").groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert set(est) == set(exact)
+        for et, n in exact.items():
+            assert abs(est[et] - n) <= 0.05 * n
+
+    def test_replay_converges(self, spark, multi_file_events,
+                              tmp_path_factory):
+        base = tmp_path_factory.mktemp("hll_replay")
+        state, ckpt = str(base / "state"), str(base / "ckpt")
+        _run(spark, multi_file_events, state, ckpt)
+        first = {r["event_type"]: r["n_distinct_approx"] for r in
+                 sketches.hll_rollup(read_sketch_state(spark, state),
+                                     ["event_type"]).collect()}
+        shutil.rmtree(ckpt)          # total offset loss -> full replay
+        _run(spark, multi_file_events, state, ckpt)
+        replay = {r["event_type"]: r["n_distinct_approx"] for r in
+                  sketches.hll_rollup(read_sketch_state(spark, state),
+                                      ["event_type"]).collect()}
+        assert replay == first       # byte-identical state recomputation
+
+    def test_missing_state_raises(self, spark, tmp_path_factory):
+        with pytest.raises(FileNotFoundError, match="no sketch state"):
+            read_sketch_state(
+                spark, str(tmp_path_factory.mktemp("empty") / "nope"))
+
+    def test_group_cols_required(self, spark, multi_file_events):
+        stream = sev.read_events_stream(spark, multi_file_events)
+        with pytest.raises(ValueError, match="non-empty"):
+            hll_sketch_sink(stream, group_cols=[], value_col="user_id",
+                            state_dir="/tmp/x", checkpoint_dir="/tmp/y")
