@@ -206,3 +206,79 @@ def range_join(
                 & (delta <= F.lit(float(upper_seconds))))
         .drop("__bucket", *["__rk_" + k for k in keys])
     )
+
+
+def decayed_sum(df: DataFrame, *, key_col: str, ts_col: str,
+                value_col: str, half_life_s: float,
+                order_col: str | None = None,
+                out_col: str = "decayed_sum") -> DataFrame:
+    """Exponentially time-decayed running sum per key — the standard
+    recency feature (EWMA-style): at each event,
+    ``s_i = Σ_{t_j ≤ t_i} v_j · 2^−(t_i−t_j)/half_life``.
+
+    Relational via the exp-normalization trick: with ``t0`` the key's
+    first timestamp and λ = ln2 / half_life,
+    ``s_i = e^{−λ(t_i−t0)} · cumsum(v_j · e^{λ(t_j−t0)})`` — one window
+    partition per key, a prefix sum, no recurrence and no Python. Cost
+    is one shuffle on the key (shared by the min-ts and prefix-sum
+    windows — same partitioning).
+
+    Numerical bound (documented, checked): ``e^{λ(t−t0)}`` overflows
+    float64 once a key spans more than ~700/ln2 ≈ 1009 half-lives; the
+    guard computes the max span in the same pass and raises rather than
+    emitting inf. For decade-spanning keys with short half-lives,
+    pre-segment time (e.g. per month) and carry the previous segment's
+    decayed tail forward as one synthetic row.
+
+    ``order_col`` breaks timestamp ties deterministically (defaults to
+    ``value_col`` — pass an id column when values can tie too).
+    """
+    if half_life_s <= 0:
+        raise ValueError("half_life_s must be positive")
+    lam = 0.6931471805599453 / float(half_life_s)   # ln 2 / half-life
+    order = order_col or value_col
+    key_w = Window.partitionBy(key_col)
+    run_w = (Window.partitionBy(key_col)
+             .orderBy(F.col(ts_col).asc(), F.col(order).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = F.col(ts_col).cast("double")
+    t0 = F.min(t).over(key_w)
+    span = F.max(t).over(key_w) - t0
+    rel = t - t0
+    grown = F.sum(F.col(value_col) * F.exp(F.lit(lam) * rel)).over(run_w)
+    decayed = F.when(
+        span * lam > 700.0,
+        F.raise_error(F.concat(
+            F.lit("decayed_sum: key "), F.col(key_col).cast("string"),
+            F.lit(" spans more than ~1009 half-lives — e^(λ·span) "
+                  "overflows float64; pre-segment time or use a longer "
+                  "half_life")))
+    ).otherwise(grown * F.exp(-F.lit(lam) * rel))
+    return df.withColumn(out_col, decayed)
+
+
+def rolling_window_agg(df: DataFrame, *, key_col: str, ts_col: str,
+                       value_col: str, window_s: float,
+                       aggs: Sequence[str] = ("count", "sum"),
+                       prefix: str = "rolling_") -> DataFrame:
+    """Sliding time-window features per key: for each event, aggregates
+    over the trailing ``window_s`` seconds INCLUDING the current row —
+    "events/value in the last N minutes", the other standard recency
+    shape. A RANGE-frame window over epoch milliseconds (range offsets
+    are integral — millis keep sub-second windows exact): one shuffle
+    on the key, state bounded by the frame, no self-join.
+    """
+    allowed = {"count", "sum", "avg", "min", "max"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"unsupported aggs {sorted(bad)}; "
+                         f"pick from {sorted(allowed)}")
+    w = (Window.partitionBy(key_col)
+         .orderBy((F.col(ts_col).cast("double") * 1000).cast("long"))
+         .rangeBetween(-int(round(window_s * 1000)), 0))
+    out = df
+    for a in aggs:
+        expr = (F.count("*") if a == "count"
+                else getattr(F, a)(F.col(value_col)))
+        out = out.withColumn(prefix + a, expr.over(w))
+    return out
