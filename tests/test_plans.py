@@ -201,3 +201,45 @@ class TestSpanRemovalPlan:
         # ALL three joins (recovery, anti, rebuild) descend from the tiny
         # pre-explode estimate — none may statically broadcast
         assert "BroadcastHashJoin" not in plan
+
+
+class TestSketchPlans:
+    def test_heavy_hitters_bounded_shuffle(self, documents):
+        """Candidates come from a MapInPandas local top-m scan and
+        broadcast back; exact counting partial-aggregates map-side —
+        the full key space never shuffles."""
+        from faisssearcher_spark.operators.sketches import heavy_hitters
+
+        toks = documents.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        plan = inspect.executed_plan(heavy_hitters(toks, "tok", k=10))
+        assert "MapInPandas" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hll_rollup_partial_aggregates(self, spark):
+        """Both the sketch build and the union rollup must partial-
+        combine map-side — only sketch buffers cross each exchange."""
+        from faisssearcher_spark.operators.sketches import (hll_rollup,
+                                                            hll_sketches)
+        from faisssearcher_spark.sources.catalog import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        daily = hll_sketches(ev.withColumn("day", F.to_date("ts")),
+                             ["event_type", "day"], "user_id")
+        plan = inspect.executed_plan(hll_rollup(daily, ["event_type"]))
+        assert "partial_hll_sketch_agg" in plan
+        assert "partial_hll_union_agg" in plan
+
+    def test_cms_table_is_one_aggregation(self, documents):
+        """The CMS grid is explode -> ONE hash aggregate with map-side
+        combine; nothing joins, nothing collects."""
+        from faisssearcher_spark.operators.sketches import cms_table
+
+        toks = documents.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        plan = inspect.executed_plan(cms_table(toks, "tok"))
+        assert "partial_count" in plan
+        assert "Join" not in plan
+        assert "ArrowEvalPython" not in plan

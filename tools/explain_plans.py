@@ -146,6 +146,26 @@ AUDITS = {
         ("BatchEvalPython", False, "no Python anywhere in the layout job"),
         ("CartesianProduct", False, "no pair blowup"),
     ],
+    "text_heavy_hitters": [
+        ("MapInPandas", True,
+         "per-Arrow-batch local top-m candidate scan — output bounded by "
+         "m rows per batch; the full key space never shuffles"),
+        ("BroadcastHashJoin", True,
+         "the tiny distinct candidate set broadcasts back as the "
+         "semi-join filter; exact counts partial-aggregate map-side"),
+        ("partial_count", True,
+         "candidate counting combines map-side before the one exchange"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
+    "events_hll_rollup": [
+        ("partial_hll_sketch_agg", True,
+         "per-(type, day) sketches partial-aggregate map-side — one "
+         "sketch buffer per group leaves each partition, not user ids"),
+        ("partial_hll_union_agg", True,
+         "the rollup unions sketches, again partial-combining before "
+         "its exchange — the store-fine/roll-up-coarse contract"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
     "text_quality_classifier": [
         ("CartesianProduct", False,
          "scores meet the vocabulary only through the token equi-join"),
