@@ -208,6 +208,14 @@ def range_join(
     )
 
 
+def _epoch_seconds(ts_col: str):
+    """Epoch seconds as double from any time-ish column: TIMESTAMP /
+    TIMESTAMP_NTZ / DATE go through a timestamp cast first (NTZ and DATE
+    cannot cast straight to double); numeric epoch columns round-trip
+    through the same casts unchanged (to microsecond precision)."""
+    return F.col(ts_col).cast("timestamp").cast("double")
+
+
 def decayed_sum(df: DataFrame, *, key_col: str, ts_col: str,
                 value_col: str, half_life_s: float,
                 order_col: str | None = None,
@@ -241,7 +249,7 @@ def decayed_sum(df: DataFrame, *, key_col: str, ts_col: str,
     run_w = (Window.partitionBy(key_col)
              .orderBy(F.col(ts_col).asc(), F.col(order).asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    t = F.col(ts_col).cast("double")
+    t = _epoch_seconds(ts_col)
     t0 = F.min(t).over(key_w)
     span = F.max(t).over(key_w) - t0
     rel = t - t0
@@ -274,7 +282,7 @@ def rolling_window_agg(df: DataFrame, *, key_col: str, ts_col: str,
         raise ValueError(f"unsupported aggs {sorted(bad)}; "
                          f"pick from {sorted(allowed)}")
     w = (Window.partitionBy(key_col)
-         .orderBy((F.col(ts_col).cast("double") * 1000).cast("long"))
+         .orderBy((_epoch_seconds(ts_col) * 1000).cast("long"))
          .rangeBetween(-int(round(window_s * 1000)), 0))
     out = df
     for a in aggs:

@@ -1124,10 +1124,31 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct("chunk_idx", "chunk_text"))),
                 lambda s: s["chunk_text"]),
             " ")).alias("dedup_hash"))
+
+    # EXTENDED (round-5 session 4) with operators/diffing.corpus_diff:
+    # diff this snapshot against a deterministic "refresh" — every 11th
+    # doc dropped, every 7th rewritten — so the full-outer fingerprint
+    # diff's removed/changed/unchanged classification is oracle-checked
+    # (the 'added' branch has no fingerprints row to land on by
+    # construction; it is pinned in tests/test_diffing.py).
+    from faisssearcher_spark.operators.diffing import corpus_diff
+
+    refreshed = (docs.filter(F.col("doc_id") % 11 != 0)
+                 .withColumn("text",
+                             F.when(F.col("doc_id") % 7 == 0,
+                                    F.concat(F.coalesce(F.col("text"),
+                                                        F.lit("")),
+                                             F.lit(" __refreshed")))
+                             .otherwise(F.col("text"))))
+    diff = corpus_diff(docs, refreshed).select(
+        F.col("key").alias("doc_id"), F.col("status").alias("diff_status"))
+
     return (fp.join(totals, "doc_id", "left")
               .join(rebuilt, "doc_id", "left")
               .join(spans, "doc_id", "left")
+              .join(diff, "doc_id", "left")
               .select("doc_id", "fingerprint", "rolling_hash", "norm_hash",
+                      "diff_status",
                       F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
                       F.coalesce("n_kept_chunks", F.lit(0))
                        .alias("n_kept_chunks"),
@@ -1187,6 +1208,9 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
                  FROM keeptok GROUP BY doc_id),
      ntok AS (SELECT doc_id, len(toks)::INT AS n_tok FROM t)
 SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
+       CASE WHEN f.doc_id % 11 = 0 THEN 'removed'
+            WHEN f.doc_id % 7 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
        coalesce(tot.n_chunks, 0) AS n_chunks,
        coalesce(reb.n_kept_chunks, 0) AS n_kept_chunks,
        coalesce(reb.dedup_hash, '') AS dedup_hash,
@@ -2109,16 +2133,32 @@ GROUP BY 2
 """
 
 
+#: ln 2 / 90 days — the decayed_sum gate's half-life constant, written
+#: once so the Spark call and the DuckDB twin share the same literal
+_DECAY_LAMBDA = 0.6931471805599453 / (90 * 86400)
+
+
 def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAME aggregations (beyond ranking): per-customer running
-    order total (rows unbounded-preceding) and 3-order moving average —
-    one shuffle on the partition key serves both frames."""
+    order total (rows unbounded-preceding), 3-order moving average, and
+    the exponentially time-decayed spend (operators/temporal.decayed_sum,
+    90-day half-life — the exp-normalization prefix-sum identity) — one
+    shuffle on the partition key serves every frame. The decayed column
+    rounds to 4dp: the identity multiplies 1-ulp-different exp() results
+    (Java StrictMath vs libm) through a bit-identical window sum, so
+    cross-engine agreement is relative ~1e-15 — far inside 4dp."""
+    from faisssearcher_spark.operators.temporal import decayed_sum
+
     orders = load_table(spark, sf_dir, "orders")
     w_run = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_mov = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
         .rowsBetween(-2, Window.currentRow)
-    return orders.select(
+    decayed = decayed_sum(orders, key_col="o_custkey", ts_col="o_orderdate",
+                          value_col="o_totalprice",
+                          half_life_s=90 * 86400.0,
+                          order_col="o_orderkey")
+    return decayed.select(
         "o_custkey", "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
@@ -2128,10 +2168,15 @@ def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w_mov), 2).alias("moving_sum_3"),
         F.row_number().over(
             Window.partitionBy("o_custkey")
-            .orderBy("o_orderdate", "o_orderkey")).alias("order_seq"))
+            .orderBy("o_orderdate", "o_orderkey")).alias("order_seq"),
+        F.round("decayed_sum", 4).alias("decayed_spend_90d"))
 
 
-ORACLE_RUNNING = """
+ORACLE_RUNNING = f"""
+WITH t AS (
+  SELECT *, epoch(o_orderdate) AS ets,
+         min(epoch(o_orderdate)) OVER (PARTITION BY o_custkey) AS t0
+  FROM orders)
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(sum(o_totalprice) OVER
@@ -2142,8 +2187,13 @@ SELECT o_custkey, o_orderkey,
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum_3,
        row_number() OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             ::INT AS order_seq
-FROM orders
+             ::INT AS order_seq,
+       round(sum(o_totalprice * exp({_DECAY_LAMBDA!r} * (ets - t0))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING)
+             * exp(-{_DECAY_LAMBDA!r} * (ets - t0)), 4)
+             AS decayed_spend_90d
+FROM t
 """
 
 

@@ -138,7 +138,22 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # the size of the base corpus's, so the equi-join output stays
         # linear — exactly how a real 10× crawl grows the long tail)
         "text_bm25": lambda: _bm25_fit_search(docs),
+        # bounded-shuffle heavy hitters over the exploded token stream:
+        # the candidate scan emits ≤ m rows per Arrow batch no matter
+        # how the key space grows, and only candidate occurrences are
+        # counted — cost should track the SCAN (linear), not the
+        # distinct-token count (the replica suffixes grow it 10×)
+        "heavy_hitters": lambda: _heavy_hitters(docs),
     }
+
+
+def _heavy_hitters(docs: DataFrame) -> DataFrame:
+    from faisssearcher_spark.functions.text import tokens
+    from faisssearcher_spark.operators.sketches import heavy_hitters
+
+    toks = docs.select(F.explode_outer(tokens("text")).alias("tok")) \
+        .filter(F.col("tok").isNotNull())
+    return heavy_hitters(toks, "tok", k=20)
 
 
 def _bm25_fit_search(docs: DataFrame) -> DataFrame:
