@@ -78,3 +78,41 @@ def write_bucketed(df: DataFrame, table: str, *, bucket_col: str,
 
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def skew_report(df: DataFrame, key_col: str, *, top: int = 10) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key: row/key
+    counts, per-key count quantiles, the max/avg ratio (the "how much
+    bigger is the hottest task" number), and the ``top`` hottest keys as
+    an array of (key, cnt) structs.
+
+    The decision input for this module's levers: skew_ratio ≈ 1 → plain
+    join/agg is fine; large ratio with a few hot keys → salt them
+    (:func:`salted_join`) or let AQE split, and consider whether the hot
+    keys are junk (empty strings, nulls, boilerplate) to filter instead.
+
+    Cost: one groupBy(key) count (map-side combined) + one tiny agg over
+    the per-key counts — the diagnosis never touches payload columns.
+    """
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count("*").alias("cnt")))
+    summary = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.avg("cnt"), 2).alias("avg_key_rows"),
+        F.expr("percentile_approx(cnt, array(0.5, 0.9, 0.99))")
+        .alias("p50_p90_p99"),
+        F.round(F.max("cnt") / F.avg("cnt"), 2).alias("skew_ratio"))
+    # top keys from a TakeOrdered limit (never collect_list over the full
+    # key space — that would itself be the skew hazard), then folded into
+    # one array row and attached via a 1-row × 1-row cross join
+    hot = (counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+           .limit(top)
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct(
+                   (-F.col("cnt")).alias("neg"), "key", "cnt"))),
+               lambda s: F.struct(s["key"].alias("key"),
+                                  s["cnt"].alias("cnt")))
+               .alias("top_keys")))
+    return summary.crossJoin(hot)

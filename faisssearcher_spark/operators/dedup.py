@@ -59,6 +59,62 @@ def dedup_exact(df: DataFrame, key_cols: Sequence[str], *,
 # n-gram Jaccard (inverted-index join — the exact near-dup baseline)
 # ---------------------------------------------------------------------------
 
+def _pair_common_counts(exploded: DataFrame) -> DataFrame:
+    """Inverted-index pair kernel shared by the Jaccard and containment
+    joins: self-equi-join the ``(id, n_sh, s)`` posting list on the
+    shingle (shuffle_hash — the exploded side's static estimate would
+    otherwise broadcast it), count common shingles per ``id_a < id_b``
+    pair, carry both set sizes through the grouping keys."""
+    exploded = exploded.hint("shuffle_hash")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+def ngram_containment_join(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           threshold: float = 0.8) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: one document's shingle set largely
+    contained in the other's — ``max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold``.
+
+    Jaccard misses subset duplication by construction (a paragraph
+    quoted inside a 100× longer document has |A∩B|/|A∪B| ≈ 1%, but
+    containment 100%); this is the GPT-3/decontamination notion of
+    overlap applied within a corpus — quotes, mirrored excerpts,
+    documents embedded in aggregator pages.
+
+    Same inverted-index plan as :func:`ngram_jaccard_join` (docs sharing
+    no shingle never meet; posting list shuffles by shingle, never
+    broadcasts). Returns ``(id_a, id_b, containment_a_in_b,
+    containment_b_in_a, jaccard)`` with ``id_a < id_b``; the filter keeps
+    pairs where EITHER direction clears the threshold.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.word_ngrams(text_col, n)).alias("sh"))
+    exploded = (shingled.select(
+        "id", F.coalesce(F.size("sh"), F.lit(-1)).alias("n_sh"),
+        F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull()))
+    common = _pair_common_counts(exploded)
+    c_ab = F.col("n_common") / F.col("n_a")
+    c_ba = F.col("n_common") / F.col("n_b")
+    return (common
+            .withColumn("containment_a_in_b", c_ab)
+            .withColumn("containment_b_in_a", c_ba)
+            .withColumn("jaccard",
+                        F.col("n_common")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.greatest("containment_a_in_b", "containment_b_in_a")
+                    >= threshold)
+            .select("id_a", "id_b", "containment_a_in_b",
+                    "containment_b_in_a", "jaccard"))
+
+
 def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.5,
@@ -126,14 +182,7 @@ def ngram_jaccard_join(df: DataFrame, *, id_col: str = "doc_id",
         # broadcasting it — a driver collect + hash build of the whole
         # posting list (measured 40% of query time). A shuffled hash join
         # keyed by shingle is the scale-correct physical plan at any size.
-        exploded = _exploded().hint("shuffle_hash")
-        a, b = exploded.alias("a"), exploded.alias("b")
-        common = (
-            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
-            .agg(F.count("*").alias("n_common"))
-        )
+        common = _pair_common_counts(_exploded())
         return (
             common
             .withColumn("jaccard",

@@ -82,3 +82,26 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_orders_b")
             spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+class TestSkewReport:
+    def test_report_on_skewed_frame(self, spark):
+        from faisssearcher_spark.operators.balance import skew_report
+        rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string")
+        r = skew_report(df, "k", top=3).first()
+        assert r["n_rows"] == 100
+        assert r["n_keys"] == 11
+        assert r["max_key_rows"] == 90
+        assert float(r["skew_ratio"]) == pytest.approx(90 / (100 / 11),
+                                                       rel=0.01)
+        top = [(t["key"], t["cnt"]) for t in r["top_keys"]]
+        assert top[0] == ("hot", 90)
+        assert len(top) == 3 and all(c == 1 for _, c in top[1:])
+
+    def test_uniform_frame_ratio_near_one(self, spark):
+        from faisssearcher_spark.operators.balance import skew_report
+        df = spark.createDataFrame([(i % 8,) for i in range(80)], "k int")
+        r = skew_report(df, "k").first()
+        assert float(r["skew_ratio"]) == pytest.approx(1.0)
+        assert r["p50_p90_p99"] == [10, 10, 10]

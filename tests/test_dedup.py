@@ -318,3 +318,44 @@ class TestPrefixFilter:
         assert out.count() == 0
         with pytest.raises(ValueError, match="empty"):
             dedup.embedding_cosine_pairs(emb, threshold=0.5, strategy="lsh")
+
+
+class TestContainmentJoin:
+    """Asymmetric containment pairs (dedup.ngram_containment_join):
+    subset duplication that Jaccard structurally misses."""
+
+    @pytest.fixture(scope="class")
+    def quoted(self, spark):
+        quote = "alpha beta gamma delta epsilon zeta"
+        host = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+        other = " ".join(f"q{i} r{i} s{i}" for i in range(12))
+        return spark.createDataFrame(
+            [(0, quote), (1, host), (2, other)],
+            "doc_id long, text string")
+
+    def test_quote_fully_contained(self, quoted):
+        out = {(r["id_a"], r["id_b"]): r for r in
+               dedup.ngram_containment_join(
+                   quoted, n=3, threshold=0.9).collect()}
+        assert (0, 1) in out
+        r = out[(0, 1)]
+        assert r["containment_a_in_b"] == pytest.approx(1.0)
+        assert r["containment_b_in_a"] < 0.1
+        assert r["jaccard"] < 0.1        # jaccard would have missed it
+        assert (0, 2) not in out and (1, 2) not in out
+
+    def test_agrees_with_jaccard_on_symmetric_dups(self, docs_with_dups):
+        """For threshold-1 exact dups the containment pair set must
+        include every jaccard-1 pair."""
+        jac = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_join(
+            docs_with_dups, n=3, threshold=0.999).collect()}
+        con = {(r["id_a"], r["id_b"]) for r in dedup.ngram_containment_join(
+            docs_with_dups, n=3, threshold=0.999).collect()}
+        assert jac <= con
+
+    def test_no_broadcast_of_posting_list(self, quoted):
+        from faisssearcher_spark.plans import inspect
+        plan = inspect.executed_plan(
+            dedup.ngram_containment_join(quoted, n=3))
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
