@@ -89,6 +89,9 @@ class WordVecEncoder:
                            F.col(vec_col).cast("array<double>").alias("__wv"))
             .groupBy("__tok").agg(F.min(F.struct("__wv")).alias("__s"))
             .select("__tok", F.col("__s.__wv").alias("__wv")))
+        # save() must persist the PRE-SIF weights: saving the folded
+        # vectors and reloading with mode='sif' would apply a/(a+p) twice
+        self._raw_weights = self._weights
         if mode == "sif":
             # fold a/(a+p) into the vectors once; duplicate prob rows
             # dedup by min so the join can never fan out
@@ -141,9 +144,12 @@ class WordVecEncoder:
         return cls(weights, **kwargs)
 
     def save(self, path: str) -> None:
-        (self._weights.select(F.col("__tok").alias("token"),
-                              F.col("__wv").cast("array<float>")
-                              .alias("vector"))
+        """Write the RAW (pre-SIF) deduplicated weights — a table that
+        reconstructs this encoder through ``load(..., mode=self.mode,
+        sif_probs=...)`` without double-applying the SIF fold."""
+        (self._raw_weights.select(F.col("__tok").alias("token"),
+                                  F.col("__wv").cast("array<float>")
+                                  .alias("vector"))
          .write.mode("overwrite").parquet(path))
 
     # -- the scalable path: encode as a relational plan --------------------
@@ -294,5 +300,7 @@ def _rebuild_wordvec(vocab: dict, dim: int, mode: str) -> "WordVecEncoder":
     enc.mode = mode
     enc.max_driver_vocab = len(vocab)
     enc._vocab = vocab
-    enc._weights = None  # executor copies never touch the DataFrame path
+    # executor copies never touch the DataFrame path
+    enc._weights = None
+    enc._raw_weights = None
     return enc

@@ -34,28 +34,38 @@ def corpus_diff(old: DataFrame, new: DataFrame, *, key_col: str = "doc_id",
     ``fingerprint_col`` names a precomputed fingerprint column (reuse
     `functions.text.fingerprint` / `normalize_text` hashes when
     whitespace-insensitive comparison is wanted); by default the md5 of
-    the raw text stands in. Keys must be unique per snapshot — duplicate
-    keys make "the" fingerprint of a key ambiguous — and are validated
-    with a cheap count-vs-distinct guard (one aggregate per side, far
-    cheaper than a wrong diff).
+    the raw text stands in. NULL fingerprints coalesce to a sentinel on
+    both sides — a null fingerprint must mean "present with null
+    content", never "absent" (status 'added'/'removed' is decided by key
+    presence alone). Keys must be unique per snapshot — duplicate keys
+    make "the" fingerprint of a key ambiguous — enforced LAZILY inside
+    the plan (a per-key count rides the aggregation each side already
+    needs; a duplicate key raises at execution time, so building the
+    frame stays side-effect-free and each snapshot is scanned once).
 
-    Plan: project to (key, fp) on both sides, one full-outer shuffle
-    join on the key, a CASE over null-ness. AQE handles skew; nothing
-    document-sized moves.
+    Plan: project to (key, fp), one hash aggregate per side (the
+    duplicate guard), one full-outer shuffle join on the key, a CASE
+    over null-ness. AQE handles skew; nothing document-sized moves.
     """
     fp = (F.col(fingerprint_col) if fingerprint_col is not None
           else _fp(text_col))
-    o = old.select(F.col(key_col).alias("key"), fp.alias("old_fp"))
-    n = new.select(F.col(key_col).alias("key"), fp.alias("new_fp"))
-    for side, frame in (("old", o), ("new", n)):
-        row = frame.agg(
-            F.count("key").alias("n"),
-            F.count_distinct(F.col("key")).alias("d")).first()
-        if row["n"] != row["d"]:
-            raise ValueError(
-                f"{side} snapshot has {row['n'] - row['d']} duplicate "
-                f"{key_col!r} keys — fingerprints would be ambiguous; "
-                f"dedup first (operators/dedup.dedup_exact)")
+    fp = F.coalesce(fp.cast("string"), F.lit("\x00null-fp"))
+
+    def _side(df: DataFrame, side: str, out: str) -> DataFrame:
+        dup_msg = F.concat(
+            F.lit(f"corpus_diff: duplicate {key_col!r} key in the {side} "
+                  f"snapshot (key="), F.col("key").cast("string"),
+            F.lit(") — fingerprints would be ambiguous; dedup first "
+                  "(operators/dedup.dedup_exact)"))
+        return (df.select(F.col(key_col).alias("key"), fp.alias(out))
+                .groupBy("key")
+                .agg(F.count("*").alias("__n"), F.min(out).alias(out))
+                .select("key",
+                        F.when(F.col("__n") > 1, F.raise_error(dup_msg))
+                        .otherwise(F.col(out)).alias(out)))
+
+    o = _side(old, "old", "old_fp")
+    n = _side(new, "new", "new_fp")
     joined = o.join(n, "key", "full_outer")
     status = (F.when(F.col("old_fp").isNull(), "added")
               .when(F.col("new_fp").isNull(), "removed")

@@ -81,14 +81,20 @@ def unique(col: str) -> Constraint:
 
 
 def in_range(col: str, lo: float | None, hi: float | None) -> Constraint:
+    """Every NON-NULL value within bounds — nulls are not range
+    violations (they are `not_null`'s job; the same null exemption
+    `matches`/`accepted_values` apply, so a null is never counted
+    twice across constraints)."""
     if lo is None and hi is None:
         raise ValueError("in_range needs at least one bound")
-    cond = F.lit(True)
+    cond = F.col(col).isNull()
+    bounds = F.lit(True)
     if lo is not None:
-        cond = cond & (F.col(col) >= lo)
+        bounds = bounds & (F.col(col) >= lo)
     if hi is not None:
-        cond = cond & (F.col(col) <= hi)
-    return Constraint("in_range", col, _violations(cond).cast("double"),
+        bounds = bounds & (F.col(col) <= hi)
+    return Constraint("in_range", col,
+                      _violations(cond | bounds).cast("double"),
                       F.col("observed") == 0)
 
 

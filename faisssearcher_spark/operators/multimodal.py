@@ -276,6 +276,10 @@ def dhash_int(payload: bytes, *, decoder: str = "native",
     packed row-major MSB-first. Near-duplicate images (re-encodes, small
     crops, brightness shifts) land within a few bits; unrelated images are
     ~32 bits apart (the classic image-dedup fingerprint)."""
+    if not 1 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [1, 8] ({hash_size * hash_size} bits "
+            f"must fit the signed-64 LongType fingerprint)")
     small = _block_mean_resize(_decode_gray(payload, decoder),
                                hash_size, hash_size + 1)
     bits = (small[:, 1:] > small[:, :-1]).ravel()
@@ -303,6 +307,10 @@ def perceptual_hash(df: DataFrame, *, decoder: str = "native",
     """
     if decoder not in ("real", "fake", "native"):
         raise ValueError("decoder must be 'real', 'fake', or 'native'")
+    if not 1 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [1, 8] ({hash_size * hash_size} bits "
+            f"must fit the signed-64 LongType fingerprint)")
     if decoder == "real" and not pillow_available():
         raise NotImplementedError(
             "decoder='real' requires Pillow; use decoder='native' for "

@@ -122,7 +122,7 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str | Column, *,
     be distinct (the typical input is a top-k candidate list); duplicate
     rows collapse through the per-item group-by.
     """
-    for reserved in ("__cms_row", "__cms_bucket", out_col):
+    for reserved in ("__cms_row", "__cms_bucket", "__cms_probe", out_col):
         if reserved in items.columns:
             raise ValueError(f"items already has a column named {reserved!r}")
     c = F.col(col) if isinstance(col, str) else col
@@ -171,9 +171,12 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 20,
     Zipf-like skew (a global heavy hitter is locally heavy somewhere);
     an adversarially uniform spread can hide a marginal top-k item, so
     ``exact=True`` falls back to the plain full ``groupBy`` when the key
-    space is known to fit.
+    space is known to fit. NULL values are excluded on BOTH paths (the
+    pandas candidate scan drops NaN, so counting nulls only on the exact
+    path would make the two contracts disagree).
     """
-    vals = df.select(F.col(col).cast("string").alias("item"))
+    vals = (df.select(F.col(col).cast("string").alias("item"))
+            .filter(F.col("item").isNotNull()))
     if exact:
         return (vals.groupBy("item")
                 .agg(F.count("*").alias("freq"))

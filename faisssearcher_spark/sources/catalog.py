@@ -55,7 +55,11 @@ def _events_ts_kind(path: str) -> str:
         dset = ds.dataset(path, format="parquet")
         frag = next(iter(dset.get_fragments()), None)
         if frag is not None:
-            pqs = pq.read_metadata(frag.path).schema
+            # frag.metadata goes through the dataset's own filesystem —
+            # pq.read_metadata(frag.path) would treat an s3://… key as a
+            # local path and throw, collapsing remote MICROS files into
+            # the nanos fallback
+            pqs = frag.metadata.schema
             for i in range(len(pqs)):
                 col = pqs.column(i)
                 if col.name == "ts" and col.physical_type == "INT96":

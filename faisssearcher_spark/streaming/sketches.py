@@ -60,7 +60,20 @@ def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
     group_cols = list(group_cols)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
+        if batch_id == 0:
+            # batch 0 means a fresh (or reset) checkpoint: every input
+            # file will be re-delivered, so any surviving epoch dirs are
+            # STALE state from a previous run — keeping them would let
+            # read_sketch_state return old data (a reset run can write
+            # fewer, lower-numbered epochs) and would double-count on
+            # merge. Truncate; the guarantee is "state matches THIS
+            # checkpoint's delivered input".
+            for e in _epochs(state_dir):
+                shutil.rmtree(os.path.join(state_dir, f"epoch={e}"),
+                              ignore_errors=True)
         new = hll_sketches(batch_df, group_cols, value_col, lg_k=lg_k)
         prior = [e for e in _epochs(state_dir) if e < batch_id]
         if prior:

@@ -35,12 +35,27 @@ class TestCorpusDiff:
         assert s == {"added": 1, "removed": 1, "changed": 1,
                      "unchanged": 1}
 
-    def test_duplicate_keys_rejected(self, spark, snapshots):
+    def test_duplicate_keys_rejected_lazily(self, spark, snapshots):
+        """The guard is part of the plan (no eager jobs at build time):
+        building the frame succeeds, executing it raises."""
         _, new = snapshots
         dup = spark.createDataFrame([(1, "a"), (1, "b")],
                                     "doc_id long, text string")
-        with pytest.raises(ValueError, match="duplicate"):
-            corpus_diff(dup, new)
+        diff = corpus_diff(dup, new)     # must not launch any job
+        with pytest.raises(Exception, match="duplicate"):
+            diff.collect()
+
+    def test_null_precomputed_fingerprint_both_sides(self, spark):
+        """A NULL fingerprint means 'present with null content' — the
+        key never left, so both-null must be unchanged, null→value
+        changed (not added)."""
+        old = spark.createDataFrame([(1, None), (2, None)],
+                                    "doc_id long, fp string")
+        new = spark.createDataFrame([(1, None), (2, "now set")],
+                                    "doc_id long, fp string")
+        got = {r["key"]: r["status"] for r in
+               corpus_diff(old, new, fingerprint_col="fp").collect()}
+        assert got == {1: "unchanged", 2: "changed"}
 
     def test_precomputed_fingerprint_column(self, spark):
         """Whitespace-insensitive diff via a normalized fingerprint."""

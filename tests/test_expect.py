@@ -97,3 +97,16 @@ class TestConstraints:
             expect.matches("lang", r"^[a-z]{2}$"),
         ])
         assert report.filter("NOT passed").count() == 0
+
+
+class TestNullSemantics:
+    def test_in_range_ignores_nulls(self, spark):
+        """Nulls are not range violations (they are not_null's job) —
+        consistent with matches/accepted_values."""
+        df = spark.createDataFrame([(10,), (20,), (None,)], "n int")
+        rep = {r["constraint"]: (r["passed"], r["observed"])
+               for r in expect.check(df, [
+                   expect.in_range("n", 0, 100),
+                   expect.not_null("n")]).collect()}
+        assert rep["in_range"] == (True, 0.0)
+        assert rep["not_null"] == (False, 1.0)

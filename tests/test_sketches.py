@@ -136,3 +136,23 @@ class TestHeavyHitters:
         df = spark.createDataFrame([(1,)] * 9 + [(2,)] * 3, "v int")
         out = sketches.heavy_hitters(df, "v", k=1).collect()
         assert (out[0]["item"], out[0]["freq"]) == ("1", 9)
+
+
+class TestReviewRegressions:
+    def test_heavy_hitters_null_semantics_agree(self, spark):
+        """NULLs are excluded on BOTH paths (review finding: exact
+        groupBy kept the null group while the fast path dropped it)."""
+        rows = [(None,)] * 9 + [("a",)] * 3 + [("b",)]
+        df = spark.createDataFrame(rows, "v string")
+        fast = sketches.heavy_hitters(df, "v", k=1).collect()
+        exact = sketches.heavy_hitters(df, "v", k=1, exact=True).collect()
+        assert [(r["item"], r["freq"]) for r in fast] \
+            == [(r["item"], r["freq"]) for r in exact] == [("a", 3)]
+
+    def test_cms_probe_column_reserved(self, spark):
+        cms = sketches.cms_table(
+            spark.createDataFrame([("x",)], "w string"), "w")
+        bad = spark.createDataFrame([("x", 1)],
+                                    "w string, __cms_probe int")
+        with pytest.raises(ValueError, match="__cms_probe"):
+            sketches.cms_lookup(cms, bad, "w")

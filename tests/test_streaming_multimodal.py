@@ -640,3 +640,13 @@ class TestPerceptualHash:
             pytest.skip("Pillow present; gate does not trigger")
         with pytest.raises(NotImplementedError, match="Pillow"):
             multimodal.perceptual_hash(assets, decoder="real")
+
+
+class TestPerceptualHashValidation:
+    def test_hash_size_bounded_at_plan_build(self, spark, assets):
+        with pytest.raises(ValueError, match=r"\[1, 8\]"):
+            multimodal.perceptual_hash(assets, decoder="fake",
+                                       hash_size=16)
+        with pytest.raises(ValueError, match=r"\[1, 8\]"):
+            multimodal.dhash_int(b"P6\n4 4\n255\n" + bytes(48),
+                                 hash_size=9)

@@ -77,3 +77,33 @@ class TestHllSketchSink:
         with pytest.raises(ValueError, match="non-empty"):
             hll_sketch_sink(stream, group_cols=[], value_col="user_id",
                             state_dir="/tmp/x", checkpoint_dir="/tmp/y")
+
+
+class TestStaleStateTruncation:
+    def test_reset_checkpoint_truncates_old_epochs(self, spark,
+                                                   multi_file_events,
+                                                   tmp_path_factory):
+        """A reset checkpoint re-delivers everything as new epochs; stale
+        higher-numbered epoch dirs from the previous run must not
+        survive to be returned by read_sketch_state (review finding)."""
+        import os
+        import shutil
+
+        base = tmp_path_factory.mktemp("hll_stale")
+        state, ckpt = str(base / "state"), str(base / "ckpt")
+        _run(spark, multi_file_events, state, ckpt)   # epochs 0..3
+        assert len([d for d in os.listdir(state)
+                    if d.startswith("epoch=")]) >= 2
+        shutil.rmtree(ckpt)
+        # re-run WITHOUT a trigger cap: everything arrives as batch 0
+        stream = sev.read_events_stream(spark, multi_file_events)
+        q = hll_sketch_sink(stream, group_cols=["event_type"],
+                            value_col="user_id", state_dir=state,
+                            checkpoint_dir=ckpt)
+        q.awaitTermination()
+        epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+        assert epochs == ["epoch=0"]    # stale 1..3 truncated
+        est = {r["event_type"]: r["n_distinct_approx"] for r in
+               sketches.hll_rollup(read_sketch_state(spark, state),
+                                   ["event_type"]).collect()}
+        assert len(est) == 5 and all(v > 0 for v in est.values())

@@ -201,3 +201,24 @@ class TestComponentRemoval:
                                    "id long, embedding array<float>")
         with pytest.raises(ValueError, match="non-zero"):
             remove_component(df, [0.0, 0.0])
+
+
+class TestSifPersistence:
+    def test_save_load_roundtrip_no_double_weighting(self, weights_df,
+                                                     spark, tmp_path_factory):
+        """save() must persist PRE-SIF weights: reloading with
+        mode='sif' re-applies a/(a+p) exactly once (review finding —
+        saving the folded vectors would square the weights)."""
+        corpus = spark.createDataFrame(
+            [(0, "apple apple pie"), (1, "apple spark")],
+            "doc_id long, text string")
+        probs = WordVecEncoder.fit_sif_probs(corpus)
+        enc = WordVecEncoder.from_dataframe(
+            weights_df, mode="sif", sif_probs=probs, sif_a=0.01)
+        path = str(tmp_path_factory.mktemp("sifenc") / "w")
+        enc.save(path)
+        reloaded = WordVecEncoder.load(spark, path, mode="sif",
+                                       sif_probs=probs, sif_a=0.01)
+        a = enc.encode(["apple spark pie"])
+        b = reloaded.encode(["apple spark pie"])
+        assert a == pytest.approx(b, rel=1e-6)
