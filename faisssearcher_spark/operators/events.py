@@ -97,3 +97,52 @@ def sessionize_native(events: DataFrame, *, user_col: str = "user_id",
                  F.date_format(F.max(ts_col),
                                "yyyy-MM-dd HH:mm:ss").alias("session_end"))
             .drop("__w"))
+
+
+def resample_fill_forward(events: DataFrame, *, key_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          step_s: int = 3600, agg: str = "avg",
+                          out_col: str = "value") -> DataFrame:
+    """Regularize an irregular event stream onto a fixed time grid with
+    forward-fill — the standard prep for feature windows and charting:
+    one row per (key, step) from the key's first to last event, carrying
+    the step's aggregate when events landed in it, else the most recent
+    earlier value.
+
+    Plan (three shuffles, all on the key): per-(key, bucket) aggregate
+    (map-side combined), per-key span → ``sequence`` explode builds the
+    dense grid (span/step rows per key — bound the step to the span you
+    actually need), left join of grid to aggregates (co-located: both
+    sides hash by the same key), and one ordered window whose
+    ``last(value, ignorenulls=True)`` implements the fill. The first
+    grid row per key always has data (the grid starts at the first
+    event's bucket), so forward-fill never emits leading nulls.
+    """
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    allowed = {"avg", "sum", "min", "max", "count", "last"}
+    if agg not in allowed:
+        raise ValueError(f"agg must be one of {sorted(allowed)}")
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    bucket = (F.floor(t / step_s) * step_s).cast("long")
+    with_bucket = events.withColumn("__bucket", bucket)
+    if agg == "count":
+        agg_expr = F.count("*")
+    elif agg == "last":
+        agg_expr = F.max_by(F.col(value_col), F.col(ts_col))
+    else:
+        agg_expr = getattr(F, agg)(F.col(value_col))
+    binned = (with_bucket.groupBy(F.col(key_col).alias("key"), "__bucket")
+              .agg(agg_expr.alias("__v")))
+    spans = binned.groupBy("key").agg(F.min("__bucket").alias("__b0"),
+                                      F.max("__bucket").alias("__b1"))
+    grid = spans.select(
+        "key", F.explode(F.sequence("__b0", "__b1",
+                                    F.lit(step_s).cast("long")))
+        .alias("__bucket"))
+    w = (Window.partitionBy("key").orderBy("__bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(binned, ["key", "__bucket"], "left")
+            .select(F.col("key").alias(key_col),
+                    F.timestamp_seconds("__bucket").alias("bucket_ts"),
+                    F.last("__v", ignorenulls=True).over(w).alias(out_col)))

@@ -77,3 +77,57 @@ def redact_pii(df: DataFrame, *, text_col: str = "text",
     if with_counts:
         proj += counts
     return df.select(*proj)
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: "list[str]", *,
+                       k: int = 5) -> DataFrame:
+    """k-anonymity check over a quasi-identifier combination: one row —
+    ``(k, n_rows, n_groups, min_group_size, n_violating_groups,
+    n_violating_rows, is_k_anonymous)``.
+
+    A release is k-anonymous when every quasi-identifier combination
+    (e.g. zip × birth-year × gender) matches at least ``k`` rows —
+    below that, rows are re-identifiable by joining public data. The
+    check is one groupBy over the quasi columns plus one tiny aggregate
+    of the group sizes (map-side combined; payload columns never read).
+
+    Use together with :func:`redact_pii`: redaction scrubs direct
+    identifiers, this measures the *indirect* identifier risk that
+    remains.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.lit(k).alias("k"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("n").alias("min_group_size"),
+        F.coalesce(F.sum(F.when(F.col("n") < k, 1).otherwise(0)),
+                   F.lit(0)).alias("n_violating_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)),
+                   F.lit(0)).alias("n_violating_rows"),
+        F.coalesce(F.min("n") >= k, F.lit(True)).alias("is_k_anonymous"))
+
+
+def suppress_below_k(df: DataFrame, quasi_cols: "list[str]", *,
+                     k: int = 5) -> DataFrame:
+    """Drop every row whose quasi-identifier combination matches fewer
+    than ``k`` rows — the suppression route to k-anonymity (the
+    alternative, generalization, is a domain decision: bucket the quasi
+    columns first — e.g. ``F.floor(age/10)``, zip prefixes — then
+    suppress what still violates).
+
+    Plan: group sizes per combination, broadcast-free semi join back on
+    the quasi columns (both sides shuffle by the same key — co-located),
+    filter ``n ≥ k``.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    sizes = (df.groupBy(*quasi_cols).agg(F.count("*").alias("__kn"))
+             .filter(F.col("__kn") >= k).drop("__kn"))
+    return df.join(sizes, quasi_cols, "left_semi")
