@@ -161,3 +161,26 @@ def load_csv(spark: SparkSession, path: str, *, schema=None,
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def load_orc(spark: SparkSession, path: str, *, schema=None) -> DataFrame:
+    """ORC corpus reader — the other columnar format warehouse exports
+    arrive in (Hive/Trino default). Spark's native ORC reader gives the
+    same scan-side machinery as parquet: column pruning, predicate
+    pushdown to stripe/row-group statistics (`PushedFilters` in the
+    plan), and vectorized decoding — so ORC corpora can be queried
+    in place rather than converted first. An explicit ``schema`` skips
+    the footer-inference pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
+              compression: str = "zstd") -> None:
+    """ORC writer for interchange with Hive/Trino consumers. zstd
+    compression by default (the modern size/speed tradeoff); use
+    ``df.write.parquet`` for corpora this engine will re-read — the
+    catalog and every oracle run on parquet."""
+    df.write.mode(mode).option("compression", compression).orc(path)

@@ -52,3 +52,36 @@ class TestCorpusReaders:
         back = catalog.load_jsonl(spark, path)
         assert back.count() == 20
         assert {"doc_id", "text", "lang"} <= set(back.columns)
+
+
+class TestOrc:
+    def test_roundtrip_and_pushdown(self, spark, sf_dir, tmp_path_factory):
+        from faisssearcher_spark.plans import inspect
+        from faisssearcher_spark.sources.catalog import (load_orc,
+                                                         load_table,
+                                                         write_orc)
+        docs = load_table(spark, sf_dir, "documents")
+        path = str(tmp_path_factory.mktemp("orc") / "documents")
+        write_orc(docs, path)
+        back = load_orc(spark, path)
+        assert back.count() == docs.count()
+        assert set(back.columns) == set(docs.columns)
+        # predicate pushdown reaches the ORC scan
+        plan = inspect.executed_plan(
+            back.filter(F.col("lang") == "en").select("doc_id"))
+        assert "PushedFilters" in plan and "lang" in plan
+        # column pruning: the scan reads only what the query needs
+        assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+    def test_explicit_schema_skips_inference(self, spark, sf_dir,
+                                             tmp_path_factory):
+        from faisssearcher_spark.sources.catalog import (load_orc,
+                                                         load_table,
+                                                         write_orc)
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        path = str(tmp_path_factory.mktemp("orc2") / "events")
+        write_orc(ev, path)
+        back = load_orc(spark, path,
+                        schema="event_id long, value double")
+        assert back.schema.simpleString() == \
+            "struct<event_id:bigint,value:double>"
