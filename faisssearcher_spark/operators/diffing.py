@@ -78,3 +78,61 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """Status counts — one aggregate over the diff frame."""
     return (diff.groupBy("status").agg(F.count("*").alias("n"))
             .orderBy("status"))
+
+
+def drift_report(old: DataFrame, new: DataFrame, cols: "list[str]", *,
+                 buckets: int = 10) -> DataFrame:
+    """Population Stability Index per numeric column — the standard
+    "did the refresh change the data's SHAPE" drift metric between two
+    snapshot versions (PSI < 0.1 stable; 0.1–0.25 moderate; > 0.25 the
+    distribution moved).
+
+    Method: bucket edges are the OLD snapshot's ``buckets``-quantiles
+    (one approxQuantile sketch pass, driver receives only the edges);
+    both snapshots then count rows per fixed bucket (one aggregate
+    each, map-side combined), and PSI = Σ (p_new − p_old)·ln(p_new/p_old)
+    over buckets, with the usual 1e-6 floor so empty buckets do not
+    produce infinities. Returns one row per column:
+    ``(column, psi, n_old, n_new)``.
+
+    Only bucket counts ever reach the driver — O(cols × buckets)
+    numbers regardless of snapshot size. NULLs are excluded from both
+    distributions (report them via expect.completeness instead).
+    """
+    import math
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    qs = [i / buckets for i in range(1, buckets)]
+    edges_by_col = {
+        c: old.select(F.col(c).cast("double").alias("v"))
+              .na.drop().approxQuantile("v", qs, 0.001)
+        for c in cols}
+
+    def _fractions(df: DataFrame, c: str, edges: "list[float]"):
+        v = F.col(c).cast("double")
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(v > e, i + 1).otherwise(b)
+        counts = (df.filter(v.isNotNull())
+                  .groupBy(b.alias("bucket"))
+                  .agg(F.count("*").alias("n")).collect())
+        total = sum(r["n"] for r in counts)
+        frac = [0.0] * (len(edges) + 1)
+        for r in counts:
+            frac[r["bucket"]] = r["n"] / total if total else 0.0
+        return frac, total
+
+    rows = []
+    for c in cols:
+        edges = edges_by_col[c]
+        po, n_old = _fractions(old, c, edges)
+        pn, n_new = _fractions(new, c, edges)
+        psi = sum((b - a) * math.log(max(b, 1e-6) / max(a, 1e-6))
+                  for a, b in zip(po, pn))
+        rows.append((c, round(psi, 6), n_old, n_new))
+    spark = old.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, psi double, n_old long, n_new long")

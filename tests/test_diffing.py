@@ -132,3 +132,41 @@ class TestRollingWindowAgg:
             temporal.rolling_window_agg(df, key_col="uid", ts_col="ts",
                                         value_col="v", window_s=10,
                                         aggs=("median",))
+
+
+class TestDriftReport:
+    def test_identical_distributions_near_zero(self, spark):
+        from faisssearcher_spark.operators.diffing import drift_report
+        import numpy as np
+        rng = np.random.default_rng(0)
+        vals = rng.normal(50, 10, 4000)
+        old = spark.createDataFrame([(float(v),) for v in vals[:2000]],
+                                    "x double")
+        new = spark.createDataFrame([(float(v),) for v in vals[2000:]],
+                                    "x double")
+        r = drift_report(old, new, ["x"]).first()
+        assert r["psi"] < 0.05
+        assert r["n_old"] == 2000 and r["n_new"] == 2000
+
+    def test_shifted_distribution_flags(self, spark):
+        from faisssearcher_spark.operators.diffing import drift_report
+        import numpy as np
+        rng = np.random.default_rng(1)
+        old = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(50, 10, 2000)], "x double")
+        new = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(70, 10, 2000)], "x double")
+        r = drift_report(old, new, ["x"]).first()
+        assert r["psi"] > 0.25      # a two-sigma mean shift is major drift
+
+    def test_nulls_excluded_and_validation(self, spark):
+        from faisssearcher_spark.operators.diffing import drift_report
+        import pytest as _pt
+        old = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+        new = spark.createDataFrame([(1.0,), (None,), (None,)], "x double")
+        r = drift_report(old, new, ["x"], buckets=2).first()
+        assert (r["n_old"], r["n_new"]) == (2, 1)
+        with _pt.raises(ValueError, match="non-empty"):
+            drift_report(old, new, [])
+        with _pt.raises(ValueError, match=">= 2"):
+            drift_report(old, new, ["x"], buckets=1)
