@@ -3,11 +3,11 @@ from faisssearcher_spark.operators import (balance, bloom, bm25, bpe,
                                            classifier,
                                            curate,
                                            decontam, dedup, diffing, expect, layout,
-                                           privacy,
+                                           privacy, projection,
                                            sampling, sketches,
                                            temporal,
                                            text_analysis)
 
 __all__ = ["knn_join", "cal_sim", "balance", "bloom", "bm25", "bpe", "classifier", "curate",
-           "decontam", "dedup", "diffing", "expect", "layout", "privacy", "sampling", "sketches", "temporal",
+           "decontam", "dedup", "diffing", "expect", "layout", "privacy", "projection", "sampling", "sketches", "temporal",
            "text_analysis"]

@@ -588,9 +588,20 @@ class PQIndex:
                query_item_col: str = "query_id",
                query_vec_col: str = "embedding",
                keep_rank_no: bool = True,
-               payload_cols: Sequence[str] | None = None) -> DataFrame:
+               payload_cols: Sequence[str] | None = None,
+               refine_factor: int | None = None) -> DataFrame:
+        """ADC top-k search. ``refine_factor`` enables the FAISS
+        ``IndexRefineFlat`` pattern: the quantized scan shortlists
+        ``k × refine_factor`` candidates per query (per shard), which
+        are then EXACTLY re-scored against the stored float vectors —
+        a candidate-sized join + pure-Catalyst metric, so the exact
+        pass touches ~k·factor vectors per query instead of the corpus.
+        Recovers most of the recall PQ loses for a few percent extra
+        cost; final ranking/scores are exact for the survivors."""
         if self._items is None:
             raise RuntimeError("PQIndex is not fit; call fit() first")
+        if refine_factor is not None and refine_factor < 1:
+            raise ValueError("refine_factor must be >= 1")
         from faisssearcher_spark.operators.knn import _merge_candidates
 
         q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
@@ -621,7 +632,8 @@ class PQIndex:
         b_lut = spark.sparkContext.broadcast(lut)
         b_qid = spark.sparkContext.broadcast(
             q_pdf[query_item_col].to_numpy())
-        kk, hi, item_key = k, higher, self._item_key
+        kk = k * refine_factor if refine_factor else k
+        hi, item_key = higher, self._item_key
 
         def _local(batches):
             tbl = b_lut.value
@@ -654,6 +666,25 @@ class PQIndex:
                        "sim_val double")
         cand = self._items.select(self._item_key, "__codes").mapInPandas(
             _local, cand_schema)
+        if refine_factor and refine_factor > 1:
+            from faisssearcher_spark.functions.metrics import resolve_metric
+
+            fn, _ = resolve_metric(self.metric)
+            item_vecs = self._items.select(
+                F.col(self._item_key).alias("sim_item"),
+                F.col(self._vec_col).alias("__ivec"))
+            qvecs = queries.select(
+                F.col(query_item_col).alias("source_item"),
+                F.col(query_vec_col).alias("__qvec"))
+            # exact re-score of the shortlist: candidate-sized equi-join
+            # back to the stored vectors (the corpus never rescans) +
+            # broadcast query vectors + the pure-Catalyst metric
+            cand = (cand.select("source_item", "sim_item").distinct()
+                    .join(item_vecs, "sim_item")
+                    .join(F.broadcast(qvecs), "source_item")
+                    .withColumn("sim_val",
+                                fn("__qvec", "__ivec").cast("double"))
+                    .drop("__ivec", "__qvec"))
         return _merge_candidates(cand, self._items.drop("__codes"), k=k,
                                  higher_is_closer=higher,
                                  item_key_col=self._item_key,
