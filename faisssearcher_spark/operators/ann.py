@@ -1046,9 +1046,17 @@ class IVFPQIndex:
     def search(self, queries: DataFrame, *, k: int = 10,
                query_item_col: str = "query_id",
                query_vec_col: str = "embedding",
-               payload_cols: Sequence[str] | None = None) -> DataFrame:
+               payload_cols: Sequence[str] | None = None,
+               refine_factor: int | None = None) -> DataFrame:
+        """Cell-pruned ADC top-k. ``refine_factor`` shortlists
+        ``k × refine_factor`` by quantized score and re-scores them
+        EXACTLY against the stored vectors (the IndexRefineFlat
+        pattern — see PQIndex.search); compensates both quantization
+        loss and residual approximation."""
         if self._items is None:
             raise RuntimeError("IVFPQIndex is not fit; call fit() first")
+        if refine_factor is not None and refine_factor < 1:
+            raise ValueError("refine_factor must be >= 1")
         payload = list(payload_cols or [])
         q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
         if not len(q_pdf):
@@ -1102,6 +1110,27 @@ class IVFPQIndex:
                   .withColumn("sim_val",
                               F.col("__qdotc")
                               + _adc(F.col("__qidx"), F.col("__codes"))))
+        if refine_factor and refine_factor > 1:
+            from faisssearcher_spark.functions.metrics import resolve_metric
+
+            fn, higher = resolve_metric(self.metric)
+            shortlist = _rank_topk(scored, k * refine_factor, True)
+            item_vecs = self._items.select(
+                F.col(self._item_key).alias("sim_item"),
+                F.col(self._vec_col).alias("__ivec"))
+            qvecs = queries.select(
+                F.col(query_item_col).alias("source_item"),
+                F.col(query_vec_col).alias("__qvec"))
+            rescored = (shortlist
+                        .select("source_item", "sim_item", *payload)
+                        .distinct()
+                        .join(item_vecs, "sim_item")
+                        .join(F.broadcast(qvecs), "source_item")
+                        .withColumn("sim_val",
+                                    fn("__qvec", "__ivec").cast("double"))
+                        .drop("__ivec", "__qvec"))
+            return _rank_topk(rescored, k, higher).select(
+                "source_item", "sim_item", "sim_val", "rank_no", *payload)
         return _rank_topk(scored, k, True).select(
             "source_item", "sim_item", "sim_val", "rank_no", *payload)
 

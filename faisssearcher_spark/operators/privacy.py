@@ -131,3 +131,41 @@ def suppress_below_k(df: DataFrame, quasi_cols: "list[str]", *,
     sizes = (df.groupBy(*quasi_cols).agg(F.count("*").alias("__kn"))
              .filter(F.col("__kn") >= k).drop("__kn"))
     return df.join(sizes, quasi_cols, "left_semi")
+
+
+def blocklist_screen(df: DataFrame, terms: "list[str]", *,
+                     text_col: str = "text", mode: str = "flag",
+                     out_col: str = "n_blocked_terms",
+                     case_insensitive: bool = True,
+                     chunk_size: int = 200) -> DataFrame:
+    """C4-style blocklist screen: count whole-word blocklist hits per
+    document with codegen'd ``regexp_count`` (one scan, no Python) and
+    either ``mode="flag"`` (append the count) or ``mode="drop"`` (keep
+    only zero-hit documents).
+
+    The term list compiles into alternation regexes of ``chunk_size``
+    terms each (very large lists would exceed regex-size limits as one
+    pattern); counts sum across chunks. Terms are regex-escaped and
+    anchored on word boundaries, so "ass" does not hit "class".
+
+    This is the scan-speed lexical screen; it is deliberately dumb —
+    the documented C4 trade-off (over-blocks medical/dialect text).
+    Pair with the quality classifier for model-based filtering.
+    """
+    import re as _re
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode must be 'flag' or 'drop'")
+    if mode == "flag" and out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    flags = "(?i)" if case_insensitive else ""
+    total = F.lit(0)
+    for i in range(0, len(terms), chunk_size):
+        chunk = terms[i:i + chunk_size]
+        pat = flags + r"\b(" + "|".join(_re.escape(t) for t in chunk) + r")\b"
+        total = total + F.regexp_count(F.col(text_col), F.lit(pat))
+    if mode == "drop":
+        return df.filter(total == 0)
+    return df.withColumn(out_col, total)

@@ -96,3 +96,37 @@ class TestContamination:
         ev = spark.createDataFrame([(200, "too short")],
                                    "doc_id long, text string")
         assert decontam.contamination_pairs(train, ev, n=8).count() == 0
+
+
+class TestBlocklistScreen:
+    def test_word_boundary_counts_and_drop(self, spark):
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        rows = [(0, "the class discusses mass"),    # no whole-word hits
+                (1, "bad word here and BAD again"),  # 2 (case-insensitive)
+                (2, "clean text entirely")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        flagged = {r["doc_id"]: r["n_blocked_terms"] for r in
+                   blocklist_screen(df, ["bad", "ass"]).collect()}
+        assert flagged == {0: 0, 1: 2, 2: 0}
+        kept = blocklist_screen(df, ["bad", "ass"], mode="drop")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+
+    def test_chunked_terms_and_validation(self, spark):
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        df = spark.createDataFrame([(0, "t5 and t250 appear")],
+                                   "doc_id long, text string")
+        terms = [f"t{i}" for i in range(300)]
+        out = blocklist_screen(df, terms, chunk_size=100).first()
+        assert out["n_blocked_terms"] == 2
+        import pytest as _pt
+        with _pt.raises(ValueError, match="non-empty"):
+            blocklist_screen(df, [])
+        with _pt.raises(ValueError, match="mode"):
+            blocklist_screen(df, ["x"], mode="redact")
+
+    def test_regex_metachars_escaped(self, spark):
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        df = spark.createDataFrame([(0, "a.b literal and acb")],
+                                   "doc_id long, text string")
+        out = blocklist_screen(df, ["a.b"]).first()
+        assert out["n_blocked_terms"] == 1   # dot is literal, acb no hit
