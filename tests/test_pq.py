@@ -364,3 +364,42 @@ def test_ip_metric_scores_raw_magnitudes(spark):
         df, item_key_col="vec_id", item_vec_col="embedding") \
         .search(q, k=1, query_item_col="qid").collect()[0]
     assert top["sim_item"] == 1
+
+
+class TestIVFPQRefine:
+    def test_refine_exact_scores_and_recall(self, spark, embeddings):
+        from faisssearcher_spark.operators.ann import IVFPQIndex
+        from faisssearcher_spark.operators.knn import knn_join
+
+        corpus = embeddings.limit(300)
+        q = corpus.limit(10).select(F.col("vec_id").alias("query_id"),
+                                    "embedding")
+        truth = {(r["source_item"], r["sim_item"]): r["sim_val"]
+                 for r in knn_join(q, corpus, metric="cos", k=5,
+                                   query_item_col="query_id",
+                                   item_key_col="vec_id",
+                                   payload_cols=[]).collect()}
+        idx = IVFPQIndex(n_cells=8, nprobe=8, m=8, metric="cos",
+                         seed=42).fit(corpus, item_key_col="vec_id",
+                                      item_vec_col="embedding")
+        plain = {(r["source_item"], r["sim_item"])
+                 for r in idx.search(q, k=5,
+                                     query_item_col="query_id").collect()}
+        refined = {(r["source_item"], r["sim_item"]): r["sim_val"]
+                   for r in idx.search(q, k=5, query_item_col="query_id",
+                                       refine_factor=6).collect()}
+        r_plain = len(plain & set(truth)) / len(truth)
+        r_ref = len(set(refined) & set(truth)) / len(truth)
+        assert r_ref >= r_plain
+        for key in set(refined) & set(truth):
+            assert refined[key] == pytest.approx(truth[key], abs=1e-9)
+
+    def test_refine_validation(self, spark, embeddings):
+        from faisssearcher_spark.operators.ann import IVFPQIndex
+        idx = IVFPQIndex(n_cells=4, m=8).fit(
+            embeddings.limit(60), item_key_col="vec_id",
+            item_vec_col="embedding")
+        q = embeddings.limit(2).select(F.col("vec_id").alias("query_id"),
+                                      "embedding")
+        with pytest.raises(ValueError, match="refine_factor"):
+            idx.search(q, k=2, query_item_col="query_id", refine_factor=0)
