@@ -89,9 +89,30 @@ class SparkSearcher:
         # exact (the engine's default and the reference's too).
         self.index_param = index_param
         self.index_kwargs = dict(index_kwargs or {})
-        if index_param is not None:
+        # FAISS ",RFlat" suffix (IndexRefineFlat): quantized shortlist,
+        # exact re-score. Native for the PQ family (PQ / OPQ,PQ / IVF,PQ
+        # variants — refine_factor knob via index_kwargs, default 4);
+        # a no-op for IVF/Flat (their candidate scores are already
+        # exact); anything else keeps the full spec for the real-FAISS
+        # pass-through.
+        self.refine_factor = int(self.index_kwargs.pop("refine_factor", 4))
+        self._refine = False
+        spec = index_param
+        if spec is not None:
+            stripped = spec.strip()
+            if stripped.lower().endswith(",rflat"):
+                base = stripped[:-len(",rflat")]
+                from faisssearcher_spark.operators.ann import \
+                    parse_index_param
+                kind = parse_index_param(base)[0]
+                if kind in ("pq", "opq_pq", "ivfpq", "opq_ivfpq",
+                            "ivf", "flat"):
+                    self._refine = kind in ("pq", "opq_pq", "ivfpq",
+                                            "opq_ivfpq")
+                    spec = base
+        if spec is not None:
             from faisssearcher_spark.operators.ann import parse_index_param
-            self._index_plan = parse_index_param(index_param)
+            self._index_plan = parse_index_param(spec)
             if self._index_plan[0] != "faiss" and measurement not in (
                     "cos", "ip", "l2"):
                 raise ValueError(
@@ -285,9 +306,11 @@ class SparkSearcher:
         exact multi-K path proves (knn_join_multi_k)."""
         def one(k: int) -> DataFrame:
             if self._index is not None:
+                extra = ({"refine_factor": self.refine_factor}
+                         if self._refine else {})
                 res = self._index.search(
                     queries, k=k, query_item_col="source_item",
-                    query_vec_col=_VEC, payload_cols=payload)
+                    query_vec_col=_VEC, payload_cols=payload, **extra)
             else:   # unrecognized spec → real-FAISS pass-through
                 from faisssearcher_spark.operators.ann import faiss_topk
                 metric = "ip" if self.measurement == "cos" \

@@ -315,3 +315,46 @@ class TestIndexParam:
             SparkSearcher(embeddings, vec_col="embedding",
                           key_col="vec_id", measurement="canberra",
                           index_param="IVF8")
+
+
+class TestRefineSpec:
+    """",RFlat" index_factory suffix (IndexRefineFlat): native exact
+    re-score for the PQ family through the facade."""
+
+    def _corpus(self, spark):
+        from faisssearcher_spark.sources.catalog import load_table
+        return load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+            .limit(120).select("vec_id", "embedding", "label")
+
+    def test_pq_rflat_matches_exact_search(self, spark):
+        from faisssearcher_spark.searcher import SparkSearcher
+        corpus = self._corpus(spark)
+        q = corpus.limit(6)
+        exact = SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
+                              measurement="cos").train() \
+            .search(q, topK=4, keep_rank_no=True)
+        # shortlist factor large enough to cover the whole corpus ->
+        # refined results must EQUAL the exact search
+        refined = SparkSearcher(corpus, vec_col="embedding",
+                                key_col="vec_id", measurement="cos",
+                                index_param="PQ8,RFlat",
+                                index_kwargs={"refine_factor": 40}) \
+            .train().search(q, topK=4, keep_rank_no=True)
+        e = {(r["source_item"], r["rank_no"]): r["sim_item"]
+             for r in exact.collect()}
+        g = {(r["source_item"], r["rank_no"]): r["sim_item"]
+             for r in refined.collect()}
+        assert e == g
+
+    def test_spec_routing(self, spark):
+        from faisssearcher_spark.searcher import SparkSearcher
+        corpus = self._corpus(spark)
+        s = SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
+                          index_param="IVF8,PQ8,RFlat")
+        assert s._index_plan[0] == "ivfpq" and s._refine
+        s2 = SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
+                           index_param="IVF8,RFlat")
+        assert s2._index_plan[0] == "ivf" and not s2._refine  # already exact
+        s3 = SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
+                           index_param="SQ8,RFlat")
+        assert s3._index_plan[0] == "faiss"   # real-FAISS pass-through
