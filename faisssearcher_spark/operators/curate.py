@@ -222,3 +222,55 @@ def write_training_shards(packed: DataFrame, path: str) -> dict:
                               "n_tokens": int(r["n_tokens"]),
                               "n_bins": int(r["n_bins"])}
             for r in man.collect()}
+
+
+def prepare_sft_data(
+    convs: DataFrame,
+    *,
+    id_col: str = "conv_id",
+    conv_col: str = "messages",
+    min_turns: int = 2,
+    min_tokens: int = 8,
+    max_tokens: int = 8192,
+    blocklist: "list[str] | None" = None,
+    dedup: bool = True,
+    turn_template: str = "<|{role}|>\n{content}\n",
+) -> DataFrame:
+    """The SFT-corpus prep path, one call — the conversation analog of
+    :func:`prepare_pretraining_data`, composed from the engine's stages:
+
+        structure validation   (conversations.conversation_stats —
+                                roles_valid + turn/size bounds; array-
+                                native, no explode, filter-first)
+        → render to text       (conversations.render_training_text —
+                                deterministic ChatML-style template)
+        → lexical safety       (privacy.blocklist_screen drop mode,
+                                when ``blocklist`` is given)
+        → exact dedup          (dedup.dedup_exact on the rendered text —
+                                keep min conv id; near-dup stays the
+                                caller's choice: minhash the rendered
+                                column like any document table)
+
+    Output: one row per surviving conversation with the rendered
+    ``text`` column plus the stats columns — ready for the downstream
+    document machinery (chunk → pack, BPE counts, decontamination all
+    operate on ``text`` unchanged).
+    """
+    from faisssearcher_spark.operators import conversations as C
+    from faisssearcher_spark.operators import privacy
+    from faisssearcher_spark.operators.dedup import dedup_exact
+
+    stats = C.conversation_stats(convs, conv_col=conv_col)
+    kept = stats.filter(
+        F.col("roles_valid")
+        & (F.col("n_turns") >= min_turns)
+        & (F.col("n_tokens_est") >= min_tokens)
+        & (F.col("n_tokens_est") <= max_tokens))
+    rendered = C.render_training_text(kept, conv_col=conv_col,
+                                      turn_template=turn_template)
+    if blocklist:
+        rendered = privacy.blocklist_screen(rendered, blocklist,
+                                            mode="drop")
+    if dedup:
+        rendered = dedup_exact(rendered, ["text"], tie_col=id_col)
+    return rendered

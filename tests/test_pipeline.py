@@ -99,3 +99,55 @@ def test_write_training_shards_roundtrip(spark, prepared, tmp_path):
         assert manifest[s]["n_tokens"] == t
     mdf = spark.read.parquet(path + "/_manifest")
     assert mdf.count() == len(manifest)
+
+
+class TestPrepareSftData:
+    def test_end_to_end(self, spark):
+        from faisssearcher_spark.operators import conversations as C
+        from faisssearcher_spark.operators.curate import prepare_sft_data
+
+        rows = [
+            # valid, clean
+            (0, [("user", "explain spark joins please"),
+                 ("assistant", "they combine frames on keys")]),
+            # duplicate of 0 (same rendered text) -> deduped
+            (1, [("user", "explain spark joins please"),
+                 ("assistant", "they combine frames on keys")]),
+            # invalid structure (assistant first)
+            (2, [("assistant", "no question")]),
+            # blocklisted content
+            (3, [("user", "something forbidden here"),
+                 ("assistant", "reply")]),
+            # too short
+            (4, [("user", "a"), ("assistant", "b")]),
+        ]
+        convs = spark.createDataFrame(
+            rows, f"conv_id long, messages {C.MESSAGES_TYPE}")
+        out = prepare_sft_data(convs, min_tokens=5,
+                               blocklist=["forbidden"])
+        got = out.collect()
+        assert [r["conv_id"] for r in got] == [0]
+        assert "<|user|>" in got[0]["text"]
+        assert got[0]["roles_valid"] is True
+
+    def test_feeds_chunk_pack(self, spark):
+        from faisssearcher_spark.operators import conversations as C
+        from faisssearcher_spark.operators.curate import prepare_sft_data
+        from faisssearcher_spark.operators.sampling import pack_token_budget
+        from faisssearcher_spark.operators.text_analysis import \
+            chunk_documents
+
+        rows = [(i, [("user", f"question {i} " + "tok " * 40),
+                     ("assistant", "answer " * 30)]) for i in range(6)]
+        convs = spark.createDataFrame(
+            rows, f"conv_id long, messages {C.MESSAGES_TYPE}")
+        sft = prepare_sft_data(convs).select(
+            F.col("conv_id").alias("doc_id"), "text")
+        chunks = chunk_documents(sft, max_tokens=32)
+        packed = pack_token_budget(
+            chunks.select(
+                F.concat_ws("_", "doc_id", "chunk_idx").alias("key"),
+                F.col("n_chunk_tokens")),
+            budget=64, size_col="n_chunk_tokens", key_col="key",
+            n_shards=4)
+        assert packed.count() > 0
