@@ -453,6 +453,31 @@ def _train_opq_rotation(mat: np.ndarray, m: int, ksub: int, iters: int,
     return r_mat, books
 
 
+def _exact_rescore(shortlist: DataFrame, items: DataFrame, *,
+                   item_key_col: str, item_vec_col: str,
+                   queries: DataFrame, query_item_col: str,
+                   query_vec_col: str, metric: str) -> DataFrame:
+    """IndexRefineFlat exact re-scoring shared by PQ/IVFPQ searches:
+    join the quantized shortlist (``source_item, sim_item`` + riders)
+    back to the stored float vectors — a candidate-sized equi-join, the
+    corpus never rescans — broadcast the query vectors, and replace
+    ``sim_val`` with the pure-Catalyst metric. Shortlist pairs are
+    already unique (each item lives in exactly one shard/cell), so no
+    dedup pass is needed."""
+    from faisssearcher_spark.functions.metrics import resolve_metric
+
+    fn, _ = resolve_metric(metric)
+    item_vecs = items.select(F.col(item_key_col).alias("sim_item"),
+                             F.col(item_vec_col).alias("__ivec"))
+    qvecs = queries.select(F.col(query_item_col).alias("source_item"),
+                           F.col(query_vec_col).alias("__qvec"))
+    return (shortlist
+            .join(item_vecs, "sim_item")
+            .join(F.broadcast(qvecs), "source_item")
+            .withColumn("sim_val", fn("__qvec", "__ivec").cast("double"))
+            .drop("__ivec", "__qvec"))
+
+
 class PQIndex:
     """Product quantization with asymmetric-distance (ADC) search — the
     native-Spark analog of FAISS ``PQ<m>`` (and the PQ half of
@@ -666,25 +691,12 @@ class PQIndex:
                        "sim_val double")
         cand = self._items.select(self._item_key, "__codes").mapInPandas(
             _local, cand_schema)
-        if refine_factor and refine_factor > 1:
-            from faisssearcher_spark.functions.metrics import resolve_metric
-
-            fn, _ = resolve_metric(self.metric)
-            item_vecs = self._items.select(
-                F.col(self._item_key).alias("sim_item"),
-                F.col(self._vec_col).alias("__ivec"))
-            qvecs = queries.select(
-                F.col(query_item_col).alias("source_item"),
-                F.col(query_vec_col).alias("__qvec"))
-            # exact re-score of the shortlist: candidate-sized equi-join
-            # back to the stored vectors (the corpus never rescans) +
-            # broadcast query vectors + the pure-Catalyst metric
-            cand = (cand.select("source_item", "sim_item").distinct()
-                    .join(item_vecs, "sim_item")
-                    .join(F.broadcast(qvecs), "source_item")
-                    .withColumn("sim_val",
-                                fn("__qvec", "__ivec").cast("double"))
-                    .drop("__ivec", "__qvec"))
+        if refine_factor is not None:
+            cand = _exact_rescore(
+                cand.select("source_item", "sim_item"), self._items,
+                item_key_col=self._item_key, item_vec_col=self._vec_col,
+                queries=queries, query_item_col=query_item_col,
+                query_vec_col=query_vec_col, metric=self.metric)
         return _merge_candidates(cand, self._items.drop("__codes"), k=k,
                                  higher_is_closer=higher,
                                  item_key_col=self._item_key,
@@ -1110,25 +1122,17 @@ class IVFPQIndex:
                   .withColumn("sim_val",
                               F.col("__qdotc")
                               + _adc(F.col("__qidx"), F.col("__codes"))))
-        if refine_factor and refine_factor > 1:
+        if refine_factor is not None:
             from faisssearcher_spark.functions.metrics import resolve_metric
 
-            fn, higher = resolve_metric(self.metric)
+            _, higher = resolve_metric(self.metric)
             shortlist = _rank_topk(scored, k * refine_factor, True)
-            item_vecs = self._items.select(
-                F.col(self._item_key).alias("sim_item"),
-                F.col(self._vec_col).alias("__ivec"))
-            qvecs = queries.select(
-                F.col(query_item_col).alias("source_item"),
-                F.col(query_vec_col).alias("__qvec"))
-            rescored = (shortlist
-                        .select("source_item", "sim_item", *payload)
-                        .distinct()
-                        .join(item_vecs, "sim_item")
-                        .join(F.broadcast(qvecs), "source_item")
-                        .withColumn("sim_val",
-                                    fn("__qvec", "__ivec").cast("double"))
-                        .drop("__ivec", "__qvec"))
+            rescored = _exact_rescore(
+                shortlist.select("source_item", "sim_item", *payload),
+                self._items, item_key_col=self._item_key,
+                item_vec_col=self._vec_col, queries=queries,
+                query_item_col=query_item_col,
+                query_vec_col=query_vec_col, metric=self.metric)
             return _rank_topk(rescored, k, higher).select(
                 "source_item", "sim_item", "sim_val", "rank_no", *payload)
         return _rank_topk(scored, k, True).select(

@@ -93,14 +93,26 @@ def render_training_text(df: DataFrame, *, conv_col: str = "messages",
     """Deterministic ChatML-style rendering of each conversation into
     ONE training-text column — the bridge into the existing text
     pipeline (quality, dedup, chunk → pack, BPE). ``turn_template``
-    must contain ``{role}`` and ``{content}`` placeholders."""
+    must contain ``{role}`` and ``{content}`` placeholders, in either
+    order (and possibly repeated)."""
+    import re as _re
+
     if "{role}" not in turn_template or "{content}" not in turn_template:
         raise ValueError("turn_template needs {role} and {content}")
-    pre_role, rest = turn_template.split("{role}", 1)
-    mid, post = rest.split("{content}", 1)
+    pieces = _re.split(r"(\{role\}|\{content\})", turn_template)
+
+    def _turn(m: Column) -> list[Column]:
+        out = []
+        for p in pieces:
+            if p == "{role}":
+                out.append(F.coalesce(m["role"], F.lit("")))
+            elif p == "{content}":
+                out.append(F.coalesce(m["content"], F.lit("")))
+            elif p:
+                out.append(F.lit(p))
+        return out
+
     rendered = F.aggregate(
         F.col(conv_col), F.lit(""),
-        lambda acc, m: F.concat(
-            acc, F.lit(pre_role), F.coalesce(m["role"], F.lit("")),
-            F.lit(mid), F.coalesce(m["content"], F.lit("")), F.lit(post)))
+        lambda acc, m: F.concat(acc, *_turn(m)))
     return df.withColumn(out_col, rendered)

@@ -106,30 +106,43 @@ def drift_report(old: DataFrame, new: DataFrame, cols: "list[str]", *,
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     qs = [i / buckets for i in range(1, buckets)]
-    edges_by_col = {
-        c: old.select(F.col(c).cast("double").alias("v"))
-              .na.drop().approxQuantile("v", qs, 0.001)
-        for c in cols}
+    # THREE jobs total regardless of len(cols): one multi-column
+    # approxQuantile sketch over the old snapshot, then one aggregate
+    # per frame folding every column's bucket counts into a single row
+    # (cols × buckets conditional sums — driver loops over columns
+    # would serialize a full scan per column per frame).
+    casted = {frame: frame.select(*[F.col(c).cast("double").alias(c)
+                                    for c in cols])
+              for frame in (old, new)}
+    edges_list = casted[old].approxQuantile(cols, qs, 0.001)
 
-    def _fractions(df: DataFrame, c: str, edges: "list[float]"):
-        v = F.col(c).cast("double")
-        b = F.lit(0)
-        for i, e in enumerate(edges):
-            b = F.when(v > e, i + 1).otherwise(b)
-        counts = (df.filter(v.isNotNull())
-                  .groupBy(b.alias("bucket"))
-                  .agg(F.count("*").alias("n")).collect())
-        total = sum(r["n"] for r in counts)
-        frac = [0.0] * (len(edges) + 1)
-        for r in counts:
-            frac[r["bucket"]] = r["n"] / total if total else 0.0
-        return frac, total
+    def _fractions(df: DataFrame):
+        aggs = []
+        for ci, c in enumerate(cols):
+            v = F.col(c)
+            b = F.lit(0)
+            for i, e in enumerate(edges_list[ci]):
+                b = F.when(v > e, i + 1).otherwise(b)
+            for i in range(len(edges_list[ci]) + 1):
+                aggs.append(F.sum(F.when(v.isNotNull() & (b == i), 1)
+                                  .otherwise(0)).alias(f"c{ci}_b{i}"))
+            aggs.append(F.count(c).alias(f"c{ci}_n"))
+        row = df.agg(*aggs).first()
+        out = []
+        for ci in range(len(cols)):
+            total = int(row[f"c{ci}_n"] or 0)
+            nb = len(edges_list[ci]) + 1
+            frac = [(row[f"c{ci}_b{i}"] or 0) / total if total else 0.0
+                    for i in range(nb)]
+            out.append((frac, total))
+        return out
 
+    old_f = _fractions(casted[old])
+    new_f = _fractions(casted[new])
     rows = []
-    for c in cols:
-        edges = edges_by_col[c]
-        po, n_old = _fractions(old, c, edges)
-        pn, n_new = _fractions(new, c, edges)
+    for ci, c in enumerate(cols):
+        po, n_old = old_f[ci]
+        pn, n_new = new_f[ci]
         psi = sum((b - a) * math.log(max(b, 1e-6) / max(a, 1e-6))
                   for a, b in zip(po, pn))
         rows.append((c, round(psi, 6), n_old, n_new))

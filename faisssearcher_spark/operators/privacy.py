@@ -156,16 +156,30 @@ def blocklist_screen(df: DataFrame, terms: "list[str]", *,
 
     if not terms:
         raise ValueError("terms must be non-empty")
+    if any(not t for t in terms):
+        raise ValueError("blocklist terms must be non-empty strings")
     if mode not in ("flag", "drop"):
         raise ValueError("mode must be 'flag' or 'drop'")
     if mode == "flag" and out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
-    flags = "(?i)" if case_insensitive else ""
+    # (?iu): Java's (?i) alone folds ASCII only — multilingual terms
+    # need UNICODE_CASE or uppercase variants silently pass the screen
+    flags = "(?iu)" if case_insensitive else ""
+
+    def _bounded(term: str) -> str:
+        # \b needs a WORD char on the term side of the boundary; terms
+        # with punctuation edges ("c++", masked profanity) would never
+        # match — use lookarounds on non-word edges instead
+        lead = r"\b" if _re.match(r"\w", term[0]) else r"(?<!\w)"
+        trail = r"\b" if _re.match(r"\w", term[-1]) else r"(?!\w)"
+        return lead + _re.escape(term) + trail
+
+    text = F.coalesce(F.col(text_col), F.lit(""))   # NULL text: 0 hits
     total = F.lit(0)
     for i in range(0, len(terms), chunk_size):
         chunk = terms[i:i + chunk_size]
-        pat = flags + r"\b(" + "|".join(_re.escape(t) for t in chunk) + r")\b"
-        total = total + F.regexp_count(F.col(text_col), F.lit(pat))
+        pat = flags + "(" + "|".join(_bounded(t) for t in chunk) + ")"
+        total = total + F.regexp_count(text, F.lit(pat))
     if mode == "drop":
         return df.filter(total == 0)
     return df.withColumn(out_col, total)

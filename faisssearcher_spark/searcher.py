@@ -95,7 +95,11 @@ class SparkSearcher:
         # a no-op for IVF/Flat (their candidate scores are already
         # exact); anything else keeps the full spec for the real-FAISS
         # pass-through.
-        self.refine_factor = int(self.index_kwargs.pop("refine_factor", 4))
+        # NB: refine_factor stays IN index_kwargs (it must survive
+        # save()/load() round-trips — popping it here silently reloaded
+        # saved searchers with the default); _fit_index strips it before
+        # constructing the index.
+        self.refine_factor = int(self.index_kwargs.get("refine_factor", 4))
         self._refine = False
         spec = index_param
         if spec is not None:
@@ -110,6 +114,10 @@ class SparkSearcher:
                     self._refine = kind in ("pq", "opq_pq", "ivfpq",
                                             "opq_ivfpq")
                     spec = base
+        if "refine_factor" in self.index_kwargs and not self._refine:
+            raise ValueError(
+                "refine_factor only applies to ',RFlat' specs over the "
+                f"PQ family (got index_param={index_param!r})")
         if spec is not None:
             from faisssearcher_spark.operators.ann import parse_index_param
             self._index_plan = parse_index_param(spec)
@@ -165,6 +173,8 @@ class SparkSearcher:
         from faisssearcher_spark.operators import ann
         metric = "ip" if self.measurement == "cos" else self.measurement
         kw = dict(self.index_kwargs)
+        kw.pop("refine_factor", None)   # search-time knob, not a
+        # constructor arg (kept in index_kwargs for save/load)
         if kind == "ivf":
             idx = ann.IVFIndex(n_cells=self._index_plan[1],
                                metric=metric, **kw)

@@ -64,3 +64,15 @@ class TestFlattenAndRender:
     def test_template_validation(self, convs):
         with pytest.raises(ValueError, match="role"):
             C.render_training_text(convs, turn_template="{content} only")
+
+
+class TestTemplateOrder:
+    def test_content_before_role(self, spark):
+        """Placeholders work in either order (review finding: the
+        split-based parser crashed on {content} first)."""
+        df = spark.createDataFrame(
+            [(0, [("user", "hi")])],
+            f"conv_id long, messages {C.MESSAGES_TYPE}")
+        out = C.render_training_text(
+            df, turn_template="{content} -- {role}\n").first()
+        assert out["text"] == "hi -- user\n"

@@ -130,3 +130,44 @@ class TestBlocklistScreen:
                                    "doc_id long, text string")
         out = blocklist_screen(df, ["a.b"]).first()
         assert out["n_blocked_terms"] == 1   # dot is literal, acb no hit
+
+
+class TestBlocklistReviewRegressions:
+    def test_punctuation_edge_terms_match(self, spark):
+        """\\b never fires next to a non-word edge — lookarounds must
+        take over for terms like 'c++' (review finding)."""
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        df = spark.createDataFrame(
+            [(0, "I love c++ so much"), (1, "cpp only"), (2, "c+++x")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["n_blocked_terms"] for r in
+               blocklist_screen(df, ["c++"]).collect()}
+        assert got[0] == 1
+        assert got[1] == 0     # 'cpp' is not 'c++'
+        # the lookaround contract blocks WORD-char continuation only:
+        # 'c+++x' still matches 'c++' (followed by '+', a non-word char)
+        assert got[2] == 1
+
+    def test_null_text_zero_hits_and_kept(self, spark):
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        df = spark.createDataFrame([(0, None), (1, "bad stuff")],
+                                   "doc_id long, text string")
+        flagged = {r["doc_id"]: r["n_blocked_terms"]
+                   for r in blocklist_screen(df, ["bad"]).collect()}
+        assert flagged == {0: 0, 1: 1}
+        kept = blocklist_screen(df, ["bad"], mode="drop")
+        assert [r["doc_id"] for r in kept.collect()] == [0]
+
+    def test_unicode_case_fold(self, spark):
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        df = spark.createDataFrame([(0, "полный БАН тут")],
+                                   "doc_id long, text string")
+        out = blocklist_screen(df, ["бан"]).first()
+        assert out["n_blocked_terms"] == 1   # (?iu), not ASCII-only (?i)
+
+    def test_empty_term_rejected(self, spark):
+        from faisssearcher_spark.operators.privacy import blocklist_screen
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="non-empty strings"):
+            blocklist_screen(df, ["ok", ""])

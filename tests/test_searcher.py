@@ -358,3 +358,55 @@ class TestRefineSpec:
         s3 = SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
                            index_param="SQ8,RFlat")
         assert s3._index_plan[0] == "faiss"   # real-FAISS pass-through
+
+
+class TestRefineReviewRegressions:
+    def test_refine_factor_survives_save_load(self, spark,
+                                              tmp_path_factory):
+        from faisssearcher_spark.searcher import SparkSearcher
+        from faisssearcher_spark.sources.catalog import load_table
+        corpus = load_table(spark, "/root/testdata/sf0.001",
+                            "embeddings").limit(80) \
+            .select("vec_id", "embedding")
+        s = SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
+                          measurement="cos", index_param="PQ8,RFlat",
+                          index_kwargs={"refine_factor": 30}).train()
+        path = str(tmp_path_factory.mktemp("rfs") / "s")
+        s.save(path)
+        loaded = SparkSearcher.load(spark, path)
+        assert loaded.refine_factor == 30
+        assert loaded._refine
+
+    def test_refine_factor_without_rflat_rejected(self, spark):
+        from faisssearcher_spark.searcher import SparkSearcher
+        from faisssearcher_spark.sources.catalog import load_table
+        corpus = load_table(spark, "/root/testdata/sf0.001",
+                            "embeddings").limit(10) \
+            .select("vec_id", "embedding")
+        with pytest.raises(ValueError, match="RFlat"):
+            SparkSearcher(corpus, vec_col="embedding", key_col="vec_id",
+                          index_param="PQ8",
+                          index_kwargs={"refine_factor": 4})
+
+    def test_refine_factor_one_still_rescores_exactly(self, spark):
+        """FAISS k_factor=1 semantics: the top-k itself is re-ranked
+        with exact scores (review finding: factor 1 silently skipped
+        the re-score)."""
+        from faisssearcher_spark.functions.metrics import cosine
+        from faisssearcher_spark.operators.ann import PQIndex
+        from faisssearcher_spark.sources.catalog import load_table
+        corpus = load_table(spark, "/root/testdata/sf0.001",
+                            "embeddings").limit(100)
+        q = corpus.limit(4).select(F.col("vec_id").alias("query_id"),
+                                   "embedding")
+        idx = PQIndex(m=8, metric="cos").fit(
+            corpus, item_key_col="vec_id", item_vec_col="embedding")
+        out = idx.search(q, k=3, query_item_col="query_id",
+                         refine_factor=1).collect()
+        vecs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+        import numpy as np
+        for r in out:
+            a = np.array(vecs[r["source_item"]], dtype=np.float64)
+            b = np.array(vecs[r["sim_item"]], dtype=np.float64)
+            exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert r["sim_val"] == pytest.approx(exact, abs=1e-9)
