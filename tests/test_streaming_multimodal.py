@@ -650,3 +650,32 @@ class TestPerceptualHashValidation:
         with pytest.raises(ValueError, match=r"\[1, 8\]"):
             multimodal.dhash_int(b"P6\n4 4\n255\n" + bytes(48),
                                  hash_size=9)
+
+
+class TestImageDedupPipeline:
+    def test_phash_pairs_resolve_to_clusters(self, spark):
+        """End-to-end image dedup: dHash fingerprints → banded hamming
+        pairs → the SAME cluster resolution the text dedup paths use —
+        keep one asset per visual near-dup group."""
+        from faisssearcher_spark.operators.dedup import dedup_clusters
+
+        rows = []
+        for i in range(3):                      # 3 groups of 3 variants
+            base = _noise_ppm(seed=500 + i)
+            rows.append((10 * i, "image", "image/x-ppm", base, 32, 33,
+                         None))
+            for j in (1, 2):
+                rows.append((10 * i + j, "image", "image/x-ppm",
+                             _perturb_ppm(base, seed=j), 32, 33, None))
+        df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        pairs = multimodal.image_near_dup_pairs(df, max_hamming=6)
+        clusters = dedup_clusters(pairs)
+        got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+        for i in range(3):
+            assert got[10 * i] == got[10 * i + 1] == got[10 * i + 2] \
+                == 10 * i                       # min-id cluster label
+        keep = df.join(
+            clusters.filter("id != cluster_id")
+            .withColumnRenamed("id", "asset_id"),
+            "asset_id", "left_anti")
+        assert sorted(r["asset_id"] for r in keep.collect()) == [0, 10, 20]
