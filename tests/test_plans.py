@@ -243,3 +243,43 @@ class TestSketchPlans:
         assert "partial_count" in plan
         assert "Join" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestSessionFourPlans:
+    def test_suppress_below_k_joins_colocated(self, spark):
+        """Group sizes and the semi join hash by the same quasi columns;
+        no broadcast of anything row-count-sized, no pair blowup."""
+        from faisssearcher_spark.operators.privacy import suppress_below_k
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        plan = inspect.executed_plan(
+            suppress_below_k(ev, ["event_type", "user_id"], k=3))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_resample_shuffles_on_key_only(self, spark):
+        """Grid build, bucket agg, and the fill window all partition by
+        the key — no cartesian, no Python, partial-combined agg."""
+        from faisssearcher_spark.operators.events import \
+            resample_fill_forward
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        plan = inspect.executed_plan(
+            resample_fill_forward(ev, step_s=86400))
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "partial_" in plan     # bucket agg combines map-side
+
+    def test_decayed_sum_single_window_shuffle(self, spark):
+        """One hashpartitioning exchange on the key serves the min-ts,
+        span, and prefix-sum windows."""
+        from faisssearcher_spark.operators.temporal import decayed_sum
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        plan = inspect.executed_plan(
+            decayed_sum(ev, key_col="user_id", ts_col="ts",
+                        value_col="value", half_life_s=86400.0,
+                        order_col="event_id"))
+        assert plan.count("Exchange hashpartitioning(user_id") <= 2
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan
