@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_hll_rollup",
+    "events_resample",
 ]
 
 

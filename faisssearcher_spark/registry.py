@@ -2831,6 +2831,17 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_rollup(daily, ["event_type"])
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: daily grid resample with forward-fill per user
+    (operators/events.resample_fill_forward) — per-(key,bucket) agg,
+    sequence-explode dense grid, co-located left join, last(ignorenulls)
+    window. Parity with a Python reference is pinned in tests."""
+    from faisssearcher_spark.operators.events import resample_fill_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_fill_forward(ev, step_s=86400)
+
+
 def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the COMPLETE pretraining-prep composition
     (``prepare_pretraining_data``) — heuristics + exact/near dedup →
@@ -2959,4 +2970,5 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
     "text_heavy_hitters": q_text_heavy_hitters,
     "events_hll_rollup": q_events_hll_rollup,
+    "events_resample": q_events_resample,
 }
