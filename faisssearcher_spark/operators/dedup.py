@@ -473,11 +473,27 @@ def simhash_pairs(df: DataFrame, *, id_col: str = "doc_id",
 # embedding-space near-dup
 # ---------------------------------------------------------------------------
 
+#: cap on single-machine corpus materialization for the "blocked" strategy
+#: (which collects the id+vector frame to the driver and broadcasts the
+#: normalized matrix) — same value and semantics as
+#: knn.ITEMS_MEMORY_CAP_BYTES, the quadrant rule both auto-dispatchers
+#: share.
+EMBED_MEMORY_CAP_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (plans/inspect
+    ``plan_size_bytes``); module-level so tests can monkeypatch the
+    estimator — mirrors knn._plan_size_bytes."""
+    from faisssearcher_spark.plans.inspect import plan_size_bytes
+    return plan_size_bytes(df)
+
+
 def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.9,
                            score_scale: int | None = None,
-                           strategy: str = "blocked",
+                           strategy: str = "auto",
                            lsh_tables: int = 8, lsh_bits: int = 4,
                            lsh_seed: int = 42,
                            lsh_dim: int | None = None,
@@ -487,7 +503,17 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
     Strategies:
 
-    - ``"blocked"`` (default): block-matrix scoring — each Arrow batch of
+    - ``"auto"`` (default): size-dispatch on Catalyst's optimized-plan
+      size estimate, the same quadrant rule as ``knn_join`` (knn.py
+      ``_auto_strategy``): corpora whose estimate fits
+      ``EMBED_MEMORY_CAP_BYTES`` run ``"blocked"`` (exact, fastest at
+      single-machine sizes); anything larger — or with an UNKNOWN
+      estimate, which must be presumed large because guessing small
+      risks a driver OOM while guessing large only costs shuffle —
+      runs ``"lsh"`` (never materializes the corpus anywhere). This
+      keeps the flagship semantic-dedup entry point scale-safe by
+      default: no ``toPandas()`` ever happens on an above-cap corpus.
+    - ``"blocked"``: block-matrix scoring — each Arrow batch of
       rows is scored against the full normalized matrix (broadcast) with
       ONE numpy float64 matmul inside ``mapInPandas``; only above-threshold
       pairs are emitted. Work distributes by row-block, the O(n²) pair
@@ -530,6 +556,10 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
     projection lands within 1 ulp of zero (accumulation order), and
     exact verification confines any such difference to the recall tail.
     """
+    if strategy == "auto":
+        est = _plan_size_bytes(df)
+        strategy = ("blocked" if est is not None
+                    and est <= EMBED_MEMORY_CAP_BYTES else "lsh")
     if strategy == "lsh":
         return _embedding_pairs_lsh(
             df, id_col=id_col, vec_col=vec_col, threshold=threshold,
@@ -553,7 +583,8 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
             .select("id_a", "id_b", "cos_sim")
         )
     if strategy != "blocked":
-        raise ValueError("strategy must be 'blocked' or 'catalyst'")
+        raise ValueError(
+            "strategy must be 'auto', 'blocked', 'catalyst' or 'lsh'")
 
     import numpy as np
     import pandas as pd

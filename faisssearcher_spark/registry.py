@@ -856,7 +856,8 @@ def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores."""
     emb = load_table(spark, sf_dir, "embeddings")
     blocked = dedup.embedding_cosine_pairs(emb, threshold=0.45,
-                                           score_scale=4)
+                                           score_scale=4,
+                                           strategy="blocked")
     lsh = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4,
                                        strategy="lsh", lsh_tables=8,
                                        lsh_bits=4)
@@ -1160,7 +1161,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("span_clean_hash")))
 
 
-ORACLE_FINGERPRINTS = f"""
+ORACLE_FINGERPRINTS = rf"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
      f AS (SELECT doc_id,
                   md5(array_to_string(list_sort(list_distinct(

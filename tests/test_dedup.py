@@ -135,6 +135,55 @@ class TestEmbeddingCosine:
         pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert pairs == {(0, 1)}
 
+    def test_auto_dispatch_small_runs_blocked(self, embeddings, monkeypatch):
+        """auto → blocked below the cap: the plan carries the Arrow
+        MapInPandas scoring kernel."""
+        monkeypatch.setattr(dedup, "_plan_size_bytes", lambda df: 1 << 20)
+        out = dedup.embedding_cosine_pairs(embeddings, threshold=0.45,
+                                           score_scale=4)
+        assert "MapInPandas" in out._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    def test_auto_dispatch_large_runs_lsh_no_collect(self, embeddings,
+                                                     monkeypatch):
+        """auto → lsh above the cap (and on unknown estimates): the
+        default path never calls toPandas() on an above-cap corpus."""
+        calls = []
+        real = dedup.DataFrame.toPandas
+
+        def spy(self):
+            calls.append(1)
+            return real(self)
+
+        monkeypatch.setattr(dedup.DataFrame, "toPandas", spy)
+        for est in (dedup.EMBED_MEMORY_CAP_BYTES + 1, None):
+            monkeypatch.setattr(dedup, "_plan_size_bytes",
+                                lambda df, e=est: e)
+            out = dedup.embedding_cosine_pairs(embeddings, threshold=0.45,
+                                               score_scale=4)
+            out.collect()
+            assert not calls  # lsh path: corpus never driver-collected
+
+    def test_auto_dispatch_both_directions_same_pairs(self, embeddings,
+                                                      monkeypatch):
+        """On a corpus whose every near-pair survives LSH banding, both
+        dispatch directions agree with the exact catalyst reference."""
+        exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+                 for r in dedup.embedding_cosine_pairs(
+                     embeddings, threshold=0.45, score_scale=4,
+                     strategy="catalyst").collect()}
+        for est in (1 << 20, dedup.EMBED_MEMORY_CAP_BYTES + 1):
+            monkeypatch.setattr(dedup, "_plan_size_bytes",
+                                lambda df, e=est: e)
+            got = {(r["id_a"], r["id_b"]): r["cos_sim"]
+                   for r in dedup.embedding_cosine_pairs(
+                       embeddings, threshold=0.45,
+                       score_scale=4).collect()}
+            assert set(got) <= set(exact)
+            assert all(exact[k] == v for k, v in got.items())
+            if est == 1 << 20:          # blocked leg is exact — equality
+                assert got == exact
+
     def test_lsh_subset_of_exact_with_exact_scores(self, embeddings):
         """LSH pairs must be a subset of the exact pair set with identical
         scores (precision 1.0 — every candidate is exactly verified)."""
