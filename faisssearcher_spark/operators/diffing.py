@@ -81,7 +81,8 @@ def diff_summary(diff: DataFrame) -> DataFrame:
 
 
 def drift_report(old: DataFrame, new: DataFrame, cols: "list[str]", *,
-                 buckets: int = 10) -> DataFrame:
+                 buckets: int = 10,
+                 edges: "dict[str, list[float]] | None" = None) -> DataFrame:
     """Population Stability Index per numeric column — the standard
     "did the refresh change the data's SHAPE" drift metric between two
     snapshot versions (PSI < 0.1 stable; 0.1–0.25 moderate; > 0.25 the
@@ -98,6 +99,11 @@ def drift_report(old: DataFrame, new: DataFrame, cols: "list[str]", *,
     Only bucket counts ever reach the driver — O(cols × buckets)
     numbers regardless of snapshot size. NULLs are excluded from both
     distributions (report them via expect.completeness instead).
+
+    ``edges`` overrides the approxQuantile sketch with explicit
+    per-column ascending bucket edges (len = buckets − 1 each) — for
+    reproducible cross-engine checks (the sketch is not replicable in
+    SQL) or domain-fixed bucketing; the PSI math is identical.
     """
     import math
 
@@ -114,7 +120,18 @@ def drift_report(old: DataFrame, new: DataFrame, cols: "list[str]", *,
     casted = {frame: frame.select(*[F.col(c).cast("double").alias(c)
                                     for c in cols])
               for frame in (old, new)}
-    edges_list = casted[old].approxQuantile(cols, qs, 0.001)
+    if edges is not None:
+        missing = [c for c in cols if c not in edges]
+        if missing:
+            raise ValueError(f"edges missing columns: {missing}")
+        bad = [c for c in cols if len(edges[c]) != buckets - 1]
+        if bad:
+            raise ValueError(
+                f"edges must have buckets-1 = {buckets - 1} values; "
+                f"wrong length for: {bad}")
+        edges_list = [[float(e) for e in edges[c]] for c in cols]
+    else:
+        edges_list = casted[old].approxQuantile(cols, qs, 0.001)
 
     def _fractions(df: DataFrame):
         aggs = []

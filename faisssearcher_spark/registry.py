@@ -1426,18 +1426,136 @@ GROUP BY c_custkey, c_mktsegment
 
 
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup, EXTENDED (round 6, the 50-cap tag-union pattern)
+    with two oracle-less round-5 families:
+
+    ``resample`` — daily-grid resample with forward-fill per user
+    (operators/events.resample_fill_forward, step 86400, avg): mapped
+    into the rollup schema as (hour = epoch-seconds string of the
+    bucket, event_type = 'user_<id>', avg_value = filled value @4dp;
+    n_events/sum_value carry sentinels). Fill-forward is plain SQL —
+    last_value IGNORE NULLS over the generated per-user grid — so the
+    DuckDB twin replicates grid construction, per-bucket aggregation,
+    and the fill.
+
+    ``psi`` — Population Stability Index drift between the even and odd
+    event_id halves of the events table (operators/diffing.drift_report
+    on ['value'], 10 buckets). Bucket edges are the old half's EXACT
+    deciles passed via the explicit ``edges`` parameter (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` interpolate identically
+    — verified bit-equal), so the whole bucket→fraction→Σ(Δp·ln)
+    pipeline is value-checked: (hour = column name, event_type = 'psi',
+    n_events = n_old, sum_value = n_new, avg_value = psi @6dp)."""
+    from faisssearcher_spark.operators.diffing import drift_report
+    from faisssearcher_spark.operators.events import resample_fill_forward
+
     ev = load_table(spark, sf_dir, "events")
-    return events.hourly_rollup(ev)
+    rollup = events.hourly_rollup(ev).select(
+        F.lit("rollup").alias("leg"), "hour", "event_type", "n_events",
+        "sum_value", "avg_value")
+
+    rs = resample_fill_forward(ev, step_s=86400, agg="avg")
+    resample = rs.select(
+        F.lit("resample").alias("leg"),
+        F.col("bucket_ts").cast("double").cast("long").cast("string")
+        .alias("hour"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+        .alias("event_type"),
+        F.lit(-1).cast("long").alias("n_events"),
+        F.lit(0.0).alias("sum_value"),
+        F.coalesce(F.round(F.col("value"), 4), F.lit(PSI_NULL_SENTINEL))
+        .alias("avg_value"))
+
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    qs = [i / 10 for i in range(1, 10)]
+    deciles = old.selectExpr(
+        f"percentile(value, array({','.join(map(str, qs))})) AS e") \
+        .first()["e"]
+    drift = drift_report(old, new, ["value"], buckets=10,
+                         edges={"value": [float(x) for x in deciles]})
+    psi = drift.select(
+        F.lit("psi").alias("leg"),
+        F.col("column").alias("hour"),
+        F.lit("psi").alias("event_type"),
+        F.col("n_old").alias("n_events"),
+        F.col("n_new").cast("double").alias("sum_value"),
+        F.col("psi").alias("avg_value"))
+    return rollup.unionByName(resample).unionByName(psi)
 
 
-ORACLE_HOURLY = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+PSI_NULL_SENTINEL = -999999.0
+
+
+def _oracle_hourly_composite() -> str:
+    # psi leg: bucket index = count of edges strictly below the value
+    # (the drift_report ascending CASE-overwrite chain collapses to a
+    # descending first-match); fractions floor at 1e-6 exactly as the
+    # operator does.
+    edge_cases = " ".join(
+        f"WHEN value > e[{i}] THEN {i}" for i in range(9, 0, -1))
+    return f"""
+SELECT 'rollup' AS leg,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value,
        round(avg(value), 4) AS avg_value
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'resample',
+       g.bucket::VARCHAR,
+       'user_' || g.key::VARCHAR,
+       -1, 0.0,
+       coalesce(round(last_value(b.v IGNORE NULLS) OVER (
+           PARTITION BY g.key ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4),
+           {PSI_NULL_SENTINEL!r})
+FROM (SELECT key, unnest(range(b0, b1 + 1, 86400)) AS bucket
+      FROM (SELECT user_id AS key,
+                   min((floor(extract(epoch FROM ts) / 86400)
+                        * 86400)::BIGINT) AS b0,
+                   max((floor(extract(epoch FROM ts) / 86400)
+                        * 86400)::BIGINT) AS b1
+            FROM events GROUP BY 1)) g
+LEFT JOIN (SELECT user_id AS key,
+                  (floor(extract(epoch FROM ts) / 86400)
+                   * 86400)::BIGINT AS bucket,
+                  avg(value) AS v
+           FROM events GROUP BY 1, 2) b
+  ON b.key = g.key AND b.bucket = g.bucket
+UNION ALL
+SELECT 'psi', 'value', 'psi', n_old, n_new::DOUBLE, round(psi, 6)
+FROM (
+  WITH olds AS (SELECT value FROM events
+                WHERE event_id % 2 = 0 AND value IS NOT NULL),
+       news AS (SELECT value FROM events
+                WHERE event_id % 2 = 1 AND value IS NOT NULL),
+       ed AS (SELECT quantile_cont(value,
+                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e FROM olds),
+       ob AS (SELECT CASE {edge_cases} ELSE 0 END AS b FROM olds, ed),
+       nb AS (SELECT CASE {edge_cases} ELSE 0 END AS b FROM news, ed),
+       oc AS (SELECT b, count(*)::DOUBLE AS c FROM ob GROUP BY b),
+       nc AS (SELECT b, count(*)::DOUBLE AS c FROM nb GROUP BY b),
+       tot AS (SELECT (SELECT count(*) FROM olds)::DOUBLE AS n_old,
+                      (SELECT count(*) FROM news)::DOUBLE AS n_new),
+       buckets AS (SELECT unnest(range(0, 10)) AS b),
+       fr AS (SELECT buckets.b,
+                     coalesce(oc.c, 0) / tot.n_old AS po,
+                     coalesce(nc.c, 0) / tot.n_new AS pn
+              FROM buckets
+              CROSS JOIN tot
+              LEFT JOIN oc ON oc.b = buckets.b
+              LEFT JOIN nc ON nc.b = buckets.b)
+  SELECT sum((pn - po) * ln(greatest(pn, 1e-6) / greatest(po, 1e-6)))
+           AS psi,
+         (SELECT n_old FROM tot)::BIGINT AS n_old,
+         (SELECT n_new FROM tot)::BIGINT AS n_new
+  FROM fr)
 """
+
+
+ORACLE_HOURLY = _oracle_hourly_composite()
 
 
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2379,17 +2497,70 @@ def q_whitening_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, mu, cov = vector_moments(out, "whitened")
     cov_dev = float(np.abs(cov - np.eye(cov.shape[0])).max())
     mean_dev = float(np.abs(mu).max())
-    return spark.createDataFrame(
+    whiten = spark.createDataFrame(
         [(int(cov.shape[0]), bool(cov_dev < 1e-8), bool(mean_dev < 1e-8),
           int(n))],
         "out_dim int, cov_is_identity boolean, mean_is_zero boolean, "
-        "n_rows long")
+        "n_rows long").select(
+        F.lit("whiten").alias("leg"), "*",
+        F.lit(-1).cast("long").alias("vec_id"),
+        *[F.lit(0.0).alias(f"p{j}") for j in range(PROJ_OUT_DIM)])
+
+    # tag-union leg 2 (round 6): JL random projection 64→8, seed 42 —
+    # per-row VALUE check. The seeded Gaussian matrix is the single
+    # source shared with the oracle (projection_matrix, the
+    # lsh_hyperplanes discipline); the float32 UDF output collapses the
+    # GEMM-vs-left-fold accumulation difference below representable
+    # resolution, and float32 values are dyadic rationals whose decimal
+    # expansions terminate off the .xxxx5 tie points, so round(…, 4) is
+    # cross-engine safe without the usual HALF_UP caveat.
+    from faisssearcher_spark.operators.projection import random_projection
+
+    proj = random_projection(emb, vec_col="embedding",
+                             out_dim=PROJ_OUT_DIM, seed=42,
+                             out_col="__proj")
+    proj_rows = proj.select(
+        F.lit("proj").alias("leg"),
+        F.lit(PROJ_OUT_DIM).cast("int").alias("out_dim"),
+        F.lit(False).alias("cov_is_identity"),
+        F.lit(False).alias("mean_is_zero"),
+        F.lit(-1).cast("long").alias("n_rows"),
+        F.col("vec_id"),
+        *[F.round(F.element_at("__proj", j + 1).cast("double"), 4)
+          .alias(f"p{j}") for j in range(PROJ_OUT_DIM)])
+    return whiten.unionByName(proj_rows)
 
 
-ORACLE_WHITENING = """
-SELECT 8 AS out_dim, TRUE AS cov_is_identity, TRUE AS mean_is_zero,
-       (SELECT count(*) FROM embeddings) AS n_rows
+PROJ_OUT_DIM = 8
+
+
+def _oracle_whitening_proj(dim: int = 64, out_dim: int = PROJ_OUT_DIM,
+                           seed: int = 42) -> str:
+    """DuckDB twin: whitening invariants constant row + the JL
+    projection values with the EXACT seeded matrix inlined (left-fold
+    float64 sum cast ::REAL to match the UDF's float32 output)."""
+    from faisssearcher_spark.operators.projection import projection_matrix
+
+    R = projection_matrix(dim, out_dim, seed=seed)
+    pcols = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE * {float(R[i][j])!r})"
+            for i in range(dim))
+        pcols.append(f"round((({terms}))::REAL::DOUBLE, 4) AS p{j}")
+    zeros = ", ".join(f"0.0::DOUBLE AS p{j}" for j in range(out_dim))
+    return f"""
+SELECT 'whiten' AS leg, 8 AS out_dim, TRUE AS cov_is_identity,
+       TRUE AS mean_is_zero,
+       (SELECT count(*) FROM embeddings) AS n_rows,
+       (-1)::BIGINT AS vec_id, {zeros}
+UNION ALL
+SELECT 'proj', {out_dim}, FALSE, FALSE, -1, vec_id, {', '.join(pcols)}
+FROM embeddings
 """
+
+
+ORACLE_WHITENING = _oracle_whitening_proj()
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
