@@ -350,6 +350,15 @@ def image_near_dup_pairs(df: DataFrame, *, decoder: str = "native",
     nothing image-sized ever shuffles or broadcasts."""
     from faisssearcher_spark.operators.dedup import hamming_pairs
 
+    if hash_size not in (4, 8):
+        # hamming_pairs bands on whole bytes (bits % 8 == 0); of the
+        # [1, 8] range dhash_int accepts, only 4 (16 bits) and 8
+        # (64 bits) produce byte-aligned fingerprints (r5 ADVICE:
+        # anything else died later with a confusing error from dedup)
+        raise ValueError(
+            f"hash_size must be 4 or 8 for banded pair generation "
+            f"(hash_size²={hash_size * hash_size} bits must be a "
+            f"multiple of 8); got {hash_size}")
     fps = perceptual_hash(df, decoder=decoder, hash_size=hash_size)
     return hamming_pairs(fps, id_col="asset_id", fp_col="phash",
                          bits=hash_size * hash_size,

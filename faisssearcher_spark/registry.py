@@ -754,12 +754,89 @@ FROM h
 """
 
 
+#: synthetic gate image: 9×8-pixel P6 PPM (exactly the dHash 8×9
+#: resample grid, so the area-mean resize is identity and the oracle can
+#: compute each comparison from the raw pixel bytes). Pixels are gray
+#: (R=G=B) with value = first md5 byte of "<group>|<idx>"; docs share a
+#: group pairwise (doc_id % 250) and the second member zeroes pixel
+#: (0,0), flipping at most one dHash bit — planted near-dups at hamming
+#: ≤ 1. The header is hex("P6\\n9 8\\n255\\n").
+_PPM_HEADER_HEX = "50360a3920380a3235350a"
+
+
+def _gate_image_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, modality, payload): the deterministic PPM corpus —
+    payload bytes are built with pure SQL (md5 → hex → unhex), then the
+    REAL native decode path parses them back, so decode→resize→dhash is
+    checked end-to-end against the oracle's analytic pixel values."""
+    g = (F.col("doc_id") % 250).cast("string")
+    m = F.floor(F.col("doc_id") / 250)
+    parts = [F.lit(_PPM_HEADER_HEX)]
+    for idx in range(72):
+        hx = F.substring(F.md5(F.concat(g, F.lit(f"|{idx}"))), 1, 2)
+        if idx == 0:
+            hx = F.when(m == 1, F.lit("00")).otherwise(hx)
+        parts.append(F.concat(hx, hx, hx))       # gray: R=G=B
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("image").alias("modality"),
+                       F.unhex(F.concat(*parts)).alias("payload"))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming ≤ 3 of the 32-bit
     fingerprint: pigeonhole byte-band equi-join candidates + XOR/popcount
-    verification — the full pair pipeline, not just the fingerprints."""
+    verification — the full pair pipeline, not just the fingerprints.
+
+    EXTENDED (round 6, the 50-cap tag-union pattern) with perceptual
+    image dedup (operators/multimodal.py) on a deterministic synthetic
+    PPM corpus (see _gate_image_assets): ``image_fp`` rows carry every
+    (asset_id, dHash) pair — the native binary decode → area-mean
+    resize → difference-hash path value-checked against the oracle's
+    analytic bit arithmetic — and ``image`` rows are the banded-hamming
+    near-dup pairs (≤ 4 bits) over those 64-bit fingerprints."""
+    from faisssearcher_spark.operators.multimodal import (
+        image_near_dup_pairs, perceptual_hash)
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, bits=32, max_hamming=3)
+    text_leg = dedup.simhash_pairs(docs, bits=32, max_hamming=3).select(
+        F.lit("text").alias("leg"), "id_a", "id_b", "hamming")
+    assets = _gate_image_assets(docs)
+    fp_leg = perceptual_hash(assets, decoder="native", hash_size=8).select(
+        F.lit("image_fp").alias("leg"),
+        F.col("asset_id").alias("id_a"),
+        F.col("phash").alias("id_b"),
+        F.lit(-1).alias("hamming"))
+    pair_leg = image_near_dup_pairs(assets, decoder="native", hash_size=8,
+                                    max_hamming=4).select(
+        F.lit("image").alias("leg"), "id_a", "id_b", "hamming")
+    return text_leg.unionByName(fp_leg).unionByName(pair_leg)
+
+
+def _oracle_image_phash() -> str:
+    """Analytic dHash twin: vs[1..72] are the gray pixel values
+    (row-major, 1-based); comparison (i,k) = pixel(i,k+1) > pixel(i,k)
+    contributes two's-complement weight 2^(63−j) (j = i·8+k; j=0 is the
+    sign bit) — exactly dhash_int's MSB-first packing."""
+    terms = []
+    for i in range(8):
+        for k in range(8):
+            j = i * 8 + k
+            w = -(1 << 63) if j == 0 else (1 << (63 - j))
+            terms.append(f"CASE WHEN vs[{i * 9 + k + 2}] > "
+                         f"vs[{i * 9 + k + 1}] THEN {w} ELSE 0 END")
+    phash = " + ".join(terms)
+    return f"""
+img AS (SELECT doc_id, (doc_id % 250)::VARCHAR AS g,
+               doc_id // 250 AS m
+        FROM documents),
+vals AS (SELECT doc_id,
+                list_transform(range(0, 72),
+                  idx -> CASE WHEN m = 1 AND idx = 0 THEN 0
+                         ELSE ('0x' || substring(md5(g || '|' ||
+                              idx::VARCHAR), 1, 2))::BIGINT END) AS vs
+         FROM img),
+iph AS (SELECT doc_id AS asset_id, ({phash})::BIGINT AS phash FROM vals)
+"""
 
 
 ORACLE_SIMHASH_PAIRS = f"""
@@ -771,9 +848,17 @@ WITH fp AS ({ORACLE_SIMHASH.strip().rstrip()}),
                      b.id AS id_b, b.simhash AS fp_b
               FROM banded a JOIN banded b
                 ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte
-                   AND a.id < b.id)
-SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+                   AND a.id < b.id),
+     {_oracle_image_phash().strip()}
+SELECT 'text' AS leg, id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+UNION ALL
+SELECT 'image_fp', asset_id, phash, -1 FROM iph
+UNION ALL
+SELECT 'image', a.asset_id, b.asset_id,
+       bit_count(xor(a.phash, b.phash))::INT
+FROM iph a JOIN iph b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
 
@@ -1060,9 +1145,45 @@ FROM m
 """
 
 
+#: gate blocklist — lowercase word-character terms (the RE2 oracle can
+#: replicate the \b..\b bounded pattern; lookaround edges are Java-only)
+#: with no shared prefixes, so Java's leftmost-first and RE2's
+#: leftmost-longest alternation agree on every match.
+BLOCKLIST_TERMS = ["spark", "merge", "filter", "columnar"]
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language id, EXTENDED (round 6, the 50-cap column pattern) with
+    the privacy screens:
+
+    - ``n_blocked_terms`` — blocklist_screen (privacy.py) hit count per
+      doc on BLOCKLIST_TERMS; the oracle counts the same
+      ``(?i)\\b(...)\\b`` alternation with regexp_extract_all.
+    - ``suppressed`` — whether suppress_below_k (quasi = lang × source,
+      k = 3) would drop the doc, derived as NOT-kept from the operator's
+      own left-semi output so the gate checks the real filter plan.
+    - ``k / n_groups / min_group_size / n_violating_groups /
+      n_violating_rows / is_k_anonymous`` — the one-row
+      k_anonymity_report broadcast onto every doc (constant columns;
+      the oracle recomputes them as scalar aggregates over the same
+      group sizes)."""
+    from faisssearcher_spark.operators.privacy import (blocklist_screen,
+                                                       k_anonymity_report,
+                                                       suppress_below_k)
+
     docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.detect_languages(docs)
+    base = text_analysis.detect_languages(docs)
+    screened = blocklist_screen(docs, BLOCKLIST_TERMS) \
+        .select("doc_id", "n_blocked_terms")
+    kept = suppress_below_k(docs, ["lang", "source"], k=3) \
+        .select("doc_id", F.lit(False).alias("suppressed"))
+    report = k_anonymity_report(docs, ["lang", "source"], k=3).select(
+        "k", "n_groups", "min_group_size", "n_violating_groups",
+        "n_violating_rows", "is_k_anonymous")
+    return (base.join(screened, "doc_id")
+            .join(kept, "doc_id", "left")
+            .withColumn("suppressed", F.coalesce("suppressed", F.lit(True)))
+            .crossJoin(F.broadcast(report)))
 
 
 def _oracle_langid() -> str:
@@ -1074,13 +1195,36 @@ def _oracle_langid() -> str:
             f"len(list_filter(toks, x -> list_contains({arr}, lower(x)))) AS s_{lang}")
     structs = ", ".join(
         f"{{'hits': s_{lang}, 'lang': '{lang}'}}" for lang in sorted(LANG_STOPWORDS))
+    pat = "(?i)\\b(" + "|".join(BLOCKLIST_TERMS) + ")\\b"
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
      s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
      best AS (SELECT doc_id,
                      list_max(list_filter([{structs}], p -> p.hits > 0)) AS b
-              FROM s)
-SELECT doc_id, coalesce(b.lang, 'und') AS lang_pred FROM best
+              FROM s),
+     scr AS (SELECT doc_id,
+                    len(regexp_extract_all(coalesce(text, ''),
+                        '{pat}'))::INT AS n_blocked_terms
+             FROM documents),
+     gs AS (SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY 1, 2),
+     rep AS (SELECT 3 AS k, count(*) AS n_groups, min(n) AS min_group_size,
+                    sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_violating_groups,
+                    sum(CASE WHEN n < 3 THEN n ELSE 0 END)::BIGINT
+                        AS n_violating_rows,
+                    min(n) >= 3 AS is_k_anonymous
+             FROM gs)
+SELECT best.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+       scr.n_blocked_terms,
+       coalesce(gs.n < 3, TRUE) AS suppressed,
+       rep.k, rep.n_groups, rep.min_group_size, rep.n_violating_groups,
+       rep.n_violating_rows, rep.is_k_anonymous
+FROM best
+JOIN scr USING (doc_id)
+JOIN documents d ON d.doc_id = best.doc_id
+LEFT JOIN gs ON gs.lang = d.lang AND gs.source = d.source
+CROSS JOIN rep
 """
 
 
@@ -2078,16 +2222,103 @@ FROM ranked WHERE rn <= 2
 """
 
 
+#: deterministic gate-classifier weight scale: w(token) =
+#: md5-bucket('w|token')/1e6 − 0.5 ∈ [−0.5, 0.5) — the engine-standard
+#: md5 uniform, so the (token, weight) table derives identically in
+#: Spark and DuckDB with no model shipping.
+CLF_INTERCEPT = -0.25
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (the composed 100 TB pipeline): quality
     threshold → exact dedup by content fingerprint → MinHash-LSH near-dup
     removal keeping min doc_id per cluster. Oracle re-derives the whole
-    pipeline in SQL including the recursive-CTE component resolution."""
+    pipeline in SQL including the recursive-CTE component resolution.
+
+    EXTENDED (round 6, the 50-cap tag-union pattern) with two
+    previously oracle-less families:
+
+    ``classifier`` — QualityClassifier.score (explode → vocab join →
+    per-row margin sum → sigmoid, operators/classifier.py) +
+    pareto_keep (the GPT-3 keep rule on the md5-uniform 'pareto' draw).
+    The vocabulary is the src1 slice's distinct tokens with md5-derived
+    weights (CLF_INTERCEPT note above), so the ENTIRE scoring + keep
+    pipeline is value-checked cross-engine with no fitted model to
+    ship; rows are the Pareto survivors with quality = score@4dp.
+
+    ``conv`` — SFT conversation prep (operators/conversations.py):
+    documents grouped 20-a-piece into 25 alternating user/assistant
+    conversations, then conversation_stats (turn counts, token
+    estimate, the roles_valid structural contract) and
+    render_training_text (ChatML-style rendering, hashed). The oracle
+    rebuilds the conversations with ordered list aggregation and
+    replicates every list expression."""
+    from faisssearcher_spark.operators.classifier import (QualityClassifier,
+                                                          pareto_keep)
+    from faisssearcher_spark.operators.conversations import (
+        conversation_stats, render_training_text)
     from faisssearcher_spark.operators.curate import curate_documents
+    from faisssearcher_spark.operators.sampling import SAMPLE_DENOM
 
     docs = load_table(spark, sf_dir, "documents")
-    return curate_documents(docs, min_quality=0.3, languages=None,
-                            near_dup_threshold=0.3)
+
+    def pad(df, **over):
+        cols = {"n_turns": F.lit(-1), "n_user_turns": F.lit(-1),
+                "n_assistant_turns": F.lit(-1),
+                "roles_valid": F.lit(False), "render_hash": F.lit("")}
+        cols.update(over)
+        return df.select("leg", "doc_id", "quality", "lang_pred",
+                         "n_tokens", *[v.alias(k) if not isinstance(v, str)
+                                       else F.col(v).alias(k)
+                                       for k, v in cols.items()])
+
+    cur = pad(curate_documents(docs, min_quality=0.3, languages=None,
+                               near_dup_threshold=0.3)
+              .select(F.lit("curate").alias("leg"), "*"))
+
+    vocab = (docs.filter(F.col("source") == "src1")
+             .select(F.explode(T.tokens("text")).alias("token")).distinct()
+             .withColumn("weight",
+                         T.md5_int(F.concat(F.lit("w|"), F.col("token")))
+                         % F.lit(SAMPLE_DENOM)
+                         / F.lit(float(SAMPLE_DENOM)) - F.lit(0.5)))
+    clf = QualityClassifier(vocab, CLF_INTERCEPT)
+    scored = clf.score(docs.select("doc_id", "text"), out_col="__qs")
+    kept = pareto_keep(scored, key_col="doc_id", score_col="__qs",
+                       alpha=9.0, seed=42)
+    clf_leg = pad(kept.select(
+        F.lit("classifier").alias("leg"), "doc_id",
+        F.round("__qs", 4).alias("quality"),
+        F.lit("clf").alias("lang_pred"),
+        F.lit(-1).cast("long").alias("n_tokens")))
+
+    convs = (docs.select(
+        (F.col("doc_id") % 25).alias("conv_id"),
+        F.struct(F.col("doc_id").alias("ord"),
+                 F.when(F.floor(F.col("doc_id") / 25) % 2 == 0, "user")
+                 .otherwise("assistant").alias("role"),
+                 F.coalesce(F.col("text"), F.lit("")).alias("content"))
+        .alias("turn"))
+        .groupBy("conv_id")
+        .agg(F.transform(F.array_sort(F.collect_list("turn")),
+                         lambda s: F.struct(s["role"].alias("role"),
+                                            s["content"].alias("content")))
+             .alias("messages")))
+    stats = conversation_stats(convs, conv_col="messages")
+    rendered = render_training_text(stats, conv_col="messages",
+                                    out_col="__rt")
+    conv_leg = pad(rendered.select(
+        F.lit("conv").alias("leg"),
+        F.col("conv_id").alias("doc_id"),
+        F.lit(0.0).alias("quality"),
+        F.lit("conv").alias("lang_pred"),
+        F.col("n_tokens_est").cast("long").alias("n_tokens"),
+        "n_turns", "n_user_turns", "n_assistant_turns", "roles_valid",
+        F.md5("__rt").alias("render_hash")),
+        n_turns="n_turns", n_user_turns="n_user_turns",
+        n_assistant_turns="n_assistant_turns", roles_valid="roles_valid",
+        render_hash="render_hash")
+    return cur.unionByName(clf_leg).unionByName(conv_leg)
 
 
 def _oracle_curate() -> str:
@@ -2159,6 +2390,73 @@ WITH RECURSIVE
 SELECT doc_id, quality, lang_pred, n_tokens
 FROM kept
 WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+"""
+
+
+def _oracle_curate_extended() -> str:
+    """The three-leg curate gate twin: the recursive-CTE curation
+    pipeline, the md5-weight classifier + Pareto keep, and the ordered
+    list-agg conversation rebuild."""
+    pareto_u = (f"({_sample_bucket_sql('doc_id', op='pareto')} + 0.5)"
+                f" / 1000000.0")
+    sentinels = ("-1 AS n_turns, -1 AS n_user_turns, "
+                 "-1 AS n_assistant_turns, FALSE AS roles_valid, "
+                 "'' AS render_hash")
+    return f"""
+SELECT 'curate' AS leg, c.*, {sentinels} FROM ({_oracle_curate()}) c
+UNION ALL
+SELECT 'classifier', doc_id, round(1.0 / (1.0 + exp(-margin)), 4),
+       'clf', (-1)::BIGINT, -1, -1, -1, FALSE, ''
+FROM (
+  WITH t2 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+       w AS (SELECT tok,
+                    (('0x' || substring(md5('w|' || tok), 1, 8))::BIGINT
+                     % 1000000) / 1000000.0 - 0.5 AS w
+             FROM (SELECT DISTINCT unnest({_TOKS}) AS tok
+                   FROM documents WHERE source = 'src1')),
+       m AS (SELECT t2.doc_id,
+                    {CLF_INTERCEPT!r} + coalesce(s.msum, 0.0) AS margin
+             FROM t2 LEFT JOIN (
+               SELECT ex.doc_id, sum(coalesce(w.w, 0.0)) AS msum
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t2) ex
+               LEFT JOIN w ON w.tok = ex.tok
+               GROUP BY ex.doc_id) s USING (doc_id))
+  SELECT doc_id, margin FROM m
+  WHERE 1.0 / (1.0 + exp(-margin))
+        > 1.0 - (pow({pareto_u}, {(-1.0 / 9.0)!r}) - 1.0))
+UNION ALL
+SELECT 'conv', conv_id, 0.0, 'conv', n_tokens_est::BIGINT,
+       n_turns, n_user_turns, n_assistant_turns, roles_valid,
+       md5(rendered)
+FROM (
+  WITH c AS (SELECT doc_id % 25 AS conv_id, doc_id,
+                    CASE WHEN (doc_id // 25) % 2 = 0
+                         THEN 'user' ELSE 'assistant' END AS role,
+                    coalesce(text, '') AS content
+             FROM documents),
+       g AS (SELECT conv_id,
+                    list(role ORDER BY doc_id) AS roles,
+                    list(content ORDER BY doc_id) AS contents,
+                    string_agg('<|' || role || '|>' || chr(10) || content
+                               || chr(10), '' ORDER BY doc_id) AS rendered
+             FROM c GROUP BY conv_id)
+  SELECT conv_id,
+         len(roles)::INT AS n_turns,
+         len(list_filter(roles, r -> r = 'user'))::INT AS n_user_turns,
+         len(list_filter(roles, r -> r = 'assistant'))::INT
+           AS n_assistant_turns,
+         list_sum(list_transform(contents,
+                                 s -> ceil(length(s) / 4.0)::INT))::INT
+           AS n_tokens_est,
+         (len(roles) > 0
+          AND len(list_filter(range(1, len(roles) + 1),
+                              i -> roles[i] = 'system' AND i > 1)) = 0
+          AND len(list_filter(range(1, len(roles)),
+                              i -> roles[i] = roles[i + 1])) = 0
+          AND list_filter(roles, r -> r != 'system')[1] = 'user'
+          AND roles[-1] = 'assistant') AS roles_valid,
+         rendered
+  FROM g)
 """
 
 
@@ -2795,7 +3093,7 @@ ORACLES: dict[str, str] = {
     "events_distinct_users": ORACLE_DISTINCT_USERS,
     "events_streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
-    "curate_documents": _oracle_curate(),
+    "curate_documents": _oracle_curate_extended(),
     "curate_stream": _oracle_curate_stream(),
     "tpch_q6_revenue": ORACLE_Q6,
     "tpch_q18_big_orders": ORACLE_Q18,
