@@ -175,7 +175,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         from faisssearcher_spark.scalebench import run_scale_sweep
         factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
-        scale = run_scale_sweep(spark, sf_dir, factor=factor)
+        deep = int(os.environ.get("SPARK_GRAFT_SCALE_DEEP", "100"))
+        scale = run_scale_sweep(spark, sf_dir, factor=factor,
+                                deep_factor=deep or None)
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the LAST 2000 chars of stdout and json-parses

@@ -140,7 +140,8 @@ def detect_language(c: ColumnOrName, default: str = "und") -> Column:
     return F.coalesce(best["lang"], F.lit(default))
 
 
-def word_ngrams(c: ColumnOrName, n: int) -> Column:
+def word_ngrams(c: ColumnOrName, n: int, *,
+                pre_tokenized: bool = False) -> Column:
     """Word n-gram shingles as space-joined strings (dedup shingling).
     Documents shorter than n tokens yield an empty array.
 
@@ -149,8 +150,10 @@ def word_ngrams(c: ColumnOrName, n: int) -> Column:
     Catalyst does NOT common-subexpression-eliminate inside higher-order
     lambdas, so the per-index form re-evaluates the regexp tokenization
     once per gram (~|tokens| times per row) — measured 6-8× slower on the
-    documents corpus. The fold evaluates it only ``n`` times per row."""
-    toks = tokens(c)
+    documents corpus. The fold evaluates it only ``n`` times per row.
+    ``pre_tokenized=True`` treats ``c`` as the token array itself and
+    evaluates it once."""
+    toks = _col(c) if pre_tokenized else tokens(c)
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for j in range(2, n + 1):
@@ -169,20 +172,27 @@ def char_ngrams(c: ColumnOrName, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
-def fingerprint(c: ColumnOrName) -> Column:
+def fingerprint(c: ColumnOrName, *, pre_tokenized: bool = False) -> Column:
     """Canonical content fingerprint: md5 of the sorted distinct lowercase
     token set. Robust to token order and duplication — the classic
-    "fingerprint clustering" key (Google Refine style)."""
+    "fingerprint clustering" key (Google Refine style).
+
+    ``pre_tokenized=True`` treats ``c`` as an already-tokenized
+    ``array<string>`` column — the share-one-tokenize-scan discipline
+    for pipelines that fan a corpus into several token consumers."""
+    toks = _col(c) if pre_tokenized else tokens(c)
     canon = F.array_join(
-        F.array_sort(F.array_distinct(F.transform(tokens(c), F.lower))), " ")
+        F.array_sort(F.array_distinct(F.transform(toks, F.lower))), " ")
     return F.md5(canon)
 
 
-def rolling_hash(c: ColumnOrName, modulus: int = 1_000_000_007, base: int = 31) -> Column:
+def rolling_hash(c: ColumnOrName, modulus: int = 1_000_000_007, base: int = 31,
+                 *, pre_tokenized: bool = False) -> Column:
     """Polynomial rolling hash over the token stream (order-sensitive
     fingerprint): h = sum(base^i * md5int(tok_i)) mod m, computed left to
-    right as h = (h*base + md5int(tok)) mod m."""
-    toks = tokens(c)
+    right as h = (h*base + md5int(tok)) mod m. ``pre_tokenized`` as in
+    :func:`fingerprint`."""
+    toks = _col(c) if pre_tokenized else tokens(c)
     def step(acc: Column, t: Column) -> Column:
         tok_int = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         return (acc * base + tok_int) % F.lit(modulus)

@@ -46,10 +46,13 @@ class QualityClassifier:
         self.intercept = float(intercept)
 
     def score(self, df: DataFrame, *, text_col: str = "text",
-              out_col: str = "quality_score") -> DataFrame:
+              out_col: str = "quality_score",
+              tokens_col: str | None = None) -> DataFrame:
         """Append ``out_col`` ∈ (0, 1). Out-of-vocabulary tokens carry
         weight 0 (they were not features at train time). Empty documents
         score ``sigmoid(intercept)`` — the no-evidence prior.
+        ``tokens_col`` reuses a pre-tokenized array column instead of
+        re-tokenizing ``text_col`` (share-one-tokenize-scan).
 
         Scale shape: explode → token equi-join (AQE broadcasts the
         vocabulary) → one per-row-key sum; grouping is on a generated
@@ -69,8 +72,9 @@ class QualityClassifier:
         # row key in its own projection BELOW the generate (r5 review:
         # mid() in the same select as an explode re-evaluates per token)
         keyed = df.withColumn(rid, F.monotonically_increasing_id())
-        ex = keyed.withColumn("__tok",
-                              F.explode_outer(T.tokens(text_col)))
+        units = (F.col(tokens_col) if tokens_col is not None
+                 else T.tokens(text_col))
+        ex = keyed.withColumn("__tok", F.explode_outer(units))
         margin = (F.lit(self.intercept)
                   + F.sum(F.coalesce("__w", F.lit(0.0))))
         return (ex.join(self.weights, "__tok", "left")

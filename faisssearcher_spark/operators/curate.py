@@ -150,11 +150,17 @@ def prepare_pretraining_data(
     survivors = curate_documents(
         base, min_quality=min_quality, languages=languages,
         near_dup_threshold=near_dup_threshold).select("doc_id")
-    kept = base.join(survivors, "doc_id").persist()
+    # the persisted survivor frame carries its token array: every
+    # downstream consumer (perplexity scoring, classifier scoring,
+    # decontamination shingles, chunking) reuses it via tokens_col —
+    # ONE tokenize pass over the corpus instead of one per stage
+    # (round-5 verdict #5: stages re-tokenized the persisted text)
+    kept = (base.join(survivors, "doc_id")
+            .withColumn("__toks", T.tokens("text")).persist())
 
     if reference is not None:
         lm = fit_token_frequencies(reference, text_col=text_col)
-        scored = unigram_logppl(kept, lm)
+        scored = unigram_logppl(kept, lm, tokens_col="__toks")
         n_b = max(len(ppl_keep_buckets) + 1,
                   (len(ppl_thresholds) + 1) if ppl_thresholds else 3)
         bucketed = perplexity_buckets(scored, n_buckets=n_b,
@@ -168,18 +174,23 @@ def prepare_pretraining_data(
             qc = fit_quality_classifier(
                 reference.select(F.col(text_col).alias("text")),
                 kept.select("text"), max_iter=classifier_max_iter)
-            kept = pareto_keep(qc.score(kept), key_col="doc_id",
+            kept = pareto_keep(qc.score(kept, tokens_col="__toks"),
+                               key_col="doc_id",
                                alpha=classifier_alpha, seed=seed) \
                 .drop("quality_score")
 
     if eval_docs is not None:
         kept = decontaminate(kept, eval_docs,
-                             eval_id_col=id_col, eval_text_col=text_col)
+                             eval_id_col=id_col, eval_text_col=text_col,
+                             train_tokens_col="__toks")
 
     chunks = chunk_documents(kept, max_tokens=chunk_max_tokens,
-                             overlap=chunk_overlap)
-    chunks = chunks.withColumn(
-        "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")))
+                             overlap=chunk_overlap, tokens_col="__toks")
+    # chunk_documents already reports the slice length — reusing it
+    # saves a full re-split of the exploded chunk corpus (the largest
+    # frame in the pipeline); chunk_text is space-joined non-empty
+    # tokens, so the counts are identical by construction
+    chunks = chunks.withColumn("n_tokens", F.col("n_chunk_tokens"))
     chunks = chunks.withColumn(
         "__pack_key",
         F.concat_ws("#", F.col("doc_id").cast("string"),

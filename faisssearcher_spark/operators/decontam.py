@@ -27,8 +27,10 @@ from faisssearcher_spark.functions import text as T
 
 
 def _shingle_ids(df: DataFrame, id_col: str, text_col: str, n: int,
-                 out_id: str) -> DataFrame:
-    grams = df.withColumn("__g", T.word_ngrams(text_col, n))
+                 out_id: str, tokens_col: str | None = None) -> DataFrame:
+    src = (T.word_ngrams(tokens_col, n, pre_tokenized=True)
+           if tokens_col is not None else T.word_ngrams(text_col, n))
+    grams = df.withColumn("__g", src)
     exploded = grams.select(
         F.col(id_col).alias(out_id),
         F.explode_outer(F.array_distinct(F.col("__g"))).alias("__shingle"))
@@ -43,7 +45,8 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame, *,
                         train_id_col: str = "doc_id",
                         eval_id_col: str = "doc_id",
                         train_text_col: str = "text",
-                        eval_text_col: str = "text") -> DataFrame:
+                        eval_text_col: str = "text",
+                        train_tokens_col: str | None = None) -> DataFrame:
     """(train_id, eval_id) pairs sharing ≥ ``min_collisions`` distinct
     word ``n``-grams, with the collision count and the fraction of the
     EVAL document's shingles that collide (the contamination measure —
@@ -57,7 +60,8 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame, *,
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    t = _shingle_ids(train, train_id_col, train_text_col, n, "train_id")
+    t = _shingle_ids(train, train_id_col, train_text_col, n, "train_id",
+                     tokens_col=train_tokens_col)
     e = _shingle_ids(eval_df, eval_id_col, eval_text_col, n, "eval_id")
     e_sizes = e.groupBy("eval_id").agg(
         F.count("*").alias("__n_eval_shingles"))
@@ -79,13 +83,17 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *,
                   train_id_col: str = "doc_id",
                   eval_id_col: str = "doc_id",
                   train_text_col: str = "text",
-                  eval_text_col: str = "text") -> DataFrame:
+                  eval_text_col: str = "text",
+                  train_tokens_col: str | None = None) -> DataFrame:
     """The training corpus minus every document contaminated against the
     eval set (overlap fraction ≥ threshold for ANY eval item) — one
-    anti-join over :func:`contamination_pairs`."""
+    anti-join over :func:`contamination_pairs`. ``train_tokens_col``
+    reuses a pre-tokenized array column on the train side (the
+    share-one-tokenize-scan discipline)."""
     flagged = contamination_pairs(
         train, eval_df, n=n, min_overlap_fraction=min_overlap_fraction,
         train_id_col=train_id_col, eval_id_col=eval_id_col,
-        train_text_col=train_text_col, eval_text_col=eval_text_col
+        train_text_col=train_text_col, eval_text_col=eval_text_col,
+        train_tokens_col=train_tokens_col
     ).select(F.col("train_id").alias(train_id_col)).distinct()
     return train.join(flagged, train_id_col, "left_anti")

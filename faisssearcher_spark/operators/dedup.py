@@ -1080,7 +1080,8 @@ def dedup_lines(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
-                   n: int) -> tuple[DataFrame, DataFrame]:
+                   n: int,
+                   tokens_col: str | None = None) -> tuple[DataFrame, DataFrame]:
     """(tokenized frame, sliding n-token window occurrences).
 
     Returns ``toked = (id, __toks)`` and ``wins = (id, start, __w)`` where
@@ -1090,8 +1091,11 @@ def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
     NOTES.md interpreted-projection trap), and short documents yield no
     windows via a ``when``-guarded sequence instead of a filter (a filter
     on ``size(__toks)`` would push back through the projection and
-    re-inline the split)."""
-    toked = df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+    re-inline the split). ``tokens_col`` reuses an already-tokenized
+    array column instead (the share-one-tokenize-scan discipline)."""
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else T.tokens(text_col))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
     nt = F.size("__toks")
     starts = F.when(nt >= n, F.sequence(F.lit(1), nt - n + 1)) \
               .otherwise(F.array().cast("array<int>"))
@@ -1154,7 +1158,8 @@ def _span_marks(wins: DataFrame, *, id_col: str) -> DataFrame:
 
 def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 10,
-                           drop_empty_docs: bool = False) -> DataFrame:
+                           drop_empty_docs: bool = False,
+                           tokens_col: str | None = None) -> DataFrame:
     """Remove corpus-global exact duplicate n-token spans from each
     document (Lee et al. 2022 ExactSubstr dedup, relational form): every
     token covered by a non-first duplicate window (:func:`duplicate_spans`)
@@ -1180,7 +1185,8 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
     if id_col in ("start", "pos", "n_tokens", "n_dup_tokens"):
         raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
                          "output column; rename it first")
-    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n)
+    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n,
+                                 tokens_col=tokens_col)
     dup = _span_marks(wins, id_col=id_col)
     covered = (dup.select(
         F.col(id_col),

@@ -104,7 +104,11 @@ def cms_table(df: DataFrame, col: str | Column, *, depth: int = 4,
         F.struct(F.lit(i).alias("row_idx"),
                  _cms_bucket(c, i, width, salt).alias("bucket"))
         for i in range(depth)])).alias("cell")
-    return (df.select(cell)
+    # NULL values are excluded (the heavy_hitters discipline): concat_ws
+    # would silently hash a NULL like '', while the documented DuckDB
+    # twin's '||' propagates NULL — sketching nulls would break the
+    # bit-for-bit cross-engine contract (r5 ADVICE #3)
+    return (df.where(c.isNotNull()).select(cell)
             .select("cell.row_idx", "cell.bucket")
             .groupBy("row_idx", "bucket")
             .agg(F.count("*").alias("cnt")))
@@ -115,7 +119,9 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str | Column, *,
                out_col: str = "cms_est") -> DataFrame:
     """Point-query the sketch for every row of ``items``: appends
     ``out_col`` = min over the ``depth`` cells the item hashes into
-    (0 when a cell is empty). ``depth/width/salt`` must match the fit.
+    (0 when a cell is empty, NULL for a NULL key — nulls are never
+    sketched, matching the NULL-propagating DuckDB twin).
+    ``depth/width/salt`` must match the fit.
 
     The cell table is ≤ depth·width rows — always broadcast — so lookup
     adds no shuffle to the items side at any scale. ``items`` rows should
@@ -140,7 +146,9 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str | Column, *,
                  "left")
            .groupBy(*items.columns)
            .agg(F.min(F.coalesce(cms["cnt"], F.lit(0))).alias(out_col)))
-    return est
+    return est.withColumn(
+        out_col, F.when(c.isNull(), F.lit(None).cast("long"))
+                  .otherwise(F.col(out_col)))
 
 
 # ---------------------------------------------------------------------------

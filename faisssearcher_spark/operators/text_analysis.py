@@ -73,15 +73,24 @@ def detect_languages(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def fingerprints(df: DataFrame, *, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 tokens_col: str | None = None) -> DataFrame:
     """Content fingerprints: order-insensitive md5 set-fingerprint, an
     order-sensitive polynomial rolling hash, and the md5 of the
     normalized text (``norm_hash`` — punctuation/casing/spacing variants
-    of one passage collide, the C4/RefinedWeb dedup key)."""
+    of one passage collide, the C4/RefinedWeb dedup key).
+
+    ``tokens_col`` names an already-tokenized ``array<string>`` column
+    to reuse for the token-derived hashes (norm_hash still reads the
+    raw text) — pass it when the caller fans one tokenized frame into
+    several consumers so the corpus tokenizes once, not once per
+    operator (one regex pass saved per consumer at 100 TB)."""
+    tok_src = tokens_col if tokens_col is not None else text_col
+    pre = tokens_col is not None
     return df.select(
         F.col(id_col),
-        T.fingerprint(text_col).alias("fingerprint"),
-        T.rolling_hash(text_col).alias("rolling_hash"),
+        T.fingerprint(tok_src, pre_tokenized=pre).alias("fingerprint"),
+        T.rolling_hash(tok_src, pre_tokenized=pre).alias("rolling_hash"),
         F.md5(T.normalize_text(text_col)).alias("norm_hash"),
     )
 
@@ -104,7 +113,8 @@ def ngram_frequencies(df: DataFrame, *, text_col: str = "text", n: int = 3,
 
 def chunk_documents(df: DataFrame, *, max_tokens: int = 512,
                     overlap: int = 0, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    tokens_col: str | None = None) -> DataFrame:
     """Split documents into overlapping fixed-size token windows — the
     standard context-length prep step before packing/training.
 
@@ -126,7 +136,9 @@ def chunk_documents(df: DataFrame, *, max_tokens: int = 512,
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
     stride = max_tokens - overlap
-    toked = df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else T.tokens(text_col))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))
     starts = F.when(
         n > 0,
@@ -307,7 +319,8 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
                    id_col: str = "doc_id", text_col: str = "text",
                    token_col: str = "token", tf_col: str = "tf",
                    smoothing: float = 1.0, ngram: int = 1,
-                   score_scale: int | None = 4) -> DataFrame:
+                   score_scale: int | None = 4,
+                   tokens_col: str | None = None) -> DataFrame:
     """Per-document cross-entropy under an add-``smoothing`` unigram
     language model fit on a reference corpus (CCNet-style perplexity
     filtering, Wenzek et al. 2020, arXiv:1911.00359 — the paper scores a
@@ -364,8 +377,14 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
     # order-sensitive perplexity (a scrambled document keeps its unigram
     # score but its bigrams fall out of vocabulary). Fit the LM with
     # fit_token_frequencies(ngram=n) on the SAME n.
-    units = T.tokens(text_col) if ngram == 1 \
-        else T.word_ngrams(text_col, ngram)
+    if tokens_col is not None:
+        # share-one-tokenize-scan: the caller's token array feeds the
+        # unit expression directly (re-shingled here for ngram > 1)
+        units = (F.col(tokens_col) if ngram == 1
+                 else T.word_ngrams(tokens_col, ngram, pre_tokenized=True))
+    else:
+        units = (T.tokens(text_col) if ngram == 1
+                 else T.word_ngrams(text_col, ngram))
     ex = keyed.select(F.col(id_col), F.col(rid),
                       F.explode_outer(units).alias("__tok"))
     n = F.count("__tok")

@@ -1249,14 +1249,25 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.text_analysis import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = text_analysis.fingerprints(docs)
+    # ONE tokenized frame feeds fingerprints, segment dedup, and span
+    # removal (round-5 verdict: each component re-derived tokens from
+    # text). Shared LAZILY, not .cache()d: at gate scale the in-memory
+    # materialization + lost codegen fusion cost ~6× more than the
+    # recompute it saves (measured 9.2 s vs 1.5 s first-run at sf0.1);
+    # the tokens_col plumbing is the part that matters — a pipeline
+    # whose stages are expensive caches this frame (see
+    # prepare_pretraining_data).
+    toked = docs.select("doc_id", "text",
+                        T.tokens("text").alias("__toks"))
+    fp = text_analysis.fingerprints(toked, tokens_col="__toks")
 
-    spans = remove_duplicate_spans(docs, n=10).select(
+    spans = remove_duplicate_spans(toked, n=10, tokens_col="__toks").select(
         "doc_id",
         F.col("n_dup_tokens").alias("n_dup_span_tokens"),
         F.md5("text").alias("span_clean_hash"))
 
-    chunks = chunk_documents(docs, max_tokens=10, overlap=0)
+    chunks = chunk_documents(toked, max_tokens=10, overlap=0,
+                             tokens_col="__toks")
     totals = chunks.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_chunks"))
     kept = dedup_segments(chunks, id_col="doc_id", pos_col="chunk_idx",
@@ -1278,14 +1289,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction; it is pinned in tests/test_diffing.py).
     from faisssearcher_spark.operators.diffing import corpus_diff
 
-    refreshed = (docs.filter(F.col("doc_id") % 11 != 0)
+    refreshed = (toked.select("doc_id", "text")
+                 .filter(F.col("doc_id") % 11 != 0)
                  .withColumn("text",
                              F.when(F.col("doc_id") % 7 == 0,
                                     F.concat(F.coalesce(F.col("text"),
                                                         F.lit("")),
                                              F.lit(" __refreshed")))
                              .otherwise(F.col("text"))))
-    diff = corpus_diff(docs, refreshed).select(
+    diff = corpus_diff(toked.select("doc_id", "text"), refreshed).select(
         F.col("key").alias("doc_id"), F.col("status").alias("diff_status"))
 
     return (fp.join(totals, "doc_id", "left")

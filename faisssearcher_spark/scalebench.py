@@ -47,20 +47,63 @@ __all__ = ["scaled_embeddings", "scaled_documents", "run_scale_sweep"]
 
 def scaled_embeddings(emb: DataFrame, factor: int) -> DataFrame:
     """``factor``× replica of an embeddings frame (``vec_id``,
-    ``embedding``, ``label``); replica r's vec_id = base·factor + r."""
+    ``embedding``, ``label``); replica r's vec_id = base·factor + r.
+
+    Replicas pair up even/odd: each EVEN replica r points in an
+    essentially random direction (sign-flip by ``xxhash64 % 2`` — rep 0
+    is the untouched base), and the following ODD replica r+1 reuses
+    r's flip pattern with ~1/16 of the LOW-MASS coordinates (|x| ≤
+    ‖v‖/8, so each flip moves cosine by ≤ 2·(1/64)) additionally
+    flipped — a planted near-duplicate at cos ≥ 1 − k/32 ≈ 0.9
+    regardless of how unevenly the corpus distributes coordinate mass
+    (flipping arbitrary coordinates made cos swing to ≈ −0.2 on
+    heavy-mass dims). A pair with zero eligible flips (~13%) stays an
+    EXACT duplicate — also legitimate verify-join work. So the near-dup
+    PAIR count grows linearly with the corpus (factor/2 isolated pairs
+    per base vector, never a clique whose quadratic output would
+    confound the join-cost measurement), and the LSH sweep's
+    exact-verify join has real work at every scale point (r5 verdict
+    #3: the x10 leg verified zero candidates, timing bucket hashing but
+    never the part that grows)."""
     if factor == 1:
         return emb
     reps = emb.sparkSession.range(factor).withColumnRenamed("id", "rep")
+    base_rep = F.col("rep") - F.col("rep") % 2     # odd r shares r-1's flips
+    # norm materialized as a row attribute BEFORE the transform — an
+    # aggregate referenced inside the lambda would re-evaluate per
+    # element (the NOTES.md O(d²) trap)
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, b: a + b))
+    # hashes must key on the BASE id: inside the final select, a bare
+    # `vec_id` would resolve to the sibling `vec_id` ALIAS (base·factor
+    # + rep) via Spark's lateral-column-alias rule — every replica then
+    # hashes differently and the even/odd pairing silently degenerates
+    # to mutual randomness (this exact bug shipped in r5: replicas keyed
+    # on the output id, which didn't matter when all replicas were
+    # meant to be random, but breaks planted pairs)
     flipped = F.transform(
         "embedding",
         lambda x, i: F.when(
-            F.xxhash64(F.col("vec_id"), F.col("rep"), i) % 2 == 0, x
-        ).otherwise(-x).cast("float"))
-    return emb.crossJoin(F.broadcast(reps)).select(
-        (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
-        F.when(F.col("rep") == 0, F.col("embedding"))
-         .otherwise(flipped).alias("embedding"),
-        "label")
+            ((base_rep != 0)
+             # != 0, not == 1: Spark % keeps the dividend's sign, so
+             # "== 1" would flip only positive-odd hashes (25%) and
+             # bias every even replica to cos ≈ 0.5 with its base
+             & (F.xxhash64(F.col("__base_id"), base_rep, i) % 2 != 0))
+            != ((F.col("rep") % 2 == 1)
+                & (F.xxhash64(F.col("__base_id"), F.col("rep"), i,
+                              F.lit("nd")) % 16 == 0)
+                & (F.abs(x) <= F.col("__norm") / 8)),
+            -x).otherwise(x).cast("float"))
+    return (emb.withColumnRenamed("vec_id", "__base_id")
+            .crossJoin(F.broadcast(reps))
+            .withColumn("__norm", norm)
+            .select(
+                (F.col("__base_id") * factor + F.col("rep"))
+                .alias("vec_id"),
+                F.when(F.col("rep") == 0, F.col("embedding"))
+                 .otherwise(flipped).alias("embedding"),
+                "label"))
 
 
 def scaled_documents(docs: DataFrame, factor: int) -> DataFrame:
@@ -164,9 +207,15 @@ def _bm25_fit_search(docs: DataFrame) -> DataFrame:
     return BM25Index().fit(docs).search(q, k=10, query_item_col="qid")
 
 
+#: legs that also run at the deep scale point: the two whose cost is
+#: dominated by work that only exists at large n (LSH exact-verify join,
+#: grid GEMM cells)
+DEEP_LEGS = ("embedding_lsh", "knn_grid")
+
+
 def run_scale_sweep(spark: SparkSession, sf_dir: str, *,
                     factor: int = 10, n_queries: int = 20,
-                    runs: int = 2) -> dict:
+                    runs: int = 2, deep_factor: int | None = None) -> dict:
     """Time the scale-critical paths at 1× and ``factor``× the corpus.
 
     Returns a JSON-able dict:
@@ -174,6 +223,13 @@ def run_scale_sweep(spark: SparkSession, sf_dir: str, *,
     {"sec_x1": s, "sec_xN": s, "rows_x1": n, "rows_xN": n,
     "time_ratio": s_xN / s_x1}}}`` — ``time_ratio`` ≲ ``factor`` is the
     linear-scaling criterion (see module docstring).
+
+    ``deep_factor`` (e.g. 100) adds one more corpus point for the
+    DEEP_LEGS only (single run — these are the expensive ones), with
+    ``time_ratio_deep`` = sec_x{deep} / sec_x{factor}: between x10 and
+    x100 BOTH sides carry planted near-dup verification work (see
+    :func:`scaled_embeddings`), so this ratio is the honest
+    verified-join scaling number.
     """
     from faisssearcher_spark.sources.catalog import load_table
 
@@ -227,10 +283,34 @@ def run_scale_sweep(spark: SparkSession, sf_dir: str, *,
                 if not name.startswith("knn_"):
                     q[f"rows_x{f}"] = thunk().count()
 
+        if deep_factor:
+            dfac = int(deep_factor)
+            epath = f"{tmp}/embeddings_x{dfac}"
+            scaled_embeddings(emb_base, dfac).write.parquet(epath)
+            n_part = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            emb_deep = spark.read.parquet(epath).repartition(n_part)
+            n_deep = emb_deep.count()
+            result["corpus_rows"][f"x{dfac}"] = {"embeddings": n_deep}
+            sqs = _scale_queries(emb_deep, frames[factor][1], queries,
+                                 n_deep)
+            for name in DEEP_LEGS:
+                t0 = time.time()
+                sqs[name]().write.mode("overwrite").format("noop").save()
+                sec = round(time.time() - t0, 3)
+                q = result["queries"][name]
+                q[f"sec_x{dfac}"] = sec
+                if not name.startswith("knn_"):
+                    q[f"rows_x{dfac}"] = sqs[name]().count()
+
         for name, q in result["queries"].items():
             base = q["sec_x1"]
             q["time_ratio"] = round(q[f"sec_x{factor}"] / base, 2) \
                 if base > 0 else None
+            if deep_factor and f"sec_x{int(deep_factor)}" in q:
+                mid = q[f"sec_x{factor}"]
+                q["time_ratio_deep"] = \
+                    round(q[f"sec_x{int(deep_factor)}"] / mid, 2) \
+                    if mid > 0 else None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result

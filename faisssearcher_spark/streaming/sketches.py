@@ -18,7 +18,6 @@ re-delivered batch recomputes byte-identical state over itself.
 
 from __future__ import annotations
 
-import os
 import re
 from typing import Sequence
 
@@ -31,13 +30,31 @@ from faisssearcher_spark.operators.sketches import hll_sketches
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 
 
-def _epochs(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
+def _fs_path(spark: SparkSession, uri: str):
+    """(Hadoop FileSystem, Path) for any URI the session can reach —
+    state listing/cleanup must go through the Hadoop FS API, not
+    os.listdir: with a remote state_dir (s3://, hdfs://) the local-FS
+    calls silently saw an empty directory, so every epoch dropped all
+    prior contributions and batch-0 stale-state truncation no-op'd
+    (r5 ADVICE #1)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _epoch_path(state_dir: str, epoch: int) -> str:
+    return state_dir.rstrip("/") + f"/epoch={epoch}"
+
+
+def _epochs(spark: SparkSession, state_dir: str) -> list[int]:
+    fs, path = _fs_path(spark, state_dir)
+    if not fs.exists(path):
         return []
     out = []
-    for name in os.listdir(state_dir):
-        m = _EPOCH_RE.match(name)
-        if m:
+    for status in fs.listStatus(path):
+        m = _EPOCH_RE.match(status.getPath().getName())
+        if m and status.isDirectory():
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -60,8 +77,6 @@ def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
     group_cols = list(group_cols)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch_df.sparkSession
         if batch_id == 0:
             # batch 0 means a fresh (or reset) checkpoint: every input
@@ -71,13 +86,14 @@ def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
             # fewer, lower-numbered epochs) and would double-count on
             # merge. Truncate; the guarantee is "state matches THIS
             # checkpoint's delivered input".
-            for e in _epochs(state_dir):
-                shutil.rmtree(os.path.join(state_dir, f"epoch={e}"),
-                              ignore_errors=True)
+            fs, _ = _fs_path(spark, state_dir)
+            jpath = spark._jvm.org.apache.hadoop.fs.Path
+            for e in _epochs(spark, state_dir):
+                fs.delete(jpath(_epoch_path(state_dir, e)), True)
         new = hll_sketches(batch_df, group_cols, value_col, lg_k=lg_k)
-        prior = [e for e in _epochs(state_dir) if e < batch_id]
+        prior = [e for e in _epochs(spark, state_dir) if e < batch_id]
         if prior:
-            prev_path = os.path.join(state_dir, f"epoch={prior[-1]}")
+            prev_path = _epoch_path(state_dir, prior[-1])
             spark.catalog.refreshByPath(prev_path)
             prev = spark.read.parquet(prev_path)
             merged = (prev.unionByName(new)
@@ -86,7 +102,7 @@ def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
         else:
             merged = new
         (merged.write.mode("overwrite")
-         .parquet(os.path.join(state_dir, f"epoch={batch_id}")))
+         .parquet(_epoch_path(state_dir, batch_id)))
 
     writer = (stream_df.writeStream.foreachBatch(_merge)
               .queryName(query_name)
@@ -100,9 +116,9 @@ def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The latest epoch's sketch table (``group_cols... + hll binary``).
     Old epochs stay on disk as recovery points; prune them like any
     checkpointed state once a retention window passes."""
-    epochs = _epochs(state_dir)
+    epochs = _epochs(spark, state_dir)
     if not epochs:
         raise FileNotFoundError(f"no sketch state under {state_dir!r}")
-    path = os.path.join(state_dir, f"epoch={epochs[-1]}")
+    path = _epoch_path(state_dir, epochs[-1])
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)

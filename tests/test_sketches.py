@@ -94,6 +94,23 @@ class TestCms:
         # width >> distinct keys: no collisions, estimates are exact
         assert out == truth
 
+    def test_null_keys_never_sketched_and_lookup_null(self, spark):
+        """NULL values are excluded from the sketch (they'd hash like ''
+        through concat_ws while the DuckDB '||' twin propagates NULL —
+        r5 ADVICE), and looking up a NULL key returns NULL, not a
+        phantom estimate."""
+        rows = [("alpha",)] * 3 + [(None,)] * 5 + [("",)] * 2
+        df = spark.createDataFrame(rows, "w string")
+        cms = sketches.cms_table(df, "w", depth=2, width=64)
+        total = sum(r["cnt"] for r in cms.collect())
+        assert total == 2 * 5          # depth × non-null rows; nulls out
+        items = spark.createDataFrame(
+            [("alpha",), (None,), ("",)], "w string")
+        out = {r["w"]: r["cms_est"] for r in sketches.cms_lookup(
+            cms, items, "w", depth=2, width=64).collect()}
+        assert out["alpha"] >= 3 and out[""] >= 2
+        assert out[None] is None
+
     def test_lookup_params_must_match_salt(self, spark, words):
         cms = sketches.cms_table(words, "w", depth=2, width=64, salt="a")
         items = spark.createDataFrame([("alpha",)], "w string")
