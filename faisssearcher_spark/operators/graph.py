@@ -1,0 +1,356 @@
+"""Native graph ANN: per-shard navigable-small-world index + beam search.
+
+Completes the index family (operators/ann.py: Flat/IVF/PQ/OPQ/IVFPQ/SQ)
+with the graph-structured member the reference reaches through FAISS's
+``IndexHNSWFlat`` special-case (``backend/faiss_searcher.py:100-107``) —
+but WITHOUT the faiss import gate: graph build and search are pure
+numpy inside Arrow stages, available everywhere the engine runs.
+
+Spark-first shape (the ``faiss_topk_sharded`` discipline, ann.py):
+
+- **fit** — the corpus partitions into shards; ONE ``mapInPandas`` pass
+  builds an independent NSW graph per shard (greedy insertion: each new
+  node beam-searches the inserted prefix and links to its ``m`` nearest;
+  reverse edges trim to ``2m``). The corpus never leaves its executors;
+  what materializes is the graph table
+  ``(shard, pos, key, vector, neighbors)`` — parquet-persistable
+  (the S2/S3 save/load discipline, no pickle).
+- **search** — the (small) query matrix broadcasts; each shard answers
+  with layer-0 beam search (``ef_search`` frontier) via
+  ``groupBy(shard).applyInPandas`` — Spark guarantees the whole shard in
+  one call — and only per-shard top-k candidates reach the global
+  window merge (``knn._merge_candidates``, the same two-level merge as
+  ``knn_join(strategy="sharded")``).
+
+Single-layer NSW, not hierarchical: HNSW's upper layers buy log(n)
+entry-point routing once a graph holds ≫10⁶ nodes; here the SHARDING
+bounds each graph's size (pick ``shards ≈ corpus / 1M``), so layer-0
+search from a fixed entry point stays within a constant factor — and
+per-shard recall composes upward: the merged result can only be more
+complete than one big graph at equal parameters, because every shard
+is searched (no routing misses), exactly the argument documented on
+``faiss_topk_sharded``.
+
+Scale notes: graph construction is the expensive one-time pass
+(O(n·ef_construction·m) vectorized scoring per shard, Python-loop
+insertion) — budget it like an IVF train+add; search cost per query is
+O(shards · ef_search · m) dot products, independent of corpus size
+given fixed shard size. Queries are the SMALL side by contract (they
+drive one beam per query per shard); corpus-×-corpus workloads belong
+to the dedup operators, not a graph index.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["NSWIndex", "nsw_topk"]
+
+
+def _prep(mat: np.ndarray, metric: str) -> np.ndarray:
+    """float32 matrix in the similarity space: cos → L2-normalized rows
+    (zero rows stay zero, the engine-wide convention)."""
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    if metric == "cos":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return mat
+
+
+def _sims(mat: np.ndarray, idx: np.ndarray, q: np.ndarray,
+          metric: str) -> np.ndarray:
+    """Similarity of query ``q`` to ``mat[idx]`` — HIGHER is closer for
+    every metric (l2 returns the negated squared distance, the FAISS
+    convention the rest of the engine follows)."""
+    sub = mat[idx]
+    if metric in ("cos", "ip"):
+        return sub @ q
+    d = sub - q
+    return -(d * d).sum(axis=1)
+
+
+def _beam_search(mat: np.ndarray, nbrs: np.ndarray, counts: np.ndarray,
+                 q: np.ndarray, ef: int, metric: str,
+                 entry: int = 0) -> "list[tuple[float, int]]":
+    """Layer-0 best-first beam search: greedy frontier expansion keeping
+    the best ``ef`` results; stops when the nearest frontier node is
+    worse than the worst kept result. Returns (sim, pos) best-first."""
+    visited = np.zeros(len(mat), dtype=bool)
+    visited[entry] = True
+    d0 = float(_sims(mat, np.array([entry]), q, metric)[0])
+    frontier = [(-d0, entry)]                  # min-heap on -sim
+    result = [(d0, entry)]                     # min-heap on sim (worst first)
+    while frontier:
+        neg, u = heapq.heappop(frontier)
+        if len(result) >= ef and -neg < result[0][0]:
+            break
+        nb = nbrs[u, :counts[u]]
+        nb = nb[~visited[nb]]
+        if not len(nb):
+            continue
+        visited[nb] = True
+        sims = _sims(mat, nb, q, metric)
+        worst = result[0][0]
+        for s, v in zip(sims.tolist(), nb.tolist()):
+            if len(result) < ef or s > worst:
+                heapq.heappush(result, (s, v))
+                heapq.heappush(frontier, (-s, v))
+                if len(result) > ef:
+                    heapq.heappop(result)
+                worst = result[0][0]
+    return sorted(result, reverse=True)
+
+
+def _build_shard_graph(mat: np.ndarray, m: int, ef_construction: int,
+                       metric: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Greedy NSW insertion over one shard: node i links to its ``m``
+    nearest among nodes [0, i) found by beam search; reverse edges trim
+    to the best ``2m``. Returns (neighbors (n, 2m) int32 −1-padded,
+    counts (n,) int32)."""
+    n = len(mat)
+    m_max = 2 * m
+    nbrs = np.full((n, m_max), -1, dtype=np.int32)
+    counts = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        found = _beam_search(mat[:i], nbrs[:i], counts[:i], mat[i],
+                             max(ef_construction, m), metric)
+        links = [pos for _, pos in found[:m]]
+        nbrs[i, :len(links)] = links
+        counts[i] = len(links)
+        sim_i = {pos: s for s, pos in found[:m]}
+        for t in links:
+            if counts[t] < m_max:
+                nbrs[t, counts[t]] = i
+                counts[t] += 1
+            else:
+                # replace t's worst link if i is closer to t
+                t_nb = nbrs[t, :counts[t]]
+                t_sims = _sims(mat, t_nb, mat[t], metric)
+                worst = int(np.argmin(t_sims))
+                s_it = sim_i.get(t)
+                if s_it is None:
+                    s_it = float(_sims(mat, np.array([i]), mat[t],
+                                       metric)[0])
+                if s_it > float(t_sims[worst]):
+                    nbrs[t, worst] = i
+    return nbrs, counts
+
+
+class NSWIndex:
+    """Sharded NSW graph index with the family's fit/search/save/load
+    surface (parity row X1/X2: ``parse_index_param`` keeps routing bare
+    ``HNSW<m>`` specs to real FAISS exactly like the reference's
+    special-case; this class is the native, import-gate-free
+    equivalent)."""
+
+    #: graph-table column order (also the save/load schema contract)
+    _COLS = ("shard", "pos", "key", "vector", "neighbors")
+
+    def __init__(self, m: int = 16, ef_construction: int = 64,
+                 ef_search: int = 64, metric: str = "cos",
+                 n_shards: int | None = None):
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        if ef_construction < m:
+            raise ValueError("ef_construction must be >= m")
+        if metric not in ("cos", "ip", "l2"):
+            raise ValueError("metric must be 'cos', 'ip' or 'l2'")
+        self.m = m
+        self.ef_construction = ef_construction
+        self.ef_search = ef_search
+        self.metric = metric
+        self.n_shards = n_shards
+        self.graph: DataFrame | None = None
+        self.n_items: int | None = None
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(self, items: DataFrame, *, item_key_col: str = "item",
+            item_vec_col: str = "embedding") -> "NSWIndex":
+        src = items.select(F.col(item_key_col).alias("key"),
+                           F.col(item_vec_col).alias("vector"))
+        if self.n_shards is not None:
+            src = src.repartition(self.n_shards)
+        m, efc, metric = self.m, self.ef_construction, self.metric
+
+        def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _prep(np.array(pdf["vector"].to_list()), metric)
+                nbrs, counts = _build_shard_graph(mat, m, efc, metric)
+                # deterministic shard id: the batch's min key (keys are
+                # unique, so shards never collide); non-numeric keys
+                # hash through crc32
+                kmin = pdf["key"].min()
+                try:
+                    shard = int(kmin)
+                except (ValueError, TypeError):
+                    import zlib
+                    shard = zlib.crc32(str(kmin).encode())
+                yield pd.DataFrame({
+                    "shard": shard,
+                    "pos": np.arange(len(pdf), dtype=np.int32),
+                    "key": pdf["key"].to_numpy(),
+                    "vector": [v.astype(np.float32) for v in mat],
+                    "neighbors": [nbrs[j, :counts[j]].astype(np.int32)
+                                  for j in range(len(pdf))],
+                })
+
+        key_t = items.schema[item_key_col].dataType.simpleString()
+        schema = (f"shard long, pos int, key {key_t}, "
+                  "vector array<float>, neighbors array<int>")
+        self.graph = src.mapInPandas(_build, schema).persist()
+        self.n_items = self.graph.count()       # materialize the build once
+        return self
+
+    def _require_fitted(self) -> DataFrame:
+        if self.graph is None:
+            raise ValueError("index is not fitted; call fit() or load()")
+        return self.graph
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, queries: DataFrame, *, k: int = 10,
+               query_item_col: str = "query_id",
+               query_vec_col: str = "embedding",
+               ef_search: int | None = None,
+               payload_cols: Sequence[str] | None = None,
+               keep_rank_no: bool = True) -> DataFrame:
+        """Global top-k per query: per-shard beam candidates → window
+        merge. Output ``(source_item, sim_item, sim_val[, rank_no])`` —
+        the family's result shape."""
+        from faisssearcher_spark.operators.knn import _merge_candidates
+
+        graph = self._require_fitted()
+        ef = max(int(ef_search or self.ef_search), k)
+        q_pdf = queries.select(query_item_col, query_vec_col).toPandas()
+        if not len(q_pdf):
+            raise ValueError("search needs a non-empty query set (the "
+                             "query matrix is driver-collected)")
+        qmat = _prep(np.array(q_pdf[query_vec_col].to_list()), self.metric)
+        spark = queries.sparkSession
+        b_q = spark.sparkContext.broadcast(qmat)
+        b_qid = spark.sparkContext.broadcast(
+            q_pdf[query_item_col].to_numpy())
+        metric, kk = self.metric, k
+
+        def _shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pos")
+            mat = np.array(pdf["vector"].to_list(), dtype=np.float32)
+            m_max = max((len(x) for x in pdf["neighbors"]), default=0)
+            nbrs = np.full((len(pdf), max(m_max, 1)), -1, dtype=np.int32)
+            counts = np.zeros(len(pdf), dtype=np.int32)
+            for j, nb in enumerate(pdf["neighbors"]):
+                nbrs[j, :len(nb)] = nb
+                counts[j] = len(nb)
+            keys = pdf["key"].to_numpy()
+            out_src, out_item, out_val = [], [], []
+            for qi, q in enumerate(b_q.value):
+                found = _beam_search(mat, nbrs, counts, q, ef, metric)
+                for s, pos in found[:kk]:
+                    out_src.append(b_qid.value[qi])
+                    out_item.append(keys[pos])
+                    # l2 reports the squared distance (the family's
+                    # FAISS convention), not the internal negated sim
+                    out_val.append(float(s) if metric != "l2"
+                                   else float(-s))
+            return pd.DataFrame({"source_item": out_src,
+                                 "sim_item": out_item,
+                                 "sim_val": out_val})
+
+        q_key_t = queries.schema[query_item_col].dataType.simpleString()
+        key_t = graph.schema["key"].dataType.simpleString()
+        cand_schema = (f"source_item {q_key_t}, sim_item {key_t}, "
+                       "sim_val double")
+        cand = graph.groupBy("shard").applyInPandas(_shard_search,
+                                                    cand_schema)
+        items_view = graph.select(F.col("key"))
+        payloads = list(payload_cols or [])
+        if payloads:
+            raise ValueError(
+                "NSWIndex.search carries no payload columns — join them "
+                "onto the ≤ m·k result rows afterwards (the broadcast-"
+                "ranked re-attach pattern, operators/knn.py)")
+        return _merge_candidates(cand, items_view, k=kk,
+                                 higher_is_closer=self.metric != "l2",
+                                 item_key_col="key", payload_cols=[],
+                                 keep_rank_no=keep_rank_no)
+
+    # -- persistence (S2/S3: parquet + revalidation, no pickle) ------------
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        graph = self._require_fitted()
+        graph.write.mode("overwrite").parquet(os.path.join(path, "graph"))
+        meta = {"m": self.m, "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search, "metric": self.metric,
+                "n_items": self.n_items}
+        spark = graph.sparkSession
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NSWIndex":
+        import json
+        import os
+
+        meta = json.loads(
+            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        graph = spark.read.parquet(os.path.join(path, "graph"))
+        if set(cls._COLS) - set(graph.columns):
+            raise ValueError("stored graph table missing columns — "
+                             "corrupt index?")
+        idx = cls(m=meta["m"], ef_construction=meta["ef_construction"],
+                  ef_search=meta["ef_search"], metric=meta["metric"])
+        idx.graph = graph.persist()
+        # revalidate like the quantized indexes (S3): row count matches
+        # the recorded corpus size, neighbor positions stay in-shard
+        n = graph.count()
+        if n != int(meta["n_items"]):
+            raise ValueError(
+                f"stored graph has {n} nodes, meta says {meta['n_items']}"
+                " — corrupt index?")
+        bad = (graph.select(
+            "shard", "pos",
+            F.explode_outer("neighbors").alias("nb"))
+            .join(graph.groupBy("shard")
+                  .agg(F.count("*").alias("sz")), "shard")
+            .filter(F.col("nb").isNotNull()
+                    & ((F.col("nb") < 0) | (F.col("nb") >= F.col("sz"))))
+            .count())
+        if bad:
+            raise ValueError(f"{bad} neighbor edges point outside their "
+                             "shard — corrupt index?")
+        idx.n_items = n
+        return idx
+
+
+def nsw_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
+             m: int = 16, ef_construction: int = 64, ef_search: int = 64,
+             metric: str = "cos",
+             query_item_col: str = "query_id",
+             item_key_col: str = "item",
+             query_vec_col: str = "embedding",
+             item_vec_col: str = "embedding",
+             keep_rank_no: bool = True) -> DataFrame:
+    """One-shot sharded graph search (the ``faiss_topk_sharded`` twin
+    with the native NSW kernel instead of the faiss import): build
+    per-shard graphs and answer in a single pass — right when the index
+    is not reused across query batches."""
+    idx = NSWIndex(m=m, ef_construction=ef_construction,
+                   ef_search=ef_search, metric=metric)
+    idx.fit(items, item_key_col=item_key_col, item_vec_col=item_vec_col)
+    return idx.search(queries, k=k, query_item_col=query_item_col,
+                      query_vec_col=query_vec_col,
+                      keep_rank_no=keep_rank_no)

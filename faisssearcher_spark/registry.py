@@ -2972,12 +2972,29 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.col("a.source_item") == F.col("e.source_item"))
               & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     ivfpq_recall = float(ivfpq_hits) / total if total else 0.0
+
+    # --- tag-union row 6 (round 6): native NSW graph recall — the
+    # HNSW-flavored family member without the faiss import gate
+    # (operators/graph.py). Sharded greedy-insertion graphs + beam
+    # search; per-shard recall composes upward (every shard searched),
+    # so ≥ 0.9 holds even on the isotropic worst-case corpus.
+    from faisssearcher_spark.operators.graph import NSWIndex
+
+    nsw = NSWIndex(m=12, ef_construction=48, ef_search=96, metric="cos",
+                   n_shards=4).fit(emb, item_key_col="vec_id",
+                                   item_vec_col="embedding")
+    nsw_hits = nsw.search(q, k=10, query_item_col="qid").alias("a") \
+        .join(exact.alias("e"),
+              (F.col("a.source_item") == F.col("e.source_item"))
+              & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
+    nsw_recall = float(nsw_hits) / total if total else 0.0
     return spark.createDataFrame(
         [("ivf_recall", bool(recall >= 0.9), int(total)),
          ("semantic_dedup", bool(sem_ok), int(n_emb)),
          ("pq_recall", bool(pq_recall >= 0.7), int(total)),
          ("opq_recall", bool(opq_recall >= 0.7), int(total)),
-         ("ivfpq_recall", bool(ivfpq_recall >= 0.6), int(total))],
+         ("ivfpq_recall", bool(ivfpq_recall >= 0.6), int(total)),
+         ("nsw_recall", bool(nsw_recall >= 0.9), int(total))],
         "check string, ok boolean, n long")
 
 
@@ -2994,6 +3011,9 @@ SELECT 'opq_recall', TRUE,
        (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
 UNION ALL
 SELECT 'ivfpq_recall', TRUE,
+       (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
+UNION ALL
+SELECT 'nsw_recall', TRUE,
        (SELECT count(*) * 10 FROM embeddings WHERE vec_id < 20)
 """
 
@@ -3193,6 +3213,20 @@ def q_text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     return text_analysis.token_frequency_score(docs, ref)
+
+
+def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: native NSW graph search end-to-end (per-shard greedy
+    graph build inside mapInPandas + beam-search answering for 20
+    queries + global window merge, operators/graph.py); the
+    ann_ivf_recall gate carries the recall-contract twin."""
+    from faisssearcher_spark.operators.graph import nsw_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return nsw_topk(q, emb, k=10, m=12, ef_construction=48, ef_search=96,
+                    query_item_col="qid", item_key_col="vec_id")
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3441,6 +3475,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_semantic": q_dedup_semantic,
     "sample_dsir": q_sample_dsir,
+    "ann_nsw_topk": q_ann_nsw_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_opq_topk": q_ann_opq_topk,
