@@ -1231,7 +1231,10 @@ def parse_index_param(spec: str):
       rotation pretransform, native when the OPQ block count equals the
       PQ block count (the common spec); mismatched counts (FAISS allows
       ``OPQ<m>_<d'>`` output-dim games) fall through to real FAISS;
-    - anything else (HNSW, composites) → ``("faiss", spec)`` —
+    - ``"HNSW<m>"`` → ``("nsw", m)`` — the native sharded NSW graph
+      (operators/graph.py), covering the reference's IndexHNSWFlat
+      special-case without the faiss import;
+    - anything else (HNSW composites, NSG, …) → ``("faiss", spec)`` —
       the import-gated real-FAISS pass-through, exactly the reference's
       fallthrough behavior.
     """
@@ -1258,6 +1261,14 @@ def parse_index_param(spec: str):
     m = _re.fullmatch(r"(?i)OPQ(\d+),IVF(\d+),PQ(\d+)", s)
     if m and m.group(1) == m.group(3):
         return ("opq_ivfpq", int(m.group(2)), int(m.group(3)))
+    m = _re.fullmatch(r"(?i)HNSW(\d+)", s)
+    if m:
+        # round 6: bare HNSW<m> (the reference's IndexHNSWFlat
+        # special-case) now builds the NATIVE sharded NSW graph
+        # (operators/graph.py) — same convention as IVF/PQ specs
+        # mapping to native indexes; composite HNSW specs still fall
+        # through to real FAISS below.
+        return ("nsw", int(m.group(1)))
     return ("faiss", s)
 
 

@@ -169,6 +169,13 @@ class NSWIndex:
         self.n_shards = n_shards
         self.graph: DataFrame | None = None
         self.n_items: int | None = None
+        # the fitted source frame + its key column: payload columns
+        # re-attach from here (the IVFIndex discipline — broadcast the
+        # ≤ m·k ranked side, never the items). A load()ed index has only
+        # the graph table, so payload requests there raise; join payloads
+        # onto the result frame instead.
+        self._items: DataFrame | None = None
+        self._item_key = "key"
 
     # -- fit ---------------------------------------------------------------
 
@@ -209,6 +216,8 @@ class NSWIndex:
                   "vector array<float>, neighbors array<int>")
         self.graph = src.mapInPandas(_build, schema).persist()
         self.n_items = self.graph.count()       # materialize the build once
+        self._items = items
+        self._item_key = item_key_col
         return self
 
     def _require_fitted(self) -> DataFrame:
@@ -272,16 +281,19 @@ class NSWIndex:
                        "sim_val double")
         cand = graph.groupBy("shard").applyInPandas(_shard_search,
                                                     cand_schema)
-        items_view = graph.select(F.col("key"))
         payloads = list(payload_cols or [])
-        if payloads:
+        if payloads and self._items is None:
             raise ValueError(
-                "NSWIndex.search carries no payload columns — join them "
-                "onto the ≤ m·k result rows afterwards (the broadcast-"
-                "ranked re-attach pattern, operators/knn.py)")
+                "a load()ed NSWIndex carries no payload columns — join "
+                "them onto the ≤ m·k result rows afterwards (the "
+                "broadcast-ranked re-attach pattern, operators/knn.py)")
+        items_view = (self._items if self._items is not None
+                      else graph.select(F.col("key")))
+        item_key = self._item_key if self._items is not None else "key"
         return _merge_candidates(cand, items_view, k=kk,
                                  higher_is_closer=self.metric != "l2",
-                                 item_key_col="key", payload_cols=[],
+                                 item_key_col=item_key,
+                                 payload_cols=payloads,
                                  keep_rank_no=keep_rank_no)
 
     # -- persistence (S2/S3: parquet + revalidation, no pickle) ------------
@@ -338,7 +350,7 @@ class NSWIndex:
 
 def nsw_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
              m: int = 16, ef_construction: int = 64, ef_search: int = 64,
-             metric: str = "cos",
+             metric: str = "cos", n_shards: int | None = None,
              query_item_col: str = "query_id",
              item_key_col: str = "item",
              query_vec_col: str = "embedding",
@@ -347,9 +359,14 @@ def nsw_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
     """One-shot sharded graph search (the ``faiss_topk_sharded`` twin
     with the native NSW kernel instead of the faiss import): build
     per-shard graphs and answer in a single pass — right when the index
-    is not reused across query batches."""
+    is not reused across query batches. Pick ``n_shards`` deliberately:
+    a small parquet corpus reads as ONE split, serializing the whole
+    Python insertion loop onto a single core (the scalebench open-cost
+    coalescing note) — shard ≈ corpus/cores for build parallelism,
+    corpus/1M at real scale."""
     idx = NSWIndex(m=m, ef_construction=ef_construction,
-                   ef_search=ef_search, metric=metric)
+                   ef_search=ef_search, metric=metric,
+                   n_shards=n_shards)
     idx.fit(items, item_key_col=item_key_col, item_vec_col=item_vec_col)
     return idx.search(queries, k=k, query_item_col=query_item_col,
                       query_vec_col=query_vec_col,

@@ -3225,7 +3225,10 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
+    import os as _os
+
     return nsw_topk(q, emb, k=10, m=12, ef_construction=48, ef_search=96,
+                    n_shards=int(_os.environ.get("SPARK_GRAFT_CPUS", "32")),
                     query_item_col="qid", item_key_col="vec_id")
 
 

@@ -186,6 +186,16 @@ class SparkSearcher:
         elif kind == "sq":
             idx = ann.SQIndex(nbits=self._index_plan[1], metric=metric,
                               **kw)
+        elif kind == "nsw":
+            # bare HNSW<m> → the native sharded NSW graph
+            # (operators/graph.py); FAISS's defaults are efConstruction
+            # 40 / efSearch 16 — the wider defaults here favor recall on
+            # small shards and stay overridable via index kwargs
+            from faisssearcher_spark.operators.graph import NSWIndex
+            m_links = self._index_plan[1]
+            kw.setdefault("ef_construction", max(48, 2 * m_links))
+            kw.setdefault("ef_search", max(64, 2 * m_links))
+            idx = NSWIndex(m=m_links, metric=metric, **kw)
         elif kind == "opq_ivfpq":
             idx = ann.IVFPQIndex(n_cells=self._index_plan[1],
                                  m=self._index_plan[2], metric=metric,

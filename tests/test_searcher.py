@@ -298,10 +298,26 @@ class TestIndexParam:
         assert top["sim_item"] == top["source_item"]   # added row findable
         assert top["sim_val"] == pytest.approx(1.0, abs=1e-6)
 
+    def test_hnsw_spec_builds_native_graph(self, embeddings):
+        """Round 6: bare HNSW<m> maps to the native NSW graph index
+        (operators/graph.py) — no faiss import needed, same convention
+        as IVF/PQ specs building native structures."""
+        s = SparkSearcher(embeddings, vec_col="embedding",
+                          key_col="vec_id", measurement="cos",
+                          index_param="HNSW12").train()
+        from faisssearcher_spark.operators.graph import NSWIndex
+        assert isinstance(s._index, NSWIndex)
+        q = embeddings.limit(1)
+        top = s.search(q, topK=3, keep_rank_no=True)
+        rows = top.collect()
+        assert len(rows) == 3
+        r0 = [r for r in rows if r["rank_no"] == 0][0]
+        assert r0["sim_item"] == r0["source_item"]   # self at rank 0
+
     def test_unknown_spec_defers_to_faiss(self, embeddings):
         s = SparkSearcher(embeddings, vec_col="embedding",
                           key_col="vec_id", measurement="cos",
-                          index_param="HNSW32").train()
+                          index_param="NSG32").train()
         try:
             import faiss  # noqa: F401
         except ImportError:
