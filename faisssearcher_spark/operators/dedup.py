@@ -243,14 +243,34 @@ MINHASH_MERSENNE = (1 << 61) - 1
 
 
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) affine-permutation parameters, shared verbatim
-    by the Spark plan and the DuckDB oracle SQL."""
+    """Deterministic (a, b) affine-permutation parameters. RETIRED from
+    the signature path in round 6 (see :func:`minhash_slot_salt`): with
+    base hashes h < 2^32 and a < 2^30 the product a·h never exceeds
+    2^62, so most 'permutations' never wrap the 2^61−1 modulus and are
+    ORDER-PRESERVING on h — all such slots pick the same argmin
+    shingle, collapsing the supposedly-independent slots to ~2
+    effective ones (measured: 5/16 slot agreement on a pair with true
+    Jaccard 0.84 — a >5σ deviation from Binomial(16, J); candidate
+    RECALL suffered, never correctness, because LSH pairs are
+    exact-verified). Kept only so historical experiments reproduce."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 30, size=num_hashes)
     b = rng.integers(0, 1 << 30, size=num_hashes)
     return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_slot_salt(slot: int, seed: int = 42) -> str:
+    """The salt prefix making slot ``slot`` an INDEPENDENT md5 min-hash:
+    slot value = min over shingles of ``md5_int(salt || shingle)``.
+    Per-slot md5 is the min-wise-independent construction (md5 as the
+    ideal hash); it costs ``num_hashes`` short-string md5s per exploded
+    shingle instead of one — measured parity at gate scale, because the
+    md5s ride the same codegen stage as the explode. Shared verbatim
+    with the DuckDB oracle (registry ``_oracle_minhash_sig``) and the
+    Python reference in tests."""
+    return f"mh|{seed}|{slot}|"
 
 
 def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
@@ -260,26 +280,26 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
     """Per-document MinHash signature over the distinct token (or
     word-``shingle_n``-gram) set.
 
-    Each shingle is hashed ONCE (md5 → int64); the ``num_hashes``
-    permutations are cheap affine maps ``(a_i·h + b_i) mod (2^61−1)`` over
-    that base hash — not ``num_hashes`` separate md5 passes. The shingle
-    array and base-hash array are materialized as columns so Catalyst
-    computes them once, not once per signature component.
+    Each slot is an INDEPENDENT md5 min-hash: slot i = min over
+    shingles of ``md5_int('mh|seed|i|' || shingle)`` (see
+    :func:`minhash_slot_salt` for why the earlier hash-once + affine
+    permutation construction was order-biased and had to go).
     """
     units = (T.word_ngrams(text_col, shingle_n) if shingle_n
              else T.tokens(text_col))
     base = df.select(F.col(id_col).alias("id"),
                      F.array_distinct(units).alias("token_set"))
-    hashed = base.withColumn(
-        "__hs", F.transform(F.col("token_set"), lambda t: T.md5_int(t)))
-    def perm(a: int, b: int):
+
+    def slot(i: int):
         # closure factory — NOT lambda default-args, which F.transform
         # would miscount as extra lambda parameters
+        salt = minhash_slot_salt(i, seed)
         return F.array_min(F.transform(
-            F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MERSENNE))
+            F.col("token_set"),
+            lambda t: T.md5_int(F.concat(F.lit(salt), t))))
 
-    sig = F.array(*[perm(a, b) for a, b in minhash_params(num_hashes, seed)])
-    return hashed.select("id", sig.alias("signature"), "token_set")
+    sig = F.array(*[slot(i) for i in range(num_hashes)])
+    return base.select("id", sig.alias("signature"), "token_set")
 
 
 def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
@@ -298,14 +318,15 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
     Returns ``(id_a, id_b, jaccard)`` (or candidates with NULL jaccard when
     verification is off), ``id_a < id_b``.
 
-    Implementation: the signature is computed as explode → md5 once per
-    shingle → ``num_hashes`` tiny ``min()`` aggregates per document —
-    NOT as one wide array expression per permutation. Both shapes give
+    Implementation: the signature is computed as explode →
+    ``num_hashes`` salted md5s + tiny ``min()`` aggregates per document
+    — NOT as one wide array expression per slot. Both shapes give
     identical signatures, but the wide form compiles a huge whole-stage
     codegen unit (multi-second Janino compile on first run) while the
-    aggregate form is ``num_hashes`` scalar expressions the JIT eats for
-    free; the explode also hashes each shingle exactly once. ~2× cold
-    and warm at sf0.1.
+    aggregate form is ``num_hashes`` scalar expressions the JIT eats
+    for free. Slots are per-slot INDEPENDENT md5 min-hashes (see
+    :func:`minhash_slot_salt` for the order-bias the old hash-once +
+    affine construction hid).
     """
     if num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
@@ -320,12 +341,12 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
     # yield a null token that dies on the cheap attribute filter, so they
     # still produce no signature row.
     hashed = base.select("id", F.explode_outer("token_set").alias("__t")) \
-        .filter(F.col("__t").isNotNull()) \
-        .select("id", T.md5_int("__t").alias("h"))
+        .filter(F.col("__t").isNotNull())
     sigs = hashed.groupBy("id").agg(*[
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_MERSENNE)
+        F.min(T.md5_int(F.concat(F.lit(minhash_slot_salt(i, seed)),
+                                 F.col("__t"))))
         .alias(f"__s{i}")
-        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))])
+        for i in range(num_hashes)])
 
     # '|'-joined so distinct component sequences can't collide as strings,
     # then xxhash64'd to an 8-byte join key — the bucket self-join shuffles

@@ -1,0 +1,204 @@
+"""Incremental near-duplicate screening against persisted MinHash state.
+
+The 100 TB curation loop ingests batches continuously; each new batch
+must be near-dup-checked against EVERYTHING already ingested without
+re-reading or re-hashing the history. The engine already covers the
+exact-membership half with a broadcastable Bloom filter
+(operators/bloom.py); this module is the NEAR-dup half: a persisted
+store of banded MinHash signatures that each new batch equi-joins
+against.
+
+Why signatures, not shingle sets: exact-Jaccard verification (the
+``minhash_lsh_join`` discipline) needs both documents' shingle sets —
+storing those is corpus-sized. The store keeps only the ``num_hashes``
+-slot signature (~128 B/doc at 16 hashes), and screening scores each
+banded candidate with the SIGNATURE-ESTIMATED Jaccard: the fraction of
+agreeing signature slots, an unbiased estimator of the true Jaccard
+with variance J(1−J)/num_hashes (resolution 1/num_hashes — at 16
+hashes a 0.7 threshold really means "estimate ≥ 0.6875"). Every
+arithmetic step is the engine-standard per-slot salted-md5 MinHash,
+so the whole screen — signatures, bands, candidate join, estimate — is
+replayable bit-for-bit by a DuckDB oracle (gated as the 'incremental'
+leg of ``dedup_minhash_lsh``).
+
+Scale shape: commit is one signature pass + an append write (no
+shuffle of history); screen is one signature pass over the batch + an
+equi-join on (band_idx, band_key) against the state. The state side of
+that join shuffles per screen unless you land it bucketed by
+``band_key`` (saveAsTable + bucketBy — plain parquet paths cannot
+declare buckets); for daily batches ≪ history, AQE broadcasts the
+BATCH side instead, which is the cheap direction. IDs must be globally
+unique across batches — equal-id hits are the same row re-screened,
+not duplicates, and are excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.functions import text as T
+from faisssearcher_spark.operators.dedup import minhash_slot_salt
+
+__all__ = ["MinHashStore", "banded_signatures"]
+
+
+def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int | None = None,
+                      seed: int = 42) -> DataFrame:
+    """``(id, band_idx, band_key, sig)`` — one row per (document, band).
+
+    The signature computes in the aggregate form (explode → one md5 per
+    shingle → ``num_hashes`` min() aggregates; the wide-array form
+    compiles multi-second codegen units, NOTES.md) and bands hash to
+    8-byte xxhash64 join keys exactly like ``minhash_lsh_join`` — same
+    constants, same arithmetic, so store state and self-join candidates
+    agree on every bucket."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    r = num_hashes // bands
+    units = (T.word_ngrams(text_col, shingle_n) if shingle_n
+             else T.tokens(text_col))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.array_distinct(units).alias("__ts"))
+    hashed = base.select("id", F.explode_outer("__ts").alias("__t")) \
+        .filter(F.col("__t").isNotNull())
+    sigs = hashed.groupBy("id").agg(*[
+        F.min(T.md5_int(F.concat(F.lit(minhash_slot_salt(i, seed)),
+                                 F.col("__t"))))
+        .alias(f"__s{i}")
+        for i in range(num_hashes)])
+    band_arr = F.array(*[
+        F.concat_ws("|", *[F.col(f"__s{bi * r + j}").cast("string")
+                           for j in range(r)])
+        for bi in range(bands)])
+    sig_arr = F.array(*[F.col(f"__s{i}") for i in range(num_hashes)])
+    return sigs.select(
+        "id", sig_arr.alias("sig"),
+        F.posexplode(band_arr).alias("band_idx", "band_val")) \
+        .select("id", "band_idx", F.xxhash64("band_val").alias("band_key"),
+                "sig")
+
+
+class MinHashStore:
+    """Persisted banded-MinHash state: ``commit`` batches in, ``screen``
+    new batches against everything committed so far.
+
+    The hash parameters are part of the state's identity — they are
+    recorded in ``meta`` on first commit and VALIDATED on every open
+    (signatures from different parameters silently never collide, which
+    would make every screen vacuously pass)."""
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int | None = 3, seed: int = 42):
+        if num_hashes % bands:
+            raise ValueError(
+                f"bands ({bands}) must divide num_hashes ({num_hashes})")
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.seed = seed
+        existing = self._read_meta()
+        if existing is not None:
+            mine = self._meta_dict()
+            if existing != mine:
+                raise ValueError(
+                    f"store at {path!r} was created with {existing}; "
+                    f"reopening with {mine} would produce signatures "
+                    "that never match — pass the original parameters")
+
+    # -- state layout ------------------------------------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "state")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta")
+
+    def _meta_dict(self) -> dict:
+        return {"num_hashes": self.num_hashes, "bands": self.bands,
+                "shingle_n": self.shingle_n, "seed": self.seed}
+
+    def _read_meta(self) -> "dict | None":
+        try:
+            row = self.spark.read.parquet(self._meta_path()).first()
+        except Exception:
+            return None
+        return json.loads(row["meta"]) if row else None
+
+    def _write_meta(self) -> None:
+        self.spark.createDataFrame(
+            [(json.dumps(self._meta_dict()),)], "meta string") \
+            .coalesce(1).write.mode("overwrite").parquet(self._meta_path())
+
+    def _signatures(self, docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+        return banded_signatures(
+            docs, id_col=id_col, text_col=text_col,
+            num_hashes=self.num_hashes, bands=self.bands,
+            shingle_n=self.shingle_n, seed=self.seed)
+
+    # -- API ---------------------------------------------------------------
+
+    def commit(self, docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> None:
+        """Append the batch's banded signatures to the state. Re-running
+        a commit appends duplicate rows — screens stay CORRECT (the
+        candidate join de-duplicates pairs) but the state grows; gate
+        commits behind your pipeline's exactly-once bookkeeping (the
+        streaming/sinks.py discipline) when replays are possible."""
+        if self._read_meta() is None:
+            self._write_meta()
+        self._signatures(docs, id_col, text_col) \
+            .write.mode("append").parquet(self._state_path())
+
+    def state(self) -> DataFrame:
+        return self.spark.read.parquet(self._state_path())
+
+    def screen(self, docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text",
+               threshold: float = 0.7) -> DataFrame:
+        """``(new_id, known_id, est_jaccard)`` for every batch document
+        whose signature-estimated Jaccard against a committed document
+        reaches ``threshold`` (candidates from the banded equi-join —
+        the n×|history| space is never formed)."""
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        new = self._signatures(docs, id_col, text_col)
+        known = self.state()
+        cand = (new.alias("n")
+                .join(known.alias("k"),
+                      (F.col("n.band_idx") == F.col("k.band_idx"))
+                      & (F.col("n.band_key") == F.col("k.band_key"))
+                      & (F.col("n.id") != F.col("k.id")))
+                .select(F.col("n.id").alias("new_id"),
+                        F.col("k.id").alias("known_id"),
+                        F.col("n.sig").alias("__sa"),
+                        F.col("k.sig").alias("__sb"))
+                .dropDuplicates(["new_id", "known_id"]))
+        est = (F.size(F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y),
+            lambda m: m)) / F.lit(float(self.num_hashes)))
+        return (cand.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("new_id", "known_id", "est_jaccard"))
+
+    def filter_new(self, docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   threshold: float = 0.7) -> DataFrame:
+        """The batch minus every document screened as a near-duplicate
+        of committed history — one anti-join on the screen hits. Pair
+        with ``minhash_lsh_join`` for IN-batch near-dups; this store
+        only answers "seen before?"."""
+        hits = self.screen(docs, id_col=id_col, text_col=text_col,
+                           threshold=threshold) \
+            .select(F.col("new_id").alias(id_col)).distinct()
+        return docs.join(hits, id_col, "left_anti")

@@ -691,22 +691,57 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     res = dedup.minhash_lsh_join(docs, num_hashes=16, bands=4, shingle_n=3,
                                  verify_threshold=0.3)
-    return res.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    pairs = res.select(F.lit("pairs").alias("leg"), "id_a", "id_b",
+                       F.round("jaccard", 4).alias("jaccard"))
+
+    # tag-union leg 2 (round 6): INCREMENTAL screening — the even half
+    # of the corpus commits its banded signatures to a persisted
+    # MinHashStore (operators/incremental.py), the odd half screens
+    # against that state, and every (new, known) hit with
+    # signature-estimated Jaccard ≥ 0.5 is a gate row. est_jaccard is
+    # the exact rational (agreeing slots)/16, so the DuckDB twin —
+    # which rebuilds the same salted-md5 signatures, bands, and
+    # candidate join — matches bit-for-bit. This checks the store's
+    # full commit→screen arc including the parquet round-trip.
+    import tempfile
+
+    from faisssearcher_spark.operators.incremental import MinHashStore
+
+    with tempfile.TemporaryDirectory(prefix="mhstore_gate_") as tmp:
+        store = MinHashStore(spark, tmp, num_hashes=16, bands=4,
+                             shingle_n=3)
+        store.commit(docs.filter(F.col("doc_id") % 2 == 0))
+        hits = store.screen(docs.filter(F.col("doc_id") % 2 == 1),
+                            threshold=0.5)
+        # materialize before the TemporaryDirectory vanishes: the gate
+        # returns a lazy frame the driver evaluates later
+        inc_rows = hits.select(
+            F.lit("incremental").alias("leg"),
+            F.col("new_id").alias("id_a"),
+            F.col("known_id").alias("id_b"),
+            F.round("est_jaccard", 4).alias("jaccard")).collect()
+    inc = spark.createDataFrame(
+        inc_rows, "leg string, id_a long, id_b long, jaccard double") \
+        if inc_rows else spark.createDataFrame(
+        [], "leg string, id_a long, id_b long, jaccard double")
+    return pairs.unionByName(inc)
 
 
 def _oracle_minhash_sig() -> str:
-    """Signature expression with the SAME affine params as the Spark plan."""
-    from faisssearcher_spark.operators.dedup import (MINHASH_MERSENNE,
-                                                     minhash_params)
+    """Signature expression with the SAME per-slot md5 salts as the
+    Spark plan (dedup.minhash_slot_salt — the round-6 min-wise-
+    independent construction; the old hash-once + affine permutation
+    was order-biased, see that docstring)."""
+    from faisssearcher_spark.operators.dedup import minhash_slot_salt
+
     comps = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % "
-        f"{MINHASH_MERSENNE}))"
-        for a, b in minhash_params(16))
+        "list_min(list_transform(g, x -> ('0x' || substring(md5("
+        f"'{minhash_slot_salt(i)}' || x), 1, 8))::BIGINT))"
+        for i in range(16))
     return f"[{comps}]"
 
 
-ORACLE_MINHASH = f"""
-WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+_MINHASH_CTES = f"""t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
      sh AS (SELECT id, list_distinct(list_transform(
                 range(1, greatest(len(toks)-2, 0)+1),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
@@ -728,9 +763,36 @@ WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
                             - len(list_filter(sa.g, x -> list_contains(sb.g, x)))) AS jaccard
                   FROM cand
                   JOIN sh sa ON sa.id = id_a
-                  JOIN sh sb ON sb.id = id_b)
+                  JOIN sh sb ON sb.id = id_b)"""
+
+#: the self-join pair set alone — the clusters oracle embeds this inside
+#: its RECURSIVE component resolution (the two-leg gate query below
+#: cannot nest there: a top-level UNION ALL inside a recursive CTE's
+#: body parses as the anchor/recursive split, and its incremental rows
+#: are not edges anyway)
+ORACLE_MINHASH_PAIRS = f"""
+WITH {_MINHASH_CTES}
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard
 FROM verified WHERE jaccard >= 0.3
+"""
+
+ORACLE_MINHASH = f"""
+WITH {_MINHASH_CTES},
+     inc_cand AS (SELECT DISTINCT n.id AS new_id, k.id AS known_id
+                  FROM banded n JOIN banded k
+                    ON n.band_idx = k.band_idx AND n.band_val = k.band_val
+                       AND n.id % 2 = 1 AND k.id % 2 = 0),
+     inc AS (SELECT new_id, known_id,
+                    len(list_filter(range(1, 17),
+                        j -> sn.sg[j] = sk.sg[j]))::DOUBLE / 16 AS est
+             FROM inc_cand
+             JOIN sig sn ON sn.id = new_id
+             JOIN sig sk ON sk.id = known_id)
+SELECT 'pairs' AS leg, id_a, id_b, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.3
+UNION ALL
+SELECT 'incremental', new_id, known_id, round(est, 4)
+FROM inc WHERE est >= 0.5
 """
 
 
@@ -1936,7 +1998,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({ORACLE_MINHASH}),
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_PAIRS}),
   edges AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
   reach(id, r) AS (

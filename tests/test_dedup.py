@@ -58,15 +58,38 @@ class TestMinHash:
         assert by_id[0] != by_id[3]
 
     def test_signature_matches_python_reference(self, spark):
-        # independent Python recomputation of the affine-minhash definition
+        # independent Python recomputation of the per-slot salted-md5
+        # min-hash definition (round 6: the affine construction was
+        # order-biased — see dedup.minhash_slot_salt)
         text = "alpha beta gamma delta"
         df = spark.createDataFrame([(0, text)], "doc_id long, text string")
         sig = dedup.minhash_signatures(df, num_hashes=4).first()["signature"]
         toks = list(dict.fromkeys(text.split()))
-        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
-        for i, (a, b) in enumerate(dedup.minhash_params(4)):
-            expect = min((a * h + b) % dedup.MINHASH_MERSENNE for h in hs)
+        for i in range(4):
+            salt = dedup.minhash_slot_salt(i)
+            expect = min(
+                int(hashlib.md5((salt + t).encode()).hexdigest()[:8], 16)
+                for t in toks)
             assert sig[i] == expect
+
+    def test_slot_agreement_tracks_jaccard(self, spark):
+        """The round-6 regression pin for the order-bias bug: a pair
+        with true Jaccard ≈ 0.84 must show slot agreement within the
+        binomial band (the affine construction measured 5/16 here —
+        a >5σ deficit — because most 'permutations' preserved the
+        base-hash order and all picked the same argmin shingle)."""
+        base = ("the quick brown fox jumps over the lazy dog near the "
+                "river bank at dawn while birds sing softly and the cold "
+                "morning mist drifts slowly across the quiet water meadow "
+                "toward the old stone bridge")
+        near = base.replace("dawn", "dusk")
+        df = spark.createDataFrame([(0, base), (1, near)],
+                                   "doc_id long, text string")
+        sigs = {r["id"]: r["signature"]
+                for r in dedup.minhash_signatures(
+                    df, num_hashes=32, shingle_n=3).collect()}
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 32
+        assert agree >= 0.6     # J≈0.84, σ≈0.065 → 0.6 is a ~3.7σ floor
 
     def test_bands_must_divide(self, docs_with_dups):
         with pytest.raises(ValueError, match="divide"):
