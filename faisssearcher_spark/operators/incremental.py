@@ -160,8 +160,15 @@ class MinHashStore:
         self._signatures(docs, id_col, text_col) \
             .write.mode("append").parquet(self._state_path())
 
-    def state(self) -> DataFrame:
-        return self.spark.read.parquet(self._state_path())
+    def state(self) -> "DataFrame | None":
+        """The accumulated signature table, or None before the first
+        commit (screening an empty store legitimately finds nothing)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._state_path())
+        except AnalysisException:
+            return None
 
     def screen(self, docs: DataFrame, *, id_col: str = "doc_id",
                text_col: str = "text",
@@ -174,6 +181,11 @@ class MinHashStore:
             raise ValueError(f"threshold must be in (0, 1], got {threshold}")
         new = self._signatures(docs, id_col, text_col)
         known = self.state()
+        if known is None:
+            return (new.select(F.col("id").alias("new_id"),
+                               F.col("id").alias("known_id"),
+                               F.lit(0.0).alias("est_jaccard"))
+                    .limit(0))
         cand = (new.alias("n")
                 .join(known.alias("k"),
                       (F.col("n.band_idx") == F.col("k.band_idx"))
