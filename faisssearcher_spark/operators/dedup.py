@@ -261,16 +261,29 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
+#: independent 32-bit slots extracted per md5: one 128-bit digest feeds
+#: four slots (8 hex chars each), so 16 slots cost 4 md5 calls per
+#: shingle, not 16 — different windows of an ideal hash are mutually
+#: independent, so min-wise independence is preserved.
+MINHASH_SLOTS_PER_MD5 = 4
+
+
 def minhash_slot_salt(slot: int, seed: int = 42) -> str:
-    """The salt prefix making slot ``slot`` an INDEPENDENT md5 min-hash:
-    slot value = min over shingles of ``md5_int(salt || shingle)``.
-    Per-slot md5 is the min-wise-independent construction (md5 as the
-    ideal hash); it costs ``num_hashes`` short-string md5s per exploded
-    shingle instead of one — measured parity at gate scale, because the
-    md5s ride the same codegen stage as the explode. Shared verbatim
-    with the DuckDB oracle (registry ``_oracle_minhash_sig``) and the
-    Python reference in tests."""
-    return f"mh|{seed}|{slot}|"
+    """The salt prefix of slot ``slot``'s digest GROUP: slot value =
+    min over shingles of the 32-bit window
+    ``substring(md5(salt || shingle), 1 + 8·(slot % 4), 8)`` (see
+    :func:`minhash_slot_start`). Independent md5 min-hashes are the
+    min-wise-independent construction (md5 as the ideal hash) that
+    replaced the order-biased affine family (:func:`minhash_params`).
+    Shared verbatim with the DuckDB oracle (registry
+    ``_oracle_minhash_sig``) and the Python reference in tests."""
+    return f"mh|{seed}|{slot // MINHASH_SLOTS_PER_MD5}|"
+
+
+def minhash_slot_start(slot: int) -> int:
+    """1-based hex offset of slot ``slot``'s 8-char window within its
+    digest group's md5."""
+    return 1 + 8 * (slot % MINHASH_SLOTS_PER_MD5)
 
 
 def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
@@ -289,17 +302,33 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
              else T.tokens(text_col))
     base = df.select(F.col(id_col).alias("id"),
                      F.array_distinct(units).alias("token_set"))
+    n_groups = -(-num_hashes // MINHASH_SLOTS_PER_MD5)
+    # digest arrays materialize as columns BELOW the per-slot mins so
+    # each md5 computes once per shingle per group, not once per slot
+    # (Catalyst does not CSE across aggregate/array expressions)
+    def ghash(gi: int):
+        # closure factory (the F.transform default-arg trap, see below)
+        salt = minhash_slot_salt(gi * MINHASH_SLOTS_PER_MD5, seed)
+        return F.transform(F.col("token_set"),
+                           lambda t: F.md5(F.concat(F.lit(salt), t)))
+
+    hashed = base.select("id", "token_set", *[
+        ghash(gi).alias(f"__hg{gi}") for gi in range(n_groups)])
 
     def slot(i: int):
         # closure factory — NOT lambda default-args, which F.transform
-        # would miscount as extra lambda parameters
-        salt = minhash_slot_salt(i, seed)
-        return F.array_min(F.transform(
-            F.col("token_set"),
-            lambda t: T.md5_int(F.concat(F.lit(salt), t))))
+        # would miscount as extra lambda parameters. The min runs on the
+        # fixed-length lowercase-hex SUBSTRINGS (lexicographic == numeric
+        # order), so the radix conversion happens once per document per
+        # slot, not once per shingle — measured ~30% off the whole
+        # signature pass at sf0.1.
+        start = minhash_slot_start(i)
+        return F.conv(F.array_min(F.transform(
+            F.col(f"__hg{i // MINHASH_SLOTS_PER_MD5}"),
+            lambda h: F.substring(h, start, 8))), 16, 10).cast("long")
 
     sig = F.array(*[slot(i) for i in range(num_hashes)])
-    return base.select("id", sig.alias("signature"), "token_set")
+    return hashed.select("id", sig.alias("signature"), "token_set")
 
 
 def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
@@ -340,13 +369,26 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
     # expression into that filter (see ngram_jaccard_join); empty docs
     # yield a null token that dies on the cheap attribute filter, so they
     # still produce no signature row.
+    n_groups = -(-num_hashes // MINHASH_SLOTS_PER_MD5)
+    # group digests materialize in the projection BELOW the aggregate so
+    # each md5 computes once per exploded shingle per group (the slot
+    # mins then read cheap substrings; aggregates do not CSE)
     hashed = base.select("id", F.explode_outer("token_set").alias("__t")) \
-        .filter(F.col("__t").isNotNull())
+        .filter(F.col("__t").isNotNull()) \
+        .select("id", *[
+            F.md5(F.concat(
+                F.lit(minhash_slot_salt(gi * MINHASH_SLOTS_PER_MD5, seed)),
+                F.col("__t"))).alias(f"__hg{gi}")
+            for gi in range(n_groups)])
+    # slot mins run on the fixed-length lowercase-hex windows
+    # (lexicographic == numeric order); ONE radix conversion per doc per
+    # slot happens after the aggregate, not per shingle
     sigs = hashed.groupBy("id").agg(*[
-        F.min(T.md5_int(F.concat(F.lit(minhash_slot_salt(i, seed)),
-                                 F.col("__t"))))
-        .alias(f"__s{i}")
-        for i in range(num_hashes)])
+        F.min(F.substring(F.col(f"__hg{i // MINHASH_SLOTS_PER_MD5}"),
+                          minhash_slot_start(i), 8)).alias(f"__x{i}")
+        for i in range(num_hashes)]) \
+        .select("id", *[F.conv(F.col(f"__x{i}"), 16, 10).cast("long")
+                        .alias(f"__s{i}") for i in range(num_hashes)])
 
     # '|'-joined so distinct component sequences can't collide as strings,
     # then xxhash64'd to an 8-byte join key — the bucket self-join shuffles

@@ -41,7 +41,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from faisssearcher_spark.functions import text as T
-from faisssearcher_spark.operators.dedup import minhash_slot_salt
+from faisssearcher_spark.operators.dedup import (MINHASH_SLOTS_PER_MD5,
+                                                 minhash_slot_salt,
+                                                 minhash_slot_start)
 
 __all__ = ["MinHashStore", "banded_signatures"]
 
@@ -53,8 +55,9 @@ def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
     """``(id, band_idx, band_key, sig)`` — one row per (document, band).
 
     The signature computes in the aggregate form (explode → one md5 per
-    shingle → ``num_hashes`` min() aggregates; the wide-array form
-    compiles multi-second codegen units, NOTES.md) and bands hash to
+    shingle per 4-slot digest group → ``num_hashes`` min() aggregates
+    over cheap substrings; the wide-array form compiles multi-second
+    codegen units, NOTES.md) and bands hash to
     8-byte xxhash64 join keys exactly like ``minhash_lsh_join`` — same
     constants, same arithmetic, so store state and self-join candidates
     agree on every bucket."""
@@ -66,13 +69,22 @@ def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
              else T.tokens(text_col))
     base = df.select(F.col(id_col).alias("id"),
                      F.array_distinct(units).alias("__ts"))
+    n_groups = -(-num_hashes // MINHASH_SLOTS_PER_MD5)
     hashed = base.select("id", F.explode_outer("__ts").alias("__t")) \
-        .filter(F.col("__t").isNotNull())
+        .filter(F.col("__t").isNotNull()) \
+        .select("id", *[
+            F.md5(F.concat(
+                F.lit(minhash_slot_salt(gi * MINHASH_SLOTS_PER_MD5, seed)),
+                F.col("__t"))).alias(f"__hg{gi}")
+            for gi in range(n_groups)])
+    # string-window mins (lexicographic == numeric on fixed-length
+    # lowercase hex), one radix conversion per doc per slot post-agg
     sigs = hashed.groupBy("id").agg(*[
-        F.min(T.md5_int(F.concat(F.lit(minhash_slot_salt(i, seed)),
-                                 F.col("__t"))))
-        .alias(f"__s{i}")
-        for i in range(num_hashes)])
+        F.min(F.substring(F.col(f"__hg{i // MINHASH_SLOTS_PER_MD5}"),
+                          minhash_slot_start(i), 8)).alias(f"__x{i}")
+        for i in range(num_hashes)]) \
+        .select("id", *[F.conv(F.col(f"__x{i}"), 16, 10).cast("long")
+                        .alias(f"__s{i}") for i in range(num_hashes)])
     band_arr = F.array(*[
         F.concat_ws("|", *[F.col(f"__s{bi * r + j}").cast("string")
                            for j in range(r)])

@@ -728,15 +728,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash_sig() -> str:
-    """Signature expression with the SAME per-slot md5 salts as the
-    Spark plan (dedup.minhash_slot_salt — the round-6 min-wise-
-    independent construction; the old hash-once + affine permutation
-    was order-biased, see that docstring)."""
-    from faisssearcher_spark.operators.dedup import minhash_slot_salt
+    """Signature expression with the SAME per-slot md5 salts and digest
+    windows as the Spark plan (dedup.minhash_slot_salt/_start — the
+    round-6 min-wise-independent construction, four 32-bit slots per
+    128-bit digest; the old hash-once + affine permutation was
+    order-biased, see those docstrings)."""
+    from faisssearcher_spark.operators.dedup import (minhash_slot_salt,
+                                                     minhash_slot_start)
 
     comps = ", ".join(
         "list_min(list_transform(g, x -> ('0x' || substring(md5("
-        f"'{minhash_slot_salt(i)}' || x), 1, 8))::BIGINT))"
+        f"'{minhash_slot_salt(i)}' || x), {minhash_slot_start(i)}, 8"
+        "))::BIGINT))"
         for i in range(16))
     return f"[{comps}]"
 

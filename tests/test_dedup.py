@@ -67,8 +67,10 @@ class TestMinHash:
         toks = list(dict.fromkeys(text.split()))
         for i in range(4):
             salt = dedup.minhash_slot_salt(i)
+            lo = dedup.minhash_slot_start(i) - 1
             expect = min(
-                int(hashlib.md5((salt + t).encode()).hexdigest()[:8], 16)
+                int(hashlib.md5((salt + t).encode())
+                    .hexdigest()[lo:lo + 8], 16)
                 for t in toks)
             assert sig[i] == expect
 

@@ -61,7 +61,10 @@ class TestStore:
         assert all(nid != 12 for nid, _ in got)   # fresh doc clean
 
     def test_filter_new_drops_only_screened(self, spark, corpus, tmp_path):
-        store = MinHashStore(spark, str(tmp_path / "s"))
+        # bands=8 (r=2): band-agree probability ≈ 1−(1−J²)^8 ≈ 0.9999
+        # at the planted pair's J ≈ 0.84 — the r=4 default was a ~6%
+        # deterministic-but-fragile miss on these exact hash values
+        store = MinHashStore(spark, str(tmp_path / "s"), bands=8)
         store.commit(corpus.filter(F.col("doc_id") < 10))
         kept = store.filter_new(corpus.filter(F.col("doc_id") >= 10),
                                 threshold=0.5)
