@@ -175,6 +175,11 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         "ann_pq": lambda: ann.PQIndex(m=8, metric="cos", seed=42).fit(
             emb, item_key_col="vec_id", item_vec_col="embedding"
         ).search(queries, k=5, query_item_col="vec_id"),
+        # graph search: per-shard NSW build (Python insertion loop — the
+        # expensive one-time pass, sharded to the core count so it
+        # parallelizes) + beam answering; cost should track corpus
+        # linearly at fixed shard count since per-shard size grows
+        "ann_nsw": lambda: _nsw_topk(queries, emb),
         # lexical retrieval: postings build is two aggs + a join (∝
         # corpus tokens); a FIXED 20-query search against the growing
         # postings (replica token-salting keeps per-term posting lists
@@ -197,6 +202,15 @@ def _heavy_hitters(docs: DataFrame) -> DataFrame:
     toks = docs.select(F.explode_outer(tokens("text")).alias("tok")) \
         .filter(F.col("tok").isNotNull())
     return heavy_hitters(toks, "tok", k=20)
+
+
+def _nsw_topk(queries: DataFrame, emb: DataFrame) -> DataFrame:
+    from faisssearcher_spark.operators.graph import nsw_topk
+
+    return nsw_topk(queries, emb, k=5, m=8, ef_construction=32,
+                    ef_search=48,
+                    n_shards=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    query_item_col="vec_id", item_key_col="vec_id")
 
 
 def _bm25_fit_search(docs: DataFrame) -> DataFrame:
