@@ -50,6 +50,14 @@ def curate_documents(
     distributed branch — lower its ``driver_edge_threshold`` when running
     this pipeline with a constrained driver heap (see that docstring).
     """
+    # NOTE on tokenize sharing: materializing the token array into the
+    # persisted survivor frame and feeding minhash via tokens_col was
+    # measured SLOWER here (+0.4 s at sf0.1): the cached array pays
+    # serde both ways while within-projection codegen already CSEs the
+    # identical tokens(text) subtrees below, and at 100 TB caching
+    # tokens costs storage ∝ corpus where re-tokenizing cached text is
+    # one cheap regex pass. The tokens_col plumbing stays available for
+    # callers that already carry a token array.
     scored = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),

@@ -335,7 +335,8 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text", num_hashes: int = 16,
                      bands: int = 4, shingle_n: int | None = None,
                      seed: int = 42,
-                     verify_threshold: float | None = 0.5) -> DataFrame:
+                     verify_threshold: float | None = 0.5,
+                     tokens_col: str | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     ``num_hashes`` must divide into ``bands`` equal rows-per-band. Candidate
@@ -360,8 +361,13 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
     if num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     r = num_hashes // bands
-    units = (T.word_ngrams(text_col, shingle_n) if shingle_n
-             else T.tokens(text_col))
+    if tokens_col is not None:
+        # share-one-tokenize-scan: shingle the caller's token array
+        units = (T.word_ngrams(tokens_col, shingle_n, pre_tokenized=True)
+                 if shingle_n else F.col(tokens_col))
+    else:
+        units = (T.word_ngrams(text_col, shingle_n) if shingle_n
+                 else T.tokens(text_col))
     base = df.select(F.col(id_col).alias("id"),
                      F.array_distinct(units).alias("token_set"))
     # explode_outer + isNotNull: a plain explode gets `size(token_set)>0`

@@ -73,6 +73,14 @@ class TestTokensColEquality:
             .select("doc_id", "text")
         _same(a.select("doc_id"), b.select("doc_id"))
 
+    def test_minhash_lsh_join(self, documents, toked):
+        from faisssearcher_spark.operators.dedup import minhash_lsh_join
+        _same(minhash_lsh_join(documents, num_hashes=16, bands=4,
+                               shingle_n=3, verify_threshold=0.3),
+              minhash_lsh_join(toked, num_hashes=16, bands=4,
+                               shingle_n=3, verify_threshold=0.3,
+                               tokens_col="__toks"))
+
     def test_word_ngrams_pre_tokenized(self, documents):
         a = documents.select(
             F.md5(F.array_join(T.word_ngrams("text", 3), "|")).alias("h"))
