@@ -401,7 +401,9 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       on the legs' ranks, so it hash-matches with NO rounding."""
     from faisssearcher_spark.operators.bm25 import BM25Index, rrf_fuse
     docs = load_table(spark, sf_dir, "documents")
-    hash_leg = _q_searcher_text_hash_leg(spark, sf_dir)
+    # the rrf leg re-reads BOTH base legs; without the persist each
+    # 15-row leg's full retrieval plan executes twice in the union
+    hash_leg = _q_searcher_text_hash_leg(spark, sf_dir).persist()
 
     bm = BM25Index().fit(docs, id_col="doc_id", text_col="text")
     qdf = docs.filter(F.col("doc_id") < 5).select(
@@ -414,7 +416,7 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("text").alias("__sim_text"), "lang", "source")
     bm25_leg = raw.join(side, "sim_item").select(
         "source_item", F.col("__sim_text").alias("sim_item"), "sim_val",
-        "rank_no", "lang", "source")
+        "rank_no", "lang", "source").persist()
 
     fused = rrf_fuse(
         [hash_leg.select("source_item", "sim_item", "rank_no"),
