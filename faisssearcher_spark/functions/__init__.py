@@ -1,3 +1,5 @@
-from faisssearcher_spark.functions import metrics, vector, text
+from faisssearcher_spark.functions import metrics, sqlapi, vector, text
+from faisssearcher_spark.functions.sqlapi import register_sql_functions
 
-__all__ = ["metrics", "vector", "text"]
+__all__ = ["metrics", "sqlapi", "vector", "text",
+           "register_sql_functions"]

@@ -1,0 +1,90 @@
+"""Pure-SQL surface for the metric library: temporary SQL scalar
+functions (Spark ``CREATE FUNCTION … RETURN <expr>`` — resolved by
+Catalyst into the SAME codegen'd expressions as the Column API, zero
+Python in the hot path) so SQL-only users get the reference's full
+measurement set (M1-M10, ``backend/faiss_searcher.py:75-90``) without
+touching the DataFrame API:
+
+    from faisssearcher_spark.functions.sqlapi import register_sql_functions
+    register_sql_functions(spark)
+    spark.sql(\"\"\"
+        SELECT a.vec_id, b.vec_id, fs_cos(a.embedding, b.embedding) AS s
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY s DESC LIMIT 10
+    \"\"\")
+
+Every function mirrors ``functions/metrics.py`` exactly — zero-norm
+cosine is NULL, l2 is the SQUARED FAISS distance, l_p omits the root,
+Canberra zeroes 0/0 terms, Jensen-Shannon uses the unnormalized-FAISS
+form — and the parity is pinned in tests against the Column API on the
+driver corpus. Functions are session-scoped temporaries (idempotent
+re-registration); the ``fs_`` prefix keeps the session namespace
+polite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: (name, parameter list, body) — bodies are plain Spark SQL expressions
+#: over ARRAY<DOUBLE>; callers pass float arrays freely (implicit cast).
+_DOT = ("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)")
+_NRM = ("sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+
+_FUNCTIONS: "list[tuple[str, str, str]]" = [
+    ("fs_dot", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", _DOT),
+    ("fs_norm", "a ARRAY<DOUBLE>", _NRM.format(v="a")),
+    ("fs_cos", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     f"CASE WHEN {_NRM.format(v='a')} * {_NRM.format(v='b')} <> 0.0 "
+     f"THEN ({_DOT}) / ({_NRM.format(v='a')} * {_NRM.format(v='b')}) "
+     "END"),
+    ("fs_l2", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    ("fs_l2_true", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"),
+    ("fs_l1", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    ("fs_linf", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "array_max(zip_with(a, b, (x, y) -> abs(x - y)))"),
+    ("fs_lp", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE",
+     "aggregate(zip_with(a, b, (x, y) -> pow(abs(x - y), p)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    ("fs_braycurtis", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "CASE WHEN aggregate(zip_with(a, b, (x, y) -> abs(x + y)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) <> 0.0 "
+     "THEN aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+     "/ aggregate(zip_with(a, b, (x, y) -> abs(x + y)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) END"),
+    ("fs_canberra", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "aggregate(zip_with(a, b, (x, y) -> CASE WHEN abs(x) + abs(y) <> 0.0 "
+     "THEN abs(x - y) / (abs(x) + abs(y)) ELSE 0.0 END), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    ("fs_jensen_shannon", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "0.5 * aggregate(zip_with(a, b, (x, y) -> "
+     "(CASE WHEN x > 0.0 THEN x * ln(2.0 * x / (x + y)) ELSE 0.0 END) + "
+     "(CASE WHEN y > 0.0 THEN y * ln(2.0 * y / (x + y)) ELSE 0.0 END)), "
+     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    ("fs_l2_normalize", "a ARRAY<DOUBLE>",
+     f"CASE WHEN {_NRM.format(v='a')} = 0.0 THEN a "
+     f"ELSE transform(a, x -> x / {_NRM.format(v='a')}) END"),
+]
+
+
+def register_sql_functions(spark: SparkSession) -> "list[str]":
+    """Register the ``fs_*`` temporary SQL functions in the session.
+    Returns the registered names. Idempotent (CREATE OR REPLACE)."""
+    names = []
+    for name, params, body in _FUNCTIONS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+                  f"RETURNS DOUBLE RETURN {body}"
+                  if not name.endswith("normalize") else
+                  f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+                  f"RETURNS ARRAY<DOUBLE> RETURN {body}")
+        names.append(name)
+    return names
