@@ -26,53 +26,67 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-#: (name, parameter list, body) — bodies are plain Spark SQL expressions
-#: over ARRAY<DOUBLE>; callers pass float arrays freely (implicit cast).
+#: (name, parameter list, return type, body) — bodies are plain Spark
+#: SQL expressions; callers pass float arrays freely (implicit cast).
 _DOT = ("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v)")
 _NRM = ("sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+#: whitespace tokens, empties dropped (functions/text.tokens)
+_TOKS = r"filter(split(trim(t), '\\s+'), x -> x != '')"
 
-_FUNCTIONS: "list[tuple[str, str, str]]" = [
-    ("fs_dot", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", _DOT),
-    ("fs_norm", "a ARRAY<DOUBLE>", _NRM.format(v="a")),
-    ("fs_cos", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+_FUNCTIONS: "list[tuple[str, str, str, str]]" = [
+    # -- metric library (M1-M10) ------------------------------------------
+    ("fs_dot", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE", _DOT),
+    ("fs_norm", "a ARRAY<DOUBLE>", "DOUBLE", _NRM.format(v="a")),
+    ("fs_cos", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      f"CASE WHEN {_NRM.format(v='a')} * {_NRM.format(v='b')} <> 0.0 "
      f"THEN ({_DOT}) / ({_NRM.format(v='a')} * {_NRM.format(v='b')}) "
      "END"),
-    ("fs_l2", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_l2", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
-    ("fs_l2_true", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_l2_true", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"),
-    ("fs_l1", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_l1", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
-    ("fs_linf", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_linf", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "array_max(zip_with(a, b, (x, y) -> abs(x - y)))"),
-    ("fs_lp", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE",
+    ("fs_lp", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE", "DOUBLE",
      "aggregate(zip_with(a, b, (x, y) -> pow(abs(x - y), p)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
-    ("fs_braycurtis", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_braycurtis", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "CASE WHEN aggregate(zip_with(a, b, (x, y) -> abs(x + y)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) <> 0.0 "
      "THEN aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
      "/ aggregate(zip_with(a, b, (x, y) -> abs(x + y)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) END"),
-    ("fs_canberra", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_canberra", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "aggregate(zip_with(a, b, (x, y) -> CASE WHEN abs(x) + abs(y) <> 0.0 "
      "THEN abs(x - y) / (abs(x) + abs(y)) ELSE 0.0 END), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
-    ("fs_jensen_shannon", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    ("fs_jensen_shannon", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
      "0.5 * aggregate(zip_with(a, b, (x, y) -> "
      "(CASE WHEN x > 0.0 THEN x * ln(2.0 * x / (x + y)) ELSE 0.0 END) + "
      "(CASE WHEN y > 0.0 THEN y * ln(2.0 * y / (x + y)) ELSE 0.0 END)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
-    ("fs_l2_normalize", "a ARRAY<DOUBLE>",
+    ("fs_l2_normalize", "a ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
      f"CASE WHEN {_NRM.format(v='a')} = 0.0 THEN a "
      f"ELSE transform(a, x -> x / {_NRM.format(v='a')}) END"),
+    # -- dedup-key text functions (functions/text.py twins) ---------------
+    ("fs_tokens", "t STRING", "ARRAY<STRING>", _TOKS),
+    ("fs_token_count", "t STRING", "INT", f"size({_TOKS})"),
+    ("fs_fingerprint", "t STRING", "STRING",
+     f"md5(array_join(array_sort(array_distinct("
+     f"transform({_TOKS}, x -> lower(x)))), ' '))"),
+    ("fs_normalize_text", "t STRING", "STRING",
+     r"trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9\\s]', ' '),"
+     r" '\\s+', ' '))"),
+    ("fs_md5int", "t STRING", "BIGINT",
+     "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"),
 ]
 
 
@@ -80,11 +94,8 @@ def register_sql_functions(spark: SparkSession) -> "list[str]":
     """Register the ``fs_*`` temporary SQL functions in the session.
     Returns the registered names. Idempotent (CREATE OR REPLACE)."""
     names = []
-    for name, params, body in _FUNCTIONS:
+    for name, params, rtype, body in _FUNCTIONS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
-                  f"RETURNS DOUBLE RETURN {body}"
-                  if not name.endswith("normalize") else
-                  f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
-                  f"RETURNS ARRAY<DOUBLE> RETURN {body}")
+                  f"RETURNS {rtype} RETURN {body}")
         names.append(name)
     return names

@@ -84,7 +84,31 @@ class TestSqlFunctionParity:
     def test_idempotent_registration(self, spark):
         names = register_sql_functions(spark)
         again = register_sql_functions(spark)
-        assert names == again and len(names) == 12
+        assert names == again and len(names) == 17
+
+    def test_text_functions_parity(self, spark, documents):
+        """The dedup-key text functions agree with their Column twins
+        on the driver corpus — the SQL dedup recipe
+        (GROUP BY fs_fingerprint(text)) matches the operator."""
+        from faisssearcher_spark.functions import text as T
+
+        register_sql_functions(spark)
+        documents.createOrReplaceTempView("__sql_docs")
+        got = spark.sql(
+            "SELECT doc_id, fs_tokens(text) AS tk, "
+            "fs_token_count(text) AS n, fs_fingerprint(text) AS fp, "
+            "fs_normalize_text(text) AS nt, fs_md5int(text) AS h "
+            "FROM __sql_docs ORDER BY doc_id").collect()
+        want = documents.select(
+            "doc_id", T.tokens("text").alias("tk"),
+            T.token_count("text").alias("n"),
+            T.fingerprint("text").alias("fp"),
+            T.normalize_text("text").alias("nt"),
+            T.md5_int("text").alias("h")).orderBy("doc_id").collect()
+        for g, w in zip(got, want):
+            assert list(g["tk"]) == list(w["tk"])
+            assert (g["n"], g["fp"], g["nt"], g["h"]) == \
+                (w["n"], w["fp"], w["nt"], w["h"])
 
     def test_no_python_in_plan(self, spark, pairs):
         """SQL functions resolve to Catalyst expressions — no
