@@ -53,7 +53,8 @@ def _rank_bucket_expr(col: Column, boundaries: list[float],
 
 def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
                out_col: str = "__zorder",
-               relative_error: float = 0.001) -> DataFrame:
+               relative_error: float = 0.001,
+               boundaries: "dict[str, list[float]] | None" = None) -> DataFrame:
     """Append the Z-order (Morton) key of ``cols``: each column is
     rank-bucketed into ``2**bits`` quantile buckets (skew-robust — equal
     ROW mass per bucket, unlike value-range bucketing) and the bucket
@@ -65,6 +66,12 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
     and the CASE tree grows as 2^bits nodes per column, so keep bits in
     the default 6-10 range — pruning benefits saturate once
     2^bits ≫ number of output files anyway.
+
+    ``boundaries`` overrides the approxQuantile sketch with explicit
+    per-column ascending bucket edges (len = 2**bits − 1 each) — for
+    reproducible cross-engine checks (the sketch is not replicable in
+    SQL; the drift_report ``edges`` pattern) or domain-fixed bucketing;
+    key construction is identical.
     """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
@@ -95,11 +102,23 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
         dt = df.schema[c].dataType.simpleString()
         col = F.col(c).cast("timestamp") if dt == "date" else F.col(c)
         casted[c] = col.cast("double")
-    probe = df.select(*[casted[c].alias(f"__zq_{i}")
-                        for i, c in enumerate(cols)])
-    quantiles = [float(q) / n_buckets for q in range(1, n_buckets)]
-    all_bnds = probe.approxQuantile(
-        [f"__zq_{i}" for i in range(len(cols))], quantiles, relative_error)
+    if boundaries is not None:
+        missing = [c for c in cols if c not in boundaries]
+        if missing:
+            raise ValueError(f"boundaries missing columns: {missing}")
+        bad = [c for c in cols if len(boundaries[c]) != n_buckets - 1]
+        if bad:
+            raise ValueError(
+                f"boundaries must have 2**bits-1 = {n_buckets - 1} "
+                f"values; wrong length for: {bad}")
+        all_bnds = [[float(x) for x in boundaries[c]] for c in cols]
+    else:
+        probe = df.select(*[casted[c].alias(f"__zq_{i}")
+                            for i, c in enumerate(cols)])
+        quantiles = [float(q) / n_buckets for q in range(1, n_buckets)]
+        all_bnds = probe.approxQuantile(
+            [f"__zq_{i}" for i in range(len(cols))], quantiles,
+            relative_error)
     buckets = []
     for c, bnds in zip(cols, all_bnds):
         if not bnds:   # all-NULL column: every row buckets to 0

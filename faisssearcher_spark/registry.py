@@ -2680,7 +2680,8 @@ def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                           value_col="o_totalprice",
                           half_life_s=90 * 86400.0,
                           order_col="o_orderkey")
-    return decayed.select(
+    win = decayed.select(
+        F.lit("win").alias("leg"),
         "o_custkey", "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
@@ -2691,15 +2692,57 @@ def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("o_custkey")
             .orderBy("o_orderdate", "o_orderkey")).alias("order_seq"),
-        F.round("decayed_sum", 4).alias("decayed_spend_90d"))
+        F.round("decayed_sum", 4).alias("decayed_spend_90d"),
+        F.lit(-1).cast("long").alias("zorder_key"))
+
+    # tag-union leg 2 (round 6): the Z-order layout key VALUE-checked —
+    # bucket edges are EXACT 16-quantiles fed through zorder_key's
+    # explicit `boundaries` override (Spark percentile ≡ DuckDB
+    # quantile_cont bit-for-bit, the drift_report edges pattern), so
+    # the oracle replays rank-bucketing + Morton bit interleaving per
+    # row; only the approxQuantile sketch itself stays un-replayable.
+    from faisssearcher_spark.operators.layout import zorder_key
+
+    qs = ",".join(str(q / 16) for q in range(1, 16))
+    e = orders.selectExpr(
+        f"percentile(CAST(o_totalprice AS DOUBLE), array({qs})) AS e1",
+        f"percentile(CAST(o_custkey AS DOUBLE), array({qs})) AS e2") \
+        .first()
+    zk = zorder_key(orders, ["o_totalprice", "o_custkey"], bits=4,
+                    boundaries={"o_totalprice": list(e["e1"]),
+                                "o_custkey": list(e["e2"])})
+    zleg = zk.select(
+        F.lit("zorder").alias("leg"),
+        "o_custkey", "o_orderkey",
+        F.lit("").alias("o_orderdate"),
+        F.lit(0.0).alias("running_total"),
+        F.lit(0.0).alias("moving_sum_3"),
+        F.lit(-1).alias("order_seq"),
+        F.lit(0.0).alias("decayed_spend_90d"),
+        F.col("__zorder").alias("zorder_key"))
+    return win.unionByName(zleg)
 
 
-ORACLE_RUNNING = f"""
+def _oracle_running_zorder() -> str:
+    qs = ",".join(str(q / 16) for q in range(1, 16))
+    interleave = " + ".join(
+        f"(((b1 >> {i}) & 1) << {2 * i}) + (((b2 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(4))
+    return f"""
 WITH t AS (
   SELECT *, epoch(o_orderdate) AS ets,
          min(epoch(o_orderdate)) OVER (PARTITION BY o_custkey) AS t0
-  FROM orders)
-SELECT o_custkey, o_orderkey,
+  FROM orders),
+  ze AS (SELECT quantile_cont(o_totalprice::DOUBLE, [{qs}]) AS e1,
+                quantile_cont(o_custkey::DOUBLE, [{qs}]) AS e2
+         FROM orders),
+  zb AS (SELECT o_custkey, o_orderkey,
+                len(list_filter(ze.e1,
+                    x -> o_totalprice::DOUBLE >= x)) AS b1,
+                len(list_filter(ze.e2,
+                    x -> o_custkey::DOUBLE >= x)) AS b2
+         FROM orders, ze)
+SELECT 'win' AS leg, o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(sum(o_totalprice) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -2714,9 +2757,17 @@ SELECT o_custkey, o_orderkey,
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS UNBOUNDED PRECEDING)
              * exp(-{_DECAY_LAMBDA!r} * (ets - t0)), 4)
-             AS decayed_spend_90d
+             AS decayed_spend_90d,
+       (-1)::BIGINT AS zorder_key
 FROM t
+UNION ALL
+SELECT 'zorder', o_custkey, o_orderkey, '', 0.0, 0.0, -1, 0.0,
+       ({interleave})::BIGINT
+FROM zb
 """
+
+
+ORACLE_RUNNING = _oracle_running_zorder()
 
 
 # ===========================================================================
