@@ -2130,25 +2130,116 @@ def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — parts with no line shipped since 2001 (the
     dead-stock query), per brand. The anti join ships only l_partkey from
     the filtered big side (shipdate predicate pushes to the scan) and
-    emits each part at most once."""
+    emits each part at most once.
+
+    EXTENDED (round 6, the 50-cap tag-union pattern) with the Deequ-
+    style data-quality suite (operators/expect.py): seven constraint
+    kinds evaluated over the part table in ONE aggregation pass, each
+    verdict + observed value hash-matched against a DuckDB twin that
+    recomputes the identical aggregate — the report itself becomes the
+    gated artifact, exactly how the suite gates a landing table in
+    production."""
+    from faisssearcher_spark.operators import expect as E
+
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     recent = li.filter(F.col("l_shipdate") >= "2001-01-01").select("l_partkey")
-    return (
+    anti = (
         part.join(recent, part.p_partkey == F.col("l_partkey"), "left_anti")
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_stale"),
              F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
     )
+    report = E.check(part, [
+        E.not_null("p_name"),
+        E.unique("p_partkey"),
+        E.completeness("p_brand", min_ratio=0.99),
+        E.in_range("p_size", 1, 50),
+        E.non_negative("p_retailprice"),
+        E.matches("p_brand", r"^Brand#\d+$"),
+        E.accepted_values("p_brand",
+                          [f"Brand#{i}" for i in range(1, 6)]),
+        E.row_count_between(1, None),
+    ])
+    pad_anti = anti.select(
+        F.lit("anti").alias("leg"), "p_brand", "n_stale", "avg_price",
+        F.lit("").alias("constraint"), F.lit("").alias("col"),
+        F.lit(False).alias("passed"), F.lit(0.0).alias("observed"))
+    pad_exp = report.select(
+        F.lit("expect").alias("leg"),
+        F.lit("").alias("p_brand"),
+        F.lit(-1).cast("long").alias("n_stale"),
+        F.lit(0.0).alias("avg_price"),
+        "constraint", F.col("column").alias("col"), "passed",
+        F.col("observed").cast("double"))
+    return pad_anti.unionByName(pad_exp)
 
 
-ORACLE_PARTS_NEVER_ORDERED = """
-SELECT p_brand, count(*) AS n_stale, round(avg(p_retailprice), 2) AS avg_price
+ORACLE_PARTS_NEVER_ORDERED = r"""
+SELECT 'anti' AS leg, p_brand, count(*) AS n_stale,
+       round(avg(p_retailprice), 2) AS avg_price,
+       '' AS "constraint", '' AS col, FALSE AS passed, 0.0 AS observed
 FROM part p
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_partkey = p.p_partkey
                     AND l.l_shipdate >= '2001-01-01')
 GROUP BY p_brand
+UNION ALL
+SELECT 'expect', '', -1, 0.0, "constraint", col, passed, observed FROM (
+  SELECT 'not_null' AS "constraint", 'p_name' AS col,
+         sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END)::DOUBLE
+           AS observed,
+         sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+  FROM part
+  UNION ALL
+  SELECT 'unique', 'p_partkey',
+         (count(p_partkey) - count(DISTINCT p_partkey))::DOUBLE,
+         count(p_partkey) = count(DISTINCT p_partkey)
+  FROM part
+  UNION ALL
+  SELECT 'completeness', 'p_brand',
+         count(p_brand)::DOUBLE / greatest(count(*), 1),
+         count(p_brand)::DOUBLE / greatest(count(*), 1) >= 0.99
+  FROM part
+  UNION ALL
+  SELECT 'in_range', 'p_size',
+         sum(CASE WHEN p_size IS NULL
+                    OR (p_size >= 1 AND p_size <= 50)
+                  THEN 0 ELSE 1 END)::DOUBLE,
+         sum(CASE WHEN p_size IS NULL
+                    OR (p_size >= 1 AND p_size <= 50)
+                  THEN 0 ELSE 1 END) = 0
+  FROM part
+  UNION ALL
+  SELECT 'non_negative', 'p_retailprice',
+         sum(CASE WHEN p_retailprice IS NULL OR p_retailprice >= 0
+                  THEN 0 ELSE 1 END)::DOUBLE,
+         sum(CASE WHEN p_retailprice IS NULL OR p_retailprice >= 0
+                  THEN 0 ELSE 1 END) = 0
+  FROM part
+  UNION ALL
+  SELECT 'matches', 'p_brand',
+         sum(CASE WHEN p_brand IS NULL
+                    OR regexp_matches(p_brand, '^Brand#\d+$')
+                  THEN 0 ELSE 1 END)::DOUBLE,
+         sum(CASE WHEN p_brand IS NULL
+                    OR regexp_matches(p_brand, '^Brand#\d+$')
+                  THEN 0 ELSE 1 END) = 0
+  FROM part
+  UNION ALL
+  SELECT 'accepted_values', 'p_brand',
+         sum(CASE WHEN p_brand IS NULL
+                    OR p_brand IN ('Brand#1','Brand#2','Brand#3',
+                                   'Brand#4','Brand#5')
+                  THEN 0 ELSE 1 END)::DOUBLE,
+         sum(CASE WHEN p_brand IS NULL
+                    OR p_brand IN ('Brand#1','Brand#2','Brand#3',
+                                   'Brand#4','Brand#5')
+                  THEN 0 ELSE 1 END) = 0
+  FROM part
+  UNION ALL
+  SELECT 'row_count_between', '*', count(*)::DOUBLE, count(*) >= 1
+  FROM part)
 """
 
 
