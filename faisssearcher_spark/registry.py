@@ -902,7 +902,26 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_leg = image_near_dup_pairs(assets, decoder="native", hash_size=8,
                                     max_hamming=4).select(
         F.lit("image").alias("leg"), "id_a", "id_b", "hamming")
-    return text_leg.unionByName(fp_leg).unionByName(pair_leg)
+
+    # tag-union leg 4 (round 6): video frame-sampling semantics
+    # (multimodal.frame_sample) — synthetic per-doc durations, one row
+    # per sampled offset, mapped into the pair schema as
+    # (asset_id, frame_idx, frame_offset_ms); the offsets are pure
+    # duration arithmetic the oracle replays exactly (the decode itself
+    # stays the documented stub).
+    from faisssearcher_spark.operators.multimodal import frame_sample
+
+    videos = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        ((F.col("doc_id") % 20) * 700 + 100).alias("duration_ms"))
+    frames_leg = frame_sample(videos, every_ms=1000, max_frames=8).select(
+        F.lit("frames").alias("leg"),
+        F.col("asset_id").alias("id_a"),
+        F.col("frame_idx").cast("long").alias("id_b"),
+        F.col("frame_offset_ms").cast("int").alias("hamming"))
+    return (text_leg.unionByName(fp_leg).unionByName(pair_leg)
+            .unionByName(frames_leg))
 
 
 def _oracle_image_phash() -> str:
@@ -952,6 +971,13 @@ SELECT 'image', a.asset_id, b.asset_id,
        bit_count(xor(a.phash, b.phash))::INT
 FROM iph a JOIN iph b ON a.asset_id < b.asset_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 4
+UNION ALL
+SELECT 'frames', doc_id,
+       unnest(range(0, least(floor(((doc_id % 20) * 700 + 100 - 1)
+                                   / 1000.0)::BIGINT, 7) + 1)),
+       (unnest(range(0, least(floor(((doc_id % 20) * 700 + 100 - 1)
+                                    / 1000.0)::BIGINT, 7) + 1)) * 1000)::INT
+FROM documents
 """
 
 
