@@ -90,10 +90,19 @@ def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
                            for j in range(r)])
         for bi in range(bands)])
     sig_arr = F.array(*[F.col(f"__s{i}") for i in range(num_hashes)])
+    # band_idx folds INTO the 8-byte key (xxhash64 of idx + value), so
+    # candidate joins run on the SINGLE band_key column — the layout
+    # that lets a bucketed state table join with ZERO history-side
+    # shuffle (Spark only uses bucket output partitioning when the join
+    # keys equal the bucket keys; a (band_idx, band_key) composite key
+    # gets "Bucketed: false (disabled by query planner)"). Cross-band
+    # value collisions now cost one 2^-64 hash collision, the same
+    # budget minhash_lsh_join already accepts for its band_key.
     return sigs.select(
         "id", sig_arr.alias("sig"),
         F.posexplode(band_arr).alias("band_idx", "band_val")) \
-        .select("id", "band_idx", F.xxhash64("band_val").alias("band_key"),
+        .select("id", "band_idx",
+                F.xxhash64("band_idx", "band_val").alias("band_key"),
                 "sig")
 
 
@@ -108,7 +117,9 @@ class MinHashStore:
 
     def __init__(self, spark: SparkSession, path: str, *,
                  num_hashes: int = 16, bands: int = 4,
-                 shingle_n: int | None = 3, seed: int = 42):
+                 shingle_n: int | None = 3, seed: int = 42,
+                 bucketed_table: "str | None" = None,
+                 n_buckets: int = 64):
         if num_hashes % bands:
             raise ValueError(
                 f"bands ({bands}) must divide num_hashes ({num_hashes})")
@@ -118,6 +129,15 @@ class MinHashStore:
         self.bands = bands
         self.shingle_n = shingle_n
         self.seed = seed
+        # bucketed mode: state lands via saveAsTable bucketed on
+        # band_key, so every screen's candidate join reads the history
+        # BUCKET-ALIGNED — zero shuffle on the state side, only the
+        # (small) batch co-partitions into n_buckets. Requires a
+        # persistent metastore for the layout to survive sessions
+        # (plain parquet paths cannot declare buckets); meta still
+        # lives at `path` so parameter identity is validated either way.
+        self.bucketed_table = bucketed_table
+        self.n_buckets = n_buckets
         existing = self._read_meta()
         if existing is not None:
             mine = self._meta_dict()
@@ -169,8 +189,13 @@ class MinHashStore:
         streaming/sinks.py discipline) when replays are possible."""
         if self._read_meta() is None:
             self._write_meta()
-        self._signatures(docs, id_col, text_col) \
-            .write.mode("append").parquet(self._state_path())
+        sigs = self._signatures(docs, id_col, text_col)
+        if self.bucketed_table:
+            (sigs.write.bucketBy(self.n_buckets, "band_key")
+             .sortBy("band_key").mode("append")
+             .format("parquet").saveAsTable(self.bucketed_table))
+        else:
+            sigs.write.mode("append").parquet(self._state_path())
 
     def state(self) -> "DataFrame | None":
         """The accumulated signature table, or None before the first
@@ -178,6 +203,10 @@ class MinHashStore:
         from pyspark.errors import AnalysisException
 
         try:
+            if self.bucketed_table:
+                if not self.spark.catalog.tableExists(self.bucketed_table):
+                    return None
+                return self.spark.table(self.bucketed_table)
             return self.spark.read.parquet(self._state_path())
         except AnalysisException:
             return None
@@ -200,8 +229,7 @@ class MinHashStore:
                     .limit(0))
         cand = (new.alias("n")
                 .join(known.alias("k"),
-                      (F.col("n.band_idx") == F.col("k.band_idx"))
-                      & (F.col("n.band_key") == F.col("k.band_key"))
+                      (F.col("n.band_key") == F.col("k.band_key"))
                       & (F.col("n.id") != F.col("k.id")))
                 .select(F.col("n.id").alias("new_id"),
                         F.col("k.id").alias("known_id"),

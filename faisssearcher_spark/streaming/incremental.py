@@ -89,8 +89,7 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
                 .parquet(*[_epoch_path(store_dir, e) for e in prior])
             hits = (sigs.alias("n")
                     .join(known.alias("k"),
-                          (F.col("n.band_idx") == F.col("k.band_idx"))
-                          & (F.col("n.band_key") == F.col("k.band_key"))
+                          (F.col("n.band_key") == F.col("k.band_key"))
                           & (F.col("n.id") != F.col("k.id")))
                     .select(F.col("n.id").alias("__nid"),
                             F.col("k.id").alias("__kid"),
@@ -108,8 +107,7 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
                 batch.select(F.col(id_col).alias("id")).distinct(), "id")
             dup = (surv_sigs.alias("a")
                    .join(surv_sigs.alias("b"),
-                         (F.col("a.band_idx") == F.col("b.band_idx"))
-                         & (F.col("a.band_key") == F.col("b.band_key"))
+                         (F.col("a.band_key") == F.col("b.band_key"))
                          & (F.col("a.id") > F.col("b.id")))
                    .select(F.col("a.id").alias("__aid"),
                            F.col("b.id").alias("__bid"),

@@ -105,6 +105,49 @@ class TestStore:
         store.commit(batch)
         assert store.screen(batch, threshold=0.1).count() == 0
 
+    def test_bucketed_mode_matches_path_mode_without_state_shuffle(
+            self, spark, corpus, tmp_path):
+        """bucketed_table state screens identically AND the candidate
+        join reads the history bucket-aligned: the state-side scan shows
+        Bucketed: true and carries no Exchange above it."""
+        plain = MinHashStore(spark, str(tmp_path / "p"), bands=8)
+        plain.commit(corpus.filter(F.col("doc_id") < 10))
+        bucketed = MinHashStore(spark, str(tmp_path / "b"), bands=8,
+                                bucketed_table="t_mhstore_test",
+                                n_buckets=8)
+        try:
+            bucketed.commit(corpus.filter(F.col("doc_id") < 10))
+            batch = corpus.filter(F.col("doc_id") >= 10)
+            a = sorted(map(tuple, plain.screen(batch, threshold=0.5)
+                           .collect()))
+            b = sorted(map(tuple, bucketed.screen(batch, threshold=0.5)
+                           .collect()))
+            assert a == b and a           # same hits, and there are hits
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                plan = bucketed.screen(batch, threshold=0.5)._jdf \
+                    .queryExecution().executedPlan().toString()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               old)
+            assert "Bucketed: true" in plan
+            # the HISTORY side reads shuffle-free: between the join and
+            # the bucketed table's FileScan there must be no Exchange
+            # (the batch side legitimately co-partitions into the
+            # bucket count, and dedup above the join has its own)
+            scan_at = plan.index(
+                "FileScan parquet spark_catalog.default.t_mhstore_test")
+            join_at = plan.rindex("SortMergeJoin", 0, scan_at)
+            seg = plan[join_at:scan_at].splitlines()[1:]
+            # first-child (batch) subtree lines carry the ':' tree rail;
+            # what's left is the state branch down to its FileScan
+            state_branch = [l for l in seg
+                            if not l.lstrip().startswith(":")]
+            assert not any("Exchange" in l for l in state_branch)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mhstore_test")
+
     def test_threshold_validated(self, spark, corpus, tmp_path):
         store = MinHashStore(spark, str(tmp_path / "s"))
         store.commit(corpus)

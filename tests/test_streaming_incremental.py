@@ -104,8 +104,7 @@ class TestMinhashScreenSink:
                 lambda m: m)) / F.lit(16.0))
             dup = (sigs.alias("a").join(
                 sigs.alias("b"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
+                (F.col("a.band_key") == F.col("b.band_key"))
                 & (F.col("a.id") > F.col("b.id")))
                 .select(F.col("a.id").alias("__aid"),
                         F.col("b.id").alias("__bid"),
