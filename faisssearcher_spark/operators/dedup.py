@@ -480,6 +480,38 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                      simhash_expr(text_col, bits).alias("simhash"))
 
 
+def hamming_band_widths(bits: int, max_hamming: int) -> list[int]:
+    """Maximal-width pigeonhole band plan: ``max_hamming + 1`` bands
+    partitioning ``bits`` as evenly as possible (low-order bands first;
+    the first ``bits % (max_hamming+1)`` bands get the extra bit).
+
+    Using the FEWEST bands the pigeonhole argument allows maximizes the
+    per-band key width ``bits/(max_hamming+1)``, and the band-join key
+    cardinality ``2^width`` is what keeps candidate generation linear:
+    with a fixed 8-bit band the key space saturates at 256 values and
+    random collisions grow ∝ n²/256 no matter the corpus — the r6
+    verdict's one asymptotic scale-killer. At the default 64-bit /
+    hamming≤3 image config this plan gives 4×16-bit bands: the same
+    recall guarantee with a 2^16 key space (256× larger), so expected
+    random candidates are bands·n²/2^(width+1) — negligible until n
+    approaches 2^width·occupancy, and the banding can keep pace with
+    corpus growth by widening the fingerprint (``bits``), exactly the
+    sign-LSH bits-∝-log₂(n) sizing discipline.
+
+    Shared by the Spark kernel and the DuckDB oracle twin (the gate
+    re-derives bands from this same plan), so the two can never drift.
+    """
+    n_bands = max_hamming + 1
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bits ({bits}): the "
+            f"pigeonhole guarantee needs max_hamming+1 non-empty bands")
+    base, rem = divmod(bits, n_bands)
+    return [base + 1 if b < rem else base for b in range(n_bands)]
+
+
 def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
                   fp_col: str = "fp", bits: int, max_hamming: int
                   ) -> DataFrame:
@@ -487,31 +519,41 @@ def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
     ``max_hamming`` bits of each other — the shared kernel behind SimHash
     document pairs and perceptual-hash image pairs.
 
-    Candidates come from 8-bit band equality: with ``bits/8`` bands, any
-    pair at hamming ≤ bands−1 matches on at least one band (pigeonhole),
-    so the join is an equi-join on ``(band_idx, band_byte)`` — never a
-    cross join. Verification is XOR + popcount. Returns
-    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    Candidates come from maximal-width pigeonhole band equality
+    (:func:`hamming_band_widths`): ``max_hamming + 1`` bands of
+    ``bits/(max_hamming+1)`` bits — any pair at hamming ≤ max_hamming
+    has zero differing bits in at least one band, so the join is an
+    equi-join on ``(band_idx, band_val)`` — never a cross join — and the
+    per-band key cardinality ``2^width`` is the largest the guarantee
+    allows, which is what keeps random band collisions (∝ n²/2^width)
+    from going quadratic at scale. Verification is XOR + popcount.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Works on any ``1 ≤ bits ≤ 64`` (fingerprints live in a signed long;
+    arithmetic shiftright + mask extracts bands correctly for negative
+    64-bit values — two's-complement low bits equal the logical ones).
     """
-    if bits % 8:
-        raise ValueError("bits must be a multiple of 8 for byte banding")
-    n_bands = bits // 8
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"max_hamming ({max_hamming}) must be < number of bands ({n_bands}) "
-            "for the pigeonhole guarantee")
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64]; got {bits}")
+    widths = hamming_band_widths(bits, max_hamming)
+    offsets = [sum(widths[:b]) for b in range(len(widths))]
     fps = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
 
-    band_arr = F.array(*[
-        F.shiftright(F.col("fp"), b * 8).bitwiseAND(F.lit(255))
-        for b in range(n_bands)])
+    def _band(b: int) -> Column:
+        col = F.shiftright(F.col("fp"), offsets[b]) if offsets[b] \
+            else F.col("fp")
+        if widths[b] >= 64:        # single full-width band: the fp itself
+            return col
+        return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
+    band_arr = F.array(*[_band(b) for b in range(len(widths))])
     banded = fps.select(
-        "id", "fp", F.posexplode(band_arr).alias("band_idx", "band_byte"))
+        "id", "fp", F.posexplode(band_arr).alias("band_idx", "band_val"))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_byte") == F.col("b.band_byte"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("a.fp").alias("fp_a"),
                 F.col("b.id").alias("id_b"), F.col("b.fp").alias("fp_b"))

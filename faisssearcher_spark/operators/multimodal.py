@@ -343,22 +343,23 @@ def image_near_dup_pairs(df: DataFrame, *, decoder: str = "native",
                          max_hamming: int = 4) -> DataFrame:
     """Near-duplicate image pairs: dHash fingerprints within
     ``max_hamming`` bits, via the shared banded-hamming kernel
-    (:func:`~faisssearcher_spark.operators.dedup.hamming_pairs` — the same
-    pigeonhole byte-band equi-join + popcount verify that backs SimHash
-    text dedup). Returns ``(id_a, id_b, hamming)``; the pair space is
-    explored through band-bucket equi-joins over 8-byte fingerprints, so
-    nothing image-sized ever shuffles or broadcasts."""
+    (:func:`~faisssearcher_spark.operators.dedup.hamming_pairs` — the
+    same maximal-width pigeonhole band equi-join + popcount verify that
+    backs SimHash text dedup; at the default 64-bit / hamming≤4 config
+    that's 5 bands of 13/12 bits, a ~2^13 key space per band). Returns
+    ``(id_a, id_b, hamming)``; the pair space is explored through
+    band-bucket equi-joins over 8-byte fingerprints, so nothing
+    image-sized ever shuffles or broadcasts."""
     from faisssearcher_spark.operators.dedup import hamming_pairs
 
-    if hash_size not in (4, 8):
-        # hamming_pairs bands on whole bytes (bits % 8 == 0); of the
-        # [1, 8] range dhash_int accepts, only 4 (16 bits) and 8
-        # (64 bits) produce byte-aligned fingerprints (r5 ADVICE:
-        # anything else died later with a confusing error from dedup)
+    if not 1 <= hash_size <= 8:
+        # surface dhash_int's own domain here, before the expensive
+        # decode stage is planned (r5 ADVICE: a bad hash_size died
+        # later with a confusing error from dedup; banding itself now
+        # accepts any bit width)
         raise ValueError(
-            f"hash_size must be 4 or 8 for banded pair generation "
-            f"(hash_size²={hash_size * hash_size} bits must be a "
-            f"multiple of 8); got {hash_size}")
+            f"hash_size must be in [1, 8] (hash_size² fingerprint bits "
+            f"must fit a signed long); got {hash_size}")
     fps = perceptual_hash(df, decoder=decoder, hash_size=hash_size)
     return hamming_pairs(fps, id_col="asset_id", fp_col="phash",
                          bits=hash_size * hash_size,

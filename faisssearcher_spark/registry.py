@@ -951,15 +951,34 @@ iph AS (SELECT doc_id AS asset_id, ({phash})::BIGINT AS phash FROM vals)
 """
 
 
+def _oracle_hamming_banded(bits: int, max_hamming: int) -> str:
+    """DuckDB twin of the maximal-width pigeonhole banding — generated
+    from the SAME band plan (dedup.hamming_band_widths) the Spark kernel
+    uses, so candidate generation can never drift between engines. At
+    the gate's 32-bit / hamming≤3 config this emits 4×8-bit bands
+    (identical keys to the pre-r7 fixed-byte plan, so historical hashes
+    are unchanged); the plan itself is what changed for wider configs."""
+    from faisssearcher_spark.operators.dedup import hamming_band_widths
+
+    widths = hamming_band_widths(bits, max_hamming)
+    parts = []
+    for b, w in enumerate(widths):
+        off = sum(widths[:b])
+        val = "simhash" if off == 0 else f"(simhash >> {off})"
+        if w < 64:
+            val = f"({val} & {(1 << w) - 1})"
+        parts.append(f"SELECT doc_id AS id, simhash, {b} AS band_idx, "
+                     f"{val} AS band_val FROM fp")
+    return "\nUNION ALL\n".join(parts)
+
+
 ORACLE_SIMHASH_PAIRS = f"""
 WITH fp AS ({ORACLE_SIMHASH.strip().rstrip()}),
-     banded AS (SELECT doc_id AS id, simhash, b.b AS band_idx,
-                       (simhash >> (b.b * 8)) & 255 AS band_byte
-                FROM fp, (SELECT unnest(range(0, 4)) AS b) b),
+     banded AS ({_oracle_hamming_banded(32, 3)}),
      cand AS (SELECT DISTINCT a.id AS id_a, a.simhash AS fp_a,
                      b.id AS id_b, b.simhash AS fp_b
               FROM banded a JOIN banded b
-                ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                    AND a.id < b.id),
      {_oracle_image_phash().strip()}
 SELECT 'text' AS leg, id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming

@@ -192,7 +192,34 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # counted — cost should track the SCAN (linear), not the
         # distinct-token count (the replica suffixes grow it 10×)
         "heavy_hitters": lambda: _heavy_hitters(docs),
+        # banded Hamming near-dup (the simhash / image-dedup kernel):
+        # planted 64-bit fingerprint pairs (consecutive ids differ in
+        # exactly 2 bits, all other fps random) so the verify join has
+        # work growing ∝ n; with maximal-width 4×16-bit bands (r6
+        # verdict #1 — was 8×8-bit) random band collisions are
+        # ∝ 4·n²/2^17, negligible at these n, so rows AND time should
+        # track the corpus linearly
+        "hamming_pairs": lambda: _hamming_planted(docs),
     }
+
+
+def _hamming_planted(docs: DataFrame) -> DataFrame:
+    """Planted fingerprint corpus over the (scaled) documents ids: doc
+    2m gets the random 64-bit fp xxhash64(m); doc 2m+1 gets the same fp
+    with two adjacent bits (position cycling with m) flipped — one
+    verified pair (hamming 2) per id pair, linear in the corpus; every
+    other pair is random. Measures the hamming_pairs banded join itself,
+    independent of simhash text hashing cost."""
+    from faisssearcher_spark.operators.dedup import hamming_pairs
+
+    m = F.floor(F.col("doc_id") / 2)
+    base = F.xxhash64(m.cast("long"), F.lit("hp"))
+    masks = F.array(*[F.lit(3 << (2 * j)).cast("long") for j in range(31)])
+    flip = F.element_at(masks, (m % 31 + 1).cast("int"))
+    fp = F.when(F.col("doc_id") % 2 == 0, base) \
+        .otherwise(base.bitwiseXOR(flip))
+    fps = docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
+    return hamming_pairs(fps, bits=64, max_hamming=3)
 
 
 def _heavy_hitters(docs: DataFrame) -> DataFrame:
