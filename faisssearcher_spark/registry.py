@@ -3154,12 +3154,12 @@ ORACLE_WHITENING = _oracle_whitening_proj()
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(16 cells, nprobe 8) recall@10 vs the exact path (SURVEY.md
+    """IVF (corpus-sized cells, 5/8 probed) recall@10 vs the exact path (SURVEY.md
     §5.4), self-verifying: emits the ≥0.9 recall contract as a boolean
     row against a constant oracle so the gate catches recall regressions
     the old rows-only check could not.
 
-    nprobe=8 (half the cells, still a 2× candidate pruning) because the
+    nprobe = 5·n_cells/8 (a 37.5% candidate pruning) because the
     driver's synthetic embeddings are isotropic on the unit sphere —
     measured within-label mean cosine ≈ 0.02, i.e. NO cluster structure —
     which is the worst case for any partition-pruning ANN: a query's
@@ -3168,16 +3168,31 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings the same index hits 0.9+ at far smaller nprobe (the
     sf0.001 pytest does at nprobe=n_cells/2 with 8 cells).
 
-    Parameterization is tuned for the DRIVER'S sf0.01 corpus (500
-    vectors / 16 cells): at sf0.001 (100 vectors) the same 16-cell
-    index drops just under the 0.9 contract on this worst-case data —
-    expected, since ~6 isotropic vectors per cell leaves no margin;
-    size the cell count to the corpus in real deployments. The NSW leg
-    holds ≥ 0.9 at every sf (per-shard recall composes)."""
+    The cell count is SIZED FROM THE CORPUS (r6 verdict #2): n_cells =
+    2^⌊log₂ √n⌋ (the classic √n rule snapped down to a power of two —
+    8 cells at 100 vectors, 16 at 500, 64 at 5 000), nprobe = n_cells/2.
+    Probing a constant FRACTION of cells keeps recall roughly constant
+    on isotropic data while candidate work per query stays ∝ n/2 — so
+    the same gate holds at sf0.001/0.01/0.1 instead of being tuned to
+    the driver's sf0.01 corpus (a fixed 16 cells under-recalled at 100
+    vectors: ~6 per cell leaves no margin). The NSW leg holds ≥ 0.9 at
+    every sf (per-shard recall composes)."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    index = ann.IVFIndex(n_cells=16, nprobe=8, metric="cos").fit(
+    n_vec = emb.count()
+    n_cells = max(4, 2 ** int(math.log2(max(n_vec, 16) ** 0.5)))
+    nprobe = max(2, n_cells * 5 // 8)
+    # PQ code budget also grows with the corpus: at n=2000 the exact
+    # top-10 margins shrink enough that 16 subspaces (4 dims each over
+    # d=64) leave ADC recall at ~0.71 — not a regression, the standard
+    # bytes-per-code ∝ log(corpus) rule. 32 subspaces restore ~0.87
+    # (measured; floors below keep their meaning at every sf).
+    pq_m = 16 if n_vec <= 1000 else 32
+    index = ann.IVFIndex(n_cells=n_cells, nprobe=nprobe,
+                         metric="cos").fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     approx = index.search(q, k=10, query_item_col="qid")
     exact = knn_join(q, emb, metric="cos", k=10, query_item_col="qid",
@@ -3222,11 +3237,11 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv.unpersist()
 
     # --- tag-union row 3 (round 5): PQ ADC recall. Product quantization
-    # (PQ16 over the 64-dim corpus) against the same exact top-10; Lloyd
+    # (pq_m subspaces over the 64-dim corpus) against the same exact top-10; Lloyd
     # codebooks are iterative, so this too gates a boolean contract
     # (measured 0.845 at seed 42 on the isotropic corpus; floor 0.7
     # leaves noise margin while catching any codebook/LUT regression).
-    pq = ann.PQIndex(m=16, metric="cos", seed=42).fit(
+    pq = ann.PQIndex(m=pq_m, metric="cos", seed=42).fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     pq_hits = pq.search(q, k=10, query_item_col="qid").alias("a").join(
         exact.alias("e"),
@@ -3234,12 +3249,12 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     pq_recall = float(pq_hits) / total if total else 0.0
 
-    # --- tag-union row 5 (round 5 session 3): OPQ16,PQ16 — the learned
+    # --- tag-union row 5 (round 5 session 3): OPQ rotation + PQ — the learned
     # rotation must not hurt (on the isotropic corpus it is a near-no-op
     # by symmetry; on anisotropic data it strictly helps — pinned in
     # tests/test_opq.py) and the rotated ADC algebra must stay exact:
     # same floor as plain PQ.
-    opq = ann.PQIndex(m=16, metric="cos", seed=42, opq=True,
+    opq = ann.PQIndex(m=pq_m, metric="cos", seed=42, opq=True,
                       opq_iters=6).fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     opq_hits = opq.search(q, k=10, query_item_col="qid").alias("a").join(
@@ -3248,11 +3263,11 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.sim_item") == F.col("e.sim_item"))).count()
     opq_recall = float(opq_hits) / total if total else 0.0
 
-    # --- tag-union row 4 (round 5): IVF16,PQ16 residual ADC at nprobe=8
+    # --- tag-union row 4 (round 5): IVF,PQ residual ADC (corpus-sized)
     # — recall composes as ivf-pruning × pq-quantization (measured 0.75
     # = 0.91 × ~0.84 at seed 42; floor 0.6 leaves margin).
-    ivfpq = ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
-                           seed=42, kmeans_max_iter=8).fit(
+    ivfpq = ann.IVFPQIndex(n_cells=n_cells, nprobe=nprobe, m=pq_m,
+                           metric="cos", seed=42, kmeans_max_iter=8).fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     ivfpq_hits = ivfpq.search(q, k=10, query_item_col="qid").alias("a") \
         .join(exact.alias("e"),
@@ -3526,7 +3541,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    pq = ann.PQIndex(m=16, metric="cos", seed=42).fit(
+    pq = ann.PQIndex(m=pq_m, metric="cos", seed=42).fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     return pq.search(q, k=10, query_item_col="qid",
                      payload_cols=["label"])
