@@ -250,8 +250,10 @@ def _bm25_fit_search(docs: DataFrame) -> DataFrame:
 
 #: legs that also run at the deep scale point: the two whose cost is
 #: dominated by work that only exists at large n (LSH exact-verify join,
-#: grid GEMM cells)
-DEEP_LEGS = ("embedding_lsh", "knn_grid")
+#: grid GEMM cells), plus the NSW graph build — at 100× the corpus its
+#: per-shard insertion loop runs on shards 10× the 10×-point's size,
+#: which is what prices the batched-insertion kernel (r6 verdict #4)
+DEEP_LEGS = ("embedding_lsh", "knn_grid", "ann_nsw")
 
 
 def run_scale_sweep(spark: SparkSession, sf_dir: str, *,

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from faisssearcher_spark.operators.graph import (NSWIndex, _beam_search,
+from faisssearcher_spark.operators.graph import (NSWIndex, _batch_beam,
+                                                 _beam_search,
                                                  _build_shard_graph,
                                                  _prep, nsw_topk)
 
@@ -54,6 +55,39 @@ class TestKernel:
                     seen.add(v)
                     stack.append(v)
         assert len(seen) == len(mat)
+
+    def test_batch_beam_matches_sequential(self):
+        """The vectorized multi-query beam (_batch_beam, the batched-
+        insertion kernel) returns the same result set as the per-query
+        beam at equal ef on a frozen graph."""
+        rng = np.random.default_rng(11)
+        mat = _prep(rng.standard_normal((300, 16)), "cos")
+        nbrs, counts = _build_shard_graph(mat, m=8, ef_construction=32,
+                                          metric="cos")
+        qs = _prep(rng.standard_normal((7, 16)), "cos")
+        bsim, bpos = _batch_beam(mat, nbrs, counts, qs, 16, "cos")
+        for j in range(len(qs)):
+            seq = _beam_search(mat, nbrs, counts, qs[j], 16, "cos")
+            assert [p for _, p in seq] == \
+                [int(p) for p in bpos[j] if p >= 0]
+            np.testing.assert_allclose(
+                [s for s, _ in seq],
+                [s for s, p in zip(bsim[j], bpos[j]) if p >= 0],
+                rtol=1e-6)
+
+    def test_batch_sizes_build_equivalent_quality(self):
+        """Chunked insertion (any batch size) keeps the recall contract:
+        ef=n search on the built graph is exact, and degree bounds
+        hold."""
+        rng = np.random.default_rng(13)
+        mat = _prep(rng.standard_normal((180, 16)), "cos")
+        q = _prep(rng.standard_normal((1, 16)), "cos")[0]
+        for batch in (1, 16, 64, 500):
+            nbrs, counts = _build_shard_graph(mat, m=6, ef_construction=24,
+                                              metric="cos", batch=batch)
+            assert counts.max() <= 12
+            found = _beam_search(mat, nbrs, counts, q, ef=180, metric="cos")
+            assert set(p for _, p in found[:10]) == _brute_topk(mat, q, 10)
 
     def test_recall_at_10(self):
         """Graph search at ef=64 recovers ≥0.9 of the exact top-10 on a
@@ -128,6 +162,42 @@ class TestIndex:
         b = sorted(map(tuple, loaded.search(q, k=3, query_item_col="qid")
                        .collect()))
         assert a == b
+
+    def test_load_rejects_duplicate_shard_pos(self, spark, embeddings,
+                                              fitted, tmp_path_factory):
+        """Two graphs written under ONE shard id (the r6 ADVICE crc32-
+        collision scenario) produce duplicate (shard, pos) rows; load()
+        must reject the table instead of letting neighbor indices
+        silently resolve to wrong rows."""
+        import os
+        path = str(tmp_path_factory.mktemp("nsw_dup"))
+        fitted.save(path)
+        g = spark.read.parquet(os.path.join(path, "graph"))
+        collided = g.withColumn("shard", F.lit(0))
+        collided.write.mode("overwrite").parquet(
+            os.path.join(path, "graph2"))
+        spark.read.parquet(os.path.join(path, "graph2")).write \
+            .mode("overwrite").parquet(os.path.join(path, "graph"))
+        import json
+        meta = json.loads(spark.read.parquet(
+            os.path.join(path, "meta")).first()["meta"])
+        with pytest.raises(ValueError, match="duplicate|merged|outside"):
+            NSWIndex.load(spark, path)
+
+    def test_shard_sizes_follow_n_shards_not_arrow_batches(
+            self, spark, embeddings):
+        """One shard per partition (r6 ADVICE): with n_shards=3 the
+        graph must hold exactly 3 shards of ~corpus/3 nodes each, and
+        shard ids must be distinct — not one graph per Arrow batch, and
+        no min-key hashing."""
+        idx = NSWIndex(m=4, ef_construction=8, n_shards=3).fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        sizes = {r["shard"]: r["n"] for r in
+                 idx.graph.groupBy("shard").agg(F.count("*").alias("n"))
+                 .collect()}
+        assert len(sizes) == 3
+        n = sum(sizes.values())
+        assert all(v >= n // 6 for v in sizes.values())
 
     def test_load_rejects_corrupt_counts(self, spark, embeddings, fitted,
                                          tmp_path_factory):
