@@ -138,16 +138,38 @@ class MinHashStore:
         # lives at `path` so parameter identity is validated either way.
         self.bucketed_table = bucketed_table
         self.n_buckets = n_buckets
+        mine = self._meta_dict()
         existing = self._read_meta()
-        if existing is not None:
-            mine = self._meta_dict()
-            if existing != mine:
-                raise ValueError(
-                    f"store at {path!r} was created with {existing}; "
-                    f"reopening with {mine} would produce signatures "
-                    "that never match — pass the original parameters")
+        if existing is not None and existing != mine:
+            raise ValueError(
+                f"store at {path!r} was created with {existing}; "
+                f"reopening with {mine} would produce signatures "
+                "that never match — pass the original parameters")
+        # the hash-parameter identity must ALSO be validated against the
+        # bucketed table itself (r6 ADVICE): a fresh `path` pointed at an
+        # EXISTING table created under different parameters would append
+        # incompatible signatures and screens against the old rows would
+        # silently never match — so the parameter dict travels as a
+        # table property, checked whenever the table pre-exists.
+        table_meta = self._read_table_meta()
+        if table_meta is not None and table_meta != mine:
+            raise ValueError(
+                f"bucketed table {bucketed_table!r} was created with "
+                f"{table_meta}; opening it with {mine} would append "
+                "signatures that never match — pass the original "
+                "parameters or use a fresh table")
+        if (bucketed_table and table_meta is None
+                and spark.catalog.tableExists(bucketed_table)):
+            raise ValueError(
+                f"bucketed table {bucketed_table!r} exists but carries "
+                f"no {self._META_PROP} property — it was not created by "
+                "MinHashStore; refusing to append unverifiable state")
 
     # -- state layout ------------------------------------------------------
+
+    #: table property carrying the hash-parameter identity in bucketed
+    #: mode (the table, not just `path`, is the state)
+    _META_PROP = "faisssearcher.minhash.meta"
 
     def _state_path(self) -> str:
         return os.path.join(self.path, "state")
@@ -171,6 +193,21 @@ class MinHashStore:
             [(json.dumps(self._meta_dict()),)], "meta string") \
             .coalesce(1).write.mode("overwrite").parquet(self._meta_path())
 
+    def _read_table_meta(self) -> "dict | None":
+        if not self.bucketed_table or \
+                not self.spark.catalog.tableExists(self.bucketed_table):
+            return None
+        props = {r["key"]: r["value"] for r in self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.bucketed_table}").collect()}
+        raw = props.get(self._META_PROP)
+        return json.loads(raw) if raw else None
+
+    def _stamp_table_meta(self) -> None:
+        payload = json.dumps(self._meta_dict()).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self.bucketed_table} SET TBLPROPERTIES "
+            f"('{self._META_PROP}' = '{payload}')")
+
     def _signatures(self, docs: DataFrame, id_col: str,
                     text_col: str) -> DataFrame:
         return banded_signatures(
@@ -191,9 +228,12 @@ class MinHashStore:
             self._write_meta()
         sigs = self._signatures(docs, id_col, text_col)
         if self.bucketed_table:
+            stamped = self._read_table_meta() is not None
             (sigs.write.bucketBy(self.n_buckets, "band_key")
              .sortBy("band_key").mode("append")
              .format("parquet").saveAsTable(self.bucketed_table))
+            if not stamped:
+                self._stamp_table_meta()
         else:
             sigs.write.mode("append").parquet(self._state_path())
 

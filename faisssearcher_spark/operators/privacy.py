@@ -122,15 +122,25 @@ def suppress_below_k(df: DataFrame, quasi_cols: "list[str]", *,
 
     Plan: group sizes per combination, broadcast-free semi join back on
     the quasi columns (both sides shuffle by the same key — co-located),
-    filter ``n ≥ k``.
+    filter ``n ≥ k``. The join is NULL-SAFE (``<=>``): the groupBy
+    treats a NULL quasi value as a real group, so the join back must
+    match it too — a plain equi-join would silently suppress every row
+    of a large all-NULL group (r6 ADVICE). EqualNullSafe is still an
+    equi-join key to Catalyst, so the co-location argument is unchanged.
     """
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
     if k < 2:
         raise ValueError("k must be >= 2")
     sizes = (df.groupBy(*quasi_cols).agg(F.count("*").alias("__kn"))
-             .filter(F.col("__kn") >= k).drop("__kn"))
-    return df.join(sizes, quasi_cols, "left_semi")
+             .filter(F.col("__kn") >= k)
+             .select([F.col(c).alias(f"__q{i}")
+                      for i, c in enumerate(quasi_cols)]))
+    cond = None
+    for i, c in enumerate(quasi_cols):
+        e = F.col(c).eqNullSafe(F.col(f"__q{i}"))
+        cond = e if cond is None else cond & e
+    return df.join(sizes, cond, "left_semi")
 
 
 def blocklist_screen(df: DataFrame, terms: "list[str]", *,

@@ -401,9 +401,17 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       on the legs' ranks, so it hash-matches with NO rounding."""
     from faisssearcher_spark.operators.bm25 import BM25Index, rrf_fuse
     docs = load_table(spark, sf_dir, "documents")
-    # the rrf leg re-reads BOTH base legs; without the persist each
-    # 15-row leg's full retrieval plan executes twice in the union
-    hash_leg = _q_searcher_text_hash_leg(spark, sf_dir).persist()
+
+    # the rrf leg re-reads BOTH base legs, so each retrieval must not
+    # execute twice in the union — and persist() here would accumulate
+    # cached RDDs in executor storage across repeated bench invocations
+    # (r6 ADVICE). The legs are ≤ 15 rows by construction: land them as
+    # literal frames instead (each retrieval plan runs exactly once, the
+    # broadcast-ranked small-side discipline, nothing stays cached).
+    def _landed(df: DataFrame) -> DataFrame:
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    hash_leg = _landed(_q_searcher_text_hash_leg(spark, sf_dir))
 
     bm = BM25Index().fit(docs, id_col="doc_id", text_col="text")
     qdf = docs.filter(F.col("doc_id") < 5).select(
@@ -414,9 +422,9 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf) — map sim_item to the text + payload for the shared schema
     side = docs.select(F.col("doc_id").alias("sim_item"),
                        F.col("text").alias("__sim_text"), "lang", "source")
-    bm25_leg = raw.join(side, "sim_item").select(
+    bm25_leg = _landed(raw.join(side, "sim_item").select(
         "source_item", F.col("__sim_text").alias("sim_item"), "sim_val",
-        "rank_no", "lang", "source").persist()
+        "rank_no", "lang", "source"))
 
     fused = rrf_fuse(
         [hash_leg.select("source_item", "sim_item", "rank_no"),
@@ -1361,7 +1369,8 @@ SELECT best.doc_id, coalesce(b.lang, 'und') AS lang_pred,
 FROM best
 JOIN scr USING (doc_id)
 JOIN documents d ON d.doc_id = best.doc_id
-LEFT JOIN gs ON gs.lang = d.lang AND gs.source = d.source
+LEFT JOIN gs ON gs.lang IS NOT DISTINCT FROM d.lang
+            AND gs.source IS NOT DISTINCT FROM d.source
 CROSS JOIN rep
 """
 

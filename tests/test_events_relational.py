@@ -54,6 +54,19 @@ class TestKAnonymity:
         r2 = k_anonymity_report(kept, ["zip", "yob"], k=4).first()
         assert r2["is_k_anonymous"] is True
 
+    def test_null_quasi_group_survives_when_large(self, spark):
+        """A NULL quasi value is a real group to groupBy, so the
+        null-safe semi join must keep a large all-NULL group and
+        suppress a small one (r6 ADVICE: a plain equi-join silently
+        dropped every NULL row regardless of group size)."""
+        from faisssearcher_spark.operators.privacy import suppress_below_k
+        rows = ([(None, "a")] * 4 + [("z1", None)] * 1 + [("z2", "b")] * 3)
+        df = spark.createDataFrame(rows, "zip string, src string")
+        kept = suppress_below_k(df, ["zip", "src"], k=3)
+        got = sorted(((r["zip"] or "", r["src"] or "")
+                      for r in kept.collect()))
+        assert got == [("", "a")] * 4 + [("z2", "b")] * 3
+
     def test_empty_frame_is_anonymous(self, spark):
         from faisssearcher_spark.operators.privacy import k_anonymity_report
         df = spark.createDataFrame([], "zip string, yob int")
