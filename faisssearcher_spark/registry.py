@@ -1108,6 +1108,70 @@ SELECT 'lsh' AS strategy, * FROM ({_oracle_emb_lsh()})
 # 4. text analysis
 # ===========================================================================
 
+#: fixed merge table for the BPE-encode gate leg (r6 verdict #3): the
+#: deterministic output of BPETokenizer.train(n_merges=28) on the sf0.01
+#: documents corpus, frozen so the gate checks ENCODE (the greedy
+#: lowest-rank merge loop) — training stays pytest-covered. Includes
+#: multi-level cascades (('jo','in</w>') needs ('j','o') and
+#: ('i','n</w>') first), so merge ordering is genuinely exercised.
+FIXED_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+]
+
+
+def _oracle_bpe_ctes() -> str:
+    """DuckDB twin of BPETokenizer(FIXED_BPE_MERGES).encode_expr: the
+    greedy merge loop unrolls as a recursive CTE over the corpus's
+    DISTINCT word types (each step merges the pair with the lowest
+    (rank, position) — coalesced to a no-match sentinel so fully-merged
+    single-symbol words terminate). Emits ``bpe_doc(doc_id, n_bpe_tokens,
+    bpe_hash)``; word order re-assembles via unnest WITH ORDINALITY."""
+    merge_vals = ", ".join(
+        f"({i}, '{a.replace(chr(39), chr(39) * 2)}', "
+        f"'{b.replace(chr(39), chr(39) * 2)}')"
+        for i, (a, b) in enumerate(FIXED_BPE_MERGES))
+    return f"""
+bm(rank, l, r) AS (VALUES {merge_vals}),
+brk AS (SELECT map(list(l || chr(31) || r), list(rank)) AS mp FROM bm),
+bwx AS (SELECT doc_id, toks[u.s] AS w, u.s AS ord
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+             unnest(generate_series(1, len(toks))) AS u(s)),
+bdw AS (SELECT DISTINCT w FROM bwx),
+binit AS (SELECT w, list_append(string_split(w, ''), '</w>') AS syms,
+                 FALSE AS done
+          FROM bdw),
+benc(w, syms, done) AS (
+  SELECT * FROM binit
+  UNION ALL
+  SELECT w,
+         CASE WHEN br >= 999999 THEN syms
+              ELSE list_concat(list_concat(syms[1:bi-1],
+                       [syms[bi] || syms[bi+1]]), syms[bi+2:]) END,
+         br >= 999999
+  FROM (SELECT w, syms, coalesce(best.r, 999999) AS br,
+               coalesce(best.i, 0) AS bi
+        FROM (SELECT w, syms,
+                     list_sort(list_transform(range(1, len(syms)),
+                       i -> {{'r': coalesce(
+                                 brk.mp[syms[i] || chr(31) || syms[i+1]][1],
+                                 999999),
+                             'i': i}}))[1] AS best
+              FROM benc, brk WHERE NOT done))
+),
+bencw AS (SELECT w, syms FROM benc WHERE done),
+bpe_doc AS (SELECT bwx.doc_id,
+                   sum(len(syms))::INT AS n_bpe_real,
+                   md5(string_agg(array_to_string(syms, ' '), ' '
+                                  ORDER BY bwx.ord)) AS bpe_hash
+            FROM bwx JOIN bencw USING (w)
+            GROUP BY bwx.doc_id)"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token stats, EXTENDED (50-cap column pattern) with the
     CCNet-style reference-frequency score: a vocabulary is fit on the
@@ -1126,9 +1190,31 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc cross-entropy under the add-1 unigram LM fit on the src1
     slice (4dp-rounded), plus the head/middle/tail third each document
     lands in (ntile over the non-null scores, id tiebreak; empty docs
-    bucket 0)."""
+    bucket 0).
+
+    EXTENDED AGAIN (round 7, r6 verdict #3 — the last oracle-less
+    family): BPE ENCODE over the FIXED_BPE_MERGES table
+    (``operators/bpe.py`` — the greedy lowest-rank merge loop, the one
+    deterministic-but-iterative kernel the gates had not covered).
+    ``n_bpe_tokens`` is the exact subword count and ``bpe_hash`` the md5
+    of the space-joined encoded stream, so every merge application is
+    value-checked; the DuckDB twin replays the loop as a recursive CTE
+    over the distinct word types (argmin on (rank, position) with the
+    same strict-< tie rule, term by term). Training itself stays
+    pytest-only (the pair-count/merge loop is driver-iterative by
+    design), which is why the gate fixes the merges."""
+    from faisssearcher_spark.operators.bpe import BPETokenizer
+
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.token_stats(docs)
+    enc = BPETokenizer(FIXED_BPE_MERGES).encode_expr("text")
+    # one Arrow encode pass: materialize the array once, derive both
+    # columns from the attribute (two references to the pandas_udf
+    # expression would not reliably CSE)
+    bpe = docs.select("doc_id", enc.alias("__bpe")).select(
+        "doc_id",
+        F.size("__bpe").alias("n_bpe_real"),
+        F.md5(F.concat_ws(" ", "__bpe")).alias("bpe_hash"))
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     score = text_analysis.token_frequency_score(docs, ref) \
@@ -1142,11 +1228,12 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=3) \
         .select("doc_id", "logppl", "ppl_bucket")
     return (stats.join(score, "doc_id").join(dsir, "doc_id")
-            .join(ppl, "doc_id"))
+            .join(ppl, "doc_id").join(bpe, "doc_id"))
 
 
 ORACLE_TOKEN_STATS = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     {_oracle_bpe_ctes().strip()},
      ref AS (SELECT tok, count(*)::BIGINT AS tf
              FROM (SELECT unnest({_TOKS}) AS tok
                    FROM documents WHERE source = 'src1')
@@ -1201,10 +1288,13 @@ SELECT t.doc_id,
        coalesce(sc.n_oov, 0) AS n_oov,
        coalesce(dsir.dsir_logw, 0.0) AS dsir_logw,
        buck.logppl AS logppl,
-       coalesce(buck.ppl_bucket, 0)::INT AS ppl_bucket
+       coalesce(buck.ppl_bucket, 0)::INT AS ppl_bucket,
+       coalesce(bpe_doc.n_bpe_real, 0) AS n_bpe_real,
+       coalesce(bpe_doc.bpe_hash, md5('')) AS bpe_hash
 FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
 LEFT JOIN dsir ON t.doc_id = dsir.doc_id
 LEFT JOIN buck ON t.doc_id = buck.doc_id
+LEFT JOIN bpe_doc ON t.doc_id = bpe_doc.doc_id
 """
 
 
