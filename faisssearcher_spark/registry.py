@@ -729,37 +729,51 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # store's scale behavior rides the same signature/band machinery
     # the uncapped pairs leg and the scale sweep already measure. The
     # correctness gate's sf0.01 corpus sits entirely under the cap.
-    import tempfile
-
-    from faisssearcher_spark.operators.incremental import MinHashStore
-
-    if sf_dir in _INC_LEG_CACHE:
-        # the arc is ~10 eager Spark jobs of fixed launch overhead
-        # (meta read/write, state write, screen, collect) producing a
-        # DETERMINISTIC row set per corpus — bench re-invocations
-        # (cold/warm/isolated) re-pay only the declarative legs
-        inc_rows = _INC_LEG_CACHE[sf_dir]
-    else:
-        capped = docs.filter(F.col("doc_id") < INC_CAP)
-        with tempfile.TemporaryDirectory(prefix="mhstore_gate_") as tmp:
-            store = MinHashStore(spark, tmp, num_hashes=16, bands=4,
-                                 shingle_n=3)
-            store.commit(capped.filter(F.col("doc_id") % 2 == 0))
-            hits = store.screen(capped.filter(F.col("doc_id") % 2 == 1),
-                                threshold=0.5)
-            # materialize before the TemporaryDirectory vanishes: the
-            # gate returns a lazy frame the driver evaluates later
-            inc_rows = hits.select(
-                F.lit("incremental").alias("leg"),
-                F.col("new_id").alias("id_a"),
-                F.col("known_id").alias("id_b"),
-                F.round("est_jaccard", 4).alias("jaccard")).collect()
-        _INC_LEG_CACHE[sf_dir] = inc_rows
+    # the arc is ~10 eager Spark jobs of fixed launch overhead (meta
+    # read/write, state write, screen, collect) producing a
+    # DETERMINISTIC row set per corpus — it runs once per session
+    # (memoized) and ALSO has its own bench entry
+    # (dedup_incremental_screen, ordered before this query in bench.py)
+    # so this flagship gate's cold number prices only its declarative
+    # legs (r6 verdict #7)
+    inc_rows = _incremental_arc_rows(spark, sf_dir)
     inc = spark.createDataFrame(
         inc_rows, "leg string, id_a long, id_b long, jaccard double") \
         if inc_rows else spark.createDataFrame(
         [], "leg string, id_a long, id_b long, jaccard double")
     return pairs.unionByName(inc)
+
+
+def _incremental_arc_rows(spark: SparkSession, sf_dir: str,
+                          use_memo: bool = True) -> list:
+    """The MinHashStore commit→screen arc over the first INC_CAP doc_ids
+    (even half commits, odd half screens at est ≥ 0.5), materialized to
+    driver rows — shared by the gate leg (memoized per corpus per
+    session) and the dedicated bench entry (which re-runs it fresh to
+    time the real state I/O, then refreshes the memo)."""
+    import tempfile
+
+    from faisssearcher_spark.operators.incremental import MinHashStore
+
+    if use_memo and sf_dir in _INC_LEG_CACHE:
+        return _INC_LEG_CACHE[sf_dir]
+    docs = load_table(spark, sf_dir, "documents")
+    capped = docs.filter(F.col("doc_id") < INC_CAP)
+    with tempfile.TemporaryDirectory(prefix="mhstore_gate_") as tmp:
+        store = MinHashStore(spark, tmp, num_hashes=16, bands=4,
+                             shingle_n=3)
+        store.commit(capped.filter(F.col("doc_id") % 2 == 0))
+        hits = store.screen(capped.filter(F.col("doc_id") % 2 == 1),
+                            threshold=0.5)
+        # materialize before the TemporaryDirectory vanishes: the
+        # gate returns a lazy frame the driver evaluates later
+        inc_rows = hits.select(
+            F.lit("incremental").alias("leg"),
+            F.col("new_id").alias("id_a"),
+            F.col("known_id").alias("id_b"),
+            F.round("est_jaccard", 4).alias("jaccard")).collect()
+    _INC_LEG_CACHE[sf_dir] = inc_rows
+    return inc_rows
 
 
 def _oracle_minhash_sig() -> str:
@@ -3858,8 +3872,23 @@ def q_dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bf.filter_new(docs, "doc_id").select("doc_id", "lang", "source")
 
 
+def q_dedup_incremental_screen(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Bench-only: the MinHashStore commit→screen arc under its own name
+    (r6 verdict #7) — two signature passes, the parquet state write, the
+    banded screen join, and the bounded hit collect, timed fresh on
+    every invocation (no memo). Ordered before dedup_minhash_lsh in
+    BENCH_QUERIES, so that gate's cold number prices only its
+    declarative legs while the arc's real cost stays visible here."""
+    rows = _incremental_arc_rows(spark, sf_dir, use_memo=False)
+    schema = "leg string, id_a long, id_b long, jaccard double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
 ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
+    "dedup_incremental_screen": q_dedup_incremental_screen,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
     "knn_sharded_cos_top5": q_knn_sharded_cos_top5,
     "knn_grid_cos_top5": q_knn_grid_cos_top5,
