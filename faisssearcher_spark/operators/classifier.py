@@ -148,9 +148,13 @@ def fit_quality_classifier(positive: DataFrame, negative: DataFrame, *,
     lrm = lr.fit(cvm.transform(data))
     coefs = lrm.coefficients.toArray()
     spark = positive.sparkSession
+    # Arrow path: the vocabulary can be 10⁴-10⁵ rows and a Python
+    # tuple-list createDataFrame pickles row-by-row (~1.5 s at 65k);
+    # a pandas frame ships as one Arrow batch
+    import pandas as pd
     weights = spark.createDataFrame(
-        [(t, float(w)) for t, w in zip(cvm.vocabulary, coefs)],
-        "token string, weight double")
+        pd.DataFrame({"token": list(cvm.vocabulary),
+                      "weight": coefs.astype(float)}))
     return QualityClassifier(weights, float(lrm.intercept))
 
 

@@ -106,7 +106,7 @@ def prepare_pretraining_data(
     languages: tuple[str, ...] | None = None,
     near_dup_threshold: float | None = 0.5,
     ppl_keep_buckets: tuple[int, ...] = (1, 2),
-    ppl_thresholds: list[float] | None = None,
+    ppl_thresholds: "list[float] | str | None" = None,
     classifier_alpha: float | None = 9.0,
     classifier_max_iter: int = 20,
     chunk_max_tokens: int = 512,
@@ -142,8 +142,10 @@ def prepare_pretraining_data(
     chunking explodes only survivors; packing shuffles once on the
     shard key. ``ppl_thresholds`` switches the perplexity split to the
     scan-only CASE (fit thresholds on a sample/prior epoch) — REQUIRED
-    at real scale; the default ntile split is a global window for
-    bench/oracle-sized runs.
+    at real scale; pass the string ``"fit"`` to derive the cut points
+    from one approxQuantile sketch pass over this run's scored
+    survivors (the self-training-epoch shape). The default ntile split
+    is a global window for bench/oracle-sized runs.
     """
     from faisssearcher_spark.operators.classifier import (
         fit_quality_classifier, pareto_keep)
@@ -169,6 +171,21 @@ def prepare_pretraining_data(
     if reference is not None:
         lm = fit_token_frequencies(reference, text_col=text_col)
         scored = unigram_logppl(kept, lm, tokens_col="__toks")
+        if ppl_thresholds == "fit":
+            # the scale path, self-contained: fit the cut points from
+            # one bounded approxQuantile sketch pass over the scored
+            # survivors, then bucket with the scan-only CASE — no
+            # global ntile window anywhere (r6 verdict #6). CCNet
+            # itself fixes thresholds from a held-out run; "fit" is
+            # the single-job equivalent for a self-training epoch.
+            # The scored frame persists across the two passes (quantile
+            # fit + bucket filter) — without it the explode+vocab-join
+            # scoring plan runs twice.
+            scored = scored.persist()
+            n_b = max(len(ppl_keep_buckets) + 1, 3)
+            qs = [i / n_b for i in range(1, n_b)]
+            ppl_thresholds = (scored.filter(F.col("logppl").isNotNull())
+                              .approxQuantile("logppl", qs, 0.001))
         n_b = max(len(ppl_keep_buckets) + 1,
                   (len(ppl_thresholds) + 1) if ppl_thresholds else 3)
         bucketed = perplexity_buckets(scored, n_buckets=n_b,

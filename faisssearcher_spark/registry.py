@@ -3793,6 +3793,7 @@ def q_pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_pretraining_data(
         docs.select("doc_id", "text"), reference=ref, eval_docs=ev,
         classifier_alpha=2.0, classifier_max_iter=10,
+        ppl_thresholds="fit",
         chunk_max_tokens=256, pack_budget=2048)
 
 
