@@ -1811,24 +1811,57 @@ WHERE rank_in_nation <= 3
 
 def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + aggregation: per-customer order counts including
-    zero-order customers."""
+    zero-order customers.
+
+    EXTENDED (round 7, the 50-cap tag-union pattern) with a CUBE leg —
+    the multi-dimensional rollup surface (Spark ``cube()`` compiles to
+    one Expand + one aggregate, the OLAP grouping-sets shape): order
+    count and spend over every subset of (o_orderpriority,
+    o_orderstatus), the grouping-set id derived engine-portably from
+    the NULLed-out dimensions (both corpora are non-null there, so a
+    NULL dimension value uniquely marks the rolled-up sets)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    per_cust = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"),
              F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
              .alias("total_spent"))
-    )
+        .select(F.lit("per_cust").alias("leg"), "c_custkey",
+                "c_mktsegment", "n_orders", "total_spent"))
+    gid = (F.when(F.col("o_orderpriority").isNull(), 2).otherwise(0)
+           + F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+    cube_leg = (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .select(F.lit("cube").alias("leg"),
+                gid.cast("long").alias("c_custkey"),
+                F.concat_ws("/",
+                            F.coalesce("o_orderpriority", F.lit("ALL")),
+                            F.coalesce("o_orderstatus", F.lit("ALL")))
+                .alias("c_mktsegment"),
+                "n_orders", "total_spent"))
+    return per_cust.unionByName(cube_leg)
 
 
 ORACLE_CUSTOMER_STATS = """
-SELECT c_custkey, c_mktsegment,
+SELECT 'per_cust' AS leg, c_custkey, c_mktsegment,
        count(o_orderkey) AS n_orders,
        round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
+UNION ALL
+SELECT 'cube',
+       (CASE WHEN o_orderpriority IS NULL THEN 2 ELSE 0 END
+        + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       coalesce(o_orderpriority, 'ALL') || '/'
+           || coalesce(o_orderstatus, 'ALL'),
+       count(o_orderkey),
+       round(sum(o_totalprice), 2)
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 

@@ -111,3 +111,17 @@ def test_documents_no_cross_replica_token_collisions(documents, docs2):
             F.split("text", r"\s+").alias("t1")), "k") \
         .select(F.size(F.array_intersect("t0", "t1")).alias("common"))
     assert pairs.filter(F.col("common") > 0).count() == 0
+
+
+def test_hamming_planted_pairs_grow_linearly(documents, docs2):
+    """The hamming_pairs sweep leg's planted corpus: one verified pair
+    (hamming 2) per consecutive id pair, so pair output is exactly n/2
+    at every scale point — the linearity evidence for the maximal-width
+    banding (r6 verdict #1/#8)."""
+    from faisssearcher_spark.scalebench import _hamming_planted
+
+    n = documents.count()
+    p1 = _hamming_planted(documents)
+    assert p1.count() == n // 2
+    assert p1.filter(F.col("hamming") != 2).count() == 0
+    assert _hamming_planted(docs2).count() == (2 * n) // 2
