@@ -3687,7 +3687,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    pq = ann.PQIndex(m=pq_m, metric="cos", seed=42).fit(
+    pq = ann.PQIndex(m=16, metric="cos", seed=42).fit(
         emb, item_key_col="vec_id", item_vec_col="embedding")
     return pq.search(q, k=10, query_item_col="qid",
                      payload_cols=["label"])
