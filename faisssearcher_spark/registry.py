@@ -322,20 +322,47 @@ FROM p
 
 
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalization building block (P3/A4): per-vector L2 norm and dim."""
+    """Normalization building block (P3/A4): per-vector L2 norm and dim.
+
+    EXTENDED (round 7, the 50-cap column pattern) with the int8 storage
+    codec (functions/vector.quantize_i8 — the 4× embedding-column
+    compression a 100 TB store runs): ``i8_scale`` is the per-vector
+    symmetric scale (max|x|/127, float32) and ``i8_self_dot`` the
+    integer-space self dot product times scale² — every code, the scale
+    quantization, and the exact long accumulation are value-checked
+    against a DuckDB twin that replays the same double→code→float32
+    arithmetic."""
+    from faisssearcher_spark.functions.vector import i8_dot, quantize_i8
+
     emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_i8("embedding")
     return emb.select(
         "vec_id",
         F.round(M.l2_norm("embedding"), 4).alias("l2_norm"),
         F.size("embedding").alias("dim"),
-    )
+    ).join(
+        emb.select("vec_id", q.alias("__q"))
+        .select("vec_id", F.col("__q.scale").alias("i8_scale"),
+                F.round(i8_dot("__q", "__q"), 4).alias("i8_self_dot")),
+        "vec_id")
 
 
 ORACLE_NORMS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     p AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS sd
+           FROM e),
+     c AS (SELECT vec_id, v, sd::REAL AS scale,
+                  list_transform(v, x -> CASE WHEN sd = 0 THEN 0
+                      ELSE round(x / sd)::BIGINT END) AS codes
+           FROM p)
 SELECT vec_id,
-       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 4) AS l2_norm,
-       len(embedding) AS dim
-FROM embeddings
+       round(sqrt(list_sum(list_transform(v, x -> x*x))), 4) AS l2_norm,
+       len(v) AS dim,
+       scale AS i8_scale,
+       round((list_sum(list_transform(codes, x -> x*x))::DOUBLE
+              * scale::DOUBLE) * scale::DOUBLE, 4) AS i8_self_dot
+FROM c
 """
 
 
