@@ -157,3 +157,129 @@ def i8_dot(a: ColumnOrName, b: ColumnOrName) -> Column:
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (int_dot.cast("double") * qa["scale"].cast("double")
             * qb["scale"].cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# fp16 storage codec (IEEE 754 binary16 bit patterns, pure Catalyst)
+# ---------------------------------------------------------------------------
+#
+# The 2x-compression sibling of quantize_i8 for columns where RELATIVE
+# precision must be uniform across magnitudes (i8's error is relative to
+# the vector's PEAK, so small coordinates of a heavy-tailed vector lose
+# everything; fp16 keeps ~3 decimal digits per coordinate regardless).
+# Spark has no half type, so codes are the IEEE 754 binary16 bit
+# patterns stored as array<smallint> (2 bytes/dim in parquet, dictionary
+# + byte-split encodings apply). Faithful IEEE semantics: round to
+# nearest, ties to EVEN; gradual underflow (subnormals down to 2^-24);
+# overflow SATURATES to +/-65504 instead of inf (a storage codec must
+# round-trip finite data to finite data). -0.0 quantizes to +0 (the
+# sign test is `x < 0`); NULL vector -> NULL.
+#
+# The whole encode is scalar Catalyst math (floor/log2/pow/case), so it
+# is replayable verbatim in any ANSI engine — the DuckDB oracle twin
+# regenerates every bit pattern (registry.py vector_norms gate). Two
+# exactness facts the implementation leans on, both engine-portable:
+#   * multiplying a double by a power of two is EXACT (exponent shift),
+#     so y = |x| * 2^(10-e) carries no rounding error into the
+#     round-half-even decision;
+#   * floor(log2(a)) can be off by one at powers of two (log2 is the
+#     libm estimate), so the exponent is CORRECTED against exact
+#     pow(2, e) bounds before use.
+# Higher-order lambdas don't CSE (see l2_normalize), so the encode is
+# staged through two intermediate transform() passes whose struct
+# FIELDS bind each expensive subexpression exactly once.
+
+
+def _f16_stage1(x: Column) -> Column:
+    """Per-element (sign, |x|, corrected clamped exponent) struct."""
+    s = F.when(x < 0, F.lit(1)).otherwise(F.lit(0))
+    a = F.abs(x)
+    # log2(0) = -Inf would blow up the ANSI cast; zeros take the
+    # m == 0 subnormal path regardless of e, so any finite e works.
+    safe = F.when(a == 0.0, F.lit(1.0)).otherwise(a)
+    e0 = F.floor(F.log2(safe)).cast("int")
+    p0 = F.pow(F.lit(2.0), e0.cast("double"))
+    e = (F.when(safe >= 2.0 * p0, e0 + 1)
+         .when(safe < p0, e0 - 1)
+         .otherwise(e0))
+    # clamp to the subnormal regime: below 2^-14 the quantization step
+    # is fixed at 2^-24 (no implicit leading bit), which is exactly the
+    # normal formula evaluated at e = -14 with m allowed below 1024.
+    return F.struct(s.alias("s"), a.alias("a"),
+                    F.greatest(e, F.lit(-14)).alias("e"))
+
+
+def _f16_stage2(t: Column) -> Column:
+    """Round-half-even mantissa in units of 2^(e-10): m = rhe(a * 2^(10-e)).
+    Normals land in [1024, 2048], subnormals in [0, 1024]."""
+    y = t["a"] * F.pow(F.lit(2.0), (F.lit(10) - t["e"]).cast("double"))
+    fl = F.floor(y).cast("long")
+    r = y - fl.cast("double")
+    m = (F.when(r > 0.5, fl + 1)
+         .when(r < 0.5, fl)
+         .otherwise(fl + fl % 2))
+    return F.struct(t["s"].alias("s"), t["e"].alias("e"), m.alias("m"))
+
+
+def _f16_stage3(t: Column) -> Column:
+    """Assemble the bit pattern: mantissa overflow bumps the exponent,
+    exponent overflow saturates to the max finite half (0x7BFF)."""
+    ee = F.when(t["m"] == 2048, t["e"] + 1).otherwise(t["e"])
+    mm = F.when(t["m"] == 2048, F.lit(1024).cast("long")).otherwise(t["m"])
+    u = F.when(mm < 1024, t["s"] * 32768 + mm).otherwise(
+        t["s"] * 32768 + (ee.cast("long") + 15) * 1024 + (mm - 1024))
+    u = F.when(ee > 15, t["s"] * 32768 + 0x7BFF).otherwise(u)
+    return F.when(u >= 32768, u - 65536).otherwise(u).cast("smallint")
+
+
+def quantize_f16(c: ColumnOrName) -> Column:
+    """``array<smallint>`` of IEEE 754 binary16 bit patterns — round to
+    nearest even, gradual underflow, saturating overflow. Codes match
+    ``numpy.float16(x).view(numpy.int16)`` bit-for-bit on non-overflow
+    inputs (pinned in tests/test_vector_f16.py)."""
+    v = as_double(c)
+    return F.transform(
+        F.transform(F.transform(v, _f16_stage1), _f16_stage2),
+        _f16_stage3)
+
+
+def dequantize_f16(c: ColumnOrName) -> Column:
+    """array<float> from :func:`quantize_f16` codes — every decoded
+    value is exactly representable in float32, so the decode is
+    bit-deterministic across engines. Inf/NaN patterns (never produced
+    by the saturating encoder) decode to their IEEE values."""
+    codes = _col(c)
+
+    def _dec(code: Column) -> Column:
+        ci = code.cast("int")
+        u = F.when(ci < 0, ci + 65536).otherwise(ci)
+        sgn = F.when(u >= 32768, F.lit(-1.0)).otherwise(F.lit(1.0))
+        ub = u % 32768
+        ef = F.shiftright(ub, 10)
+        m = ub % 1024
+        mag = (F.when(ef == 0, m.cast("double") * F.lit(2.0 ** -24))
+               .when(ef == 31,
+                     F.when(m == 0, F.lit(float("inf")))
+                     .otherwise(F.lit(float("nan"))))
+               .otherwise((m + 1024).cast("double")
+                          * F.pow(F.lit(2.0), (ef - 25).cast("double"))))
+        return (sgn * mag).cast("float")
+
+    return F.transform(codes, _dec)
+
+
+def f16_int24(code: Column) -> Column:
+    """Decoded value times 2^24 as an EXACT long (the smallest half is
+    2^-24, so every finite half is an integer multiple of it). This is
+    the integer-exact projection the oracle gate sums — no float
+    rounding anywhere, so cross-engine comparison needs no tolerance."""
+    ci = code.cast("int")
+    u = F.when(ci < 0, ci + 65536).otherwise(ci)
+    sgn = F.when(u >= 32768, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    ub = u % 32768
+    ef = F.shiftright(ub, 10)
+    m = (ub % 1024).cast("long")
+    mag = F.when(ef == 0, m).otherwise(
+        ((m + 1024).cast("double")
+         * F.pow(F.lit(2.0), (ef - 1).cast("double"))).cast("long"))
+    return sgn * mag

@@ -331,11 +331,31 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-space self dot product times scale² — every code, the scale
     quantization, and the exact long accumulation are value-checked
     against a DuckDB twin that replays the same double→code→float32
-    arithmetic."""
-    from faisssearcher_spark.functions.vector import i8_dot, quantize_i8
+    arithmetic.
+
+    EXTENDED again (round 7, session 2) with the fp16 codec
+    (functions/vector.quantize_f16 — IEEE 754 binary16 bit patterns as
+    array<smallint>, the 2× codec with uniform RELATIVE precision):
+    ``f16_hash`` is the md5 of the comma-joined code list (every bit
+    pattern — sign, corrected exponent, round-half-even mantissa,
+    subnormals — checked verbatim) and ``f16_dsum`` the sum of decoded
+    values times 2^24, an EXACT long (the smallest half is 2^-24), so
+    the decode leg needs no float tolerance either."""
+    from faisssearcher_spark.functions.vector import (f16_int24, i8_dot,
+                                                      quantize_f16,
+                                                      quantize_i8)
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = quantize_i8("embedding")
+    f16 = emb.select("vec_id", quantize_f16("embedding").alias("__f")) \
+        .select(
+            "vec_id",
+            F.md5(F.array_join(
+                F.transform("__f", lambda c: c.cast("string")),
+                ",")).alias("f16_hash"),
+            F.aggregate(F.transform("__f", f16_int24),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("f16_dsum"))
     return emb.select(
         "vec_id",
         F.round(M.l2_norm("embedding"), 4).alias("l2_norm"),
@@ -344,7 +364,7 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", q.alias("__q"))
         .select("vec_id", F.col("__q.scale").alias("i8_scale"),
                 F.round(i8_dot("__q", "__q"), 4).alias("i8_self_dot")),
-        "vec_id")
+        "vec_id").join(f16, "vec_id")
 
 
 ORACLE_NORMS = """
@@ -355,14 +375,77 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
      c AS (SELECT vec_id, v, sd::REAL AS scale,
                   list_transform(v, x -> CASE WHEN sd = 0 THEN 0
                       ELSE round(x / sd)::BIGINT END) AS codes
-           FROM p)
-SELECT vec_id,
+           FROM p),
+     -- fp16 encode, staged exactly like functions/vector.quantize_f16:
+     -- (sign, |x|, corrected clamped exponent) -> round-half-even
+     -- mantissa -> bit assembly with mantissa-overflow bump and
+     -- saturating exponent overflow (0x7BFF = 31743).
+     -- `safe` = 1.0 for zeros so log2 never sees 0 (zeros take the
+     -- m = 0 subnormal path whatever e is); rewritten inline because
+     -- lambdas bind no intermediates.
+     f1 AS (SELECT vec_id, list_transform(v, x -> {
+              's': CASE WHEN x < 0 THEN 1 ELSE 0 END,
+              'a': abs(x),
+              'e': greatest(CASE
+                 WHEN (CASE WHEN abs(x) = 0 THEN 1.0 ELSE abs(x) END)
+                      >= 2.0 * power(2, floor(log2(
+                        CASE WHEN abs(x) = 0 THEN 1.0 ELSE abs(x) END)))
+                   THEN floor(log2(CASE WHEN abs(x) = 0 THEN 1.0
+                                        ELSE abs(x) END))::INT + 1
+                 WHEN (CASE WHEN abs(x) = 0 THEN 1.0 ELSE abs(x) END)
+                      < power(2, floor(log2(
+                        CASE WHEN abs(x) = 0 THEN 1.0 ELSE abs(x) END)))
+                   THEN floor(log2(CASE WHEN abs(x) = 0 THEN 1.0
+                                        ELSE abs(x) END))::INT - 1
+                 ELSE floor(log2(CASE WHEN abs(x) = 0 THEN 1.0
+                                      ELSE abs(x) END))::INT END,
+                 -14) }) AS t
+           FROM e),
+     f2 AS (SELECT vec_id, list_transform(t, q -> {
+              's': q.s, 'e': q.e,
+              'm': CASE
+                WHEN q.a * power(2, 10 - q.e)
+                     - floor(q.a * power(2, 10 - q.e)) > 0.5
+                  THEN floor(q.a * power(2, 10 - q.e))::BIGINT + 1
+                WHEN q.a * power(2, 10 - q.e)
+                     - floor(q.a * power(2, 10 - q.e)) < 0.5
+                  THEN floor(q.a * power(2, 10 - q.e))::BIGINT
+                ELSE floor(q.a * power(2, 10 - q.e))::BIGINT
+                     + floor(q.a * power(2, 10 - q.e))::BIGINT % 2 END })
+              AS t
+           FROM f1),
+     fc AS (SELECT vec_id, list_transform(t, q -> CASE
+              WHEN (CASE WHEN q.m = 2048 THEN q.e + 1 ELSE q.e END) > 15
+                THEN q.s * 32768 + 31743
+              WHEN (CASE WHEN q.m = 2048 THEN 1024 ELSE q.m END) < 1024
+                THEN q.s * 32768
+                     + (CASE WHEN q.m = 2048 THEN 1024 ELSE q.m END)
+              ELSE q.s * 32768
+                   + ((CASE WHEN q.m = 2048 THEN q.e + 1 ELSE q.e END)
+                      + 15) * 1024
+                   + (CASE WHEN q.m = 2048 THEN 1024 ELSE q.m END) - 1024
+              END) AS u
+           FROM f2),
+     f AS (SELECT vec_id,
+                  md5(array_to_string(list_transform(u, x ->
+                      (CASE WHEN x >= 32768 THEN x - 65536
+                            ELSE x END)::VARCHAR), ',')) AS f16_hash,
+                  list_sum(list_transform(u, x ->
+                      (CASE WHEN x >= 32768 THEN -1 ELSE 1 END)
+                      * (CASE WHEN (x % 32768) // 1024 = 0
+                              THEN (x % 32768) % 1024
+                              ELSE (((x % 32768) % 1024 + 1024)
+                                    * power(2, (x % 32768) // 1024 - 1)
+                                   )::BIGINT END)))::BIGINT AS f16_dsum
+           FROM fc)
+SELECT c.vec_id,
        round(sqrt(list_sum(list_transform(v, x -> x*x))), 4) AS l2_norm,
        len(v) AS dim,
        scale AS i8_scale,
        round((list_sum(list_transform(codes, x -> x*x))::DOUBLE
-              * scale::DOUBLE) * scale::DOUBLE, 4) AS i8_self_dot
-FROM c
+              * scale::DOUBLE) * scale::DOUBLE, 4) AS i8_self_dot,
+       f.f16_hash, f.f16_dsum
+FROM c JOIN f ON c.vec_id = f.vec_id
 """
 
 
