@@ -1929,7 +1929,20 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and spend over every subset of (o_orderpriority,
     o_orderstatus), the grouping-set id derived engine-portably from
     the NULLed-out dimensions (both corpora are non-null there, so a
-    NULL dimension value uniquely marks the rolled-up sets)."""
+    NULL dimension value uniquely marks the rolled-up sets).
+
+    EXTENDED again (round 7, session 2) with a ``salted`` leg — the
+    skew lever (operators/balance.salted_join): the orders→customer
+    dimension join runs THROUGH the salted path (random salt on the
+    fact side, dimension replicated per salt, composite join key) and
+    aggregates per market segment; the DuckDB twin is the PLAIN join +
+    aggregate, because salting must be invisible in the answer. This
+    gates the semantics-preservation contract cross-engine; the
+    balance claim itself (hot keys actually spread over partitions) is
+    pinned with real spark_partition_id() counts in
+    tests/test_balance.py."""
+    from faisssearcher_spark.operators.balance import salted_join
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -1953,7 +1966,19 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.coalesce("o_orderstatus", F.lit("ALL")))
                 .alias("c_mktsegment"),
                 "n_orders", "total_spent"))
-    return per_cust.unionByName(cube_leg)
+    salted = (
+        salted_join(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            cust.select(F.col("c_custkey").alias("o_custkey"),
+                        "c_mktsegment"),
+            "o_custkey", salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .select(F.lit("salted").alias("leg"),
+                F.lit(-1).cast("long").alias("c_custkey"),
+                "c_mktsegment", "n_orders", "total_spent"))
+    return per_cust.unionByName(cube_leg).unionByName(salted)
 
 
 ORACLE_CUSTOMER_STATS = """
@@ -1972,6 +1997,14 @@ SELECT 'cube',
        round(sum(o_totalprice), 2)
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
+UNION ALL
+-- salted leg: the salt is semantics-invisible, so the twin is the
+-- PLAIN dimension join + aggregate
+SELECT 'salted', -1::BIGINT, c_mktsegment,
+       count(o_orderkey),
+       round(sum(o_totalprice), 2)
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """
 
 

@@ -47,6 +47,27 @@ class TestSaltedJoin:
                .filter(F.col("k") == 0).groupBy("__salt").count())
         assert out.count() > 1  # the hot key occupies multiple salt groups
 
+    def test_salting_balances_real_partitions(self, skewed, spark):
+        # the balance claim measured on Spark's ACTUAL partitioner, not
+        # wall-clock (too noisy on local[N]): repartition by the bare key
+        # lands the 90%-hot key in ONE task; keying by (key, salt)
+        # spreads it. Deterministic: rand(seed) + fixed input layout.
+        P = 16
+
+        def max_task_rows(df, *cols):
+            per = (df.repartition(P, *[F.col(c) for c in cols])
+                   .select(F.spark_partition_id().alias("pid"))
+                   .groupBy("pid").count().collect())
+            return max(r["count"] for r in per)
+
+        n = skewed.count()
+        salted = skewed.withColumn(
+            "__salt", F.floor(F.rand(42) * 16).cast("int"))
+        hot = max_task_rows(skewed, "k")
+        spread = max_task_rows(salted, "k", "__salt")
+        assert hot >= 0.9 * n            # one task owns the hot key
+        assert spread <= hot / 4         # salting spreads it >= 4x
+
 
 class TestSaltedCount:
     def test_matches_plain(self, skewed):
