@@ -140,6 +140,35 @@ class TestRoundTrip:
         assert got == exact
 
 
+class TestExhaustive:
+    def test_all_finite_codes_roundtrip_identically(self, spark):
+        # the fp16 value space is small enough to check COMPLETELY:
+        # decode every finite bit pattern and re-encode; the codec must
+        # be the identity on its own range. Excluded: inf/nan (ef=31,
+        # never produced by the saturating encoder) and -0 (canonicalized
+        # to +0 by design). One Spark job for all 2^16 codes.
+        from faisssearcher_spark.functions.vector import (dequantize_f16,
+                                                          f16_int24,
+                                                          quantize_f16)
+        df = (spark.range(65536).withColumnRenamed("id", "u")
+              .filter("u % 32768 < 31744 AND u != 32768")   # no inf/nan/-0
+              .select(F.array(
+                  F.when(F.col("u") >= 32768, F.col("u") - 65536)
+                  .otherwise(F.col("u")).cast("smallint")).alias("codes")))
+        out = df.select(
+            F.col("codes")[0].alias("code"),
+            quantize_f16(dequantize_f16("codes"))[0].alias("recode"),
+            dequantize_f16("codes")[0].alias("val"),
+            F.transform("codes", f16_int24)[0].alias("i24"))
+        bad = out.filter("code != recode").count()
+        assert bad == 0
+        # and f16_int24 must equal the decoded float * 2^24 exactly
+        mism = out.filter(
+            (F.col("val").cast("double") * F.lit(float(2 ** 24)))
+            .cast("long") != F.col("i24")).count()
+        assert mism == 0
+
+
 class TestPlan:
     def test_no_python_in_plan(self, spark):
         df = spark.createDataFrame([(0, [1.0, 2.0])],
