@@ -8,9 +8,14 @@ partition-size guidance — while the media codecs are IMPORT-GATED
 (the optional-FAISS pattern, operators/ann.py): ``decode_media``'s real
 path lights up when Pillow is importable (grayscale intensity features
 for images) and raises NotImplementedError cleanly when it is not, or
-for audio/video modalities (soundfile/ffmpeg out of scope in this
+for compressed audio/video (soundfile/ffmpeg out of scope in this
 container); the deterministic fake decoder always works, so the
-engine's semantics never depend on a codec being present.
+engine's semantics never depend on a codec being present. AUDIO has a
+real dependency-free route of its own — canonical PCM16 WAV parses
+with pure numpy (:func:`_parse_wav`), feeding windowed integer
+feature extraction (:func:`audio_features`: per-frame energy /
+zero-crossings / peak) and exact decimation resampling
+(:func:`audio_decimate`) — the same pattern as the PPM/BMP image path.
 
 Scale notes:
 - binary payloads dominate row size: cap ``spark.sql.files.maxPartitionBytes``
@@ -189,8 +194,9 @@ def decode_media(df: DataFrame, *, decoder: str = "real",
         raise NotImplementedError(
             "real media decoding requires Pillow, which is not installed "
             "in this environment; use decoder='fake' for pipeline testing "
-            "or install Pillow (audio/video additionally need soundfile/"
-            "ffmpeg and remain out of scope)")
+            "or install Pillow (PCM WAV audio has a dependency-free path "
+            "via audio_features/audio_decimate; compressed audio/video "
+            "need soundfile/ffmpeg and remain out of scope)")
 
     out_schema = StructType([
         StructField("asset_id", LongType()),
@@ -205,8 +211,10 @@ def decode_media(df: DataFrame, *, decoder: str = "real",
                 if len(bad):
                     raise NotImplementedError(
                         f"{decoder} decoding implemented for modality="
-                        f"'image' only (got {sorted(set(bad))}); "
-                        f"audio/video need soundfile/ffmpeg")
+                        f"'image' only (got {sorted(set(bad))}); PCM WAV "
+                        f"audio has its own native path (audio_features/"
+                        f"audio_decimate); compressed audio/video need "
+                        f"soundfile/ffmpeg")
                 fn = _real_decode_image if decoder == "real" \
                     else _native_decode_image
                 feats = [fn(p, feature_dim).tolist()
@@ -364,6 +372,172 @@ def image_near_dup_pairs(df: DataFrame, *, decoder: str = "native",
     return hamming_pairs(fps, id_col="asset_id", fp_col="phash",
                          bits=hash_size * hash_size,
                          max_hamming=max_hamming)
+
+
+def _parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 → ``(sample_rate, samples (n, channels) int16)``.
+
+    Pure numpy — canonical WAV is a little-endian chunk walk (``fmt ``
+    carries format/channels/rate, ``data`` carries raw samples), no codec
+    needed: the audio analog of :func:`_parse_ppm`/:func:`_parse_bmp`.
+    Compressed/float/8-bit variants raise; Pillow-style optional codec
+    libraries stay out of the dependency set."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = (int.from_bytes(body[0:2], "little"),    # audio format
+                   int.from_bytes(body[2:4], "little"),    # channels
+                   int.from_bytes(body[4:8], "little"),    # sample rate
+                   int.from_bytes(body[14:16], "little"))  # bits/sample
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, n_ch, rate, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM 16-bit WAV is supported (format={audio_format}, "
+            f"bits={bits}); compressed/float audio needs soundfile/ffmpeg")
+    if n_ch < 1:
+        raise ValueError("WAV fmt chunk declares zero channels")
+    samples = np.frombuffer(data, dtype="<i2",
+                            count=(len(data) // (2 * n_ch)) * n_ch)
+    return rate, samples.reshape(-1, n_ch)
+
+
+def build_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`_parse_wav`: int16 samples ``(n,)`` or
+    ``(n, channels)`` → canonical PCM16 RIFF bytes. Used by tests and
+    synthetic corpora; exact round-trip with the parser is pinned."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    data = arr.tobytes()
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * 2 * n_ch).to_bytes(4, "little")
+           + (2 * n_ch).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little"))
+    return hdr + data
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("energy", LongType()),      # Σ s² over the frame (exact)
+    StructField("zcr", IntegerType()),      # sign transitions in the frame
+    StructField("peak", IntegerType()),     # max |s| in the frame
+])
+
+
+def audio_features(df: DataFrame, *, frame_samples: int = 512,
+                   max_frames: int = 64) -> DataFrame:
+    """Windowed audio feature extraction: one row per
+    ``frame_samples``-sample frame of each PCM16 WAV payload.
+
+    The real audio 'feature-extract' stage of the multimodal pipeline:
+    payloads decode with the dependency-free RIFF parser inside ONE
+    vectorized ``mapInPandas`` stage (audio bytes never shuffle — only
+    the few-ints-per-frame feature rows come out), the signal frames
+    into non-overlapping ``frame_samples`` windows (a trailing partial
+    frame is dropped; frames are capped at ``max_frames``), and each
+    frame emits EXACT integer features on the int16 samples: energy
+    (Σ s², the loudness proxy), zero-crossing count (the classic
+    voiced/unvoiced + spectral-coarseness heuristic, counted as
+    ``sign(s[i-1]) != sign(s[i])`` with ``s >= 0`` positive), and peak
+    amplitude (clipping detector). Multi-channel payloads use channel 0
+    (documented; a learned encoder would replace this stage wholesale).
+
+    Exactness is the point: integer features cross engines without any
+    float-rounding caveats, so the decode→frame→feature path is
+    oracle-checkable end-to-end (the ``audio`` leg of
+    ``dedup_simhash_pairs`` builds WAV bytes in pure SQL, parses them
+    back HERE, and DuckDB replays the arithmetic)."""
+    if frame_samples < 2:
+        raise ValueError(f"frame_samples must be >= 2 (got {frame_samples})")
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1 (got {max_frames})")
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad = pdf.loc[pdf["modality"] != "audio", "modality"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"audio_features reads modality='audio' PCM WAV only "
+                    f"(got {sorted(set(bad))})")
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FEATURE_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, samples = _parse_wav(bytes(payload))
+                mono = samples[:, 0].astype(np.int64)
+                n_frames = min(len(mono) // frame_samples, max_frames)
+                for f in range(n_frames):
+                    w = mono[f * frame_samples:(f + 1) * frame_samples]
+                    nonneg = w >= 0
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(f)
+                    out["sample_rate"].append(rate)
+                    out["energy"].append(int((w * w).sum()))
+                    out["zcr"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+                    out["peak"].append(int(np.abs(w).max()))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "modality", "payload").mapInPandas(
+        _feats, AUDIO_FEATURE_SCHEMA)
+
+
+def audio_decimate(df: DataFrame, *, factor: int) -> DataFrame:
+    """Integer decimation resample: keep every ``factor``-th sample and
+    divide the declared rate — the 'resize' stage for audio, exact by
+    construction (no interpolation, no filter state, engine-independent).
+    Emits the same asset schema with re-encoded PCM16 WAV payloads, so
+    the output feeds :func:`audio_features` or any downstream stage
+    unchanged. Payloads transform in place per partition (mapInPandas);
+    nothing audio-sized shuffles."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1 (got {factor})")
+
+    out_schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+    ])
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad = pdf.loc[pdf["modality"] != "audio", "modality"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"audio_decimate reads modality='audio' PCM WAV only "
+                    f"(got {sorted(set(bad))})")
+            payloads, rates = [], []
+            for payload in pdf["payload"]:
+                rate, samples = _parse_wav(bytes(payload))
+                if rate % factor:
+                    raise ValueError(
+                        f"decimation factor {factor} must divide the "
+                        f"sample rate {rate} (fractional resampling needs "
+                        f"an interpolating resampler)")
+                payloads.append(build_wav(samples[::factor],
+                                          rate // factor))
+                rates.append(rate // factor)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                                "modality": pdf["modality"],
+                                "payload": payloads,
+                                "sample_rate": rates})
+
+    return df.select("asset_id", "modality", "payload").mapInPandas(
+        _dec, out_schema)
 
 
 def frame_sample(df: DataFrame, *, every_ms: int = 1000,

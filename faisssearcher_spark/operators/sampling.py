@@ -148,6 +148,61 @@ def hash_split(df: DataFrame, *, key_col: str, test_fraction: float = 0.01,
         .otherwise(F.lit("train")))
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame | None = None, *,
+                       clusters: DataFrame | None = None, key_col: str,
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       test_fraction: float = 0.01, seed: int = 42,
+                       split_col: str = "split",
+                       keep_cluster_col: str | None = None) -> DataFrame:
+    """Group-aware train/test split: near-duplicate CLUSTERS never
+    straddle the split boundary.
+
+    :func:`hash_split` keys the tag on the document itself, so two
+    near-duplicates of one page can land on opposite sides of the
+    boundary — the test set then "leaks" into training through documents
+    the dedup pass would have called the same (the reason GPT-3-era
+    decontamination exists at all; splitting group-wise removes the
+    failure class instead of patching it post hoc). Here the tag keys on
+    the near-dup CLUSTER representative: pass the pair list from any of
+    the dedup generators (``minhash_lsh_join``, ``simhash_pairs``,
+    ``embedding_cosine_pairs`` …) — or a precomputed ``(id, cluster_id)``
+    frame from :func:`~faisssearcher_spark.operators.dedup.dedup_clusters`
+    to avoid re-running the pair join — and every member of a connected
+    component draws ONE bucket from its cluster id. Documents in no pair
+    fall back to their own key, so on pair-free input this is exactly
+    :func:`hash_split` (same 'split' op salt, same seed ⇒ identical
+    tags — singletons keep their split if a later run adds pairs
+    elsewhere).
+
+    Scale shape: one components pass over the pair list (already
+    bounded — pairs, not the corpus) + one equi-join of the corpus
+    against the ≤|pairs|-sized cluster map; the tag itself is a scan
+    expression. Set ``keep_cluster_col`` to also emit the cluster id
+    (NULL for singletons) instead of re-joining downstream."""
+    if (pairs is None) == (clusters is None):
+        raise ValueError(
+            "pass exactly one of `pairs` (raw near-dup pairs) or "
+            "`clusters` (precomputed (id, cluster_id) assignments)")
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    if clusters is None:
+        from faisssearcher_spark.operators.dedup import dedup_clusters
+        clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    cl = clusters.select(F.col("id").alias("__ls_id"),
+                         F.col("cluster_id").alias("__ls_cluster"))
+    out = df.join(cl, df[key_col] == cl["__ls_id"], "left").drop("__ls_id")
+    group = F.coalesce(F.col("__ls_cluster").cast("string"),
+                       F.col(key_col).cast("string"))
+    threshold = int(round(test_fraction * SAMPLE_DENOM))
+    out = out.withColumn(
+        split_col,
+        F.when(sample_bucket(group, seed, op="split") < threshold,
+               F.lit("test")).otherwise(F.lit("train")))
+    if keep_cluster_col is not None:
+        return out.withColumnRenamed("__ls_cluster", keep_cluster_col)
+    return out.drop("__ls_cluster")
+
+
 def cap_per_group(df: DataFrame, *, group_col: str, cap: int,
                   key_col: str, seed: int = 42) -> DataFrame:
     """Per-group quota: keep at most ``cap`` rows per ``group_col`` value,

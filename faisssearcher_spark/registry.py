@@ -1007,6 +1007,29 @@ def _gate_image_assets(docs: DataFrame) -> DataFrame:
                        F.unhex(F.concat(*parts)).alias("payload"))
 
 
+#: 44-byte RIFF header for the synthetic gate WAVs: PCM16 mono, 8 kHz,
+#: 128 samples (256 data bytes) — the constant prefix of build_wav's
+#: output at that shape, so the SQL-built payloads are canonical WAV.
+_WAV_HEADER_HEX = ("524946462401000057415645666d7420100000000100010040"
+                   "1f0000803e0000020010006461746100010000")
+
+
+def _gate_audio_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, modality, payload): deterministic PCM16 WAV corpus —
+    128 little-endian int16 samples per doc from md5("<doc_id>|a<block>")
+    hex (16 blocks × 8 samples), concatenated after the constant RIFF
+    header with pure SQL, then parsed back by the REAL numpy WAV parser,
+    so build→decode→frame→feature is checked end-to-end against the
+    oracle's analytic sample arithmetic."""
+    g = F.col("doc_id").cast("string")
+    parts = [F.lit(_WAV_HEADER_HEX)]
+    for block in range(16):
+        parts.append(F.md5(F.concat(g, F.lit(f"|a{block}"))))
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("audio").alias("modality"),
+                       F.unhex(F.concat(*parts)).alias("payload"))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming ≤ 3 of the 32-bit
     fingerprint: pigeonhole byte-band equi-join candidates + XOR/popcount
@@ -1018,7 +1041,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asset_id, dHash) pair — the native binary decode → area-mean
     resize → difference-hash path value-checked against the oracle's
     analytic bit arithmetic — and ``image`` rows are the banded-hamming
-    near-dup pairs (≤ 4 bits) over those 64-bit fingerprints."""
+    near-dup pairs (≤ 4 bits) over those 64-bit fingerprints. Round 7
+    adds the ``audio`` leg: SQL-built PCM16 WAV payloads parsed by the
+    real numpy RIFF decoder into exact per-frame integer features
+    (multimodal.audio_features)."""
     from faisssearcher_spark.operators.multimodal import (
         image_near_dup_pairs, perceptual_hash)
 
@@ -1052,8 +1078,23 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asset_id").alias("id_a"),
         F.col("frame_idx").cast("long").alias("id_b"),
         F.col("frame_offset_ms").cast("int").alias("hamming"))
+
+    # tag-union leg 5 (round 7): the audio feature-extract path
+    # (multimodal.audio_features) — SQL-built PCM16 WAV payloads (see
+    # _gate_audio_assets) decode through the REAL numpy RIFF parser and
+    # frame into 4×32-sample windows; every per-frame feature is an
+    # exact integer (energy = Σs², zero-crossings, peak |s|), packed as
+    # id_a = asset·10+frame, id_b = energy, hamming = zcr·65536+peak.
+    from faisssearcher_spark.operators.multimodal import audio_features
+
+    audio_leg = audio_features(_gate_audio_assets(docs), frame_samples=32,
+                               max_frames=4).select(
+        F.lit("audio").alias("leg"),
+        (F.col("asset_id") * 10 + F.col("frame_idx")).alias("id_a"),
+        F.col("energy").alias("id_b"),
+        (F.col("zcr") * 65536 + F.col("peak")).cast("int").alias("hamming"))
     return (text_leg.unionByName(fp_leg).unionByName(pair_leg)
-            .unionByName(frames_leg))
+            .unionByName(frames_leg).unionByName(audio_leg))
 
 
 def _oracle_image_phash() -> str:
@@ -1129,6 +1170,33 @@ SELECT 'frames', doc_id,
        (unnest(range(0, least(floor(((doc_id % 20) * 700 + 100 - 1)
                                     / 1000.0)::BIGINT, 7) + 1)) * 1000)::INT
 FROM documents
+UNION ALL
+SELECT 'audio', doc_id * 10 + f, energy, (zcr * 65536 + peak)::INT
+FROM (
+  SELECT doc_id, f,
+         list_sum(list_transform(w, s -> s * s))::BIGINT AS energy,
+         list_sum(list_transform(range(1, 32), i ->
+             CASE WHEN (w[i] >= 0) != (w[i + 1] >= 0)
+                  THEN 1 ELSE 0 END))::BIGINT AS zcr,
+         list_max(list_transform(w, s -> abs(s))) AS peak
+  FROM (
+    -- sample i (0-based): 16-bit LE int16 from hex chars 4j+1..4j+4 of
+    -- md5("<doc_id>|a<i//8>") (j = i%8): bytes write in md5 hex order,
+    -- WAV reads little-endian, so the value is 0x<p2><p1>; the
+    -- (+32768) % 65536 - 32768 fold maps [0,65535] to signed int16.
+    SELECT doc_id, f,
+           list_slice(list_transform(range(0, 128), i ->
+               (('0x' || substring(md5(doc_id::VARCHAR || '|a' ||
+                                       (i // 8)::VARCHAR),
+                                   (i % 8) * 4 + 3, 2)
+                      || substring(md5(doc_id::VARCHAR || '|a' ||
+                                       (i // 8)::VARCHAR),
+                                   (i % 8) * 4 + 1, 2))::BIGINT
+                + 32768) % 65536 - 32768),
+             f * 32 + 1, f * 32 + 32) AS w
+    FROM documents, unnest(range(0, 4)) AS t(f)
+  )
+)
 """
 
 
@@ -2352,14 +2420,41 @@ JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+def _sample_bucket_sql(key_sql: str, seed: int = 42, op: str = "") -> str:
+    """DuckDB twin of operators/sampling.sample_bucket — identical md5
+    arithmetic (including the per-operator ``op`` salt prefix that
+    decorrelates composed samplers), so sample membership matches Spark
+    row-for-row."""
+    prefix = f"{op}|{seed}|" if op else f"{seed}|"
+    return (f"(('0x' || substring(md5('{prefix}' || ({key_sql})::VARCHAR), "
+            f"1, 8))::BIGINT % 1000000)")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate GROUPS: connected components (min-label propagation)
     over the MinHash-LSH pair list — the "keep one per cluster" resolution
-    step of a dedup pipeline. Oracle: recursive-CTE transitive closure."""
+    step of a dedup pipeline. Oracle: recursive-CTE transitive closure.
+
+    EXTENDED (round 7, the 50-cap column pattern) with the ``split``
+    column from ``sampling.leakage_safe_split`` (test_fraction = 0.1):
+    every member of a connected near-dup cluster draws its train/test
+    tag from the CLUSTER representative, so near-duplicates can never
+    straddle the split boundary — the oracle replays the identical
+    'split'-salted md5 bucket keyed on the recursive CTE's cluster id.
+    The clusters are computed ONCE and passed in (``clusters=``), so
+    the gate still runs a single pair-join pass."""
+    from faisssearcher_spark.operators.sampling import leakage_safe_split
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(docs, num_hashes=16, bands=4,
                                    shingle_n=3, verify_threshold=0.3)
-    return dedup.dedup_clusters(pairs).orderBy("id")
+    clusters = dedup.dedup_clusters(pairs)
+    tagged = leakage_safe_split(docs, clusters=clusters, key_col="doc_id",
+                                test_fraction=0.1,
+                                keep_cluster_col="cluster_id")
+    return (tagged.filter(F.col("cluster_id").isNotNull())
+            .select(F.col("doc_id").alias("id"), "cluster_id", "split")
+            .orderBy("id"))
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
@@ -2370,7 +2465,10 @@ WITH RECURSIVE pairs AS ({ORACLE_MINHASH_PAIRS}),
     SELECT DISTINCT a, a FROM edges
     UNION
     SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+SELECT id, min(r) AS cluster_id,
+       CASE WHEN {_sample_bucket_sql('min(r)', op='split')} < 100000
+            THEN 'test' ELSE 'train' END AS split
+FROM reach GROUP BY id
 """
 
 
@@ -3198,16 +3296,6 @@ ORACLE_RUNNING = _oracle_running_zorder()
 # ===========================================================================
 # 5b. deterministic sampling (training-data mixture surface)
 # ===========================================================================
-
-def _sample_bucket_sql(key_sql: str, seed: int = 42, op: str = "") -> str:
-    """DuckDB twin of operators/sampling.sample_bucket — identical md5
-    arithmetic (including the per-operator ``op`` salt prefix that
-    decorrelates composed samplers), so sample membership matches Spark
-    row-for-row."""
-    prefix = f"{op}|{seed}|" if op else f"{seed}|"
-    return (f"(('0x' || substring(md5('{prefix}' || ({key_sql})::VARCHAR), "
-            f"1, 8))::BIGINT % 1000000)")
-
 
 def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic samplers, tag-unioned (the 50-cap extension pattern):

@@ -273,3 +273,74 @@ class TestTemperatureMixture:
         with pytest.raises(ValueError):
             temperature_fractions(documents, stratum_col="source",
                                   target_rows=10, alpha=-1)
+
+
+class TestLeakageSafeSplit:
+    @pytest.fixture()
+    def pairs(self, spark):
+        # clusters: {0,1,2} (chained), {10,11}; everything else singleton
+        return spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long")
+
+    def test_clusters_never_straddle(self, spark, documents, pairs):
+        out = sampling.leakage_safe_split(documents, pairs, key_col="doc_id",
+                                          test_fraction=0.5)
+        tags = {r["doc_id"]: r["split"]
+                for r in out.select("doc_id", "split").collect()}
+        assert tags[0] == tags[1] == tags[2]
+        assert tags[10] == tags[11]
+
+    def test_singletons_match_hash_split(self, documents, pairs):
+        clustered = {0, 1, 2, 10, 11}
+        grouped = sampling.leakage_safe_split(documents, pairs,
+                                              key_col="doc_id",
+                                              test_fraction=0.5)
+        plain = sampling.hash_split(documents, key_col="doc_id",
+                                    test_fraction=0.5)
+        g = {r["doc_id"]: r["split"] for r in grouped.collect()}
+        p = {r["doc_id"]: r["split"] for r in plain.collect()}
+        for k in p:
+            if k not in clustered:
+                assert g[k] == p[k]
+        # the cluster representative (min id) keys the group tag, so its
+        # own tag equals the plain split's — singleton behavior is the
+        # degenerate cluster-of-one case of the same function
+        assert g[0] == p[0] and g[10] == p[10]
+
+    def test_precomputed_clusters_equivalent(self, documents, pairs):
+        from faisssearcher_spark.operators.dedup import dedup_clusters
+        via_pairs = sampling.leakage_safe_split(
+            documents, pairs, key_col="doc_id", test_fraction=0.5)
+        via_clusters = sampling.leakage_safe_split(
+            documents, clusters=dedup_clusters(pairs), key_col="doc_id",
+            test_fraction=0.5)
+        a = {(r["doc_id"], r["split"]) for r in via_pairs.collect()}
+        b = {(r["doc_id"], r["split"]) for r in via_clusters.collect()}
+        assert a == b
+
+    def test_partition_invariant(self, documents, pairs):
+        a = sampling.leakage_safe_split(documents, pairs, key_col="doc_id",
+                                        test_fraction=0.3)
+        b = sampling.leakage_safe_split(documents.repartition(17), pairs,
+                                        key_col="doc_id", test_fraction=0.3)
+        sa = {(r["doc_id"], r["split"]) for r in a.collect()}
+        sb = {(r["doc_id"], r["split"]) for r in b.collect()}
+        assert sa == sb
+
+    def test_keep_cluster_col(self, documents, pairs):
+        out = sampling.leakage_safe_split(documents, pairs, key_col="doc_id",
+                                          test_fraction=0.5,
+                                          keep_cluster_col="cid")
+        rows = {r["doc_id"]: r["cid"] for r in out.collect()}
+        assert rows[1] == 0 and rows[11] == 10
+        assert rows[5] is None            # singleton: no cluster id
+
+    def test_validation(self, documents, pairs):
+        with pytest.raises(ValueError, match="exactly one"):
+            sampling.leakage_safe_split(documents, key_col="doc_id")
+        with pytest.raises(ValueError, match="exactly one"):
+            sampling.leakage_safe_split(documents, pairs,
+                                        clusters=pairs, key_col="doc_id")
+        with pytest.raises(ValueError, match="fraction"):
+            sampling.leakage_safe_split(documents, pairs, key_col="doc_id",
+                                        test_fraction=1.5)

@@ -1,6 +1,7 @@
 """Structured Streaming twins (windowed agg, streaming dedup) driven with
 availableNow triggers, and the multimodal column plumbing."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -679,3 +680,122 @@ class TestImageDedupPipeline:
             .withColumnRenamed("id", "asset_id"),
             "asset_id", "left_anti")
         assert sorted(r["asset_id"] for r in keep.collect()) == [0, 10, 20]
+
+
+class TestAudio:
+    """Dependency-free audio path: pure-numpy WAV parse, windowed
+    integer features, exact decimation (operators/multimodal.py)."""
+
+    @staticmethod
+    def _tone(n=256, period=16, amp=12000):
+        # deterministic square-ish tone: amp * sign(sin-phase), exact ints
+        t = np.arange(n)
+        return np.where((t // (period // 2)) % 2 == 0, amp, -amp) \
+            .astype(np.int16)
+
+    def test_wav_roundtrip_mono(self):
+        s = self._tone()
+        rate, back = multimodal._parse_wav(multimodal.build_wav(s, 8000))
+        assert rate == 8000
+        assert back.shape == (256, 1)
+        assert np.array_equal(back[:, 0], s)
+
+    def test_wav_roundtrip_stereo(self):
+        rng = np.random.default_rng(7)
+        s = rng.integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+        rate, back = multimodal._parse_wav(multimodal.build_wav(s, 44100))
+        assert rate == 44100
+        assert np.array_equal(back, s)
+
+    def test_parse_rejects_garbage(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            multimodal._parse_wav(b"OggS not a wav")
+        # RIFF/WAVE but no chunks
+        with pytest.raises(ValueError, match="fmt/data"):
+            multimodal._parse_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_parse_rejects_non_pcm16(self):
+        good = bytearray(multimodal.build_wav(self._tone(16), 8000))
+        bad_fmt = bytearray(good)
+        bad_fmt[20] = 3                         # IEEE float format code
+        with pytest.raises(NotImplementedError, match="PCM 16-bit"):
+            multimodal._parse_wav(bytes(bad_fmt))
+        bad_bits = bytearray(good)
+        bad_bits[34] = 8                        # 8-bit samples
+        with pytest.raises(NotImplementedError, match="PCM 16-bit"):
+            multimodal._parse_wav(bytes(bad_bits))
+
+    def _audio_assets(self, spark, sigs, rate=8000):
+        rows = [(i, "audio", "audio/wav",
+                 multimodal.build_wav(s, rate), None, None,
+                 len(s) * 1000 // rate)
+                for i, s in enumerate(sigs)]
+        return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+
+    def test_features_match_numpy(self, spark):
+        rng = np.random.default_rng(11)
+        sigs = [rng.integers(-30000, 30000, size=200, dtype=np.int16)
+                for _ in range(3)]
+        df = self._audio_assets(spark, sigs)
+        got = multimodal.audio_features(df, frame_samples=64,
+                                        max_frames=8).toPandas()
+        # 200 samples → 3 full 64-sample frames, tail of 8 dropped
+        assert sorted(got["frame_idx"][got["asset_id"] == 0]) == [0, 1, 2]
+        assert set(got["sample_rate"]) == {8000}
+        for r in got.itertuples():
+            w = sigs[r.asset_id][r.frame_idx * 64:(r.frame_idx + 1) * 64] \
+                .astype(np.int64)
+            nonneg = w >= 0
+            assert r.energy == int((w * w).sum())
+            assert r.zcr == int((nonneg[1:] != nonneg[:-1]).sum())
+            assert r.peak == int(np.abs(w).max())
+
+    def test_known_frame_values(self, spark):
+        # hand-computable: [3, -4, 5, -6] → energy 9+16+25+36 = 86,
+        # zcr 3 (every adjacent pair flips sign), peak 6
+        df = self._audio_assets(
+            spark, [np.array([3, -4, 5, -6], dtype=np.int16)])
+        row = multimodal.audio_features(df, frame_samples=4).collect()[0]
+        assert (row["energy"], row["zcr"], row["peak"]) == (86, 3, 6)
+
+    def test_max_frames_cap(self, spark):
+        df = self._audio_assets(spark, [self._tone(n=512)])
+        got = multimodal.audio_features(df, frame_samples=32,
+                                        max_frames=4).toPandas()
+        assert sorted(got["frame_idx"]) == [0, 1, 2, 3]
+
+    def test_channel0_used(self, spark):
+        left = self._tone(n=64, amp=100)
+        right = np.zeros(64, dtype=np.int16)
+        stereo = np.stack([left, right], axis=1)
+        df = spark.createDataFrame(
+            [(0, "audio", "audio/wav", multimodal.build_wav(stereo, 8000),
+              None, None, 8)], multimodal.ASSET_SCHEMA)
+        row = multimodal.audio_features(df, frame_samples=64).collect()[0]
+        assert row["energy"] == int((left.astype(np.int64) ** 2).sum())
+
+    def test_modality_validated(self, spark, assets):
+        with pytest.raises(Exception, match="audio"):
+            multimodal.audio_features(
+                assets.filter("modality = 'image'")).collect()
+
+    def test_decimate_exact(self, spark):
+        s = self._tone(n=128)
+        df = self._audio_assets(spark, [s])
+        out = multimodal.audio_decimate(df, factor=4).collect()[0]
+        assert out["sample_rate"] == 2000
+        rate, back = multimodal._parse_wav(bytes(out["payload"]))
+        assert rate == 2000
+        assert np.array_equal(back[:, 0], s[::4])
+        # decimated payload feeds the feature stage unchanged
+        feats = multimodal.audio_features(
+            spark.createDataFrame(
+                [(0, "audio", "audio/wav", bytes(out["payload"]),
+                  None, None, None)], multimodal.ASSET_SCHEMA),
+            frame_samples=32).collect()
+        assert len(feats) == 1
+
+    def test_decimate_rejects_non_divisor(self, spark):
+        df = self._audio_assets(spark, [self._tone(n=64)], rate=8000)
+        with pytest.raises(Exception, match="divide"):
+            multimodal.audio_decimate(df, factor=3).collect()
