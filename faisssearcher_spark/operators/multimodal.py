@@ -540,6 +540,59 @@ def audio_decimate(df: DataFrame, *, factor: int) -> DataFrame:
         _dec, out_schema)
 
 
+def audio_fingerprint(df: DataFrame, *, frame_samples: int = 512,
+                      n_bits: int = 32) -> DataFrame:
+    """Acoustic fingerprint: ``n_bits``-bit energy-delta-sign signature
+    per PCM16 WAV asset — bit ``f`` is set iff frame ``f+1`` is louder
+    than frame ``f`` (the shape-of-the-envelope idea behind
+    Chromaprint-family audio IDs, reduced to the exact-integer energy
+    feature so it crosses engines with zero float caveats).
+
+    Decode happens once in the :func:`audio_features` mapInPandas stage
+    (audio bytes never shuffle); the bit packing on top is pure Catalyst
+    — a ``lead`` window over the per-frame energies (frames past the end
+    of the signal count as silence/energy 0) and a ``shiftleft`` sum.
+    Returns ``(asset_id, fp)`` with ``fp`` a signed long (``n_bits`` ≤
+    64; bit 63 lands in the sign bit, which the downstream banded kernel
+    handles). Assets shorter than one frame emit no row — there is no
+    signal to key on. Invariant to trailing silence only insofar as
+    missing frames read as 0-energy; same-length requirement is the
+    caller's (decimate first to normalize rates)."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64]; got {n_bits}")
+    from pyspark.sql import Window
+
+    feats = audio_features(df, frame_samples=frame_samples,
+                           max_frames=n_bits + 1)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    bit = (F.lead("energy", 1, 0).over(w) > F.col("energy")).cast("long")
+    # Python F.shiftleft only takes a literal shift — the SQL form takes
+    # any expression, and frame_idx is the shift here
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), frame_idx)")
+    return (feats
+            .withColumn("__bit", bit * weight)
+            .filter(F.col("frame_idx") < n_bits)
+            .groupBy("asset_id")
+            .agg(F.sum("__bit").alias("fp")))
+
+
+def audio_near_dup_pairs(df: DataFrame, *, frame_samples: int = 512,
+                         n_bits: int = 32, max_hamming: int = 3
+                         ) -> DataFrame:
+    """Near-duplicate audio pairs: :func:`audio_fingerprint` signatures
+    within ``max_hamming`` bits of each other, via the same
+    maximal-width pigeonhole band kernel as SimHash text pairs and dHash
+    image pairs (``dedup.hamming_pairs``) — the audio leg of the
+    modality matrix. Only (asset_id, fp) longs ever shuffle; candidates
+    are a banded equi-join, verification is XOR + popcount. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    from faisssearcher_spark.operators.dedup import hamming_pairs
+
+    fps = audio_fingerprint(df, frame_samples=frame_samples, n_bits=n_bits)
+    return hamming_pairs(fps, id_col="asset_id", fp_col="fp",
+                         bits=n_bits, max_hamming=max_hamming)
+
+
 def frame_sample(df: DataFrame, *, every_ms: int = 1000,
                  max_frames: int = 16) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled frame offset.

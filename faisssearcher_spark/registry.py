@@ -1030,6 +1030,23 @@ def _gate_audio_assets(docs: DataFrame) -> DataFrame:
                        F.unhex(F.concat(*parts)).alias("payload"))
 
 
+def _gate_audio_twin_assets(docs: DataFrame) -> DataFrame:
+    """Near-dup audio twins for the ``afp`` leg: even/odd doc pairs
+    share sample blocks 0-14 (the md5 salt keys on doc_id with its low
+    bit cleared) and each keeps its OWN block 15 — so a twin pair's
+    energy-delta fingerprints agree on bits 0-13 and can differ only on
+    the last real transition, planting verifiable hamming ≤ 1 pairs."""
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    own = F.col("doc_id").cast("string")
+    parts = [F.lit(_WAV_HEADER_HEX)]
+    for block in range(16):
+        salt = base if block < 15 else own
+        parts.append(F.md5(F.concat(salt, F.lit(f"|a{block}"))))
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("audio").alias("modality"),
+                       F.unhex(F.concat(*parts)).alias("payload"))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming ≤ 3 of the 32-bit
     fingerprint: pigeonhole byte-band equi-join candidates + XOR/popcount
@@ -1093,8 +1110,23 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("asset_id") * 10 + F.col("frame_idx")).alias("id_a"),
         F.col("energy").alias("id_b"),
         (F.col("zcr") * 65536 + F.col("peak")).cast("int").alias("hamming"))
+
+    # tag-union leg 6 (round 7): audio near-dup dedup
+    # (multimodal.audio_near_dup_pairs) — energy-delta-sign fingerprints
+    # through the SAME banded pigeonhole kernel as text/image, over a
+    # twin corpus with planted even/odd near-dups (_gate_audio_twin_assets:
+    # 15 shared blocks ⇒ hamming ≤ 1); the oracle rebuilds fingerprints
+    # analytically and brute-force verifies popcount(xor) ≤ 1.
+    from faisssearcher_spark.operators.multimodal import audio_near_dup_pairs
+
+    afp_leg = audio_near_dup_pairs(_gate_audio_twin_assets(docs),
+                                   frame_samples=8, n_bits=16,
+                                   max_hamming=1).select(
+        F.lit("afp").alias("leg"), "id_a", "id_b",
+        F.col("hamming").cast("int").alias("hamming"))
     return (text_leg.unionByName(fp_leg).unionByName(pair_leg)
-            .unionByName(frames_leg).unionByName(audio_leg))
+            .unionByName(frames_leg).unionByName(audio_leg)
+            .unionByName(afp_leg))
 
 
 def _oracle_image_phash() -> str:
@@ -1153,7 +1185,34 @@ WITH fp AS ({ORACLE_SIMHASH.strip().rstrip()}),
               FROM banded a JOIN banded b
                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                    AND a.id < b.id),
-     {_oracle_image_phash().strip()}
+     {_oracle_image_phash().strip()},
+     afp_s AS (
+       -- twin-corpus samples: blocks 0-14 salt on doc_id with the low
+       -- bit cleared (even/odd pairs share them), block 15 on doc_id
+       SELECT doc_id, b,
+              list_transform(range(0, 8), j ->
+                ((('0x' || substring(h, j * 4 + 3, 2)
+                        || substring(h, j * 4 + 1, 2))::BIGINT
+                  + 32768) % 65536 - 32768)) AS ss
+       FROM (SELECT doc_id, b,
+                    md5((CASE WHEN b < 15 THEN doc_id - doc_id % 2
+                         ELSE doc_id END)::VARCHAR
+                        || '|a' || b::VARCHAR) AS h
+             FROM documents, unnest(range(0, 16)) AS t(b))),
+     afp_e AS (
+       SELECT doc_id, b,
+              list_sum(list_transform(ss, s -> s * s))::BIGINT AS e
+       FROM afp_s),
+     afp_bits AS (
+       SELECT doc_id, b, e,
+              coalesce(lead(e) OVER (PARTITION BY doc_id ORDER BY b),
+                       0) AS e_next
+       FROM afp_e),
+     afp_fp AS (
+       SELECT doc_id AS id,
+              sum(CASE WHEN e_next > e THEN (1::BIGINT << b)
+                  ELSE 0 END)::BIGINT AS fp
+       FROM afp_bits GROUP BY doc_id)
 SELECT 'text' AS leg, id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 UNION ALL
@@ -1197,6 +1256,10 @@ FROM (
     FROM documents, unnest(range(0, 4)) AS t(f)
   )
 )
+UNION ALL
+SELECT 'afp', a.id, b.id, bit_count(xor(a.fp, b.fp))::INT
+FROM afp_fp a JOIN afp_fp b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 1
 """
 
 

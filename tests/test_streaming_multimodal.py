@@ -799,3 +799,72 @@ class TestAudio:
         df = self._audio_assets(spark, [self._tone(n=64)], rate=8000)
         with pytest.raises(Exception, match="divide"):
             multimodal.audio_decimate(df, factor=3).collect()
+
+
+class TestAudioFingerprint:
+    """Energy-delta-sign fingerprints + banded near-dup pairs."""
+
+    @staticmethod
+    def _ramp(amps, frame=8):
+        # per-frame constant amplitude → energy = frame * amp², so the
+        # delta-sign bits are exactly sign(amps[f+1]² > amps[f]²)
+        return np.concatenate(
+            [np.full(frame, a, dtype=np.int16) for a in amps])
+
+    def _assets(self, spark, sigs, rate=8000):
+        rows = [(i, "audio", "audio/wav",
+                 multimodal.build_wav(s, rate), None, None, None)
+                for i, s in enumerate(sigs)]
+        return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+
+    def test_known_bits(self, spark):
+        # amps 1,3,2,5 → energies rise,fall,rise → bits 0,1,2 = 1,0,1;
+        # frame 4 missing (energy 0) → bit 3 = 0 → fp = 0b0101 = 5
+        df = self._assets(spark, [self._ramp([1, 3, 2, 5])])
+        rows = multimodal.audio_fingerprint(df, frame_samples=8,
+                                            n_bits=4).collect()
+        assert [(r["asset_id"], r["fp"]) for r in rows] == [(0, 5)]
+
+    def test_trailing_frame_is_silence(self, spark):
+        # n_bits covers more frames than the signal has: missing frames
+        # read as energy 0, so only the last real→silence transition and
+        # real deltas can set bits — never an error
+        df = self._assets(spark, [self._ramp([1, 2])])
+        rows = multimodal.audio_fingerprint(df, frame_samples=8,
+                                            n_bits=16).collect()
+        assert rows[0]["fp"] == 1              # only bit 0 (1²→2² rises)
+
+    def test_too_short_emits_no_row(self, spark):
+        df = self._assets(spark, [np.array([5, -5], dtype=np.int16)])
+        assert multimodal.audio_fingerprint(
+            df, frame_samples=8, n_bits=4).count() == 0
+
+    def test_bit63_sign_safe(self, spark):
+        # a rise into frame 64 sets bit 63 → negative long, still one row
+        amps = [1 if i % 2 else 3 for i in range(65)]
+        df = self._assets(spark, [self._ramp(amps, frame=4)])
+        rows = multimodal.audio_fingerprint(df, frame_samples=4,
+                                            n_bits=64).collect()
+        assert rows[0]["fp"] < 0
+
+    def test_near_dup_recovers_perturbed_copy(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.integers(-20000, 20000, size=256, dtype=np.int16)
+        twin = base.copy()
+        twin[-8:] = rng.integers(-20000, 20000, size=8, dtype=np.int16)
+        other = rng.integers(-20000, 20000, size=256, dtype=np.int16)
+        df = self._assets(spark, [base, twin, other])
+        pairs = multimodal.audio_near_dup_pairs(
+            df, frame_samples=8, n_bits=31, max_hamming=2).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in ids
+        # fingerprint identity: perturbing ONLY the last frame can flip
+        # at most the bits adjacent to it
+        assert all(r["hamming"] <= 2 for r in pairs)
+
+    def test_n_bits_validated(self, spark):
+        df = self._assets(spark, [self._ramp([1, 2])])
+        with pytest.raises(ValueError, match="n_bits"):
+            multimodal.audio_fingerprint(df, n_bits=0)
+        with pytest.raises(ValueError, match="n_bits"):
+            multimodal.audio_fingerprint(df, n_bits=65)
