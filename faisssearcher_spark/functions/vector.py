@@ -268,6 +268,73 @@ def dequantize_f16(c: ColumnOrName) -> Column:
     return F.transform(codes, _dec)
 
 
+# ---------------------------------------------------------------------------
+# 1-bit (sign) storage codec + Hamming scoring
+# ---------------------------------------------------------------------------
+#
+# The 32x-compression endpoint of the codec family (i8 is 4x, f16 is
+# 2x): keep only each coordinate's SIGN, packed 32 bits per long word
+# (word values live in [0, 2^32), so none of the signed-bit64 care the
+# image dHash path needs applies here). The classic binary-quantization
+# serving trade: Hamming distance between sign patterns estimates angle
+# — for vectors x, y the sign pattern is the SimHash of the standard
+# basis, and E[cos(pi * h / d)] ~ cos(x, y) on isotropic data — so a
+# 100 TB store scans the 32x-smaller code column, shortlists by Hamming
+# (XOR + popcount, pure codegen integer ops), and exact-reranks only
+# the shortlist against the full-precision vectors
+# (operators/ann.py:b1_rerank_topk). All pure Catalyst.
+
+
+def quantize_b1(c: ColumnOrName) -> Column:
+    """``array<long>`` of 32-bit sign words: bit ``j`` of word ``w`` is
+    set iff coordinate ``32w + j`` is >= 0 (so +0.0 and -0.0 both read
+    as positive — a storage codec must not distinguish them). A trailing
+    partial word holds the tail dims in its low bits; the empty vector
+    encodes to an empty array; NULL in -> NULL out."""
+    v = as_double(c)
+    n = F.size(v)
+    nwords = F.floor((n + F.lit(31)) / F.lit(32)).cast("int")
+    # aggregate carries (acc, weight): weight doubles per element, so
+    # bit j of the word is element j of the 32-slice — no index var
+    # needed inside the lambda (HOFs provide none)
+    words = F.transform(
+        F.sequence(F.lit(0), nwords - 1),
+        lambda w: F.aggregate(
+            F.slice(v, w * 32 + 1, 32),
+            F.struct(F.lit(0).cast("long").alias("acc"),
+                     F.lit(1).cast("long").alias("wt")),
+            lambda s, x: F.struct(
+                (s["acc"] + F.when(x >= 0, s["wt"])
+                 .otherwise(F.lit(0).cast("long"))).alias("acc"),
+                (s["wt"] * 2).alias("wt")),
+            lambda s: s["acc"]))
+    return F.when(n == 0, F.array().cast("array<long>")).otherwise(words)
+
+
+def b1_hamming(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Hamming distance between two :func:`quantize_b1` codes: one fold
+    of XOR + popcount over the word arrays (codegen integer ops, no
+    Python, no floats). Codes must come from same-dim vectors — unequal
+    word counts NULL out (zip_with pads with NULL)."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def b1_cosine_estimate(a: ColumnOrName, b: ColumnOrName,
+                       dim: Column | int) -> Column:
+    """Angle estimate from sign agreement: ``cos(pi * h / d)`` where h
+    is the code Hamming distance — the sign-LSH collision identity with
+    every hyperplane axis-aligned. Unbiased direction estimate on
+    isotropic data; a prefilter score, not a metric (use
+    :func:`b1_hamming` to rank, this to threshold)."""
+    import math
+    h = b1_hamming(a, b).cast("double")
+    d = F.lit(float(dim)) if isinstance(dim, int) else _col(dim).cast("double")
+    return F.cos(F.lit(math.pi) * h / d)
+
+
 def f16_int24(code: Column) -> Column:
     """Decoded value times 2^24 as an EXACT long (the smallest half is
     2^-24, so every finite half is an integer multiple of it). This is

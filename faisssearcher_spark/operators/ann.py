@@ -478,6 +478,53 @@ def _exact_rescore(shortlist: DataFrame, items: DataFrame, *,
             .drop("__ivec", "__qvec"))
 
 
+def b1_rerank_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
+                   factor: int = 4, metric: str = "cos",
+                   query_item_col: str = "query_id",
+                   item_key_col: str = "item",
+                   query_vec_col: str = "embedding",
+                   item_vec_col: str = "embedding") -> DataFrame:
+    """Binary-quantization search: Hamming prefilter over 1-bit sign
+    codes (functions/vector.quantize_b1), exact rerank of the shortlist.
+
+    The scan stays O(m·n) like brute force — binary quantization is a
+    SCAN accelerator, not a candidate pruner (compose with IVF cells for
+    that) — but each comparison reads 32x less data and is pure codegen
+    XOR+popcount integer work instead of a float fold, which is why
+    serving layers run this shape over compressed columns at scale. The
+    float vectors are touched only by the candidate-sized rerank join
+    (``k·factor`` rows per query via the shared ``_exact_rescore``), so
+    survivor scores are exact and recall is bounded only by whether the
+    true top-k survive the sign-distance shortlist.
+
+    Returns ``(source_item, sim_item, sim_val, rank_no)``; ties in
+    Hamming break on item id, so results are deterministic."""
+    from faisssearcher_spark.functions.metrics import resolve_metric
+    from faisssearcher_spark.functions.vector import b1_hamming, quantize_b1
+
+    if k < 1 or factor < 1:
+        raise ValueError(f"k and factor must be >= 1 (got k={k}, "
+                         f"factor={factor})")
+    it = items.select(F.col(item_key_col).alias("sim_item"),
+                      quantize_b1(item_vec_col).alias("__i_code"))
+    q = queries.select(F.col(query_item_col).alias("source_item"),
+                       quantize_b1(query_vec_col).alias("__q_code"))
+    scored = F.broadcast(q).crossJoin(it).withColumn(
+        "__ham", b1_hamming("__q_code", "__i_code"))
+    w = Window.partitionBy("source_item").orderBy(
+        F.col("__ham").asc(), F.col("sim_item").asc())
+    shortlist = (scored.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= k * factor)
+                 .select("source_item", "sim_item"))
+    exact = _exact_rescore(shortlist, items, item_key_col=item_key_col,
+                           item_vec_col=item_vec_col, queries=queries,
+                           query_item_col=query_item_col,
+                           query_vec_col=query_vec_col, metric=metric)
+    _, higher = resolve_metric(metric)
+    return _rank_topk(exact, k, higher_is_closer=higher).select(
+        "source_item", "sim_item", "sim_val", "rank_no")
+
+
 class PQIndex:
     """Product quantization with asymmetric-distance (ADC) search — the
     native-Spark analog of FAISS ``PQ<m>`` (and the PQ half of

@@ -340,8 +340,16 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — sign, corrected exponent, round-half-even mantissa,
     subnormals — checked verbatim) and ``f16_dsum`` the sum of decoded
     values times 2^24, an EXACT long (the smallest half is 2^-24), so
-    the decode leg needs no float tolerance either."""
+    the decode leg needs no float tolerance either.
+
+    EXTENDED once more (round 7, session 3) with the 1-bit sign codec
+    (functions/vector.quantize_b1 — the 32× Hamming-prefilter codec):
+    ``b1_hash`` is the md5 of the comma-joined 32-bit sign words (the
+    packing layout bit-for-bit) and ``b1_pop`` the total popcount
+    (= count of non-negative coordinates) — both exact integers, the
+    DuckDB twin rebuilds the words from the float signs."""
     from faisssearcher_spark.functions.vector import (f16_int24, i8_dot,
+                                                      quantize_b1,
                                                       quantize_f16,
                                                       quantize_i8)
 
@@ -356,6 +364,16 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.transform("__f", f16_int24),
                         F.lit(0).cast("long"),
                         lambda acc, x: acc + x).alias("f16_dsum"))
+    b1 = emb.select("vec_id", quantize_b1("embedding").alias("__b")) \
+        .select(
+            "vec_id",
+            F.md5(F.array_join(
+                F.transform("__b", lambda c: c.cast("string")),
+                ",")).alias("b1_hash"),
+            F.aggregate(
+                F.transform("__b", lambda w: F.bit_count(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x).alias("b1_pop"))
     return emb.select(
         "vec_id",
         F.round(M.l2_norm("embedding"), 4).alias("l2_norm"),
@@ -364,7 +382,7 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", q.alias("__q"))
         .select("vec_id", F.col("__q.scale").alias("i8_scale"),
                 F.round(i8_dot("__q", "__q"), 4).alias("i8_self_dot")),
-        "vec_id").join(f16, "vec_id")
+        "vec_id").join(f16, "vec_id").join(b1, "vec_id")
 
 
 ORACLE_NORMS = """
@@ -437,15 +455,30 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                               ELSE (((x % 32768) % 1024 + 1024)
                                     * power(2, (x % 32768) // 1024 - 1)
                                    )::BIGINT END)))::BIGINT AS f16_dsum
-           FROM fc)
+           FROM fc),
+     -- 1-bit sign codec twin: bit j of word w set iff v[32w+j] >= 0
+     b1 AS (SELECT vec_id,
+                   list_transform(range(0, (len(v) + 31) // 32), w ->
+                     list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN w * 32 + j < len(v)
+                             AND v[w * 32 + j + 1] >= 0
+                            THEN (1::BIGINT << j)
+                            ELSE 0 END))::BIGINT) AS words
+            FROM e),
+     b AS (SELECT vec_id,
+                  md5(array_to_string(list_transform(words, x ->
+                      x::VARCHAR), ',')) AS b1_hash,
+                  list_sum(list_transform(words, x ->
+                      bit_count(x)))::BIGINT AS b1_pop
+           FROM b1)
 SELECT c.vec_id,
        round(sqrt(list_sum(list_transform(v, x -> x*x))), 4) AS l2_norm,
        len(v) AS dim,
        scale AS i8_scale,
        round((list_sum(list_transform(codes, x -> x*x))::DOUBLE
               * scale::DOUBLE) * scale::DOUBLE, 4) AS i8_self_dot,
-       f.f16_hash, f.f16_dsum
-FROM c JOIN f ON c.vec_id = f.vec_id
+       f.f16_hash, f.f16_dsum, b.b1_hash, b.b1_pop
+FROM c JOIN f ON c.vec_id = f.vec_id JOIN b ON c.vec_id = b.vec_id
 """
 
 
@@ -3987,6 +4020,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["label"])
 
 
+def q_ann_b1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: binary-quantization search (1-bit sign codes +
+    XOR/popcount Hamming prefilter + exact rerank of the 8x shortlist);
+    the vector_norms gate value-checks the codec bit-for-bit and
+    tests/test_vector_b1.py pins recall vs the exact searcher."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return ann.b1_rerank_topk(q, emb, k=10, factor=8, metric="cos",
+                              query_item_col="qid", item_key_col="vec_id")
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: IVF16,PQ16 residual ADC end-to-end (k-means cells +
     residual codebooks + cell-pruned broadcast join + vectorized LUT
@@ -4238,6 +4283,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_dsir": q_sample_dsir,
     "ann_nsw_topk": q_ann_nsw_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_b1_topk": q_ann_b1_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_opq_topk": q_ann_opq_topk,
     "ann_sq_topk": q_ann_sq_topk,
