@@ -203,6 +203,92 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame | None = None, *,
     return out.drop("__ls_cluster")
 
 
+def upsample_mixture(df: DataFrame, rates: Mapping[str, float], *,
+                     stratum_col: str, key_col: str,
+                     default_rate: float = 1.0, seed: int = 42,
+                     copy_col: str = "copy_no") -> DataFrame:
+    """Fractional per-stratum repeats — the data-mixture UP-weighting
+    operator (the "wiki × 3.5 epochs" knob of an LLM data recipe, where
+    :func:`stratified_hash_sample` is the down-weighting one).
+
+    A rate ``r`` emits ``floor(r)`` copies of every row plus one more
+    for the deterministic ``frac(r)``-fraction of rows drawn by an
+    independently salted hash ('upsample' op salt, so composing with
+    'sample'/'split' samplers stays decorrelated); ``r < 1`` degrades
+    to a plain keep-``r`` downsample, ``r = 0`` drops the stratum.
+    Copies are numbered ``copy_col`` = 0..n-1 so downstream stages can
+    key on (row, copy) — :func:`epoch_order_key` does, to scatter the
+    copies apart in the epoch order instead of training on adjacent
+    duplicates.
+
+    Scale shape: the copy count is a CASE expression on the stratum +
+    one hash compare, and the fan-out is a generator — one scan, no
+    join, no shuffle; output size is exactly the mixture's token
+    budget, which is the point."""
+    for k, v in rates.items():
+        if v < 0:
+            raise ValueError(f"rate for {k!r} must be >= 0, got {v}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+
+    def _full(r: float) -> int:
+        return int(r)
+
+    def _frac_thresh(r: float) -> int:
+        return int(round((r - int(r)) * SAMPLE_DENOM))
+
+    full: Column = F.lit(_full(default_rate))
+    thresh: Column = F.lit(_frac_thresh(default_rate))
+    for value, rate in sorted(rates.items()):
+        full = F.when(F.col(stratum_col) == value,
+                      F.lit(_full(rate))).otherwise(full)
+        thresh = F.when(F.col(stratum_col) == value,
+                        F.lit(_frac_thresh(rate))).otherwise(thresh)
+    extra = (sample_bucket(key_col, seed, op="upsample") < thresh) \
+        .cast("int")
+    n = (full + extra).alias("__n_copies")
+    # explode(NULL) drops the row, which is exactly the n = 0 case —
+    # and sequence(0, -1) would be the descending-sequence trap
+    copies = F.explode(F.when(n > 0, F.sequence(F.lit(0), n - 1)))
+    return df.withColumn(copy_col, copies)
+
+
+def epoch_order_key(key_col: Column | str, *, epoch: int = 0,
+                    seed: int = 42,
+                    copy_col: Column | str | None = None) -> Column:
+    """Deterministic shuffle position for one training epoch: the
+    32-bit md5 integer of ``epoch|seed|key[|copy]``. Sorting by it is a
+    reproducible global permutation that changes completely between
+    epochs (the epoch number salts the hash), and including ``copy_col``
+    scatters :func:`upsample_mixture` repeats of the same row far apart
+    instead of leaving them adjacent. Ties (≈ birthday rate at 2^32)
+    are broken by the caller's secondary sort on the key itself."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    salted = F.concat(F.lit(f"epoch{epoch}|{seed}|"), key.cast("string"))
+    if copy_col is not None:
+        copy = F.col(copy_col) if isinstance(copy_col, str) else copy_col
+        salted = F.concat(salted, F.lit("|"), copy.cast("string"))
+    return md5_int(salted)
+
+
+def shuffle_for_epoch(df: DataFrame, *, key_col: str, epoch: int = 0,
+                      seed: int = 42, copy_col: str | None = None,
+                      n_partitions: int | None = None,
+                      order_col: str = "epoch_key") -> DataFrame:
+    """Materialize the epoch permutation at scale: range-partition +
+    locally sort by :func:`epoch_order_key`, which totally orders the
+    output across files WITHOUT the global row_number window a naive
+    "shuffle the dataset" writes (a single-reducer sort at 100 TB).
+    Reading the partitions in range order replays the epoch; the key
+    column stays attached as ``order_col`` for audits."""
+    out = df.withColumn(order_col, epoch_order_key(
+        key_col, epoch=epoch, seed=seed, copy_col=copy_col))
+    parts = [F.col(order_col), F.col(key_col)]
+    shuffled = (out.repartitionByRange(n_partitions, *parts)
+                if n_partitions else out.repartitionByRange(*parts))
+    return shuffled.sortWithinPartitions(*parts)
+
+
 def cap_per_group(df: DataFrame, *, group_col: str, cap: int,
                   key_col: str, seed: int = 42) -> DataFrame:
     """Per-group quota: keep at most ``cap`` rows per ``group_col`` value,

@@ -3403,27 +3403,62 @@ def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cap`` — per-source quota (``cap_per_group``, ≤ 30 docs per source
     by independent 'cap'-salted hash order): the "max N docs per domain"
     crawl-balance operator; the oracle replays the identical rank with a
-    row_number window."""
+    row_number window.
+
+    ``upsample`` (round 7) — fractional per-stratum repeats
+    (``upsample_mixture``: src1 × 2.4, src2 × 0.5, default × 1) with
+    every (row, copy) carrying its ``epoch_order_key`` for epoch-1
+    shuffling — copy counts, copy numbering, and the 32-bit epoch keys
+    are all exact integers the oracle replays from the same md5
+    arithmetic. The ``copy``/``epoch_key`` columns sit at -1 on the
+    other legs (the cross-engine sentinel rule)."""
     from faisssearcher_spark.operators import sampling
     docs = load_table(spark, sf_dir, "documents")
+    neg = F.lit(-1)
     bern = sampling.hash_sample(docs, 0.25, key_col="doc_id") \
-        .select(F.lit("bernoulli").alias("tag"), "doc_id", "lang", "source")
+        .select(F.lit("bernoulli").alias("tag"), "doc_id", "lang", "source",
+                neg.cast("int").alias("copy"),
+                neg.cast("long").alias("epoch_key"))
     capped = sampling.cap_per_group(docs, group_col="source", cap=30,
                                     key_col="doc_id") \
-        .select(F.lit("cap").alias("tag"), "doc_id", "lang", "source")
-    return bern.unionByName(capped)
+        .select(F.lit("cap").alias("tag"), "doc_id", "lang", "source",
+                neg.cast("int").alias("copy"),
+                neg.cast("long").alias("epoch_key"))
+    up = sampling.upsample_mixture(docs, {"src1": 2.4, "src2": 0.5},
+                                   stratum_col="source", key_col="doc_id",
+                                   default_rate=1.0) \
+        .select(F.lit("upsample").alias("tag"), "doc_id", "lang", "source",
+                F.col("copy_no").cast("int").alias("copy"),
+                sampling.epoch_order_key("doc_id", epoch=1,
+                                         copy_col="copy_no")
+                .alias("epoch_key"))
+    return bern.unionByName(capped).unionByName(up)
 
 
 ORACLE_SAMPLE_HASH = f"""
-SELECT 'bernoulli' AS tag, doc_id, lang, source FROM documents
+SELECT 'bernoulli' AS tag, doc_id, lang, source,
+       -1 AS copy, -1 AS epoch_key FROM documents
 WHERE {_sample_bucket_sql('doc_id', op='sample')} < 250000
 UNION ALL
-SELECT 'cap' AS tag, doc_id, lang, source FROM (
+SELECT 'cap' AS tag, doc_id, lang, source, -1, -1 FROM (
     SELECT doc_id, lang, source,
            row_number() OVER (PARTITION BY source ORDER BY
                {_sample_bucket_sql('doc_id', op='cap')}, doc_id) AS rn
     FROM documents)
 WHERE rn <= 30
+UNION ALL
+SELECT 'upsample', doc_id, lang, source, copy,
+       ('0x' || substring(md5('epoch1|42|' || doc_id::VARCHAR || '|'
+                              || copy::VARCHAR), 1, 8))::BIGINT
+FROM (
+  SELECT doc_id, lang, source,
+         unnest(range(0,
+           CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END
+           + CASE WHEN {_sample_bucket_sql('doc_id', op='upsample')} <
+                       CASE source WHEN 'src1' THEN 400000
+                            WHEN 'src2' THEN 500000 ELSE 0 END
+                  THEN 1 ELSE 0 END))::INT AS copy
+  FROM documents)
 """
 
 

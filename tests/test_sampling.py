@@ -275,6 +275,130 @@ class TestTemperatureMixture:
                                   target_rows=10, alpha=-1)
 
 
+class TestUpsampleMixture:
+    @staticmethod
+    def _bucket(key, op="upsample", seed=42):
+        import hashlib
+        return int(hashlib.md5(f"{op}|{seed}|{key}".encode())
+                   .hexdigest()[:8], 16) % 1_000_000
+
+    def test_fractional_repeats_deterministic(self, documents):
+        out = sampling.upsample_mixture(
+            documents, {"src1": 2.5}, stratum_col="source",
+            key_col="doc_id", default_rate=1.0)
+        counts = out.groupBy("doc_id", "source").count().collect()
+        for r in counts:
+            if r["source"] == "src1":
+                want = 2 + (1 if self._bucket(r["doc_id"]) < 500_000 else 0)
+            else:
+                want = 1
+            assert r["count"] == want, r
+
+    def test_rate_zero_drops_stratum(self, documents):
+        out = sampling.upsample_mixture(
+            documents, {"src1": 0.0}, stratum_col="source",
+            key_col="doc_id")
+        assert out.filter("source = 'src1'").count() == 0
+        assert out.filter("source != 'src1'").count() == \
+            documents.filter("source != 'src1'").count()
+
+    def test_subunit_rate_is_downsample(self, documents):
+        out = sampling.upsample_mixture(
+            documents, {}, stratum_col="source", key_col="doc_id",
+            default_rate=0.4)
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+        want = {r["doc_id"] for r in documents.select("doc_id").collect()
+                if self._bucket(r["doc_id"]) < 400_000}
+        assert kept == want
+
+    def test_copies_numbered(self, documents):
+        out = sampling.upsample_mixture(
+            documents, {"src1": 3.0}, stratum_col="source",
+            key_col="doc_id")
+        rows = out.filter("source = 'src1'").groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("copy_no")).alias("c")).collect()
+        assert rows and all(r["c"] == [0, 1, 2] for r in rows)
+
+    def test_partition_invariant(self, documents):
+        a = sampling.upsample_mixture(documents, {"src2": 1.7},
+                                      stratum_col="source",
+                                      key_col="doc_id")
+        b = sampling.upsample_mixture(documents.repartition(13),
+                                      {"src2": 1.7},
+                                      stratum_col="source",
+                                      key_col="doc_id")
+        sa = sorted((r["doc_id"], r["copy_no"]) for r in a.collect())
+        sb = sorted((r["doc_id"], r["copy_no"]) for r in b.collect())
+        assert sa == sb
+
+    def test_validation(self, documents):
+        with pytest.raises(ValueError, match="rate"):
+            sampling.upsample_mixture(documents, {"x": -1},
+                                      stratum_col="source",
+                                      key_col="doc_id")
+        with pytest.raises(ValueError, match="default_rate"):
+            sampling.upsample_mixture(documents, {}, stratum_col="source",
+                                      key_col="doc_id", default_rate=-0.1)
+
+
+class TestEpochShuffle:
+    @staticmethod
+    def _key(key, epoch=0, seed=42, copy=None):
+        import hashlib
+        s = f"epoch{epoch}|{seed}|{key}"
+        if copy is not None:
+            s += f"|{copy}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def test_key_matches_md5_replay(self, documents):
+        rows = documents.select(
+            "doc_id",
+            sampling.epoch_order_key("doc_id", epoch=3).alias("k")
+        ).collect()
+        for r in rows:
+            assert r["k"] == self._key(r["doc_id"], epoch=3)
+
+    def test_epochs_decorrelated(self, documents):
+        a = {r["doc_id"]: r["k"] for r in documents.select(
+            "doc_id", sampling.epoch_order_key("doc_id", epoch=0)
+            .alias("k")).collect()}
+        b = {r["doc_id"]: r["k"] for r in documents.select(
+            "doc_id", sampling.epoch_order_key("doc_id", epoch=1)
+            .alias("k")).collect()}
+        assert a != b
+        # order itself changes, not just values
+        ra = sorted(a, key=lambda d: (a[d], d))
+        rb = sorted(b, key=lambda d: (b[d], d))
+        assert ra != rb
+
+    def test_copy_scatters_duplicates(self, documents):
+        up = sampling.upsample_mixture(documents, {"src1": 3.0},
+                                       stratum_col="source",
+                                       key_col="doc_id")
+        keyed = up.select(
+            "doc_id", "copy_no",
+            sampling.epoch_order_key("doc_id", copy_col="copy_no")
+            .alias("k"))
+        rows = keyed.filter("copy_no is not null").collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], set()).add(r["k"])
+        for doc, ks in per_doc.items():
+            if len(ks) > 1:
+                break
+        else:
+            pytest.fail("no doc with multiple distinct copy keys")
+
+    def test_shuffle_global_order(self, documents):
+        out = sampling.shuffle_for_epoch(documents, key_col="doc_id",
+                                         epoch=2, n_partitions=7)
+        pdf = out.toPandas()          # partitions collect in range order
+        keys = pdf["epoch_key"].tolist()
+        assert keys == sorted(keys)
+        assert set(pdf["doc_id"]) == {
+            r["doc_id"] for r in documents.collect()}
+
+
 class TestLeakageSafeSplit:
     @pytest.fixture()
     def pairs(self, spark):
