@@ -87,6 +87,18 @@ _FUNCTIONS: "list[tuple[str, str, str, str]]" = [
      r" '\\s+', ' '))"),
     ("fs_md5int", "t STRING", "BIGINT",
      "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"),
+    # -- fingerprint / 1-bit codec functions (vector.py / dedup twins) ----
+    ("fs_hamming", "a BIGINT, b BIGINT", "INT", "bit_count(a ^ b)"),
+    ("fs_b1_pack", "a ARRAY<DOUBLE>", "ARRAY<BIGINT>",
+     "CASE WHEN size(a) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+     "ELSE transform(sequence(0, CAST((size(a) + 31) / 32 AS INT) - 1), "
+     "w -> aggregate(slice(a, w * 32 + 1, 32), "
+     "named_struct('acc', CAST(0 AS BIGINT), 'wt', CAST(1 AS BIGINT)), "
+     "(s, x) -> named_struct('acc', s.acc + CASE WHEN x >= 0 THEN s.wt "
+     "ELSE CAST(0 AS BIGINT) END, 'wt', s.wt * 2), s -> s.acc)) END"),
+    ("fs_b1_hamming", "a ARRAY<BIGINT>, b ARRAY<BIGINT>", "BIGINT",
+     "aggregate(zip_with(a, b, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
+     " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
 ]
 
 

@@ -84,7 +84,29 @@ class TestSqlFunctionParity:
     def test_idempotent_registration(self, spark):
         names = register_sql_functions(spark)
         again = register_sql_functions(spark)
-        assert names == again and len(names) == 17
+        assert names == again and len(names) == 20
+
+    def test_b1_codec_parity(self, spark, pairs):
+        from faisssearcher_spark.functions.vector import (b1_hamming,
+                                                          quantize_b1)
+        got = spark.sql(
+            "SELECT ia, ib, fs_b1_pack(va) AS ca, "
+            "fs_b1_hamming(fs_b1_pack(va), fs_b1_pack(vb)) AS h "
+            "FROM __sql_pairs ORDER BY ia, ib").collect()
+        want = pairs.select(
+            "ia", "ib", quantize_b1("va").alias("ca"),
+            b1_hamming(quantize_b1("va"), quantize_b1("vb")).alias("h")
+        ).orderBy("ia", "ib").collect()
+        for g, w in zip(got, want):
+            assert list(g["ca"]) == list(w["ca"])
+            assert g["h"] == w["h"]
+
+    def test_fs_hamming_longs(self, spark):
+        r = spark.sql("SELECT fs_hamming(CAST(13 AS BIGINT), "
+                      "CAST(7 AS BIGINT)) AS h, "
+                      "fs_hamming(CAST(-1 AS BIGINT), "
+                      "CAST(0 AS BIGINT)) AS hneg").first()
+        assert r["h"] == 2 and r["hneg"] == 64
 
     def test_text_functions_parity(self, spark, documents):
         """The dedup-key text functions agree with their Column twins
