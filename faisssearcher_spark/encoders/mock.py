@@ -66,15 +66,17 @@ class HashingEncoder:
         """Pure-Catalyst equivalent of :meth:`encode` (no Python boundary)."""
         c = F.col(col) if isinstance(col, str) else col
         toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
-        comps = [
-            F.aggregate(
-                toks, F.lit(0.0),
-                lambda acc, t, j=j: acc + (
-                    F.conv(F.substring(F.md5(F.concat(t, F.lit(f":{j}"))), 1, 8),
-                           16, 10).cast("long") % 2001 - 1000) / 1000.0,
-            )
-            for j in range(self.dim)
-        ]
+
+        # closure factory, NOT `lambda acc, t, j=j: ...` — pyspark counts
+        # the defaulted parameter and binds a 3-arg lambda, which
+        # ArrayAggregate's 2-arg merge slot rejects at analysis
+        def _merge(j: int):
+            return lambda acc, t: acc + (
+                F.conv(F.substring(F.md5(F.concat(t, F.lit(f":{j}"))), 1, 8),
+                       16, 10).cast("long") % 2001 - 1000) / 1000.0
+
+        comps = [F.aggregate(toks, F.lit(0.0), _merge(j))
+                 for j in range(self.dim)]
         return F.array(*comps)
 
     def duckdb_sql(self, col_sql: str) -> str:

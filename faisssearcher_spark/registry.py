@@ -2910,16 +2910,43 @@ WHERE session_end < user_last_ts                    -- gap-closed (not final)
 
 
 def q_searcher_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieve-then-rerank (reference U6 interact mode,
-    bert_encoder.py:187-192): cosine top-3 candidates re-scored by the
-    deterministic token-Jaccard pair scorer (pandas_udf cross-encoder
-    protocol) and re-ranked per query."""
+    """Retrieve-then-rerank, tag-union composite (50-cap pattern):
+
+    ``jaccard`` — reference U6 interact mode (bert_encoder.py:187-192):
+    cosine top-3 candidates re-scored by the deterministic token-Jaccard
+    pair scorer (pandas_udf cross-encoder protocol), re-ranked per query.
+
+    ``maxsim`` — ColBERT-style late interaction (operators/maxsim.py,
+    round 7): the SAME candidate set re-scored token-level — sum over
+    distinct query tokens of the max cosine against the doc's tokens,
+    token vectors from the md5 HashingEncoder encoded once per distinct
+    token (broadcast vocab join, pure Catalyst, no Python). The oracle
+    replays vocab → normalize → dot → max → sum with the identical
+    association order; the final sum rounds at 4dp (the dsir rule —
+    per-token maxes are exact comparisons, only sum order can drift)."""
+    from faisssearcher_spark.operators.maxsim import maxsim_rerank
     from faisssearcher_spark.operators.rerank import rerank_pairs
 
-    base = _q_searcher_text_hash_leg(spark, sf_dir)
-    out = rerank_pairs(base.drop("rank_no"), k=2, score_scale=4)
-    return out.select("source_item", "sim_item", "sim_val",
-                      "rerank_score", "rank_no")
+    base = _q_searcher_text_hash_leg(spark, sf_dir).drop("rank_no") \
+        .select("source_item", "sim_item", "sim_val")
+    cols = ["source_item", "sim_item", "sim_val", "rerank_score",
+            "rank_no"]
+    jac = rerank_pairs(base, k=2, score_scale=4).select(*cols)
+    mx = maxsim_rerank(base, k=2, score_scale=4).select(
+        "source_item", "sim_item", "sim_val",
+        F.col("maxsim_score").alias("rerank_score"), "rank_no")
+    return (jac.select(F.lit("jaccard").alias("strategy"), *cols)
+            .unionByName(mx.select(F.lit("maxsim").alias("strategy"),
+                                   *cols)))
+
+
+def _oracle_token_vec(tok_sql: str) -> str:
+    """DuckDB twin of ``HashingEncoder(dim=8).spark_expr`` on a single
+    token, L2-normalized (component / sqrt(sum of squares) — the same
+    operation order as functions.vector.l2_normalize)."""
+    v = HashingEncoder(dim=8).duckdb_sql(tok_sql)
+    return (f"list_transform({v}, x -> x / sqrt(list_sum("
+            f"list_transform({v}, y -> y*y))))")
 
 
 ORACLE_RERANK = f"""
@@ -2940,9 +2967,40 @@ WITH base AS ({_ORACLE_SEARCHER_TEXT_HASH}),
      ranked AS (SELECT *, row_number() OVER
                   (PARTITION BY source_item
                    ORDER BY rerank_score DESC, sim_item ASC) AS rn
-                FROM scored)
-SELECT source_item, sim_item, sim_val, rerank_score, (rn - 1)::INT AS rank_no
+                FROM scored),
+     mvocab AS (SELECT DISTINCT tok FROM (
+                  SELECT unnest(ta) AS tok FROM toks
+                  UNION ALL SELECT unnest(tb) FROM toks)),
+     mvec AS (SELECT tok, {_oracle_token_vec('tok')} AS nv FROM mvocab),
+     mexp AS (SELECT t.source_item, t.sim_item, t.sim_val,
+                     qa.qtok, qb.dtok
+              FROM toks t, unnest(t.ta) AS qa(qtok),
+                   unnest(t.tb) AS qb(dtok)),
+     mdot AS (SELECT e.source_item, e.sim_item, e.sim_val, e.qtok,
+                     {_dot('va.nv', 'vb.nv')} AS d
+              FROM mexp e JOIN mvec va ON e.qtok = va.tok
+                          JOIN mvec vb ON e.dtok = vb.tok),
+     mmax AS (SELECT source_item, sim_item, sim_val, qtok, max(d) AS m
+              FROM mdot GROUP BY source_item, sim_item, sim_val, qtok),
+     mscore AS (SELECT source_item, sim_item, sim_val,
+                       round(sum(m), 4) AS rerank_score
+                FROM mmax GROUP BY source_item, sim_item, sim_val),
+     mfull AS (SELECT b.source_item, b.sim_item, b.sim_val,
+                      coalesce(s.rerank_score, 0.0) AS rerank_score
+               FROM base b LEFT JOIN mscore s
+                 ON b.source_item = s.source_item
+                AND b.sim_item = s.sim_item),
+     mranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY source_item
+                    ORDER BY rerank_score DESC, sim_item ASC) AS rn
+                 FROM mfull)
+SELECT 'jaccard' AS strategy, source_item, sim_item, sim_val,
+       rerank_score, (rn - 1)::INT AS rank_no
 FROM ranked WHERE rn <= 2
+UNION ALL
+SELECT 'maxsim', source_item, sim_item, sim_val,
+       rerank_score, (rn - 1)::INT AS rank_no
+FROM mranked WHERE rn <= 2
 """
 
 
@@ -4124,6 +4182,35 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["lang"])
 
 
+def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the two-stage late-interaction pipeline — BM25 top-10
+    first stage over the corpus, then MaxSim token-level rerank of the
+    candidate set to top-3 (operators/maxsim.py; one broadcast-vocab
+    encode, |Q|·|D| interaction bounded by the candidate set). The
+    searcher_rerank gate carries the oracle-checked maxsim twin."""
+    from faisssearcher_spark.operators.bm25 import BM25Index
+    from faisssearcher_spark.operators.maxsim import maxsim_rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = BM25Index().fit(docs)
+    q = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), "text")
+    raw = bm.search(q, k=10, query_item_col="qid")
+    qside = docs.select(F.col("doc_id").alias("source_item"),
+                        F.col("text").alias("q_text"))
+    dside = docs.select(F.col("doc_id").alias("sim_item"),
+                        F.col("text").alias("cand_text"))
+    with_text = raw.select("source_item", "sim_item") \
+        .join(qside, "source_item").join(dside, "sim_item")
+    # maxsim references its candidate frame from several subplans — land
+    # the ≤200-row first stage as literals so BM25 retrieval executes
+    # exactly once (the _landed discipline; see operators/maxsim.py)
+    cands = spark.createDataFrame(with_text.collect(), with_text.schema)
+    return maxsim_rerank(cands, query_col="q_text", cand_col="cand_text",
+                         k=3, score_scale=4) \
+        .select("source_item", "sim_item", "maxsim_score", "rank_no")
+
+
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the GPT-3 quality-filter pipeline end-to-end — train
     bag-of-words logistic regression (src1 slice = trusted reference,
@@ -4326,6 +4413,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_zorder": q_layout_zorder,
     "text_quality_classifier": q_text_quality_classifier,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_maxsim_rerank": q_text_maxsim_rerank,
     "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
     "text_heavy_hitters": q_text_heavy_hitters,
     "events_hll_rollup": q_events_hll_rollup,
