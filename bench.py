@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "text_bm25_topk",
     "text_maxsim_rerank",
+    "text_unigram_encode",
     "pipeline_pretrain_prep",
     "text_heavy_hitters",
     # relational / events

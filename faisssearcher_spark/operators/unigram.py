@@ -1,0 +1,274 @@
+"""Unigram language-model tokenizer (Kudo 2018, arXiv:1804.10959 — the
+SentencePiece ``--model_type=unigram`` algorithm) over a corpus.
+
+The second production subword family next to BPE (`operators/bpe.py`):
+instead of greedy merges, a piece VOCABULARY with log-probabilities is
+EM-trained and encoding picks each word's maximum-likelihood
+segmentation (Viterbi). Same distribution discipline as BPE:
+
+- **word counting distributes** — one explode + one groupBy; training
+  touches only the Zipf-small (word_type, freq) table, bounded by
+  ``max_word_types``;
+- **seeding + EM run driver-side on the type table** — seed pieces are
+  the most frequent substrings (≤ ``max_piece_len``) plus every
+  character; each EM round is one forward-backward pass per word type
+  (log-space, O(len · max_piece_len) per word), with SentencePiece's
+  prune-worst-fraction schedule down to ``vocab_size``;
+- **encoding is one vectorized pandas_udf pass** — the piece→logp dict
+  broadcasts with the task closure; per-batch word cache collapses
+  Zipf-repeated words.
+
+Determinism (what lets a trained model be oracle-replayed): the M-step
+and pruning sort pieces explicitly, logsumexp/Viterbi loop in fixed
+(position, piece-length) order, and Viterbi ties prefer the LONGER
+final piece — the same argmax rule a DuckDB recursive CTE replays
+bit-for-bit on the frozen piece table (registry ``text_token_stats``
+'unigram' columns).
+
+Out-of-vocabulary characters encode as themselves at ``UNK_LOGP`` —
+segmentation never fails and piece concatenation always rebuilds the
+word (losslessness is a test invariant).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.bpe import word_frequencies
+
+#: log-probability floor for out-of-vocabulary single characters: low
+#: enough that any real-piece path beats a path through an UNK char
+#: (trained log-probs are ≥ −50ish), high enough that sums over a word
+#: never approach float range. The ORACLE must use the same constant.
+UNK_LOGP = -1000.0
+
+
+def _seed_pieces(word_freqs: "list[tuple[str, int]]", *,
+                 max_piece_len: int, n_seed: int) -> dict[str, float]:
+    """Most frequent substrings (occurrence-weighted) + every character.
+
+    Characters are unconditionally kept so every word stays segmentable;
+    multi-char seeds fill the remaining ``n_seed`` slots by (count desc,
+    piece asc) — the deterministic tie order used everywhere here."""
+    cnt: dict[str, int] = defaultdict(int)
+    chars: set[str] = set()
+    for w, f in word_freqs:
+        n = len(w)
+        for i in range(n):
+            chars.add(w[i])
+            for k in range(1, min(max_piece_len, n - i) + 1):
+                cnt[w[i:i + k]] += f
+    pieces = {c: float(cnt[c]) for c in chars}
+    multi = sorted(((p, c) for p, c in cnt.items() if len(p) > 1),
+                   key=lambda pc: (-pc[1], pc[0]))
+    for p, c in multi[:max(0, n_seed - len(pieces))]:
+        pieces[p] = float(c)
+    total = math.log(sum(pieces[p] for p in sorted(pieces)))
+    return {p: math.log(c) - total for p, c in pieces.items()}
+
+
+def _logsumexp2(a: float, b: float) -> float:
+    if a < b:
+        a, b = b, a
+    return a + math.log1p(math.exp(b - a))
+
+
+def _em_round(word_freqs, logp: dict[str, float],
+              max_piece_len: int) -> dict[str, float]:
+    """One soft-EM E-step: expected piece counts over every word type's
+    segmentation lattice (log-space forward-backward)."""
+    exp: dict[str, float] = defaultdict(float)
+    for w, f in word_freqs:
+        n = len(w)
+        la = [0.0] + [-math.inf] * n
+        for j in range(1, n + 1):
+            acc = -math.inf
+            for k in range(1, min(max_piece_len, j) + 1):
+                lp = logp.get(w[j - k:j])
+                if lp is None:
+                    lp = UNK_LOGP if k == 1 else None
+                if lp is not None and la[j - k] != -math.inf:
+                    acc = _logsumexp2(acc, la[j - k] + lp)
+            la[j] = acc
+        lb = [-math.inf] * n + [0.0]
+        for i in range(n - 1, -1, -1):
+            acc = -math.inf
+            for k in range(1, min(max_piece_len, n - i) + 1):
+                lp = logp.get(w[i:i + k])
+                if lp is None:
+                    lp = UNK_LOGP if k == 1 else None
+                if lp is not None and lb[i + k] != -math.inf:
+                    acc = _logsumexp2(acc, lp + lb[i + k])
+            lb[i] = acc
+        z = la[n]
+        if z == -math.inf:
+            continue
+        for i in range(n):
+            for k in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i:i + k]
+                lp = logp.get(p)
+                if lp is None:
+                    continue
+                post = la[i] + lp + lb[i + k] - z
+                if post > -60.0:          # exp underflow guard
+                    exp[p] += f * math.exp(post)
+    return exp
+
+
+def _m_step(exp: dict[str, float],
+            keep: Iterable[str]) -> dict[str, float]:
+    """Re-normalize expected counts into log-probs (sorted-order sum for
+    run-to-run determinism); pieces with no mass get a floor just above
+    UNK so they can be pruned next round but never beat a real path."""
+    floor = 1e-12
+    total = sum(max(exp.get(p, 0.0), floor) for p in sorted(keep))
+    lt = math.log(total)
+    return {p: math.log(max(exp.get(p, 0.0), floor)) - lt for p in keep}
+
+
+def viterbi_segment(word: str, logp: dict[str, float],
+                    max_piece_len: int) -> list[str]:
+    """Maximum-likelihood segmentation; ties prefer the longer final
+    piece (the rule the SQL oracle replays). OOV chars cost UNK_LOGP."""
+    n = len(word)
+    dp = [0.0] + [-math.inf] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best, best_k = -math.inf, 0
+        for k in range(1, min(max_piece_len, j) + 1):
+            lp = logp.get(word[j - k:j])
+            if lp is None:
+                lp = UNK_LOGP if k == 1 else None
+            if lp is None or dp[j - k] == -math.inf:
+                continue
+            s = dp[j - k] + lp
+            if s > best or (s == best and k > best_k):
+                best, best_k = s, k
+        dp[j], back[j] = best, best_k
+    out: list[str] = []
+    j = n
+    while j > 0:
+        k = back[j]
+        out.append(word[j - k:j])
+        j -= k
+    out.reverse()
+    return out
+
+
+class UnigramTokenizer:
+    """A (piece → log-prob) table + the encode/count column functions."""
+
+    def __init__(self, pieces: dict[str, float], *,
+                 max_piece_len: int | None = None):
+        self.pieces = dict(pieces)
+        self.max_piece_len = max_piece_len or max(
+            (len(p) for p in self.pieces), default=1)
+
+    # -- training ------------------------------------------------------
+
+    @classmethod
+    def train(cls, df: DataFrame, *, text_col: str = "text",
+              vocab_size: int = 2000, max_piece_len: int = 8,
+              seed_factor: int = 4, em_iters: int = 2,
+              prune_fraction: float = 0.2,
+              max_word_types: int | None = 1_000_000) -> "UnigramTokenizer":
+        """SentencePiece schedule: seed ``vocab_size·seed_factor``
+        pieces, then alternate ``em_iters`` EM rounds with pruning the
+        worst ``prune_fraction`` of multi-char pieces (by expected
+        count) until ``vocab_size`` remains, then final EM rounds.
+        Characters are never pruned."""
+        wf = word_frequencies(df, text_col=text_col,
+                              max_word_types=max_word_types)
+        pairs = [(r["word"], r["freq"]) for r in wf.collect()]
+        logp = _seed_pieces(pairs, max_piece_len=max_piece_len,
+                            n_seed=vocab_size * seed_factor)
+        while True:
+            exp = {}
+            for _ in range(em_iters):
+                exp = _em_round(pairs, logp, max_piece_len)
+                logp = _m_step(exp, logp.keys())
+            if len(logp) <= vocab_size:
+                break
+            multi = sorted(
+                ((p, exp.get(p, 0.0)) for p in logp if len(p) > 1),
+                key=lambda pc: (pc[1], pc[0]))
+            # SentencePiece's shrink schedule: drop a fixed fraction of
+            # the prunable pieces per round (never past vocab_size), so
+            # EM re-fits between prunes instead of one mass cull
+            n_drop = min(len(logp) - vocab_size,
+                         max(1, int(len(multi) * prune_fraction)),
+                         len(multi))
+            if n_drop <= 0:
+                break
+            dead = {p for p, _ in multi[:n_drop]}
+            logp = {p: v for p, v in logp.items() if p not in dead}
+        exp = _em_round(pairs, logp, max_piece_len)
+        logp = _m_step(exp, logp.keys())
+        return cls(logp, max_piece_len=max_piece_len)
+
+    # -- encoding ------------------------------------------------------
+
+    def encode_expr(self, text_col: str | Column) -> Column:
+        """array<string> of pieces for a text column — one vectorized
+        pandas_udf pass; the piece table rides the task closure; a
+        per-batch word cache collapses Zipf-repeated words. Splits on
+        the ASCII whitespace class exactly like functions/text.tokens
+        (the bpe.py trap: Python str.split() also breaks on Unicode
+        whitespace Java's \\s+ does not)."""
+        import re
+
+        logp, mpl = self.pieces, self.max_piece_len
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        @F.pandas_udf("array<string>")
+        def _enc(batch: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+
+            def enc_text(text) -> list[str]:
+                if text is None:
+                    return []
+                out: list[str] = []
+                for w in ascii_ws.split(text.strip(" \t\n\x0b\f\r")):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = viterbi_segment(w, logp, mpl)
+                    out.extend(got)
+                return out
+
+            return batch.map(enc_text)
+
+        return _enc(F.col(text_col) if isinstance(text_col, str)
+                    else text_col)
+
+    def token_count_expr(self, text_col: str | Column) -> Column:
+        return F.size(self.encode_expr(text_col))
+
+    def token_counts(self, df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+        return df.select(F.col(id_col),
+                         self.token_count_expr(text_col)
+                         .alias("n_unigram_tokens"))
+
+    # -- persistence ---------------------------------------------------
+
+    def save(self, spark, path: str) -> None:
+        rows = sorted(self.pieces.items())
+        spark.createDataFrame(rows, "piece string, logp double") \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "UnigramTokenizer":
+        rows = spark.read.parquet(path).collect()
+        pieces = {r["piece"]: r["logp"] for r in rows}
+        if len(pieces) != len(rows):
+            raise ValueError("duplicate pieces in saved table — "
+                             "corrupt tokenizer?")
+        return cls(pieces)

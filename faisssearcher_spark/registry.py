@@ -1460,6 +1460,95 @@ bpe_doc AS (SELECT bwx.doc_id,
             GROUP BY bwx.doc_id)"""
 
 
+#: deterministic output of UnigramTokenizer.train(vocab_size=48,
+#: max_piece_len=6) on the sf0.01 documents corpus, frozen so the gate
+#: checks ENCODE (the Viterbi max-likelihood segmentation) — EM training
+#: stays pytest-covered, the FIXED_BPE_MERGES discipline. Values are
+#: full-precision reprs: both engines parse them to the identical double,
+#: and the DP then runs the same adds/compares on both sides.
+FIXED_UNIGRAM_PIECES = [
+    ('a', -2.987141059146973), ('agg', -4.059911402968987),
+    ('b', -4.08471263372532), ('batch', -4.01739544242329),
+    ('c', -38.49109984059026), ('column', -4.020602286432869),
+    ('custom', -4.020602286432869), ('d', -4.044301186768712),
+    ('data', -4.048966326394965), ('e', -2.689885259039894),
+    ('f', -4.11014753087314), ('filter', -4.021673523814368),
+    ('g', -3.3870012648290677), ('h', -4.126618979427862),
+    ('hash', -4.006805290864403), ('i', -3.3858739181655872),
+    ('j', -38.49109984059026), ('join', -3.988987430051166),
+    ('k', -4.07901839125681), ('key', -4.0632576715112725),
+    ('l', -38.49109984059026), ('line', -4.046634125150816),
+    ('m', -4.071095943975255), ('merge', -4.0378920111424685),
+    ('n', -4.073361774056631), ('o', -3.999988944288373),
+    ('order', -4.0444448990825785), ('ow', -4.018086230006105),
+    ('p', -38.49109984059026), ('par', -3.3881466464165895),
+    ('q', -4.090436747809209), ('r', -2.644850172614948),
+    ('ro', -4.141194627764883), ('row', -4.101627890954602),
+    ('s', -3.338459514399191), ('scan', -4.01846324818412),
+    ('slow', -4.037881334041221), ('small', -4.027046991875511),
+    ('st', -3.453691153314697), ('t', -2.9643999215574484),
+    ('table', -4.048834346060418), ('u', -4.090436747809209),
+    ('up', -4.0532493642695355), ('v', -38.49109984059026),
+    ('value', -4.061022862602916), ('vector', -4.044438734587381),
+    ('w', -4.038600339438205), ('y', -4.0892865653399895),
+]
+
+
+def _oracle_unigram_ctes() -> str:
+    """DuckDB twin of UnigramTokenizer(FIXED_UNIGRAM_PIECES)
+    .encode_expr: the Viterbi DP unrolls as a recursive CTE over the
+    distinct word types, carrying the last-K (dp, path) window as lists
+    (the working table only exposes the previous iteration, so the
+    window rides each row). Candidate rule mirrors
+    operators/unigram.viterbi_segment exactly: k = 1..min(K, j), OOV
+    single chars cost UNK_LOGP, OOV longer pieces are unreachable
+    (−1e18 sentinel), argmax ties prefer the longer piece
+    (sort on (−score, −k)). COMPOSES AFTER _oracle_bpe_ctes — reuses
+    its ``bwx`` (per-doc ordered words) and ``bdw`` (distinct words).
+    Emits ``uni_doc(doc_id, n_uni_real, uni_hash)``."""
+    from faisssearcher_spark.operators.unigram import UNK_LOGP
+    k_max = max(len(p) for p, _ in FIXED_UNIGRAM_PIECES)
+    keys = ", ".join(
+        "'" + p.replace("'", "''") + "'" for p, _ in FIXED_UNIGRAM_PIECES)
+    vals = ", ".join(
+        (f"{lp!r}::DOUBLE" if i == 0 else repr(lp))
+        for i, (_, lp) in enumerate(FIXED_UNIGRAM_PIECES))
+
+    def lp(sub: str) -> str:
+        return (f"CASE WHEN k = 1 THEN coalesce((um.mp[{sub}])[1], "
+                f"{UNK_LOGP!r}) ELSE coalesce((um.mp[{sub}])[1], "
+                f"-1e18) END")
+
+    return f"""
+um AS (SELECT map([{keys}], [{vals}]) AS mp),
+uvit(w, j, dps, paths) AS (
+  SELECT w, 1, [0.0::DOUBLE], [''] FROM bdw
+  UNION ALL
+  SELECT w, j + 1,
+         (list_prepend(best.s, dps))[1:{k_max}],
+         (list_prepend(best.p, paths))[1:{k_max}]
+  FROM (
+    SELECT w, j, dps, paths,
+      (list_sort(list_transform(range(1, least({k_max}, j) + 1), k ->
+         struct_pack(
+           negs := -(dps[k] + {lp('w[j-k+1:j]')}),
+           negk := -k,
+           s := dps[k] + {lp('w[j-k+1:j]')},
+           p := paths[k] || CASE WHEN paths[k] = '' THEN ''
+                                 ELSE ' ' END || w[j-k+1:j]
+         ))))[1] AS best
+    FROM uvit, um WHERE j <= len(w)
+  )
+),
+uencw AS (SELECT w, paths[1] AS path FROM uvit WHERE j = len(w) + 1),
+uni_doc AS (SELECT bwx.doc_id,
+                   sum(len(string_split(path, ' ')))::INT AS n_uni_real,
+                   md5(string_agg(path, ' ' ORDER BY bwx.ord))
+                       AS uni_hash
+            FROM bwx JOIN uencw USING (w)
+            GROUP BY bwx.doc_id)"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token stats, EXTENDED (50-cap column pattern) with the
     CCNet-style reference-frequency score: a vocabulary is fit on the
@@ -1490,8 +1579,18 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the distinct word types (argmin on (rank, position) with the
     same strict-< tie rule, term by term). Training itself stays
     pytest-only (the pair-count/merge loop is driver-iterative by
-    design), which is why the gate fixes the merges."""
+    design), which is why the gate fixes the merges.
+
+    EXTENDED AGAIN (round 7 continuation) with UNIGRAM-LM ENCODE over
+    the FIXED_UNIGRAM_PIECES table (``operators/unigram.py``,
+    SentencePiece's other model type): Viterbi maximum-likelihood
+    segmentation per word, ties to the longer final piece, OOV chars
+    at UNK_LOGP. ``n_uni_real``/``uni_hash`` value-check every DP
+    decision; the DuckDB twin re-runs the DP as a window-carrying
+    recursive CTE (same adds, same compares — bit-identical doubles).
+    EM training stays pytest-only, mirroring BPE."""
     from faisssearcher_spark.operators.bpe import BPETokenizer
+    from faisssearcher_spark.operators.unigram import UnigramTokenizer
 
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.token_stats(docs)
@@ -1503,6 +1602,12 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("__bpe").alias("n_bpe_real"),
         F.md5(F.concat_ws(" ", "__bpe")).alias("bpe_hash"))
+    uenc = UnigramTokenizer(dict(FIXED_UNIGRAM_PIECES)) \
+        .encode_expr("text")
+    uni = docs.select("doc_id", uenc.alias("__uni")).select(
+        "doc_id",
+        F.size("__uni").alias("n_uni_real"),
+        F.md5(F.concat_ws(" ", "__uni")).alias("uni_hash"))
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     score = text_analysis.token_frequency_score(docs, ref) \
@@ -1516,12 +1621,14 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=3) \
         .select("doc_id", "logppl", "ppl_bucket")
     return (stats.join(score, "doc_id").join(dsir, "doc_id")
-            .join(ppl, "doc_id").join(bpe, "doc_id"))
+            .join(ppl, "doc_id").join(bpe, "doc_id")
+            .join(uni, "doc_id"))
 
 
 ORACLE_TOKEN_STATS = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
      {_oracle_bpe_ctes().strip()},
+     {_oracle_unigram_ctes().strip()},
      ref AS (SELECT tok, count(*)::BIGINT AS tf
              FROM (SELECT unnest({_TOKS}) AS tok
                    FROM documents WHERE source = 'src1')
@@ -1578,11 +1685,14 @@ SELECT t.doc_id,
        buck.logppl AS logppl,
        coalesce(buck.ppl_bucket, 0)::INT AS ppl_bucket,
        coalesce(bpe_doc.n_bpe_real, 0) AS n_bpe_real,
-       coalesce(bpe_doc.bpe_hash, md5('')) AS bpe_hash
+       coalesce(bpe_doc.bpe_hash, md5('')) AS bpe_hash,
+       coalesce(uni_doc.n_uni_real, 0) AS n_uni_real,
+       coalesce(uni_doc.uni_hash, md5('')) AS uni_hash
 FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
 LEFT JOIN dsir ON t.doc_id = dsir.doc_id
 LEFT JOIN buck ON t.doc_id = buck.doc_id
 LEFT JOIN bpe_doc ON t.doc_id = bpe_doc.doc_id
+LEFT JOIN uni_doc ON t.doc_id = uni_doc.doc_id
 """
 
 
@@ -4182,6 +4292,19 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["lang"])
 
 
+def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: unigram-LM tokenizer end-to-end — EM training over
+    the Zipf-small word-type table (driver, bounded like BPE's merge
+    loop) + full-corpus Viterbi encode + exact subword token counts
+    (operators/unigram.py). The text_token_stats gate carries the
+    oracle-checked encode twin over the frozen piece table."""
+    from faisssearcher_spark.operators.unigram import UnigramTokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = UnigramTokenizer.train(docs, vocab_size=64, max_piece_len=6)
+    return tok.token_counts(docs)
+
+
 def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the two-stage late-interaction pipeline — BM25 top-10
     first stage over the corpus, then MaxSim token-level rerank of the
@@ -4414,6 +4537,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": q_text_quality_classifier,
     "text_bm25_topk": q_text_bm25_topk,
     "text_maxsim_rerank": q_text_maxsim_rerank,
+    "text_unigram_encode": q_text_unigram_encode,
     "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
     "text_heavy_hitters": q_text_heavy_hitters,
     "events_hll_rollup": q_events_hll_rollup,

@@ -1,0 +1,141 @@
+"""Unigram LM tokenizer (operators/unigram.py)."""
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.unigram import (UNK_LOGP,
+                                                   UnigramTokenizer,
+                                                   viterbi_segment)
+
+
+def _brute_force_best(word: str, logp: dict[str, float],
+                      max_piece_len: int):
+    """Enumerate every segmentation; return (score, pieces) under the
+    engine's tie rule (higher score, then longer pieces from the end)."""
+    n = len(word)
+    best = None
+    for cuts in itertools.product([0, 1], repeat=n - 1):
+        pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+        if any(len(p) > max_piece_len for p in pieces):
+            continue
+        s = 0.0
+        ok = True
+        for p in pieces:
+            lp = logp.get(p)
+            if lp is None:
+                if len(p) == 1:
+                    lp = UNK_LOGP
+                else:
+                    ok = False
+                    break
+            s += lp
+        if not ok:
+            continue
+        # tie rule: compare piece lengths right-to-left, longer wins
+        key = (s, tuple(len(p) for p in reversed(pieces)))
+        if best is None or key > best[0]:
+            best = (key, pieces)
+    return best[1]
+
+
+class TestViterbi:
+    LOGP = {"a": -1.0, "b": -2.0, "c": -3.0, "ab": -2.5, "bc": -2.2,
+            "abc": -6.0, "ca": -1.4}
+
+    def test_matches_brute_force(self):
+        for word in ("abc", "abca", "cab", "bcbc", "aabbcc", "cacaca"):
+            got = viterbi_segment(word, self.LOGP, 3)
+            want = _brute_force_best(word, self.LOGP, 3)
+            assert got == want, (word, got, want)
+            assert "".join(got) == word
+
+    def test_tie_prefers_longer_final_piece(self):
+        logp = {"a": -1.0, "b": -1.0, "ab": -2.0}   # 'a'+'b' == 'ab'
+        assert viterbi_segment("ab", logp, 2) == ["ab"]
+
+    def test_oov_chars_fall_back_to_singles(self):
+        assert viterbi_segment("axb", {"a": -1.0, "b": -1.0}, 3) == \
+            ["a", "x", "b"]
+
+    def test_oov_never_beats_real_path(self):
+        logp = {"a": -40.0, "b": -40.0, "ab": -45.0}
+        # even expensive real pieces beat a single UNK_LOGP=-1000 char
+        assert viterbi_segment("ab", logp, 2) == ["ab"]
+
+
+@pytest.fixture(scope="module")
+def trained(documents):
+    return UnigramTokenizer.train(documents, vocab_size=48,
+                                  max_piece_len=6)
+
+
+class TestTraining:
+    def test_vocab_size_and_chars(self, documents, trained):
+        assert len(trained.pieces) <= 48
+        chars = set("".join(
+            r["text"] for r in documents.select("text").collect()))
+        chars -= set(" \t\n\x0b\f\r")
+        missing = {c for c in chars if c not in trained.pieces}
+        assert not missing, f"pruned single chars: {missing}"
+
+    def test_deterministic(self, documents, trained):
+        again = UnigramTokenizer.train(documents, vocab_size=48,
+                                       max_piece_len=6)
+        assert trained.pieces == again.pieces
+
+    def test_learns_multichar_pieces(self, trained):
+        multi = [p for p in trained.pieces if len(p) > 1]
+        assert len(multi) >= 10
+        # probabilities normalize (within float slack)
+        total = sum(math.exp(v) for v in trained.pieces.values())
+        assert total == pytest.approx(1.0, rel=1e-6)
+
+
+class TestEncode:
+    def test_lossless_and_matches_driver(self, documents, trained):
+        rows = documents.limit(30).select(
+            "doc_id", "text",
+            trained.encode_expr("text").alias("pieces")).collect()
+        assert rows
+        for r in rows:
+            words = r["text"].split()
+            assert "".join(r["pieces"]) == "".join(words)
+            want = [p for w in words
+                    for p in viterbi_segment(w, trained.pieces,
+                                             trained.max_piece_len)]
+            assert list(r["pieces"]) == want
+
+    def test_token_counts(self, documents, trained):
+        out = trained.token_counts(documents.limit(10))
+        for r in out.collect():
+            assert r["n_unigram_tokens"] > 0
+
+    def test_null_text_encodes_empty(self, spark, trained):
+        df = spark.createDataFrame([(None,), ("a b",)], "text string")
+        got = df.select(trained.encode_expr("text").alias("p")).collect()
+        assert list(got[0]["p"]) == []
+
+
+class TestPersistence:
+    def test_roundtrip(self, spark, tmp_path, trained):
+        path = str(tmp_path / "uni")
+        trained.save(spark, path)
+        back = UnigramTokenizer.load(spark, path)
+        assert back.pieces == trained.pieces
+        assert back.max_piece_len == trained.max_piece_len
+
+
+class TestGateTable:
+    def test_fixed_pieces_freeze_matches_train(self, documents, sf_dir):
+        """The frozen registry table IS the deterministic train output
+        on sf0.01 — regenerate and compare when that's the fixture sf."""
+        if "sf0.01" not in sf_dir:
+            pytest.skip("frozen table derives from sf0.01")
+        from faisssearcher_spark.registry import FIXED_UNIGRAM_PIECES
+        tok = UnigramTokenizer.train(documents, vocab_size=48,
+                                     max_piece_len=6)
+        assert dict(FIXED_UNIGRAM_PIECES) == tok.pieces
