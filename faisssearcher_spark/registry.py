@@ -180,13 +180,21 @@ def q_knn_cos_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells). Every variant must hash-match the SAME DuckDB oracle
     replicated once per strategy tag — one driver row proves the whole
     strategy matrix exact, ties included (r3 verdict #2: the variants
-    held three of the 54 registry slots while the driver records 50)."""
+    held three of the 54 registry slots while the driver records 50).
+
+    EXTENDED (round 7) with a ``filtered`` leg — the vector-DB
+    "metadata filter + vector search" composition: the item-side
+    predicate (``label <= 3``) composes declaratively with the knn
+    kernel, so Catalyst pushes it into the parquet scan (pinned in
+    tests/test_plans.py) and the filtered corpus is never
+    materialized; its oracle branch applies the same WHERE."""
     parts = []
     for tag, fn in (("auto", q_knn_auto_cos_top5),
                     ("catalyst", q_knn_cosine_top5),
                     ("blocked", q_knn_blocked_cos_top5),
                     ("sharded", q_knn_sharded_cos_top5),
-                    ("grid", q_knn_grid_cos_top5)):
+                    ("grid", q_knn_grid_cos_top5),
+                    ("filtered", q_knn_filtered_cos_top5)):
         parts.append(fn(spark, sf_dir).select(
             F.lit(tag).alias("strategy"), "source_item", "sim_item",
             "sim_val", "rank_no", "label"))
@@ -212,11 +220,41 @@ def q_knn_auto_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim_val", "rank_no", "label")
 
 
+def q_knn_filtered_cos_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-5 cosine over only the
+    ``label <= 3`` slice of the corpus. The predicate is an input to the
+    same declarative kernel — no dedicated "filtered index" machinery,
+    Catalyst prunes at the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    items = emb.filter(F.col("label") <= 3)
+    res = knn_join(q, items, metric="cos", k=5, query_item_col="qid",
+                   item_key_col="vec_id", payload_cols=["label"],
+                   score_scale=4)
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", "rank_no", "label")
+
+
 ORACLE_KNN_STRATEGIES = f"""
-WITH base AS ({ORACLE_KNN_COS})
+WITH base AS ({ORACLE_KNN_COS}),
+     fq AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings
+            WHERE vec_id < 20),
+     fit AS (SELECT vec_id, label, {_NORM} AS iv FROM embeddings
+             WHERE label <= 3),
+     fsc AS (SELECT fq.qid, fit.vec_id, fit.label,
+                    round({_dot('fq.qv', 'fit.iv')}, 4) AS sim_val
+             FROM fq CROSS JOIN fit),
+     frk AS (SELECT *, row_number() OVER
+               (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
+             FROM fsc)
 SELECT s.strategy, b.source_item, b.sim_item, b.sim_val, b.rank_no, b.label
 FROM base b CROSS JOIN (SELECT unnest(['auto', 'catalyst', 'blocked',
                                       'sharded', 'grid']) AS strategy) s
+UNION ALL
+SELECT 'filtered', qid, vec_id, sim_val, (rn - 1)::INT, label
+FROM frk WHERE rn <= 5
 """
 
 

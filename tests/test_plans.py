@@ -60,6 +60,21 @@ class TestScanPruning:
         assert m and "l_extendedprice" not in m[0], \
             "projection should prune unread columns from the parquet scan"
 
+    def test_filtered_knn_predicate_reaches_parquet(self, spark, sf_dir):
+        """The 'filtered' vector-search leg: the metadata predicate must
+        prune at the ITEM SCAN, not after scoring — at 100 TB that is
+        the difference between scanning the slice and the corpus.
+        (Loads the table fresh: the session fixture's .cache() would
+        replace the parquet scan with an InMemoryRelation.)"""
+        embeddings = load_table(spark, sf_dir, "embeddings")
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        items = embeddings.filter(F.col("label") <= 3)
+        res = knn_join(q, items, metric="cos", k=3, query_item_col="qid",
+                       item_key_col="vec_id", payload_cols=["label"])
+        pushed = " ".join(inspect.pushed_filters(res))
+        assert "label" in pushed
+
 
 class TestJoinShapes:
     def test_range_join_is_equi(self, spark, sf_dir):
