@@ -200,6 +200,16 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # ∝ 4·n²/2^17, negligible at these n, so rows AND time should
         # track the corpus linearly
         "hamming_pairs": lambda: _hamming_planted(docs),
+        # hot-key join, plain vs salted (NOTES r7 lead #5): a fact table
+        # with 30% of rows on ONE key joins a too-big-to-broadcast dim.
+        # Plain, the hot key's entire row mass lands in one shuffle
+        # partition (serial at any cluster size — unless AQE's skew
+        # split rescues it, which is itself worth measuring); salted,
+        # the same rows spread across `salts` partitions by
+        # construction. Both legs must stay ≲ linear in the corpus; the
+        # absolute gap prices the mitigation.
+        "skew_join_plain": lambda: _skew_join(docs, salted=False),
+        "skew_join_salted": lambda: _skew_join(docs, salted=True),
     }
 
 
@@ -220,6 +230,38 @@ def _hamming_planted(docs: DataFrame) -> DataFrame:
         .otherwise(base.bitwiseXOR(flip))
     fps = docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
     return hamming_pairs(fps, bits=64, max_hamming=3)
+
+
+def _skew_join(docs: DataFrame, *, salted: bool,
+               reps: int = 200, hot_pct: int = 30,
+               n_dim: int = 100_000) -> DataFrame:
+    """Skewed fact ⋈ dim with a per-key aggregate on top.
+
+    fact = the (scaled) doc ids exploded ``reps``× — ``hot_pct``% of
+    rows carry key 0, the rest spread xxhash-uniform over ``n_dim``
+    keys. dim = ``n_dim`` keys with an md5 payload. The dim side is
+    pinned ``shuffle_hash``: its post-range static estimate is
+    kilobytes, and a broadcast would erase the fact-side shuffle this
+    leg exists to measure (at 100 TB the dim that skews you is the one
+    too big to broadcast)."""
+    from faisssearcher_spark.operators.balance import salted_join
+
+    spark = docs.sparkSession
+    key = F.when(F.pmod(F.col("doc_id"), F.lit(100)) < hot_pct, F.lit(0)) \
+        .otherwise(F.pmod(F.xxhash64("doc_id", F.lit("sk")),
+                          F.lit(n_dim)))
+    fact = docs.select(F.col("doc_id"), key.cast("long").alias("k")) \
+        .withColumn("rep", F.explode(F.sequence(F.lit(0),
+                                                F.lit(reps - 1))))
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string"))
+        .alias("pay")).hint("shuffle_hash")
+    if salted:
+        j = salted_join(fact, dim, "k", salts=32)
+    else:
+        j = fact.join(dim, "k")
+    return j.groupBy("k").agg(F.count("*").alias("n_rows"),
+                              F.min("pay").alias("pay"))
 
 
 def _heavy_hitters(docs: DataFrame) -> DataFrame:
