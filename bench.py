@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "sample_dsir",
     "ann_pq_topk",
     "ann_b1_topk",
+    "ann_mrl_topk",
     "ann_ivfpq_topk",
     "ann_opq_topk",
     "ann_sq_topk",

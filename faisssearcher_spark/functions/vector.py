@@ -285,6 +285,23 @@ def dequantize_f16(c: ColumnOrName) -> Column:
 # (operators/ann.py:b1_rerank_topk). All pure Catalyst.
 
 
+def mrl_truncate(c: ColumnOrName, dims: int,
+                 renormalize: bool = True) -> Column:
+    """Matryoshka prefix truncation (Kusupati et al. 2022, MRL): keep
+    the first ``dims`` components and L2-renormalize. MRL-trained
+    embeddings preserve ranking under prefix truncation, so search can
+    run over a ``dims/d``-sized column and exact-rerank survivors at
+    full width (``ann.mrl_rerank_topk``); the truncation itself is also
+    the storage story — a parquet column ``d/dims``× narrower.
+
+    ``renormalize=False`` returns the raw prefix (what you store;
+    renormalization belongs to scoring time)."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1 (got {dims})")
+    sliced = F.slice(as_double(c), 1, dims)
+    return l2_normalize(sliced) if renormalize else sliced
+
+
 def quantize_b1(c: ColumnOrName) -> Column:
     """``array<long>`` of 32-bit sign words: bit ``j`` of word ``w`` is
     set iff coordinate ``32w + j`` is >= 0 (so +0.0 and -0.0 both read

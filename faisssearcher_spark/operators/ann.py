@@ -525,6 +525,56 @@ def b1_rerank_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
         "source_item", "sim_item", "sim_val", "rank_no")
 
 
+def mrl_rerank_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
+                    dims: int = 16, factor: int = 4, metric: str = "cos",
+                    query_item_col: str = "query_id",
+                    item_key_col: str = "item",
+                    query_vec_col: str = "embedding",
+                    item_vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka two-stage search (Kusupati et al. 2022 adaptive
+    retrieval): cosine over the renormalized first-``dims`` prefix
+    shortlists ``k·factor`` candidates per query; the full-width
+    vectors are touched only by the candidate-sized exact rerank
+    (the shared ``_exact_rescore``), so survivor scores are exact.
+
+    Like ``b1_rerank_topk`` this is a SCAN accelerator — the prefix
+    pass is still O(m·n) pairs but reads ``dims/d`` of the float data —
+    and it composes with IVF cells when the corpus also needs pruning.
+    On MRL-trained embeddings the prefix preserves ranking and recall
+    is near-exact; on arbitrary embeddings (e.g. the isotropic test
+    corpus) the prefix is an unbiased low-d projection and recall
+    degrades gracefully with ``dims`` (floor pinned in tests).
+
+    Returns ``(source_item, sim_item, sim_val, rank_no)``; prefix-score
+    ties break on item id, so results are deterministic."""
+    from faisssearcher_spark.functions.metrics import resolve_metric
+    from faisssearcher_spark.functions.vector import mrl_truncate
+
+    if k < 1 or factor < 1 or dims < 1:
+        raise ValueError(f"k, factor and dims must be >= 1 (got k={k}, "
+                         f"factor={factor}, dims={dims})")
+    # truncated+renormalized vectors materialize ONCE per side, so the
+    # per-pair cost below is a dims-length dot, not slice+normalize
+    it = items.select(F.col(item_key_col).alias("sim_item"),
+                      mrl_truncate(item_vec_col, dims).alias("__i_mrl"))
+    q = queries.select(F.col(query_item_col).alias("source_item"),
+                       mrl_truncate(query_vec_col, dims).alias("__q_mrl"))
+    scored = F.broadcast(q).crossJoin(it).withColumn(
+        "__ps", M.inner_product("__q_mrl", "__i_mrl"))
+    w = Window.partitionBy("source_item").orderBy(
+        F.col("__ps").desc(), F.col("sim_item").asc())
+    shortlist = (scored.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= k * factor)
+                 .select("source_item", "sim_item"))
+    exact = _exact_rescore(shortlist, items, item_key_col=item_key_col,
+                           item_vec_col=item_vec_col, queries=queries,
+                           query_item_col=query_item_col,
+                           query_vec_col=query_vec_col, metric=metric)
+    _, higher = resolve_metric(metric)
+    return _rank_topk(exact, k, higher_is_closer=higher).select(
+        "source_item", "sim_item", "sim_val", "rank_no")
+
+
 class PQIndex:
     """Product quantization with asymmetric-distance (ADC) search — the
     native-Spark analog of FAISS ``PQ<m>`` (and the PQ half of

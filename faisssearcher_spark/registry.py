@@ -385,8 +385,17 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``b1_hash`` is the md5 of the comma-joined 32-bit sign words (the
     packing layout bit-for-bit) and ``b1_pop`` the total popcount
     (= count of non-negative coordinates) — both exact integers, the
-    DuckDB twin rebuilds the words from the float signs."""
+    DuckDB twin rebuilds the words from the float signs.
+
+    EXTENDED once more (round 7, session 4) with Matryoshka prefix
+    truncation (functions/vector.mrl_truncate, Kusupati et al. 2022):
+    ``mrl16_hash`` is the md5 of the renormalized first-16 prefix with
+    components serialized as round(x·1e4) longs — slice, fold-order
+    norm, divide, and scaling all replayed by the twin; the two-stage
+    search built on it is ``ann.mrl_rerank_topk`` (recall floor in
+    tests)."""
     from faisssearcher_spark.functions.vector import (f16_int24, i8_dot,
+                                                      mrl_truncate,
                                                       quantize_b1,
                                                       quantize_f16,
                                                       quantize_i8)
@@ -412,6 +421,13 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("__b", lambda w: F.bit_count(w).cast("long")),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x).alias("b1_pop"))
+    mrl = emb.select(
+        "vec_id",
+        F.md5(F.array_join(
+            F.transform(mrl_truncate("embedding", 16),
+                        lambda x: F.round(x * 10000).cast("long")
+                                   .cast("string")),
+            ",")).alias("mrl16_hash"))
     return emb.select(
         "vec_id",
         F.round(M.l2_norm("embedding"), 4).alias("l2_norm"),
@@ -420,7 +436,8 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", q.alias("__q"))
         .select("vec_id", F.col("__q.scale").alias("i8_scale"),
                 F.round(i8_dot("__q", "__q"), 4).alias("i8_self_dot")),
-        "vec_id").join(f16, "vec_id").join(b1, "vec_id")
+        "vec_id").join(f16, "vec_id").join(b1, "vec_id") \
+        .join(mrl, "vec_id")
 
 
 ORACLE_NORMS = """
@@ -508,15 +525,27 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                       x::VARCHAR), ',')) AS b1_hash,
                   list_sum(list_transform(words, x ->
                       bit_count(x)))::BIGINT AS b1_pop
-           FROM b1)
+           FROM b1),
+     -- Matryoshka prefix twin: slice 16, renormalize (the same fold
+     -- order as functions/vector.l2_normalize), components scaled to
+     -- 1e4 longs (the knn_matrix integer-serialization precedent)
+     mr AS (SELECT vec_id, v[1:16] AS s FROM e),
+     m AS (SELECT vec_id,
+                  md5(array_to_string(list_transform(
+                      list_transform(s, x -> x / sqrt(list_sum(
+                          list_transform(s, y -> y*y)))),
+                      x -> round(x * 10000)::BIGINT::VARCHAR),
+                      ',')) AS mrl16_hash
+           FROM mr)
 SELECT c.vec_id,
        round(sqrt(list_sum(list_transform(v, x -> x*x))), 4) AS l2_norm,
        len(v) AS dim,
        scale AS i8_scale,
        round((list_sum(list_transform(codes, x -> x*x))::DOUBLE
               * scale::DOUBLE) * scale::DOUBLE, 4) AS i8_self_dot,
-       f.f16_hash, f.f16_dsum, b.b1_hash, b.b1_pop
+       f.f16_hash, f.f16_dsum, b.b1_hash, b.b1_pop, m.mrl16_hash
 FROM c JOIN f ON c.vec_id = f.vec_id JOIN b ON c.vec_id = b.vec_id
+JOIN m ON c.vec_id = m.vec_id
 """
 
 
@@ -4273,6 +4302,19 @@ def q_ann_b1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               query_item_col="qid", item_key_col="vec_id")
 
 
+def q_ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: Matryoshka two-stage search (renormalized first-32
+    prefix scan + exact full-width rerank of the 8x shortlist); the
+    vector_norms gate value-checks the truncation and
+    tests/test_mrl.py pins recall vs the exact searcher."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return ann.mrl_rerank_topk(q, emb, k=10, dims=32, factor=8,
+                               metric="cos", query_item_col="qid",
+                               item_key_col="vec_id")
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: IVF16,PQ16 residual ADC end-to-end (k-means cells +
     residual codebooks + cell-pruned broadcast join + vectorized LUT
@@ -4567,6 +4609,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_nsw_topk": q_ann_nsw_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_b1_topk": q_ann_b1_topk,
+    "ann_mrl_topk": q_ann_mrl_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_opq_topk": q_ann_opq_topk,
     "ann_sq_topk": q_ann_sq_topk,
