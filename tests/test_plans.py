@@ -60,13 +60,18 @@ class TestScanPruning:
         assert m and "l_extendedprice" not in m[0], \
             "projection should prune unread columns from the parquet scan"
 
-    def test_filtered_knn_predicate_reaches_parquet(self, spark, sf_dir):
+    def test_filtered_knn_predicate_reaches_parquet(self, spark, sf_dir,
+                                                    tmp_path):
         """The 'filtered' vector-search leg: the metadata predicate must
         prune at the ITEM SCAN, not after scoring — at 100 TB that is
         the difference between scanning the slice and the corpus.
-        (Loads the table fresh: the session fixture's .cache() would
-        replace the parquet scan with an InMemoryRelation.)"""
-        embeddings = load_table(spark, sf_dir, "embeddings")
+        (Scans a PRIVATE parquet copy: the session fixture's .cache()
+        registers the shared load_table plan with the CacheManager,
+        which substitutes an InMemoryRelation into ANY matching fresh
+        read — plan-identical scans lose their PushedFilters.)"""
+        path = str(tmp_path / "emb_scan")
+        load_table(spark, sf_dir, "embeddings").write.parquet(path)
+        embeddings = spark.read.parquet(path)
         q = embeddings.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"), "embedding")
         items = embeddings.filter(F.col("label") <= 3)
