@@ -553,6 +553,16 @@ def mrl_rerank_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
     if k < 1 or factor < 1 or dims < 1:
         raise ValueError(f"k, factor and dims must be >= 1 (got k={k}, "
                          f"factor={factor}, dims={dims})")
+    if metric != "cos":
+        # the shortlist ranks by cosine of the RENORMALIZED prefix —
+        # pure direction. For dot/l2 on an unnormalized corpus a
+        # large-norm true neighbor whose direction-prefix ranks below
+        # k·factor never reaches the exact rerank, so recall can
+        # collapse rather than degrade. Magnitude-aware shortlists are
+        # the PQ/SQ/b1 paths.
+        raise ValueError("mrl_rerank_topk supports metric='cos' only "
+                         f"(got {metric!r}); use PQ/SQ/b1_rerank_topk "
+                         "for magnitude-sensitive metrics")
     # truncated+renormalized vectors materialize ONCE per side, so the
     # per-pair cost below is a dims-length dot, not slice+normalize
     it = items.select(F.col(item_key_col).alias("sim_item"),

@@ -40,7 +40,7 @@ persist at the caller.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from faisssearcher_spark.functions.text import tokens
@@ -166,20 +166,24 @@ def maxsim_rerank(
     score_scale: int | None = 4,
     k: int | None = None,
     keep_rank_no: bool = True,
+    partition_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Re-rank first-stage candidates by MaxSim (rank ties broken by
     candidate value, the engine-wide determinism rule); cut to ``k``
     per query when given. Mirrors :func:`rerank_pairs`' contract with
-    the token-level scorer inlined as declarative plan."""
+    the token-level scorer inlined as declarative plan.
+
+    ``partition_cols`` sets the ranking window (default
+    ``[query_col]``). Pass the query ID column when query TEXTS can
+    repeat — partitioning duplicate texts together would merge distinct
+    queries' candidate pools into one k-cut."""
+    from faisssearcher_spark.operators.rerank import rank_candidates
+
     scored = maxsim_score(
         candidates, query_col=query_col, cand_col=cand_col,
         encoder=encoder, dim=dim, score_col=score_col,
         score_scale=score_scale)
-    w = Window.partitionBy(query_col).orderBy(
-        F.col(score_col).desc(), F.col(cand_col).asc())
-    ranked = scored.withColumn("__rn", F.row_number().over(w))
-    if k is not None:
-        ranked = ranked.filter(F.col("__rn") <= k)
-    if keep_rank_no:
-        ranked = ranked.withColumn("rank_no", F.col("__rn") - 1)
-    return ranked.drop("__rn")
+    return rank_candidates(scored,
+                           partition_cols=partition_cols or [query_col],
+                           score_col=score_col, cand_col=cand_col,
+                           k=k, keep_rank_no=keep_rank_no)

@@ -45,6 +45,29 @@ def token_jaccard_scorer(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="float64")
 
 
+def rank_candidates(
+    scored: DataFrame,
+    *,
+    partition_cols: "list[str]",
+    score_col: str,
+    cand_col: str,
+    k: int | None = None,
+    keep_rank_no: bool = True,
+) -> DataFrame:
+    """The shared rerank tail: per-partition ranking by score (ties
+    broken by candidate value — the engine-wide determinism rule),
+    optional top-``k`` cut, 0-based ``rank_no``. One implementation so
+    every rerank stage (pairwise scorer, MaxSim) cuts identically."""
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc())
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.filter(F.col("__rn") <= k)
+    if keep_rank_no:
+        ranked = ranked.withColumn("rank_no", F.col("__rn") - 1)
+    return ranked.drop("__rn")
+
+
 def rerank_pairs(
     candidates: DataFrame,
     scorer: PairScorer = token_jaccard_scorer,
@@ -69,12 +92,6 @@ def rerank_pairs(
     if score_scale is not None:
         score = F.round(score, score_scale)
     scored = candidates.withColumn(score_col, score)
-
-    w = Window.partitionBy(query_col).orderBy(
-        F.col(score_col).desc(), F.col(cand_col).asc())
-    ranked = scored.withColumn("__rn", F.row_number().over(w))
-    if k is not None:
-        ranked = ranked.filter(F.col("__rn") <= k)
-    if keep_rank_no:
-        ranked = ranked.withColumn("rank_no", F.col("__rn") - 1)
-    return ranked.drop("__rn")
+    return rank_candidates(scored, partition_cols=[query_col],
+                           score_col=score_col, cand_col=cand_col,
+                           k=k, keep_rank_no=keep_rank_no)

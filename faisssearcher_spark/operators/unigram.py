@@ -260,8 +260,12 @@ class UnigramTokenizer:
     # -- persistence ---------------------------------------------------
 
     def save(self, spark, path: str) -> None:
-        rows = sorted(self.pieces.items())
-        spark.createDataFrame(rows, "piece string, logp double") \
+        # max_piece_len rides every row: re-deriving it from the longest
+        # SURVIVING piece would silently shrink the trained window when
+        # pruning removed all pieces of the maximal length
+        rows = [(p, lp, self.max_piece_len)
+                for p, lp in sorted(self.pieces.items())]
+        spark.createDataFrame(rows, "piece string, logp double, mpl int") \
             .coalesce(1).write.mode("overwrite").parquet(path)
 
     @classmethod
@@ -271,4 +275,8 @@ class UnigramTokenizer:
         if len(pieces) != len(rows):
             raise ValueError("duplicate pieces in saved table — "
                              "corrupt tokenizer?")
-        return cls(pieces)
+        mpls = {r["mpl"] for r in rows}
+        if len(mpls) > 1:
+            raise ValueError("inconsistent max_piece_len in saved "
+                             "table — corrupt tokenizer?")
+        return cls(pieces, max_piece_len=mpls.pop() if mpls else None)

@@ -3104,8 +3104,13 @@ def q_searcher_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.maxsim import maxsim_rerank
     from faisssearcher_spark.operators.rerank import rerank_pairs
 
-    base = _q_searcher_text_hash_leg(spark, sf_dir).drop("rank_no") \
+    raw = _q_searcher_text_hash_leg(spark, sf_dir).drop("rank_no") \
         .select("source_item", "sim_item", "sim_val")
+    # land the ≤15-row first stage as literals (the _landed discipline):
+    # the jaccard leg references it once but maxsim_score references its
+    # candidate frame from FOUR subplans — un-landed, the knn retrieval
+    # plan would execute 5× per gate run
+    base = spark.createDataFrame(raw.collect(), raw.schema)
     cols = ["source_item", "sim_item", "sim_val", "rerank_score",
             "rank_no"]
     jac = rerank_pairs(base, k=2, score_scale=4).select(*cols)
@@ -4409,8 +4414,12 @@ def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ≤200-row first stage as literals so BM25 retrieval executes
     # exactly once (the _landed discipline; see operators/maxsim.py)
     cands = spark.createDataFrame(with_text.collect(), with_text.schema)
+    # rank per QUERY ID, not per query text: texts are not guaranteed
+    # unique at every sf, and a shared-text window would merge two
+    # queries' candidate pools into one k-cut
     return maxsim_rerank(cands, query_col="q_text", cand_col="cand_text",
-                         k=3, score_scale=4) \
+                         k=3, score_scale=4,
+                         partition_cols=["source_item"]) \
         .select("source_item", "sim_item", "maxsim_score", "rank_no")
 
 

@@ -125,3 +125,21 @@ def test_hamming_planted_pairs_grow_linearly(documents, docs2):
     assert p1.count() == n // 2
     assert p1.filter(F.col("hamming") != 2).count() == 0
     assert _hamming_planted(docs2).count() == (2 * n) // 2
+
+
+def test_skew_join_legs_answer_invariant(documents):
+    """The skew sweep legs (r7 NOTES lead #5): plain and salted joins
+    over the 30%-hot-key fact must produce identical per-key aggregates
+    — salting is shuffle layout, never answers — and the hot key must
+    actually carry ~30% of the fact rows (the construction the published
+    scaling numbers price)."""
+    from faisssearcher_spark.scalebench import _skew_join
+
+    plain = _skew_join(documents, salted=False, reps=5).orderBy("k")
+    salted = _skew_join(documents, salted=True, reps=5).orderBy("k")
+    p, s = plain.collect(), salted.collect()
+    assert p == s and len(p) > 1
+    n_docs = documents.count()
+    hot = next(r for r in p if r["k"] == 0)
+    frac = hot["n_rows"] / (n_docs * 5)
+    assert 0.2 <= frac <= 0.4, frac
