@@ -79,6 +79,23 @@ AUDITS = {
          "d-byte codes — 4× smaller scans than float32 vectors"),
         ("CartesianProduct", False, "no pair blowup"),
     ],
+    "ann_mrl_topk": [
+        ("WindowGroupLimit", True,
+         "prefix shortlist rank<=k·factor bounded below the exchange"),
+        ("BroadcastNestedLoopJoin", True,
+         "query prefixes broadcast; the corpus prefix column streams"),
+        ("ArrowEvalPython", False,
+         "both stages pure Catalyst: prefix dot, rank, exact rescore"),
+    ],
+    "text_maxsim_rerank": [
+        ("BroadcastHashJoin", True,
+         "token vectors attach through broadcast vocab joins — the "
+         "|Q|·|D| expansion never shuffles on token value"),
+        ("ArrowEvalPython", False,
+         "token encode, interaction dot, max and sum all stay in the "
+         "JVM plan"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
     "knn_grid_cos_top5": [
         ("FlatMapCoGroupsInPandas", True,
          "one GEMM per (query-block × item-shard) cell — both sides stay "
