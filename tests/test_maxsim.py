@@ -105,6 +105,24 @@ class TestMaxsimRerank:
         for r in out:
             assert r["maxsim_score"] == round(r["maxsim_score"], 4)
 
+    def test_partition_cols_split_duplicate_query_texts(self, spark):
+        """Two query IDs sharing one text must each keep their own
+        k-cut when ranking partitions on the ID (the review finding:
+        a text-partitioned window merges their candidate pools)."""
+        rows = [(qid, "shared query text", cand)
+                for qid in (1, 2)
+                for cand in ("alpha beta", "alpha gamma", "delta")]
+        cands = spark.createDataFrame(
+            rows, "qid long, q_text string, cand string")
+        out = maxsim_rerank(cands, query_col="q_text", cand_col="cand",
+                            k=2, partition_cols=["qid"]).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["qid"], []).append(r["rank_no"])
+        assert sorted(per_q) == [1, 2]
+        for ranks in per_q.values():
+            assert sorted(ranks) == [0, 1]
+
 
 class TestMaxsimPlan:
     def test_no_python_in_plan(self, candidates):

@@ -96,3 +96,11 @@ class TestMrlRerank:
         with pytest.raises(ValueError):
             mrl_rerank_topk(queries, embeddings, k=0,
                             query_item_col="qid", item_key_col="vec_id")
+
+    def test_non_cos_metric_rejected(self, queries, embeddings):
+        """The prefix shortlist ranks by direction only — dot/l2 on an
+        unnormalized corpus could silently collapse recall, so the
+        operator refuses rather than degrades."""
+        with pytest.raises(ValueError, match="cos"):
+            mrl_rerank_topk(queries, embeddings, k=3, metric="dot",
+                            query_item_col="qid", item_key_col="vec_id")
