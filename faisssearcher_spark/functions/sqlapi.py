@@ -99,6 +99,11 @@ _FUNCTIONS: "list[tuple[str, str, str, str]]" = [
     ("fs_b1_hamming", "a ARRAY<BIGINT>, b ARRAY<BIGINT>", "BIGINT",
      "aggregate(zip_with(a, b, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
      " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
+    # Matryoshka prefix + renormalize (functions/vector.mrl_truncate
+    # twin; zero-norm -> NaN like the Column API's default)
+    ("fs_mrl", "a ARRAY<DOUBLE>, k INT", "ARRAY<DOUBLE>",
+     f"transform(slice(a, 1, k), "
+     f"x -> x / {_NRM.format(v='slice(a, 1, k)')})"),
 ]
 
 

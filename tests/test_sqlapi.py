@@ -84,7 +84,17 @@ class TestSqlFunctionParity:
     def test_idempotent_registration(self, spark):
         names = register_sql_functions(spark)
         again = register_sql_functions(spark)
-        assert names == again and len(names) == 20
+        assert names == again and len(names) == 21
+
+    def test_fs_mrl_parity(self, spark, pairs):
+        from faisssearcher_spark.functions.vector import mrl_truncate
+        got = spark.sql(
+            "SELECT ia, fs_mrl(va, 3) AS m FROM __sql_pairs "
+            "ORDER BY ia, ib").collect()
+        want = pairs.select("ia", mrl_truncate("va", 3).alias("m")) \
+            .orderBy("ia", "ib").collect()
+        for g, w in zip(got, want):
+            assert list(g["m"]) == list(w["m"])
 
     def test_b1_codec_parity(self, spark, pairs):
         from faisssearcher_spark.functions.vector import (b1_hamming,
