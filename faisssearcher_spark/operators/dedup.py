@@ -761,16 +761,19 @@ def lsh_hyperplanes(tables: int, bits: int, dim: int, seed: int):
 LSH_GEMM_WORK_THRESHOLD = 4096
 
 
-def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
-                         threshold: float, score_scale: int | None,
-                         tables: int, bits: int, seed: int,
-                         dim: int | None,
-                         planes_mode: str = "random",
-                         impl: str = "auto") -> DataFrame:
-    """OR-amplified sign-LSH candidate generation + exact verification.
-    See ``embedding_cosine_pairs(strategy="lsh")``."""
-    from faisssearcher_spark.functions.vector import l2_normalize
+def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
+                    tables: int = 8, bits: int = 4, seed: int = 42,
+                    dim: int | None = None,
+                    planes_mode: str = "random",
+                    impl: str = "auto") -> DataFrame:
+    """``(id, t, bucket)`` — one sign-LSH bucket row per (vector, table).
 
+    The shared bucket kernel behind ``embedding_cosine_pairs
+    (strategy="lsh")`` and the incremental ``EmbeddingStore``: seeded
+    Gaussian hyperplanes (``planes_mode="random"``) or axis-aligned
+    leading dims (the oracle-checkable variant), evaluated as SQL
+    expressions or one numpy GEMM per Arrow batch past
+    ``LSH_GEMM_WORK_THRESHOLD`` multiply-adds per row."""
     if tables < 1 or bits < 1:
         raise ValueError("lsh_tables and lsh_bits must be >= 1")
     if planes_mode not in ("random", "axis"):
@@ -872,6 +875,23 @@ def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
             F.col(id_col).alias("id"),
             F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
             .alias("t", "bucket"))
+    return tb
+
+
+def _embedding_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
+                         threshold: float, score_scale: int | None,
+                         tables: int, bits: int, seed: int,
+                         dim: int | None,
+                         planes_mode: str = "random",
+                         impl: str = "auto") -> DataFrame:
+    """OR-amplified sign-LSH candidate generation + exact verification.
+    See ``embedding_cosine_pairs(strategy="lsh")``."""
+    from faisssearcher_spark.functions.vector import l2_normalize
+
+    v = M.as_double(vec_col)
+    tb = lsh_bucket_rows(df, id_col=id_col, vec_col=vec_col,
+                         tables=tables, bits=bits, seed=seed, dim=dim,
+                         planes_mode=planes_mode, impl=impl)
     a, b = tb.alias("a"), tb.alias("b")
     cand = (
         a.join(b, (F.col("a.t") == F.col("b.t"))

@@ -42,10 +42,11 @@ from pyspark.sql import functions as F
 
 from faisssearcher_spark.functions import text as T
 from faisssearcher_spark.operators.dedup import (MINHASH_SLOTS_PER_MD5,
+                                                 lsh_bucket_rows,
                                                  minhash_slot_salt,
                                                  minhash_slot_start)
 
-__all__ = ["MinHashStore", "banded_signatures"]
+__all__ = ["EmbeddingStore", "MinHashStore", "banded_signatures"]
 
 
 def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
@@ -106,33 +107,30 @@ def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
                 "sig")
 
 
-class MinHashStore:
-    """Persisted banded-MinHash state: ``commit`` batches in, ``screen``
-    new batches against everything committed so far.
+class _IncrementalStore:
+    """Shared state plumbing for incremental near-dup stores: parameter
+    identity recorded in ``meta`` on first commit and VALIDATED on
+    every open (state from different parameters silently never
+    collides, which would make every screen vacuously pass), optional
+    bucketed-table landing (zero state-side shuffle per screen), and
+    the table-property identity guard for pre-existing tables.
 
-    The hash parameters are part of the state's identity — they are
-    recorded in ``meta`` on first commit and VALIDATED on every open
-    (signatures from different parameters silently never collide, which
-    would make every screen vacuously pass)."""
+    Subclasses define ``_META_PROP`` (the table property name),
+    ``_BUCKET_COL`` (the single bucket/band key column), and
+    ``_meta_dict()`` (the parameter identity)."""
+
+    _META_PROP: str
+    _BUCKET_COL: str
 
     def __init__(self, spark: SparkSession, path: str, *,
-                 num_hashes: int = 16, bands: int = 4,
-                 shingle_n: int | None = 3, seed: int = 42,
                  bucketed_table: "str | None" = None,
                  n_buckets: int = 64):
-        if num_hashes % bands:
-            raise ValueError(
-                f"bands ({bands}) must divide num_hashes ({num_hashes})")
         self.spark = spark
         self.path = path
-        self.num_hashes = num_hashes
-        self.bands = bands
-        self.shingle_n = shingle_n
-        self.seed = seed
-        # bucketed mode: state lands via saveAsTable bucketed on
-        # band_key, so every screen's candidate join reads the history
-        # BUCKET-ALIGNED — zero shuffle on the state side, only the
-        # (small) batch co-partitions into n_buckets. Requires a
+        # bucketed mode: state lands via saveAsTable bucketed on the
+        # key column, so every screen's candidate join reads the
+        # history BUCKET-ALIGNED — zero shuffle on the state side, only
+        # the (small) batch co-partitions into n_buckets. Requires a
         # persistent metastore for the layout to survive sessions
         # (plain parquet paths cannot declare buckets); meta still
         # lives at `path` so parameter identity is validated either way.
@@ -143,12 +141,12 @@ class MinHashStore:
         if existing is not None and existing != mine:
             raise ValueError(
                 f"store at {path!r} was created with {existing}; "
-                f"reopening with {mine} would produce signatures "
-                "that never match — pass the original parameters")
-        # the hash-parameter identity must ALSO be validated against the
+                f"reopening with {mine} would produce state "
+                "that never matches — pass the original parameters")
+        # the parameter identity must ALSO be validated against the
         # bucketed table itself (r6 ADVICE): a fresh `path` pointed at an
         # EXISTING table created under different parameters would append
-        # incompatible signatures and screens against the old rows would
+        # incompatible state and screens against the old rows would
         # silently never match — so the parameter dict travels as a
         # table property, checked whenever the table pre-exists.
         table_meta = self._read_table_meta()
@@ -156,20 +154,17 @@ class MinHashStore:
             raise ValueError(
                 f"bucketed table {bucketed_table!r} was created with "
                 f"{table_meta}; opening it with {mine} would append "
-                "signatures that never match — pass the original "
+                "state that never matches — pass the original "
                 "parameters or use a fresh table")
         if (bucketed_table and table_meta is None
                 and spark.catalog.tableExists(bucketed_table)):
             raise ValueError(
                 f"bucketed table {bucketed_table!r} exists but carries "
                 f"no {self._META_PROP} property — it was not created by "
-                "MinHashStore; refusing to append unverifiable state")
+                f"{type(self).__name__}; refusing to append "
+                "unverifiable state")
 
     # -- state layout ------------------------------------------------------
-
-    #: table property carrying the hash-parameter identity in bucketed
-    #: mode (the table, not just `path`, is the state)
-    _META_PROP = "faisssearcher.minhash.meta"
 
     def _state_path(self) -> str:
         return os.path.join(self.path, "state")
@@ -178,8 +173,7 @@ class MinHashStore:
         return os.path.join(self.path, "meta")
 
     def _meta_dict(self) -> dict:
-        return {"num_hashes": self.num_hashes, "bands": self.bands,
-                "shingle_n": self.shingle_n, "seed": self.seed}
+        raise NotImplementedError
 
     def _read_meta(self) -> "dict | None":
         try:
@@ -208,37 +202,27 @@ class MinHashStore:
             f"ALTER TABLE {self.bucketed_table} SET TBLPROPERTIES "
             f"('{self._META_PROP}' = '{payload}')")
 
-    def _signatures(self, docs: DataFrame, id_col: str,
-                    text_col: str) -> DataFrame:
-        return banded_signatures(
-            docs, id_col=id_col, text_col=text_col,
-            num_hashes=self.num_hashes, bands=self.bands,
-            shingle_n=self.shingle_n, seed=self.seed)
-
-    # -- API ---------------------------------------------------------------
-
-    def commit(self, docs: DataFrame, *, id_col: str = "doc_id",
-               text_col: str = "text") -> None:
-        """Append the batch's banded signatures to the state. Re-running
-        a commit appends duplicate rows — screens stay CORRECT (the
-        candidate join de-duplicates pairs) but the state grows; gate
-        commits behind your pipeline's exactly-once bookkeeping (the
-        streaming/sinks.py discipline) when replays are possible."""
+    def _append_state(self, rows: DataFrame) -> None:
+        """Append a batch's state rows (meta written on first commit).
+        Re-running a commit appends duplicate rows — screens stay
+        CORRECT (the candidate join de-duplicates pairs) but the state
+        grows; gate commits behind your pipeline's exactly-once
+        bookkeeping (the streaming/sinks.py discipline) when replays
+        are possible."""
         if self._read_meta() is None:
             self._write_meta()
-        sigs = self._signatures(docs, id_col, text_col)
         if self.bucketed_table:
             stamped = self._read_table_meta() is not None
-            (sigs.write.bucketBy(self.n_buckets, "band_key")
-             .sortBy("band_key").mode("append")
+            (rows.write.bucketBy(self.n_buckets, self._BUCKET_COL)
+             .sortBy(self._BUCKET_COL).mode("append")
              .format("parquet").saveAsTable(self.bucketed_table))
             if not stamped:
                 self._stamp_table_meta()
         else:
-            sigs.write.mode("append").parquet(self._state_path())
+            rows.write.mode("append").parquet(self._state_path())
 
     def state(self) -> "DataFrame | None":
-        """The accumulated signature table, or None before the first
+        """The accumulated state table, or None before the first
         commit (screening an empty store legitimately finds nothing)."""
         from pyspark.errors import AnalysisException
 
@@ -250,6 +234,55 @@ class MinHashStore:
             return self.spark.read.parquet(self._state_path())
         except AnalysisException:
             return None
+
+
+class MinHashStore(_IncrementalStore):
+    """Persisted banded-MinHash state: ``commit`` batches in, ``screen``
+    new batches against everything committed so far.
+
+    The hash parameters are part of the state's identity — they are
+    recorded in ``meta`` on first commit and VALIDATED on every open
+    (signatures from different parameters silently never collide, which
+    would make every screen vacuously pass)."""
+
+    #: table property carrying the hash-parameter identity in bucketed
+    #: mode (the table, not just `path`, is the state)
+    _META_PROP = "faisssearcher.minhash.meta"
+    _BUCKET_COL = "band_key"
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int | None = 3, seed: int = 42,
+                 bucketed_table: "str | None" = None,
+                 n_buckets: int = 64):
+        if num_hashes % bands:
+            raise ValueError(
+                f"bands ({bands}) must divide num_hashes ({num_hashes})")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.seed = seed
+        super().__init__(spark, path, bucketed_table=bucketed_table,
+                         n_buckets=n_buckets)
+
+    def _meta_dict(self) -> dict:
+        return {"num_hashes": self.num_hashes, "bands": self.bands,
+                "shingle_n": self.shingle_n, "seed": self.seed}
+
+    def _signatures(self, docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+        return banded_signatures(
+            docs, id_col=id_col, text_col=text_col,
+            num_hashes=self.num_hashes, bands=self.bands,
+            shingle_n=self.shingle_n, seed=self.seed)
+
+    # -- API ---------------------------------------------------------------
+
+    def commit(self, docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> None:
+        """Append the batch's banded signatures to the state (see
+        ``_IncrementalStore._append_state`` for replay semantics)."""
+        self._append_state(self._signatures(docs, id_col, text_col))
 
     def screen(self, docs: DataFrame, *, id_col: str = "doc_id",
                text_col: str = "text",
@@ -294,3 +327,132 @@ class MinHashStore:
                            threshold=threshold) \
             .select(F.col("new_id").alias(id_col)).distinct()
         return docs.join(hits, id_col, "left_anti")
+
+
+class EmbeddingStore(_IncrementalStore):
+    """Persisted sign-LSH + fp16 state for incremental EMBEDDING
+    near-dup screening — the cosine analog of :class:`MinHashStore`.
+
+    Why codes, not vectors: exact verification needs the stored side's
+    vector, but float32 history is the corpus-sized thing the store
+    exists to avoid re-reading at full width. State keeps the fp16
+    codec (``functions/vector.quantize_f16`` — 2 B/component, uniform
+    RELATIVE precision), so a screened candidate scores as
+    cos(new_vector, decode(stored_code)): exact on the batch side,
+    within fp16 rounding (~5e-4 relative per component) on the history
+    side — thresholds are near-dup semantics, not exact-match, and the
+    decode is bit-deterministic (numpy-parity pinned), so screens are
+    replayable cross-engine.
+
+    Scale shape mirrors MinHashStore: commit is one bucket+encode pass
+    and an append (state rows = tables × (8 B key + 2·dim B code) per
+    vector); screen is one bucket pass over the batch + an equi-join on
+    the folded ``bucket_key`` against the state — land the state
+    bucketed (``bucketed_table=``) for zero history-side shuffle. The
+    LSH parameters AND dimension are the state's identity, validated on
+    every open. IDs must be globally unique across batches."""
+
+    _META_PROP = "faisssearcher.embedlsh.meta"
+    _BUCKET_COL = "bucket_key"
+
+    def __init__(self, spark: SparkSession, path: str, *, dim: int,
+                 tables: int = 8, bits: int = 8, seed: int = 42,
+                 planes_mode: str = "random",
+                 bucketed_table: "str | None" = None,
+                 n_buckets: int = 64):
+        if dim < 1:
+            raise ValueError(f"dim must be >= 1 (got {dim})")
+        self.dim = int(dim)
+        self.tables = tables
+        self.bits = bits
+        self.seed = seed
+        self.planes_mode = planes_mode
+        super().__init__(spark, path, bucketed_table=bucketed_table,
+                         n_buckets=n_buckets)
+
+    def _meta_dict(self) -> dict:
+        return {"dim": self.dim, "tables": self.tables,
+                "bits": self.bits, "seed": self.seed,
+                "planes_mode": self.planes_mode, "codec": "f16"}
+
+    def _bucket_code_rows(self, vecs: DataFrame, id_col: str,
+                          vec_col: str) -> DataFrame:
+        """``(id, bucket_key, code)`` — one row per (vector, table);
+        bucket_key folds (table, bucket) into one 8-byte xxhash64 key
+        (the bucket-keys-equal-join-keys rule that lets a bucketed
+        state table join with zero history-side shuffle)."""
+        from faisssearcher_spark.functions.vector import quantize_f16
+
+        buckets = lsh_bucket_rows(
+            vecs, id_col=id_col, vec_col=vec_col, tables=self.tables,
+            bits=self.bits, seed=self.seed, dim=self.dim,
+            planes_mode=self.planes_mode)
+        codes = vecs.select(F.col(id_col).alias("id"),
+                            quantize_f16(vec_col).alias("code"))
+        return (buckets
+                .select("id", F.xxhash64("t", "bucket")
+                        .alias("bucket_key"))
+                .join(codes, "id")
+                .select("id", "bucket_key", "code"))
+
+    # -- API ---------------------------------------------------------------
+
+    def commit(self, vecs: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+        """Append the batch's (bucket_key, fp16 code) rows to the state
+        (see ``_IncrementalStore._append_state`` for replay semantics)."""
+        self._append_state(self._bucket_code_rows(vecs, id_col, vec_col))
+
+    def screen(self, vecs: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               threshold: float = 0.9,
+               score_scale: "int | None" = None) -> DataFrame:
+        """``(new_id, known_id, cos_sim)`` for every batch vector whose
+        cosine against a committed vector's DECODED code reaches
+        ``threshold`` (candidates from the bucket equi-join — the
+        n×|history| space is never formed)."""
+        from faisssearcher_spark.functions import metrics as M
+        from faisssearcher_spark.functions.vector import dequantize_f16
+
+        if not -1.0 <= threshold <= 1.0:
+            raise ValueError(
+                f"threshold must be in [-1, 1], got {threshold}")
+        new_b = lsh_bucket_rows(
+            vecs, id_col=id_col, vec_col=vec_col, tables=self.tables,
+            bits=self.bits, seed=self.seed, dim=self.dim,
+            planes_mode=self.planes_mode) \
+            .select("id", F.xxhash64("t", "bucket").alias("bucket_key"))
+        new_v = vecs.select(F.col(id_col).alias("new_id"),
+                            F.col(vec_col).alias("__nv"))
+        known = self.state()
+        if known is None:
+            return (new_v.select("new_id",
+                                 F.col("new_id").alias("known_id"),
+                                 F.lit(0.0).alias("cos_sim"))
+                    .limit(0))
+        cand = (new_b.alias("n")
+                .join(known.alias("k"),
+                      (F.col("n.bucket_key") == F.col("k.bucket_key"))
+                      & (F.col("n.id") != F.col("k.id")))
+                .select(F.col("n.id").alias("new_id"),
+                        F.col("k.id").alias("known_id"),
+                        F.col("k.code").alias("__kc"))
+                .dropDuplicates(["new_id", "known_id"]))
+        score = M.cosine(F.col("__nv"), dequantize_f16("__kc"))
+        if score_scale is not None:
+            score = F.round(score, score_scale)
+        return (cand.join(new_v, "new_id")
+                .withColumn("cos_sim", score)
+                .filter(F.col("cos_sim") >= threshold)
+                .select("new_id", "known_id", "cos_sim"))
+
+    def filter_new(self, vecs: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   threshold: float = 0.9) -> DataFrame:
+        """The batch minus every vector screened as a near-duplicate of
+        committed history. Pair with ``embedding_cosine_pairs`` for
+        IN-batch near-dups; this store only answers "seen before?"."""
+        hits = self.screen(vecs, id_col=id_col, vec_col=vec_col,
+                           threshold=threshold) \
+            .select(F.col("new_id").alias(id_col)).distinct()
+        return vecs.join(hits, id_col, "left_anti")
