@@ -38,7 +38,20 @@ from faisssearcher_spark.operators.incremental import banded_signatures
 from faisssearcher_spark.streaming.sketches import (_epoch_path, _epochs,
                                                     _fs_path)
 
-__all__ = ["minhash_screen_sink"]
+__all__ = ["embedding_screen_sink", "minhash_screen_sink"]
+
+
+def _truncate_stale_epochs(spark, roots, batch_id: int) -> None:
+    """Batch 0 on a fresh/reset checkpoint: every input re-delivers;
+    surviving epoch dirs are stale state from a previous run (the
+    streaming/sketches batch-0 truncation discipline)."""
+    if batch_id != 0:
+        return
+    for root in roots:
+        fs, _ = _fs_path(spark, root)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for e in _epochs(spark, root):
+            fs.delete(jpath(_epoch_path(root, e)), True)
 
 
 def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
@@ -66,15 +79,7 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
 
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id == 0:
-            # fresh/reset checkpoint: every input re-delivers; surviving
-            # epoch dirs are stale state from a previous run (the
-            # streaming/sketches batch-0 truncation discipline)
-            for root in (store_dir, out_dir):
-                fs, _ = _fs_path(spark, root)
-                jpath = spark._jvm.org.apache.hadoop.fs.Path
-                for e in _epochs(spark, root):
-                    fs.delete(jpath(_epoch_path(root, e)), True)
+        _truncate_stale_epochs(spark, (store_dir, out_dir), batch_id)
         sigs = banded_signatures(
             batch_df, id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
@@ -121,6 +126,107 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
         batch.write.mode("overwrite").parquet(
             _epoch_path(out_dir, batch_id))
         sigs.join(batch.select(F.col(id_col).alias("id")).distinct(),
+                  "id") \
+            .write.mode("overwrite").parquet(
+            _epoch_path(store_dir, batch_id))
+
+    writer = (stream_df.writeStream.foreachBatch(_screen)
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_screen_sink(stream_df: DataFrame, *, store_dir: str,
+                          out_dir: str, checkpoint_dir: str, dim: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.9, tables: int = 8,
+                          bits: int = 8, seed: int = 42,
+                          planes_mode: str = "random",
+                          dedup_within_batch: bool = True,
+                          query_name: str = "embedding_screen_sink",
+                          available_now: bool = True) -> StreamingQuery:
+    """Continuously land only never-seen-before EMBEDDINGS — the
+    cosine analog of :func:`minhash_screen_sink`, sharing its
+    replay-safe epoch discipline: epoch ``N``'s state (sign-LSH folded
+    bucket keys + fp16 codes, the ``EmbeddingStore`` layout) overwrites
+    ``<store_dir>/epoch=N``, the screen reads only epochs ``< N``, and
+    a re-delivered batch recomputes identical outputs.
+
+    Screening scores cos(batch vector, decoded prior code) — exact on
+    the batch side, fp16-rounded on the history side. In-batch
+    near-dups ride one additional bucket self-join (keep min id)."""
+    from faisssearcher_spark.functions import metrics as M
+    from faisssearcher_spark.functions.vector import (dequantize_f16,
+                                                      quantize_f16)
+    from faisssearcher_spark.operators.dedup import lsh_bucket_rows
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if dim < 1 or tables < 1 or bits < 1:
+        raise ValueError("dim, tables and bits must all be >= 1")
+
+    def _rows(batch_df: DataFrame) -> DataFrame:
+        buckets = lsh_bucket_rows(
+            batch_df, id_col=id_col, vec_col=vec_col, tables=tables,
+            bits=bits, seed=seed, dim=dim, planes_mode=planes_mode)
+        codes = batch_df.select(F.col(id_col).alias("id"),
+                                quantize_f16(vec_col).alias("code"))
+        return (buckets
+                .select("id", F.xxhash64("t", "bucket")
+                        .alias("bucket_key"))
+                .join(codes, "id")
+                .select("id", "bucket_key", "code"))
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _truncate_stale_epochs(spark, (store_dir, out_dir), batch_id)
+        rows = _rows(batch_df)
+        vecs = batch_df.select(F.col(id_col).alias("__vid"),
+                               F.col(vec_col).alias("__nv"))
+        prior = [e for e in _epochs(spark, store_dir) if e < batch_id]
+        batch = batch_df
+        if prior:
+            known = spark.read.option("basePath", store_dir) \
+                .parquet(*[_epoch_path(store_dir, e) for e in prior])
+            hits = (rows.alias("n")
+                    .join(known.alias("k"),
+                          (F.col("n.bucket_key") == F.col("k.bucket_key"))
+                          & (F.col("n.id") != F.col("k.id")))
+                    .select(F.col("n.id").alias("__vid"),
+                            F.col("k.id").alias("__kid"),
+                            F.col("k.code").alias("__kc"))
+                    .dropDuplicates(["__vid", "__kid"])
+                    .join(vecs, "__vid")
+                    .withColumn("__cos",
+                                M.cosine(F.col("__nv"),
+                                         dequantize_f16("__kc")))
+                    .filter(F.col("__cos") >= threshold)
+                    .select(F.col("__vid").alias(id_col)).distinct())
+            batch = batch.join(hits, id_col, "left_anti")
+        if dedup_within_batch:
+            surv = rows.join(
+                batch.select(F.col(id_col).alias("id")).distinct(), "id")
+            dup = (surv.alias("a")
+                   .join(surv.alias("b"),
+                         (F.col("a.bucket_key") == F.col("b.bucket_key"))
+                         & (F.col("a.id") > F.col("b.id")))
+                   .select(F.col("a.id").alias("__vid"),
+                           F.col("b.id").alias("__bid"),
+                           F.col("b.code").alias("__kc"))
+                   .dropDuplicates(["__vid", "__bid"])
+                   .join(vecs, "__vid")
+                   .withColumn("__cos",
+                               M.cosine(F.col("__nv"),
+                                        dequantize_f16("__kc")))
+                   .filter(F.col("__cos") >= threshold)
+                   .select(F.col("__vid").alias(id_col)).distinct())
+            batch = batch.join(dup, id_col, "left_anti")
+        batch.write.mode("overwrite").parquet(
+            _epoch_path(out_dir, batch_id))
+        rows.join(batch.select(F.col(id_col).alias("id")).distinct(),
                   "id") \
             .write.mode("overwrite").parquet(
             _epoch_path(store_dir, batch_id))
