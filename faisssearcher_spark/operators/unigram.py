@@ -13,7 +13,11 @@ segmentation (Viterbi). Same distribution discipline as BPE:
   the most frequent substrings (≤ ``max_piece_len``) plus every
   character; each EM round is one forward-backward pass per word type
   (log-space, O(len · max_piece_len) per word), with SentencePiece's
-  prune-worst-fraction schedule down to ``vocab_size``;
+  prune-worst-fraction schedule down to ``vocab_size``. The EM loop is
+  pure Python: budget ~10-20 s per round per 100k word types and size
+  ``max_word_types`` accordingly (~100k covers natural-language Zipf
+  heads; sentencepiece itself trains on a bounded sample — its
+  ``input_sentence_size`` — for the same reason);
 - **encoding is one vectorized pandas_udf pass** — the piece→logp dict
   broadcasts with the task closure; per-batch word cache collapses
   Zipf-repeated words.

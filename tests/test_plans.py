@@ -80,6 +80,25 @@ class TestScanPruning:
         pushed = " ".join(inspect.pushed_filters(res))
         assert "label" in pushed
 
+    def test_dynamic_partition_pruning_fires(self, spark, sf_dir,
+                                             tmp_path):
+        """Partition-layout corpora (the 100 TB landing pattern) must
+        get DYNAMIC pruning: a selective dim filter prunes the fact
+        table's partition directories at runtime, so a fact⋈dim on the
+        partition column scans only matching partitions — without it, a
+        100 TB fact scan reads everything to join a 3-row dim."""
+        path = str(tmp_path / "li_part")
+        load_table(spark, sf_dir, "lineitem") \
+            .write.partitionBy("l_returnflag").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = spark.createDataFrame(
+            [("A", 1), ("N", 2), ("R", 2)], "flag string, pri int") \
+            .filter(F.col("pri") == 1)
+        j = fact.join(dim, fact["l_returnflag"] == dim["flag"]) \
+            .select("l_orderkey", "pri")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan
+
 
 class TestJoinShapes:
     def test_range_join_is_equi(self, spark, sf_dir):
