@@ -306,7 +306,19 @@ FROM q CROSS JOIN it
 
 
 def q_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full metric library M1-M8 over consecutive-id vector pairs."""
+    """Full metric library M1-M8 over consecutive-id vector pairs.
+
+    EXTENDED (round 7 session 4, the 50-cap column pattern) with
+    margin-based bitext mining (operators/bitext.py, Artetxe & Schwenk
+    2019): evens < 100 are the source corpus, odds < 100 the target;
+    every EVEN id_a row carries its best-margin mined target
+    (``bitext_tgt``) and the ratio margin at 4dp (``bitext_margin``) —
+    forward/backward k-NN, neighborhood averages, candidate union, and
+    the best-per-src window all value-checked against a brute-force
+    DuckDB twin. Odd rows carry the engine-standard sentinels (-1,
+    0.0 — NULLs render differently across engines)."""
+    from faisssearcher_spark.operators.bitext import mine_bitext
+
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -315,6 +327,15 @@ def q_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "id_a")
     abs_a = F.transform(M.as_double("va"), F.abs)
     abs_b = F.transform(M.as_double("vb"), F.abs)
+    src = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 100)) \
+        .select(F.col("vec_id").alias("src_id"), "embedding")
+    tgt = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100)) \
+        .select(F.col("vec_id").alias("tgt_id"), "embedding")
+    mined = mine_bitext(src, tgt, k=4, threshold=0.0, best_per_src=True,
+                        score_scale=4) \
+        .select(F.col("src_id").alias("id_a"),
+                F.col("tgt_id").alias("bitext_tgt"),
+                F.col("margin").alias("bitext_margin"))
     return pairs.select(
         "id_a",
         F.round(M.cosine("va", "vb"), 4).alias("cos_sim"),
@@ -326,7 +347,11 @@ def q_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(M.bray_curtis("va", "vb"), 4).alias("braycurtis_dist"),
         F.round(M.canberra("va", "vb"), 4).alias("canberra_dist"),
         F.round(M.jensen_shannon(abs_a, abs_b), 4).alias("js_div"),
-    )
+    ).join(mined, "id_a", "left") \
+        .withColumn("bitext_tgt",
+                    F.coalesce(F.col("bitext_tgt"), F.lit(-1)))\
+        .withColumn("bitext_margin",
+                    F.coalesce(F.col("bitext_margin"), F.lit(0.0)))
 
 
 ORACLE_PAIRWISE = """
@@ -354,9 +379,49 @@ SELECT id_a,
                   THEN abs(va[i]-vb[i]) / (abs(va[i])+abs(vb[i])) ELSE 0 END)), 4) AS canberra_dist,
   round(0.5 * list_sum(list_transform(range(1, len(aa)+1), i ->
         (CASE WHEN aa[i] > 0 THEN aa[i]*ln(2*aa[i]/(aa[i]+ab[i])) ELSE 0 END)
-      + (CASE WHEN ab[i] > 0 THEN ab[i]*ln(2*ab[i]/(aa[i]+ab[i])) ELSE 0 END))), 4) AS js_div
+      + (CASE WHEN ab[i] > 0 THEN ab[i]*ln(2*ab[i]/(aa[i]+ab[i])) ELSE 0 END))), 4) AS js_div,
+  coalesce(bb.tid, -1) AS bitext_tgt,
+  coalesce(bb.m, 0.0) AS bitext_margin
 FROM p
+LEFT JOIN (SELECT sid, tid, m FROM bbest WHERE rn = 1) bb
+  ON p.id_a = bb.sid
 """
+
+# bitext-margin twin CTEs (brute-force forward/backward top-4,
+# neighborhood averages, candidate union, ratio margin, best per src)
+# injected into ORACLE_PAIRWISE's WITH list
+_ORACLE_BITEXT_CTES = f"""
+     be AS (SELECT vec_id, {_NORM} AS v FROM embeddings
+            WHERE vec_id < 100),
+     bsrc AS (SELECT vec_id AS sid, v FROM be WHERE vec_id % 2 = 0),
+     btgt AS (SELECT vec_id AS tid, v FROM be WHERE vec_id % 2 = 1),
+     ball AS (SELECT sid, tid, {_dot('bsrc.v', 'btgt.v')} AS c
+              FROM bsrc CROSS JOIN btgt),
+     bfwd AS (SELECT *, row_number() OVER
+                (PARTITION BY sid ORDER BY c DESC, tid ASC) AS rn
+              FROM ball),
+     bbwd AS (SELECT *, row_number() OVER
+                (PARTITION BY tid ORDER BY c DESC, sid ASC) AS rn
+              FROM ball),
+     bsa AS (SELECT sid, avg(c) AS sa FROM bfwd WHERE rn <= 4
+             GROUP BY sid),
+     bta AS (SELECT tid, avg(c) AS ta FROM bbwd WHERE rn <= 4
+             GROUP BY tid),
+     bcand AS (SELECT sid, tid, max(c) AS c FROM (
+                 SELECT sid, tid, c FROM bfwd WHERE rn <= 4
+                 UNION ALL SELECT sid, tid, c FROM bbwd WHERE rn <= 4)
+               GROUP BY sid, tid),
+     bmar AS (SELECT sid, tid,
+                     round(c / ((sa + ta) / 2), 4) AS m
+              FROM bcand JOIN bsa USING (sid) JOIN bta USING (tid)),
+     bbest AS (SELECT sid, tid, m, row_number() OVER
+                 (PARTITION BY sid ORDER BY m DESC, tid ASC) AS rn
+               FROM bmar)"""
+
+ORACLE_PAIRWISE = ORACLE_PAIRWISE.replace(
+    "           FROM a JOIN b USING (id_a))",
+    "           FROM a JOIN b USING (id_a)),"
+    + _ORACLE_BITEXT_CTES)
 
 
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4377,6 +4442,26 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["lang"])
 
 
+def q_mine_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: margin-based bitext mining end-to-end over the full
+    embeddings corpus (evens = source, odds = target): two strategy-
+    dispatched knn passes, neighborhood averages, candidate union,
+    best-per-src margin mining. The pairwise_metrics gate carries the
+    oracle-checked twin (bitext_tgt/bitext_margin columns)."""
+    from faisssearcher_spark.operators.bitext import mine_bitext
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "embedding")
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "embedding")
+    # mining is all-pairs-dense on BOTH sides (every row is a query) —
+    # the blocked GEMM kernel, not the broadcast-query catalyst plan
+    # whose interpreted per-pair cosine measured ~5x slower here
+    return mine_bitext(src, tgt, k=4, threshold=1.0, score_scale=4,
+                       strategy="blocked")
+
+
 def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: unigram-LM tokenizer end-to-end — EM training over
     the Zipf-small word-type table (driver, bounded like BPE's merge
@@ -4628,6 +4713,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
     "text_maxsim_rerank": q_text_maxsim_rerank,
     "text_unigram_encode": q_text_unigram_encode,
+    "mine_bitext": q_mine_bitext,
     "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
     "text_heavy_hitters": q_text_heavy_hitters,
     "events_hll_rollup": q_events_hll_rollup,
