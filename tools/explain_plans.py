@@ -87,6 +87,15 @@ AUDITS = {
         ("ArrowEvalPython", False,
          "both stages pure Catalyst: prefix dot, rank, exact rescore"),
     ],
+    "mine_bitext": [
+        ("WindowGroupLimit", True,
+         "both knn passes bound their per-query candidates below the "
+         "exchange; the n×m margin space never materializes"),
+        ("CartesianProduct", False, "no pair blowup"),
+        ("BroadcastHashJoin", True,
+         "neighborhood averages (one double per corpus row) broadcast "
+         "into the margin join"),
+    ],
     "text_maxsim_rerank": [
         ("BroadcastHashJoin", True,
          "token vectors attach through broadcast vocab joins — the "
