@@ -75,3 +75,60 @@ def test_opq_rotation_is_orthonormal_for_any_shape(n, m, dsub, seed):
     assert np.allclose(rot @ rot.T, np.eye(d), atol=1e-9)
     assert books.shape == (m, 4, dsub)
     assert np.isfinite(books).all()
+
+
+@st.composite
+def word_and_pieces(draw):
+    word = draw(st.text(alphabet="abcd", min_size=1, max_size=10))
+    # arbitrary piece table: random substrings of the word + noise
+    subs = {word[i:j] for i in range(len(word))
+            for j in range(i + 1, min(i + 4, len(word)) + 1)}
+    chosen = draw(st.lists(st.sampled_from(sorted(subs)), max_size=8))
+    noise = draw(st.lists(st.text(alphabet="abcd", min_size=1,
+                                  max_size=3), max_size=4))
+    logps = {}
+    for p in chosen + noise:
+        logps[p] = draw(st.floats(min_value=-20.0, max_value=-0.1,
+                                  allow_nan=False))
+    return word, logps
+
+
+@settings(max_examples=200, deadline=None)
+@given(wp=word_and_pieces())
+def test_unigram_viterbi_lossless_optimal_deterministic(wp):
+    """viterbi_segment over ARBITRARY piece tables: concatenation
+    rebuilds the word, the chosen path's score is the max over every
+    feasible segmentation (brute-forced), and the call is a pure
+    function of its inputs."""
+    import itertools
+
+    from faisssearcher_spark.operators.unigram import (UNK_LOGP,
+                                                       viterbi_segment)
+
+    word, logps = wp
+    K = 3
+    out = viterbi_segment(word, logps, K)
+    assert "".join(out) == word
+    assert viterbi_segment(word, logps, K) == out
+
+    def score(pieces):
+        s = 0.0
+        for p in pieces:
+            lp = logps.get(p)
+            if lp is None:
+                if len(p) == 1:
+                    lp = UNK_LOGP
+                else:
+                    return None
+            s += lp
+        return s
+
+    got = score(out)
+    n = len(word)
+    best = max(
+        (score([word[a:b] for a, b in zip(pos, pos[1:])])
+         for cuts in itertools.product([0, 1], repeat=n - 1)
+         for pos in [[0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]]
+         if all(b - a <= K for a, b in zip(pos, pos[1:]))),
+        key=lambda s: -float("inf") if s is None else s)
+    assert got == best
