@@ -17,10 +17,17 @@ optionally restricted to each source's best target (``best_per_src``).
 Spark-first composition — no new kernel: two :func:`knn_join` calls
 (each strategy-dispatched like any other search, so the corpus sides
 scale exactly as vector search does), two per-id averages (partial-
-aggregable), one union-distinct of candidate pairs, and two broadcast
-joins to attach the neighborhood averages (id-keyed, corpus-row-sized
-— broadcast while they fit, and they are one double per row). The
-O(|X|·|Y|) pair space is never formed; pair volume is ≤ k·(|X|+|Y|).
+aggregable), one union-distinct of candidate pairs, and two id-keyed
+equi-joins to attach the neighborhood averages. The averages are one
+``(id, double)`` row per CORPUS sentence — small per row but corpus-
+PROPORTIONAL, so the join is broadcast only when the engine's size
+estimate says the frame fits (``avg_broadcast_cap_bytes``, same
+dispatch discipline as ``knn_join._auto_strategy``); above the cap the
+hint is omitted and the join shuffles on the id — at CCMatrix-scale
+corpora (10⁸-10⁹ sentences) an unconditional broadcast hint would
+build a ≥10 GB table on every executor and fail the job (r7 verdict
+item #1). The O(|X|·|Y|) pair space is never formed; pair volume is
+≤ k·(|X|+|Y|).
 """
 
 from __future__ import annotations
@@ -31,6 +38,37 @@ from pyspark.sql import functions as F
 from faisssearcher_spark.operators.knn import knn_join
 
 __all__ = ["margin_scores", "mine_bitext"]
+
+#: broadcast the per-id neighborhood-average frames only below this
+#: Catalyst size estimate (the knn QUERY_BROADCAST_CAP_BYTES order —
+#: every executor holds a broadcast in memory). Above it (or when the
+#: estimate is unknown) the join shuffles; both plans are exact.
+AVG_BROADCAST_CAP_BYTES = 64 << 20
+
+
+def _maybe_broadcast(avg_df: DataFrame, input_df: DataFrame,
+                     cap: int | None) -> DataFrame:
+    """Hint broadcast on a neighborhood-average frame only when the
+    CORPUS side it derives from fits the cap.
+
+    The avg frame is exactly one ``(id, double)`` row per input row —
+    strictly smaller than the input projection (which carries the
+    vector) — so "input estimate ≤ cap ⟹ avg frame fits" is sound.
+    The avg frame's own post-join/window Catalyst estimate is useless
+    here (join multipliers inflate it ~1000× even at test scale), while
+    a parquet-scan projection estimate is the one Catalyst gets right.
+    Unknown estimates count as too big (guessing small risks an
+    executor OOM — the knn `_auto_strategy` rule); above the cap the
+    join shuffles, and AQE may still broadcast at runtime from the
+    frame's TRUE size."""
+    from faisssearcher_spark.operators.knn import _plan_size_bytes
+
+    if cap is None:
+        return avg_df
+    size = _plan_size_bytes(input_df)
+    if size is not None and size <= cap:
+        return F.broadcast(avg_df)
+    return avg_df
 
 
 def margin_scores(
@@ -44,6 +82,7 @@ def margin_scores(
     tgt_vec_col: str = "embedding",
     strategy: str = "auto",
     score_scale: int | None = None,
+    avg_broadcast_cap_bytes: int | None = AVG_BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """``(src_id, tgt_id, cos_sim, margin)`` for every forward or
     backward k-NN candidate pair.
@@ -52,7 +91,16 @@ def margin_scores(
     normalizer (the paper uses one k for both). Margins are computed
     with the candidate's exact cosine; neighborhood averages use each
     side's top-k cosines — including the candidate itself when it is a
-    neighbor, per the reference formulation."""
+    neighbor, per the reference formulation.
+
+    The ratio margin assumes positive-similarity space (the paper's
+    setting: LASER-style embeddings where neighborhoods average well
+    above zero). A pair whose neighborhood-average denominator is not
+    strictly positive (zero vectors, anti-correlated corners) gets a
+    NULL margin rather than a sign-flipped score — callers filtering
+    ``margin >= threshold`` drop such pairs, which is the only sane
+    reading of "stands out of its neighborhood" when the neighborhood
+    itself is degenerate."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
     s = src.select(F.col(src_id_col).alias("__sid"),
@@ -92,13 +140,16 @@ def margin_scores(
             .groupBy("__sid", "__tid")
             .agg(F.max("cos_sim").alias("cos_sim")))
 
-    margin = F.col("cos_sim") / ((F.col("__s_avg") + F.col("__t_avg"))
-                                 / F.lit(2.0))
+    denom = (F.col("__s_avg") + F.col("__t_avg")) / F.lit(2.0)
+    # NULL (not a flipped sign) when the neighborhood average degenerates
+    margin = F.when(denom > 0.0, F.col("cos_sim") / denom)
     if score_scale is not None:
         margin = F.round(margin, score_scale)
     return (cand
-            .join(F.broadcast(src_avg), "__sid")
-            .join(F.broadcast(tgt_avg), "__tid")
+            .join(_maybe_broadcast(src_avg, s, avg_broadcast_cap_bytes),
+                  "__sid")
+            .join(_maybe_broadcast(tgt_avg, t, avg_broadcast_cap_bytes),
+                  "__tid")
             .select(F.col("__sid").alias(src_id_col),
                     F.col("__tid").alias(tgt_id_col),
                     "cos_sim", margin.alias("margin")))
@@ -117,14 +168,18 @@ def mine_bitext(
     tgt_vec_col: str = "embedding",
     strategy: str = "auto",
     score_scale: int | None = None,
+    avg_broadcast_cap_bytes: int | None = AVG_BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """Mined pairs: margin ≥ ``threshold``, optionally only each
     source's best-margin target (``best_per_src`` — the max-score
-    mining mode; ties break on tgt id for determinism)."""
+    mining mode; ties break on tgt id for determinism). Pairs with a
+    degenerate (non-positive) neighborhood denominator carry a NULL
+    margin and never pass the threshold filter."""
     scored = margin_scores(
         src, tgt, k=k, src_id_col=src_id_col, tgt_id_col=tgt_id_col,
         src_vec_col=src_vec_col, tgt_vec_col=tgt_vec_col,
-        strategy=strategy, score_scale=score_scale)
+        strategy=strategy, score_scale=score_scale,
+        avg_broadcast_cap_bytes=avg_broadcast_cap_bytes)
     out = scored.filter(F.col("margin") >= threshold)
     if best_per_src:
         w = Window.partitionBy(src_id_col).orderBy(

@@ -412,11 +412,15 @@ _ORACLE_BITEXT_CTES = f"""
                  UNION ALL SELECT sid, tid, c FROM bbwd WHERE rn <= 4)
                GROUP BY sid, tid),
      bmar AS (SELECT sid, tid,
-                     round(c / ((sa + ta) / 2), 4) AS m
+                     round(CASE WHEN (sa + ta) / 2 > 0
+                                THEN c / ((sa + ta) / 2) END, 4) AS m
               FROM bcand JOIN bsa USING (sid) JOIN bta USING (tid)),
+     -- WHERE replays mine_bitext exactly: the threshold filter
+     -- (margin >= 0 at the gate's threshold=0.0; NULL = degenerate
+     -- denominator) applies BEFORE the best-per-src window
      bbest AS (SELECT sid, tid, m, row_number() OVER
                  (PARTITION BY sid ORDER BY m DESC, tid ASC) AS rn
-               FROM bmar)"""
+               FROM bmar WHERE m >= 0)"""
 
 ORACLE_PAIRWISE = ORACLE_PAIRWISE.replace(
     "           FROM a JOIN b USING (id_a))",

@@ -92,6 +92,40 @@ class TestMineBitext:
         for r in hi.collect():
             assert r["margin"] >= 1.2
 
+    def test_degenerate_neighborhood_margin_is_null(self, spark):
+        """Anti-correlated corpora: every neighborhood average is -1, so
+        the ratio denominator is negative — the margin must be NULL (not
+        a sign-flipped score) and mining must drop the pair."""
+        src = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "src_id long, embedding array<double>")
+        tgt = spark.createDataFrame(
+            [(1, [-1.0, 0.0])], "tgt_id long, embedding array<double>")
+        rows = margin_scores(src, tgt, k=1).collect()
+        assert len(rows) == 1 and rows[0]["margin"] is None
+        assert mine_bitext(src, tgt, k=1, threshold=-100.0).count() == 0
+
+    def test_avg_join_broadcast_is_size_dispatched(self, embeddings):
+        """The neighborhood-average frames are corpus-proportional: the
+        broadcast hint must vanish above the cap (r7 verdict #1 — an
+        unconditional hint OOMs at CCMatrix corpus sizes) and the mined
+        answer must not depend on the join strategy."""
+        from faisssearcher_spark.plans.inspect import (
+            broadcast_exchange_subtrees)
+
+        src, tgt = _corpora(embeddings)
+        hinted = mine_bitext(src, tgt, k=4, threshold=0.0, score_scale=4)
+        capped = mine_bitext(src, tgt, k=4, threshold=0.0, score_scale=4,
+                             avg_broadcast_cap_bytes=0)
+        # the avg subtree aggregates sim_val — above the cap no broadcast
+        # may carry it (knn's own broadcasts never touch that column)
+        assert any("sim_val" in s
+                   for s in broadcast_exchange_subtrees(hinted))
+        assert not any("sim_val" in s
+                       for s in broadcast_exchange_subtrees(capped))
+        key = ["src_id", "tgt_id", "margin"]
+        assert sorted(map(tuple, hinted.select(*key).collect())) == \
+            sorted(map(tuple, capped.select(*key).collect()))
+
     def test_planted_translation_pair_mines_first(self, spark,
                                                   embeddings):
         """A src vector that IS a tgt vector (the translated pair) must

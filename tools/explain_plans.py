@@ -93,8 +93,9 @@ AUDITS = {
          "exchange; the n×m margin space never materializes"),
         ("CartesianProduct", False, "no pair blowup"),
         ("BroadcastHashJoin", True,
-         "neighborhood averages (one double per corpus row) broadcast "
-         "into the margin join"),
+         "neighborhood averages broadcast into the margin join — "
+         "size-dispatched on the input corpus estimate (above the cap "
+         "the hint is omitted and the join shuffles; r7 verdict #1)"),
     ],
     "text_maxsim_rerank": [
         ("BroadcastHashJoin", True,
