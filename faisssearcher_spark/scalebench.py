@@ -210,6 +210,11 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # absolute gap prices the mitigation.
         "skew_join_plain": lambda: _skew_join(docs, salted=False),
         "skew_join_salted": lambda: _skew_join(docs, salted=True),
+        # margin-based bitext mining over planted translations: both
+        # corpus sides grow with the sweep, candidates ∝ k·(n+m), and
+        # the size-dispatched margin join (r7 verdict #1) gets exercised
+        # at a scale point where the averages still fit the cap
+        "mine_bitext": lambda: _bitext_planted(emb),
     }
 
 
@@ -230,6 +235,28 @@ def _hamming_planted(docs: DataFrame) -> DataFrame:
         .otherwise(base.bitwiseXOR(flip))
     fps = docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
     return hamming_pairs(fps, bits=64, max_hamming=3)
+
+
+def _bitext_planted(emb: DataFrame) -> DataFrame:
+    """Planted-translation bitext mining over the (scaled) embeddings:
+    tgt is an exact copy of the corpus under offset ids, so every src
+    sentence's best-margin pair is its twin (cos = 1 and the
+    neighborhood averages never exceed 1, so the twin's margin ≥ 1 ≥
+    every hub's) — mined rows == corpus rows exactly, at every scale
+    point, which makes the leg self-verifying. Times the full mining
+    path: two corpus-sized knn_joins (strategy-dispatched), the
+    neighborhood averages, candidate union-distinct, the
+    size-dispatched margin join, and the best-per-src window."""
+    from faisssearcher_spark.operators.bitext import mine_bitext
+
+    src = emb.select(F.col("vec_id").alias("src_id"), "embedding")
+    tgt = emb.select((F.col("vec_id") + 10_000_000).alias("tgt_id"),
+                     "embedding")
+    # strategy pinned to the big-corpus quadrant (block × shard GEMM):
+    # auto would pick the catalyst pure-plan path at sweep sizes, whose
+    # n² codegen dot is NOT the plan a CCMatrix-scale corpus runs
+    return mine_bitext(src, tgt, k=4, threshold=1.0, best_per_src=True,
+                       strategy="grid")
 
 
 def _skew_join(docs: DataFrame, *, salted: bool,

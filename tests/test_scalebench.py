@@ -127,6 +127,23 @@ def test_hamming_planted_pairs_grow_linearly(documents, docs2):
     assert _hamming_planted(docs2).count() == (2 * n) // 2
 
 
+def test_bitext_planted_mines_every_twin(embeddings, emb3):
+    """The mine_bitext sweep leg (r7 verdict #6): tgt is an exact copy
+    of the corpus, so every src mines its twin and mined rows == corpus
+    rows at every scale point — output linearity is provable, not
+    statistical."""
+    from faisssearcher_spark.scalebench import _bitext_planted
+
+    n = embeddings.count()
+    p1 = _bitext_planted(embeddings)
+    assert p1.count() == n
+    # the planted twin (offset id) outranks every hub for most sources;
+    # exact-duplicate corpus vectors can tie it, so pin a strong majority
+    twin = p1.filter(F.col("tgt_id") == F.col("src_id") + 10_000_000)
+    assert twin.count() >= int(0.9 * n)
+    assert _bitext_planted(emb3).count() == 3 * n
+
+
 def test_skew_join_legs_answer_invariant(documents):
     """The skew sweep legs (r7 NOTES lead #5): plain and salted joins
     over the 30%-hot-key fact must produce identical per-key aggregates
