@@ -73,9 +73,15 @@ _FUNCTIONS: "list[tuple[str, str, str, str]]" = [
      "(CASE WHEN x > 0.0 THEN x * ln(2.0 * x / (x + y)) ELSE 0.0 END) + "
      "(CASE WHEN y > 0.0 THEN y * ln(2.0 * y / (x + y)) ELSE 0.0 END)), "
      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    # the norm is staged through array_repeat + zip_with, NOT referenced
+    # inside a transform lambda: Catalyst does not CSE inside
+    # higher-order-function lambdas, so `transform(a, x -> x / norm(a))`
+    # re-runs the O(k) aggregate per element — O(k²) per vector (the
+    # trap the Column API's l2_normalize documents)
     ("fs_l2_normalize", "a ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
      f"CASE WHEN {_NRM.format(v='a')} = 0.0 THEN a "
-     f"ELSE transform(a, x -> x / {_NRM.format(v='a')}) END"),
+     f"ELSE zip_with(a, array_repeat({_NRM.format(v='a')}, size(a)), "
+     f"(x, n) -> x / n) END"),
     # -- dedup-key text functions (functions/text.py twins) ---------------
     ("fs_tokens", "t STRING", "ARRAY<STRING>", _TOKS),
     ("fs_token_count", "t STRING", "INT", f"size({_TOKS})"),
@@ -100,10 +106,13 @@ _FUNCTIONS: "list[tuple[str, str, str, str]]" = [
      "aggregate(zip_with(a, b, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
      " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
     # Matryoshka prefix + renormalize (functions/vector.mrl_truncate
-    # twin; zero-norm -> NaN like the Column API's default)
+    # twin; zero-norm -> NaN like the Column API's default). Same
+    # HOF-CSE staging as fs_l2_normalize: the prefix norm is computed
+    # once outside the lambda, not O(k) per element.
     ("fs_mrl", "a ARRAY<DOUBLE>, k INT", "ARRAY<DOUBLE>",
-     f"transform(slice(a, 1, k), "
-     f"x -> x / {_NRM.format(v='slice(a, 1, k)')})"),
+     f"zip_with(slice(a, 1, k), "
+     f"array_repeat({_NRM.format(v='slice(a, 1, k)')}, "
+     f"size(slice(a, 1, k))), (x, n) -> x / n)"),
 ]
 
 

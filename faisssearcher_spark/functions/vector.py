@@ -236,11 +236,29 @@ def quantize_f16(c: ColumnOrName) -> Column:
     """``array<smallint>`` of IEEE 754 binary16 bit patterns — round to
     nearest even, gradual underflow, saturating overflow. Codes match
     ``numpy.float16(x).view(numpy.int16)`` bit-for-bit on non-overflow
-    inputs (pinned in tests/test_vector_f16.py)."""
+    inputs (pinned in tests/test_vector_f16.py).
+
+    Non-finite inputs are clamped, not left to garbage-encode (the
+    floor(log2(·)) exponent math overflows on ±Inf in non-ANSI mode):
+    NaN → the canonical quiet-NaN pattern 0x7E00 (numpy's), ±Inf →
+    ±65504 — the same saturate-to-max-finite rule as finite overflow,
+    a deliberate deviation from numpy's inf-preserving cast so decode
+    always returns finite values for non-NaN input."""
     v = as_double(c)
-    return F.transform(
-        F.transform(F.transform(v, _f16_stage1), _f16_stage2),
+    inf = F.lit(float("inf"))
+    # non-finite elements take a safe 0.0 through the stages (their
+    # codes are patched below); everything else is untouched
+    sane = F.transform(v, lambda x: F.when(
+        F.isnan(x) | (F.abs(x) == inf), F.lit(0.0)).otherwise(x))
+    codes = F.transform(
+        F.transform(F.transform(sane, _f16_stage1), _f16_stage2),
         _f16_stage3)
+    return F.zip_with(
+        v, codes,
+        lambda x, code: F.when(F.isnan(x), F.lit(0x7E00))
+        .when(x == inf, F.lit(0x7BFF))
+        .when(x == -inf, F.lit(0xFBFF - 0x10000))
+        .otherwise(code).cast("smallint"))
 
 
 def dequantize_f16(c: ColumnOrName) -> Column:

@@ -188,8 +188,15 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame | None = None, *,
     if clusters is None:
         from faisssearcher_spark.operators.dedup import dedup_clusters
         clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
-    cl = clusters.select(F.col("id").alias("__ls_id"),
-                         F.col("cluster_id").alias("__ls_cluster"))
+    # one cluster per id, deterministically (min) — dedup_clusters output
+    # is already unique, but a user-supplied clusters frame with
+    # duplicate ids would otherwise silently DUPLICATE corpus rows
+    # through the left join (and dropDuplicates would pick an arbitrary
+    # survivor, making the split tag run-dependent)
+    cl = (clusters.select(F.col("id").alias("__ls_id"),
+                          F.col("cluster_id").alias("__ls_cluster"))
+          .groupBy("__ls_id")
+          .agg(F.min("__ls_cluster").alias("__ls_cluster")))
     out = df.join(cl, df[key_col] == cl["__ls_id"], "left").drop("__ls_id")
     group = F.coalesce(F.col("__ls_cluster").cast("string"),
                        F.col(key_col).cast("string"))

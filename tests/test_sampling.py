@@ -459,6 +459,20 @@ class TestLeakageSafeSplit:
         assert rows[1] == 0 and rows[11] == 10
         assert rows[5] is None            # singleton: no cluster id
 
+    def test_duplicate_cluster_ids_do_not_duplicate_rows(self, spark,
+                                                         documents):
+        """A user-supplied clusters frame with duplicate ids must not
+        fan out corpus rows through the left join; the survivor cluster
+        is the MIN (deterministic, not dropDuplicates-arbitrary)."""
+        dup = spark.createDataFrame(
+            [(1, 7), (1, 3), (2, 3)], "id long, cluster_id long")
+        out = sampling.leakage_safe_split(
+            documents, clusters=dup, key_col="doc_id",
+            test_fraction=0.5, keep_cluster_col="cid")
+        assert out.count() == documents.count()
+        rows = {r["doc_id"]: r["cid"] for r in out.collect()}
+        assert rows[1] == 3 and rows[2] == 3
+
     def test_validation(self, documents, pairs):
         with pytest.raises(ValueError, match="exactly one"):
             sampling.leakage_safe_split(documents, key_col="doc_id")

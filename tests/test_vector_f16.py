@@ -97,6 +97,21 @@ class TestCodecChoices:
                                            1.1 * 2.0 ** -25])
         assert codes.tolist() == [0, 0, 1]
 
+    def test_non_finite_inputs_clamp_not_garbage(self, spark):
+        """NaN -> canonical quiet-NaN pattern (numpy's 0x7E00); ±Inf ->
+        ±65504 by the same saturate rule as finite overflow. Without the
+        clamp, floor(log2(inf)) wrapped in the non-ANSI int cast and
+        produced arbitrary bit patterns."""
+        import math
+
+        codes, dec, _ = _spark_codes(
+            spark, [math.inf, -math.inf, math.nan, 1.5])
+        assert codes.tolist()[:2] == [0x7BFF, -1025]
+        assert codes.tolist()[2] == 0x7E00
+        assert codes.tolist()[3] == np.float16(1.5).view(np.int16)
+        assert dec.tolist()[:2] == [65504.0, -65504.0]
+        assert math.isnan(dec.tolist()[2])
+
     def test_null_propagates(self, spark):
         df = spark.createDataFrame([(0, None)], "id long, v array<double>")
         assert df.select(quantize_f16("v").alias("q")).first()["q"] is None
