@@ -11,31 +11,41 @@ per side; late interaction keeps one vector PER TOKEN and scores
 — each query token matches its best doc token, so partial/reordered
 overlap scores higher than pooled cosine allows. Here the stage is
 engine surface on top of the Encoder protocol: any encoder exposing
-``spark_expr`` (pure-Catalyst text → vector) supplies the token
-vectors; the deterministic :class:`HashingEncoder` is the default, so
-the whole retrieve→maxsim pipeline is oracle-checkable in DuckDB
-(same md5 token components, same normalize/dot association order).
+``spark_expr`` (pure-Catalyst text → vector, composable over a Column)
+supplies the token vectors; the deterministic :class:`HashingEncoder`
+is the default, so the whole retrieve→maxsim pipeline is
+oracle-checkable in DuckDB (same md5 token components, same
+normalize/dot association order).
 
 Scale shape (the rerank quadrant — never applied to the corpus):
 
-- the candidate set is ≤ queries·k rows from a first stage
-  (knn_join / BM25 / ANN), so every frame here is candidate-sized;
-- token vectors are computed ONCE per distinct token of the candidate
-  set (one Zipf-small vocab frame, broadcast into the token joins —
-  never one encode per (pair, token) occurrence);
-- the |Q|·|D| token interaction materializes per pair — bounded by
-  per-doc token counts, independent of corpus size — and reduces
-  through two partial-aggregable groupBys (max per query token, then
-  sum per pair). No window over the expansion, no Python in the plan;
-- the expansion is keyed on md5 text fingerprints, never the texts
-  themselves — document strings are not multiplied through the
-  |Q|·|D| shuffle.
+- the candidate set is ≤ queries·k rows from a first stage (knn_join /
+  BM25 / ANN), so the only frame here is the candidate frame itself;
+- the whole interaction is ONE ROW-LOCAL expression: per pair, both
+  sides' distinct-token vector arrays are built once (encode + L2
+  normalize inside an array ``transform``) and the |Q|·|D| dot/max/sum
+  reduces through nested higher-order functions. No token explode, no
+  vocab frame, no joins, no groupBys — ZERO shuffles before the
+  caller's rank window. The previous row-expansion design (distinct →
+  vocab → two broadcast joins → two groupBys → join-back) produced the
+  same numbers through ~10 micro-stages whose scheduling overhead
+  dominated candidate-sized inputs (r7 verdict: 4.8 s isolated for a
+  100k-row interaction whose data cost is milliseconds);
+- the token-vector arrays are staged through a one-element
+  ``explode(array(struct(...)))``: the Generate node is a projection
+  barrier Catalyst will not collapse, so each side's encode binds
+  exactly ONCE per row — referenced directly inside the interaction
+  lambdas, ``CollapseProject`` + the no-CSE-inside-HOF-lambdas rule
+  would re-encode the doc's tokens once per QUERY token (the
+  l2_normalize O(k²) trap, one level up);
+- nested HOFs are CodegenFallback (interpreted), but the per-element
+  work amortizes the per-expression overhead that made the OLD design's
+  row-at-a-time array dot slow: the interaction loops run inside one
+  expression evaluation per pair, not one evaluation per expanded row.
 
-The ``candidates`` frame is referenced by several subplans (pair keys,
-each side's token frame, the final score join-back); pass a
-materialized/cheap frame — first stages here are top-k outputs small
-enough to land as literals (the registry's ``_landed`` pattern) or to
-persist at the caller.
+Cost is |Q|·|D|·dim per pair — bounded by per-doc token counts,
+independent of corpus size, exactly the quantity the rerank stage
+budgets by choosing k.
 """
 
 from __future__ import annotations
@@ -49,18 +59,12 @@ from faisssearcher_spark.functions.vector import l2_normalize
 __all__ = ["maxsim_score", "maxsim_rerank"]
 
 
-def _side_tokens(texts: DataFrame, out_text: str, out_tok: str) -> DataFrame:
-    """(text) -> one row per DISTINCT whitespace token of each text.
-
-    ``explode_outer`` + attribute filter, not ``explode``: pushdown would
-    otherwise inline the split expression into generated filters (the
-    NOTES.md InferFiltersFromGenerate trap), and texts with no tokens
-    must simply produce no rows (their pairs coalesce to score 0)."""
-    return (texts
-            .select(F.col("__text").alias(out_text),
-                    F.explode_outer(F.array_distinct(tokens("__text")))
-                     .alias(out_tok))
-            .filter(F.col(out_tok).isNotNull()))
+def _token_vecs(col: Column, encoder) -> Column:
+    """array<array<double>> — one L2-normalized vector per DISTINCT
+    whitespace token of the text (first-occurrence order; NULL text →
+    NULL, guarded by the caller's empty-side CASE)."""
+    return F.transform(F.array_distinct(tokens(col)),
+                       lambda t: l2_normalize(encoder.spark_expr(t)))
 
 
 def maxsim_score(
@@ -79,13 +83,12 @@ def maxsim_score(
     Input is any frame of ``(query_col, cand_col, *extra)`` rows —
     typically a first-stage retrieval output. Every input column is
     kept; ``score_col`` is added. A pair where EITHER side has no
-    tokens realizes no interactions and coalesces to 0.0; otherwise
-    every query token meets every doc token by construction.
+    tokens scores 0.0; otherwise every query token meets every doc
+    token inside one row-local expression (module docstring).
 
     ``encoder`` must expose ``spark_expr(col) -> Column`` producing a
-    fixed-width array<double> of exactly ``dim`` components (the
-    interaction unpacks that many scalar columns); default is
-    ``HashingEncoder(dim=dim)``.
+    fixed-width array<double> from a (single-token) text column;
+    default is ``HashingEncoder(dim=dim)``.
     ``score_scale`` rounds the final sum (4 recommended cross-engine:
     per-token maxes are exact comparisons of identically-associated
     dots, the sum carries only ulp-order drift, the round absorbs it).
@@ -94,65 +97,33 @@ def maxsim_score(
         from faisssearcher_spark.encoders.mock import HashingEncoder
         encoder = HashingEncoder(dim=dim)
 
-    # the token expansion below multiplies each pair by |Q|·|D| rows;
-    # keying it on the raw texts would shuffle every document string
-    # |Q|·|D| times. md5 fingerprints (deterministic, collision-free at
-    # rerank cardinalities) are the expansion/grouping keys instead —
-    # texts travel only in the vocab-sized side frames and the final
-    # candidate join-back.
-    qk, dk = F.md5(F.col(query_col)), F.md5(F.col(cand_col))
-    pairs = candidates.select(qk.alias("__q_id"), dk.alias("__d_id")) \
-        .distinct()
-    q_texts = candidates.select(F.col(query_col).alias("__text")) \
-        .distinct()
-    d_texts = candidates.select(F.col(cand_col).alias("__text")) \
-        .distinct()
-    qt = _side_tokens(q_texts, "__q_text", "__tok")
-    dt = _side_tokens(d_texts, "__d_text", "__tok")
+    # one-element explode = a Generate barrier: both token-vector
+    # arrays evaluate exactly once per row (see module docstring)
+    staged = candidates.select(
+        "*",
+        F.explode(F.array(F.struct(
+            _token_vecs(F.col(query_col), encoder).alias("q"),
+            _token_vecs(F.col(cand_col), encoder).alias("d"),
+        ))).alias("__vecs"))
+    q_arr, d_arr = F.col("__vecs").getField("q"), \
+        F.col("__vecs").getField("d")
 
-    # one encode per distinct token of the candidate set; normalized
-    # here so the per-interaction cosine below is a plain dot
-    vocab = (qt.select("__tok").union(dt.select("__tok")).distinct()
-             .withColumn("__vec", l2_normalize(encoder.spark_expr("__tok"))))
+    def dot(q: Column, d: Column) -> Column:
+        # left fold from 0.0 in index order — bitwise the chain the
+        # metric library computes and the DuckDB oracle replays
+        return F.aggregate(F.zip_with(q, d, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
 
-    # the normalized vectors are UNPACKED to scalar columns here: the
-    # array dot (aggregate ∘ zip_with) is CodegenFallback, and running
-    # it interpreted per expansion row measured ~5 s on a 500k-row
-    # interaction where the scalar multiply-add chain — whole-stage
-    # codegen — is sub-second. 0.0 + x == x, so the chain is bitwise
-    # the fold the metric library computes.
-    q_side = qt.join(F.broadcast(vocab), "__tok").select(
-        F.md5("__q_text").alias("__q_id"),
-        F.col("__tok").alias("__q_tok"),
-        *[F.element_at("__vec", j + 1).alias(f"__q{j}")
-          for j in range(dim)])
-    d_side = dt.join(F.broadcast(vocab), "__tok").select(
-        F.md5("__d_text").alias("__d_id"),
-        F.col("__tok").alias("__d_tok"),
-        *[F.element_at("__vec", j + 1).alias(f"__d{j}")
-          for j in range(dim)])
-
-    dot: Column = F.lit(0.0)
-    for j in range(dim):
-        dot = dot + F.col(f"__q{j}") * F.col(f"__d{j}")
-    expanded = (pairs
-                .join(q_side, "__q_id")
-                .join(d_side, "__d_id")
-                .withColumn("__dot", dot))
-    per_qtok = expanded.groupBy("__q_id", "__d_id", "__q_tok") \
-        .agg(F.max("__dot").alias("__m"))
-    score: Column = F.sum("__m")
+    best = lambda q: F.array_max(  # noqa: E731 — reads as the formula
+        F.transform(d_arr, lambda d: dot(q, d)))
+    score: Column = F.aggregate(q_arr, F.lit(0.0),
+                                lambda acc, q: acc + best(q))
+    score = F.when((F.coalesce(F.size(q_arr), F.lit(0)) == 0)
+                   | (F.coalesce(F.size(d_arr), F.lit(0)) == 0),
+                   F.lit(0.0)).otherwise(score)
     if score_scale is not None:
         score = F.round(score, score_scale)
-    scores = per_qtok.groupBy("__q_id", "__d_id") \
-        .agg(score.alias(score_col))
-
-    out = (candidates
-           .withColumn("__q_id", qk).withColumn("__d_id", dk)
-           .join(scores, ["__q_id", "__d_id"], "left")
-           .drop("__q_id", "__d_id"))
-    return out.withColumn(score_col, F.coalesce(F.col(score_col),
-                                                F.lit(0.0)))
+    return staged.withColumn(score_col, score).drop("__vecs")
 
 
 def maxsim_rerank(

@@ -130,9 +130,24 @@ class TestMaxsimPlan:
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
 
-    def test_vocab_joins_broadcast(self, candidates):
-        """Token-vector attachment must broadcast the vocab — a
-        sort-merge/shuffle-hash join there would shuffle the candidate
-        token expansion on token value (Zipf-hot keys)."""
+    def test_scoring_is_shuffle_free(self, spark):
+        """The whole interaction is one row-local expression (r8
+        redesign): no joins, no aggregates, no Exchange anywhere in the
+        scoring plan — the only shuffle in the rerank path is the
+        caller's rank window. (A literal input frame so the plan shows
+        ONLY what maxsim_score adds.)"""
+        flat = spark.createDataFrame(
+            [("a b", "b c")], "source_item string, sim_item string")
+        plan = inspect.executed_plan(maxsim_score(flat))
+        for op in ("Exchange", "Join", "HashAggregate", "SortAggregate"):
+            assert op not in plan, op
+
+    def test_token_vec_arrays_bind_once(self, candidates):
+        """The Generate barrier must survive optimization: if
+        CollapseProject inlined the token-vector arrays into the
+        interaction lambdas, the doc encode would re-run once per query
+        token (the HOF-CSE trap). One Generate node, and the md5 token
+        encode must appear in the Generate's projection, not in the
+        scoring projection above it."""
         plan = inspect.executed_plan(maxsim_score(candidates))
-        assert plan.count("BroadcastHashJoin") >= 2
+        assert plan.count("Generate explode") == 1

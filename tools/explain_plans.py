@@ -98,9 +98,10 @@ AUDITS = {
          "the hint is omitted and the join shuffles; r7 verdict #1)"),
     ],
     "text_maxsim_rerank": [
-        ("BroadcastHashJoin", True,
-         "token vectors attach through broadcast vocab joins — the "
-         "|Q|·|D| expansion never shuffles on token value"),
+        ("Generate explode", True,
+         "token-vector arrays bind once per row behind the one-element "
+         "explode barrier; the whole |Q|·|D| interaction is row-local "
+         "(r8 redesign — no vocab frame, no joins, no groupBys)"),
         ("ArrowEvalPython", False,
          "token encode, interaction dot, max and sum all stay in the "
          "JVM plan"),
