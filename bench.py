@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     # flagship minhash gate, which then reuses the memoized arc rows —
     # per-query cold numbers stay attributable (r6 verdict #7)
     "dedup_incremental_screen",
+    "dedup_estore_screen",
     "dedup_minhash_lsh",
     "dedup_simhash_fingerprint",
     "dedup_embedding_cosine",

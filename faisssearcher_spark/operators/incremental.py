@@ -438,10 +438,20 @@ class EmbeddingStore(_IncrementalStore):
                         F.col("k.id").alias("known_id"),
                         F.col("k.code").alias("__kc"))
                 .dropDuplicates(["new_id", "known_id"]))
-        score = M.cosine(F.col("__nv"), dequantize_f16("__kc"))
+        # the decoded history vector feeds BOTH the dot and the norm
+        # inside cosine, and Catalyst does not CSE across those
+        # aggregate branches — stage the decode once per candidate row
+        # behind a one-element explode barrier (the maxsim Generate
+        # idiom) instead of running the 64-element CASE-chain decode
+        # twice
+        staged = (cand.join(new_v, "new_id")
+                  .select("new_id", "known_id", "__nv",
+                          F.explode(F.array(dequantize_f16("__kc")))
+                          .alias("__kv")))
+        score = M.cosine(F.col("__nv"), F.col("__kv"))
         if score_scale is not None:
             score = F.round(score, score_scale)
-        return (cand.join(new_v, "new_id")
+        return (staged
                 .withColumn("cos_sim", score)
                 .filter(F.col("cos_sim") >= threshold)
                 .select("new_id", "known_id", "cos_sim"))

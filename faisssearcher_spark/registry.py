@@ -509,23 +509,18 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mrl, "vec_id")
 
 
-ORACLE_NORMS = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-     p AS (SELECT vec_id, v,
-                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS sd
-           FROM e),
-     c AS (SELECT vec_id, v, sd::REAL AS scale,
-                  list_transform(v, x -> CASE WHEN sd = 0 THEN 0
-                      ELSE round(x / sd)::BIGINT END) AS codes
-           FROM p),
-     -- fp16 encode, staged exactly like functions/vector.quantize_f16:
-     -- (sign, |x|, corrected clamped exponent) -> round-half-even
-     -- mantissa -> bit assembly with mantissa-overflow bump and
-     -- saturating exponent overflow (0x7BFF = 31743).
-     -- `safe` = 1.0 for zeros so log2 never sees 0 (zeros take the
-     -- m = 0 subnormal path whatever e is); rewritten inline because
-     -- lambdas bind no intermediates.
-     f1 AS (SELECT vec_id, list_transform(v, x -> {
+# fp16 encode CTE chain, staged exactly like functions/vector.
+# quantize_f16: (sign, |x|, corrected clamped exponent) ->
+# round-half-even mantissa -> bit assembly with mantissa-overflow bump
+# and saturating exponent overflow (0x7BFF = 31743).
+# `safe` = 1.0 for zeros so log2 never sees 0 (zeros take the m = 0
+# subnormal path whatever e is); rewritten inline because lambdas bind
+# no intermediates. Shared by ORACLE_NORMS (f16_hash/f16_dsum columns)
+# and the EmbeddingStore 'estore' leg oracle (which decodes the codes
+# back for the screen's cosine). __SRC__ must be a CTE exposing
+# (vec_id, v DOUBLE[]); emits __P__1, __P__2 and __P__c (column ``u``:
+# the unsigned 16-bit patterns).
+_F16_CTE_TPL = """__P__1 AS (SELECT vec_id, list_transform(v, x -> {
               's': CASE WHEN x < 0 THEN 1 ELSE 0 END,
               'a': abs(x),
               'e': greatest(CASE
@@ -542,8 +537,8 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                  ELSE floor(log2(CASE WHEN abs(x) = 0 THEN 1.0
                                       ELSE abs(x) END))::INT END,
                  -14) }) AS t
-           FROM e),
-     f2 AS (SELECT vec_id, list_transform(t, q -> {
+           FROM __SRC__),
+     __P__2 AS (SELECT vec_id, list_transform(t, q -> {
               's': q.s, 'e': q.e,
               'm': CASE
                 WHEN q.a * power(2, 10 - q.e)
@@ -555,8 +550,8 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                 ELSE floor(q.a * power(2, 10 - q.e))::BIGINT
                      + floor(q.a * power(2, 10 - q.e))::BIGINT % 2 END })
               AS t
-           FROM f1),
-     fc AS (SELECT vec_id, list_transform(t, q -> CASE
+           FROM __P__1),
+     __P__c AS (SELECT vec_id, list_transform(t, q -> CASE
               WHEN (CASE WHEN q.m = 2048 THEN q.e + 1 ELSE q.e END) > 15
                 THEN q.s * 32768 + 31743
               WHEN (CASE WHEN q.m = 2048 THEN 1024 ELSE q.m END) < 1024
@@ -567,7 +562,23 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                       + 15) * 1024
                    + (CASE WHEN q.m = 2048 THEN 1024 ELSE q.m END) - 1024
               END) AS u
-           FROM f2),
+           FROM __P__2)"""
+
+
+def _f16_u_ctes(src: str, p: str) -> str:
+    return _F16_CTE_TPL.replace("__SRC__", src).replace("__P__", p)
+
+
+ORACLE_NORMS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     p AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS sd
+           FROM e),
+     c AS (SELECT vec_id, v, sd::REAL AS scale,
+                  list_transform(v, x -> CASE WHEN sd = 0 THEN 0
+                      ELSE round(x / sd)::BIGINT END) AS codes
+           FROM p),
+     {_f16_u_ctes('e', 'f')},
      f AS (SELECT vec_id,
                   md5(array_to_string(list_transform(u, x ->
                       (CASE WHEN x >= 32768 THEN x - 65536
@@ -1500,15 +1511,69 @@ WHERE round({_dot('ea.v', 'eb.v')}, 4) >= {threshold}
 """
 
 
+#: EmbeddingStore gate-leg parameters: axis planes (the oracle-trivial
+#: variant), 16 tables × 4 sign bits (= the full 64-dim budget; recalls
+#: all 10 cross-parity ground-truth pairs at sf0.01), cosine ≥ 0.45
+#: (the corpus's near-dup band — there are NO pairs above 0.8 in the
+#: synthetic testdata, so a higher threshold would gate an empty set)
+ESTORE_TABLES, ESTORE_BITS, ESTORE_THRESHOLD = 16, 4, 0.45
+
+#: per-process memo of the estore leg's (deterministic) rows by sf_dir —
+#: same discipline as _INC_LEG_CACHE: the arc's eager store I/O runs
+#: once per corpus per session; the bench entry re-runs it fresh
+_ESTORE_LEG_CACHE: dict[str, list] = {}
+
+
+def _estore_arc_rows(spark: SparkSession, sf_dir: str,
+                     use_memo: bool = True,
+                     tables: int = ESTORE_TABLES,
+                     bits: int = ESTORE_BITS) -> list:
+    """The EmbeddingStore commit→screen arc (operators/incremental.py):
+    even vec_ids commit their axis-plane buckets + fp16 codes to a
+    persisted store, odd vec_ids screen against the DECODED state at
+    cos ≥ ESTORE_THRESHOLD — the full composition (sign-LSH bucketing,
+    f16 encode, parquet round-trip, bucket equi-join, f16 decode,
+    cosine verify) materialized to driver rows. The r7 verdict's one
+    gate-less composition; every stage here is the exact op its DuckDB
+    twin replays (axis buckets are raw coordinate signs, f16 codes are
+    bit-deterministic, the decode is exact integer·2⁻²⁴)."""
+    import tempfile
+
+    from faisssearcher_spark.operators.incremental import EmbeddingStore
+
+    if use_memo and sf_dir in _ESTORE_LEG_CACHE:
+        return _ESTORE_LEG_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory(prefix="estore_gate_") as tmp:
+        store = EmbeddingStore(spark, tmp, dim=64, tables=tables,
+                               bits=bits, planes_mode="axis")
+        store.commit(emb.filter(F.col("vec_id") % 2 == 0))
+        hits = store.screen(emb.filter(F.col("vec_id") % 2 == 1),
+                            threshold=ESTORE_THRESHOLD, score_scale=4)
+        rows = hits.select(
+            F.lit("estore").alias("strategy"),
+            F.col("new_id").alias("id_a"),
+            F.col("known_id").alias("id_b"),
+            F.col("cos_sim")).collect()
+    if (tables, bits) == (ESTORE_TABLES, ESTORE_BITS):
+        # never memoize a differently-parameterized (bench-sized) run
+        # as the gate leg's row set
+        _ESTORE_LEG_CACHE[sf_dir] = rows
+    return rows
+
+
 def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both semantic near-dup strategies over the same corpus and
-    threshold, tag-unioned into one gate row: 'blocked' (exhaustive
-    blocked-GEMM pairs — the recall-1.0 baseline) and 'lsh' (OR-amplified
-    sign-LSH candidate buckets + exact verification — the unbounded-scale
-    path). Each side hash-matches its own oracle: the blocked oracle is
-    the plain all-pairs SQL; the LSH oracle replicates the exact bucket
-    assignment, so candidate generation is checked, not just survivor
-    scores."""
+    """Semantic near-dup strategies over the same corpus and threshold,
+    tag-unioned into one gate row: 'blocked' (exhaustive blocked-GEMM
+    pairs — the recall-1.0 baseline), 'lsh' (OR-amplified sign-LSH
+    candidate buckets + exact verification — the unbounded-scale path),
+    and 'estore' (round 8: the incremental EmbeddingStore commit→screen
+    composition — even half committed as axis-buckets + fp16 codes, odd
+    half screened against the decoded state). Each side hash-matches its
+    own oracle: the blocked oracle is the plain all-pairs SQL; the LSH
+    oracle replicates the exact bucket assignment; the estore oracle
+    replays buckets, f16 encode, DECODE and the screen cosine, so the
+    whole store arc is value-checked cross-engine, not just tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     blocked = dedup.embedding_cosine_pairs(emb, threshold=0.45,
                                            score_scale=4,
@@ -1516,8 +1581,68 @@ def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4,
                                        strategy="lsh", lsh_tables=8,
                                        lsh_bits=4)
+    est_rows = _estore_arc_rows(spark, sf_dir)
+    schema = "strategy string, id_a long, id_b long, cos_sim double"
+    est = spark.createDataFrame(est_rows, schema) if est_rows \
+        else spark.createDataFrame([], schema)
     return (blocked.select(F.lit("blocked").alias("strategy"), "*")
-            .unionByName(lsh.select(F.lit("lsh").alias("strategy"), "*")))
+            .unionByName(lsh.select(F.lit("lsh").alias("strategy"), "*"))
+            .unionByName(est))
+
+
+def _oracle_estore() -> str:
+    """DuckDB twin of the EmbeddingStore arc: axis sign-buckets on the
+    raw coordinates (bit j of table t = sign of coordinate t·bits+j),
+    candidates = (odd, even) pairs sharing any (t, bucket), history
+    side f16-encoded then DECODED (integer mantissa units × 2⁻²⁴ —
+    every decoded half is exactly this double), screen cosine with the
+    same dot/norm association as functions/metrics.cosine, rounded at
+    4dp BEFORE the threshold filter (the screen's score_scale order)."""
+    t, b, thr = ESTORE_TABLES, ESTORE_BITS, ESTORE_THRESHOLD
+    bucket = (f"list_sum(list_transform(range(0, {b}), j -> CASE WHEN "
+              f"embedding[tt.t * {b} + j + 1] >= 0 THEN (1 << j) "
+              f"ELSE 0 END))")
+    return f"""
+WITH en AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 2 = 1),
+     ek AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 2 = 0),
+     ebn AS (SELECT vec_id AS id, tt.t, {bucket} AS bucket
+             FROM embeddings, (SELECT unnest(range(0, {t})) AS t) tt
+             WHERE vec_id % 2 = 1),
+     ebk AS (SELECT vec_id AS id, tt.t, {bucket} AS bucket
+             FROM embeddings, (SELECT unnest(range(0, {t})) AS t) tt
+             WHERE vec_id % 2 = 0),
+     ecand AS (SELECT DISTINCT n.id AS new_id, k.id AS known_id
+               FROM ebn n JOIN ebk k
+                 ON n.t = k.t AND n.bucket = k.bucket),
+     {_f16_u_ctes('ek', 'ef')},
+     edec AS (SELECT vec_id, list_transform(u, x ->
+                 (CASE WHEN x >= 32768 THEN -1.0 ELSE 1.0 END)
+                 * (CASE WHEN (x % 32768) // 1024 = 0
+                         THEN ((x % 32768) % 1024)::DOUBLE
+                         ELSE (((x % 32768) % 1024 + 1024)
+                               * power(2, (x % 32768) // 1024 - 1)) END)
+                 * power(2.0, -24)) AS dv
+              FROM efc),
+     esc AS (SELECT new_id, known_id,
+                    round(CASE WHEN sqrt(list_sum(list_transform(nv.v,
+                               x -> x*x)))
+                             * sqrt(list_sum(list_transform(d.dv,
+                               x -> x*x))) <> 0
+                          THEN list_sum(list_transform(
+                                 range(1, len(nv.v)+1),
+                                 i -> nv.v[i] * d.dv[i]))
+                             / (sqrt(list_sum(list_transform(nv.v,
+                                  x -> x*x)))
+                                * sqrt(list_sum(list_transform(d.dv,
+                                  x -> x*x)))) END, 4) AS cos_sim
+             FROM ecand
+             JOIN en nv ON nv.vec_id = new_id
+             JOIN edec d ON d.vec_id = known_id)
+SELECT 'estore' AS strategy, new_id AS id_a, known_id AS id_b, cos_sim
+FROM esc WHERE cos_sim >= {thr}
+"""
 
 
 def _oracle_emb_neardup_strategies() -> str:
@@ -1525,6 +1650,8 @@ def _oracle_emb_neardup_strategies() -> str:
 SELECT 'blocked' AS strategy, * FROM ({ORACLE_EMB_NEARDUP})
 UNION ALL
 SELECT 'lsh' AS strategy, * FROM ({_oracle_emb_lsh()})
+UNION ALL
+SELECT * FROM ({_oracle_estore()})
 """
 
 
@@ -4682,9 +4809,37 @@ def q_dedup_incremental_screen(spark: SparkSession,
             else spark.createDataFrame([], schema))
 
 
+def q_dedup_estore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the EmbeddingStore commit→screen arc under its own
+    name (the r6 verdict #7 pricing discipline, applied to the r8
+    'estore' gate leg) — bucket+f16 encode pass, parquet state write,
+    bucket equi-join screen with f16 decode + cosine verify, timed
+    fresh on every invocation (no memo). Ordered before
+    dedup_embedding_cosine in BENCH_QUERIES so gate queries reusing the
+    memo stay attributable.
+
+    Bucket bits are sized from the corpus (expected occupancy ~8 per
+    bucket per table — the standard LSH discipline the scale sweep
+    measures; the gate's FIXED 16×4 parameterization is tuned to the
+    sf0.01 oracle corpus and would degenerate to ~n²/16 candidates
+    through the interpreted f16-decode cosine at larger sf: measured
+    19 s at sf0.1 fixed vs ~2 s sized)."""
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    bits = min(8, max(4, math.ceil(math.log2(max(n, 2) / 8))))
+    tables = min(ESTORE_TABLES, 64 // bits)   # axis mode: tables*bits<=dim
+    rows = _estore_arc_rows(spark, sf_dir, use_memo=False,
+                            tables=tables, bits=bits)
+    schema = "strategy string, id_a long, id_b long, cos_sim double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
 ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     "dedup_incremental_screen": q_dedup_incremental_screen,
+    "dedup_estore_screen": q_dedup_estore_screen,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,
     "knn_sharded_cos_top5": q_knn_sharded_cos_top5,
     "knn_grid_cos_top5": q_knn_grid_cos_top5,
