@@ -1729,13 +1729,16 @@ bpe_doc AS (SELECT bwx.doc_id,
 #: stays pytest-covered, the FIXED_BPE_MERGES discipline. Values are
 #: full-precision reprs: both engines parse them to the identical double,
 #: and the DP then runs the same adds/compares on both sides.
+#: Regenerated (r8) from the vectorized EM fit — the canonical trainer;
+#: three values moved by one ulp vs the scalar loop (numpy SIMD
+#: exp/log1p vs libm), piece set identical.
 FIXED_UNIGRAM_PIECES = [
-    ('a', -2.987141059146973), ('agg', -4.059911402968987),
+    ('a', -2.987141059146974), ('agg', -4.059911402968987),
     ('b', -4.08471263372532), ('batch', -4.01739544242329),
     ('c', -38.49109984059026), ('column', -4.020602286432869),
     ('custom', -4.020602286432869), ('d', -4.044301186768712),
-    ('data', -4.048966326394965), ('e', -2.689885259039894),
-    ('f', -4.11014753087314), ('filter', -4.021673523814368),
+    ('data', -4.0489663263949645), ('e', -2.689885259039894),
+    ('f', -4.110147530873141), ('filter', -4.021673523814368),
     ('g', -3.3870012648290677), ('h', -4.126618979427862),
     ('hash', -4.006805290864403), ('i', -3.3858739181655872),
     ('j', -38.49109984059026), ('join', -3.988987430051166),

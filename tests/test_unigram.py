@@ -129,6 +129,49 @@ class TestPersistence:
         assert back.max_piece_len == trained.max_piece_len
 
 
+class TestVectorizedEmParity:
+    """The numpy padded-lattice E-step (r8, the production path) against
+    the scalar reference loop: same expected-count keys, values to float
+    tolerance (bitwise parity is impossible — numpy's SIMD exp/log1p
+    differ from libm by ≤1 ulp; the frozen gate table derives from the
+    vectorized fit)."""
+
+    def _pairs(self, seed, n_words=300):
+        import random
+
+        rng = random.Random(seed)
+        words = {"".join(rng.choice("abcde")
+                         for _ in range(rng.randint(1, 9)))
+                 for _ in range(n_words)}
+        return [(w, rng.randint(1, 50)) for w in sorted(words)]
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_em_round_matches_scalar(self, seed):
+        from faisssearcher_spark.operators.unigram import (
+            _EmLattice, _em_round, _em_round_vec, _seed_pieces)
+
+        pairs = self._pairs(seed)
+        logp = _seed_pieces(pairs, max_piece_len=5, n_seed=120)
+        e_s = _em_round(pairs, logp, 5)
+        e_v = _em_round_vec(_EmLattice(pairs, 5), logp)
+        assert set(e_s) == set(e_v)
+        for k, v in e_s.items():
+            assert e_v[k] == pytest.approx(v, rel=1e-9)
+
+    def test_full_train_matches_scalar(self, documents):
+        vec = UnigramTokenizer.train(documents, vocab_size=48,
+                                     max_piece_len=6)
+        sca = UnigramTokenizer.train(documents, vocab_size=48,
+                                     max_piece_len=6, em_impl="scalar")
+        assert set(vec.pieces) == set(sca.pieces)
+        for p, v in vec.pieces.items():
+            assert sca.pieces[p] == pytest.approx(v, abs=1e-9)
+
+    def test_em_impl_validated(self, documents):
+        with pytest.raises(ValueError, match="em_impl"):
+            UnigramTokenizer.train(documents, em_impl="nope")
+
+
 class TestGateTable:
     def test_fixed_pieces_freeze_matches_train(self, documents, sf_dir):
         """The frozen registry table IS the deterministic train output
