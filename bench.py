@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "text_maxsim_rerank",
     "text_unigram_encode",
+    "text_wordpiece_encode",
     "mine_bitext",
     "pipeline_pretrain_prep",
     "text_heavy_hitters",

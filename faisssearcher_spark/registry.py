@@ -1723,6 +1723,75 @@ bpe_doc AS (SELECT bwx.doc_id,
             GROUP BY bwx.doc_id)"""
 
 
+#: fixed WordPiece vocabulary for the encode gate leg (round 8): the
+#: deterministic output of WordPieceTokenizer.train(n_merges=24) on the
+#: sf0.01 documents corpus (max_piece_len derives to 4), frozen so the
+#: gate checks ENCODE (the greedy longest-match-first scan, ##
+#: continuation pieces, [UNK] collapse) — likelihood-scored merge
+#: training stays pytest-covered, the FIXED_BPE_MERGES discipline.
+FIXED_WORDPIECE_VOCAB = [
+    '##a', '##b', '##c', '##d', '##e', '##g', '##h', '##i', '##k', '##l',
+    '##m', '##n', '##o', '##p', '##r', '##s', '##t', '##u', '##w', '##y',
+    'a', 'b', 'c', 'd', 'f', 'g', 'h', 'j', 'k', 'l', 'm', 'o', 'p', 'q',
+    'r', 's', 't', 'v', 'w', 'qu', 'li', 'wi', 'lin', 'win', 'wind', 'fi',
+    'bi', '##in', 'big', 'ag', 'agg', 'th', '##sh', '##ch', '##bl', 'fil',
+    '##us', 'cus', '##up', '##lu', 'sp', '##lum', '##lumn',
+]
+
+
+def _oracle_wordpiece_ctes() -> str:
+    """DuckDB twin of WordPieceTokenizer(FIXED_WORDPIECE_VOCAB)
+    .encode_expr: the greedy longest-match-first scan replayed as a
+    recursive CTE over the corpus's DISTINCT word types (reusing the
+    BPE CTEs' ``bwx``/``bdw`` word frames). Each step matches the
+    longest k whose piece — ``##``-prefixed when not word-initial — is
+    in the vocabulary (``list_max`` over the matching lengths IS
+    longest-first, since every k is tested); a step with no match, or a
+    word past the 100-char cap, marks the word failed and its tokens
+    collapse to ['[UNK]']. Emits ``wp_doc(doc_id, n_wp_real,
+    wp_hash)``."""
+    from faisssearcher_spark.operators.wordpiece import (UNK,
+                                                         WordPieceTokenizer)
+
+    mpl = WordPieceTokenizer(FIXED_WORDPIECE_VOCAB).max_piece_len
+    vocab_vals = ", ".join(
+        f"('{p.replace(chr(39), chr(39) * 2)}')"
+        for p in FIXED_WORDPIECE_VOCAB)
+    return f"""
+wvoc(piece) AS (VALUES {vocab_vals}),
+wvl AS (SELECT list(piece) AS vl FROM wvoc),
+wenc(w, pos, pieces, failed) AS (
+  SELECT w, 1, CAST([] AS VARCHAR[]), len(w) > 100 FROM bdw
+  UNION ALL
+  SELECT w,
+         CASE WHEN k IS NULL THEN len(w) + 1 ELSE (pos + k)::INT END,
+         CASE WHEN k IS NULL THEN pieces
+              ELSE list_append(pieces,
+                     CASE WHEN pos = 1 THEN substring(w, pos, k)
+                          ELSE '##' || substring(w, pos, k) END) END,
+         k IS NULL
+  FROM (SELECT w, pos, pieces,
+               list_max(list_filter(
+                 range(1, least({mpl}, len(w) - pos + 1) + 1),
+                 kk -> list_contains(wvl.vl,
+                       CASE WHEN pos = 1
+                            THEN substring(w, pos, kk::INT)
+                            ELSE '##' || substring(w, pos, kk::INT)
+                            END)))::INT AS k
+        FROM wenc, wvl
+        WHERE pos <= len(w) AND NOT failed)
+),
+wdone AS (SELECT w, CASE WHEN failed THEN ['{UNK}'] ELSE pieces END
+                     AS fin
+          FROM wenc WHERE pos > len(w) OR failed),
+wp_doc AS (SELECT bwx.doc_id,
+                  sum(len(fin))::INT AS n_wp_real,
+                  md5(string_agg(array_to_string(fin, ' '), ' '
+                                 ORDER BY bwx.ord)) AS wp_hash
+           FROM bwx JOIN wdone USING (w)
+           GROUP BY bwx.doc_id)"""
+
+
 #: deterministic output of UnigramTokenizer.train(vocab_size=48,
 #: max_piece_len=6) on the sf0.01 documents corpus, frozen so the gate
 #: checks ENCODE (the Viterbi max-likelihood segmentation) — EM training
@@ -1854,9 +1923,19 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at UNK_LOGP. ``n_uni_real``/``uni_hash`` value-check every DP
     decision; the DuckDB twin re-runs the DP as a window-carrying
     recursive CTE (same adds, same compares — bit-identical doubles).
-    EM training stays pytest-only, mirroring BPE."""
+    EM training stays pytest-only, mirroring BPE.
+
+    EXTENDED AGAIN (round 8) with WORDPIECE ENCODE over the
+    FIXED_WORDPIECE_VOCAB table (``operators/wordpiece.py``, the BERT
+    family — the third subword tokenizer): greedy longest-match-first
+    against the vocabulary, ``##`` continuation pieces, unmatched words
+    collapsing to [UNK]. ``n_wp_real``/``wp_hash`` value-check every
+    match length and the UNK collapses; the DuckDB twin replays the
+    scan as a recursive CTE. Likelihood-scored merge training stays
+    pytest-only, the same split as BPE/unigram."""
     from faisssearcher_spark.operators.bpe import BPETokenizer
     from faisssearcher_spark.operators.unigram import UnigramTokenizer
+    from faisssearcher_spark.operators.wordpiece import WordPieceTokenizer
 
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.token_stats(docs)
@@ -1874,6 +1953,11 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("__uni").alias("n_uni_real"),
         F.md5(F.concat_ws(" ", "__uni")).alias("uni_hash"))
+    wpenc = WordPieceTokenizer(FIXED_WORDPIECE_VOCAB).encode_expr("text")
+    wp = docs.select("doc_id", wpenc.alias("__wp")).select(
+        "doc_id",
+        F.size("__wp").alias("n_wp_real"),
+        F.md5(F.concat_ws(" ", "__wp")).alias("wp_hash"))
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     score = text_analysis.token_frequency_score(docs, ref) \
@@ -1888,13 +1972,14 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "logppl", "ppl_bucket")
     return (stats.join(score, "doc_id").join(dsir, "doc_id")
             .join(ppl, "doc_id").join(bpe, "doc_id")
-            .join(uni, "doc_id"))
+            .join(uni, "doc_id").join(wp, "doc_id"))
 
 
 ORACLE_TOKEN_STATS = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
      {_oracle_bpe_ctes().strip()},
      {_oracle_unigram_ctes().strip()},
+     {_oracle_wordpiece_ctes().strip()},
      ref AS (SELECT tok, count(*)::BIGINT AS tf
              FROM (SELECT unnest({_TOKS}) AS tok
                    FROM documents WHERE source = 'src1')
@@ -1953,12 +2038,15 @@ SELECT t.doc_id,
        coalesce(bpe_doc.n_bpe_real, 0) AS n_bpe_real,
        coalesce(bpe_doc.bpe_hash, md5('')) AS bpe_hash,
        coalesce(uni_doc.n_uni_real, 0) AS n_uni_real,
-       coalesce(uni_doc.uni_hash, md5('')) AS uni_hash
+       coalesce(uni_doc.uni_hash, md5('')) AS uni_hash,
+       coalesce(wp_doc.n_wp_real, 0) AS n_wp_real,
+       coalesce(wp_doc.wp_hash, md5('')) AS wp_hash
 FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
 LEFT JOIN dsir ON t.doc_id = dsir.doc_id
 LEFT JOIN buck ON t.doc_id = buck.doc_id
 LEFT JOIN bpe_doc ON t.doc_id = bpe_doc.doc_id
 LEFT JOIN uni_doc ON t.doc_id = uni_doc.doc_id
+LEFT JOIN wp_doc ON t.doc_id = wp_doc.doc_id
 """
 
 
@@ -4609,6 +4697,20 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.token_counts(docs)
 
 
+def q_text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: WordPiece tokenizer end-to-end — likelihood-scored
+    merge training over the Zipf-small word-type table (driver, bounded
+    like BPE's merge loop) + full-corpus greedy longest-match encode +
+    exact subword token counts (operators/wordpiece.py). The
+    text_token_stats gate carries the oracle-checked encode twin over
+    the frozen vocabulary."""
+    from faisssearcher_spark.operators.wordpiece import WordPieceTokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = WordPieceTokenizer.train(docs, n_merges=64)
+    return tok.token_counts(docs)
+
+
 def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the two-stage late-interaction pipeline — BM25 top-10
     first stage over the corpus, then MaxSim token-level rerank of the
@@ -4875,6 +4977,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
     "text_maxsim_rerank": q_text_maxsim_rerank,
     "text_unigram_encode": q_text_unigram_encode,
+    "text_wordpiece_encode": q_text_wordpiece_encode,
     "mine_bitext": q_mine_bitext,
     "pipeline_pretrain_prep": q_pipeline_pretrain_prep,
     "text_heavy_hitters": q_text_heavy_hitters,
