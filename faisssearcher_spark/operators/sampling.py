@@ -210,6 +210,49 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame | None = None, *,
     return out.drop("__ls_cluster")
 
 
+def temperature_mixture_rates(df: DataFrame, *, stratum_col: str,
+                              alpha: float = 0.5,
+                              total_rows: int | None = None
+                              ) -> "dict[str, float]":
+    """Per-stratum repeat rates from TEMPERATURE sampling (the
+    multilingual/T5 α-sampling rule, Arivazhagan et al. 2019,
+    arXiv:1907.05019): draw probability q_i ∝ p_i^α where p_i is the
+    stratum's corpus share — α = 1 keeps the natural distribution,
+    α → 0 approaches uniform, flattening head strata and up-weighting
+    the tail. Returns ``{stratum: rate}`` for :func:`upsample_mixture`
+    sized so the expected output is ``total_rows`` (default: the input
+    corpus size — re-balance without growing).
+
+    Derivation is one count-per-stratum aggregate collected to the
+    driver (strata are mixture components — dozens, not millions) and
+    pure scalar math in SORTED stratum order: rate_i =
+    total · n_i^α / Σ n_j^α / n_i. α = 0.5 routes through
+    ``math.sqrt`` — correctly rounded per IEEE 754, so an oracle
+    recomputing the same fold in any engine gets bit-identical rates
+    (general ``pow`` is only ≤1-ulp across libms; gates pin α = 0.5)."""
+    import math
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha}); alpha=1 is "
+                         "the natural distribution")
+    counts = {r["s"]: r["c"] for r in
+              df.select(F.col(stratum_col).alias("s"))
+              .groupBy("s").agg(F.count("*").alias("c")).collect()}
+    if not counts:
+        return {}
+    strata = sorted(counts)
+    total = 0
+    for s in strata:
+        total += counts[s]
+    budget = float(total if total_rows is None else total_rows)
+    share = {s: (math.sqrt(counts[s]) if alpha == 0.5
+                 else counts[s] ** alpha) for s in strata}
+    denom = 0.0
+    for s in strata:
+        denom += share[s]
+    return {s: budget * share[s] / denom / counts[s] for s in strata}
+
+
 def upsample_mixture(df: DataFrame, rates: Mapping[str, float], *,
                      stratum_col: str, key_col: str,
                      default_rate: float = 1.0, seed: int = 42,

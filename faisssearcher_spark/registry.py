@@ -3990,21 +3990,61 @@ FROM (
 
 
 def q_sample_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source data-mixture sampling: up-weight src1 (80%), down-weight
-    src2 (10%), default 30% — one CASE-thresholded scan, no join."""
+    """Per-source data-mixture sampling, tag-unioned (50-cap pattern):
+
+    ``strat`` — explicit-fraction stratified sample: up-weight src1
+    (80%), down-weight src2 (10%), default 30% — one CASE-thresholded
+    scan, no join. ``copy`` sits at -1 (the cross-engine sentinel rule).
+
+    ``temp`` (round 8) — TEMPERATURE-derived mixture
+    (``temperature_mixture_rates``, the T5/multilingual α-sampling
+    rule at α = 0.5): repeat rates computed from the per-source corpus
+    counts (rate_i = N·√n_i / Σ√n_j / n_i — α = 0.5 routes through
+    IEEE-correctly-rounded sqrt, so the DuckDB twin derives
+    bit-identical rates from its own counts) feeding
+    ``upsample_mixture``; copy counts and numbering are exact
+    integers the oracle replays."""
     from faisssearcher_spark.operators import sampling
     docs = load_table(spark, sf_dir, "documents")
-    res = sampling.stratified_hash_sample(
+    strat = sampling.stratified_hash_sample(
         docs, {"src1": 0.8, "src2": 0.1}, stratum_col="source",
-        key_col="doc_id", default_fraction=0.3)
-    return res.select("doc_id", "lang", "source")
+        key_col="doc_id", default_fraction=0.3) \
+        .select(F.lit("strat").alias("tag"), "doc_id", "lang", "source",
+                F.lit(-1).cast("int").alias("copy"))
+    rates = sampling.temperature_mixture_rates(
+        docs, stratum_col="source", alpha=0.5)
+    temp = sampling.upsample_mixture(
+        docs, rates, stratum_col="source", key_col="doc_id") \
+        .select(F.lit("temp").alias("tag"), "doc_id", "lang", "source",
+                F.col("copy_no").cast("int").alias("copy"))
+    return strat.unionByName(temp)
 
 
 ORACLE_SAMPLE_STRATIFIED = f"""
-SELECT doc_id, lang, source FROM documents
+WITH tcnt AS (SELECT source AS src, count(*)::DOUBLE AS cnt
+              FROM documents GROUP BY source),
+     -- sorted-stratum folds, matching temperature_mixture_rates'
+     -- Python accumulation order term for term
+     ttot AS (SELECT list_sum(list(cnt ORDER BY src)) AS total,
+                     list_sum(list(sqrt(cnt) ORDER BY src)) AS denom
+              FROM tcnt),
+     trate AS (SELECT src, total * sqrt(cnt) / denom / cnt AS rate
+               FROM tcnt, ttot),
+     tdoc AS (SELECT d.doc_id, d.lang, d.source,
+                     trunc(rate)::INT
+                     + CASE WHEN {_sample_bucket_sql('d.doc_id',
+                                                     op='upsample')}
+                              < round((rate - trunc(rate))
+                                      * 1000000)::BIGINT
+                            THEN 1 ELSE 0 END AS n
+              FROM documents d JOIN trate ON d.source = trate.src)
+SELECT 'strat' AS tag, doc_id, lang, source, -1 AS copy FROM documents
 WHERE {_sample_bucket_sql('doc_id', op='sample')} <
       CASE source WHEN 'src1' THEN 800000 WHEN 'src2' THEN 100000
            ELSE 300000 END
+UNION ALL
+SELECT 'temp', doc_id, lang, source, u.c::INT
+FROM tdoc, unnest(generate_series(0, n - 1)) AS u(c)
 """
 
 

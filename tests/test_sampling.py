@@ -275,6 +275,52 @@ class TestTemperatureMixture:
                                   target_rows=10, alpha=-1)
 
 
+class TestTemperatureMixtureRates:
+    def test_alpha_one_is_natural_distribution(self, documents):
+        rates = sampling.temperature_mixture_rates(
+            documents, stratum_col="source", alpha=1.0)
+        for r in rates.values():
+            assert r == pytest.approx(1.0)
+
+    def test_flattening_upweights_tail(self, spark):
+        """α < 1 must up-weight the small stratum and down-weight the
+        big one, and expected output size must stay ≈ the corpus."""
+        df = spark.createDataFrame(
+            [(i, "big" if i < 900 else "small") for i in range(1000)],
+            "id long, s string")
+        rates = sampling.temperature_mixture_rates(
+            df, stratum_col="s", alpha=0.5)
+        assert rates["small"] > 1.0 > rates["big"]
+        expected = 900 * rates["big"] + 100 * rates["small"]
+        assert expected == pytest.approx(1000)
+
+    def test_total_rows_scales_budget(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+            "id long, s string")
+        r1 = sampling.temperature_mixture_rates(
+            df, stratum_col="s", alpha=0.5)
+        r2 = sampling.temperature_mixture_rates(
+            df, stratum_col="s", alpha=0.5, total_rows=200)
+        for s in r1:
+            assert r2[s] == pytest.approx(2 * r1[s])
+
+    def test_feeds_upsample_end_to_end(self, documents):
+        rates = sampling.temperature_mixture_rates(
+            documents, stratum_col="source", alpha=0.5)
+        n_in = documents.count()
+        n_out = sampling.upsample_mixture(
+            documents, rates, stratum_col="source",
+            key_col="doc_id").count()
+        # fractional-rate hash draws wobble around the expectation
+        assert abs(n_out - n_in) <= 0.2 * n_in
+
+    def test_alpha_validated(self, documents):
+        with pytest.raises(ValueError, match="alpha"):
+            sampling.temperature_mixture_rates(
+                documents, stratum_col="source", alpha=0.0)
+
+
 class TestUpsampleMixture:
     @staticmethod
     def _bucket(key, op="upsample", seed=42):
