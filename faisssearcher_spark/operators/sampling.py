@@ -223,6 +223,14 @@ def temperature_mixture_rates(df: DataFrame, *, stratum_col: str,
     sized so the expected output is ``total_rows`` (default: the input
     corpus size — re-balance without growing).
 
+    The UP-sampling sibling of :func:`temperature_fractions`: that one
+    clips rates at 1 (a pure keep-rate for
+    :func:`stratified_hash_sample` — strata too small to fill their
+    temperature share keep everything), this one returns the UNCLIPPED
+    repeat rates (> 1 means epochs over the stratum), which is what a
+    fixed-token-budget training mixture actually feeds
+    :func:`upsample_mixture`.
+
     Derivation is one count-per-stratum aggregate collected to the
     driver (strata are mixture components — dozens, not millions) and
     pure scalar math in SORTED stratum order: rate_i =
@@ -415,8 +423,10 @@ def temperature_fractions(df: DataFrame, *, stratum_col: str,
     alpha=1 reproduces natural proportions; alpha→0 equalizes strata;
     in between up-weights small sources without drowning large ones.
     Rates are ``min(1, target_rows·p_s / n_s)`` — a stratum too small to
-    fill its temperature share keeps everything (no upsampling; feed the
-    result through repetition factors if you need epochs>1).
+    fill its temperature share keeps everything (no upsampling; for
+    UNCLIPPED repeat rates feeding :func:`upsample_mixture` — epochs
+    over small strata — use :func:`temperature_mixture_rates`, the
+    oracle-gated sibling).
 
     One tiny agg (distinct strata) collects to the driver; feed the
     returned dict straight into :func:`stratified_hash_sample`, so the
