@@ -402,6 +402,111 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
             .select(id_col, "n_tokens", "logppl"))
 
 
+def bigram_backoff_logppl(df: DataFrame, ref: DataFrame, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          backoff: float = 0.4,
+                          score_scale: int | None = 4) -> DataFrame:
+    """Per-document cross-entropy under a CONDITIONAL bigram LM with
+    stupid backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation" — the backoff scheme built for web-scale
+    corpora precisely because it needs no discounting pass, only raw
+    counts):
+
+        s(w | v) = c₂(v,w) / c₁(v)          seen bigram
+                 = λ · s₁(w)                 otherwise (λ = ``backoff``)
+        s₁(w)    = c₁(w) / N                 seen unigram
+                 = λ / N                     out of vocabulary
+        logppl(d) = -(1/n) Σᵢ ln s(wᵢ | wᵢ₋₁)    (w₀ scores s₁(w₀))
+
+    This is the ORDER-SENSITIVE sibling of :func:`unigram_logppl`
+    (whose ``ngram=2`` mode scores JOINT shingle frequency): a
+    scrambled document keeps its joint-bigram vocabulary but its
+    conditionals collapse to backoff. Scores are unnormalized (stupid
+    backoff's point) — rank/threshold semantics only, like every LM
+    filter here.
+
+    ``ref`` is the trusted reference corpus (the CCNet pattern: fit on
+    Wikipedia-quality data, score the crawl). Fit = two distributed
+    count aggregates over ``ref``; scoring joins the Zipf-small count
+    tables (AQE broadcasts small LMs) with per-pair -ln terms
+    precomputed — no ``ln`` in the per-occurrence hot loop. Output
+    ``(id, n_tokens, bigram_logppl)``; empty docs score NULL; rounded
+    at ``score_scale`` (cross-libm ``ln`` + sum-order absorption)."""
+    import math
+
+    lam = float(backoff)
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+
+    uni = (ref.select(F.explode_outer(T.tokens(text_col)).alias("__w"))
+           .filter(F.col("__w").isNotNull())
+           .groupBy("__w").agg(F.count("*").alias("__c1")))
+    n_ref = uni.agg(F.sum("__c1")).collect()[0][0] or 0
+    if n_ref == 0:
+        raise ValueError("reference corpus has no tokens")
+    # -ln of the unigram score; OOV constant -ln(lam / N)
+    nlp_oov = -math.log(lam / n_ref)
+    uni_nlp = uni.select(
+        "__w", (-F.log(F.col("__c1") / F.lit(float(n_ref))))
+        .alias("__u_nlp"), "__c1")
+    bi = (ref.select(T.word_ngrams(text_col, 2).alias("__g"))
+          .select(F.explode_outer("__g").alias("__vw"))
+          .filter(F.col("__vw").isNotNull())
+          .groupBy("__vw").agg(F.count("*").alias("__c2")))
+    bi_nlp = (bi.join(uni_nlp.select(F.col("__w"), F.col("__c1")),
+                      F.split(F.col("__vw"), " ").getItem(0)
+                      == F.col("__w"))
+              .select(F.col("__vw"),
+                      (-F.log(F.col("__c2") / F.col("__c1")))
+                      .alias("__b_nlp")))
+
+    rid = "__bg_rid"
+    while rid in df.columns:
+        rid += "_"
+    keyed = df.withColumn(rid, F.monotonically_increasing_id())
+    # stage the token array behind a Generate barrier so element_at
+    # inside the pair lambda reads an attribute, not a re-evaluated
+    # split per element (the maxsim/HOF-CSE discipline)
+    staged = keyed.select(
+        F.col(id_col), F.col(rid),
+        F.explode(F.array(F.struct(T.tokens(text_col).alias("t"))))
+        .alias("__tk"))
+    toks = F.col("__tk").getField("t")
+    pairs = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            F.when(i > 0, F.element_at(toks, i)).alias("prev"),
+            t.alias("cur")))
+    ex = staged.select(
+        F.col(id_col), F.col(rid),
+        F.explode_outer(pairs).alias("__p")) \
+        .select(id_col, rid,
+                F.col("__p").getField("prev").alias("__prev"),
+                F.col("__p").getField("cur").alias("__cur"))
+    joined = (ex
+              .join(uni_nlp.select(F.col("__w").alias("__cur"),
+                                   "__u_nlp"), "__cur", "left")
+              .join(bi_nlp.select(
+                  F.split(F.col("__vw"), " ").getItem(0).alias("__prev"),
+                  F.split(F.col("__vw"), " ").getItem(1).alias("__cur"),
+                  "__b_nlp"), ["__prev", "__cur"], "left"))
+    uni_term = F.coalesce("__u_nlp", F.lit(nlp_oov))
+    pen = -math.log(lam)
+    pair_nlp = F.when(F.col("__prev").isNull(), uni_term) \
+        .otherwise(F.coalesce("__b_nlp", uni_term + F.lit(pen)))
+    n = F.count("__cur")
+    total = F.sum(F.when(F.col("__cur").isNotNull(), pair_nlp)
+                  .otherwise(F.lit(0.0)))
+    logppl = F.when(n > 0, total / n)
+    if score_scale is not None:
+        logppl = F.round(logppl, score_scale)
+    return (joined.groupBy(rid)
+            .agg(F.first(id_col).alias(id_col),
+                 n.cast("long").alias("n_tokens"),
+                 logppl.alias("bigram_logppl"))
+            .select(id_col, "n_tokens", "bigram_logppl"))
+
+
 def perplexity_buckets(scored: DataFrame, *, id_col: str = "doc_id",
                        score_col: str = "logppl", n_buckets: int = 3,
                        thresholds: list[float] | None = None,

@@ -2096,8 +2096,18 @@ FROM t GROUP BY lang
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher quality signals, EXTENDED (round 8, the 50-cap column
+    pattern) with the stupid-backoff CONDITIONAL bigram LM score
+    (``bigram_backoff_logppl``, Brants et al. 2007): fit on the src1
+    slice, λ = 0.4, 4dp — the order-sensitive sibling of
+    text_token_stats' unigram logppl. The oracle recounts both LM
+    tables and replays every per-pair -ln term (seen bigram /
+    backoff-to-unigram / OOV floor) and the first-token unigram rule."""
     docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.quality_scores(docs)
+    ref = docs.filter(F.col("source") == "src1")
+    bg = text_analysis.bigram_backoff_logppl(docs, ref) \
+        .select("doc_id", "bigram_logppl")
+    return text_analysis.quality_scores(docs).join(bg, "doc_id")
 
 
 _SW_EN = "['the','a','of','and','to','in','is','it','that','for']"
@@ -2116,7 +2126,40 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
                     / len(toks) AS swr,
                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
                     / length(text) AS pr
-           FROM t)
+           FROM t),
+     -- stupid-backoff bigram LM fit on src1 (bigram_backoff_logppl
+     -- twin): conditional -ln terms replayed per (prev, cur) pair,
+     -- first token scores the unigram, unseen bigrams pay -ln(0.4)
+     -- over the unigram, OOV floors at -ln(0.4 / N)
+     bgu AS (SELECT tok, count(*)::BIGINT AS c1
+             FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+                   WHERE source = 'src1')
+             GROUP BY tok),
+     bgn AS (SELECT sum(c1)::DOUBLE AS nr FROM bgu),
+     bgb AS (SELECT vw, count(*)::BIGINT AS c2
+             FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+                     i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS vw
+                   FROM documents WHERE source = 'src1')
+             GROUP BY vw),
+     bgp AS (SELECT doc_id,
+                    CASE WHEN u.s = 1 THEN NULL
+                         ELSE toks[u.s - 1] END AS prev,
+                    toks[u.s] AS cur
+             FROM t, unnest(generate_series(1, len(toks))) AS u(s)),
+     bgj AS (SELECT p.doc_id, p.prev,
+                    coalesce(-ln(uc.c1 / bgn.nr),
+                             -ln(0.4 / bgn.nr)) AS ut,
+                    -ln(bb.c2 / up.c1) AS bt
+             FROM bgp p CROSS JOIN bgn
+             LEFT JOIN bgu uc ON uc.tok = p.cur
+             LEFT JOIN bgb bb ON bb.vw = p.prev || ' ' || p.cur
+             LEFT JOIN bgu up ON up.tok = p.prev),
+     bgd AS (SELECT doc_id,
+                    round(sum(CASE WHEN prev IS NULL THEN ut
+                                   ELSE coalesce(bt, ut - ln(0.4)) END)
+                          / count(*), 4) AS bigram_logppl
+             FROM bgj GROUP BY doc_id)
 SELECT doc_id,
        round(swr, 4) AS stopword_ratio,
        round(pr, 4) AS punct_ratio,
@@ -2128,8 +2171,9 @@ SELECT doc_id,
        coalesce(list_max(list_transform(list_distinct(g2),
                 x -> len(list_filter(g2, y -> y = x)))), 0)::INT
          AS top_bigram_count,
-       len(g2)::INT AS n_bigrams
-FROM m
+       len(g2)::INT AS n_bigrams,
+       bgd.bigram_logppl AS bigram_logppl
+FROM m LEFT JOIN bgd USING (doc_id)
 """
 
 

@@ -161,3 +161,91 @@ def test_bigram_lm_is_order_sensitive(spark):
          for r in unigram_logppl(docs, bi, ngram=2).collect()}
     assert u[10] == u[11]          # unigram LM is order-blind
     assert b[10] < b[11]           # bigram LM punishes the scramble
+
+
+class TestBigramBackoff:
+    """Stupid-backoff conditional bigram LM (bigram_backoff_logppl,
+    Brants et al. 2007)."""
+
+    def _score(self, spark, docs_rows, ref_rows, lam=0.4):
+        from faisssearcher_spark.operators.text_analysis import (
+            bigram_backoff_logppl)
+        ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        return {r["doc_id"]: (r["n_tokens"], r["bigram_logppl"])
+                for r in bigram_backoff_logppl(
+                    docs, ref, backoff=lam).collect()}
+
+    def test_hand_computed_values(self, spark):
+        """ref = 'a b a b': c1 = {a:2, b:2}, N=4; c2 = {(a,b):2, (b,a):1}.
+        doc 'a b': -ln s1(a) = -ln(2/4); -ln s(b|a) = -ln(2/2) = 0."""
+        out = self._score(spark, [(1, "a b")], [(0, "a b a b")])
+        n, ppl = out[1]
+        assert n == 2
+        want = round((-math.log(2/4) + 0.0) / 2, 4)
+        assert ppl == pytest.approx(want, abs=1e-9)
+
+    def test_backoff_and_oov(self, spark):
+        """'b b' : first token -ln(2/4); (b,b) unseen -> backoff
+        -ln(0.4 * 2/4). 'z z': OOV floor -ln(0.4/4) then
+        -ln(0.4 * 0.4/4)."""
+        out = self._score(spark, [(1, "b b"), (2, "z z")],
+                          [(0, "a b a b")])
+        want1 = round((-math.log(2/4) - math.log(0.4 * 2/4)) / 2, 4)
+        want2 = round((-math.log(0.4/4) - math.log(0.4 * 0.4/4)) / 2, 4)
+        assert out[1][1] == pytest.approx(want1, abs=1e-9)
+        assert out[2][1] == pytest.approx(want2, abs=1e-9)
+
+    def test_order_sensitive(self, spark):
+        """The conditional LM punishes a scramble the joint vocabulary
+        would not: 'prose clean good' reverses every seen bigram."""
+        ref = [(0, "good clean prose"), (1, "good clean prose flows")]
+        out = self._score(spark, [(1, "good clean prose"),
+                                  (2, "prose clean good")], ref)
+        assert out[1][1] < out[2][1]
+
+    def test_empty_doc_scores_null(self, spark):
+        out = self._score(spark, [(1, "")], [(0, "a b")])
+        assert out[1] == (0, None)
+
+    def test_matches_corpus_reference(self, documents):
+        """Whole-corpus parity against a driver Python replay (the same
+        check the DuckDB gate makes at sf0.01)."""
+        from collections import Counter
+
+        from faisssearcher_spark.operators.text_analysis import (
+            bigram_backoff_logppl)
+        ref = documents.filter(F.col("source") == "src1")
+        out = {r["doc_id"]: r["bigram_logppl"]
+               for r in bigram_backoff_logppl(documents, ref).collect()}
+        c1, c2 = Counter(), Counter()
+        for r in ref.select("text").collect():
+            t = r["text"].split()
+            c1.update(t)
+            c2.update(zip(t, t[1:]))
+        N = sum(c1.values())
+
+        def s1(w):
+            return c1[w] / N if w in c1 else 0.4 / N
+
+        for r in documents.select("doc_id", "text").collect():
+            t = r["text"].split()
+            if not t:
+                assert out[r["doc_id"]] is None
+                continue
+            tot = -math.log(s1(t[0]))
+            for a, b in zip(t, t[1:]):
+                tot += (-math.log(c2[(a, b)] / c1[a]) if (a, b) in c2
+                        else -math.log(0.4 * s1(b)))
+            assert out[r["doc_id"]] == pytest.approx(
+                round(tot / len(t), 4), abs=1e-9)
+
+    def test_backoff_validated(self, spark):
+        from faisssearcher_spark.operators.text_analysis import (
+            bigram_backoff_logppl)
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="backoff"):
+            bigram_backoff_logppl(df, df, backoff=0.0)
+        with pytest.raises(ValueError, match="reference"):
+            bigram_backoff_logppl(
+                df, df.filter(F.col("doc_id") < 0))
