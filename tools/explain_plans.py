@@ -194,6 +194,23 @@ AUDITS = {
          "its exchange — the store-fine/roll-up-coarse contract"),
         ("CartesianProduct", False, "no pair blowup"),
     ],
+    "text_wordpiece_encode": [
+        ("ArrowEvalPython", True,
+         "greedy longest-match encode is one vectorized pandas_udf "
+         "pass with a per-batch word cache — the vocab rides the task "
+         "closure, no join"),
+        ("CartesianProduct", False, "no pair blowup"),
+    ],
+    "text_quality_scores": [
+        ("Generate explode", True,
+         "bigram-LM (prev, cur) pairs build from a token array staged "
+         "behind the one-element explode barrier — element_at in the "
+         "pair lambda reads an attribute, never a re-split"),
+        ("BatchEvalPython", False,
+         "quality signals + both LM joins are pure Catalyst"),
+        ("CartesianProduct", False,
+         "doc pairs meet the LM tables only through equi-joins"),
+    ],
     "text_quality_classifier": [
         ("CartesianProduct", False,
          "scores meet the vocabulary only through the token equi-join"),
