@@ -27,19 +27,23 @@ rollups (batch + Structured Streaming).
 
 from faisssearcher_spark.searcher import SparkSearcher
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
-from faisssearcher_spark.operators import (ann, balance, bm25, bpe,
-                                           classifier,
+from faisssearcher_spark.operators import (ann, balance, bitext, bm25,
+                                           bpe, classifier,
                                            curate,
                                            decontam, dedup, events,
-                                           layout, multimodal, privacy,
-                                           rerank,
+                                           incremental,
+                                           layout, maxsim, multimodal,
+                                           privacy, rerank,
                                            sampling, temporal,
-                                           text_analysis)
+                                           text_analysis, unigram,
+                                           wordpiece)
 from faisssearcher_spark.functions import metrics
 
 __all__ = ["SparkSearcher", "knn_join", "cal_sim", "metrics",
-           "ann", "balance", "bm25", "bpe", "classifier", "curate", "decontam", "dedup",
-           "events", "layout", "multimodal", "privacy", "rerank", "sampling",
-           "temporal", "text_analysis"]
+           "ann", "balance", "bitext", "bm25", "bpe", "classifier",
+           "curate", "decontam", "dedup", "events", "incremental",
+           "layout", "maxsim", "multimodal", "privacy", "rerank",
+           "sampling", "temporal", "text_analysis", "unigram",
+           "wordpiece"]
 
 __version__ = "0.1.0"

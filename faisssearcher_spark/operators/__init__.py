@@ -1,14 +1,16 @@
 from faisssearcher_spark.operators.knn import knn_join, cal_sim
-from faisssearcher_spark.operators import (balance, bloom, bm25, bpe,
+from faisssearcher_spark.operators import (balance, bitext, bloom, bm25,
+                                           bpe,
                                            classifier, conversations,
                                            curate,
                                            decontam, dedup, diffing, expect, graph,
-                                           incremental, layout,
+                                           incremental, layout, maxsim,
                                            privacy, projection,
                                            sampling, sketches,
                                            temporal,
-                                           text_analysis)
+                                           text_analysis, unigram,
+                                           wordpiece)
 
-__all__ = ["knn_join", "cal_sim", "balance", "bloom", "bm25", "bpe", "classifier", "conversations", "curate",
-           "decontam", "dedup", "diffing", "expect", "graph", "incremental", "layout", "privacy", "projection", "sampling", "sketches", "temporal",
-           "text_analysis"]
+__all__ = ["knn_join", "cal_sim", "balance", "bitext", "bloom", "bm25", "bpe", "classifier", "conversations", "curate",
+           "decontam", "dedup", "diffing", "expect", "graph", "incremental", "layout", "maxsim", "privacy", "projection", "sampling", "sketches", "temporal",
+           "text_analysis", "unigram", "wordpiece"]
