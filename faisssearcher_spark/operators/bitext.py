@@ -60,11 +60,15 @@ def _maybe_broadcast(avg_df: DataFrame, input_df: DataFrame,
     Unknown estimates count as too big (guessing small risks an
     executor OOM — the knn `_auto_strategy` rule); above the cap the
     join shuffles, and AQE may still broadcast at runtime from the
-    frame's TRUE size."""
+    frame's TRUE size.
+
+    ``cap=None`` removes the cap — broadcast UNCONDITIONALLY (the
+    pre-r8 behavior, for callers who know both corpora are small);
+    ``cap=0`` never hints."""
     from faisssearcher_spark.operators.knn import _plan_size_bytes
 
     if cap is None:
-        return avg_df
+        return F.broadcast(avg_df)
     size = _plan_size_bytes(input_df)
     if size is not None and size <= cap:
         return F.broadcast(avg_df)
@@ -92,6 +96,11 @@ def margin_scores(
     with the candidate's exact cosine; neighborhood averages use each
     side's top-k cosines — including the candidate itself when it is a
     neighbor, per the reference formulation.
+
+    ``avg_broadcast_cap_bytes`` caps the broadcast of the per-id
+    neighborhood-average frames (corpus-row-sized): above it the
+    margin join shuffles. ``None`` removes the cap (always broadcast);
+    ``0`` never broadcasts.
 
     The ratio margin assumes positive-similarity space (the paper's
     setting: LASER-style embeddings where neighborhoods average well

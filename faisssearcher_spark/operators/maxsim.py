@@ -62,9 +62,17 @@ __all__ = ["maxsim_score", "maxsim_rerank"]
 def _token_vecs(col: Column, encoder) -> Column:
     """array<array<double>> — one L2-normalized vector per DISTINCT
     whitespace token of the text (first-occurrence order; NULL text →
-    NULL, guarded by the caller's empty-side CASE)."""
-    return F.transform(F.array_distinct(tokens(col)),
-                       lambda t: l2_normalize(encoder.spark_expr(t)))
+    NULL, guarded by the caller's empty-side CASE).
+
+    Two transform passes, not ``l2_normalize(enc(t))`` in one lambda:
+    l2_normalize references its argument four times (norm zip_with ×2,
+    size, the division zip_with) and Catalyst does not CSE inside HOF
+    lambdas — staged, the inner references read a bound lambda
+    variable and the encoder expression (dim × md5 aggregates) runs
+    exactly once per token."""
+    raw = F.transform(F.array_distinct(tokens(col)),
+                      lambda t: encoder.spark_expr(t))
+    return F.transform(raw, lambda v: l2_normalize(v))
 
 
 def maxsim_score(

@@ -185,18 +185,21 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame | None = None, *,
             "`clusters` (precomputed (id, cluster_id) assignments)")
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    user_clusters = clusters is not None
     if clusters is None:
         from faisssearcher_spark.operators.dedup import dedup_clusters
         clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
-    # one cluster per id, deterministically (min) — dedup_clusters output
-    # is already unique, but a user-supplied clusters frame with
-    # duplicate ids would otherwise silently DUPLICATE corpus rows
-    # through the left join (and dropDuplicates would pick an arbitrary
-    # survivor, making the split tag run-dependent)
-    cl = (clusters.select(F.col("id").alias("__ls_id"),
-                          F.col("cluster_id").alias("__ls_cluster"))
-          .groupBy("__ls_id")
-          .agg(F.min("__ls_cluster").alias("__ls_cluster")))
+    cl = clusters.select(F.col("id").alias("__ls_id"),
+                         F.col("cluster_id").alias("__ls_cluster"))
+    if user_clusters:
+        # one cluster per id, deterministically (min) — a user-supplied
+        # clusters frame with duplicate ids would otherwise silently
+        # DUPLICATE corpus rows through the left join (and
+        # dropDuplicates would pick an arbitrary survivor, making the
+        # split tag run-dependent). The internal dedup_clusters path is
+        # unique-per-id by construction and skips this shuffle.
+        cl = cl.groupBy("__ls_id") \
+            .agg(F.min("__ls_cluster").alias("__ls_cluster"))
     out = df.join(cl, df[key_col] == cl["__ls_id"], "left").drop("__ls_id")
     group = F.coalesce(F.col("__ls_cluster").cast("string"),
                        F.col(key_col).cast("string"))
@@ -248,7 +251,11 @@ def temperature_mixture_rates(df: DataFrame, *, stratum_col: str,
               .groupBy("s").agg(F.count("*").alias("c")).collect()}
     if not counts:
         return {}
-    strata = sorted(counts)
+    # NULL strata are real groups (its sibling temperature_fractions
+    # returns them too); sort them LAST — matching the oracle's
+    # ORDER BY default — instead of letting None < str raise
+    strata = sorted(counts, key=lambda s: (s is None, s if s is not None
+                                           else ""))
     total = 0
     for s in strata:
         total += counts[s]

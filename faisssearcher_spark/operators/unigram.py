@@ -156,8 +156,10 @@ def _em_round_vec(lat: "_EmLattice",
     """Vectorized E-step: the same forward-backward recursion as
     :func:`_em_round`, run across ALL word types at once over the
     padded lattice (one numpy op per (position, piece-length) step
-    instead of a Python loop per word — measured ~40-60× on 6-char
-    Zipf tables, which is what makes 1M-type fits practical).
+    instead of a Python loop per word — measured ~4-5× per round at
+    100k types, and unlike the scalar dict-lookup loop the cost is
+    insensitive to vocabulary size, which is what makes 1M-type
+    large-vocab fits practical).
 
     Per-element float semantics mirror the scalar chain (same k-order
     logsumexp folds); absolute bit-parity is NOT guaranteed because
@@ -318,6 +320,7 @@ class UnigramTokenizer:
               seed_factor: int = 4, em_iters: int = 2,
               prune_fraction: float = 0.2,
               max_word_types: int | None = 1_000_000,
+              max_word_len: int = 48,
               em_impl: str = "vectorized") -> "UnigramTokenizer":
         """SentencePiece schedule: seed ``vocab_size·seed_factor``
         pieces, then alternate ``em_iters`` EM rounds with pruning the
@@ -325,17 +328,29 @@ class UnigramTokenizer:
         count) until ``vocab_size`` remains, then final EM rounds.
         Characters are never pruned.
 
+        ``max_word_len`` drops LONGER word types from the EM fit (both
+        impls, so parity holds): the padded lattice is W×L×K with L =
+        the single longest surviving word, so one 2000-char base64
+        blob/URL in a crawl would inflate every word's lattice
+        (SentencePiece's ``max_sentence_length`` plays the same role).
+        Dropped types still ENCODE fine — Viterbi has no lattice cap.
+
         ``em_impl``: 'vectorized' (default — the numpy padded-lattice
-        forward-backward, ~40-60× the scalar loop, what unlocks
-        1M-type fits) or 'scalar' (the reference loop; parity is
-        pinned in tests: identical piece sets, logps to 1e-9 — see
+        forward-backward, ~4-5× the scalar loop per round at 100k
+        types and vocab-size-insensitive, what makes 1M-type fits
+        practical) or 'scalar' (the reference loop; parity is pinned
+        in tests: identical piece sets, logps to 1e-9 — see
         :func:`_em_round_vec` on why not bitwise)."""
         if em_impl not in ("vectorized", "scalar"):
             raise ValueError(
                 f"em_impl must be 'vectorized' or 'scalar', got {em_impl}")
+        if max_word_len < 1:
+            raise ValueError(
+                f"max_word_len must be >= 1, got {max_word_len}")
         wf = word_frequencies(df, text_col=text_col,
                               max_word_types=max_word_types)
-        pairs = [(r["word"], r["freq"]) for r in wf.collect()]
+        pairs = [(r["word"], r["freq"]) for r in wf.collect()
+                 if len(r["word"]) <= max_word_len]
         if em_impl == "vectorized":
             lat = _EmLattice(pairs, max_piece_len)
             run_round = lambda lp: _em_round_vec(lat, lp)  # noqa: E731

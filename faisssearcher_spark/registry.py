@@ -5003,9 +5003,11 @@ def q_dedup_estore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     name (the r6 verdict #7 pricing discipline, applied to the r8
     'estore' gate leg) — bucket+f16 encode pass, parquet state write,
     bucket equi-join screen with f16 decode + cosine verify, timed
-    fresh on every invocation (no memo). Ordered before
-    dedup_embedding_cosine in BENCH_QUERIES so gate queries reusing the
-    memo stay attributable.
+    fresh on every invocation. Note the memo interplay is one-way
+    only: this entry runs corpus-SIZED bucket bits, which deliberately
+    do NOT refresh the gate leg's fixed-parameter memo (the gate query
+    dedup_embedding_neardup is driver-side, not in BENCH_QUERIES, and
+    builds its own memo on first run).
 
     Bucket bits are sized from the corpus (expected occupancy ~8 per
     bucket per table — the standard LSH discipline the scale sweep

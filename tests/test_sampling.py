@@ -320,6 +320,16 @@ class TestTemperatureMixtureRates:
             sampling.temperature_mixture_rates(
                 documents, stratum_col="source", alpha=0.0)
 
+    def test_null_stratum_is_a_real_group(self, spark):
+        """NULL strata must not crash the sorted fold (its sibling
+        temperature_fractions returns them too)."""
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None)], "id long, s string")
+        rates = sampling.temperature_mixture_rates(
+            df, stratum_col="s", alpha=0.5)
+        assert set(rates) == {"a", None}
+        assert rates[None] > rates["a"]    # smaller stratum up-weights
+
 
 class TestUpsampleMixture:
     @staticmethod

@@ -128,20 +128,22 @@ def test_hamming_planted_pairs_grow_linearly(documents, docs2):
 
 
 def test_bitext_planted_mines_every_twin(embeddings, emb3):
-    """The mine_bitext sweep leg (r7 verdict #6): tgt is an exact copy
-    of the corpus, so every src mines its twin and mined rows == corpus
-    rows at every scale point — output linearity is provable, not
-    statistical."""
+    """The mine_bitext sweep leg (r7 verdict #6, serving shape): src is
+    the FIXED base corpus, tgt the scaled corpus under offset ids —
+    every src mines a cos=1 twin, so mined rows == |base corpus| at
+    every scale point while the tgt side (and the candidate volume)
+    grows with the sweep."""
     from faisssearcher_spark.scalebench import _bitext_planted
 
     n = embeddings.count()
-    p1 = _bitext_planted(embeddings)
+    p1 = _bitext_planted(embeddings, 1)
     assert p1.count() == n
     # the planted twin (offset id) outranks every hub for most sources;
     # exact-duplicate corpus vectors can tie it, so pin a strong majority
     twin = p1.filter(F.col("tgt_id") == F.col("src_id") + 10_000_000)
     assert twin.count() >= int(0.9 * n)
-    assert _bitext_planted(emb3).count() == 3 * n
+    # scaled: src = replica-0 rows only, still one mined row each
+    assert _bitext_planted(emb3, 3).count() == n
 
 
 def test_skew_join_legs_answer_invariant(documents):
