@@ -126,6 +126,18 @@ class TestMineBitext:
         assert sorted(map(tuple, hinted.select(*key).collect())) == \
             sorted(map(tuple, capped.select(*key).collect()))
 
+    def test_cap_none_means_uncapped(self, embeddings):
+        """avg_broadcast_cap_bytes=None removes the cap (always
+        broadcast — the pre-r8 reading); 0 never hints."""
+        from faisssearcher_spark.plans.inspect import (
+            broadcast_exchange_subtrees)
+
+        src, tgt = _corpora(embeddings)
+        unc = margin_scores(src, tgt, k=4,
+                            avg_broadcast_cap_bytes=None)
+        assert any("sim_val" in s
+                   for s in broadcast_exchange_subtrees(unc))
+
     def test_planted_translation_pair_mines_first(self, spark,
                                                   embeddings):
         """A src vector that IS a tgt vector (the translated pair) must
