@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "searcher_text_knn",
     # ANN
     "ann_lsh_bucket_top3",
+    "retrieval_eval",
     # dedup
     "dedup_exact_keyed",
     "dedup_ngram_jaccard",

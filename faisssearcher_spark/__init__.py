@@ -30,7 +30,7 @@ from faisssearcher_spark.operators.knn import knn_join, cal_sim
 from faisssearcher_spark.operators import (ann, balance, bitext, bm25,
                                            bpe, classifier,
                                            curate,
-                                           decontam, dedup, events,
+                                           decontam, dedup, evaluation, events,
                                            incremental,
                                            layout, maxsim, multimodal,
                                            privacy, rerank,
@@ -41,7 +41,7 @@ from faisssearcher_spark.functions import metrics
 
 __all__ = ["SparkSearcher", "knn_join", "cal_sim", "metrics",
            "ann", "balance", "bitext", "bm25", "bpe", "classifier",
-           "curate", "decontam", "dedup", "events", "incremental",
+           "curate", "decontam", "dedup", "evaluation", "events", "incremental",
            "layout", "maxsim", "multimodal", "privacy", "rerank",
            "sampling", "temporal", "text_analysis", "unigram",
            "wordpiece"]

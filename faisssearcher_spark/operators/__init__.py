@@ -3,7 +3,7 @@ from faisssearcher_spark.operators import (balance, bitext, bloom, bm25,
                                            bpe,
                                            classifier, conversations,
                                            curate,
-                                           decontam, dedup, diffing, expect, graph,
+                                           decontam, dedup, diffing, evaluation, expect, graph,
                                            incremental, layout, maxsim,
                                            privacy, projection,
                                            sampling, sketches,
@@ -12,5 +12,5 @@ from faisssearcher_spark.operators import (balance, bitext, bloom, bm25,
                                            wordpiece)
 
 __all__ = ["knn_join", "cal_sim", "balance", "bitext", "bloom", "bm25", "bpe", "classifier", "conversations", "curate",
-           "decontam", "dedup", "diffing", "expect", "graph", "incremental", "layout", "maxsim", "privacy", "projection", "sampling", "sketches", "temporal",
+           "decontam", "dedup", "diffing", "evaluation", "expect", "graph", "incremental", "layout", "maxsim", "privacy", "projection", "sampling", "sketches", "temporal",
            "text_analysis", "unigram", "wordpiece"]

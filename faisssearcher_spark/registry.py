@@ -889,6 +889,93 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval metric suite (operators/evaluation.py): score the
+    sign-LSH approximate index against brute-force cosine ground truth —
+    the validate-your-index workflow a FAISS user runs before shipping an
+    approximate index (the recall contract in ``ann_ivf_recall``
+    generalized to recall/precision/MRR/AP/nDCG per query).
+
+    results = LSH-bucketed top-5 (8 leading-dim sign bits, the
+    oracle-replayable variant); truth = exact cosine top-3 over the same
+    corpus. n_rel=3 vs k=5 keeps every denominator distinct (recall /3,
+    precision /5, AP /min(3,5)). All floats are single divisions or ≤5-term
+    sums of Python-literal log2 discounts — see evaluation.py's
+    engine-portability note."""
+    from faisssearcher_spark.operators import evaluation
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
+    res = lsh.topk(q, emb, k=5, query_item_col="qid", item_key_col="vec_id")
+    truth = knn_join(q, emb, metric="cos", k=3, query_item_col="qid",
+                     item_key_col="vec_id", payload_cols=[])
+    per_q = evaluation.retrieval_metrics(res, truth, k=5)
+    return per_q.withColumn("source_item",
+                            F.col("source_item").cast("long"))
+
+
+def _oracle_retrieval_eval(k: int = 5, n_truth: int = 3) -> str:
+    """DuckDB twin of q_retrieval_eval. The DCG discount / ideal tables
+    are the SAME Python literals the Spark plan embeds
+    (evaluation.dcg_discounts / idcg_totals) — shortest-repr decimals
+    parse to identical doubles in both engines, so no engine ever
+    evaluates log2 at query time."""
+    from faisssearcher_spark.operators.evaluation import (dcg_discounts,
+                                                          idcg_totals)
+    disc = dcg_discounts(k)
+    ideal = idcg_totals(k)
+    # ::DOUBLE on every literal: a bare decimal literal in DuckDB types as
+    # DECIMAL(17,16) and the discount sum would run in exact decimal
+    # arithmetic instead of IEEE doubles, diverging from Spark's sum.
+    disc_case = " ".join(
+        f"WHEN {r} THEN {w!r}::DOUBLE" for r, w in enumerate(disc))
+    ideal_case = " ".join(
+        f"WHEN {m + 1} THEN {w!r}::DOUBLE" for m, w in enumerate(ideal))
+    return f"""
+WITH e AS (SELECT vec_id, {_NORM} AS v,
+                  list_sum(list_transform(range(1, 9),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
+           FROM embeddings),
+     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 30),
+     lsh_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                    FROM q JOIN e USING (bucket)),
+     res AS (SELECT qid, vec_id, rn - 1 AS rank FROM
+               (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim_val DESC, vec_id ASC) AS rn FROM lsh_scored)
+             WHERE rn <= {k}),
+     ex_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                   FROM q CROSS JOIN e),
+     truth AS (SELECT qid, vec_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_val DESC, vec_id ASC) AS rn FROM ex_scored)
+               WHERE rn <= {n_truth}),
+     nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
+     hits AS (SELECT res.qid, res.rank FROM res
+              JOIN truth ON res.qid = truth.qid
+                        AND res.vec_id = truth.vec_id),
+     per_hit AS (SELECT qid, rank,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY rank) AS nth
+                 FROM hits),
+     agg AS (SELECT qid, count(*) AS n_hits, min(rank) AS first,
+                    sum(nth::DOUBLE / (rank + 1)) AS ap_sum,
+                    sum(CASE rank {disc_case} END) AS dcg
+             FROM per_hit GROUP BY qid)
+SELECT n.qid AS source_item, n.n_rel,
+       coalesce(a.n_hits, 0) AS n_hits,
+       round(coalesce(a.n_hits, 0) / n.n_rel, 4) AS recall_at_k,
+       round(coalesce(a.n_hits, 0) / {float(k)!r}, 4) AS precision_at_k,
+       round(CASE WHEN a.first IS NOT NULL
+                  THEN 1.0 / (a.first + 1) ELSE 0.0 END, 4) AS rr,
+       round(coalesce(a.ap_sum, 0.0) / least(n.n_rel, {k}), 4) AS ap,
+       round(coalesce(a.dcg, 0.0)
+             / (CASE least(n.n_rel, {k}) {ideal_case} END), 4) AS ndcg
+FROM nrel n LEFT JOIN agg a ON n.qid = a.qid
+"""
+
+
 # ===========================================================================
 # 3. dedup suite
 # ===========================================================================
@@ -4459,6 +4546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "searcher_rerank": q_searcher_rerank,
     # ANN
     "ann_lsh_bucket_top3": q_ann_lsh_bucket,
+    "retrieval_eval": q_retrieval_eval,
     "ann_ivf_recall": q_ann_ivf_recall,
     # dedup
     "dedup_exact_keyed": q_dedup_exact,
@@ -4517,6 +4605,7 @@ ORACLES: dict[str, str] = {
     "searcher_text_knn": ORACLE_SEARCHER_TEXT,
     "searcher_rerank": ORACLE_RERANK,
     "ann_lsh_bucket_top3": ORACLE_LSH,
+    "retrieval_eval": _oracle_retrieval_eval(),
     "dedup_exact_keyed": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,

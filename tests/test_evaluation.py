@@ -1,0 +1,117 @@
+"""Retrieval-metric suite (operators/evaluation.py): hand-computed
+values, degenerate queries, and the literal-discount portability rule."""
+
+import math
+
+import pytest
+
+from faisssearcher_spark.operators import evaluation as E
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def _by_q(df):
+    return {r["source_item"]: r.asDict() for r in df.collect()}
+
+
+def test_discount_tables_match_log2():
+    disc = E.dcg_discounts(5)
+    assert disc[0] == 1.0
+    for r, w in enumerate(disc):
+        assert w == 1.0 / math.log2(r + 2)
+    ideal = E.idcg_totals(5)
+    assert ideal[0] == 1.0
+    # cumulative, strictly increasing, fixed-order sums
+    acc = 0.0
+    for m, tot in enumerate(ideal):
+        acc += disc[m]
+        assert tot == acc
+
+
+def test_perfect_retrieval_scores_one(spark):
+    res = _mk(spark, [("q", i, r) for r, i in enumerate([10, 11, 12])],
+              ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", 10), ("q", 11), ("q", 12)],
+                ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=3))["q"]
+    assert out == {"source_item": "q", "n_rel": 3, "n_hits": 3,
+                   "recall_at_k": 1.0, "precision_at_k": 1.0,
+                   "rr": 1.0, "ap": 1.0, "ndcg": 1.0}
+
+
+def test_zero_hits_scores_zero_and_query_survives(spark):
+    res = _mk(spark, [("q", 99, 0)], ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", 1), ("q", 2)], ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=3))["q"]
+    assert out["n_rel"] == 2 and out["n_hits"] == 0
+    for m in ("recall_at_k", "precision_at_k", "rr", "ap", "ndcg"):
+        assert out[m] == 0.0
+
+
+def test_hand_computed_partial_case(spark):
+    # k=5, truth={a,b,c}; retrieved ranks: a@0, x@1, b@3 -> hits at 0 and 3
+    res = _mk(spark, [("q", "a", 0), ("q", "x", 1), ("q", "y", 2),
+                      ("q", "b", 3), ("q", "z", 4)],
+              ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", "a"), ("q", "b"), ("q", "c")],
+                ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=5))["q"]
+    assert out["n_hits"] == 2
+    assert out["recall_at_k"] == round(2 / 3, 4)
+    assert out["precision_at_k"] == round(2 / 5, 4)
+    assert out["rr"] == 1.0                      # first hit at rank 0
+    # AP: (1/1 + 2/4) / min(3,5)
+    assert out["ap"] == round((1.0 + 0.5) / 3, 4)
+    disc = E.dcg_discounts(5)
+    assert out["ndcg"] == round((disc[0] + disc[3]) / E.idcg_totals(5)[2], 4)
+
+
+def test_rank_at_or_past_k_ignored(spark):
+    res = _mk(spark, [("q", "a", 2), ("q", "b", 7)],
+              ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", "a"), ("q", "b")],
+                ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=3))["q"]
+    assert out["n_hits"] == 1 and out["rr"] == round(1 / 3, 4)
+
+
+def test_truth_larger_than_k_normalizes_by_k(spark):
+    # 8 relevant, k=3, all three retrieved slots relevant: ap and ndcg
+    # normalize by min(n_rel, k)=3 so a perfect top-3 still scores 1.0.
+    res = _mk(spark, [("q", i, r) for r, i in enumerate([1, 2, 3])],
+              ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", i) for i in range(1, 9)],
+                ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=3))["q"]
+    assert out["recall_at_k"] == round(3 / 8, 4)
+    assert out["ap"] == 1.0 and out["ndcg"] == 1.0
+
+
+def test_duplicate_truth_rows_deduped(spark):
+    res = _mk(spark, [("q", "a", 0)], ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", "a"), ("q", "a"), ("q", "b")],
+                ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=2))["q"]
+    assert out["n_rel"] == 2 and out["n_hits"] == 1
+    assert out["recall_at_k"] == 0.5
+
+
+def test_k_must_be_positive(spark):
+    df = _mk(spark, [("q", "a", 0)], ["source_item", "sim_item", "rank_no"])
+    with pytest.raises(ValueError, match="k must be"):
+        E.retrieval_metrics(df, df.select("source_item", "sim_item"), k=0)
+
+
+def test_summarize_macro_means(spark):
+    res = _mk(spark, [("q1", "a", 0), ("q2", "z", 0)],
+              ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q1", "a"), ("q2", "b")],
+                ["source_item", "sim_item"])
+    per_q = E.retrieval_metrics(res, truth, k=1)
+    row = E.summarize_retrieval(per_q).collect()[0]
+    assert row["n_queries"] == 2
+    # q1 perfect (all 1.0), q2 zero -> every macro mean is 0.5
+    for m in ("recall_at_k", "precision_at_k", "mrr", "map", "ndcg"):
+        assert row[m] == 0.5
