@@ -860,15 +860,31 @@ FROM ranked WHERE rn <= 3 GROUP BY qid
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed top-3: candidates restricted to the query's
     8-bit sign bucket (leading dims — zero plan constants), cosine-ranked.
-    The item⋈query meeting is an equi-join on the bucket key."""
+    The item⋈query meeting is an equi-join on the bucket key.
+
+    Round 8 extension (the 50-gate fold pattern): each pair row also
+    carries the query's ranked-retrieval metrics
+    (operators/evaluation.retrieval_metrics) of this LSH top-3 against
+    brute-force cosine top-5 ground truth — recall@3 = hits/5,
+    precision@3 = hits/3, AP and nDCG normalized by min(5,3), so every
+    denominator path is distinct. All floats are single divisions or
+    sums of Python-literal log2 discounts (evaluation.py portability
+    note)."""
+    from faisssearcher_spark.operators import evaluation
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), "embedding")
     res = lsh.topk(q, emb, k=3, query_item_col="qid", item_key_col="vec_id")
-    return res.select(F.col("source_item").cast("long").alias("source_item"),
-                      F.col("sim_item").cast("long").alias("sim_item"),
-                      F.round("sim_val", 4).alias("sim_val"), "rank_no")
+    truth = knn_join(q, emb, metric="cos", k=5, query_item_col="qid",
+                     item_key_col="vec_id", payload_cols=[])
+    per_q = evaluation.retrieval_metrics(res, truth, k=3).withColumn(
+        "source_item", F.col("source_item").cast("long"))
+    pairs = res.select(
+        F.col("source_item").cast("long").alias("source_item"),
+        F.col("sim_item").cast("long").alias("sim_item"),
+        F.round("sim_val", 4).alias("sim_val"), "rank_no")
+    return pairs.join(per_q, on="source_item")
 
 
 ORACLE_LSH = f"""
@@ -887,6 +903,77 @@ SELECT qid AS source_item, vec_id AS sim_item,
        round(sim_val, 4) AS sim_val, (rn - 1)::INT AS rank_no
 FROM ranked WHERE rn <= 3
 """
+
+
+def _oracle_lsh_with_eval(k: int = 3, n_truth: int = 5) -> str:
+    """DuckDB twin of the extended q_ann_lsh_bucket: the original LSH
+    top-3 pair rows joined with per-query retrieval metrics against
+    exact top-5 ground truth. Discount/ideal literals are the same
+    Python floats the Spark plan embeds (::DOUBLE — bare decimals would
+    type DECIMAL and sum exactly, NOTES.md)."""
+    from faisssearcher_spark.operators.evaluation import (dcg_discounts,
+                                                          idcg_totals)
+    disc = dcg_discounts(k)
+    ideal = idcg_totals(k)
+    disc_case = " ".join(
+        f"WHEN {r} THEN {w!r}::DOUBLE" for r, w in enumerate(disc))
+    ideal_case = " ".join(
+        f"WHEN {m + 1} THEN {w!r}::DOUBLE" for m, w in enumerate(ideal))
+    return f"""
+WITH e AS (SELECT vec_id, {_NORM} AS v,
+                  list_sum(list_transform(range(1, 9),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
+           FROM embeddings),
+     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 50),
+     scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                FROM q JOIN e USING (bucket)),
+     res AS (SELECT *, rn - 1 AS rank FROM
+               (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim_val DESC, vec_id ASC) AS rn FROM scored)
+             WHERE rn <= {k}),
+     ex_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                   FROM q CROSS JOIN e),
+     truth AS (SELECT qid, vec_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_val DESC, vec_id ASC) AS rn FROM ex_scored)
+               WHERE rn <= {n_truth}),
+     nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
+     hits AS (SELECT res.qid, res.rank FROM res
+              JOIN truth ON res.qid = truth.qid
+                        AND res.vec_id = truth.vec_id),
+     per_hit AS (SELECT qid, rank,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY rank) AS nth
+                 FROM hits),
+     agg AS (SELECT qid, count(*) AS n_hits, min(rank) AS first,
+                    sum(nth::DOUBLE / (rank + 1)) AS ap_sum,
+                    sum(CASE rank {disc_case} END) AS dcg
+             FROM per_hit GROUP BY qid),
+     met AS (SELECT n.qid, n.n_rel,
+                    coalesce(a.n_hits, 0) AS n_hits,
+                    round(coalesce(a.n_hits, 0) / n.n_rel, 4)
+                        AS recall_at_k,
+                    round(coalesce(a.n_hits, 0) / {float(k)!r}, 4)
+                        AS precision_at_k,
+                    round(CASE WHEN a.first IS NOT NULL
+                               THEN 1.0 / (a.first + 1)
+                               ELSE 0.0 END, 4) AS rr,
+                    round(coalesce(a.ap_sum, 0.0) / least(n.n_rel, {k}), 4)
+                        AS ap,
+                    round(coalesce(a.dcg, 0.0)
+                          / (CASE least(n.n_rel, {k}) {ideal_case} END), 4)
+                        AS ndcg
+             FROM nrel n LEFT JOIN agg a ON n.qid = a.qid)
+SELECT r.qid AS source_item, r.vec_id AS sim_item,
+       round(r.sim_val, 4) AS sim_val, (r.rn - 1)::INT AS rank_no,
+       m.n_rel, m.n_hits, m.recall_at_k, m.precision_at_k, m.rr, m.ap,
+       m.ndcg
+FROM res r JOIN met m ON r.qid = m.qid
+"""
+
+
+ORACLE_LSH_WITH_EVAL = _oracle_lsh_with_eval()
 
 
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4546,7 +4633,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "searcher_rerank": q_searcher_rerank,
     # ANN
     "ann_lsh_bucket_top3": q_ann_lsh_bucket,
-    "retrieval_eval": q_retrieval_eval,
     "ann_ivf_recall": q_ann_ivf_recall,
     # dedup
     "dedup_exact_keyed": q_dedup_exact,
@@ -4604,8 +4690,7 @@ ORACLES: dict[str, str] = {
     "vector_norms": ORACLE_NORMS,
     "searcher_text_knn": ORACLE_SEARCHER_TEXT,
     "searcher_rerank": ORACLE_RERANK,
-    "ann_lsh_bucket_top3": ORACLE_LSH,
-    "retrieval_eval": _oracle_retrieval_eval(),
+    "ann_lsh_bucket_top3": ORACLE_LSH_WITH_EVAL,
     "dedup_exact_keyed": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
@@ -5118,6 +5203,7 @@ def q_dedup_estore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
+    "retrieval_eval": q_retrieval_eval,
     "dedup_incremental_screen": q_dedup_incremental_screen,
     "dedup_estore_screen": q_dedup_estore_screen,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,

@@ -104,6 +104,31 @@ def test_k_must_be_positive(spark):
         E.retrieval_metrics(df, df.select("source_item", "sim_item"), k=0)
 
 
+def test_standalone_retrieval_eval_matches_duckdb(spark):
+    """The bench-only standalone gate (registry.q_retrieval_eval) isn't in
+    the 50-row driver gate set — its metric columns are driver-gated via
+    the ann_lsh_bucket_top3 fold — so its DuckDB twin is pinned here at
+    sf0.001 with the same canonicalization the driver uses."""
+    import duckdb
+
+    from faisssearcher_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    sdf = registry.q_retrieval_eval(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf}/embeddings.parquet'")
+    ddf = con.execute(registry._oracle_retrieval_eval()).fetchdf()
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(str)
+        return sorted(map(tuple, df.values.tolist()))
+
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) > 0
+    assert canon(sdf) == canon(ddf)
+
+
 def test_summarize_macro_means(spark):
     res = _mk(spark, [("q1", "a", 0), ("q2", "z", 0)],
               ["source_item", "sim_item", "rank_no"])
