@@ -63,6 +63,99 @@ def quality_scores(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       top_ns: tuple[int, ...] = (2, 3, 4),
+                       dup_ns: tuple[int, ...] = (5, 10)) -> DataFrame:
+    """The full Gopher repetition-filter signal set (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) as exact integers per document — callers
+    derive the paper's fractions by dividing by ``total_token_chars``
+    (integer ratios can land on decimal halves; NOTES.md house rule).
+
+    - ``total_token_chars`` — Σ len(token): the char space every
+      fraction is measured against (token space, not raw text, so
+      whitespace runs don't dilute the signal).
+    - ``dup_line_chars`` — chars in repeated line occurrences *beyond
+      the first* (a line appearing c≥2 times contributes len·(c−1)).
+    - ``top{n}_chars`` for n in ``top_ns`` — the most frequent word
+      n-gram's char weight × its count, 0 unless it repeats (count≥2);
+      ties broken toward the lexicographically greatest gram on both
+      engines.
+    - ``dup{n}_chars`` for n in ``dup_ns`` — chars of token positions
+      covered by at least one occurrence of any n-gram that appears ≥2
+      times in the doc (span-union semantics: overlapping duplicated
+      grams never double-count a token).
+
+    Scale shape: token/line/gram arrays materialize once per row (HOF
+    no-CSE rule), then everything is explode → groupBy keyed by
+    (doc, gram) — map-side combinable, linear in corpus tokens, no
+    per-row O(len²) list scans in the distributed path."""
+    base = df.select(id_col, T.tokens(text_col).alias("__t"),
+                     T.lines(text_col).alias("__ls"))
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        base = base.withColumn(
+            f"__g{n}", T.word_ngrams(F.col("__t"), n, pre_tokenized=True))
+
+    totals = base.select(
+        id_col,
+        F.aggregate(F.transform("__t", lambda t: F.length(t)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total_token_chars"))
+
+    dup_lines = (base.select(id_col, F.explode("__ls").alias("__line"))
+                 .groupBy(id_col, "__line")
+                 .agg(F.count(F.lit(1)).alias("__c"))
+                 .filter(F.col("__c") >= 2)
+                 .groupBy(id_col)
+                 .agg(F.sum(F.length("__line").cast("long")
+                            * (F.col("__c") - 1)).alias("dup_line_chars")))
+
+    tops = None
+    for n in top_ns:
+        g = base.select(id_col, F.lit(n).alias("__n"),
+                        F.explode(f"__g{n}").alias("__gram"))
+        tops = g if tops is None else tops.unionByName(g)
+    top_cols = (tops.groupBy(id_col, "__n", "__gram")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .groupBy(id_col, "__n")
+                .agg(F.max(F.struct("__c", "__gram")).alias("__top"))
+                .select(id_col, "__n",
+                        F.when(F.col("__top.__c") >= 2,
+                               (F.length("__top.__gram")
+                                - (F.col("__n") - 1)).cast("long")
+                               * F.col("__top.__c"))
+                        .otherwise(F.lit(0).cast("long")).alias("__w"))
+                .groupBy(id_col)
+                .agg(*[F.sum(F.when(F.col("__n") == n, F.col("__w")))
+                       .alias(f"top{n}_chars") for n in top_ns]))
+
+    out = (totals.join(dup_lines, id_col, "left")
+           .join(top_cols, id_col, "left"))
+    tokpos = base.select(id_col, F.posexplode("__t").alias("__pos", "__tok"))
+    for n in dup_ns:
+        gp = base.select(id_col,
+                         F.posexplode(f"__g{n}").alias("__gpos", "__gram"))
+        dup_pos = (gp.join(
+            gp.groupBy(id_col, "__gram")
+              .agg(F.count(F.lit(1)).alias("__c"))
+              .filter(F.col("__c") >= 2)
+              .select(id_col, "__gram"),
+            [id_col, "__gram"])
+            .select(id_col, F.explode(
+                F.sequence(F.col("__gpos"),
+                           F.col("__gpos") + (n - 1))).alias("__pos"))
+            .distinct())
+        cov = (dup_pos.join(tokpos, [id_col, "__pos"])
+               .groupBy(id_col)
+               .agg(F.sum(F.length("__tok").cast("long"))
+                    .alias(f"dup{n}_chars")))
+        out = out.join(cov, id_col, "left")
+    fill_cols = (["dup_line_chars"]
+                 + [f"top{n}_chars" for n in top_ns]
+                 + [f"dup{n}_chars" for n in dup_ns])
+    return out.na.fill(dict.fromkeys(fill_cols, 0))
+
+
 def detect_languages(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Stopword-heuristic language id per document."""

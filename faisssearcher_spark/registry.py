@@ -2276,15 +2276,83 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, λ = 0.4, 4dp — the order-sensitive sibling of
     text_token_stats' unigram logppl. The oracle recounts both LM
     tables and replays every per-pair -ln term (seen bigram /
-    backoff-to-unigram / OOV floor) and the first-token unigram rule."""
+    backoff-to-unigram / OOV floor) and the first-token unigram rule.
+
+    Round 8, same fold pattern: the full Gopher repetition-filter
+    integer set (text_analysis.repetition_signals — duplicate-line
+    chars beyond first, top-{2,3,4}-gram char weight, duplicated-
+    {5,10}-gram span-union coverage, total token chars); the oracle
+    replays each from positional n-gram CTEs (_rep_ctes)."""
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("source") == "src1")
     bg = text_analysis.bigram_backoff_logppl(docs, ref) \
         .select("doc_id", "bigram_logppl")
-    return text_analysis.quality_scores(docs).join(bg, "doc_id")
+    rep = text_analysis.repetition_signals(docs)
+    return (text_analysis.quality_scores(docs)
+            .join(bg, "doc_id").join(rep, "doc_id"))
 
 
 _SW_EN = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _rep_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
+    """CTE/column/join fragments replaying text_analysis.repetition_signals
+    (the Gopher repetition-filter integers) in DuckDB: positional n-gram
+    frames via unnest(generate_series(...)) (no WITH ORDINALITY in this
+    DuckDB — NOTES.md), top-gram tie toward the lexicographically
+    greatest gram (matches Spark's max(struct(cnt, gram))), duplicated-
+    gram coverage as a DISTINCT position union. All ::BIGINT — DuckDB
+    sum() yields HUGEINT which fetches as float64."""
+    ctes, cols, joins = [], [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        gram = " || ' ' || ".join(f"toks[u.s+{j}]" for j in range(n))
+        ctes.append(
+            f"gp{n} AS (SELECT doc_id, u.s AS gpos, {gram} AS gram\n"
+            f"           FROM t, unnest(generate_series(1, "
+            f"greatest(len(toks) - {n - 1}, 0))) AS u(s))")
+    for n in top_ns:
+        ctes.append(
+            f"tp{n} AS (SELECT doc_id, CASE WHEN c >= 2 THEN "
+            f"(length(gram) - {n - 1})::BIGINT * c ELSE 0 END AS w FROM\n"
+            f"           (SELECT doc_id, gram, count(*) AS c,\n"
+            f"                   row_number() OVER (PARTITION BY doc_id\n"
+            f"                     ORDER BY count(*) DESC, gram DESC) AS rn\n"
+            f"            FROM gp{n} GROUP BY doc_id, gram) WHERE rn = 1)")
+        cols.append(f"coalesce(tp{n}.w, 0)::BIGINT AS top{n}_chars")
+        joins.append(f"LEFT JOIN tp{n} ON m.doc_id = tp{n}.doc_id")
+    for n in dup_ns:
+        ctes.append(
+            f"dg{n} AS (SELECT doc_id, gram FROM gp{n}\n"
+            f"           GROUP BY doc_id, gram HAVING count(*) >= 2)")
+        ctes.append(
+            f"cv{n} AS (SELECT DISTINCT p.doc_id, p.gpos + v.o AS pos\n"
+            f"           FROM gp{n} p JOIN dg{n} USING (doc_id, gram),\n"
+            f"                unnest(generate_series(0, {n - 1})) AS v(o))")
+        ctes.append(
+            f"cc{n} AS (SELECT c.doc_id, "
+            f"sum(length(tt.toks[c.pos]))::BIGINT AS w\n"
+            f"           FROM cv{n} c JOIN t tt ON c.doc_id = tt.doc_id\n"
+            f"           GROUP BY c.doc_id)")
+        cols.append(f"coalesce(cc{n}.w, 0)::BIGINT AS dup{n}_chars")
+        joins.append(f"LEFT JOIN cc{n} ON m.doc_id = cc{n}.doc_id")
+    ctes.append(
+        "rdl AS (SELECT doc_id, sum(length(l)::BIGINT * (c - 1))::BIGINT "
+        "AS w FROM\n"
+        "         (SELECT doc_id, l, count(*) AS c FROM\n"
+        "            (SELECT doc_id, unnest(ls) AS l FROM t)\n"
+        "          GROUP BY doc_id, l HAVING count(*) >= 2)\n"
+        "         GROUP BY doc_id)")
+    ctes.append(
+        "rtot AS (SELECT doc_id, coalesce(list_sum(list_transform(toks, "
+        "x -> length(x))), 0)::BIGINT AS w FROM t)")
+    cols.insert(0, "coalesce(rdl.w, 0)::BIGINT AS dup_line_chars")
+    cols.insert(0, "rtot.w AS total_token_chars")
+    joins.insert(0, "LEFT JOIN rdl ON m.doc_id = rdl.doc_id")
+    joins.insert(0, "JOIN rtot ON m.doc_id = rtot.doc_id")
+    return (",\n     ".join(ctes), ",\n       ".join(cols), "\n".join(joins))
+
+
+_REP_CTES, _REP_COLS, _REP_JOINS = _rep_ctes()
 
 ORACLE_QUALITY = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
@@ -2333,8 +2401,9 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
                     round(sum(CASE WHEN prev IS NULL THEN ut
                                    ELSE coalesce(bt, ut - ln(0.4)) END)
                           / count(*), 4) AS bigram_logppl
-             FROM bgj GROUP BY doc_id)
-SELECT doc_id,
+             FROM bgj GROUP BY doc_id),
+     {_REP_CTES}
+SELECT m.doc_id,
        round(swr, 4) AS stopword_ratio,
        round(pr, 4) AS punct_ratio,
        round((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.2 END)
@@ -2346,8 +2415,10 @@ SELECT doc_id,
                 x -> len(list_filter(g2, y -> y = x)))), 0)::INT
          AS top_bigram_count,
        len(g2)::INT AS n_bigrams,
-       bgd.bigram_logppl AS bigram_logppl
+       bgd.bigram_logppl AS bigram_logppl,
+       {_REP_COLS}
 FROM m LEFT JOIN bgd USING (doc_id)
+{_REP_JOINS}
 """
 
 

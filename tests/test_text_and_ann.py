@@ -68,6 +68,36 @@ class TestTextFunctions:
         assert got[3]["n_lines"] == 0 and got[3]["n_bigrams"] == 0
         assert got[3]["top_bigram_count"] == 0
 
+    def test_gopher_repetition_signals(self, spark):
+        from faisssearcher_spark.operators.text_analysis import (
+            repetition_signals)
+        rows = [
+            # 13 tokens (12×1 char + 'xyz'): dup line ×2 → 11 chars
+            # beyond first; top2 'a b'×6 → 2·6; top3 tie ('a b a'/'b a b'
+            # both ×5) → greatest gram, 3·5; dup-5-gram union covers the
+            # 12 alternating tokens, never double-counting overlaps.
+            (1, "a b a b a b\na b a b a b\nxyz"),
+            (2, "one two three four five six seven"),   # nothing repeats
+            (3, "p q r s t p q r s t extra"),   # 5-gram ×2, spans 0-4/5-9
+            (4, ""),                                    # empty doc edge
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict()
+               for r in repetition_signals(df, top_ns=(2, 3),
+                                           dup_ns=(5,)).collect()}
+        assert got[1] == {"doc_id": 1, "total_token_chars": 15,
+                          "dup_line_chars": 11, "top2_chars": 12,
+                          "top3_chars": 15, "dup5_chars": 12}
+        assert got[2] == {"doc_id": 2, "total_token_chars": 27,
+                          "dup_line_chars": 0, "top2_chars": 0,
+                          "top3_chars": 0, "dup5_chars": 0}
+        assert got[3] == {"doc_id": 3, "total_token_chars": 15,
+                          "dup_line_chars": 0, "top2_chars": 4,
+                          "top3_chars": 6, "dup5_chars": 10}
+        assert got[4] == {"doc_id": 4, "total_token_chars": 0,
+                          "dup_line_chars": 0, "top2_chars": 0,
+                          "top3_chars": 0, "dup5_chars": 0}
+
 
 class TestVectorValidation:
     def test_vector_dim(self, embeddings):
