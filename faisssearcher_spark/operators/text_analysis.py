@@ -89,7 +89,14 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
     Scale shape: token/line/gram arrays materialize once per row (HOF
     no-CSE rule), then everything is explode → groupBy keyed by
     (doc, gram) — map-side combinable, linear in corpus tokens, no
-    per-row O(len²) list scans in the distributed path."""
+    per-row O(len²) list scans in the distributed path. The base
+    (tokenize + gram-build) lineage is consumed by ~8 aggregate
+    branches and deliberately RECOMPUTED per branch rather than
+    persisted: at 100 TB the tokenized corpus cannot be cached, while
+    each recompute is a pruned (id, text) scan + linear codegen'd
+    string work — scan bandwidth is the cheap resource, cluster memory
+    is not. Callers at small/medium scale who want one pass can persist
+    ``df`` themselves before calling."""
     base = df.select(id_col, T.tokens(text_col).alias("__t"),
                      T.lines(text_col).alias("__ls"))
     for n in sorted(set(top_ns) | set(dup_ns)):

@@ -157,6 +157,48 @@ class TestANN:
                        item_key_col="vec_id").collect()
         assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
 
+    def test_signlsh_multiprobe_candidate_semantics(self, queries,
+                                                    embeddings):
+        """multiprobe_bits=b widens the candidate set to the query's
+        bucket plus its b hamming-1 neighbors over the LOW bits —
+        verified against a brute-force bucket-membership filter."""
+        bits, b = 8, 3
+        lsh = ann.SignLSH(dim=64, num_bits=bits, use_leading_dims=True)
+        got = lsh.topk(queries, embeddings, k=50, query_item_col="qid",
+                       item_key_col="vec_id",
+                       multiprobe_bits=b).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["source_item"], set()).add(r["sim_item"])
+
+        import numpy as np
+        emb = {r["vec_id"]: np.array(r["embedding"])
+               for r in embeddings.collect()}
+
+        def bucket(v):
+            return sum(1 << j for j in range(bits) if v[j] >= 0)
+
+        for qid, found in by_q.items():
+            qb = bucket(emb[qid])
+            probes = {qb} | {qb ^ (1 << j) for j in range(b)}
+            expected = {i for i, v in emb.items() if bucket(v) in probes}
+            # k=50 >> bucket sizes at sf0.001, so found == full candidates
+            assert found == expected, qid
+
+    def test_signlsh_multiprobe_recall_monotone(self, queries, embeddings,
+                                                exact10):
+        """Recall@10 vs exact must be non-decreasing in multiprobe_bits
+        (each probe only ADDS candidates; ranking is exact cosine)."""
+        lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
+        recalls = []
+        for b in (0, 2, 4):
+            approx = lsh.topk(queries, embeddings, k=10,
+                              query_item_col="qid", item_key_col="vec_id",
+                              multiprobe_bits=b)
+            recalls.append(_recall(approx, exact10))
+        assert recalls == sorted(recalls), recalls
+        assert recalls[-1] > recalls[0] or recalls[0] == 1.0
+
     def test_ivf_recall_vs_exact(self, queries, embeddings, exact10):
         index = ann.IVFIndex(n_cells=8, nprobe=4, metric="cos").fit(
             embeddings, item_key_col="vec_id", item_vec_col="embedding")
