@@ -880,11 +880,20 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                      item_key_col="vec_id", payload_cols=[])
     per_q = evaluation.retrieval_metrics(res, truth, k=3).withColumn(
         "source_item", F.col("source_item").cast("long"))
+    # the one-row macro summary rides every row as constant columns —
+    # the k_anonymity_report fold precedent (q_text_langid)
+    macro = evaluation.summarize_retrieval(per_q).select(
+        "n_queries",
+        F.col("recall_at_k").alias("macro_recall"),
+        F.col("precision_at_k").alias("macro_precision"),
+        F.col("mrr").alias("macro_mrr"),
+        F.col("map").alias("macro_map"),
+        F.col("ndcg").alias("macro_ndcg"))
     pairs = res.select(
         F.col("source_item").cast("long").alias("source_item"),
         F.col("sim_item").cast("long").alias("sim_item"),
         F.round("sim_val", 4).alias("sim_val"), "rank_no")
-    return pairs.join(per_q, on="source_item")
+    return pairs.join(per_q, on="source_item").crossJoin(F.broadcast(macro))
 
 
 ORACLE_LSH = f"""
@@ -964,12 +973,19 @@ WITH e AS (SELECT vec_id, {_NORM} AS v,
                     round(coalesce(a.dcg, 0.0)
                           / (CASE least(n.n_rel, {k}) {ideal_case} END), 4)
                         AS ndcg
-             FROM nrel n LEFT JOIN agg a ON n.qid = a.qid)
+             FROM nrel n LEFT JOIN agg a ON n.qid = a.qid),
+     macro AS (SELECT count(*)::BIGINT AS n_queries,
+                      round(avg(recall_at_k), 4) AS macro_recall,
+                      round(avg(precision_at_k), 4) AS macro_precision,
+                      round(avg(rr), 4) AS macro_mrr,
+                      round(avg(ap), 4) AS macro_map,
+                      round(avg(ndcg), 4) AS macro_ndcg
+               FROM met)
 SELECT r.qid AS source_item, r.vec_id AS sim_item,
        round(r.sim_val, 4) AS sim_val, (r.rn - 1)::INT AS rank_no,
        m.n_rel, m.n_hits, m.recall_at_k, m.precision_at_k, m.rr, m.ap,
-       m.ndcg
-FROM res r JOIN met m ON r.qid = m.qid
+       m.ndcg, macro.*
+FROM res r JOIN met m ON r.qid = m.qid CROSS JOIN macro
 """
 
 
