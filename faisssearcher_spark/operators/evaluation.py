@@ -95,9 +95,13 @@ def retrieval_metrics(results: DataFrame, truth: DataFrame, *,
     n_rel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
 
     # Candidate-sized inner join: which retrieved rows are relevant.
+    # The results side dedups to its best (lowest) rank per (query,
+    # item) — a fused/unioned result frame repeating an item at two
+    # ranks must count one hit, not two (metrics > 1.0 otherwise).
     hits = (results
             .filter(F.col(rank_col) < k)
-            .select(query_col, item_col, F.col(rank_col).alias("__rank"))
+            .groupBy(query_col, item_col)
+            .agg(F.min(rank_col).alias("__rank"))
             .join(rel, on=[query_col, item_col]))
 
     # precision at each hit's rank needs the count of hits at or above it

@@ -117,27 +117,27 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
                  .agg(F.sum(F.length("__line").cast("long")
                             * (F.col("__c") - 1)).alias("dup_line_chars")))
 
-    tops = None
-    for n in top_ns:
-        g = base.select(id_col, F.lit(n).alias("__n"),
-                        F.explode(f"__g{n}").alias("__gram"))
-        tops = g if tops is None else tops.unionByName(g)
-    top_cols = (tops.groupBy(id_col, "__n", "__gram")
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .groupBy(id_col, "__n")
-                .agg(F.max(F.struct("__c", "__gram")).alias("__top"))
-                .select(id_col, "__n",
-                        F.when(F.col("__top.__c") >= 2,
-                               (F.length("__top.__gram")
-                                - (F.col("__n") - 1)).cast("long")
-                               * F.col("__top.__c"))
-                        .otherwise(F.lit(0).cast("long")).alias("__w"))
-                .groupBy(id_col)
-                .agg(*[F.sum(F.when(F.col("__n") == n, F.col("__w")))
-                       .alias(f"top{n}_chars") for n in top_ns]))
-
-    out = (totals.join(dup_lines, id_col, "left")
-           .join(top_cols, id_col, "left"))
+    out = totals.join(dup_lines, id_col, "left")
+    if top_ns:
+        tops = None
+        for n in top_ns:
+            g = base.select(id_col, F.lit(n).alias("__n"),
+                            F.explode(f"__g{n}").alias("__gram"))
+            tops = g if tops is None else tops.unionByName(g)
+        top_cols = (tops.groupBy(id_col, "__n", "__gram")
+                    .agg(F.count(F.lit(1)).alias("__c"))
+                    .groupBy(id_col, "__n")
+                    .agg(F.max(F.struct("__c", "__gram")).alias("__top"))
+                    .select(id_col, "__n",
+                            F.when(F.col("__top.__c") >= 2,
+                                   (F.length("__top.__gram")
+                                    - (F.col("__n") - 1)).cast("long")
+                                   * F.col("__top.__c"))
+                            .otherwise(F.lit(0).cast("long")).alias("__w"))
+                    .groupBy(id_col)
+                    .agg(*[F.sum(F.when(F.col("__n") == n, F.col("__w")))
+                           .alias(f"top{n}_chars") for n in top_ns]))
+        out = out.join(top_cols, id_col, "left")
     tokpos = base.select(id_col, F.posexplode("__t").alias("__pos", "__tok"))
     for n in dup_ns:
         gp = base.select(id_col,
@@ -157,7 +157,9 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
                .agg(F.sum(F.length("__tok").cast("long"))
                     .alias(f"dup{n}_chars")))
         out = out.join(cov, id_col, "left")
-    fill_cols = (["dup_line_chars"]
+    # total_token_chars included: a NULL text propagates NULL through
+    # the aggregate while the SQL twin coalesces to 0
+    fill_cols = (["total_token_chars", "dup_line_chars"]
                  + [f"top{n}_chars" for n in top_ns]
                  + [f"dup{n}_chars" for n in dup_ns])
     return out.na.fill(dict.fromkeys(fill_cols, 0))

@@ -875,11 +875,15 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), "embedding")
-    res = lsh.topk(q, emb, k=3, query_item_col="qid", item_key_col="vec_id")
+    # candidate-sized frames feeding 2-3 plan branches each (pair rows +
+    # per-query metrics + the macro row): persist per evaluation.py's
+    # recompute note — res is ≤150 rows, truth ≤250, per_q 50
+    res = lsh.topk(q, emb, k=3, query_item_col="qid",
+                   item_key_col="vec_id").persist()
     truth = knn_join(q, emb, metric="cos", k=5, query_item_col="qid",
-                     item_key_col="vec_id", payload_cols=[])
+                     item_key_col="vec_id", payload_cols=[]).persist()
     per_q = evaluation.retrieval_metrics(res, truth, k=3).withColumn(
-        "source_item", F.col("source_item").cast("long"))
+        "source_item", F.col("source_item").cast("long")).persist()
     # the one-row macro summary rides every row as constant columns —
     # the k_anonymity_report fold precedent (q_text_langid)
     macro = evaluation.summarize_retrieval(per_q).select(
@@ -896,58 +900,25 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(per_q, on="source_item").crossJoin(F.broadcast(macro))
 
 
-ORACLE_LSH = f"""
-WITH e AS (SELECT vec_id, {_NORM} AS v,
-                  list_sum(list_transform(range(1, 9),
-                      j -> CASE WHEN embedding[j] >= 0
-                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
-           FROM embeddings),
-     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 50),
-     scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
-                FROM q JOIN e USING (bucket)),
-     ranked AS (SELECT *, row_number() OVER
-                  (PARTITION BY qid ORDER BY sim_val DESC, vec_id ASC) AS rn
-                FROM scored)
-SELECT qid AS source_item, vec_id AS sim_item,
-       round(sim_val, 4) AS sim_val, (rn - 1)::INT AS rank_no
-FROM ranked WHERE rn <= 3
-"""
-
-
-def _oracle_lsh_with_eval(k: int = 3, n_truth: int = 5) -> str:
-    """DuckDB twin of the extended q_ann_lsh_bucket: the original LSH
-    top-3 pair rows joined with per-query retrieval metrics against
-    exact top-5 ground truth. Discount/ideal literals are the same
-    Python floats the Spark plan embeds (::DOUBLE — bare decimals would
-    type DECIMAL and sum exactly, NOTES.md)."""
+def _eval_met_ctes(k: int) -> str:
+    """Shared metric-replay CTE fragment (the operators/evaluation.py
+    twin): consumes prior CTEs ``res(qid, vec_id, rank)`` (0-based,
+    already cut to the top-k) and ``truth(qid, vec_id)``; defines
+    nrel/hits/per_hit/agg/met. One builder serves both retrieval
+    oracles so the metric semantics cannot desynchronize. The discount
+    and cumulative-ideal tables are the SAME Python literals the Spark
+    plan embeds (evaluation.dcg_discounts / idcg_totals) — shortest-repr
+    decimals parse to identical doubles, so neither engine evaluates
+    log2 at query time. ::DOUBLE on every literal: a bare decimal in
+    DuckDB types DECIMAL(17,16) and the sum would run exact-decimal
+    instead of IEEE (NOTES.md)."""
     from faisssearcher_spark.operators.evaluation import (dcg_discounts,
                                                           idcg_totals)
-    disc = dcg_discounts(k)
-    ideal = idcg_totals(k)
-    disc_case = " ".join(
-        f"WHEN {r} THEN {w!r}::DOUBLE" for r, w in enumerate(disc))
-    ideal_case = " ".join(
-        f"WHEN {m + 1} THEN {w!r}::DOUBLE" for m, w in enumerate(ideal))
-    return f"""
-WITH e AS (SELECT vec_id, {_NORM} AS v,
-                  list_sum(list_transform(range(1, 9),
-                      j -> CASE WHEN embedding[j] >= 0
-                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
-           FROM embeddings),
-     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 50),
-     scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
-                FROM q JOIN e USING (bucket)),
-     res AS (SELECT *, rn - 1 AS rank FROM
-               (SELECT *, row_number() OVER (PARTITION BY qid
-                  ORDER BY sim_val DESC, vec_id ASC) AS rn FROM scored)
-             WHERE rn <= {k}),
-     ex_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
-                   FROM q CROSS JOIN e),
-     truth AS (SELECT qid, vec_id FROM
-                 (SELECT *, row_number() OVER (PARTITION BY qid
-                    ORDER BY sim_val DESC, vec_id ASC) AS rn FROM ex_scored)
-               WHERE rn <= {n_truth}),
-     nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
+    disc_case = " ".join(f"WHEN {r} THEN {w!r}::DOUBLE"
+                         for r, w in enumerate(dcg_discounts(k)))
+    ideal_case = " ".join(f"WHEN {m + 1} THEN {w!r}::DOUBLE"
+                          for m, w in enumerate(idcg_totals(k)))
+    return f"""nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
      hits AS (SELECT res.qid, res.rank FROM res
               JOIN truth ON res.qid = truth.qid
                         AND res.vec_id = truth.vec_id),
@@ -973,7 +944,43 @@ WITH e AS (SELECT vec_id, {_NORM} AS v,
                     round(coalesce(a.dcg, 0.0)
                           / (CASE least(n.n_rel, {k}) {ideal_case} END), 4)
                         AS ndcg
-             FROM nrel n LEFT JOIN agg a ON n.qid = a.qid),
+             FROM nrel n LEFT JOIN agg a ON n.qid = a.qid)"""
+
+
+def _eval_base_ctes(max_qid: int, k_res: int, n_truth: int) -> str:
+    """LSH-results + exact-truth CTE prefix shared by both retrieval
+    oracles: e/q = 8 leading-dim sign buckets, res = in-bucket cosine
+    top-``k_res`` (unrounded ranking, ties by vec_id — the engine rule),
+    truth = brute-force cosine top-``n_truth``."""
+    return f"""e AS (SELECT vec_id, {_NORM} AS v,
+                  list_sum(list_transform(range(1, 9),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
+           FROM embeddings),
+     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
+           WHERE vec_id < {max_qid}),
+     scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                FROM q JOIN e USING (bucket)),
+     res AS (SELECT *, rn - 1 AS rank FROM
+               (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim_val DESC, vec_id ASC) AS rn FROM scored)
+             WHERE rn <= {k_res}),
+     ex_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
+                   FROM q CROSS JOIN e),
+     truth AS (SELECT qid, vec_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_val DESC, vec_id ASC) AS rn FROM ex_scored)
+               WHERE rn <= {n_truth})"""
+
+
+def _oracle_lsh_with_eval(k: int = 3, n_truth: int = 5) -> str:
+    """DuckDB twin of the extended q_ann_lsh_bucket: the original LSH
+    top-3 pair rows joined with per-query retrieval metrics against
+    exact top-5 ground truth, plus the one-row macro summary riding
+    every row (the k_anonymity_report fold precedent)."""
+    return f"""
+WITH {_eval_base_ctes(50, k, n_truth)},
+     {_eval_met_ctes(k)},
      macro AS (SELECT count(*)::BIGINT AS n_queries,
                       round(avg(recall_at_k), 4) AS macro_recall,
                       round(avg(precision_at_k), 4) AS macro_precision,
@@ -1004,7 +1011,9 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. n_rel=3 vs k=5 keeps every denominator distinct (recall /3,
     precision /5, AP /min(3,5)). All floats are single divisions or ≤5-term
     sums of Python-literal log2 discounts — see evaluation.py's
-    engine-portability note."""
+    engine-portability note. Bench-only entry (the driver's 50-row gate
+    carries these metrics via the ann_lsh_bucket_top3 fold); its DuckDB
+    twin is pinned in tests/test_evaluation.py."""
     from faisssearcher_spark.operators import evaluation
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 30).select(
@@ -1019,64 +1028,16 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_retrieval_eval(k: int = 5, n_truth: int = 3) -> str:
-    """DuckDB twin of q_retrieval_eval. The DCG discount / ideal tables
-    are the SAME Python literals the Spark plan embeds
-    (evaluation.dcg_discounts / idcg_totals) — shortest-repr decimals
-    parse to identical doubles in both engines, so no engine ever
-    evaluates log2 at query time."""
-    from faisssearcher_spark.operators.evaluation import (dcg_discounts,
-                                                          idcg_totals)
-    disc = dcg_discounts(k)
-    ideal = idcg_totals(k)
-    # ::DOUBLE on every literal: a bare decimal literal in DuckDB types as
-    # DECIMAL(17,16) and the discount sum would run in exact decimal
-    # arithmetic instead of IEEE doubles, diverging from Spark's sum.
-    disc_case = " ".join(
-        f"WHEN {r} THEN {w!r}::DOUBLE" for r, w in enumerate(disc))
-    ideal_case = " ".join(
-        f"WHEN {m + 1} THEN {w!r}::DOUBLE" for m, w in enumerate(ideal))
+    """Standalone twin of q_retrieval_eval (per-query rows only) — built
+    from the same shared fragments as the driver-gated fold."""
     return f"""
-WITH e AS (SELECT vec_id, {_NORM} AS v,
-                  list_sum(list_transform(range(1, 9),
-                      j -> CASE WHEN embedding[j] >= 0
-                                THEN (1::BIGINT << (j-1)) ELSE 0 END)) AS bucket
-           FROM embeddings),
-     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 30),
-     lsh_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
-                    FROM q JOIN e USING (bucket)),
-     res AS (SELECT qid, vec_id, rn - 1 AS rank FROM
-               (SELECT *, row_number() OVER (PARTITION BY qid
-                  ORDER BY sim_val DESC, vec_id ASC) AS rn FROM lsh_scored)
-             WHERE rn <= {k}),
-     ex_scored AS (SELECT q.qid, e.vec_id, {_dot('q.qv', 'e.v')} AS sim_val
-                   FROM q CROSS JOIN e),
-     truth AS (SELECT qid, vec_id FROM
-                 (SELECT *, row_number() OVER (PARTITION BY qid
-                    ORDER BY sim_val DESC, vec_id ASC) AS rn FROM ex_scored)
-               WHERE rn <= {n_truth}),
-     nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
-     hits AS (SELECT res.qid, res.rank FROM res
-              JOIN truth ON res.qid = truth.qid
-                        AND res.vec_id = truth.vec_id),
-     per_hit AS (SELECT qid, rank,
-                        row_number() OVER (PARTITION BY qid
-                                           ORDER BY rank) AS nth
-                 FROM hits),
-     agg AS (SELECT qid, count(*) AS n_hits, min(rank) AS first,
-                    sum(nth::DOUBLE / (rank + 1)) AS ap_sum,
-                    sum(CASE rank {disc_case} END) AS dcg
-             FROM per_hit GROUP BY qid)
-SELECT n.qid AS source_item, n.n_rel,
-       coalesce(a.n_hits, 0) AS n_hits,
-       round(coalesce(a.n_hits, 0) / n.n_rel, 4) AS recall_at_k,
-       round(coalesce(a.n_hits, 0) / {float(k)!r}, 4) AS precision_at_k,
-       round(CASE WHEN a.first IS NOT NULL
-                  THEN 1.0 / (a.first + 1) ELSE 0.0 END, 4) AS rr,
-       round(coalesce(a.ap_sum, 0.0) / least(n.n_rel, {k}), 4) AS ap,
-       round(coalesce(a.dcg, 0.0)
-             / (CASE least(n.n_rel, {k}) {ideal_case} END), 4) AS ndcg
-FROM nrel n LEFT JOIN agg a ON n.qid = a.qid
+WITH {_eval_base_ctes(30, k, n_truth)},
+     {_eval_met_ctes(k)}
+SELECT qid AS source_item, n_rel, n_hits, recall_at_k, precision_at_k,
+       rr, ap, ndcg
+FROM met
 """
+
 
 
 # ===========================================================================

@@ -89,6 +89,18 @@ def test_truth_larger_than_k_normalizes_by_k(spark):
     assert out["ap"] == 1.0 and out["ndcg"] == 1.0
 
 
+def test_duplicate_result_rows_count_one_hit(spark):
+    """A fused/unioned results frame repeating an item at two ranks must
+    count ONE hit at its best rank — metrics can never exceed 1.0."""
+    res = _mk(spark, [("q", "a", 0), ("q", "a", 1)],
+              ["source_item", "sim_item", "rank_no"])
+    truth = _mk(spark, [("q", "a")], ["source_item", "sim_item"])
+    out = _by_q(E.retrieval_metrics(res, truth, k=2))["q"]
+    assert out["n_hits"] == 1
+    assert out["recall_at_k"] == 1.0 and out["ap"] == 1.0
+    assert out["ndcg"] == 1.0 and out["rr"] == 1.0
+
+
 def test_duplicate_truth_rows_deduped(spark):
     res = _mk(spark, [("q", "a", 0)], ["source_item", "sim_item", "rank_no"])
     truth = _mk(spark, [("q", "a"), ("q", "a"), ("q", "b")],

@@ -98,6 +98,24 @@ class TestTextFunctions:
                           "dup_line_chars": 0, "top2_chars": 0,
                           "top3_chars": 0, "dup5_chars": 0}
 
+    def test_repetition_null_text_and_empty_top_ns(self, spark):
+        from faisssearcher_spark.operators.text_analysis import (
+            repetition_signals)
+        df = spark.createDataFrame([(1, None), (2, "x y x y x y")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict()
+               for r in repetition_signals(df, top_ns=(2,),
+                                           dup_ns=(3,)).collect()}
+        # NULL text zero-fills everywhere (the oracle coalesces to 0)
+        assert got[1] == {"doc_id": 1, "total_token_chars": 0,
+                          "dup_line_chars": 0, "top2_chars": 0,
+                          "dup3_chars": 0}
+        assert got[2]["top2_chars"] == 6     # 'x y' ×3 → (len 3 − 1)·3
+        # top_ns=() produces only the non-top columns instead of crashing
+        cols = repetition_signals(df, top_ns=(), dup_ns=(3,)).columns
+        assert cols == ["doc_id", "total_token_chars", "dup_line_chars",
+                        "dup3_chars"]
+
 
 class TestVectorValidation:
     def test_vector_dim(self, embeddings):
