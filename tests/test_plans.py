@@ -322,3 +322,28 @@ class TestSessionFourPlans:
         assert plan.count("Exchange hashpartitioning(user_id") <= 2
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestRetrievalEvalPlan:
+    def test_metric_plan_candidate_sized_no_python(self, spark, embeddings):
+        """retrieval_metrics: both knn legs keep their WindowGroupLimit
+        pushdown, the hits meeting is a (query, item) equi-join (no
+        cross product), and the metric arithmetic is pure Catalyst —
+        the nDCG discounts are literal arrays, no runtime log2, no
+        Python eval anywhere."""
+        from faisssearcher_spark.operators import ann, evaluation
+
+        q = embeddings.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        lsh = ann.SignLSH(dim=64, num_bits=8, use_leading_dims=True)
+        res = lsh.topk(q, embeddings, k=5, query_item_col="qid",
+                       item_key_col="vec_id")
+        truth = knn_join(q, embeddings, metric="cos", k=3,
+                         query_item_col="qid", item_key_col="vec_id",
+                         payload_cols=[])
+        plan = inspect.executed_plan(
+            evaluation.retrieval_metrics(res, truth, k=5))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan

@@ -218,6 +218,17 @@ AUDITS = {
          "the SCORING pass is relational — MLlib runs at fit time only, "
          "never in the per-document plan"),
     ],
+    "retrieval_eval": [
+        ("WindowGroupLimit", True,
+         "both knn legs (LSH results, brute-force truth) cut to top-k "
+         "below their exchanges — map tasks emit at most m*k rows"),
+        ("BatchEvalPython", False,
+         "metric arithmetic is pure Catalyst: nDCG discounts come from "
+         "literal arrays, no runtime log2 on either engine"),
+        ("CartesianProduct", False,
+         "results meet truth only through the (query, item) equi-join; "
+         "every post-knn frame is candidate-sized"),
+    ],
 }
 
 
