@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "ann_sq_topk",
     "text_bpe_pack",
     "layout_zorder",
+    "layout_hilbert",
     "text_quality_classifier",
     "text_bm25_topk",
     "text_maxsim_rerank",

@@ -51,30 +51,16 @@ def _rank_bucket_expr(col: Column, boundaries: list[float],
     return F.when(col.isNull(), F.lit(0)).otherwise(tree(0, n_buckets - 1))
 
 
-def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
-               out_col: str = "__zorder",
-               relative_error: float = 0.001,
-               boundaries: "dict[str, list[float]] | None" = None) -> DataFrame:
-    """Append the Z-order (Morton) key of ``cols``: each column is
-    rank-bucketed into ``2**bits`` quantile buckets (skew-robust — equal
-    ROW mass per bucket, unlike value-range bucketing) and the bucket
-    bits are interleaved into one long. Rows close on the Z-curve are
-    close in EVERY participating column, which is what turns min-max
-    footer stats into multi-column file pruning.
-
-    ``bits`` is per-column; ``bits * len(cols)`` must fit a long (≤ 62)
-    and the CASE tree grows as 2^bits nodes per column, so keep bits in
-    the default 6-10 range — pruning benefits saturate once
-    2^bits ≫ number of output files anyway.
-
-    ``boundaries`` overrides the approxQuantile sketch with explicit
-    per-column ascending bucket edges (len = 2**bits − 1 each) — for
-    reproducible cross-engine checks (the sketch is not replicable in
-    SQL; the drift_report ``edges`` pattern) or domain-fixed bucketing;
-    key construction is identical.
-    """
+def _bucket_exprs(df: DataFrame, cols: Sequence[str], *, bits: int,
+                  relative_error: float,
+                  boundaries: "dict[str, list[float]] | None",
+                  out_col: str, kind: str) -> "list[Column]":
+    """Shared rank-bucketing front half of every layout key: validation,
+    temporal→double casting, the approxQuantile sketch (or explicit
+    ``boundaries``), and one codegen'd CASE-tree bucket expression per
+    column, each in [0, 2**bits)."""
     if not cols:
-        raise ValueError("zorder_key needs at least one column")
+        raise ValueError(f"{kind}_key needs at least one column")
     if not 1 <= bits * len(cols) <= 62:
         raise ValueError(
             f"bits*len(cols) must be in [1, 62] to fit a long, got "
@@ -89,7 +75,7 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
         dt = df.schema[c].dataType.simpleString()
         if not dt.startswith(_NUMERIC):
             raise ValueError(
-                f"zorder column {c!r} has type {dt}: rank-bucketing needs "
+                f"{kind} column {c!r} has type {dt}: rank-bucketing needs "
                 f"an ordered numeric/temporal type (hashing a string "
                 f"would destroy the locality the layout exists for)")
     n_buckets = 1 << bits
@@ -125,6 +111,35 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
             buckets.append(F.lit(0))
         else:
             buckets.append(_rank_bucket_expr(casted[c], bnds, n_buckets))
+    return buckets
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
+               out_col: str = "__zorder",
+               relative_error: float = 0.001,
+               boundaries: "dict[str, list[float]] | None" = None) -> DataFrame:
+    """Append the Z-order (Morton) key of ``cols``: each column is
+    rank-bucketed into ``2**bits`` quantile buckets (skew-robust — equal
+    ROW mass per bucket, unlike value-range bucketing) and the bucket
+    bits are interleaved into one long. Rows close on the Z-curve are
+    close in EVERY participating column, which is what turns min-max
+    footer stats into multi-column file pruning.
+
+    ``bits`` is per-column; ``bits * len(cols)`` must fit a long (≤ 62)
+    and the CASE tree grows as 2^bits nodes per column, so keep bits in
+    the default 6-10 range — pruning benefits saturate once
+    2^bits ≫ number of output files anyway.
+
+    ``boundaries`` overrides the approxQuantile sketch with explicit
+    per-column ascending bucket edges (len = 2**bits − 1 each) — for
+    reproducible cross-engine checks (the sketch is not replicable in
+    SQL; the drift_report ``edges`` pattern) or domain-fixed bucketing;
+    key construction is identical.
+    """
+    buckets = _bucket_exprs(df, cols, bits=bits,
+                            relative_error=relative_error,
+                            boundaries=boundaries, out_col=out_col,
+                            kind="zorder")
     ncols = len(cols)
     z = F.lit(0).cast("long")
     for i in range(bits):
@@ -154,3 +169,81 @@ def zorder_layout(df: DataFrame, cols: Sequence[str], *,
     return (keyed.repartitionByRange(n_files, F.col("__zorder"))
             .sortWithinPartitions("__zorder")
             .drop("__zorder"))
+
+
+def hilbert_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
+                out_col: str = "__hilbert",
+                relative_error: float = 0.001,
+                boundaries: "dict[str, list[float]] | None" = None
+                ) -> DataFrame:
+    """Append the 2-D Hilbert-curve key of exactly two columns — the
+    strictly-better-locality sibling of :func:`zorder_key` (the layout
+    Apache Iceberg and Delta's newer clustering offer next to Z-order):
+    consecutive Hilbert cells are always grid-ADJACENT (Manhattan
+    distance 1), while the Z-curve jumps across the grid at every power
+    of two, so Hilbert files cover tighter min-max rectangles at the
+    same file count — measurably smaller per-file spans on uniform data
+    (pinned in tests/test_layout.py).
+
+    Same front half as Z-order: quantile rank-buckets per column (skew-
+    robust; ``boundaries`` overrides the sketch). The bucket pair then
+    walks the standard xy→d loop (one step per bit, MSB first; the
+    (3·rx)^ry quadrant term plus the reflect-and-swap rotation). Each
+    step's (x, y, d) is materialized behind a one-element
+    ``explode(array(struct(...)))`` Generate barrier — the rotation
+    references x and y several times, so inlining the ``bits`` steps
+    (CollapseProject) would grow the expression tree ~4^bits; behind
+    barriers the plan stays linear in ``bits`` (the engine's standard
+    HOF-CSE discipline, NOTES.md). Pure Catalyst: no Python, no
+    shuffle — the same one-pass key projection cost as the Z-key.
+
+    Only 2-D: the quadrant/rotation algebra is specific to two
+    dimensions (d-dimensional Hilbert needs the Butz algorithm's state
+    tables); for 3+ columns use :func:`zorder_key`, whose locality gap
+    vs Hilbert narrows as dimensions grow anyway.
+    """
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_key is 2-D (got {len(cols)} columns) — use "
+            f"zorder_key for other dimensionalities")
+    bx, by = _bucket_exprs(df, cols, bits=bits,
+                           relative_error=relative_error,
+                           boundaries=boundaries, out_col=out_col,
+                           kind="hilbert")
+    cur = df.select("*", bx.cast("long").alias("__hx"),
+                    by.cast("long").alias("__hy"),
+                    F.lit(0).cast("long").alias("__hd"))
+    for i in reversed(range(bits)):
+        s = 1 << i
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        nd = d + F.lit(s * s).cast("long") * \
+            (rx * 3).bitwiseXOR(ry).cast("long")
+        # rot: if ry==0, reflect by s-1 when rx==1, then swap x<->y
+        nx = F.when(ry == 1, x).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y))
+        ny = F.when(ry == 1, y).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x))
+        cur = (cur.select("*", F.explode(F.array(F.struct(
+                   nx.alias("x"), ny.alias("y"), nd.alias("d"))))
+                   .alias("__hstep"))
+               .drop("__hx", "__hy", "__hd")
+               .withColumn("__hx", F.col("__hstep.x"))
+               .withColumn("__hy", F.col("__hstep.y"))
+               .withColumn("__hd", F.col("__hstep.d"))
+               .drop("__hstep"))
+    return (cur.drop("__hx", "__hy")
+            .withColumnRenamed("__hd", out_col))
+
+
+def hilbert_layout(df: DataFrame, cols: Sequence[str], *,
+                   n_files: int, bits: int = 8,
+                   relative_error: float = 0.001) -> DataFrame:
+    """Cluster ``df`` along the Hilbert curve of two columns and split
+    into ``n_files`` range partitions sorted within each — the
+    :func:`zorder_layout` maintenance job with the tighter curve."""
+    keyed = hilbert_key(df, cols, bits=bits, relative_error=relative_error)
+    return (keyed.repartitionByRange(n_files, F.col("__hilbert"))
+            .sortWithinPartitions("__hilbert")
+            .drop("__hilbert"))

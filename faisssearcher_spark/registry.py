@@ -4132,7 +4132,27 @@ def q_orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("order_seq"),
         F.lit(0.0).alias("decayed_spend_90d"),
         F.col("__zorder").alias("zorder_key"))
-    return win.unionByName(zleg)
+
+    # tag-union leg 3 (round 8): the HILBERT key value-checked over the
+    # same exact quantile edges — the oracle replays the xy→d
+    # reflect-and-swap walk as a recursive CTE (the BPE/unigram
+    # replay pattern); the key rides the zorder_key column (it is
+    # "the layout key of this leg").
+    from faisssearcher_spark.operators.layout import hilbert_key
+
+    hk = hilbert_key(orders, ["o_totalprice", "o_custkey"], bits=4,
+                     boundaries={"o_totalprice": list(e["e1"]),
+                                 "o_custkey": list(e["e2"])})
+    hleg = hk.select(
+        F.lit("hilbert").alias("leg"),
+        "o_custkey", "o_orderkey",
+        F.lit("").alias("o_orderdate"),
+        F.lit(0.0).alias("running_total"),
+        F.lit(0.0).alias("moving_sum_3"),
+        F.lit(-1).alias("order_seq"),
+        F.lit(0.0).alias("decayed_spend_90d"),
+        F.col("__hilbert").alias("zorder_key"))
+    return win.unionByName(zleg).unionByName(hleg)
 
 
 def _oracle_running_zorder() -> str:
@@ -4141,7 +4161,7 @@ def _oracle_running_zorder() -> str:
         f"(((b1 >> {i}) & 1) << {2 * i}) + (((b2 >> {i}) & 1) << {2 * i + 1})"
         for i in range(4))
     return f"""
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT *, epoch(o_orderdate) AS ets,
          min(epoch(o_orderdate)) OVER (PARTITION BY o_custkey) AS t0
   FROM orders),
@@ -4153,7 +4173,22 @@ WITH t AS (
                     x -> o_totalprice::DOUBLE >= x)) AS b1,
                 len(list_filter(ze.e2,
                     x -> o_custkey::DOUBLE >= x)) AS b2
-         FROM orders, ze)
+         FROM orders, ze),
+  hw AS (SELECT o_custkey, o_orderkey, b1::BIGINT AS hx, b2::BIGINT AS hy,
+                0::BIGINT AS d, 3 AS i
+         FROM zb
+         UNION ALL
+         SELECT o_custkey, o_orderkey,
+                CASE WHEN ((hy >> i) & 1) = 1 THEN hx
+                     WHEN ((hx >> i) & 1) = 1 THEN (1::BIGINT << i) - 1 - hy
+                     ELSE hy END,
+                CASE WHEN ((hy >> i) & 1) = 1 THEN hy
+                     WHEN ((hx >> i) & 1) = 1 THEN (1::BIGINT << i) - 1 - hx
+                     ELSE hx END,
+                d + ((1::BIGINT << i) * (1::BIGINT << i)) *
+                    xor(3 * ((hx >> i) & 1), (hy >> i) & 1),
+                i - 1
+         FROM hw WHERE i >= 0)
 SELECT 'win' AS leg, o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(sum(o_totalprice) OVER
@@ -4176,6 +4211,9 @@ UNION ALL
 SELECT 'zorder', o_custkey, o_orderkey, '', 0.0, 0.0, -1, 0.0,
        ({interleave})::BIGINT
 FROM zb
+UNION ALL
+SELECT 'hilbert', o_custkey, o_orderkey, '', 0.0, 0.0, -1, 0.0, d
+FROM hw WHERE i = -1
 """
 
 
@@ -5143,6 +5181,20 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_files=32, bits=6)
 
 
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: Hilbert-curve layout job over lineitem on the same
+    (l_orderkey, l_partkey) pair as layout_zorder — one sketch pass,
+    bits Generate-barrier key steps (pure Catalyst), one range shuffle.
+    Key parity with the reference walk and the smaller-per-file-span
+    claim vs Z-order are pinned from real parquet footers in
+    tests/test_layout.py."""
+    from faisssearcher_spark.operators import layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return layout.hilbert_layout(li, ["l_orderkey", "l_partkey"],
+                                 n_files=32, bits=6)
+
+
 def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: REAL-tokenizer packing — train a 200-merge BPE on the
     corpus (distributed word counts, driver merges on the Zipf-small
@@ -5282,6 +5334,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq_topk": q_ann_sq_topk,
     "text_bpe_pack": q_text_bpe_pack,
     "layout_zorder": q_layout_zorder,
+    "layout_hilbert": q_layout_hilbert,
     "text_quality_classifier": q_text_quality_classifier,
     "text_bm25_topk": q_text_bm25_topk,
     "text_maxsim_rerank": q_text_maxsim_rerank,

@@ -147,6 +147,106 @@ def test_zkey_plan_is_codegen_no_shuffle(spark, grid_df):
         assert bad not in plan, f"{bad} leaked into the z-key plan"
 
 
+def _py_hilbert(order, x, y):
+    """Reference xy→d (the standard reflect-and-swap loop, MSB first)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_is_true_hilbert():
+    """The Python reference itself: bijective on the full grid and every
+    consecutive pair of cells is grid-ADJACENT (Manhattan distance 1) —
+    the property Z-order lacks and the whole reason hilbert_key exists."""
+    order = 4
+    n = 1 << order
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            d = _py_hilbert(order, x, y)
+            assert d not in seen
+            seen[d] = (x, y)
+    assert len(seen) == n * n
+    pts = [seen[d] for d in range(n * n)]
+    assert all(abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
+               for a, b in zip(pts, pts[1:]))
+
+
+def test_hilbert_key_matches_reference_exactly(spark):
+    """With explicit integer boundaries (no sketch fuzz) the Spark key
+    equals the reference on every cell of an 8×8 grid."""
+    from faisssearcher_spark.operators.layout import hilbert_key
+
+    rows = [(8 * x + y, float(x), float(y))
+            for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    bnds = [float(v) for v in range(1, 8)]
+    got = hilbert_key(df, ["x", "y"], bits=3,
+                      boundaries={"x": bnds, "y": bnds}).collect()
+    for r in got:
+        assert r["__hilbert"] == _py_hilbert(3, int(r["x"]), int(r["y"])), \
+            (r["x"], r["y"])
+
+
+def test_hilbert_layout_beats_zorder_spans(spark, grid_df, tmp_path):
+    """The locality claim, measured from real parquet footers: at equal
+    file count the Hilbert layout's total per-file min-max AREA
+    (span_x · span_y summed over files) is smaller than Z-order's —
+    consecutive Hilbert cells are always adjacent, the Z-curve jumps.
+    Measured ~34% smaller on this grid; pinned loosely as strictly
+    better."""
+    from faisssearcher_spark.operators.layout import (hilbert_layout,
+                                                      zorder_layout)
+
+    zpath, hpath = str(tmp_path / "zo"), str(tmp_path / "hi")
+    zorder_layout(grid_df, ["x", "y"], n_files=16, bits=6) \
+        .write.parquet(zpath)
+    hilbert_layout(grid_df, ["x", "y"], n_files=16, bits=6) \
+        .write.parquet(hpath)
+
+    def area(path):
+        sp = _file_spans(path, ["x", "y"])
+        return sum(a * b for a, b in zip(sp["x"], sp["y"]))
+
+    za, ha = area(zpath), area(hpath)
+    assert ha < za, (ha, za)
+    # both are real 2-d layouts (each file bounded in both columns)
+    sp = _file_spans(hpath, ["x", "y"])
+    assert sum(sp["x"]) / len(sp["x"]) < 50
+    assert sum(sp["y"]) / len(sp["y"]) < 50
+
+
+def test_hilbert_key_plan_no_python_no_shuffle(spark, grid_df):
+    """bits Generate barriers, still scan-side: no Exchange, no Python.
+    (Window stays out too — the key is a pure projection chain.)"""
+    from faisssearcher_spark.operators.layout import hilbert_key
+
+    plan = hilbert_key(grid_df, ["x", "y"], bits=6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Window", "Python", "FlatMapsInPandas"):
+        assert bad not in plan, f"{bad} leaked into the hilbert-key plan"
+
+
+def test_hilbert_validation(spark, grid_df):
+    from faisssearcher_spark.operators.layout import hilbert_key
+
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_key(grid_df, ["x"])
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_key(grid_df, ["x", "y", "row_id"])
+    with pytest.raises(ValueError, match="already exists"):
+        hilbert_key(grid_df.withColumn("__hilbert", F.lit(1)), ["x", "y"])
+
+
 def test_date_columns_bucket_by_value_not_null(spark):
     """DATE doesn't cast to double (NULL outside ANSI) — the key must
     route dates through timestamp or every row silently buckets to 0."""
