@@ -206,6 +206,11 @@ def hilbert_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
         raise ValueError(
             f"hilbert_key is 2-D (got {len(cols)} columns) — use "
             f"zorder_key for other dimensionalities")
+    taken = [c for c in ("__hx", "__hy", "__hd", "__hstep")
+             if c in df.columns]
+    if taken:
+        raise ValueError(f"hilbert_key needs scratch columns {taken} — "
+                         f"rename or drop them first")
     bx, by = _bucket_exprs(df, cols, bits=bits,
                            relative_error=relative_error,
                            boundaries=boundaries, out_col=out_col,

@@ -143,7 +143,7 @@ def test_zkey_plan_is_codegen_no_shuffle(spark, grid_df):
     Exchange, no Python workers, no Window."""
     plan = zorder_key(grid_df, ["x", "y"], bits=6) \
         ._jdf.queryExecution().executedPlan().toString()
-    for bad in ("Exchange", "Window", "Python", "FlatMapsInPandas"):
+    for bad in ("Exchange", "Window", "Python", "InPandas"):
         assert bad not in plan, f"{bad} leaked into the z-key plan"
 
 
@@ -232,7 +232,7 @@ def test_hilbert_key_plan_no_python_no_shuffle(spark, grid_df):
 
     plan = hilbert_key(grid_df, ["x", "y"], bits=6) \
         ._jdf.queryExecution().executedPlan().toString()
-    for bad in ("Exchange", "Window", "Python", "FlatMapsInPandas"):
+    for bad in ("Exchange", "Window", "Python", "InPandas"):
         assert bad not in plan, f"{bad} leaked into the hilbert-key plan"
 
 
