@@ -141,6 +141,61 @@ def test_standalone_retrieval_eval_matches_duckdb(spark):
     assert canon(sdf) == canon(ddf)
 
 
+def _py_metrics(res_ranks, truth, k):
+    """Pure-python reference: res_ranks = {item: rank}, truth = set."""
+    n_rel = len(truth)
+    hit_ranks = sorted(r for i, r in res_ranks.items()
+                       if r < k and i in truth)
+    n_hits = len(hit_ranks)
+    disc = E.dcg_discounts(k)
+    ap = sum((j + 1) / (r + 1) for j, r in enumerate(hit_ranks))
+    dcg = sum(disc[r] for r in hit_ranks)
+    m = min(n_rel, k)
+    return {
+        "n_rel": n_rel, "n_hits": n_hits,
+        "recall_at_k": round(n_hits / n_rel, 4),
+        "precision_at_k": round(n_hits / k, 4),
+        "rr": round(1.0 / (hit_ranks[0] + 1), 4) if hit_ranks else 0.0,
+        "ap": round(ap / m, 4),
+        "ndcg": round(dcg / E.idcg_totals(k)[m - 1], 4),
+    }
+
+
+def test_random_cases_match_python_reference(spark):
+    """40 seeded random (results, truth) queries in one frame, checked
+    metric-by-metric against an independent pure-python computation;
+    also pins the [0, 1] range on every metric."""
+    import random
+
+    rng = random.Random(99)
+    res_rows, truth_rows, expect = [], [], {}
+    for qi in range(40):
+        q = f"q{qi}"
+        k = rng.choice([1, 3, 5])
+        items = rng.sample(range(20), k=rng.randint(1, 8))
+        res_ranks = {it: r for r, it in enumerate(items)}
+        truth = set(rng.sample(range(20), k=rng.randint(1, 6)))
+        res_rows += [(q, it, r, k) for it, r in res_ranks.items()]
+        truth_rows += [(q, it) for it in truth]
+        expect[q] = (k, _py_metrics(res_ranks, truth, k))
+    truth_df = _mk(spark, truth_rows, ["source_item", "sim_item"])
+    for k in (1, 3, 5):
+        qs = [q for q, (kk, _) in expect.items() if kk == k]
+        res_df = _mk(spark, [r[:3] for r in res_rows if r[3] == k],
+                     ["source_item", "sim_item", "rank_no"])
+        got = _by_q(E.retrieval_metrics(
+            res_df, truth_df.join(
+                res_df.select("source_item").distinct(), "source_item"),
+            k=k))
+        assert set(got) == set(qs)
+        for q in qs:
+            want = expect[q][1]
+            for mname, val in want.items():
+                assert got[q][mname] == val, (q, mname, got[q], want)
+                if mname not in ("n_rel", "n_hits"):
+                    assert 0.0 <= got[q][mname] <= 1.0
+
+
 def test_summarize_macro_means(spark):
     res = _mk(spark, [("q1", "a", 0), ("q2", "z", 0)],
               ["source_item", "sim_item", "rank_no"])
