@@ -140,14 +140,18 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
         out = out.join(top_cols, id_col, "left")
     tokpos = base.select(id_col, F.posexplode("__t").alias("__pos", "__tok"))
     for n in dup_ns:
-        gp = base.select(id_col,
-                         F.posexplode(f"__g{n}").alias("__gpos", "__gram"))
-        dup_pos = (gp.join(
-            gp.groupBy(id_col, "__gram")
-              .agg(F.count(F.lit(1)).alias("__c"))
-              .filter(F.col("__c") >= 2)
-              .select(id_col, "__gram"),
-            [id_col, "__gram"])
+        # one pass over the gram frame: count + positions in the same
+        # groupBy (a join back onto the explode would evaluate the
+        # gram-string build twice and shuffle it twice — measured 2×
+        # the whole dup path at sf0.1); the position list is bounded by
+        # the document's own length
+        dup_pos = (base.select(
+            id_col, F.posexplode(f"__g{n}").alias("__gpos", "__gram"))
+            .groupBy(id_col, "__gram")
+            .agg(F.count(F.lit(1)).alias("__c"),
+                 F.collect_list("__gpos").alias("__ps"))
+            .filter(F.col("__c") >= 2)
+            .select(id_col, F.explode("__ps").alias("__gpos"))
             .select(id_col, F.explode(
                 F.sequence(F.col("__gpos"),
                            F.col("__gpos") + (n - 1))).alias("__pos"))
