@@ -119,6 +119,11 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
 
     out = totals.join(dup_lines, id_col, "left")
     if top_ns:
+        # per-n explodes unioned: measured FASTER than fusing all sizes
+        # into one explode of tagged structs (the struct-building
+        # transform runs interpreted per gram and beat the saved scans
+        # 3.3 s vs 1.9 s at sf0.1) — scans are cheap, HOF struct
+        # construction is not
         tops = None
         for n in top_ns:
             g = base.select(id_col, F.lit(n).alias("__n"),
