@@ -218,9 +218,9 @@ def hilbert_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
     cur = df.select("*", bx.cast("long").alias("__hx"),
                     by.cast("long").alias("__hy"),
                     F.lit(0).cast("long").alias("__hd"))
-    for i in reversed(range(bits)):
+
+    def step(x, y, d, i):
         s = 1 << i
-        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
         rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
         ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
         nd = d + F.lit(s * s).cast("long") * \
@@ -230,8 +230,21 @@ def hilbert_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
             F.when(rx == 1, F.lit(s - 1) - y).otherwise(y))
         ny = F.when(ry == 1, y).otherwise(
             F.when(rx == 1, F.lit(s - 1) - x).otherwise(x))
+        return nx, ny, nd
+
+    # TWO walk steps inline per Generate barrier: each step references
+    # the previous step's x/y ~4 times, so k inlined steps grow the
+    # expression tree ~4^k. MEASURED on persisted sf0.1 lineitem
+    # (best-of-3 per variant, same session): k=1 4.88 s, k=2 4.88 s,
+    # k=3 8.93 s — k=2 halves the full-row Generate copies for free,
+    # k=3's ~64-node trees already double the cost. Don't raise it.
+    levels = list(reversed(range(bits)))
+    for chunk_start in range(0, bits, 2):
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        for i in levels[chunk_start:chunk_start + 2]:
+            x, y, d = step(x, y, d, i)
         cur = (cur.select("*", F.explode(F.array(F.struct(
-                   nx.alias("x"), ny.alias("y"), nd.alias("d"))))
+                   x.alias("x"), y.alias("y"), d.alias("d"))))
                    .alias("__hstep"))
                .drop("__hx", "__hy", "__hd")
                .withColumn("__hx", F.col("__hstep.x"))
