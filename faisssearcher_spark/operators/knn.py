@@ -289,6 +289,87 @@ def knn_join(
     return ranked.select(*out)
 
 
+def radius_join(
+    queries: DataFrame,
+    items: DataFrame,
+    *,
+    metric: str = "cos",
+    radius: float,
+    query_vec_col: str = "embedding",
+    item_vec_col: str = "embedding",
+    query_item_col: str | None = None,
+    item_key_col: str = "item",
+    payload_cols: Sequence[str] | None = None,
+    normalize: bool | None = None,
+    p: float | None = None,
+    score_scale: int | None = None,
+) -> DataFrame:
+    """FAISS ``range_search`` parity: every (query, item) pair within
+    ``radius`` — STRICT inequality like FAISS (``sim_val > radius`` for
+    similarity metrics, ``sim_val < radius`` for distances; for l2 the
+    radius is on the SQUARED distance, the family convention).
+
+    Column conventions, normalization, and the cos→ip rewrite match
+    :func:`knn_join`; the difference is the reduction — no window, no
+    top-k: the score filter replaces ranking, so the plan is one
+    broadcast-queries join + a codegen'd filter, and output volume is
+    ∝ the number of matches (the caller's radius choice), never m·n
+    materialized. Rows come back UNORDERED (FAISS returns unordered
+    lims/D/I too) — sort per query downstream if needed.
+
+    Scale shape: identical to knn_join's catalyst strategy (queries
+    broadcast under the same size cap, corpus streams); there is no
+    per-query cap, so a radius that matches half the corpus produces
+    half the corpus — radius search is the operator where the USER
+    bounds the output, not the engine.
+    """
+    for col, df, side in ((query_vec_col, queries, "queries"),
+                          (item_vec_col, items, "items"),
+                          (item_key_col, items, "items")):
+        if col not in df.columns:
+            raise ValueError(
+                f"column {col!r} not found in {side} frame "
+                f"(columns: {df.columns})")
+    if normalize is None:
+        normalize = metric == "cos"
+    score_metric = metric
+    if metric == "cos" and normalize:
+        score_metric = "ip"   # O3: cosine == dot on normalized vectors
+    metric_fn, higher_is_closer = M.resolve_metric(score_metric, p=p)
+    if metric == "cos":
+        higher_is_closer = True
+
+    if query_item_col is None:
+        query_item_col = (item_key_col if item_key_col in queries.columns
+                          else None)
+    q_vec: Column = F.col(query_vec_col)
+    i_vec: Column = F.col(item_vec_col)
+    if normalize:
+        q_vec = l2_normalize(q_vec, zero_norm_nan=False)
+        i_vec = l2_normalize(i_vec, zero_norm_nan=False)
+    q_src = (F.col(query_item_col) if query_item_col is not None
+             else F.monotonically_increasing_id())
+    q = queries.select(q_src.alias("source_item"), q_vec.alias(_Q_VEC))
+    if payload_cols is None:
+        payload_cols = [c for c in items.columns
+                        if c not in (item_vec_col, item_key_col)]
+    it = items.select(i_vec.alias("__i_vec"),
+                      F.col(item_key_col).alias("sim_item"),
+                      *[F.col(c) for c in payload_cols])
+
+    q_bytes = _plan_size_bytes(queries)
+    small_q = q_bytes is None or q_bytes <= QUERY_BROADCAST_CAP_BYTES
+    joined = it.join(F.broadcast(q)) if small_q else q.crossJoin(it)
+    score = metric_fn(F.col(_Q_VEC), F.col("__i_vec"))
+    if score_scale is not None:
+        score = F.round(score, score_scale)
+    scored = joined.withColumn("sim_val", score)
+    keep = (F.col("sim_val") > radius if higher_is_closer
+            else F.col("sim_val") < radius)
+    return scored.filter(keep).select("source_item", "sim_item", "sim_val",
+                                      *payload_cols)
+
+
 def _attach_payload(ranked: DataFrame, items: DataFrame, *,
                     item_key_col: str,
                     payload_cols: Sequence[str],

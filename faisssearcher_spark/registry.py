@@ -76,6 +76,24 @@ def q_knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim_val", "rank_no", "label")
 
 
+def q_knn_radius_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS range_search parity (operators/knn.radius_join): every item
+    with cosine > 0.25 of each of the 20 query vectors — unordered, no
+    top-k cap, strict inequality on the rounded score (both engines
+    filter the same 4dp values, so strictness is engine-portable).
+    rank_no rides the gate schema as the -1 sentinel."""
+    from faisssearcher_spark.operators.knn import radius_join
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res = radius_join(q, emb, metric="cos", radius=0.25,
+                      query_item_col="qid", item_key_col="vec_id",
+                      payload_cols=["label"], score_scale=4)
+    return res.select(F.col("source_item").cast("long").alias("source_item"),
+                      F.col("sim_item").cast("long").alias("sim_item"),
+                      "sim_val", F.lit(-1).alias("rank_no"), "label")
+
+
 ORACLE_KNN_COS = f"""
 WITH q AS (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings WHERE vec_id < 20),
      it AS (SELECT vec_id, label, {_NORM} AS iv FROM embeddings),
@@ -187,14 +205,19 @@ def q_knn_cos_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate (``label <= 3``) composes declaratively with the knn
     kernel, so Catalyst pushes it into the parquet scan (pinned in
     tests/test_plans.py) and the filtered corpus is never
-    materialized; its oracle branch applies the same WHERE."""
+    materialized; its oracle branch applies the same WHERE.
+
+    EXTENDED (round 8) with a ``radius`` leg — FAISS range_search
+    parity (operators/knn.radius_join): all pairs with rounded cosine
+    strictly above 0.25, no top-k, rank_no = -1 sentinel."""
     parts = []
     for tag, fn in (("auto", q_knn_auto_cos_top5),
                     ("catalyst", q_knn_cosine_top5),
                     ("blocked", q_knn_blocked_cos_top5),
                     ("sharded", q_knn_sharded_cos_top5),
                     ("grid", q_knn_grid_cos_top5),
-                    ("filtered", q_knn_filtered_cos_top5)):
+                    ("filtered", q_knn_filtered_cos_top5),
+                    ("radius", q_knn_radius_cos)):
         parts.append(fn(spark, sf_dir).select(
             F.lit(tag).alias("strategy"), "source_item", "sim_item",
             "sim_val", "rank_no", "label"))
@@ -255,6 +278,13 @@ FROM base b CROSS JOIN (SELECT unnest(['auto', 'catalyst', 'blocked',
 UNION ALL
 SELECT 'filtered', qid, vec_id, sim_val, (rn - 1)::INT, label
 FROM frk WHERE rn <= 5
+UNION ALL
+SELECT 'radius', q.qid, it.vec_id,
+       round({_dot('q.qv', 'it.iv')}, 4), (-1)::INT, it.label
+FROM (SELECT vec_id AS qid, {_NORM} AS qv FROM embeddings
+      WHERE vec_id < 20) q
+CROSS JOIN (SELECT vec_id, label, {_NORM} AS iv FROM embeddings) it
+WHERE round({_dot('q.qv', 'it.iv')}, 4) > 0.25
 """
 
 

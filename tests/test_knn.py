@@ -51,6 +51,69 @@ class TestMicroFixtures:
         assert vals[0] == pytest.approx(0.0)  # self first
 
 
+class TestRadiusJoin:
+    """FAISS range_search parity: strict-inequality radius filtering,
+    no top-k cap, unordered output, distance-vs-similarity direction."""
+
+    def test_cos_membership_matches_numpy(self, spark, embeddings):
+        from faisssearcher_spark.operators.knn import radius_join
+
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        got = radius_join(q, embeddings, metric="cos", radius=0.3,
+                          query_item_col="qid", item_key_col="vec_id",
+                          payload_cols=[]).collect()
+        got_pairs = {(r["source_item"], r["sim_item"]) for r in got}
+        mat = np.array([r["embedding"] for r in embeddings.collect()])
+        ids = [r["vec_id"] for r in embeddings.collect()]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        want = set()
+        for qi in range(5):
+            sims = mat @ mat[ids.index(qi)]
+            want |= {(qi, ids[j]) for j in np.flatnonzero(sims > 0.3)}
+        assert got_pairs == want
+        assert len(got_pairs) > 5          # beyond the self-matches
+
+    def test_strict_inequality_and_l2_direction(self, spark, micro):
+        from faisssearcher_spark.operators.knn import radius_join
+
+        q = micro.filter(F.col("vid") == 0).select(
+            F.col("vid").alias("qid"), "embedding")
+        # cos: orthogonal vectors score exactly 0.0 — radius 0.0 must
+        # EXCLUDE them (strict >), keeping only vid 0 and its duplicate
+        cos = radius_join(q, micro, metric="cos", radius=0.0,
+                          query_item_col="qid", item_key_col="vid",
+                          payload_cols=[]).collect()
+        assert {r["sim_item"] for r in cos} == {0, 4}
+        # l2: squared distance, strict < — orthonormal pairs sit at
+        # exactly 2.0, so radius 2.0 excludes them too
+        l2 = radius_join(q, micro, metric="l2", radius=2.0,
+                         query_item_col="qid", item_key_col="vid",
+                         payload_cols=[]).collect()
+        assert {r["sim_item"] for r in l2} == {0, 4}
+        l2w = radius_join(q, micro, metric="l2", radius=2.5,
+                          query_item_col="qid", item_key_col="vid",
+                          payload_cols=[]).collect()
+        assert {r["sim_item"] for r in l2w} == {0, 1, 2, 3, 4}
+
+    def test_payload_carry_and_no_window_plan(self, spark, embeddings):
+        from faisssearcher_spark.operators.knn import radius_join
+        from faisssearcher_spark.plans import inspect
+
+        q = embeddings.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        res = radius_join(q, embeddings, metric="cos", radius=0.3,
+                          query_item_col="qid", item_key_col="vec_id",
+                          payload_cols=["label"])
+        assert res.columns == ["source_item", "sim_item", "sim_val",
+                               "label"]
+        plan = inspect.executed_plan(res)
+        # the whole point: a filter reduction, not a ranking window
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan   # queries broadcast
+        assert "ArrowEvalPython" not in plan
+
+
 class TestAgainstNumpy:
     @pytest.mark.parametrize("metric", ["cos", "l2", "l1", "l_inf"])
     def test_topk_matches_numpy(self, spark, embeddings, metric):
