@@ -360,6 +360,55 @@ class SparkSearcher:
             out[k] = self._post(sliced, keep_rank_no)
         return out
 
+    def range_search(
+        self,
+        target: Union[DataFrame, Sequence[str]],
+        radius: float,
+        *,
+        score_scale: int | None = None,
+    ) -> DataFrame:
+        """FAISS ``range_search`` on the facade: every corpus item within
+        ``radius`` of each query (strict inequality; for l2 the radius is
+        on the SQUARED distance — operators/knn.radius_join carries the
+        full convention). Output ``(source_item, sim_item, sim_val,
+        *payload)``, UNORDERED like FAISS's lims/D/I.
+
+        Always the exact scan path (FAISS IndexFlat.range_search
+        semantics) regardless of ``index_param`` — a radius screen is a
+        completeness operation, and the quantized/graph indexes here
+        implement top-k, not radius, search. The scan's cost profile is
+        knn_join's catalyst strategy (queries broadcast, corpus streams);
+        output volume is bounded by the caller's radius, not by k."""
+        from faisssearcher_spark.operators.knn import radius_join
+
+        corpus = self._require_trained()
+        spark = corpus.sparkSession
+        if not isinstance(target, DataFrame):
+            target = spark.createDataFrame(
+                [(str(t),) for t in target], "source_item string")
+            q_text, q_vec = "source_item", None
+        elif self.encoder is not None:
+            q_text, q_vec = (self.item_col
+                             if self.item_col in target.columns
+                             else target.columns[0]), None
+        else:
+            q_text, q_vec = None, self.vec_col
+        queries = self._vectorize(target, q_text, q_vec)
+        src_col = q_text if q_text is not None else self.key_col
+        queries = queries.select(F.col(src_col).alias("source_item"),
+                                 F.col(_VEC))
+        payload = [c for c in self.items.columns
+                   if c not in (self.item_col, self.vec_col, self.key_col)]
+        # corpus vectors normalized at train time (O3): cosine == dot
+        metric = "ip" if self.measurement == "cos" else self.measurement
+        res = radius_join(queries, corpus, metric=metric, radius=radius,
+                          query_vec_col=_VEC, item_vec_col=_VEC,
+                          query_item_col="source_item",
+                          item_key_col=self.key_col,
+                          payload_cols=payload, normalize=False,
+                          p=self.p, score_scale=score_scale)
+        return self._post(res, keep_rank_no=False)
+
     def _post(self, res: DataFrame, keep_rank_no: bool) -> DataFrame:
         """Apply the feature-sep splits (faiss_searcher.py:150-156)."""
         if self.query_feature_sep:

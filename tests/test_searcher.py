@@ -29,6 +29,23 @@ class TestEncoderMode:
         assert top["sim_item"] == text
         assert top["sim_val"] == pytest.approx(1.0, abs=1e-6)
 
+    def test_range_search_contains_self_and_matches_topk(self,
+                                                         doc_searcher,
+                                                         documents):
+        """range_search(r) must return exactly the items search() scores
+        above r — checked against a full-corpus search at the same
+        rounding — and the self-match (sim 1.0) always clears r<1."""
+        text = documents.first()["text"]
+        n = documents.count()
+        rs = doc_searcher.range_search([text], radius=0.8, score_scale=4)
+        assert rs.columns == ["source_item", "sim_item", "sim_val",
+                              "lang", "source", "n_chars"]
+        got = {r["sim_item"] for r in rs.collect()}
+        assert text in got
+        full = doc_searcher.search([text], topK=n, score_scale=4).collect()
+        want = {r["sim_item"] for r in full if r["sim_val"] > 0.8}
+        assert got == want
+
     def test_multi_k_dict(self, doc_searcher):
         res = doc_searcher.search(["spark join"], topK=[1, 3],
                                   keep_rank_no=True)
