@@ -98,6 +98,64 @@ class TestTextFunctions:
                           "dup_line_chars": 0, "top2_chars": 0,
                           "top3_chars": 0, "dup5_chars": 0}
 
+    def test_repetition_random_docs_match_python_reference(self, spark):
+        """30 seeded random docs (skewed small vocab so repeats actually
+        occur) checked column-by-column against an independent pure-
+        python computation of every signal."""
+        import random
+
+        def py_signals(text, top_ns, dup_ns):
+            toks = [t for t in text.split() if t]
+            lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+            out = {"total_token_chars": sum(map(len, toks))}
+            from collections import Counter
+            lc = Counter(lines)
+            out["dup_line_chars"] = sum(
+                len(l) * (c - 1) for l, c in lc.items() if c >= 2)
+            for n in top_ns:
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+                gc = Counter(grams)
+                if gc:
+                    # ties toward the lexicographically greatest gram
+                    best = max(gc.items(), key=lambda kv: (kv[1], kv[0]))
+                    out[f"top{n}_chars"] = (
+                        (len(best[0]) - (n - 1)) * best[1]
+                        if best[1] >= 2 else 0)
+                else:
+                    out[f"top{n}_chars"] = 0
+            for n in dup_ns:
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+                gc = Counter(grams)
+                covered = set()
+                for i, g in enumerate(grams):
+                    if gc[g] >= 2:
+                        covered.update(range(i, i + n))
+                out[f"dup{n}_chars"] = sum(len(toks[i]) for i in covered)
+            return out
+
+        rng = random.Random(1234)
+        vocab = ["aa", "bee", "c", "dddd", "ee", "fff"]
+        rows = []
+        for i in range(30):
+            n_lines = rng.randint(1, 4)
+            text = "\n".join(
+                " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12)))
+                for _ in range(n_lines))
+            rows.append((i, text))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from faisssearcher_spark.operators.text_analysis import (
+            repetition_signals)
+        got = {r["doc_id"]: r.asDict()
+               for r in repetition_signals(df, top_ns=(2, 3),
+                                           dup_ns=(3, 5)).collect()}
+        for i, text in rows:
+            want = py_signals(text, (2, 3), (3, 5))
+            have = {k: v for k, v in got[i].items() if k != "doc_id"}
+            assert have == want, (i, text, have, want)
+
     def test_repetition_null_text_and_empty_top_ns(self, spark):
         from faisssearcher_spark.operators.text_analysis import (
             repetition_signals)
