@@ -300,6 +300,40 @@ class IVFIndex:
         return _rank_topk(scored, k, higher).select(
             "source_item", "sim_item", "sim_val", "rank_no", *payload)
 
+    def range_search(self, queries: DataFrame, *, radius: float,
+                     query_item_col: str = "query_id",
+                     query_vec_col: str = "embedding",
+                     payload_cols: Sequence[str] | None = None
+                     ) -> DataFrame:
+        """FAISS ``IndexIVF.range_search`` parity: every item within
+        ``radius`` among the ``nprobe`` probed cells — approximate
+        exactly the way FAISS's is (items in unprobed cells are missed;
+        raise ``nprobe`` toward ``n_cells`` for exactness, at which
+        point this equals the exact scan). Strict inequality, squared-l2
+        convention, UNORDERED output — the same contract as
+        ``operators/knn.radius_join``, with the scan replaced by the
+        cell equi-join so only the probed fraction of the corpus is
+        scored."""
+        if self._items is None:
+            raise RuntimeError("IVFIndex is not fit; call fit() first")
+        payload = list(payload_cols or [])
+        metric_fn, higher = M.resolve_metric(self.metric)
+        q = queries.select(
+            F.col(query_item_col).alias("source_item"),
+            F.col(query_vec_col).alias("__q_vec"),
+            F.explode(self._nearest_cells_expr(query_vec_col, self.nprobe))
+            .alias("cell"))
+        it = self._items.select(
+            F.col(self._item_key).alias("sim_item"),
+            F.col(self._item_vec).alias("__i_vec"), "cell",
+            *[F.col(c) for c in payload])
+        scored = q.join(it, "cell").withColumn(
+            "sim_val", metric_fn(F.col("__q_vec"), F.col("__i_vec")))
+        keep = (F.col("sim_val") > radius if higher
+                else F.col("sim_val") < radius)
+        return scored.filter(keep).select(
+            "source_item", "sim_item", "sim_val", *payload)
+
 
     # -- persistence (index lifecycle S2/S3, faiss_searcher.py:109-114,189-190)
 

@@ -299,6 +299,38 @@ class TestANN:
         assert recalls[-1] == 1.0
         assert recalls[0] > 0.0  # even 1 probe finds the self-cell matches
 
+    def test_ivf_range_search_full_probe_exact_and_partial_subset(
+            self, queries, embeddings):
+        """Full probe (nprobe = n_cells) range_search equals brute-force
+        radius membership; a partial probe returns a SUBSET of it (the
+        FAISS IVF approximation contract) that still contains every
+        self-match."""
+        import numpy as np
+
+        index = ann.IVFIndex(n_cells=8, nprobe=8, metric="cos").fit(
+            embeddings, item_key_col="vec_id", item_vec_col="embedding")
+        full = index.range_search(queries, radius=0.3,
+                                  query_item_col="qid")
+        assert full.columns == ["source_item", "sim_item", "sim_val"]
+        full_pairs = {(r["source_item"], r["sim_item"])
+                      for r in full.collect()}
+        mat = np.array([r["embedding"] for r in embeddings.collect()])
+        ids = [r["vec_id"] for r in embeddings.collect()]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        want = set()
+        for qi in range(10):
+            sims = mat @ mat[ids.index(qi)]
+            want |= {(qi, ids[j]) for j in np.flatnonzero(sims > 0.3)}
+        assert full_pairs == want
+
+        index.nprobe = 2
+        part_pairs = {(r["source_item"], r["sim_item"])
+                      for r in index.range_search(
+                          queries, radius=0.3,
+                          query_item_col="qid").collect()}
+        assert part_pairs <= full_pairs
+        assert {(q, q) for q in range(10)} <= part_pairs  # self-cell hit
+
     def test_ivf_full_probe_is_exact(self, queries, embeddings, exact10):
         index = ann.IVFIndex(n_cells=4, nprobe=4, metric="cos").fit(
             embeddings, item_key_col="vec_id", item_vec_col="embedding")
