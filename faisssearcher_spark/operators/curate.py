@@ -37,6 +37,8 @@ def curate_documents(
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
     shingle_n: int = 3,
+    gopher_max_dup_line_frac: float | None = None,
+    gopher_max_dup_ngram_frac: float | None = None,
 ) -> DataFrame:
     """Return the curated survivor set with per-doc quality metadata.
 
@@ -69,6 +71,31 @@ def curate_documents(
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
+
+    # opt-in Gopher repetition thresholds (Rae et al. 2021 Table A1 —
+    # the repetition_signals integers turned into the paper's fractions):
+    # drop docs whose duplicate-line char fraction or duplicated-5-gram
+    # coverage fraction exceeds the caps. Off by default (None) so the
+    # established pipeline contract is unchanged.
+    if (gopher_max_dup_line_frac is not None
+            or gopher_max_dup_ngram_frac is not None):
+        from faisssearcher_spark.operators.text_analysis import (
+            repetition_signals)
+        rep = repetition_signals(
+            docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text")),
+            top_ns=(), dup_ns=(5,))
+        kept = kept.join(rep, "doc_id")
+        tot = F.greatest(F.col("total_token_chars"), F.lit(1)) \
+            .cast("double")
+        if gopher_max_dup_line_frac is not None:
+            kept = kept.filter(
+                F.col("dup_line_chars") / tot <= gopher_max_dup_line_frac)
+        if gopher_max_dup_ngram_frac is not None:
+            kept = kept.filter(
+                F.col("dup5_chars") / tot <= gopher_max_dup_ngram_frac)
+        kept = kept.drop("total_token_chars", "dup_line_chars",
+                         "dup5_chars")
 
     # exact dedup: one survivor (min id) per content fingerprint
     w = Window.partitionBy("__fp").orderBy(F.col("doc_id").asc())

@@ -24,6 +24,27 @@ class TestCurate:
         ids = sorted(r["doc_id"] for r in out.collect())
         assert ids == [1, 5]
 
+    def test_gopher_repetition_thresholds(self, spark):
+        """Opt-in Gopher caps drop the repetitive docs; defaults (None)
+        leave the established pipeline result untouched."""
+        spam_line = "buy now best price deal today only limited offer"
+        repetitive_lines = "\n".join([spam_line] * 6 + [GOOD])
+        repetitive_grams = " ".join(
+            ["one two three four five"] * 8) + " " + GOOD
+        docs = spark.createDataFrame(
+            [(1, GOOD), (2, repetitive_lines), (3, repetitive_grams)],
+            "doc_id long, text string")
+        base = curate.curate_documents(docs, min_quality=0.0,
+                                       near_dup_threshold=None)
+        assert sorted(r["doc_id"] for r in base.collect()) == [1, 2, 3]
+        assert sorted(base.columns) == sorted(
+            ["doc_id", "quality", "lang_pred", "n_tokens"])
+        capped = curate.curate_documents(
+            docs, min_quality=0.0, near_dup_threshold=None,
+            gopher_max_dup_line_frac=0.3, gopher_max_dup_ngram_frac=0.3)
+        assert sorted(r["doc_id"] for r in capped.collect()) == [1]
+        assert sorted(capped.columns) == sorted(base.columns)
+
     def test_language_filter(self, spark):
         docs = spark.createDataFrame(
             [(1, GOOD),
