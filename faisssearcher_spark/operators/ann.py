@@ -282,6 +282,19 @@ class IVFIndex:
         they ride the cell equi-join on the fitted assignment (the
         catalyst knn pattern), so no re-attach join and no broadcast of
         anything item-sized."""
+        scored, higher, payload = self._probe_scored(
+            queries, query_item_col, query_vec_col, payload_cols)
+        return _rank_topk(scored, k, higher).select(
+            "source_item", "sim_item", "sim_val", "rank_no", *payload)
+
+    def _probe_scored(self, queries: DataFrame, query_item_col: str,
+                      query_vec_col: str,
+                      payload_cols: Sequence[str] | None
+                      ) -> "tuple[DataFrame, bool, list]":
+        """Shared probe-and-score frame for search()/range_search():
+        nprobe nearest cells per query exploded onto the cell equi-join
+        against the fitted assignment — only the reduction (top-k window
+        vs radius filter) differs between the two callers."""
         if self._items is None:
             raise RuntimeError("IVFIndex is not fit; call fit() first")
         payload = list(payload_cols or [])
@@ -297,8 +310,7 @@ class IVFIndex:
             *[F.col(c) for c in payload])
         scored = q.join(it, "cell").withColumn(
             "sim_val", metric_fn(F.col("__q_vec"), F.col("__i_vec")))
-        return _rank_topk(scored, k, higher).select(
-            "source_item", "sim_item", "sim_val", "rank_no", *payload)
+        return scored, higher, payload
 
     def range_search(self, queries: DataFrame, *, radius: float,
                      query_item_col: str = "query_id",
@@ -314,21 +326,8 @@ class IVFIndex:
         ``operators/knn.radius_join``, with the scan replaced by the
         cell equi-join so only the probed fraction of the corpus is
         scored."""
-        if self._items is None:
-            raise RuntimeError("IVFIndex is not fit; call fit() first")
-        payload = list(payload_cols or [])
-        metric_fn, higher = M.resolve_metric(self.metric)
-        q = queries.select(
-            F.col(query_item_col).alias("source_item"),
-            F.col(query_vec_col).alias("__q_vec"),
-            F.explode(self._nearest_cells_expr(query_vec_col, self.nprobe))
-            .alias("cell"))
-        it = self._items.select(
-            F.col(self._item_key).alias("sim_item"),
-            F.col(self._item_vec).alias("__i_vec"), "cell",
-            *[F.col(c) for c in payload])
-        scored = q.join(it, "cell").withColumn(
-            "sim_val", metric_fn(F.col("__q_vec"), F.col("__i_vec")))
+        scored, higher, payload = self._probe_scored(
+            queries, query_item_col, query_vec_col, payload_cols)
         keep = (F.col("sim_val") > radius if higher
                 else F.col("sim_val") < radius)
         return scored.filter(keep).select(

@@ -81,21 +81,31 @@ def curate_documents(
             or gopher_max_dup_ngram_frac is not None):
         from faisssearcher_spark.operators.text_analysis import (
             repetition_signals)
-        rep = repetition_signals(
-            docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("text")),
-            top_ns=(), dup_ns=(5,))
+        # signals run over the SURVIVORS (filter-first, the module
+        # doctrine), and only the requested ones: the 5-gram
+        # explode/groupBy path is the expensive half — skip it when
+        # only the line cap is set
+        dup_ns = (5,) if gopher_max_dup_ngram_frac is not None else ()
+        rep = repetition_signals(kept.select("doc_id", "text"),
+                                 top_ns=(), dup_ns=dup_ns)
         kept = kept.join(rep, "doc_id")
-        tot = F.greatest(F.col("total_token_chars"), F.lit(1)) \
-            .cast("double")
         if gopher_max_dup_line_frac is not None:
+            # line chars over LINE chars — dividing by token chars
+            # would inflate the fraction past 1.0 (spaces count in the
+            # numerator's unit but not the denominator's)
+            ltot = F.greatest(F.col("total_line_chars"), F.lit(1)) \
+                .cast("double")
             kept = kept.filter(
-                F.col("dup_line_chars") / tot <= gopher_max_dup_line_frac)
+                F.col("dup_line_chars") / ltot
+                <= gopher_max_dup_line_frac)
         if gopher_max_dup_ngram_frac is not None:
+            ttot = F.greatest(F.col("total_token_chars"), F.lit(1)) \
+                .cast("double")
             kept = kept.filter(
-                F.col("dup5_chars") / tot <= gopher_max_dup_ngram_frac)
-        kept = kept.drop("total_token_chars", "dup_line_chars",
-                         "dup5_chars")
+                F.col("dup5_chars") / ttot <= gopher_max_dup_ngram_frac)
+        kept = kept.drop("total_token_chars", "total_line_chars",
+                         "dup_line_chars", *([
+                             "dup5_chars"] if dup_ns else []))
 
     # exact dedup: one survivor (min id) per content fingerprint
     w = Window.partitionBy("__fp").orderBy(F.col("doc_id").asc())

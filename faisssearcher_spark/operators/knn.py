@@ -330,6 +330,16 @@ def radius_join(
             raise ValueError(
                 f"column {col!r} not found in {side} frame "
                 f"(columns: {df.columns})")
+    if query_item_col is not None and query_item_col not in queries.columns:
+        raise ValueError(
+            f"query_item_col {query_item_col!r} not found in queries "
+            f"frame (columns: {queries.columns})")
+    missing_payload = [c for c in (payload_cols or [])
+                       if c not in items.columns]
+    if missing_payload:
+        raise ValueError(
+            f"payload_cols {missing_payload} not found in items frame "
+            f"(columns: {items.columns})")
     if normalize is None:
         normalize = metric == "cos"
     score_metric = metric

@@ -72,9 +72,13 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
     derive the paper's fractions by dividing by ``total_token_chars``
     (integer ratios can land on decimal halves; NOTES.md house rule).
 
-    - ``total_token_chars`` — Σ len(token): the char space every
-      fraction is measured against (token space, not raw text, so
+    - ``total_token_chars`` — Σ len(token): the char space the GRAM
+      fractions are measured against (token space, not raw text, so
       whitespace runs don't dilute the signal).
+    - ``total_line_chars`` — Σ len(trimmed line): the char space the
+      LINE fraction is measured against (line chars include intra-line
+      spaces, so dividing them by token chars would inflate the
+      fraction past 1.0 — each numerator gets its own-unit denominator).
     - ``dup_line_chars`` — chars in repeated line occurrences *beyond
       the first* (a line appearing c≥2 times contributes len·(c−1)).
     - ``top{n}_chars`` for n in ``top_ns`` — the most frequent word
@@ -107,7 +111,10 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
         id_col,
         F.aggregate(F.transform("__t", lambda t: F.length(t)),
                     F.lit(0).cast("long"),
-                    lambda a, x: a + x).alias("total_token_chars"))
+                    lambda a, x: a + x).alias("total_token_chars"),
+        F.aggregate(F.transform("__ls", lambda l: F.length(l)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total_line_chars"))
 
     dup_lines = (base.select(id_col, F.explode("__ls").alias("__line"))
                  .groupBy(id_col, "__line")
@@ -166,9 +173,10 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
                .agg(F.sum(F.length("__tok").cast("long"))
                     .alias(f"dup{n}_chars")))
         out = out.join(cov, id_col, "left")
-    # total_token_chars included: a NULL text propagates NULL through
-    # the aggregate while the SQL twin coalesces to 0
-    fill_cols = (["total_token_chars", "dup_line_chars"]
+    # totals included: a NULL text propagates NULL through the
+    # aggregates while the SQL twin coalesces to 0
+    fill_cols = (["total_token_chars", "total_line_chars",
+                  "dup_line_chars"]
                  + [f"top{n}_chars" for n in top_ns]
                  + [f"dup{n}_chars" for n in dup_ns])
     return out.na.fill(dict.fromkeys(fill_cols, 0))

@@ -2351,8 +2351,11 @@ def _rep_ctes(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> tuple[str, str, str]:
         "         GROUP BY doc_id)")
     ctes.append(
         "rtot AS (SELECT doc_id, coalesce(list_sum(list_transform(toks, "
-        "x -> length(x))), 0)::BIGINT AS w FROM t)")
+        "x -> length(x))), 0)::BIGINT AS w, "
+        "coalesce(list_sum(list_transform(ls, "
+        "x -> length(x))), 0)::BIGINT AS lw FROM t)")
     cols.insert(0, "coalesce(rdl.w, 0)::BIGINT AS dup_line_chars")
+    cols.insert(0, "rtot.lw AS total_line_chars")
     cols.insert(0, "rtot.w AS total_token_chars")
     joins.insert(0, "LEFT JOIN rdl ON m.doc_id = rdl.doc_id")
     joins.insert(0, "JOIN rtot ON m.doc_id = rtot.doc_id")

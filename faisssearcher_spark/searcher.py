@@ -250,24 +250,7 @@ class SparkSearcher:
         **strategy_kwargs: Any,
     ) -> Union[DataFrame, Mapping[int, DataFrame]]:
         corpus = self._require_trained()
-        spark = corpus.sparkSession
-        if not isinstance(target, DataFrame):
-            # List[str] queries (reference's primary form) become a DataFrame:
-            # queries are data, not driver-side state.
-            target = spark.createDataFrame(
-                [(str(t),) for t in target], "source_item string")
-            q_text, q_vec = "source_item", None
-        elif self.encoder is not None:
-            q_text, q_vec = (self.item_col
-                             if self.item_col in target.columns
-                             else target.columns[0]), None
-        else:
-            q_text, q_vec = None, self.vec_col
-
-        queries = self._vectorize(target, q_text, q_vec)
-        src_col = q_text if q_text is not None else self.key_col
-        queries = queries.select(F.col(src_col).alias("source_item"),
-                                 F.col(_VEC))
+        queries = self._prepare_queries(target, corpus)
 
         payload = [c for c in self.items.columns
                    if c not in (self.item_col, self.vec_col, self.key_col)]
@@ -360,6 +343,28 @@ class SparkSearcher:
             out[k] = self._post(sliced, keep_rank_no)
         return out
 
+    def _prepare_queries(self, target, corpus: DataFrame) -> DataFrame:
+        """Shared query prep for search()/range_search(): List[str]
+        targets become a DataFrame (queries are data, not driver-side
+        state — the reference's primary form), the encoder/raw-vector
+        branch picks the text column, and the encoded frame reduces to
+        ``(source_item, _VEC)``."""
+        spark = corpus.sparkSession
+        if not isinstance(target, DataFrame):
+            target = spark.createDataFrame(
+                [(str(t),) for t in target], "source_item string")
+            q_text, q_vec = "source_item", None
+        elif self.encoder is not None:
+            q_text, q_vec = (self.item_col
+                             if self.item_col in target.columns
+                             else target.columns[0]), None
+        else:
+            q_text, q_vec = None, self.vec_col
+        queries = self._vectorize(target, q_text, q_vec)
+        src_col = q_text if q_text is not None else self.key_col
+        return queries.select(F.col(src_col).alias("source_item"),
+                              F.col(_VEC))
+
     def range_search(
         self,
         target: Union[DataFrame, Sequence[str]],
@@ -382,21 +387,7 @@ class SparkSearcher:
         from faisssearcher_spark.operators.knn import radius_join
 
         corpus = self._require_trained()
-        spark = corpus.sparkSession
-        if not isinstance(target, DataFrame):
-            target = spark.createDataFrame(
-                [(str(t),) for t in target], "source_item string")
-            q_text, q_vec = "source_item", None
-        elif self.encoder is not None:
-            q_text, q_vec = (self.item_col
-                             if self.item_col in target.columns
-                             else target.columns[0]), None
-        else:
-            q_text, q_vec = None, self.vec_col
-        queries = self._vectorize(target, q_text, q_vec)
-        src_col = q_text if q_text is not None else self.key_col
-        queries = queries.select(F.col(src_col).alias("source_item"),
-                                 F.col(_VEC))
+        queries = self._prepare_queries(target, corpus)
         payload = [c for c in self.items.columns
                    if c not in (self.item_col, self.vec_col, self.key_col)]
         # corpus vectors normalized at train time (O3): cosine == dot

@@ -86,15 +86,19 @@ class TestTextFunctions:
                for r in repetition_signals(df, top_ns=(2, 3),
                                            dup_ns=(5,)).collect()}
         assert got[1] == {"doc_id": 1, "total_token_chars": 15,
+                          "total_line_chars": 25,
                           "dup_line_chars": 11, "top2_chars": 12,
                           "top3_chars": 15, "dup5_chars": 12}
         assert got[2] == {"doc_id": 2, "total_token_chars": 27,
+                          "total_line_chars": 33,
                           "dup_line_chars": 0, "top2_chars": 0,
                           "top3_chars": 0, "dup5_chars": 0}
         assert got[3] == {"doc_id": 3, "total_token_chars": 15,
+                          "total_line_chars": 25,
                           "dup_line_chars": 0, "top2_chars": 4,
                           "top3_chars": 6, "dup5_chars": 10}
         assert got[4] == {"doc_id": 4, "total_token_chars": 0,
+                          "total_line_chars": 0,
                           "dup_line_chars": 0, "top2_chars": 0,
                           "top3_chars": 0, "dup5_chars": 0}
 
@@ -107,7 +111,8 @@ class TestTextFunctions:
         def py_signals(text, top_ns, dup_ns):
             toks = [t for t in text.split() if t]
             lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
-            out = {"total_token_chars": sum(map(len, toks))}
+            out = {"total_token_chars": sum(map(len, toks)),
+                   "total_line_chars": sum(map(len, lines))}
             from collections import Counter
             lc = Counter(lines)
             out["dup_line_chars"] = sum(
@@ -166,13 +171,14 @@ class TestTextFunctions:
                                            dup_ns=(3,)).collect()}
         # NULL text zero-fills everywhere (the oracle coalesces to 0)
         assert got[1] == {"doc_id": 1, "total_token_chars": 0,
+                          "total_line_chars": 0,
                           "dup_line_chars": 0, "top2_chars": 0,
                           "dup3_chars": 0}
         assert got[2]["top2_chars"] == 6     # 'x y' ×3 → (len 3 − 1)·3
         # top_ns=() produces only the non-top columns instead of crashing
         cols = repetition_signals(df, top_ns=(), dup_ns=(3,)).columns
-        assert cols == ["doc_id", "total_token_chars", "dup_line_chars",
-                        "dup3_chars"]
+        assert cols == ["doc_id", "total_token_chars", "total_line_chars",
+                        "dup_line_chars", "dup3_chars"]
 
 
 class TestVectorValidation:
