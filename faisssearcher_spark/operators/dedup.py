@@ -765,7 +765,9 @@ def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
                     tables: int = 8, bits: int = 4, seed: int = 42,
                     dim: int | None = None,
                     planes_mode: str = "random",
-                    impl: str = "auto") -> DataFrame:
+                    impl: str = "auto",
+                    probe_dim: bool = True,
+                    payload: "list[str] | None" = None) -> DataFrame:
     """``(id, t, bucket)`` — one sign-LSH bucket row per (vector, table).
 
     The shared bucket kernel behind ``embedding_cosine_pairs
@@ -773,33 +775,70 @@ def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
     Gaussian hyperplanes (``planes_mode="random"``) or axis-aligned
     leading dims (the oracle-checkable variant), evaluated as SQL
     expressions or one numpy GEMM per Arrow batch past
-    ``LSH_GEMM_WORK_THRESHOLD`` multiply-adds per row."""
+    ``LSH_GEMM_WORK_THRESHOLD`` multiply-adds per row.
+
+    ``probe_dim=False`` (requires ``dim``) replaces the eager one-row
+    length probe with a per-row in-plan ``assert_true`` — same loud
+    failure on a mismatched/NULL vector, zero extra Spark jobs. Use it
+    when the caller already holds a VALIDATED dim (the incremental
+    stores record dim in their meta identity); the default keeps the
+    probe because an unvalidated wrong ``dim`` in random mode would
+    otherwise zero every bucket bit only at execution time.
+
+    ``payload`` names ``df`` columns to carry through onto every
+    bucket row (repeated per table) — the join-free way for a caller
+    to keep per-vector state (e.g. the EmbeddingStore's f16 code)
+    attached without a batch-sized shuffle join back on id."""
     if tables < 1 or bits < 1:
         raise ValueError("lsh_tables and lsh_bits must be >= 1")
     if planes_mode not in ("random", "axis"):
         raise ValueError("lsh_planes must be 'random' or 'axis'")
     if impl not in ("auto", "expr", "gemm"):
         raise ValueError("lsh_impl must be 'auto', 'expr' or 'gemm'")
+    payload = list(payload or [])
 
     v = M.as_double(vec_col)
-    # one-row probe: the true vector length. Runs even when lsh_dim was
-    # passed explicitly — a wrong lsh_dim in random mode would null-pad
-    # the zip_with, null the fold, evaluate every bit to 0, and land ALL
-    # vectors in one bucket per table: a silent quadratic candidate
-    # blowup. Fail loudly instead (mirrors the axis-mode bounds check).
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is None or probe["d"] is None:
-        if dim is None:
-            raise ValueError("cannot infer the vector dimension from an "
-                             "empty frame; pass lsh_dim explicitly")
-        vec_len = int(dim)
+    idc = F.col(id_col)
+    if probe_dim:
+        # one-row probe: the true vector length. Runs even when lsh_dim
+        # was passed explicitly — a wrong lsh_dim in random mode would
+        # null-pad the zip_with, null the fold, evaluate every bit to 0,
+        # and land ALL vectors in one bucket per table: a silent
+        # quadratic candidate blowup. Fail loudly instead (mirrors the
+        # axis-mode bounds check).
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None:
+            if dim is None:
+                raise ValueError(
+                    "cannot infer the vector dimension from an "
+                    "empty frame; pass lsh_dim explicitly")
+            vec_len = int(dim)
+        else:
+            vec_len = int(probe["d"])
+            if dim is not None and int(dim) != vec_len:
+                raise ValueError(
+                    f"lsh_dim={dim} does not match the actual vector "
+                    f"length {vec_len}; a mismatched hyperplane dim "
+                    "would zero every bucket bit and collapse all "
+                    "vectors into one bucket")
     else:
-        vec_len = int(probe["d"])
-        if dim is not None and int(dim) != vec_len:
-            raise ValueError(
-                f"lsh_dim={dim} does not match the actual vector length "
-                f"{vec_len}; a mismatched hyperplane dim would zero every "
-                f"bucket bit and collapse all vectors into one bucket")
+        if dim is None:
+            raise ValueError("probe_dim=False requires an explicit dim")
+        vec_len = int(dim)
+        # the probe's loud-failure contract, moved into the plan: the
+        # id column every bucket row needs is gated behind a per-row
+        # length assertion, so a mismatched or NULL vector fails the
+        # job instead of silently landing in bucket 0 (assert_true
+        # raises on false AND on null — a NULL vector is a data error
+        # here, not an empty bucket)
+        idc = F.when(
+            F.assert_true(
+                F.size(F.col(vec_col)) == vec_len,
+                F.concat(F.lit(f"sign-LSH vector length != declared "
+                               f"dim {vec_len}: got "),
+                         F.coalesce(F.size(F.col(vec_col))
+                                    .cast("string"), F.lit("NULL")))
+            ).isNull(), F.col(id_col))
     if planes_mode == "axis":
         # axis-aligned: bit j of table t = sign of raw coordinate t·b+j
         # (normalization preserves sign, so bucketing the raw vector is
@@ -851,7 +890,9 @@ def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
         pow2 = (1 << np.arange(bits)).astype(np.int64)
         n_tables = tables
         id_type = df.schema[id_col].dataType.simpleString()
-        src = df.select(F.col(id_col).alias("id"), v.alias("__v"))
+        pay_types = {n: df.schema[n].dataType.simpleString()
+                     for n in payload}
+        src = df.select(idc.alias("id"), *payload, v.alias("__v"))
 
         def _buckets(batches):
             import pandas as pd
@@ -864,15 +905,19 @@ def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
                 ids = pdf["id"].to_numpy()
                 yield pd.DataFrame({
                     "id": np.repeat(ids, n_tables),
+                    **{n: np.repeat(pdf[n].to_numpy(), n_tables)
+                       for n in payload},
                     "t": np.tile(np.arange(n_tables, dtype=np.int32),
                                  len(pdf)),
                     "bucket": bk.reshape(-1)})
 
-        tb = src.mapInPandas(_buckets, schema=f"id {id_type}, t int, "
-                                              "bucket int")
+        schema = ", ".join([f"id {id_type}",
+                            *[f"{n} {pay_types[n]}" for n in payload],
+                            "t int", "bucket int"])
+        tb = src.mapInPandas(_buckets, schema=schema)
     else:
         tb = df.select(
-            F.col(id_col).alias("id"),
+            idc.alias("id"), *payload,
             F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
             .alias("t", "bucket"))
     return tb

@@ -138,6 +138,12 @@ class _IncrementalStore:
         self.n_buckets = n_buckets
         mine = self._meta_dict()
         existing = self._read_meta()
+        # per-instance memo of "meta is on disk": __init__ just read it,
+        # so _append_state never re-reads per commit (each re-read was a
+        # full Spark job on the Spark path). Two processes opening the
+        # same store both see None and both write — idempotent, the
+        # content is the identity-validated parameter dict either way.
+        self._meta_present = existing is not None
         if existing is not None and existing != mine:
             raise ValueError(
                 f"store at {path!r} was created with {existing}; "
@@ -175,7 +181,33 @@ class _IncrementalStore:
     def _meta_dict(self) -> dict:
         raise NotImplementedError
 
+    def _meta_is_local(self) -> bool:
+        from urllib.parse import urlparse
+
+        return urlparse(self.path).scheme in ("", "file")
+
     def _read_meta(self) -> "dict | None":
+        # meta is ONE tiny row — on a local/file: path read it driver-
+        # side with pyarrow (a Spark read here is pure job-launch
+        # overhead; at local bench scale the meta round-trips were a
+        # measurable slice of the whole store arc). pyarrow's dataset
+        # discovery skips `_`/`.`-prefixed files, so Spark-written meta
+        # dirs (part-* + _SUCCESS) from older stores read fine too.
+        # Remote schemes (hdfs://, s3a://) keep the Spark path — there
+        # the cluster's filesystem config is the only correct client.
+        if self._meta_is_local():
+            import pyarrow.parquet as pq
+
+            p = self._meta_path()
+            if not os.path.isdir(p) and not os.path.isfile(p):
+                return None
+            try:
+                tbl = pq.read_table(p, columns=["meta"])
+            except Exception:
+                return None
+            if tbl.num_rows == 0:
+                return None
+            return json.loads(tbl.column("meta")[0].as_py())
         try:
             row = self.spark.read.parquet(self._meta_path()).first()
         except Exception:
@@ -183,6 +215,22 @@ class _IncrementalStore:
         return json.loads(row["meta"]) if row else None
 
     def _write_meta(self) -> None:
+        if self._meta_is_local():
+            import shutil
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            p = self._meta_path()
+            # only ever called when no readable meta exists — clear any
+            # unreadable leftovers so the dir holds exactly one file
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            os.makedirs(p, exist_ok=True)
+            pq.write_table(
+                pa.table({"meta": [json.dumps(self._meta_dict())]}),
+                os.path.join(p, "meta-0.parquet"))
+            return
         self.spark.createDataFrame(
             [(json.dumps(self._meta_dict()),)], "meta string") \
             .coalesce(1).write.mode("overwrite").parquet(self._meta_path())
@@ -209,8 +257,9 @@ class _IncrementalStore:
         grows; gate commits behind your pipeline's exactly-once
         bookkeeping (the streaming/sinks.py discipline) when replays
         are possible."""
-        if self._read_meta() is None:
+        if not self._meta_present:
             self._write_meta()
+            self._meta_present = True
         if self.bucketed_table:
             stamped = self._read_table_meta() is not None
             (rows.write.bucketBy(self.n_buckets, self._BUCKET_COL)
@@ -380,20 +429,25 @@ class EmbeddingStore(_IncrementalStore):
         """``(id, bucket_key, code)`` — one row per (vector, table);
         bucket_key folds (table, bucket) into one 8-byte xxhash64 key
         (the bucket-keys-equal-join-keys rule that lets a bucketed
-        state table join with zero history-side shuffle)."""
+        state table join with zero history-side shuffle). The f16 code
+        rides the bucket projection as a payload column — the state
+        layout repeats it per table either way, so carrying it beats
+        the batch-sized shuffle join back on id this used to do. The
+        store's dim is part of its VALIDATED meta identity, so the
+        bucket pass skips the eager dim probe; a batch whose vectors
+        don't match fails the in-plan length assertion loudly."""
         from faisssearcher_spark.functions.vector import quantize_f16
 
+        src = vecs.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("__v"),
+                          quantize_f16(vec_col).alias("code"))
         buckets = lsh_bucket_rows(
-            vecs, id_col=id_col, vec_col=vec_col, tables=self.tables,
+            src, id_col="id", vec_col="__v", tables=self.tables,
             bits=self.bits, seed=self.seed, dim=self.dim,
-            planes_mode=self.planes_mode)
-        codes = vecs.select(F.col(id_col).alias("id"),
-                            quantize_f16(vec_col).alias("code"))
-        return (buckets
-                .select("id", F.xxhash64("t", "bucket")
-                        .alias("bucket_key"))
-                .join(codes, "id")
-                .select("id", "bucket_key", "code"))
+            planes_mode=self.planes_mode, probe_dim=False,
+            payload=["code"])
+        return buckets.select(
+            "id", F.xxhash64("t", "bucket").alias("bucket_key"), "code")
 
     # -- API ---------------------------------------------------------------
 
@@ -417,10 +471,12 @@ class EmbeddingStore(_IncrementalStore):
         if not -1.0 <= threshold <= 1.0:
             raise ValueError(
                 f"threshold must be in [-1, 1], got {threshold}")
+        # dim is store-identity-validated; skip the eager probe (the
+        # in-plan assertion still fails a mismatched batch loudly)
         new_b = lsh_bucket_rows(
             vecs, id_col=id_col, vec_col=vec_col, tables=self.tables,
             bits=self.bits, seed=self.seed, dim=self.dim,
-            planes_mode=self.planes_mode) \
+            planes_mode=self.planes_mode, probe_dim=False) \
             .select("id", F.xxhash64("t", "bucket").alias("bucket_key"))
         new_v = vecs.select(F.col(id_col).alias("new_id"),
                             F.col(vec_col).alias("__nv"))
