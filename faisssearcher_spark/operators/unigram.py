@@ -70,11 +70,50 @@ def _seed_pieces(word_freqs: "list[tuple[str, int]]", *,
             chars.add(w[i])
             for k in range(1, min(max_piece_len, n - i) + 1):
                 cnt[w[i:i + k]] += f
+    return _seed_select(cnt, chars, n_seed)
+
+
+def _seed_select(cnt: "dict[str, float]", chars: "set[str]",
+                 n_seed: int) -> dict[str, float]:
+    """The :func:`_seed_pieces` selection + normalization, factored so
+    the scalar dict and the lattice bincount feed the same arithmetic:
+    characters unconditionally, multi-char seeds by (count desc, piece
+    asc), log-probs normalized over the selected set. Counts are exact
+    integers in float64, so both producers yield bitwise-equal seeds."""
     pieces = {c: float(cnt[c]) for c in chars}
     multi = sorted(((p, c) for p, c in cnt.items() if len(p) > 1),
                    key=lambda pc: (-pc[1], pc[0]))
     for p, c in multi[:max(0, n_seed - len(pieces))]:
         pieces[p] = float(c)
+    total = math.log(sum(pieces[p] for p in sorted(pieces)))
+    return {p: math.log(c) - total for p, c in pieces.items()}
+
+
+def _seed_pieces_from_lattice(lat: "_EmLattice",
+                              n_seed: int) -> dict[str, float]:
+    """:func:`_seed_pieces` read off an already-built ``_EmLattice`` —
+    the vectorized path's seeding (the substring enumeration is the
+    lattice build; re-running it as a Python loop doubled short fits).
+
+    The top-``n_seed`` selection runs array-side (one lexsort by
+    (count desc, piece asc) over the multi-char pieces) so only the
+    ~``n_seed`` SELECTED pieces ever touch Python — sorting the full
+    substring table as Python tuples was half the seeding cost. Counts
+    are integers exact in float64: the lexsort tie order, the
+    normalization sum, and every logp match :func:`_seed_pieces`
+    bitwise (pinned in tests)."""
+    import numpy as np
+
+    cnt = lat.seed_counts_arr()
+    subs = np.array(lat.sub_list, dtype=f"U{lat.K}")
+    single = lat.single_char
+    n_chars = int(single.sum())
+    take = max(0, n_seed - n_chars)
+    midx = np.flatnonzero(~single)
+    order = midx[np.lexsort((subs[midx], -cnt[midx]))][:take]
+    pieces = {p: c for p, c in zip(subs[single].tolist(),
+                                   cnt[single].tolist())}
+    pieces.update(zip(subs[order].tolist(), cnt[order].tolist()))
     total = math.log(sum(pieces[p] for p in sorted(pieces)))
     return {p: math.log(c) - total for p, c in pieces.items()}
 
@@ -104,6 +143,55 @@ class _EmLattice:
                              dtype=np.int64)
         self.L = int(self.lens.max(initial=0))
         self.K = max_piece_len
+        # numpy char-ops build (r9): words as a padded UCS4 code-point
+        # matrix, every k-length substring enumerated with one
+        # sliding-window view + np.unique per k — ~10× the Python
+        # triple loop, which dominated short fits once the EM rounds
+        # were vectorized. Substring-id NUMBERING differs from the
+        # insertion-order loop but that is immaterial: counts key back
+        # through the substring STRINGS and every consumer sorts
+        # (np.bincount also accumulates per bucket in word order, so
+        # even float sums are bit-identical under an id permutation —
+        # the FIXED_UNIGRAM_PIECES freeze depends on this). The loop
+        # build survives as the fallback for the one case the U-dtype
+        # round-trip cannot represent (embedded NUL code points, which
+        # numpy's 'U' views treat as padding).
+        if self.words and self.L and not any("\x00" in w
+                                             for w in self.words):
+            self._build_np(np)
+        else:
+            self._build_py(np)
+        self.single_char = np.array(
+            [len(p) == 1 for p in self.sub_list], dtype=bool)
+
+    def _build_np(self, np) -> None:
+        W, L, K = len(self.words), self.L, self.K
+        C = np.array(self.words, dtype=f"U{L}") \
+            .view(np.uint32).reshape(W, L)
+        S = np.full((W, L, K), -1, dtype=np.int32)
+        sub_list: list[str] = []
+        offset = 0
+        for k in range(1, min(K, L) + 1):
+            n_i = L - k + 1
+            win = np.lib.stride_tricks.sliding_window_view(
+                C, k, axis=1)                       # (W, n_i, k)
+            valid = (np.arange(n_i)[None, :] + k) <= self.lens[:, None]
+            rows = np.ascontiguousarray(win[valid]) # (n_valid, k)
+            if not len(rows):
+                continue
+            # unique over fixed-width byte rows (void view: one compare
+            # per row instead of k column compares)
+            _, first, inv = np.unique(rows.view(f"V{4 * k}").ravel(),
+                                      return_index=True,
+                                      return_inverse=True)
+            S[:, :n_i, k - 1][valid] = inv.astype(np.int32) + offset
+            sub_list.extend(rows[first].view(f"U{k}").ravel().tolist())
+            offset += len(first)
+        self.S = S
+        self.sub_list = sub_list
+        self.sub_ids = {p: i for i, p in enumerate(sub_list)}
+
+    def _build_py(self, np) -> None:
         sub_ids: dict[str, int] = {}
         S = np.full((len(self.words), self.L, self.K), -1,
                     dtype=np.int32)
@@ -119,8 +207,22 @@ class _EmLattice:
         self.S = S
         self.sub_ids = sub_ids
         self.sub_list = sorted(sub_ids, key=sub_ids.get)
-        self.single_char = np.array(
-            [len(p) == 1 for p in self.sub_list], dtype=bool)
+
+    def seed_counts_arr(self):
+        """Occurrence-weighted substring counts by id (the
+        :func:`_seed_pieces` enumeration, read off the already-built
+        lattice): one masked bincount over S with each word's frequency
+        broadcast across its cells. Counts are integers held exactly in
+        float64, so the sum order is immaterial and each value matches
+        the scalar dict's."""
+        import numpy as np
+
+        mask = self.S >= 0
+        ids = self.S[mask]
+        wts = np.broadcast_to(
+            self.freqs[:, None, None], self.S.shape)[mask]
+        return np.bincount(ids, weights=wts,
+                           minlength=len(self.sub_list))
 
     def lookup(self, logp: dict[str, float]):
         """id → logp array (+1 slot of -inf for the -1 padding): vocab
@@ -354,11 +456,16 @@ class UnigramTokenizer:
         if em_impl == "vectorized":
             lat = _EmLattice(pairs, max_piece_len)
             run_round = lambda lp: _em_round_vec(lat, lp)  # noqa: E731
+            # seeding IS the same substring enumeration the lattice
+            # just did — read the counts off it (bitwise-equal seeds,
+            # pinned in tests) instead of re-looping in Python
+            logp = _seed_pieces_from_lattice(
+                lat, n_seed=vocab_size * seed_factor)
         else:
             run_round = lambda lp: _em_round(  # noqa: E731
                 pairs, lp, max_piece_len)
-        logp = _seed_pieces(pairs, max_piece_len=max_piece_len,
-                            n_seed=vocab_size * seed_factor)
+            logp = _seed_pieces(pairs, max_piece_len=max_piece_len,
+                                n_seed=vocab_size * seed_factor)
         while True:
             exp = {}
             for _ in range(em_iters):

@@ -171,6 +171,47 @@ class TestVectorizedEmParity:
         with pytest.raises(ValueError, match="em_impl"):
             UnigramTokenizer.train(documents, em_impl="nope")
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_lattice_build_and_seeds_match_scalar(self, seed):
+        """The numpy char-ops lattice build (r9) against the Python
+        loop build: identical substring universe, identical
+        (word, pos, len) → substring mapping (ids may be permuted —
+        nothing depends on the numbering), and the lexsort seeding
+        BITWISE equal to _seed_pieces (integer counts are exact in
+        float64, so selection, ties and normalization agree exactly —
+        this is what keeps FIXED_UNIGRAM_PIECES stable)."""
+        import random
+
+        import numpy as np
+
+        from faisssearcher_spark.operators.unigram import (
+            _EmLattice, _seed_pieces, _seed_pieces_from_lattice)
+
+        rng = random.Random(seed)
+        words = {"".join(rng.choice("abcdéfg日本")
+                         for _ in range(rng.randint(1, 9)))
+                 for _ in range(300)}
+        pairs = [(w, rng.randint(1, 50)) for w in sorted(words)]
+        lat = _EmLattice(pairs, 5)
+        ref = _EmLattice.__new__(_EmLattice)
+        ref.words, ref.freqs = lat.words, lat.freqs
+        ref.lens, ref.L, ref.K = lat.lens, lat.L, lat.K
+        ref._build_py(np)
+        assert set(lat.sub_list) == set(ref.sub_list)
+        sv = np.array([""] + lat.sub_list, dtype="U5")[lat.S + 1]
+        sr = np.array([""] + ref.sub_list, dtype="U5")[ref.S + 1]
+        assert (sv == sr).all()
+        assert (_seed_pieces_from_lattice(lat, 120)
+                == _seed_pieces(pairs, max_piece_len=5, n_seed=120))
+
+    def test_lattice_nul_char_falls_back(self):
+        """A word with an embedded NUL (the one thing numpy 'U' views
+        cannot round-trip) routes to the loop build and still trains."""
+        from faisssearcher_spark.operators.unigram import _EmLattice
+
+        lat = _EmLattice([("a\x00b", 3), ("ab", 5)], 3)
+        assert "a\x00b" in lat.sub_list and "ab" in lat.sub_list
+
 
 class TestGateTable:
     def test_fixed_pieces_freeze_matches_train(self, documents, sf_dir):
