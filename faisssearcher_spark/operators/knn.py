@@ -380,6 +380,43 @@ def radius_join(
                                       *payload_cols)
 
 
+def radius_join_multi(
+    queries: DataFrame,
+    items: DataFrame,
+    radii: Iterable[float],
+    **kwargs,
+) -> Mapping[float, DataFrame]:
+    """Multi-radius range search: scan once at the LOOSEST radius and
+    derive every tighter radius by a filter over the cached pair frame
+    — :func:`knn_join_multi_k`'s compute-once/filter-many discipline
+    (reference O2, faiss_searcher.py:170-183) applied to radius
+    semantics. Loosest = min(radii) for similarity metrics (the keep
+    condition is ``sim_val > r``), max(radii) for distances
+    (``sim_val < r``); ``score_scale`` rounding happens inside the one
+    shared scan exactly as it would per call, so each derived frame
+    equals its standalone :func:`radius_join` row-for-row."""
+    radii = sorted({float(r) for r in radii})
+    if not radii:
+        raise ValueError("radii must be non-empty")
+    # resolve the filter direction the same way radius_join will
+    metric = kwargs.get("metric", "cos")
+    normalize = kwargs.get("normalize")
+    if normalize is None:
+        normalize = metric == "cos"
+    score_metric = ("ip" if metric == "cos" and normalize else metric)
+    _, higher_is_closer = M.resolve_metric(score_metric,
+                                           p=kwargs.get("p"))
+    if metric == "cos":
+        higher_is_closer = True
+    loosest = radii[0] if higher_is_closer else radii[-1]
+    base = radius_join(queries, items, radius=loosest, **kwargs).cache()
+    if higher_is_closer:
+        return {r: base if r == loosest
+                else base.filter(F.col("sim_val") > r) for r in radii}
+    return {r: base if r == loosest
+            else base.filter(F.col("sim_val") < r) for r in radii}
+
+
 def _attach_payload(ranked: DataFrame, items: DataFrame, *,
                     item_key_col: str,
                     payload_cols: Sequence[str],

@@ -368,15 +368,21 @@ class SparkSearcher:
     def range_search(
         self,
         target: Union[DataFrame, Sequence[str]],
-        radius: float,
+        radius: Union[float, Iterable[float]],
         *,
         score_scale: int | None = None,
-    ) -> DataFrame:
+    ) -> Union[DataFrame, Mapping[float, DataFrame]]:
         """FAISS ``range_search`` on the facade: every corpus item within
         ``radius`` of each query (strict inequality; for l2 the radius is
         on the SQUARED distance — operators/knn.radius_join carries the
         full convention). Output ``(source_item, sim_item, sim_val,
         *payload)``, UNORDERED like FAISS's lims/D/I.
+
+        A LIST of radii returns ``{radius: DataFrame}`` from ONE scan at
+        the loosest radius with the tighter sets derived by filter over
+        the cached pair frame — the multi-K List-K discipline (reference
+        O2, faiss_searcher.py:170-183) applied to radius semantics
+        (operators/knn.radius_join_multi).
 
         Always the exact scan path (FAISS IndexFlat.range_search
         semantics) regardless of ``index_param`` — a radius screen is a
@@ -384,7 +390,8 @@ class SparkSearcher:
         implement top-k, not radius, search. The scan's cost profile is
         knn_join's catalyst strategy (queries broadcast, corpus streams);
         output volume is bounded by the caller's radius, not by k."""
-        from faisssearcher_spark.operators.knn import radius_join
+        from faisssearcher_spark.operators.knn import (radius_join,
+                                                       radius_join_multi)
 
         corpus = self._require_trained()
         queries = self._prepare_queries(target, corpus)
@@ -392,13 +399,16 @@ class SparkSearcher:
                    if c not in (self.item_col, self.vec_col, self.key_col)]
         # corpus vectors normalized at train time (O3): cosine == dot
         metric = "ip" if self.measurement == "cos" else self.measurement
-        res = radius_join(queries, corpus, metric=metric, radius=radius,
-                          query_vec_col=_VEC, item_vec_col=_VEC,
-                          query_item_col="source_item",
-                          item_key_col=self.key_col,
-                          payload_cols=payload, normalize=False,
-                          p=self.p, score_scale=score_scale)
-        return self._post(res, keep_rank_no=False)
+        kwargs = dict(metric=metric, query_vec_col=_VEC,
+                      item_vec_col=_VEC, query_item_col="source_item",
+                      item_key_col=self.key_col, payload_cols=payload,
+                      normalize=False, p=self.p, score_scale=score_scale)
+        if isinstance(radius, (int, float)):
+            res = radius_join(queries, corpus, radius=radius, **kwargs)
+            return self._post(res, keep_rank_no=False)
+        multi = radius_join_multi(queries, corpus, radius, **kwargs)
+        return {r: self._post(df, keep_rank_no=False)
+                for r, df in multi.items()}
 
     def _post(self, res: DataFrame, keep_rank_no: bool) -> DataFrame:
         """Apply the feature-sep splits (faiss_searcher.py:150-156)."""

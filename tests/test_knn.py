@@ -96,6 +96,40 @@ class TestRadiusJoin:
                           payload_cols=[]).collect()
         assert {r["sim_item"] for r in l2w} == {0, 1, 2, 3, 4}
 
+    def test_multi_radius_equals_standalone(self, spark, embeddings,
+                                            micro):
+        """radius_join_multi derives every radius from ONE loosest-radius
+        scan; each entry must equal its standalone radius_join pair set
+        in both directions (similarity: loosest = min; distance:
+        loosest = max)."""
+        from faisssearcher_spark.operators.knn import (radius_join,
+                                                       radius_join_multi)
+
+        q = embeddings.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        kw = dict(query_item_col="qid", item_key_col="vec_id",
+                  payload_cols=[], score_scale=4)
+        multi = radius_join_multi(q, embeddings, [0.5, 0.2, 0.35],
+                                  metric="cos", **kw)
+        assert sorted(multi) == [0.2, 0.35, 0.5]
+        for r, df in multi.items():
+            want = {(x["source_item"], x["sim_item"], x["sim_val"])
+                    for x in radius_join(q, embeddings, metric="cos",
+                                         radius=r, **kw).collect()}
+            got = {(x["source_item"], x["sim_item"], x["sim_val"])
+                   for x in df.collect()}
+            assert got == want, f"cos radius {r}"
+        qm = micro.filter(F.col("vid") == 0).select(
+            F.col("vid").alias("qid"), "embedding")
+        kwm = dict(query_item_col="qid", item_key_col="vid",
+                   payload_cols=[])
+        dmulti = radius_join_multi(qm, micro, [2.5, 2.0], metric="l2",
+                                   **kwm)
+        # strict < on squared l2: 2.0 excludes the orthonormal pairs
+        assert {r["sim_item"] for r in dmulti[2.0].collect()} == {0, 4}
+        assert {r["sim_item"] for r in dmulti[2.5].collect()} \
+            == {0, 1, 2, 3, 4}
+
     def test_payload_carry_and_no_window_plan(self, spark, embeddings):
         from faisssearcher_spark.operators.knn import radius_join
         from faisssearcher_spark.plans import inspect

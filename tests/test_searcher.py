@@ -46,6 +46,26 @@ class TestEncoderMode:
         want = {r["sim_item"] for r in full if r["sim_val"] > 0.8}
         assert got == want
 
+    def test_multi_radius_dict(self, doc_searcher, documents):
+        """range_search(radii=[...]) — the List-K compute-once/filter-
+        many form: dict keyed by radius, each frame equal to the
+        standalone call at that radius."""
+        text = documents.first()["text"]
+        multi = doc_searcher.range_search([text], [0.9, 0.7],
+                                          score_scale=4)
+        assert sorted(multi) == [0.7, 0.9]
+        for r, df in multi.items():
+            want = {(x["source_item"], x["sim_item"], x["sim_val"])
+                    for x in doc_searcher.range_search(
+                        [text], r, score_scale=4).collect()}
+            got = {(x["source_item"], x["sim_item"], x["sim_val"])
+                   for x in df.collect()}
+            assert got == want, f"radius {r}"
+        # the tighter set is a subset of the looser one
+        loose = {x["sim_item"] for x in multi[0.7].collect()}
+        tight = {x["sim_item"] for x in multi[0.9].collect()}
+        assert tight <= loose and text in tight
+
     def test_multi_k_dict(self, doc_searcher):
         res = doc_searcher.search(["spark join"], topK=[1, 3],
                                   keep_rank_no=True)
