@@ -38,7 +38,41 @@ from faisssearcher_spark.operators.incremental import banded_signatures
 from faisssearcher_spark.streaming.sketches import (_epoch_path, _epochs,
                                                     _fs_path)
 
-__all__ = ["embedding_screen_sink", "minhash_screen_sink"]
+__all__ = ["embedding_screen_sink", "minhash_screen_sink",
+           "watermark_exact_screen"]
+
+
+def watermark_exact_screen(stream_df: DataFrame, *,
+                           key_cols: "str | list[str]",
+                           event_time_col: str,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Event-time-bounded EXACT-dedup screen for composing ahead of the
+    near-dup sinks: first arrival of a key wins, re-deliveries within
+    the watermark horizon are dropped, and the key state expires with
+    the watermark (``dropDuplicatesWithinWatermark`` — bounded state,
+    unlike a plain streaming ``dropDuplicates`` whose state grows with
+    the corpus forever).
+
+    This is the at-least-once-ingest guard: an upstream source that
+    re-delivers rows under the SAME id would otherwise reach the
+    near-dup screen, where an id-equal re-delivery is deliberately NOT
+    a duplicate (equal ids are the same row re-screened — the store
+    contract) and content-changed re-deliveries under one id would
+    land twice. Screening here is by KEY within the watermark; content
+    near-dups remain the sinks' job. A re-delivery arriving AFTER the
+    watermark expired its key passes through to the near-dup screen —
+    content-exact re-deliveries are still caught there (an exact dup
+    estimates Jaccard/cosine 1.0 at any threshold), so the watermark
+    bound trades only the id-keyed guarantee, never content dedup.
+
+    Semantics are batch-boundary- and watermark-state-dependent, so
+    this screen is pytest-pinned (parity vs the batch pipeline over a
+    replayed multi-batch stream) rather than SQL-oracle-gated — the
+    approx-path precedent; the underlying operator's one-row-per-key
+    guarantee IS oracle-gated via the curate_stream fingerprint leg."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return (stream_df.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
 
 
 def _truncate_stale_epochs(spark, roots, batch_id: int) -> None:
@@ -61,6 +95,9 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
                         bands: int = 4, shingle_n: int | None = 3,
                         seed: int = 42,
                         dedup_within_batch: bool = True,
+                        exact_dedup_keys: "str | list[str] | None" = None,
+                        event_time_col: str | None = None,
+                        exact_watermark: str = "1 hour",
                         query_name: str = "minhash_screen_sink",
                         available_now: bool = True) -> StreamingQuery:
     """Continuously land only never-seen-before documents.
@@ -70,12 +107,25 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
     optional in-batch keep-min-id self-dedup → survivors overwrite
     ``<out_dir>/epoch=N``, survivors' signatures overwrite
     ``<store_dir>/epoch=N``. Read the accumulated clean corpus with
-    ``spark.read.parquet(out_dir)`` (epoch is a partition column)."""
+    ``spark.read.parquet(out_dir)`` (epoch is a partition column).
+
+    ``exact_dedup_keys`` (with ``event_time_col``) composes a
+    :func:`watermark_exact_screen` UPSTREAM of the near-dup screen:
+    at-least-once re-deliveries under the same key are dropped with
+    watermark-bounded state before they pay a signature pass — see
+    that function for the semantics and the oracle-gating note."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if num_hashes % bands:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    if exact_dedup_keys is not None:
+        if event_time_col is None:
+            raise ValueError("exact_dedup_keys requires event_time_col "
+                             "(watermarks are event-time-bounded)")
+        stream_df = watermark_exact_screen(
+            stream_df, key_cols=exact_dedup_keys,
+            event_time_col=event_time_col, watermark=exact_watermark)
 
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -146,6 +196,9 @@ def embedding_screen_sink(stream_df: DataFrame, *, store_dir: str,
                           bits: int = 8, seed: int = 42,
                           planes_mode: str = "random",
                           dedup_within_batch: bool = True,
+                          exact_dedup_keys: "str | list[str] | None" = None,
+                          event_time_col: str | None = None,
+                          exact_watermark: str = "1 hour",
                           query_name: str = "embedding_screen_sink",
                           available_now: bool = True) -> StreamingQuery:
     """Continuously land only never-seen-before EMBEDDINGS — the
@@ -157,7 +210,9 @@ def embedding_screen_sink(stream_df: DataFrame, *, store_dir: str,
 
     Screening scores cos(batch vector, decoded prior code) — exact on
     the batch side, fp16-rounded on the history side. In-batch
-    near-dups ride one additional bucket self-join (keep min id)."""
+    near-dups ride one additional bucket self-join (keep min id).
+    ``exact_dedup_keys`` (with ``event_time_col``) composes a
+    :func:`watermark_exact_screen` upstream, as on the minhash sink."""
     from faisssearcher_spark.functions import metrics as M
     from faisssearcher_spark.functions.vector import (dequantize_f16,
                                                       quantize_f16)
@@ -167,18 +222,27 @@ def embedding_screen_sink(stream_df: DataFrame, *, store_dir: str,
         raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
     if dim < 1 or tables < 1 or bits < 1:
         raise ValueError("dim, tables and bits must all be >= 1")
+    if exact_dedup_keys is not None:
+        if event_time_col is None:
+            raise ValueError("exact_dedup_keys requires event_time_col "
+                             "(watermarks are event-time-bounded)")
+        stream_df = watermark_exact_screen(
+            stream_df, key_cols=exact_dedup_keys,
+            event_time_col=event_time_col, watermark=exact_watermark)
 
     def _rows(batch_df: DataFrame) -> DataFrame:
+        # the EmbeddingStore commit layout (operators/incremental.py
+        # _bucket_code_rows): code rides the bucket projection as a
+        # payload column, dim declared so no per-micro-batch probe job
+        src = batch_df.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("__v"),
+                              quantize_f16(vec_col).alias("code"))
         buckets = lsh_bucket_rows(
-            batch_df, id_col=id_col, vec_col=vec_col, tables=tables,
-            bits=bits, seed=seed, dim=dim, planes_mode=planes_mode)
-        codes = batch_df.select(F.col(id_col).alias("id"),
-                                quantize_f16(vec_col).alias("code"))
-        return (buckets
-                .select("id", F.xxhash64("t", "bucket")
-                        .alias("bucket_key"))
-                .join(codes, "id")
-                .select("id", "bucket_key", "code"))
+            src, id_col="id", vec_col="__v", tables=tables,
+            bits=bits, seed=seed, dim=dim, planes_mode=planes_mode,
+            probe_dim=False, payload=["code"])
+        return buckets.select(
+            "id", F.xxhash64("t", "bucket").alias("bucket_key"), "code")
 
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

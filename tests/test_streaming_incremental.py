@@ -78,6 +78,91 @@ class TestMinhashScreenSink:
         again = _run(spark, doc_files, base)
         assert first == again
 
+
+@pytest.fixture(scope="module")
+def redelivery_files(spark, tmp_path_factory):
+    """3 mtime-ordered files → 3 micro-batches: batch 1 RE-DELIVERS
+    doc_id 0 with DIFFERENT text (the at-least-once upstream case the
+    watermark exact screen exists for). Event times sit a day past
+    epoch 0 (an event time of exactly 0 is discarded as late by the
+    initial watermark) and within one minute of each other, so a
+    24h watermark never expires a key during the replay."""
+    import time
+
+    from pyspark.sql import functions as SF
+
+    batches = [
+        [(0, "alpha beta gamma delta epsilon zeta eta theta", 86_400),
+         (1, "spark query engines shuffle hash partitions across "
+             "executors with adaptive planning", 86_410)],
+        [(0, "completely different redelivered payload with novel "
+             "vocabulary overlapping nothing else here", 86_420)],
+        [(2, "final novel document with vocabulary shared by nothing "
+             "else in this stream at all", 86_430)],
+    ]
+    path = str(tmp_path_factory.mktemp("redeliver_src") / "docs")
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string, sec long") \
+            .select("doc_id", "text",
+                    SF.timestamp_seconds("sec").alias("ingest_ts")) \
+            .coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    return path
+
+
+def _run_exact(spark, src, base, *, exact: bool):
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ingest_ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    kwargs = dict(exact_dedup_keys="doc_id", event_time_col="ingest_ts",
+                  exact_watermark="24 hours") if exact else {}
+    q = minhash_screen_sink(
+        stream, store_dir=str(base / "store"), out_dir=str(base / "out"),
+        checkpoint_dir=str(base / "ckpt"), threshold=0.5,
+        num_hashes=16, bands=8, shingle_n=3, **kwargs)
+    q.awaitTermination()
+    return [(r["doc_id"], r["text"]) for r in
+            spark.read.parquet(str(base / "out"))
+            .orderBy("doc_id", "text").collect()]
+
+
+class TestWatermarkExactScreenComposition:
+    def test_redelivered_id_passes_without_exact_screen(
+            self, spark, redelivery_files, tmp_path_factory):
+        """The near-dup screen deliberately treats an id-equal
+        re-delivery with NOVEL content as new (equal ids are excluded
+        from candidate pairs — the store contract), so doc_id 0 lands
+        twice without the exact screen. This is the gap the watermark
+        screen closes."""
+        rows = _run_exact(spark, redelivery_files,
+                          tmp_path_factory.mktemp("noexact"), exact=False)
+        assert [d for d, _ in rows].count(0) == 2
+
+    def test_exact_screen_matches_batch_pipeline(
+            self, spark, redelivery_files, tmp_path_factory):
+        """Parity vs the batch screen: with every duplicate inside the
+        watermark, the composed stream equals exact-dedup-keep-earliest
+        over the source followed by the same near-dup screen — here the
+        hand-derivable survivor set (first delivery of each id)."""
+        rows = _run_exact(spark, redelivery_files,
+                          tmp_path_factory.mktemp("exact"), exact=True)
+        ids = [d for d, _ in rows]
+        assert sorted(ids) == [0, 1, 2]
+        assert dict(rows)[0].startswith("alpha beta")   # first wins
+
+    def test_exact_screen_requires_event_time(self, spark,
+                                              redelivery_files,
+                                              tmp_path_factory):
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, ingest_ts timestamp")
+                  .parquet(redelivery_files))
+        base = tmp_path_factory.mktemp("bad")
+        with pytest.raises(ValueError, match="event_time_col"):
+            minhash_screen_sink(
+                stream, store_dir=str(base / "s"), out_dir=str(base / "o"),
+                checkpoint_dir=str(base / "c"),
+                exact_dedup_keys="doc_id")
+
     def test_matches_batch_store_over_same_prefix(self, spark, doc_files,
                                                   tmp_path_factory):
         """Batch replay of the same ingest order through MinHashStore
