@@ -210,6 +210,21 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # absolute gap prices the mitigation.
         "skew_join_plain": lambda: _skew_join(docs, salted=False),
         "skew_join_salted": lambda: _skew_join(docs, salted=True),
+        # Gopher repetition signals (r8 surface): the explode-heaviest
+        # aggregate in the engine — dup-line + top-gram + span-union
+        # dup-gram coverage, ~8 map-side-combinable branches over the
+        # token stream; cost must track tokens (linear), like text_bm25
+        "text_repetition": lambda: _repetition(docs),
+        # WordPiece encode in the SERVING shape: a tokenizer trained on
+        # the FIXED base corpus (replica 0 — training is driver-bounded
+        # on the Zipf-small type table and identical at every scale
+        # point; memoized, so best-of-N prices encode only) tokenizes
+        # the growing corpus — the 100 TB pass is the pandas_udf encode
+        "text_wordpiece": _wordpiece_leg(docs, factor),
+        # stupid-backoff bigram LM: fit on the fixed base slice (two
+        # aggregates over replica 0, constant at both points), score
+        # the growing corpus — explode → Zipf-small LM equi-joins
+        "text_bigram_lm": lambda: _bigram_leg(docs, factor),
         # margin-based bitext mining over planted translations, in the
         # SERVING shape: a FIXED src batch (the base corpus — replica 0
         # of the scaled frame) mines against the growing tgt corpus, so
@@ -266,6 +281,41 @@ def _bitext_planted(emb: DataFrame, factor: int = 1) -> DataFrame:
     # n² codegen dot is NOT the plan a CCMatrix-scale corpus runs
     return mine_bitext(src, tgt, k=4, threshold=1.0, best_per_src=True,
                        strategy="grid")
+
+
+def _repetition(docs: DataFrame) -> DataFrame:
+    from faisssearcher_spark.operators.text_analysis import \
+        repetition_signals
+
+    return repetition_signals(docs)
+
+
+def _wordpiece_leg(docs: DataFrame, factor: int):
+    """Thunk factory: train lazily ONCE (memoized — the deep x100 call
+    builds this dict without invoking non-DEEP legs, and eager training
+    there would be wasted work), then time token_counts over the
+    scaled corpus."""
+    from faisssearcher_spark.operators.wordpiece import WordPieceTokenizer
+
+    memo: dict = {}
+
+    def thunk() -> DataFrame:
+        if "tok" not in memo:
+            base = (docs.filter(F.col("doc_id") % factor == 0)
+                    if factor > 1 else docs)
+            memo["tok"] = WordPieceTokenizer.train(base, n_merges=200)
+        return memo["tok"].token_counts(docs)
+
+    return thunk
+
+
+def _bigram_leg(docs: DataFrame, factor: int) -> DataFrame:
+    from faisssearcher_spark.operators.text_analysis import \
+        bigram_backoff_logppl
+
+    ref = (docs.filter(F.col("doc_id") % factor == 0)
+           if factor > 1 else docs)
+    return bigram_backoff_logppl(docs, ref)
 
 
 def _skew_join(docs: DataFrame, *, salted: bool,
