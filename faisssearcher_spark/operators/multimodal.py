@@ -288,8 +288,15 @@ def dhash_int(payload: bytes, *, decoder: str = "native",
         raise ValueError(
             f"hash_size must be in [1, 8] ({hash_size * hash_size} bits "
             f"must fit the signed-64 LongType fingerprint)")
-    small = _block_mean_resize(_decode_gray(payload, decoder),
-                               hash_size, hash_size + 1)
+    return _dhash_from_gray(_decode_gray(payload, decoder), hash_size)
+
+
+def _dhash_from_gray(gray: np.ndarray, hash_size: int) -> int:
+    """dHash packing of an already-decoded grayscale array — shared by
+    the image payload path (:func:`dhash_int`) and the per-frame video
+    path (:func:`video_frame_hashes`), so both modalities carry ONE
+    fingerprint definition into the banded-hamming dedup kernel."""
+    small = _block_mean_resize(gray, hash_size, hash_size + 1)
     bits = (small[:, 1:] > small[:, :-1]).ravel()
     val = 0
     for b in bits:
@@ -609,3 +616,203 @@ def frame_sample(df: DataFrame, *, every_ms: int = 1000,
             .withColumn("frame_idx", F.explode(offsets))
             .withColumn("frame_offset_ms", F.col("frame_idx") * every_ms)
             .select("asset_id", "frame_idx", "frame_offset_ms"))
+
+
+# ---------------------------------------------------------------------------
+# video: Y4M (YUV4MPEG2) — the codec-free real decode path
+# ---------------------------------------------------------------------------
+# The video analog of the PPM/BMP image and RIFF/WAVE audio parsers:
+# YUV4MPEG2 is a public uncompressed container (plain-ASCII stream
+# header + per-frame "FRAME\n" markers + raw plane bytes), so a pure-
+# numpy parser covers it with zero codec dependencies. Only the Cmono
+# (8-bit grayscale) colorspace is implemented — chroma-subsampled
+# (C420/C422/C444) and any compressed container remain the documented
+# NotImplementedError stub boundary, exactly like compressed audio.
+
+
+def _parse_y4m(payload: bytes) -> "tuple[int, int, np.ndarray]":
+    """Parse a YUV4MPEG2 ``Cmono`` stream → ``(w, h, frames)`` with
+    ``frames`` a ``(n, h, w)`` uint8 luma array."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream (missing signature)")
+    w = h = None
+    colorspace = "420"                       # the spec's default
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"C":
+            colorspace = val.decode("ascii", "replace")
+    if not w or not h or w < 1 or h < 1:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if not colorspace.startswith("mono"):
+        raise NotImplementedError(
+            f"only the Cmono (grayscale) Y4M colorspace is implemented; "
+            f"C{colorspace} needs chroma-plane handling — the documented "
+            "stub boundary (decode compressed/chroma video upstream)")
+    frames = []
+    pos = nl + 1
+    size = w * h
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload.startswith(b"FRAME", pos):
+            raise ValueError("corrupt Y4M: expected FRAME marker")
+        plane = payload[fnl + 1:fnl + 1 + size]
+        if len(plane) != size:
+            raise ValueError("corrupt Y4M: truncated frame plane")
+        frames.append(np.frombuffer(plane, dtype=np.uint8)
+                      .reshape(h, w))
+        pos = fnl + 1 + size
+    return w, h, (np.stack(frames) if frames
+                  else np.zeros((0, h, w), dtype=np.uint8))
+
+
+def build_y4m(frames: np.ndarray, *, fps: int = 25) -> bytes:
+    """Serialize a ``(n, h, w)`` uint8 array as a ``Cmono`` YUV4MPEG2
+    stream (the synthesis half, like :func:`build_wav`)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError(f"frames must be (n, h, w); got {frames.shape}")
+    n, h, w = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Cmono\n".encode("ascii")]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+    return b"".join(out)
+
+
+_VIDEO_FEATURES_SCHEMA = ("asset_id long, frame_idx int, luma_sum long, "
+                          "luma_max int, motion long")
+
+
+def video_frame_features(df: DataFrame, *, max_frames: int = 64,
+                         id_col: str = "asset_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Exact integer per-frame features of ``Cmono`` Y4M payloads: one
+    row per (video, frame) with ``luma_sum`` (Σ pixel — brightness),
+    ``luma_max``, and ``motion`` (Σ |pixel − previous frame's pixel| —
+    the frame-difference energy; 0 for frame 0). All integers, so the
+    whole decode→frame→feature arc crosses engines with zero float
+    caveats (the audio_features discipline). Frames cap at
+    ``max_frames`` (sample longer videos upstream via
+    :func:`frame_sample` offsets)."""
+    src = df.select(F.col(id_col).alias("asset_id"),
+                    F.col(payload_col).alias("__p"))
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["__p"]):
+                if payload is None:
+                    continue
+                _, _, frames = _parse_y4m(bytes(payload))
+                fr = frames[:max_frames].astype(np.int64)
+                for i in range(len(fr)):
+                    motion = (int(np.abs(fr[i] - fr[i - 1]).sum())
+                              if i else 0)
+                    rows.append((int(aid), i, int(fr[i].sum()),
+                                 int(fr[i].max()), motion))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx",
+                                              "luma_sum", "luma_max",
+                                              "motion"])
+
+    return src.mapInPandas(_feats, schema=_VIDEO_FEATURES_SCHEMA)
+
+
+def video_frame_hashes(df: DataFrame, *, hash_size: int = 8,
+                       max_frames: int = 64,
+                       id_col: str = "asset_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Per-frame perceptual dHash of ``Cmono`` Y4M payloads — the video
+    fingerprint table ``(asset_id, frame_idx, fhash)``: each frame runs
+    the SAME area-mean resize + difference-hash as the image path
+    (:func:`dhash_int`), so image and video fingerprints share one
+    definition and one banded-hamming dedup kernel."""
+    if not 1 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [1, 8] ({hash_size * hash_size} bits "
+            "must fit the signed-64 LongType fingerprint)")
+    src = df.select(F.col(id_col).alias("asset_id"),
+                    F.col(payload_col).alias("__p"))
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["__p"]):
+                if payload is None:
+                    continue
+                _, _, frames = _parse_y4m(bytes(payload))
+                for i, fr in enumerate(frames[:max_frames]):
+                    rows.append((int(aid), i,
+                                 _dhash_from_gray(fr, hash_size)))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx",
+                                              "fhash"])
+
+    return src.mapInPandas(_hashes,
+                           schema="asset_id long, frame_idx int, "
+                                  "fhash long")
+
+
+def video_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
+                         max_frames: int = 64, max_hamming: int = 4,
+                         min_matching_frames: int = 1,
+                         id_col: str = "asset_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Video pairs sharing ≥ ``min_matching_frames`` ALIGNED frames
+    whose dHashes are within ``max_hamming`` bits — re-encodes, small
+    brightness shifts, and watermark overlays land here; temporally
+    shifted cuts do not (alignment is by frame index; resample to a
+    common rate upstream via :func:`frame_sample` offsets first).
+
+    Scale shape: candidates come from the maximal-width pigeonhole
+    band plan (dedup.hamming_band_widths) with ``frame_idx`` FOLDED
+    into the equi-join key, so band collisions only ever pair aligned
+    frames and the join stays linear exactly like
+    :func:`image_near_dup_pairs`; the per-pair frame-match count is
+    one map-side-combinable groupBy. Returns ``(id_a, id_b,
+    n_matching_frames)`` with ``id_a < id_b``."""
+    from pyspark.sql import Column
+
+    from faisssearcher_spark.operators.dedup import hamming_band_widths
+
+    bits = hash_size * hash_size
+    widths = hamming_band_widths(bits, max_hamming)
+    offsets = [sum(widths[:b]) for b in range(len(widths))]
+    fh = video_frame_hashes(df, hash_size=hash_size,
+                            max_frames=max_frames, id_col=id_col,
+                            payload_col=payload_col)
+
+    def _band(b: int) -> Column:
+        col = (F.shiftright(F.col("fhash"), offsets[b]) if offsets[b]
+               else F.col("fhash"))
+        if widths[b] >= 64:
+            return col
+        return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
+    banded = fh.select(
+        "asset_id", "frame_idx", "fhash",
+        F.posexplode(F.array(*[_band(b) for b in range(len(widths))]))
+        .alias("band_idx", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    frame_pairs = (
+        a.join(b, (F.col("a.frame_idx") == F.col("b.frame_idx"))
+               & (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.asset_id") < F.col("b.asset_id")))
+        .select(F.col("a.asset_id").alias("id_a"),
+                F.col("b.asset_id").alias("id_b"),
+                F.col("a.frame_idx").alias("frame_idx"),
+                F.col("a.fhash").alias("fp_a"),
+                F.col("b.fhash").alias("fp_b"))
+        .distinct()
+        .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                <= max_hamming)
+    )
+    return (frame_pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_matching_frames"))
+            .filter(F.col("n_matching_frames") >= min_matching_frames))

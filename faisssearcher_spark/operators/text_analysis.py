@@ -674,3 +674,74 @@ def perplexity_buckets(scored: DataFrame, *, id_col: str = "doc_id",
     if out_col in scored.columns:
         raise ValueError(f"column {out_col!r} already exists")
     return scored.withColumn(out_col, out.cast("int"))
+
+
+def c4_signals(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_words_per_line: int = 5,
+               line_drop_token: str = "javascript") -> DataFrame:
+    """The C4 cleaning recipe's signals (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2) as exact per-document values — the
+    line-level half REWRITES the page, the page-level half flags it:
+
+    line KEPT iff it (after trimming) ends in a terminal punctuation
+    mark (``. ! ? "`` — C4's rule), has ≥ ``min_words_per_line``
+    whitespace words, and does not contain ``line_drop_token``
+    (case-insensitive; C4 dropped lines with the word "javascript").
+    Page flags: ``has_lorem`` ("lorem ipsum" anywhere, case-
+    insensitive), ``has_curly`` (a ``{`` anywhere — code pages).
+
+    Output: ``(id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_curly, clean_text)`` where ``n_sentences`` counts terminal-
+    punctuation runs in the CLEANED text (C4 drops pages with < 3
+    sentences — apply via :func:`c4_clean_documents`) and
+    ``clean_text`` is the kept lines re-joined with newlines. Pure
+    Catalyst (split → HOF filter → array_join), one scan, no state —
+    the 100 TB shape; every output is deterministic string/integer
+    arithmetic a SQL twin replays exactly."""
+    # NULL text behaves as empty (0 lines, flags false) — size(NULL)
+    # would otherwise null every counter
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+    nonempty = F.filter(trimmed, lambda l: F.length(l) > 0)
+
+    def _kept(l):
+        words = F.filter(F.split(l, r"\s+"),
+                         lambda w: F.length(w) > 0)
+        return (l.rlike('[.!?"]$')
+                & (F.size(words) >= min_words_per_line)
+                & ~F.lower(l).contains(line_drop_token.lower()))
+
+    kept = F.filter(nonempty, _kept)
+    clean = F.array_join(kept, "\n")
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(nonempty).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.size(F.filter(F.split(clean, r'[.!?"]+'),
+                        lambda s: F.length(F.trim(s)) > 0))
+        .alias("n_sentences"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        low.contains("{").alias("has_curly"),
+        clean.alias("clean_text"))
+
+
+def c4_clean_documents(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", min_sentences: int = 3,
+                       min_words_per_line: int = 5,
+                       line_drop_token: str = "javascript") -> DataFrame:
+    """Apply the full C4 page filter: line-level cleaning via
+    :func:`c4_signals`, then keep pages with ≥ ``min_sentences``
+    sentences, no "lorem ipsum", and no ``{``. Returns the surviving
+    ``(id, clean_text, n_sentences)`` — the C4 transform minus the
+    badword blocklist (no public wordlist ships here; compose a
+    blocklist filter upstream) and minus the three-sentence span dedup
+    (that is :func:`~faisssearcher_spark.operators.dedup.
+    remove_duplicate_spans`' job, corpus-global)."""
+    sig = c4_signals(df, id_col=id_col, text_col=text_col,
+                     min_words_per_line=min_words_per_line,
+                     line_drop_token=line_drop_token)
+    return (sig.filter((F.col("n_sentences") >= min_sentences)
+                       & ~F.col("has_lorem") & ~F.col("has_curly"))
+            .select("id", "clean_text", "n_sentences"))

@@ -1408,6 +1408,57 @@ def _gate_audio_twin_assets(docs: DataFrame) -> DataFrame:
                        F.unhex(F.concat(*parts)).alias("payload"))
 
 
+#: Y4M stream header for the synthetic gate videos: 9×8 Cmono
+#: (grayscale — the one colorspace the codec-free parser implements),
+#: the exact dHash resample grid so area-mean resize is identity and
+#: the oracle computes fingerprints from the raw plane bytes
+_Y4M_HEADER_HEX = b"YUV4MPEG2 W9 H8 F25:1 Cmono\n".hex()
+_Y4M_FRAME_HEX = b"FRAME\n".hex()
+
+
+def _gate_video_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, modality, payload): deterministic 2-frame Cmono Y4M
+    corpus — frame f's pixel idx is the first md5 byte of
+    "<doc_id>|v<f>|<idx>", concatenated after the stream/frame markers
+    with pure SQL, then parsed back by the REAL numpy Y4M parser, so
+    build→decode→frame→feature is checked end-to-end against the
+    oracle's analytic pixel arithmetic (the image-PPM / audio-WAV
+    pattern applied to the third modality)."""
+    g = F.col("doc_id").cast("string")
+    parts = [F.lit(_Y4M_HEADER_HEX)]
+    for f in range(2):
+        parts.append(F.lit(_Y4M_FRAME_HEX))
+        for idx in range(72):
+            parts.append(F.substring(
+                F.md5(F.concat(g, F.lit(f"|v{f}|{idx}"))), 1, 2))
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("video").alias("modality"),
+                       F.unhex(F.concat(*parts)).alias("payload"))
+
+
+def _gate_video_twin_assets(docs: DataFrame) -> DataFrame:
+    """Near-dup video twins for the ``vfp`` leg: even/odd doc pairs
+    share every pixel (the md5 salt keys on doc_id with its low bit
+    cleared) except the ODD twin zeroes frame 1's pixel (0,0) — so a
+    twin pair's frame-0 dHashes are identical and frame 1 differs in
+    at most one comparison bit: planted aligned-frame pairs at
+    per-frame hamming ≤ 1 on BOTH frames."""
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    odd = F.col("doc_id") % 2 == 1
+    parts = [F.lit(_Y4M_HEADER_HEX)]
+    for f in range(2):
+        parts.append(F.lit(_Y4M_FRAME_HEX))
+        for idx in range(72):
+            hx = F.substring(
+                F.md5(F.concat(base, F.lit(f"|v{f}|{idx}"))), 1, 2)
+            if f == 1 and idx == 0:
+                hx = F.when(odd, F.lit("00")).otherwise(hx)
+            parts.append(hx)
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("video").alias("modality"),
+                       F.unhex(F.concat(*parts)).alias("payload"))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming ≤ 3 of the 32-bit
     fingerprint: pigeonhole byte-band equi-join candidates + XOR/popcount
@@ -1485,24 +1536,61 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    max_hamming=1).select(
         F.lit("afp").alias("leg"), "id_a", "id_b",
         F.col("hamming").cast("int").alias("hamming"))
+
+    # tag-union leg 7 (round 9): the REAL video decode path — SQL-built
+    # 2-frame Cmono Y4M payloads (see _gate_video_assets) parse through
+    # the numpy YUV4MPEG2 parser into exact per-frame integer features
+    # (multimodal.video_frame_features: luma_sum, luma_max, frame-diff
+    # motion), packed as id_a = asset·10+frame, id_b = luma_sum,
+    # hamming = motion·256 + luma_max.
+    from faisssearcher_spark.operators.multimodal import (
+        video_frame_features, video_near_dup_pairs)
+
+    video_leg = video_frame_features(_gate_video_assets(docs)).select(
+        F.lit("video").alias("leg"),
+        (F.col("asset_id") * 10 + F.col("frame_idx")).alias("id_a"),
+        F.col("luma_sum").alias("id_b"),
+        (F.col("motion") * 256 + F.col("luma_max")).cast("int")
+        .alias("hamming"))
+
+    # tag-union leg 8 (round 9): aligned-frame video near-dup — per-
+    # frame dHash (the SAME _dhash_from_gray definition as the image
+    # leg) through the frame-aligned banded-hamming kernel over a twin
+    # corpus with planted even/odd pairs (_gate_video_twin_assets: one
+    # pixel differs on frame 1 ⇒ per-frame hamming ≤ 1 on both frames);
+    # hamming slot carries n_matching_frames (== 2 for planted pairs).
+    vfp_leg = video_near_dup_pairs(_gate_video_twin_assets(docs),
+                                   hash_size=8, max_hamming=1,
+                                   min_matching_frames=2).select(
+        F.lit("vfp").alias("leg"), "id_a", "id_b",
+        F.col("n_matching_frames").cast("int").alias("hamming"))
     return (text_leg.unionByName(fp_leg).unionByName(pair_leg)
             .unionByName(frames_leg).unionByName(audio_leg)
-            .unionByName(afp_leg))
+            .unionByName(afp_leg).unionByName(video_leg)
+            .unionByName(vfp_leg))
 
 
-def _oracle_image_phash() -> str:
-    """Analytic dHash twin: vs[1..72] are the gray pixel values
-    (row-major, 1-based); comparison (i,k) = pixel(i,k+1) > pixel(i,k)
-    contributes two's-complement weight 2^(63−j) (j = i·8+k; j=0 is the
-    sign bit) — exactly dhash_int's MSB-first packing."""
+def _dhash_case_terms(var: str = "vs") -> str:
+    """Analytic dHash of a 72-value (9×8, row-major, 1-based) gray list
+    ``var``: comparison (i,k) = pixel(i,k+1) > pixel(i,k) contributes
+    two's-complement weight 2^(63−j) (j = i·8+k; j=0 is the sign bit) —
+    exactly dhash_int's MSB-first packing. Shared by the image-phash
+    and per-frame video-fingerprint twins (the engine shares ONE
+    _dhash_from_gray definition the same way)."""
     terms = []
     for i in range(8):
         for k in range(8):
             j = i * 8 + k
             w = -(1 << 63) if j == 0 else (1 << (63 - j))
-            terms.append(f"CASE WHEN vs[{i * 9 + k + 2}] > "
-                         f"vs[{i * 9 + k + 1}] THEN {w} ELSE 0 END")
-    phash = " + ".join(terms)
+            terms.append(f"CASE WHEN {var}[{i * 9 + k + 2}] > "
+                         f"{var}[{i * 9 + k + 1}] THEN {w} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _oracle_image_phash() -> str:
+    """Analytic dHash twin over the synthetic PPM corpus (see
+    :func:`_dhash_case_terms` for the bit arithmetic)."""
+    phash = _dhash_case_terms("vs")
     return f"""
 img AS (SELECT doc_id, (doc_id % 250)::VARCHAR AS g,
                doc_id // 250 AS m
@@ -1573,7 +1661,29 @@ WITH fp AS ({ORACLE_SIMHASH.strip().rstrip()}),
        SELECT doc_id AS id,
               sum(CASE WHEN e_next > e THEN (1::BIGINT << b)
                   ELSE 0 END)::BIGINT AS fp
-       FROM afp_bits GROUP BY doc_id)
+       FROM afp_bits GROUP BY doc_id),
+     vvals AS (
+       -- gate Y4M frames: pixel idx of frame f is the first md5 byte
+       -- of "<doc_id>|v<f>|<idx>" (see _gate_video_assets)
+       SELECT doc_id, f,
+              list_transform(range(0, 72), idx ->
+                ('0x' || substring(md5(doc_id::VARCHAR || '|v'
+                     || f::VARCHAR || '|' || idx::VARCHAR),
+                     1, 2))::BIGINT) AS vs
+       FROM documents, unnest(range(0, 2)) AS t(f)),
+     wvals AS (
+       -- twin corpus: pixels salt on doc_id with the low bit cleared;
+       -- the odd twin zeroes frame 1's pixel 0 (_gate_video_twin_assets)
+       SELECT doc_id, f,
+              list_transform(range(0, 72), idx ->
+                CASE WHEN doc_id % 2 = 1 AND f = 1 AND idx = 0 THEN 0
+                ELSE ('0x' || substring(md5(
+                        (doc_id - doc_id % 2)::VARCHAR || '|v'
+                        || f::VARCHAR || '|' || idx::VARCHAR),
+                        1, 2))::BIGINT END) AS vs
+       FROM documents, unnest(range(0, 2)) AS t(f)),
+     wfp AS (SELECT doc_id, f, ({_dhash_case_terms('vs')})::BIGINT AS fhash
+             FROM wvals)
 SELECT 'text' AS leg, id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 UNION ALL
@@ -1621,6 +1731,20 @@ UNION ALL
 SELECT 'afp', a.id, b.id, bit_count(xor(a.fp, b.fp))::INT
 FROM afp_fp a JOIN afp_fp b ON a.id < b.id
 WHERE bit_count(xor(a.fp, b.fp)) <= 1
+UNION ALL
+SELECT 'video', a.doc_id * 10 + a.f, list_sum(a.vs)::BIGINT,
+       ((CASE WHEN a.f = 0 THEN 0 ELSE
+           list_sum(list_transform(range(1, 73),
+                                   i -> abs(a.vs[i] - p.vs[i])))
+         END) * 256 + list_max(a.vs))::INT
+FROM vvals a LEFT JOIN vvals p
+  ON p.doc_id = a.doc_id AND p.f = a.f - 1
+UNION ALL
+SELECT 'vfp', a.doc_id, b.doc_id, count(*)::INT
+FROM wfp a JOIN wfp b ON a.f = b.f AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fhash, b.fhash)) <= 1
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
 """
 
 
@@ -3826,6 +3950,53 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                                near_dup_threshold=0.3)
               .select(F.lit("curate").alias("leg"), "*"))
 
+    # tag-union leg 4 (round 9): the C4 cleaning recipe
+    # (text_analysis.c4_signals) over SQL-SYNTHESIZED multi-line pages
+    # — the testdata corpus is single-line, which would make every line
+    # signal vacuous, so the page builds deterministically from the
+    # doc's tokens in BOTH engines (the SQL-built WAV/Y4M asset move):
+    # line 1 = 6 words + '.' (kept), line 2 = 3 words unpunctuated
+    # (dropped: no terminal punct), line 3 = a lorem-ipsum sentence on
+    # doc_id%7 (kept as a LINE, flags the PAGE) else 5 words + '?',
+    # line 4 = a curly+javascript line on doc_id%5 (dropped AND flags)
+    # else 6 words + '!'. Packed into the pad schema: n_tokens =
+    # n_kept_lines, n_turns = n_lines, n_user_turns = n_sentences,
+    # n_assistant_turns = has_lorem·2 + has_curly, roles_valid = the
+    # page-survives predicate, render_hash = md5(clean_text).
+    from faisssearcher_spark.operators.text_analysis import c4_signals
+
+    c4_toks = T.tokens("text")
+
+    def _c4_line(start: int, n: int, punct: str):
+        return F.concat(F.concat_ws(" ", F.slice(c4_toks, start, n)),
+                        F.lit(punct))
+
+    c4_page = F.concat_ws(
+        "\n", _c4_line(1, 6, "."), _c4_line(7, 3, ""),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("Lorem ipsum dolor sit amet."))
+        .otherwise(_c4_line(10, 5, "?")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("var cfg = { javascript };"))
+        .otherwise(_c4_line(15, 6, "!")))
+    c4_sig = c4_signals(docs.select("doc_id", c4_page.alias("text")))
+    c4_leg = pad(c4_sig.select(
+        F.lit("c4").alias("leg"),
+        F.col("id").alias("doc_id"),
+        F.lit(0.0).alias("quality"),
+        F.lit("c4").alias("lang_pred"),
+        F.col("n_kept_lines").cast("long").alias("n_tokens"),
+        F.col("n_lines").cast("int").alias("c4_n_lines"),
+        F.col("n_sentences").cast("int").alias("c4_n_sent"),
+        (F.when(F.col("has_lorem"), 2).otherwise(0)
+         + F.when(F.col("has_curly"), 1).otherwise(0)).alias("c4_flags"),
+        ((F.col("n_sentences") >= 3) & ~F.col("has_lorem")
+         & ~F.col("has_curly")).alias("c4_keep"),
+        F.md5("clean_text").alias("c4_hash")),
+        n_turns="c4_n_lines", n_user_turns="c4_n_sent",
+        n_assistant_turns="c4_flags", roles_valid="c4_keep",
+        render_hash="c4_hash")
+
     vocab = (docs.filter(F.col("source") == "src1")
              .select(F.explode(T.tokens("text")).alias("token")).distinct()
              .withColumn("weight",
@@ -3868,7 +4039,8 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_turns="n_turns", n_user_turns="n_user_turns",
         n_assistant_turns="n_assistant_turns", roles_valid="roles_valid",
         render_hash="render_hash")
-    return cur.unionByName(clf_leg).unionByName(conv_leg)
+    return (cur.unionByName(clf_leg).unionByName(conv_leg)
+            .unionByName(c4_leg))
 
 
 def _oracle_curate() -> str:
@@ -3952,8 +4124,55 @@ def _oracle_curate_extended() -> str:
     sentinels = ("-1 AS n_turns, -1 AS n_user_turns, "
                  "-1 AS n_assistant_turns, FALSE AS roles_valid, "
                  "'' AS render_hash")
+    # coalesce every slice-join: DuckDB list_slice past the list's end
+    # is NULL where Spark's F.slice is [] — without it the tail line
+    # vanishes from short docs' pages (caught by the gate: n_lines 3
+    # vs 4 on 13-token docs)
+    def _c4_words(a: int, b: int) -> str:
+        return (f"coalesce(array_to_string("
+                f"list_slice(toks, {a}, {b}), ' '), '')")
+
+    c4_page = (
+        "array_to_string(list_value("
+        f"{_c4_words(1, 6)} || '.', "
+        f"{_c4_words(7, 9)}, "
+        "CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.' "
+        f"ELSE {_c4_words(10, 14)} || '?' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'var cfg = { javascript };' "
+        f"ELSE {_c4_words(15, 20)} || '!' END"
+        "), chr(10))")
     return f"""
 SELECT 'curate' AS leg, c.*, {sentinels} FROM ({_oracle_curate()}) c
+UNION ALL
+SELECT 'c4', doc_id, 0.0, 'c4', n_kept::BIGINT, n_lines::INT,
+       n_sent::INT, (lorem * 2 + curly)::INT,
+       (n_sent >= 3 AND lorem = 0 AND curly = 0), md5(clean_text)
+FROM (
+  WITH t4 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+       pg AS (SELECT doc_id, {c4_page} AS page FROM t4),
+       ln AS (SELECT doc_id, page,
+                     list_filter(list_transform(
+                         string_split(page, chr(10)), l -> trim(l)),
+                         l -> length(l) > 0) AS nonempty
+              FROM pg),
+       kp AS (SELECT doc_id, page, nonempty,
+                     list_filter(nonempty, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND len(list_filter(
+                             string_split_regex(l, '\\s+'),
+                             w -> length(w) > 0)) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM ln)
+  SELECT doc_id, len(nonempty) AS n_lines, len(kept) AS n_kept,
+         array_to_string(kept, chr(10)) AS clean_text,
+         CASE WHEN contains(lower(page), 'lorem ipsum')
+              THEN 1 ELSE 0 END AS lorem,
+         CASE WHEN contains(page, '{{') THEN 1 ELSE 0 END AS curly,
+         len(list_filter(
+             string_split_regex(array_to_string(kept, chr(10)),
+                                '[.!?"]+'),
+             s -> length(trim(s)) > 0)) AS n_sent
+  FROM kp)
 UNION ALL
 SELECT 'classifier', doc_id, round(1.0 / (1.0 + exp(-margin)), 4),
        'clf', (-1)::BIGINT, -1, -1, -1, FALSE, ''

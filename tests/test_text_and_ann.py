@@ -586,3 +586,72 @@ def test_ivf_sample_train_mode_exhaustive_is_exact(embeddings):
         IVFIndex(train_mode="sample").fit(
             embeddings.filter(F.col("vec_id") < 0),
             item_key_col="vec_id", item_vec_col="embedding")
+
+
+class TestC4Signals:
+    PAGE = ('Good first line with six words here.\n'
+            'short line\n'
+            'This line uses the word javascript somewhere inside it.\n'
+            'Another perfectly fine sentence ends with a question mark?\n'
+            '   \n'
+            'Trailing line without terminal punctuation at all')
+
+    def _sig(self, spark, text):
+        from faisssearcher_spark.operators.text_analysis import c4_signals
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return c4_signals(df).collect()[0]
+
+    def test_line_rules(self, spark):
+        """Terminal punctuation + >=5 words + no 'javascript' — only
+        lines 1 and 4 of the fixture survive; the blank line never
+        counts toward n_lines."""
+        r = self._sig(spark, self.PAGE)
+        assert r["n_lines"] == 5 and r["n_kept_lines"] == 2
+        assert r["clean_text"].splitlines() == [
+            "Good first line with six words here.",
+            "Another perfectly fine sentence ends with a question mark?"]
+        assert r["n_sentences"] == 2
+        assert not r["has_lorem"] and not r["has_curly"]
+
+    def test_page_flags_scan_the_raw_page(self, spark):
+        """lorem-ipsum / curly flags read the RAW page (C4 drops such
+        pages outright), even when the offending line itself was
+        already dropped by the line filter."""
+        r = self._sig(spark, "x { Lorem Ipsum y\nA real kept line with "
+                             "five words.")
+        assert r["has_lorem"] and r["has_curly"]
+        assert r["n_kept_lines"] == 1
+
+    def test_clean_documents_filter(self, spark):
+        """c4_clean_documents == the signals' page predicate: >=
+        min_sentences AND neither flag."""
+        from faisssearcher_spark.operators.text_analysis import (
+            c4_clean_documents, c4_signals)
+
+        rows = [(1, self.PAGE),                       # 2 sentences < 3
+                (2, "One good sentence right here now.\n"
+                    "Two good sentences right here now!\n"
+                    "Three good sentences right here now?"),
+                (3, "One good sentence right here now.\n"
+                    "Two good sentences right here now!\n"
+                    "Three good sentences { right here now?")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = c4_clean_documents(df, min_sentences=3).collect()
+        assert [r["id"] for r in kept] == [2]
+        assert kept[0]["n_sentences"] == 3
+        sig = {r["id"]: r for r in c4_signals(df).collect()}
+        want = {i for i, r in sig.items()
+                if r["n_sentences"] >= 3 and not r["has_lorem"]
+                and not r["has_curly"]}
+        assert want == {2}
+
+    def test_null_and_empty_text(self, spark):
+        from faisssearcher_spark.operators.text_analysis import c4_signals
+
+        df = spark.createDataFrame([(1, None), (2, "")],
+                                   "doc_id long, text string")
+        got = {r["id"]: r for r in c4_signals(df).collect()}
+        assert got[2]["n_lines"] == 0 and got[2]["n_sentences"] == 0
+        # NULL text behaves as empty: zero counters, flags false
+        assert got[1]["n_lines"] == 0 and not got[1]["has_lorem"]

@@ -1,0 +1,122 @@
+"""Y4M video path (operators/multimodal.py): codec-free parser
+round-trip, exact per-frame features, shared dHash definition, and
+aligned-frame near-dup pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.multimodal import (
+    _dhash_from_gray, _parse_y4m, build_y4m, dhash_int,
+    video_frame_features, video_frame_hashes, video_near_dup_pairs)
+
+
+def _frames(seed: int, n: int = 3, h: int = 8, w: int = 9) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+
+
+class TestParser:
+    def test_roundtrip(self):
+        fr = _frames(0)
+        w, h, back = _parse_y4m(build_y4m(fr))
+        assert (w, h) == (9, 8) and (back == fr).all()
+
+    def test_header_extras_and_empty(self):
+        w, h, fr = _parse_y4m(
+            b"YUV4MPEG2 W4 H2 F30:1 Ip A1:1 Cmono\nFRAME\n" + bytes(8))
+        assert (w, h, fr.shape) == (4, 2, (1, 2, 4))
+        w, h, fr = _parse_y4m(b"YUV4MPEG2 W4 H2 Cmono\n")
+        assert fr.shape == (0, 2, 4)
+
+    def test_chroma_is_the_stub_boundary(self):
+        with pytest.raises(NotImplementedError, match="Cmono"):
+            _parse_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
+
+    @pytest.mark.parametrize("payload", [
+        b"nope", b"YUV4MPEG2 F25:1 Cmono\n",
+        b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(3),   # truncated
+        b"YUV4MPEG2 W2 H2 Cmono\nBOGUS\n" + bytes(4),   # bad marker
+    ])
+    def test_corrupt_payloads_fail_loudly(self, payload):
+        with pytest.raises(ValueError):
+            _parse_y4m(payload)
+
+
+class TestFrameFeatures:
+    def test_exact_integers_match_numpy(self, spark):
+        fr = _frames(1)
+        df = spark.createDataFrame([(7, bytearray(build_y4m(fr)))],
+                                   "asset_id long, payload binary")
+        rows = {r["frame_idx"]: r for r in
+                video_frame_features(df).collect()}
+        assert sorted(rows) == [0, 1, 2]
+        s = fr.astype(np.int64)
+        for i in range(3):
+            assert rows[i]["luma_sum"] == int(s[i].sum())
+            assert rows[i]["luma_max"] == int(s[i].max())
+            want = int(np.abs(s[i] - s[i - 1]).sum()) if i else 0
+            assert rows[i]["motion"] == want
+
+    def test_null_payload_and_frame_cap(self, spark):
+        fr = _frames(2, n=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(build_y4m(fr))), (2, None)],
+            "asset_id long, payload binary")
+        got = video_frame_features(df, max_frames=2).collect()
+        assert {(r["asset_id"], r["frame_idx"]) for r in got} \
+            == {(1, 0), (1, 1)}
+
+
+class TestFrameHashes:
+    def test_shared_dhash_definition(self, spark):
+        """A video frame and a PPM image with the SAME 9×8 pixels must
+        fingerprint identically — one dHash definition across
+        modalities is what lets them share the dedup kernel."""
+        fr = _frames(3, n=2)
+        df = spark.createDataFrame([(5, bytearray(build_y4m(fr)))],
+                                   "asset_id long, payload binary")
+        got = {r["frame_idx"]: r["fhash"]
+               for r in video_frame_hashes(df).collect()}
+        for i in range(2):
+            ppm = (b"P6\n9 8\n255\n"
+                   + bytes(int(v) for v in np.repeat(fr[i].ravel(), 3)))
+            assert got[i] == dhash_int(ppm, decoder="native")
+            assert got[i] == _dhash_from_gray(fr[i], 8)
+
+
+class TestNearDupPairs:
+    def test_planted_aligned_twins(self, spark):
+        """Videos 0/1 share all pixels except one on frame 1 (≤ 1 dHash
+        bit per frame); video 2 is unrelated. min_matching_frames=2
+        must return exactly the planted pair."""
+        base = _frames(4, n=2)
+        twin = base.copy()
+        twin[1, 0, 0] = 0
+        other = _frames(5, n=2)
+        df = spark.createDataFrame(
+            [(0, bytearray(build_y4m(base))),
+             (1, bytearray(build_y4m(twin))),
+             (2, bytearray(build_y4m(other)))],
+            "asset_id long, payload binary")
+        got = video_near_dup_pairs(df, max_hamming=1,
+                                   min_matching_frames=2).collect()
+        assert [(r["id_a"], r["id_b"], r["n_matching_frames"])
+                for r in got] == [(0, 1, 2)]
+
+    def test_misaligned_frames_do_not_match(self, spark):
+        """The twin's frames shifted by one index share no ALIGNED
+        frame — alignment is by frame_idx, the documented contract."""
+        base = _frames(6, n=2)
+        shifted = np.stack([_frames(7, n=1)[0], base[0]])
+        df = spark.createDataFrame(
+            [(0, bytearray(build_y4m(base))),
+             (1, bytearray(build_y4m(shifted)))],
+            "asset_id long, payload binary")
+        assert video_near_dup_pairs(df, max_hamming=0).count() == 0
+
+    def test_hash_size_validated(self, spark):
+        df = spark.createDataFrame([(0, None)],
+                                   "asset_id long, payload binary")
+        with pytest.raises(ValueError, match="hash_size"):
+            video_frame_hashes(df, hash_size=9)
