@@ -1256,8 +1256,9 @@ def dedup_lines(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
-                   n: int,
-                   tokens_col: str | None = None) -> tuple[DataFrame, DataFrame]:
+                   n: int, tokens_col: str | None = None,
+                   extra_cols: "tuple[str, ...]" = ()
+                   ) -> tuple[DataFrame, DataFrame]:
     """(tokenized frame, sliding n-token window occurrences).
 
     Returns ``toked = (id, __toks)`` and ``wins = (id, start, __w)`` where
@@ -1271,12 +1272,13 @@ def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
     array column instead (the share-one-tokenize-scan discipline)."""
     toks = (F.col(tokens_col) if tokens_col is not None
             else T.tokens(text_col))
-    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    toked = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                      toks.alias("__toks"))
     nt = F.size("__toks")
     starts = F.when(nt >= n, F.sequence(F.lit(1), nt - n + 1)) \
               .otherwise(F.array().cast("array<int>"))
     wins = toked.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in extra_cols],
         F.posexplode(F.transform(
             starts,
             lambda s: F.array_join(F.slice(F.col("__toks"), s, n), " ")))
@@ -1369,6 +1371,122 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
         F.explode(F.sequence(F.col("start"),
                              F.col("start") + F.lit(n - 1))).alias("pos"))
         .distinct())
+    return _rebuild_without_positions(
+        toked, covered, id_col=id_col, text_col=text_col,
+        drop_empty_docs=drop_empty_docs, removed_col="n_dup_tokens")
+
+
+def boilerplate_spans(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", group_col: str = "source",
+                      n: int = 10, min_docs: int = 2,
+                      min_doc_frac: float = 0.0,
+                      tokens_col: str | None = None) -> DataFrame:
+    """Per-group frequency-threshold boilerplate spans (the CCNet /
+    RefinedWeb move: headers, footers, cookie banners, navigation —
+    text repeated across many of a DOMAIN's pages is template, not
+    content): every occurrence of an n-token window whose text appears
+    in ≥ ``min_docs`` distinct documents AND ≥ ``min_doc_frac`` of the
+    group's documents marks for removal.
+
+    The semantic sibling of :func:`duplicate_spans` with the opposite
+    keep rule: passage dedup keeps the FIRST occurrence (the content is
+    real, the copies are redundant); boilerplate removal drops ALL
+    occurrences (the template was never content). Output ``(group, id,
+    start)`` window marks; feed :func:`remove_boilerplate` to rebuild.
+
+    Scale shape: windows → one (group, window, id)-distinct + count
+    aggregation (map-side combine absorbs hot template windows) →
+    per-group doc totals joined back (a #groups-row frame — AQE
+    broadcasts it while it fits; domains number millions at crawl
+    scale, still dimension-sized) → threshold → ONE equi-join back on
+    (group, window). Shuffle ∝ windows, never pairs; no global sort.
+    ``min_doc_frac`` is evaluated exactly (distinct-doc counts) — at
+    100 TB swap the distinct for approx_count_distinct upstream if the
+    window table dominates, at the price of oracle exactness."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (a 1-doc 'template' "
+                         f"is just content), got {min_docs}")
+    if not 0.0 <= min_doc_frac <= 1.0:
+        raise ValueError(
+            f"min_doc_frac must be in [0, 1], got {min_doc_frac}")
+    _, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n,
+                             tokens_col=tokens_col,
+                             extra_cols=(group_col,))
+    return _boilerplate_marks(df, wins, id_col=id_col,
+                              group_col=group_col, min_docs=min_docs,
+                              min_doc_frac=min_doc_frac)
+
+
+def _boilerplate_marks(df: DataFrame, wins: DataFrame, *, id_col: str,
+                       group_col: str, min_docs: int,
+                       min_doc_frac: float) -> DataFrame:
+    """(group, id, start) marks from a grouped windows frame — shared
+    by :func:`boilerplate_spans` and :func:`remove_boilerplate` so the
+    threshold logic is single-source."""
+    wdocs = (wins.select(group_col, "__w", id_col).distinct()
+             .groupBy(group_col, "__w")
+             .agg(F.count("*").alias("__ndocs")))
+    gtot = (df.select(group_col, id_col).distinct()
+            .groupBy(group_col).agg(F.count("*").alias("__gdocs")))
+    bp = (wdocs.join(gtot, group_col)
+          .filter((F.col("__ndocs") >= min_docs)
+                  & (F.col("__ndocs")
+                     >= F.col("__gdocs") * F.lit(float(min_doc_frac))))
+          .select(group_col, "__w"))
+    # both sides descend from explodes/aggregates with pre-explode
+    # static estimates — pin the shuffled hash join (NOTES trap #2)
+    return (wins.join(bp.hint("shuffle_hash"), [group_col, "__w"])
+            .select(group_col, id_col, "start"))
+
+
+def remove_boilerplate(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       group_col: str = "source", n: int = 10,
+                       min_docs: int = 2, min_doc_frac: float = 0.0,
+                       drop_empty_docs: bool = False,
+                       tokens_col: str | None = None) -> DataFrame:
+    """Strip per-group boilerplate spans (:func:`boilerplate_spans`)
+    from each document and reassemble the survivors in order — the
+    same position-union rebuild as :func:`remove_duplicate_spans`.
+    Output ``(id, text, n_tokens, n_bp_tokens)``; cleaned ``text`` is
+    ``''`` when the whole document was template."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (a 1-doc 'template' "
+                         f"is just content), got {min_docs}")
+    if not 0.0 <= min_doc_frac <= 1.0:
+        raise ValueError(
+            f"min_doc_frac must be in [0, 1], got {min_doc_frac}")
+    if id_col in ("start", "pos", "n_tokens", "n_bp_tokens"):
+        raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
+                         "output column; rename it first")
+    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col,
+                                 n=n, tokens_col=tokens_col,
+                                 extra_cols=(group_col,))
+    marks = _boilerplate_marks(df, wins, id_col=id_col,
+                               group_col=group_col, min_docs=min_docs,
+                               min_doc_frac=min_doc_frac) \
+        .select(F.col(id_col), "start")
+    covered = (marks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"),
+                             F.col("start") + F.lit(n - 1))).alias("pos"))
+        .distinct())
+    return _rebuild_without_positions(
+        toked.drop(group_col), covered, id_col=id_col, text_col=text_col,
+        drop_empty_docs=drop_empty_docs, removed_col="n_bp_tokens")
+
+
+def _rebuild_without_positions(toked: DataFrame, covered: DataFrame, *,
+                               id_col: str, text_col: str,
+                               drop_empty_docs: bool,
+                               removed_col: str) -> DataFrame:
+    """Reassemble documents from tokens whose positions are NOT in
+    ``covered`` — the shared tail of :func:`remove_duplicate_spans`
+    and :func:`remove_boilerplate`."""
     tokpos = toked.select(F.col(id_col),
                           F.posexplode("__toks").alias("pos", "__tok"))
     kept = tokpos.join(covered.hint("shuffle_hash"), [id_col, "pos"],
@@ -1390,7 +1508,7 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
         F.coalesce("__clean", F.lit("")).alias(text_col),
         F.col("n_tokens"),
         (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
-        .cast("int").alias("n_dup_tokens"))
+        .cast("int").alias(removed_col))
 
 
 def _re_escape(sep: str) -> str:

@@ -2669,7 +2669,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokens_col plumbing is the part that matters — a pipeline
     # whose stages are expensive caches this frame (see
     # prepare_pretraining_data).
-    toked = docs.select("doc_id", "text",
+    toked = docs.select("doc_id", "text", "source",
                         T.tokens("text").alias("__toks"))
     fp = text_analysis.fingerprints(toked, tokens_col="__toks")
 
@@ -2677,6 +2677,20 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_dup_tokens").alias("n_dup_span_tokens"),
         F.md5("text").alias("span_clean_hash"))
+
+    # EXTENDED AGAIN (round 9) with per-source frequency-threshold
+    # boilerplate removal (dedup.remove_boilerplate — the CCNet/
+    # RefinedWeb template-stripping shape, ALL occurrences of a window
+    # seen in ≥2 distinct docs of one source drop, vs the keep-first
+    # passage dedup above): n_bp_tokens counts stripped tokens and
+    # bp_clean_hash is the md5 of the rebuilt text (md5('') when the
+    # whole doc was template). 5-token windows so the sf0.01 corpus
+    # produces non-trivial per-source hits.
+    from faisssearcher_spark.operators.dedup import remove_boilerplate
+
+    bp = remove_boilerplate(toked, n=5, min_docs=2,
+                            tokens_col="__toks").select(
+        "doc_id", "n_bp_tokens", F.md5("text").alias("bp_clean_hash"))
 
     chunks = chunk_documents(toked, max_tokens=10, overlap=0,
                              tokens_col="__toks")
@@ -2715,6 +2729,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fp.join(totals, "doc_id", "left")
               .join(rebuilt, "doc_id", "left")
               .join(spans, "doc_id", "left")
+              .join(bp, "doc_id", "left")
               .join(diff, "doc_id", "left")
               .select("doc_id", "fingerprint", "rolling_hash", "norm_hash",
                       "diff_status",
@@ -2726,11 +2741,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("n_dup_span_tokens", F.lit(0))
                        .alias("n_dup_span_tokens"),
                       F.coalesce("span_clean_hash", F.lit(""))
-                       .alias("span_clean_hash")))
+                       .alias("span_clean_hash"),
+                      F.coalesce("n_bp_tokens", F.lit(0))
+                       .alias("n_bp_tokens"),
+                      F.coalesce("bp_clean_hash", F.lit(""))
+                       .alias("bp_clean_hash")))
 
 
 ORACLE_FINGERPRINTS = rf"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
      f AS (SELECT doc_id,
                   md5(array_to_string(list_sort(list_distinct(
                       list_transform(toks, x -> lower(x)))), ' ')) AS fingerprint,
@@ -2775,6 +2794,26 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
      spanreb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
                         md5(string_agg(tok, ' ' ORDER BY pos)) AS span_clean_hash
                  FROM keeptok GROUP BY doc_id),
+     bwin AS (SELECT doc_id, source, s - 1 AS start,
+                     array_to_string(list_slice(toks, s, s + 4), ' ') AS w
+              FROM (SELECT doc_id, source, toks, len(toks) AS ntok
+                    FROM t WHERE len(toks) >= 5) d,
+                   unnest(generate_series(1, ntok - 5 + 1)) AS u(s)),
+     bpw AS (SELECT source, w
+             FROM (SELECT source, w, count(DISTINCT doc_id) AS nd
+                   FROM bwin GROUP BY source, w)
+             WHERE nd >= 2),
+     bcov AS (SELECT DISTINCT doc_id, start + o AS pos
+              FROM (SELECT b.doc_id, b.start FROM bwin b
+                    JOIN bpw ON b.source = bpw.source AND b.w = bpw.w) m,
+                   unnest(generate_series(0, 4)) AS g(o)),
+     bkeep AS (SELECT tp.doc_id, tp.pos, tp.tok
+               FROM tp LEFT JOIN bcov
+                 ON tp.doc_id = bcov.doc_id AND tp.pos = bcov.pos
+               WHERE bcov.pos IS NULL),
+     breb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS bp_clean_hash
+              FROM bkeep GROUP BY doc_id),
      ntok AS (SELECT doc_id, len(toks)::INT AS n_tok FROM t)
 SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        CASE WHEN f.doc_id % 11 = 0 THEN 'removed'
@@ -2784,11 +2823,14 @@ SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        coalesce(reb.n_kept_chunks, 0) AS n_kept_chunks,
        coalesce(reb.dedup_hash, '') AS dedup_hash,
        (ntok.n_tok - coalesce(spanreb.n_kept_tok, 0)) AS n_dup_span_tokens,
-       coalesce(spanreb.span_clean_hash, md5('')) AS span_clean_hash
+       coalesce(spanreb.span_clean_hash, md5('')) AS span_clean_hash,
+       (ntok.n_tok - coalesce(breb.n_kept_tok, 0)) AS n_bp_tokens,
+       coalesce(breb.bp_clean_hash, md5('')) AS bp_clean_hash
 FROM f
 LEFT JOIN tot ON f.doc_id = tot.doc_id
 LEFT JOIN reb ON f.doc_id = reb.doc_id
 LEFT JOIN spanreb ON f.doc_id = spanreb.doc_id
+LEFT JOIN breb ON f.doc_id = breb.doc_id
 JOIN ntok ON f.doc_id = ntok.doc_id
 """
 

@@ -474,3 +474,81 @@ class TestContainmentJoin:
             dedup.ngram_containment_join(quoted, n=3))
         assert "ShuffledHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBoilerplate:
+    """Per-group frequency-threshold boilerplate removal
+    (dedup.boilerplate_spans / remove_boilerplate — the CCNet/
+    RefinedWeb template-stripping shape)."""
+
+    ROWS = [
+        # srcA: "visit our cookie policy" heads 3 of 4 docs — template
+        (0, "A", "visit our cookie policy real content zero here"),
+        (1, "A", "visit our cookie policy more actual words one"),
+        (2, "A", "visit our cookie policy totally different two"),
+        (3, "A", "unique page with no shared template at all"),
+        # srcB: the SAME phrase appears once — not boilerplate THERE
+        (4, "B", "visit our cookie policy single occurrence in b"),
+        (5, "B", "b second page shares nothing with the first"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id long, source string, text string")
+
+    def test_all_occurrences_removed_within_group_only(self, spark):
+        from faisssearcher_spark.operators.dedup import (boilerplate_spans,
+                                                         remove_boilerplate)
+
+        marks = boilerplate_spans(self._df(spark), n=4, min_docs=2)
+        by_doc = {r["doc_id"] for r in marks.collect()}
+        # ALL three srcA occurrences mark (no keep-first); srcB's single
+        # occurrence of the same phrase does not — the group boundary
+        assert by_doc == {0, 1, 2}
+        out = {r["doc_id"]: r for r in
+               remove_boilerplate(self._df(spark), n=4,
+                                  min_docs=2).collect()}
+        for d in (0, 1, 2):
+            assert not out[d]["text"].startswith("visit")
+            assert out[d]["n_bp_tokens"] == 4
+        for d in (3, 4, 5):
+            assert out[d]["n_bp_tokens"] == 0
+            assert out[d]["text"] == dict(
+                (i, t) for i, _, t in self.ROWS)[d]
+
+    def test_min_doc_frac_threshold(self, spark):
+        from faisssearcher_spark.operators.dedup import boilerplate_spans
+
+        df = self._df(spark)
+        # 3 of 4 srcA docs carry the window: frac 0.75 keeps it
+        # boilerplate at 0.75 but not above
+        hit = boilerplate_spans(df, n=4, min_docs=2, min_doc_frac=0.75)
+        assert hit.count() == 3
+        miss = boilerplate_spans(df, n=4, min_docs=2, min_doc_frac=0.8)
+        assert miss.count() == 0
+
+    def test_differs_from_keep_first_span_dedup(self, spark):
+        """remove_duplicate_spans keeps the FIRST occurrence (content
+        dedup); remove_boilerplate strips every one (template removal) —
+        the semantic split the two operators exist for."""
+        from faisssearcher_spark.operators.dedup import (
+            remove_boilerplate, remove_duplicate_spans)
+
+        df = self._df(spark)
+        keep_first = {r["doc_id"]: r["n_dup_tokens"] for r in
+                      remove_duplicate_spans(df, n=4).collect()}
+        strip_all = {r["doc_id"]: r["n_bp_tokens"] for r in
+                     remove_boilerplate(df, n=4, min_docs=2).collect()}
+        assert keep_first[0] == 0 and strip_all[0] == 4
+        assert keep_first[1] == 4 and strip_all[1] == 4
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from faisssearcher_spark.operators.dedup import boilerplate_spans
+
+        df = self._df(spark)
+        with _pt.raises(ValueError, match="min_docs"):
+            boilerplate_spans(df, min_docs=1)
+        with _pt.raises(ValueError, match="min_doc_frac"):
+            boilerplate_spans(df, min_doc_frac=1.5)
