@@ -242,6 +242,45 @@ class TestSpanRemovalPlan:
         assert "BroadcastHashJoin" not in plan
 
 
+class TestBoilerplatePlan:
+    def test_strip_is_shuffled_hash_never_python(self, documents):
+        """remove_boilerplate shares remove_duplicate_spans' join
+        discipline: window-text recovery and (id,pos) anti joins pinned
+        shuffle_hash (explode-descended static estimates would
+        broadcast), no pair blowup, JVM-only. The one legitimate
+        broadcast is the #groups-row per-group doc-totals dim (AQE's
+        call — not asserted either way)."""
+        from faisssearcher_spark.operators.dedup import remove_boilerplate
+
+        plan = inspect.executed_plan(
+            remove_boilerplate(documents, n=5, min_docs=2))
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestVideoNearDupPlan:
+    def test_candidates_meet_via_aligned_band_equi_join(self, spark):
+        """video_near_dup_pairs' candidates meet ONLY through the
+        (frame_idx, band_idx, band_val) equi-join, the match count is
+        a partial-combining aggregate, and the only Python is the
+        Arrow-batched frame decode."""
+        import numpy as np
+
+        from faisssearcher_spark.operators.multimodal import (
+            build_y4m, video_near_dup_pairs)
+
+        fr = np.zeros((2, 8, 9), dtype=np.uint8)
+        df = spark.createDataFrame([(0, bytearray(build_y4m(fr)))],
+                                   "asset_id long, payload binary")
+        plan = inspect.executed_plan(video_near_dup_pairs(df))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "MapInPandas" in plan          # the decode, nothing else
+        assert "partial_count" in plan        # map-side match counting
+
+
 class TestSketchPlans:
     def test_heavy_hitters_bounded_shuffle(self, documents):
         """Candidates come from a MapInPandas local top-m scan and

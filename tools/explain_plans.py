@@ -128,6 +128,20 @@ AUDITS = {
          "segment keep-first is a partial-combining aggregate — hot "
          "segments collapse map-side, never funnel to one reducer"),
         ("CartesianProduct", False, "no pair blowup"),
+        ("ShuffledHashJoin", True,
+         "span-removal AND boilerplate recovery joins pinned "
+         "shuffle_hash — explode-descended static estimates would "
+         "otherwise broadcast billion-window sides"),
+    ],
+    "dedup_simhash_pairs": [
+        ("CartesianProduct", False,
+         "text/image/audio/video candidates all meet through banded "
+         "equi-joins (video bands fold frame_idx into the key, so only "
+         "ALIGNED frames ever pair)"),
+        ("MapInPandas", True,
+         "the only Python is the Arrow-batched image/audio/video "
+         "payload decode — fingerprint arithmetic and the pair joins "
+         "stay JVM-side"),
     ],
     "dedup_exact_keyed": [
         ("ArrowEvalPython", True,
