@@ -169,6 +169,12 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # replica token-salting keeps windows replica-local, so duplicate
         # spans (and their removal cost) grow linearly with the corpus
         "dedup_spans": lambda: dedup.remove_duplicate_spans(docs, n=10),
+        # per-source boilerplate strip (r9): groups stay ~25 sources
+        # while docs grow 10× — the (group, window, doc)-distinct agg
+        # and recovery join must track windows linearly; replica
+        # salting keeps template windows replica-local like dedup_spans
+        "dedup_boilerplate": lambda: dedup.remove_boilerplate(
+            docs, n=10, min_docs=2),
         # quantized search: fit (bounded driver sample + one encode pass)
         # + ADC over the growing code table — the serving shape for a
         # corpus whose float vectors no longer fit anywhere
