@@ -816,3 +816,40 @@ def video_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
     return (frame_pairs.groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_matching_frames"))
             .filter(F.col("n_matching_frames") >= min_matching_frames))
+
+
+def video_shifted_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
+                                 max_frames: int = 64,
+                                 min_shared_hashes: int = 1,
+                                 id_col: str = "asset_id",
+                                 payload_col: str = "payload"
+                                 ) -> DataFrame:
+    """Shift-TOLERANT video near-dup: videos sharing ≥
+    ``min_shared_hashes`` distinct frame dHashes at ANY alignment —
+    the trimmed-intro / re-cut case :func:`video_near_dup_pairs`'s
+    frame-index alignment deliberately excludes. Each video is treated
+    as the SET of its frame fingerprints; candidates come from one
+    equi-join on the 64-bit hash value itself (exact-hash matching —
+    a shifted copy's unaltered frames hash identically; per-frame
+    pixel noise is the aligned matcher's banded-hamming job, temporal
+    shift is this one's).
+
+    Scale shape: the hash table is (videos × frames) rows of 16 B; the
+    self-join is a plain equi-join on ``fhash`` whose output is
+    ∝ true matches + birthday collisions (64-bit keys: negligible),
+    then one map-side-combinable distinct-count per pair. Returns
+    ``(id_a, id_b, n_shared_hashes)`` with ``id_a < id_b``."""
+    if min_shared_hashes < 1:
+        raise ValueError(
+            f"min_shared_hashes must be >= 1, got {min_shared_hashes}")
+    fh = video_frame_hashes(df, hash_size=hash_size,
+                            max_frames=max_frames, id_col=id_col,
+                            payload_col=payload_col) \
+        .select("asset_id", "fhash").distinct()
+    a, b = fh.alias("a"), fh.alias("b")
+    return (a.join(b, (F.col("a.fhash") == F.col("b.fhash"))
+                   & (F.col("a.asset_id") < F.col("b.asset_id")))
+            .groupBy(F.col("a.asset_id").alias("id_a"),
+                     F.col("b.asset_id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared_hashes"))
+            .filter(F.col("n_shared_hashes") >= min_shared_hashes))

@@ -1564,10 +1564,25 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_matching_frames=2).select(
         F.lit("vfp").alias("leg"), "id_a", "id_b",
         F.col("n_matching_frames").cast("int").alias("hamming"))
+
+    # tag-union leg 9 (round 9): shift-TOLERANT video matching
+    # (multimodal.video_shifted_near_dup_pairs) — videos as SETS of
+    # frame dHashes, candidates from one equi-join on the hash value
+    # itself; the twins share frame 0 verbatim (and frame 1 iff the
+    # zeroed pixel left the dHash bits unchanged), so the shared-hash
+    # counts are exact and engine-replayable. hamming slot carries
+    # n_shared_hashes.
+    from faisssearcher_spark.operators.multimodal import \
+        video_shifted_near_dup_pairs
+
+    vshift_leg = video_shifted_near_dup_pairs(
+        _gate_video_twin_assets(docs)).select(
+        F.lit("vshift").alias("leg"), "id_a", "id_b",
+        F.col("n_shared_hashes").cast("int").alias("hamming"))
     return (text_leg.unionByName(fp_leg).unionByName(pair_leg)
             .unionByName(frames_leg).unionByName(audio_leg)
             .unionByName(afp_leg).unionByName(video_leg)
-            .unionByName(vfp_leg))
+            .unionByName(vfp_leg).unionByName(vshift_leg))
 
 
 def _dhash_case_terms(var: str = "vs") -> str:
@@ -1745,6 +1760,13 @@ FROM wfp a JOIN wfp b ON a.f = b.f AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fhash, b.fhash)) <= 1
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2
+UNION ALL
+SELECT 'vshift', a.doc_id, b.doc_id, count(*)::INT
+FROM (SELECT DISTINCT doc_id, fhash FROM wfp) a
+JOIN (SELECT DISTINCT doc_id, fhash FROM wfp) b
+  ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 1
 """
 
 

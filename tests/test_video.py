@@ -115,6 +115,27 @@ class TestNearDupPairs:
             "asset_id long, payload binary")
         assert video_near_dup_pairs(df, max_hamming=0).count() == 0
 
+    def test_shifted_matcher_catches_misaligned_copy(self, spark):
+        """The shift-tolerant set matcher finds the frame-shifted copy
+        the aligned matcher (previous test) rejects — the split the
+        two operators exist for."""
+        from faisssearcher_spark.operators.multimodal import \
+            video_shifted_near_dup_pairs
+
+        base = _frames(6, n=2)
+        shifted = np.stack([_frames(7, n=1)[0], base[0]])
+        other = _frames(8, n=2)
+        df = spark.createDataFrame(
+            [(0, bytearray(build_y4m(base))),
+             (1, bytearray(build_y4m(shifted))),
+             (2, bytearray(build_y4m(other)))],
+            "asset_id long, payload binary")
+        got = video_shifted_near_dup_pairs(df).collect()
+        assert [(r["id_a"], r["id_b"], r["n_shared_hashes"])
+                for r in got] == [(0, 1, 1)]
+        with pytest.raises(ValueError, match="min_shared_hashes"):
+            video_shifted_near_dup_pairs(df, min_shared_hashes=0)
+
     def test_hash_size_validated(self, spark):
         df = spark.createDataFrame([(0, None)],
                                    "asset_id long, payload binary")
