@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     # per-query cold numbers stay attributable (r6 verdict #7)
     "dedup_incremental_screen",
     "dedup_estore_screen",
+    "dedup_fpstore_screen",
     "dedup_minhash_lsh",
     "dedup_simhash_fingerprint",
     "dedup_embedding_cosine",

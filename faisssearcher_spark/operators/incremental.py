@@ -46,7 +46,8 @@ from faisssearcher_spark.operators.dedup import (MINHASH_SLOTS_PER_MD5,
                                                  minhash_slot_salt,
                                                  minhash_slot_start)
 
-__all__ = ["EmbeddingStore", "MinHashStore", "banded_signatures"]
+__all__ = ["EmbeddingStore", "FingerprintStore", "MinHashStore",
+           "banded_signatures"]
 
 
 def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
@@ -522,3 +523,124 @@ class EmbeddingStore(_IncrementalStore):
                            threshold=threshold) \
             .select(F.col("new_id").alias(id_col)).distinct()
         return vecs.join(hits, id_col, "left_anti")
+
+
+class FingerprintStore(_IncrementalStore):
+    """Persisted banded HAMMING-fingerprint state — the third
+    incremental near-dup store, completing the modality matrix:
+    :class:`MinHashStore` screens text shingles, :class:`EmbeddingStore`
+    screens dense vectors, this screens the engine's 64-bit-or-less
+    integer fingerprints (SimHash documents, dHash images, energy-delta
+    audio prints, per-frame video hashes — everything
+    ``dedup.hamming_pairs`` pairs in batch).
+
+    State rows are ``(id, band_key, fp)`` with the maximal-width
+    pigeonhole band plan (``dedup.hamming_band_widths`` — any pair at
+    hamming ≤ max_hamming shares at least one full band) folded into
+    ONE 8-byte xxhash64 ``band_key``, the bucket-keys-equal-join-keys
+    layout that lets a bucketed state table screen with zero
+    history-side shuffle. ``bits`` and ``max_hamming`` are the state's
+    identity (they fix the band plan — state banded for one plan never
+    collides under another), validated on every open. Screening at a
+    STRICTER radius than the store was built for is sound (the band
+    guarantee covers every h ≤ max_hamming); a looser radius is
+    refused — recall would silently drop. IDs must be globally unique
+    across batches; equal-id hits are the same row re-screened and are
+    excluded."""
+
+    _META_PROP = "faisssearcher.fingerprint.meta"
+    _BUCKET_COL = "band_key"
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 bits: int = 64, max_hamming: int = 3,
+                 bucketed_table: "str | None" = None,
+                 n_buckets: int = 64):
+        if not 1 <= bits <= 64:
+            raise ValueError(f"bits must be in [1, 64]; got {bits}")
+        if not 0 <= max_hamming < bits:
+            raise ValueError(
+                f"max_hamming must be in [0, bits); got {max_hamming}")
+        self.bits = int(bits)
+        self.max_hamming = int(max_hamming)
+        super().__init__(spark, path, bucketed_table=bucketed_table,
+                         n_buckets=n_buckets)
+
+    def _meta_dict(self) -> dict:
+        return {"bits": self.bits, "max_hamming": self.max_hamming}
+
+    def _band_rows(self, fps: DataFrame, id_col: str,
+                   fp_col: str) -> DataFrame:
+        """``(id, band_key, fp)`` — one row per (fingerprint, band)."""
+        from faisssearcher_spark.operators.dedup import hamming_band_widths
+
+        widths = hamming_band_widths(self.bits, self.max_hamming)
+        offsets = [sum(widths[:b]) for b in range(len(widths))]
+
+        def band(b: int):
+            col = (F.shiftright(F.col("fp"), offsets[b]) if offsets[b]
+                   else F.col("fp"))
+            if widths[b] >= 64:
+                return col
+            return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
+        src = fps.select(F.col(id_col).alias("id"),
+                         F.col(fp_col).cast("long").alias("fp"))
+        return (src.select(
+            "id", "fp",
+            F.posexplode(F.array(*[band(b) for b in range(len(widths))]))
+            .alias("band_idx", "band_val"))
+            .select("id",
+                    F.xxhash64("band_idx", "band_val").alias("band_key"),
+                    "fp"))
+
+    # -- API ---------------------------------------------------------------
+
+    def commit(self, fps: DataFrame, *, id_col: str = "id",
+               fp_col: str = "fp") -> None:
+        """Append the batch's banded fingerprint rows to the state (see
+        ``_IncrementalStore._append_state`` for replay semantics)."""
+        self._append_state(self._band_rows(fps, id_col, fp_col))
+
+    def screen(self, fps: DataFrame, *, id_col: str = "id",
+               fp_col: str = "fp",
+               max_hamming: "int | None" = None) -> DataFrame:
+        """``(new_id, known_id, hamming)`` for every batch fingerprint
+        within ``max_hamming`` bits (default: the store's) of a
+        committed one — candidates from the banded equi-join, verified
+        with XOR + popcount; the n×|history| space is never formed."""
+        h = self.max_hamming if max_hamming is None else int(max_hamming)
+        if h > self.max_hamming:
+            raise ValueError(
+                f"screen radius {h} exceeds the store's banding "
+                f"guarantee (built for max_hamming="
+                f"{self.max_hamming}); pairs beyond it could share no "
+                "band and recall would silently drop — rebuild the "
+                "store with the wider radius")
+        new = self._band_rows(fps, id_col, fp_col)
+        known = self.state()
+        if known is None:
+            return (new.select(F.col("id").alias("new_id"),
+                               F.col("id").alias("known_id"),
+                               F.lit(0).alias("hamming"))
+                    .limit(0))
+        return (new.alias("n")
+                .join(known.alias("k"),
+                      (F.col("n.band_key") == F.col("k.band_key"))
+                      & (F.col("n.id") != F.col("k.id")))
+                .select(F.col("n.id").alias("new_id"),
+                        F.col("k.id").alias("known_id"),
+                        F.bit_count(F.col("n.fp")
+                                    .bitwiseXOR(F.col("k.fp")))
+                        .alias("hamming"))
+                .filter(F.col("hamming") <= h)
+                .dropDuplicates(["new_id", "known_id"]))
+
+    def filter_new(self, fps: DataFrame, *, id_col: str = "id",
+                   fp_col: str = "fp",
+                   max_hamming: "int | None" = None) -> DataFrame:
+        """The batch minus every fingerprint screened as a near-dup of
+        committed history — one anti-join on the screen hits."""
+        hits = self.screen(fps, id_col=id_col, fp_col=fp_col,
+                           max_hamming=max_hamming) \
+            .select(F.col("new_id").alias(id_col)).distinct()
+        return fps.join(hits, id_col, "left_anti")

@@ -38,8 +38,8 @@ from faisssearcher_spark.operators.incremental import banded_signatures
 from faisssearcher_spark.streaming.sketches import (_epoch_path, _epochs,
                                                     _fs_path)
 
-__all__ = ["embedding_screen_sink", "minhash_screen_sink",
-           "watermark_exact_screen"]
+__all__ = ["embedding_screen_sink", "fingerprint_screen_sink",
+           "minhash_screen_sink", "watermark_exact_screen"]
 
 
 def watermark_exact_screen(stream_df: DataFrame, *,
@@ -288,6 +288,109 @@ def embedding_screen_sink(stream_df: DataFrame, *, store_dir: str,
                    .filter(F.col("__cos") >= threshold)
                    .select(F.col("__vid").alias(id_col)).distinct())
             batch = batch.join(dup, id_col, "left_anti")
+        batch.write.mode("overwrite").parquet(
+            _epoch_path(out_dir, batch_id))
+        rows.join(batch.select(F.col(id_col).alias("id")).distinct(),
+                  "id") \
+            .write.mode("overwrite").parquet(
+            _epoch_path(store_dir, batch_id))
+
+    writer = (stream_df.writeStream.foreachBatch(_screen)
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def fingerprint_screen_sink(stream_df: DataFrame, *, store_dir: str,
+                            out_dir: str, checkpoint_dir: str,
+                            id_col: str = "id", fp_col: str = "fp",
+                            bits: int = 64, max_hamming: int = 3,
+                            dedup_within_batch: bool = True,
+                            exact_dedup_keys: "str | list[str] | None" = None,
+                            event_time_col: str | None = None,
+                            exact_watermark: str = "1 hour",
+                            query_name: str = "fingerprint_screen_sink",
+                            available_now: bool = True) -> StreamingQuery:
+    """Continuously land only never-seen-before FINGERPRINTS — the
+    Hamming analog of :func:`minhash_screen_sink` for the engine's
+    64-bit perceptual/similarity prints (SimHash docs, dHash images,
+    audio prints, per-frame video hashes), sharing the replay-safe
+    epoch discipline: epoch ``N``'s banded state (the
+    ``FingerprintStore`` layout — maximal-width pigeonhole bands
+    folded into one xxhash64 ``band_key``) overwrites
+    ``<store_dir>/epoch=N``, the screen reads only epochs ``< N``,
+    and a re-delivered batch recomputes identical outputs. In-batch
+    near-dups ride one banded self-join (keep min id).
+    ``exact_dedup_keys`` composes a :func:`watermark_exact_screen`
+    upstream, as on the other sinks."""
+    from faisssearcher_spark.operators.dedup import hamming_band_widths
+
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64]; got {bits}")
+    if not 0 <= max_hamming < bits:
+        raise ValueError(
+            f"max_hamming must be in [0, bits); got {max_hamming}")
+    if exact_dedup_keys is not None:
+        if event_time_col is None:
+            raise ValueError("exact_dedup_keys requires event_time_col "
+                             "(watermarks are event-time-bounded)")
+        stream_df = watermark_exact_screen(
+            stream_df, key_cols=exact_dedup_keys,
+            event_time_col=event_time_col, watermark=exact_watermark)
+
+    widths = hamming_band_widths(bits, max_hamming)
+    offsets = [sum(widths[:b]) for b in range(len(widths))]
+
+    def _rows(batch_df: DataFrame) -> DataFrame:
+        def band(b: int):
+            col = (F.shiftright(F.col("fp"), offsets[b]) if offsets[b]
+                   else F.col("fp"))
+            if widths[b] >= 64:
+                return col
+            return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
+        src = batch_df.select(F.col(id_col).alias("id"),
+                              F.col(fp_col).cast("long").alias("fp"))
+        return (src.select(
+            "id", "fp",
+            F.posexplode(F.array(*[band(b) for b in range(len(widths))]))
+            .alias("band_idx", "band_val"))
+            .select("id",
+                    F.xxhash64("band_idx", "band_val").alias("band_key"),
+                    "fp"))
+
+    def _hits(new_rows: DataFrame, state: DataFrame,
+              self_join: bool) -> DataFrame:
+        cond = ((F.col("n.band_key") == F.col("k.band_key"))
+                & ((F.col("n.id") > F.col("k.id")) if self_join
+                   else (F.col("n.id") != F.col("k.id"))))
+        return (new_rows.alias("n").join(state.alias("k"), cond)
+                .select(F.col("n.id").alias("__nid"),
+                        F.col("k.id").alias("__kid"),
+                        F.bit_count(F.col("n.fp")
+                                    .bitwiseXOR(F.col("k.fp")))
+                        .alias("__h"))
+                .filter(F.col("__h") <= max_hamming)
+                .select(F.col("__nid").alias(id_col)).distinct())
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _truncate_stale_epochs(spark, (store_dir, out_dir), batch_id)
+        rows = _rows(batch_df)
+        prior = [e for e in _epochs(spark, store_dir) if e < batch_id]
+        batch = batch_df
+        if prior:
+            known = spark.read.option("basePath", store_dir) \
+                .parquet(*[_epoch_path(store_dir, e) for e in prior])
+            batch = batch.join(_hits(rows, known, self_join=False),
+                               id_col, "left_anti")
+        if dedup_within_batch:
+            surv = rows.join(
+                batch.select(F.col(id_col).alias("id")).distinct(), "id")
+            batch = batch.join(_hits(surv, surv, self_join=True),
+                               id_col, "left_anti")
         batch.write.mode("overwrite").parquet(
             _epoch_path(out_dir, batch_id))
         rows.join(batch.select(F.col(id_col).alias("id")).distinct(),
