@@ -1376,6 +1376,70 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
         drop_empty_docs=drop_empty_docs, removed_col="n_dup_tokens")
 
 
+def select_canonical(df: DataFrame, clusters: DataFrame, *,
+                     id_col: str = "doc_id",
+                     cluster_col: str = "cluster_id",
+                     policy: str = "min_id", text_col: str = "text",
+                     score_col: str | None = None) -> DataFrame:
+    """``(cluster_id, canonical_id)`` — ONE representative per near-dup
+    cluster, by policy:
+
+    - ``"min_id"`` — the engine's legacy convention (deterministic,
+      content-blind);
+    - ``"longest"`` — keep the member with the most characters
+      (the RefinedWeb/CCNet convention: near-dup clusters usually pair
+      a full page with truncated copies, and min-id throws away content
+      at random); ties break to min id;
+    - ``"best"`` — keep the max-``score_col`` member (compose with the
+      quality classifier / perplexity scores); ties break to min id.
+
+    One map-side-combinable ``min(struct(...))`` aggregate over cluster
+    members — the keep-first discipline, never a window over the
+    corpus. Feed :func:`drop_near_duplicates` to apply it."""
+    if policy not in ("min_id", "longest", "best"):
+        raise ValueError(
+            f"policy must be 'min_id', 'longest' or 'best', got {policy!r}")
+    if policy == "best" and score_col is None:
+        raise ValueError("policy='best' requires score_col")
+    idc = F.col(id_col).cast("long")
+    if policy == "min_id":
+        key = F.struct(F.lit(0).alias("k"), idc.alias("cid"))
+    elif policy == "longest":
+        # NULL text counts 0 chars (coalesce — a NULL inside the struct
+        # would sort engine-dependently)
+        key = F.struct(
+            (-F.length(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("long").alias("k"), idc.alias("cid"))
+    else:
+        key = F.struct((-F.col(score_col)).cast("double").alias("k"),
+                       idc.alias("cid"))
+    members = clusters.select(F.col("id").alias(id_col), cluster_col) \
+        .join(df.select(id_col, key.alias("__k")), id_col)
+    return (members.groupBy(cluster_col)
+            .agg(F.min("__k").alias("__m"))
+            .select(cluster_col,
+                    F.col("__m.cid").alias("canonical_id")))
+
+
+def drop_near_duplicates(df: DataFrame, clusters: DataFrame, *,
+                         id_col: str = "doc_id",
+                         cluster_col: str = "cluster_id",
+                         policy: str = "min_id", text_col: str = "text",
+                         score_col: str | None = None) -> DataFrame:
+    """The corpus minus every non-canonical cluster member — the "keep
+    one per near-dup group" resolution under a :func:`select_canonical`
+    policy. Singletons (rows in no cluster) always survive; the loser
+    set is cluster-member-sized, so the anti-join's build side stays
+    tiny relative to the corpus."""
+    canon = select_canonical(df, clusters, id_col=id_col,
+                             cluster_col=cluster_col, policy=policy,
+                             text_col=text_col, score_col=score_col)
+    losers = (clusters.join(canon, cluster_col)
+              .filter(F.col("id") != F.col("canonical_id"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")
+
+
 def boilerplate_spans(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", group_col: str = "source",
                       n: int = 10, min_docs: int = 2,

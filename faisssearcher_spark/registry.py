@@ -3546,7 +3546,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle the split boundary — the oracle replays the identical
     'split'-salted md5 bucket keyed on the recursive CTE's cluster id.
     The clusters are computed ONCE and passed in (``clusters=``), so
-    the gate still runs a single pair-join pass."""
+    the gate still runs a single pair-join pass.
+
+    EXTENDED AGAIN (round 9) with ``canon_longest``
+    (dedup.select_canonical, policy='longest' — the RefinedWeb keep
+    rule: the member with the most characters represents the cluster,
+    ties to min id), value-checked per member against a window twin."""
     from faisssearcher_spark.operators.sampling import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3556,8 +3561,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = leakage_safe_split(docs, clusters=clusters, key_col="doc_id",
                                 test_fraction=0.1,
                                 keep_cluster_col="cluster_id")
+    canon = dedup.select_canonical(docs, clusters, policy="longest")
     return (tagged.filter(F.col("cluster_id").isNotNull())
-            .select(F.col("doc_id").alias("id"), "cluster_id", "split")
+            .join(canon, "cluster_id")
+            .select(F.col("doc_id").alias("id"), "cluster_id", "split",
+                    F.col("canonical_id").alias("canon_longest"))
             .orderBy("id"))
 
 
@@ -3568,11 +3576,20 @@ WITH RECURSIVE pairs AS ({ORACLE_MINHASH_PAIRS}),
   reach(id, r) AS (
     SELECT DISTINCT a, a FROM edges
     UNION
-    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-SELECT id, min(r) AS cluster_id,
-       CASE WHEN {_sample_bucket_sql('min(r)', op='split')} < 100000
-            THEN 'test' ELSE 'train' END AS split
-FROM reach GROUP BY id
+    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+  comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+  canon AS (SELECT cluster_id, doc_id AS canon FROM (
+      SELECT comp.cluster_id, d.doc_id,
+             row_number() OVER (PARTITION BY comp.cluster_id
+                 ORDER BY length(coalesce(d.text, '')) DESC,
+                          d.doc_id) AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.id)
+    WHERE rn = 1)
+SELECT comp.id, comp.cluster_id,
+       CASE WHEN {_sample_bucket_sql('comp.cluster_id', op='split')} < 100000
+            THEN 'test' ELSE 'train' END AS split,
+       canon.canon AS canon_longest
+FROM comp JOIN canon USING (cluster_id)
 """
 
 

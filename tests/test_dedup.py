@@ -552,3 +552,59 @@ class TestBoilerplate:
             boilerplate_spans(df, min_docs=1)
         with _pt.raises(ValueError, match="min_doc_frac"):
             boilerplate_spans(df, min_doc_frac=1.5)
+
+
+class TestCanonicalSelection:
+    """Cluster canonical policies (dedup.select_canonical /
+    drop_near_duplicates — the RefinedWeb 'keep the longest' rule next
+    to the legacy min-id convention)."""
+
+    def _fixtures(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "short", 0.9), (1, "much longer text here", 0.2),
+             (2, "mid length", 0.5),
+             (7, "singleton never in any cluster", 0.1)],
+            "doc_id long, text string, q double")
+        clusters = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 0)], "id long, cluster_id long")
+        return docs, clusters
+
+    def test_policies(self, spark):
+        from faisssearcher_spark.operators.dedup import select_canonical
+
+        docs, clusters = self._fixtures(spark)
+        pick = lambda **kw: select_canonical(  # noqa: E731
+            docs, clusters, **kw).collect()[0]["canonical_id"]
+        assert pick(policy="min_id") == 0
+        assert pick(policy="longest") == 1
+        assert pick(policy="best", score_col="q") == 0
+
+    def test_longest_ties_break_to_min_id(self, spark):
+        from faisssearcher_spark.operators.dedup import select_canonical
+
+        docs = spark.createDataFrame(
+            [(5, "aaaa"), (3, "bbbb"), (9, "cc")],
+            "doc_id long, text string")
+        clusters = spark.createDataFrame(
+            [(5, 3), (3, 3), (9, 3)], "id long, cluster_id long")
+        got = select_canonical(docs, clusters, policy="longest").collect()
+        assert got[0]["canonical_id"] == 3
+
+    def test_drop_keeps_canonical_and_singletons(self, spark):
+        from faisssearcher_spark.operators.dedup import \
+            drop_near_duplicates
+
+        docs, clusters = self._fixtures(spark)
+        kept = drop_near_duplicates(docs, clusters, policy="longest")
+        assert {r["doc_id"] for r in kept.collect()} == {1, 7}
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from faisssearcher_spark.operators.dedup import select_canonical
+
+        docs, clusters = self._fixtures(spark)
+        with _pt.raises(ValueError, match="policy"):
+            select_canonical(docs, clusters, policy="nope")
+        with _pt.raises(ValueError, match="score_col"):
+            select_canonical(docs, clusters, policy="best")
