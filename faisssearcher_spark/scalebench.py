@@ -472,11 +472,21 @@ def run_scale_sweep(spark: SparkSession, sf_dir: str, *,
             sqs = _scale_queries(emb_deep, frames[factor][1], queries,
                                  n_deep, factor=dfac)
             for name in DEEP_LEGS:
-                t0 = time.time()
-                sqs[name]().write.mode("overwrite").format("noop").save()
-                sec = round(time.time() - t0, 3)
+                # best-of-2, NOT single-shot: the deep point runs at
+                # the END of a long bench session, exactly where
+                # first-execution costs inflate (the r4 uptime effect)
+                # — one-shot deep readings produced phantom
+                # "regressions" three rounds running (r7 ann_pq 5.8,
+                # r8 ann_nsw 13.4, r9 nsw 56×), each attributed to
+                # drift by quiet-machine repeats after the fact
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    sqs[name]().write.mode("overwrite") \
+                        .format("noop").save()
+                    best = min(best, time.time() - t0)
                 q = result["queries"][name]
-                q[f"sec_x{dfac}"] = sec
+                q[f"sec_x{dfac}"] = round(best, 3)
                 if not name.startswith("knn_"):
                     q[f"rows_x{dfac}"] = sqs[name]().count()
 
