@@ -512,6 +512,50 @@ def hamming_band_widths(bits: int, max_hamming: int) -> list[int]:
     return [base + 1 if b < rem else base for b in range(n_bands)]
 
 
+def hamming_band_rows(fps: DataFrame, *, id_col: str = "id",
+                      fp_col: str = "fp", bits: int, max_hamming: int,
+                      extra_cols: "tuple[str, ...]" = (),
+                      fold_key: bool = False) -> DataFrame:
+    """One banded row per (fingerprint, band) under the maximal-width
+    pigeonhole plan (:func:`hamming_band_widths`) — THE single banding
+    kernel behind :func:`hamming_pairs`, the incremental
+    ``FingerprintStore`` + its streaming sink, and the video near-dup
+    path, so the band arithmetic can never drift between batch, store,
+    stream, and per-frame variants (store state and streamed state
+    MUST stay bit-identical or screens silently stop matching).
+
+    Output ``(*extra_cols, id, fp, band_idx, band_val)``; with
+    ``fold_key=True`` the (band_idx, band_val) pair folds into one
+    8-byte ``band_key`` via xxhash64 — the bucket-keys-equal-join-keys
+    layout the bucketed stores land on. Arithmetic shiftright + mask
+    extracts bands correctly for negative 64-bit values
+    (two's-complement low bits equal the logical ones)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64]; got {bits}")
+    widths = hamming_band_widths(bits, max_hamming)
+    offsets = [sum(widths[:b]) for b in range(len(widths))]
+
+    def _band(b: int) -> Column:
+        col = (F.shiftright(F.col("fp"), offsets[b]) if offsets[b]
+               else F.col("fp"))
+        if widths[b] >= 64:        # single full-width band: the fp itself
+            return col
+        return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
+    extras = [F.col(c) for c in extra_cols]
+    src = fps.select(*extras, F.col(id_col).alias("id"),
+                     F.col(fp_col).cast("long").alias("fp"))
+    banded = src.select(
+        *extra_cols, "id", "fp",
+        F.posexplode(F.array(*[_band(b) for b in range(len(widths))]))
+        .alias("band_idx", "band_val"))
+    if fold_key:
+        return banded.select(
+            *extra_cols, "id",
+            F.xxhash64("band_idx", "band_val").alias("band_key"), "fp")
+    return banded
+
+
 def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
                   fp_col: str = "fp", bits: int, max_hamming: int
                   ) -> DataFrame:
@@ -533,22 +577,8 @@ def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
     arithmetic shiftright + mask extracts bands correctly for negative
     64-bit values — two's-complement low bits equal the logical ones).
     """
-    if not 1 <= bits <= 64:
-        raise ValueError(f"bits must be in [1, 64]; got {bits}")
-    widths = hamming_band_widths(bits, max_hamming)
-    offsets = [sum(widths[:b]) for b in range(len(widths))]
-    fps = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
-
-    def _band(b: int) -> Column:
-        col = F.shiftright(F.col("fp"), offsets[b]) if offsets[b] \
-            else F.col("fp")
-        if widths[b] >= 64:        # single full-width band: the fp itself
-            return col
-        return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
-
-    band_arr = F.array(*[_band(b) for b in range(len(widths))])
-    banded = fps.select(
-        "id", "fp", F.posexplode(band_arr).alias("band_idx", "band_val"))
+    banded = hamming_band_rows(fps, id_col=id_col, fp_col=fp_col,
+                               bits=bits, max_hamming=max_hamming)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -826,19 +856,22 @@ def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
             raise ValueError("probe_dim=False requires an explicit dim")
         vec_len = int(dim)
         # the probe's loud-failure contract, moved into the plan: the
-        # id column every bucket row needs is gated behind a per-row
-        # length assertion, so a mismatched or NULL vector fails the
-        # job instead of silently landing in bucket 0 (assert_true
-        # raises on false AND on null — a NULL vector is a data error
-        # here, not an empty bucket)
-        idc = F.when(
+        # VECTOR expression itself is gated behind a per-row length
+        # assertion, so a mismatched or NULL vector fails the job
+        # instead of silently landing in bucket 0 (assert_true raises
+        # on false AND on null — a NULL vector is a data error here,
+        # not an empty bucket). Anchored on v, not the id column: every
+        # bucket bit derives from v, so column pruning can never delete
+        # the check (an id-anchored assert would vanish from any plan
+        # that drops the id — review catch)
+        v = F.when(
             F.assert_true(
                 F.size(F.col(vec_col)) == vec_len,
                 F.concat(F.lit(f"sign-LSH vector length != declared "
                                f"dim {vec_len}: got "),
                          F.coalesce(F.size(F.col(vec_col))
                                     .cast("string"), F.lit("NULL")))
-            ).isNull(), F.col(id_col))
+            ).isNull(), v)
     if planes_mode == "axis":
         # axis-aligned: bit j of table t = sign of raw coordinate t·b+j
         # (normalization preserves sign, so bucketing the raw vector is
@@ -1401,7 +1434,10 @@ def select_canonical(df: DataFrame, clusters: DataFrame, *,
             f"policy must be 'min_id', 'longest' or 'best', got {policy!r}")
     if policy == "best" and score_col is None:
         raise ValueError("policy='best' requires score_col")
-    idc = F.col(id_col).cast("long")
+    # the id keeps its NATURAL type inside the ordering struct — a
+    # cast('long') here turned string ids into NULLs, making
+    # drop_near_duplicates a silent no-op (review catch)
+    idc = F.col(id_col)
     if policy == "min_id":
         key = F.struct(F.lit(0).alias("k"), idc.alias("cid"))
     elif policy == "longest":

@@ -182,10 +182,21 @@ class _IncrementalStore:
     def _meta_dict(self) -> dict:
         raise NotImplementedError
 
-    def _meta_is_local(self) -> bool:
+    def _meta_local_path(self) -> "str | None":
+        """The meta dir as a LOCAL filesystem path, or None for remote
+        schemes. A ``file:`` URI must be stripped to its path before
+        os.path/pyarrow touch it — passing the raw URI through would
+        make every existence check False (silently skipping the
+        parameter-identity validation) and os.makedirs would create a
+        junk relative directory literally named ``file:...``."""
         from urllib.parse import urlparse
 
-        return urlparse(self.path).scheme in ("", "file")
+        parsed = urlparse(self.path)
+        if parsed.scheme == "":
+            return self._meta_path()
+        if parsed.scheme == "file":
+            return os.path.join(parsed.path, "meta")
+        return None
 
     def _read_meta(self) -> "dict | None":
         # meta is ONE tiny row — on a local/file: path read it driver-
@@ -196,10 +207,10 @@ class _IncrementalStore:
         # dirs (part-* + _SUCCESS) from older stores read fine too.
         # Remote schemes (hdfs://, s3a://) keep the Spark path — there
         # the cluster's filesystem config is the only correct client.
-        if self._meta_is_local():
+        p = self._meta_local_path()
+        if p is not None:
             import pyarrow.parquet as pq
 
-            p = self._meta_path()
             if not os.path.isdir(p) and not os.path.isfile(p):
                 return None
             try:
@@ -216,13 +227,13 @@ class _IncrementalStore:
         return json.loads(row["meta"]) if row else None
 
     def _write_meta(self) -> None:
-        if self._meta_is_local():
+        p = self._meta_local_path()
+        if p is not None:
             import shutil
 
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            p = self._meta_path()
             # only ever called when no readable meta exists — clear any
             # unreadable leftovers so the dir holds exactly one file
             if os.path.isdir(p):
@@ -570,28 +581,16 @@ class FingerprintStore(_IncrementalStore):
 
     def _band_rows(self, fps: DataFrame, id_col: str,
                    fp_col: str) -> DataFrame:
-        """``(id, band_key, fp)`` — one row per (fingerprint, band)."""
-        from faisssearcher_spark.operators.dedup import hamming_band_widths
+        """``(id, band_key, fp)`` — one row per (fingerprint, band),
+        via the SHARED banding kernel (dedup.hamming_band_rows — batch
+        pairs, this store, its streaming sink, and the video path all
+        band through one definition, so state can never drift)."""
+        from faisssearcher_spark.operators.dedup import hamming_band_rows
 
-        widths = hamming_band_widths(self.bits, self.max_hamming)
-        offsets = [sum(widths[:b]) for b in range(len(widths))]
-
-        def band(b: int):
-            col = (F.shiftright(F.col("fp"), offsets[b]) if offsets[b]
-                   else F.col("fp"))
-            if widths[b] >= 64:
-                return col
-            return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
-
-        src = fps.select(F.col(id_col).alias("id"),
-                         F.col(fp_col).cast("long").alias("fp"))
-        return (src.select(
-            "id", "fp",
-            F.posexplode(F.array(*[band(b) for b in range(len(widths))]))
-            .alias("band_idx", "band_val"))
-            .select("id",
-                    F.xxhash64("band_idx", "band_val").alias("band_key"),
-                    "fp"))
+        return hamming_band_rows(fps, id_col=id_col, fp_col=fp_col,
+                                 bits=self.bits,
+                                 max_hamming=self.max_hamming,
+                                 fold_key=True)
 
     # -- API ---------------------------------------------------------------
 

@@ -776,39 +776,29 @@ def video_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
     :func:`image_near_dup_pairs`; the per-pair frame-match count is
     one map-side-combinable groupBy. Returns ``(id_a, id_b,
     n_matching_frames)`` with ``id_a < id_b``."""
-    from pyspark.sql import Column
+    from faisssearcher_spark.operators.dedup import hamming_band_rows
 
-    from faisssearcher_spark.operators.dedup import hamming_band_widths
-
-    bits = hash_size * hash_size
-    widths = hamming_band_widths(bits, max_hamming)
-    offsets = [sum(widths[:b]) for b in range(len(widths))]
     fh = video_frame_hashes(df, hash_size=hash_size,
                             max_frames=max_frames, id_col=id_col,
                             payload_col=payload_col)
-
-    def _band(b: int) -> Column:
-        col = (F.shiftright(F.col("fhash"), offsets[b]) if offsets[b]
-               else F.col("fhash"))
-        if widths[b] >= 64:
-            return col
-        return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
-
-    banded = fh.select(
-        "asset_id", "frame_idx", "fhash",
-        F.posexplode(F.array(*[_band(b) for b in range(len(widths))]))
-        .alias("band_idx", "band_val"))
+    # the SHARED banding kernel (one definition with hamming_pairs and
+    # the FingerprintStore), frame_idx carried through so the join can
+    # fold alignment into the band key equality below
+    banded = hamming_band_rows(fh, id_col="asset_id", fp_col="fhash",
+                               bits=hash_size * hash_size,
+                               max_hamming=max_hamming,
+                               extra_cols=("frame_idx",))
     a, b = banded.alias("a"), banded.alias("b")
     frame_pairs = (
         a.join(b, (F.col("a.frame_idx") == F.col("b.frame_idx"))
                & (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.asset_id") < F.col("b.asset_id")))
-        .select(F.col("a.asset_id").alias("id_a"),
-                F.col("b.asset_id").alias("id_b"),
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
                 F.col("a.frame_idx").alias("frame_idx"),
-                F.col("a.fhash").alias("fp_a"),
-                F.col("b.fhash").alias("fp_b"))
+                F.col("a.fp").alias("fp_a"),
+                F.col("b.fp").alias("fp_b"))
         .distinct()
         .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
                 <= max_hamming)

@@ -325,7 +325,7 @@ def fingerprint_screen_sink(stream_df: DataFrame, *, store_dir: str,
     near-dups ride one banded self-join (keep min id).
     ``exact_dedup_keys`` composes a :func:`watermark_exact_screen`
     upstream, as on the other sinks."""
-    from faisssearcher_spark.operators.dedup import hamming_band_widths
+    from faisssearcher_spark.operators.dedup import hamming_band_rows
 
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64]; got {bits}")
@@ -340,26 +340,12 @@ def fingerprint_screen_sink(stream_df: DataFrame, *, store_dir: str,
             stream_df, key_cols=exact_dedup_keys,
             event_time_col=event_time_col, watermark=exact_watermark)
 
-    widths = hamming_band_widths(bits, max_hamming)
-    offsets = [sum(widths[:b]) for b in range(len(widths))]
-
     def _rows(batch_df: DataFrame) -> DataFrame:
-        def band(b: int):
-            col = (F.shiftright(F.col("fp"), offsets[b]) if offsets[b]
-                   else F.col("fp"))
-            if widths[b] >= 64:
-                return col
-            return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
-
-        src = batch_df.select(F.col(id_col).alias("id"),
-                              F.col(fp_col).cast("long").alias("fp"))
-        return (src.select(
-            "id", "fp",
-            F.posexplode(F.array(*[band(b) for b in range(len(widths))]))
-            .alias("band_idx", "band_val"))
-            .select("id",
-                    F.xxhash64("band_idx", "band_val").alias("band_key"),
-                    "fp"))
+        # the SHARED banding kernel — streamed state must stay
+        # bit-identical to FingerprintStore state
+        return hamming_band_rows(batch_df, id_col=id_col, fp_col=fp_col,
+                                 bits=bits, max_hamming=max_hamming,
+                                 fold_key=True)
 
     def _hits(new_rows: DataFrame, state: DataFrame,
               self_join: bool) -> DataFrame:

@@ -590,6 +590,23 @@ class TestCanonicalSelection:
         got = select_canonical(docs, clusters, policy="longest").collect()
         assert got[0]["canonical_id"] == 3
 
+    def test_string_ids_survive(self, spark):
+        """String doc ids must keep their natural type in the ordering
+        struct — a cast('long') nulled them, making the dedup a silent
+        no-op (review catch)."""
+        from faisssearcher_spark.operators.dedup import (
+            drop_near_duplicates, select_canonical)
+
+        docs = spark.createDataFrame(
+            [("a", "tiny"), ("b", "the much longer one")],
+            "doc_id string, text string")
+        clusters = spark.createDataFrame(
+            [("a", "a"), ("b", "a")], "id string, cluster_id string")
+        got = select_canonical(docs, clusters, policy="longest").collect()
+        assert got[0]["canonical_id"] == "b"
+        kept = drop_near_duplicates(docs, clusters, policy="longest")
+        assert {r["doc_id"] for r in kept.collect()} == {"b"}
+
     def test_drop_keeps_canonical_and_singletons(self, spark):
         from faisssearcher_spark.operators.dedup import \
             drop_near_duplicates

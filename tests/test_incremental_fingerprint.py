@@ -78,6 +78,19 @@ class TestFingerprintStore:
             FingerprintStore(spark, str(tmp_path / "x"), bits=8,
                              max_hamming=8)
 
+    def test_file_uri_path_still_validates_identity(self, spark,
+                                                    planted, tmp_path):
+        """A file:-scheme store path must strip to a local filesystem
+        path before pyarrow/os.path touch the meta — the raw URI made
+        every existence check False, silently skipping the parameter-
+        identity validation (review catch)."""
+        hist, _ = planted
+        uri = f"file:{tmp_path / 's'}"
+        st = FingerprintStore(spark, uri, bits=64, max_hamming=3)
+        st.commit(_fps(spark, hist[:5]))
+        with pytest.raises(ValueError, match="original parameters"):
+            FingerprintStore(spark, uri, bits=64, max_hamming=2)
+
     def test_bucketed_mode_matches_path_mode_without_state_shuffle(
             self, spark, planted, tmp_path):
         hist, batch = planted

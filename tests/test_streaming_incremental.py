@@ -79,6 +79,65 @@ class TestMinhashScreenSink:
         assert first == again
 
 
+    def test_matches_batch_store_over_same_prefix(self, spark, doc_files,
+                                                  tmp_path_factory):
+        """Batch replay of the same ingest order through MinHashStore
+        agrees on every cross-batch screening decision."""
+        from faisssearcher_spark.operators.incremental import MinHashStore
+
+        base = tmp_path_factory.mktemp("scr_parity")
+        kept = _run(spark, doc_files, base)
+
+        store = MinHashStore(spark, str(base / "bstore"), num_hashes=16,
+                             bands=8, shingle_n=3)
+        all_docs = spark.read.parquet(doc_files)
+        batch_kept = set()
+        for lo, hi in ((0, 10), (10, 20), (20, 30)):
+            b = all_docs.filter(F.col("doc_id").between(lo, hi - 1))
+            fresh = store.filter_new(b, threshold=0.5)
+            # in-batch est≥threshold keep-min-id, mirroring the sink
+            from faisssearcher_spark.operators.incremental import \
+                banded_signatures
+            sigs = banded_signatures(fresh, num_hashes=16, bands=8,
+                                     shingle_n=3)
+            est = (F.size(F.filter(
+                F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                lambda m: m)) / F.lit(16.0))
+            dup = (sigs.alias("a").join(
+                sigs.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.id") > F.col("b.id")))
+                .select(F.col("a.id").alias("__aid"),
+                        F.col("b.id").alias("__bid"),
+                        F.col("a.sig").alias("__sa"),
+                        F.col("b.sig").alias("__sb"))
+                .dropDuplicates(["__aid", "__bid"])
+                .withColumn("__est", est)
+                .filter(F.col("__est") >= 0.5)
+                .select("__aid").distinct())
+            drop = {r["__aid"] for r in dup.collect()}
+            fresh = fresh.filter(~F.col("doc_id").isin(*drop)) \
+                if drop else fresh
+            batch_kept |= {r["doc_id"] for r in fresh.collect()}
+            store.commit(fresh)
+        assert kept == batch_kept
+
+    def test_validates_params(self, spark, doc_files, tmp_path_factory):
+        base = tmp_path_factory.mktemp("scr_bad")
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(doc_files))
+        with pytest.raises(ValueError, match="threshold"):
+            minhash_screen_sink(stream, store_dir=str(base / "s"),
+                                out_dir=str(base / "o"),
+                                checkpoint_dir=str(base / "c"),
+                                threshold=1.5)
+        with pytest.raises(ValueError, match="divide"):
+            minhash_screen_sink(stream, store_dir=str(base / "s"),
+                                out_dir=str(base / "o"),
+                                checkpoint_dir=str(base / "c"),
+                                num_hashes=16, bands=5)
+
+
 @pytest.fixture(scope="module")
 def redelivery_files(spark, tmp_path_factory):
     """3 mtime-ordered files → 3 micro-batches: batch 1 RE-DELIVERS
@@ -162,61 +221,3 @@ class TestWatermarkExactScreenComposition:
                 stream, store_dir=str(base / "s"), out_dir=str(base / "o"),
                 checkpoint_dir=str(base / "c"),
                 exact_dedup_keys="doc_id")
-
-    def test_matches_batch_store_over_same_prefix(self, spark, doc_files,
-                                                  tmp_path_factory):
-        """Batch replay of the same ingest order through MinHashStore
-        agrees on every cross-batch screening decision."""
-        from faisssearcher_spark.operators.incremental import MinHashStore
-
-        base = tmp_path_factory.mktemp("scr_parity")
-        kept = _run(spark, doc_files, base)
-
-        store = MinHashStore(spark, str(base / "bstore"), num_hashes=16,
-                             bands=8, shingle_n=3)
-        all_docs = spark.read.parquet(doc_files)
-        batch_kept = set()
-        for lo, hi in ((0, 10), (10, 20), (20, 30)):
-            b = all_docs.filter(F.col("doc_id").between(lo, hi - 1))
-            fresh = store.filter_new(b, threshold=0.5)
-            # in-batch est≥threshold keep-min-id, mirroring the sink
-            from faisssearcher_spark.operators.incremental import \
-                banded_signatures
-            sigs = banded_signatures(fresh, num_hashes=16, bands=8,
-                                     shingle_n=3)
-            est = (F.size(F.filter(
-                F.zip_with("__sa", "__sb", lambda x, y: x == y),
-                lambda m: m)) / F.lit(16.0))
-            dup = (sigs.alias("a").join(
-                sigs.alias("b"),
-                (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.id") > F.col("b.id")))
-                .select(F.col("a.id").alias("__aid"),
-                        F.col("b.id").alias("__bid"),
-                        F.col("a.sig").alias("__sa"),
-                        F.col("b.sig").alias("__sb"))
-                .dropDuplicates(["__aid", "__bid"])
-                .withColumn("__est", est)
-                .filter(F.col("__est") >= 0.5)
-                .select("__aid").distinct())
-            drop = {r["__aid"] for r in dup.collect()}
-            fresh = fresh.filter(~F.col("doc_id").isin(*drop)) \
-                if drop else fresh
-            batch_kept |= {r["doc_id"] for r in fresh.collect()}
-            store.commit(fresh)
-        assert kept == batch_kept
-
-    def test_validates_params(self, spark, doc_files, tmp_path_factory):
-        base = tmp_path_factory.mktemp("scr_bad")
-        stream = (spark.readStream.schema("doc_id long, text string")
-                  .parquet(doc_files))
-        with pytest.raises(ValueError, match="threshold"):
-            minhash_screen_sink(stream, store_dir=str(base / "s"),
-                                out_dir=str(base / "o"),
-                                checkpoint_dir=str(base / "c"),
-                                threshold=1.5)
-        with pytest.raises(ValueError, match="divide"):
-            minhash_screen_sink(stream, store_dir=str(base / "s"),
-                                out_dir=str(base / "o"),
-                                checkpoint_dir=str(base / "c"),
-                                num_hashes=16, bands=5)
