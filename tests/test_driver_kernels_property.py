@@ -132,3 +132,70 @@ def test_unigram_viterbi_lossless_optimal_deterministic(wp):
          if all(b - a <= K for a, b in zip(pos, pos[1:]))),
         key=lambda s: -float("inf") if s is None else s)
     assert got == best
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(0, 4), h=st.integers(1, 12), w=st.integers(1, 12),
+       seed=st.integers(0, 10**6))
+def test_y4m_roundtrip_arbitrary_shapes(n, h, w, seed):
+    """build_y4m → _parse_y4m is identity for ANY frame stack shape —
+    the codec-free video path's losslessness contract."""
+    from faisssearcher_spark.operators.multimodal import (_parse_y4m,
+                                                          build_y4m)
+
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    w2, h2, back = _parse_y4m(build_y4m(fr))
+    assert (w2, h2) == (w, h)
+    assert back.shape == (n, h, w) and (back == fr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 10**6), shift=st.integers(0, 100),
+       hs=st.integers(1, 8))
+def test_dhash_is_brightness_shift_invariant(seed, shift, hs):
+    """dHash compares ADJACENT pixels, so a uniform brightness shift
+    (the classic re-encode artifact) never changes a single bit — the
+    property that makes it a near-dup fingerprint rather than a
+    checksum. Also: the packed value always fits a signed 64-bit long
+    (Spark LongType)."""
+    from faisssearcher_spark.operators.multimodal import _dhash_from_gray
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 155, size=(hs, hs + 1)).astype(np.float64)
+    a = _dhash_from_gray(gray, hs)
+    b = _dhash_from_gray(gray + shift, hs)
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@settings(max_examples=300, deadline=None)
+@given(bits=st.integers(1, 64), data=st.data())
+def test_pigeonhole_band_guarantee(bits, data):
+    """The recall contract every Hamming path rests on (hamming_pairs,
+    FingerprintStore, video pairs): ANY two fingerprints within
+    max_hamming bits share at least one full band of the
+    hamming_band_widths plan; and the plan exactly partitions the
+    fingerprint."""
+    from faisssearcher_spark.operators.dedup import hamming_band_widths
+
+    max_h = data.draw(st.integers(0, bits - 1))
+    widths = hamming_band_widths(bits, max_h)
+    assert sum(widths) == bits and len(widths) == max_h + 1
+    val = data.draw(st.integers(0, (1 << bits) - 1))
+    n_flip = data.draw(st.integers(0, max_h))
+    flips = data.draw(st.lists(st.integers(0, bits - 1),
+                               min_size=n_flip, max_size=n_flip,
+                               unique=True))
+    other = val
+    for p in flips:
+        other ^= 1 << p
+
+    def bands(v):
+        out, off = [], 0
+        for w in widths:
+            out.append((v >> off) & ((1 << w) - 1))
+            off += w
+        return out
+
+    assert any(x == y for x, y in zip(bands(val), bands(other)))
