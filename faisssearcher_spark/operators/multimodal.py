@@ -843,3 +843,52 @@ def video_shifted_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
                      F.col("b.asset_id").alias("id_b"))
             .agg(F.count("*").alias("n_shared_hashes"))
             .filter(F.col("n_shared_hashes") >= min_shared_hashes))
+
+
+def audio_band_energies(df: DataFrame, *, max_frames: int = 64,
+                        id_col: str = "asset_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Integer-EXACT coarse power spectrum per 8-sample frame of a
+    PCM16 WAV payload: the three DFT bins whose twiddles are all in
+    {0, ±1} — DC (k=0: (Σs)²), quarter-band (k=2: (s0−s2+s4−s6)² +
+    (s1−s3+s5−s7)²), and Nyquist (k=4: (Σ(−1)ⁿs)²). Together they
+    read as bass / mid / treble balance — the spectral-tilt signal an
+    audio quality filter wants — while staying pure integer arithmetic
+    on int16 samples (every power < 2⁴⁰), so the whole
+    decode→frame→spectrum path crosses engines with ZERO float
+    caveats, exactly like :func:`audio_features`. Fuller spectra need
+    irrational twiddles (√2/2 at k=1,3) and live outside the
+    integer-oracle discipline — compose a real FFT stage downstream
+    for those.
+
+    Output: ``(asset_id, frame_idx, p_dc, p_mid, p_nyq)`` longs, one
+    row per non-overlapping 8-sample frame (trailing partial frame
+    dropped; frames capped at ``max_frames``)."""
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1 (got {max_frames})")
+    src = df.select(F.col(id_col).alias("asset_id"),
+                    F.col(payload_col).alias("__p"))
+
+    def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["__p"]):
+                if payload is None:
+                    continue
+                _, samples = _parse_wav(bytes(payload))
+                mono = samples[:, 0].astype(np.int64)
+                n_frames = min(len(mono) // 8, max_frames)
+                for f in range(n_frames):
+                    w = mono[f * 8:(f + 1) * 8]
+                    dc = int(w.sum())
+                    re2 = int(w[0] - w[2] + w[4] - w[6])
+                    im2 = int(w[1] - w[3] + w[5] - w[7])
+                    nyq = int((w[::2] - w[1::2]).sum())
+                    rows.append((int(aid), f, dc * dc,
+                                 re2 * re2 + im2 * im2, nyq * nyq))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx",
+                                              "p_dc", "p_mid", "p_nyq"])
+
+    return src.mapInPandas(_spec,
+                           schema="asset_id long, frame_idx int, "
+                                  "p_dc long, p_mid long, p_nyq long")

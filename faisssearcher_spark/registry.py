@@ -1617,6 +1617,22 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vshift").alias("leg"), "id_a", "id_b",
         F.col("n_shared_hashes").cast("int").alias("hamming"))
 
+    # tag-union leg 11 (round 9): integer-exact coarse spectrum
+    # (multimodal.audio_band_energies) — the {0,±1}-twiddle DFT bins
+    # (DC / quarter-band / Nyquist powers) over the same SQL-built
+    # WAVs, packed as id_a = asset·10+frame, id_b = p_dc,
+    # hamming = (p_mid·31 + p_nyq) mod 1e9+7.
+    from faisssearcher_spark.operators.multimodal import \
+        audio_band_energies
+
+    spec_leg = audio_band_energies(_gate_audio_assets(docs),
+                                   max_frames=4).select(
+        F.lit("spec").alias("leg"),
+        (F.col("asset_id") * 10 + F.col("frame_idx")).alias("id_a"),
+        F.col("p_dc").alias("id_b"),
+        ((F.col("p_mid") * 31 + F.col("p_nyq")) % 1000000007)
+        .cast("int").alias("hamming"))
+
     # tag-union leg 10 (round 9): the FingerprintStore commit→screen
     # arc (the third incremental store — Hamming prints; see
     # _fpstore_arc_rows), memoized per session and priced under its
@@ -1629,7 +1645,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(frames_leg).unionByName(audio_leg)
             .unionByName(afp_leg).unionByName(video_leg)
             .unionByName(vfp_leg).unionByName(vshift_leg)
-            .unionByName(fpstore_leg))
+            .unionByName(fpstore_leg).unionByName(spec_leg))
 
 
 def _dhash_case_terms(var: str = "vs") -> str:
@@ -1814,6 +1830,33 @@ JOIN (SELECT DISTINCT doc_id, fhash FROM wfp) b
   ON a.fhash = b.fhash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 1
+UNION ALL
+-- integer-exact coarse spectrum: the {{0,±1}}-twiddle DFT bins per
+-- 8-sample frame of the SQL-built WAVs (DC / quarter-band / Nyquist
+-- powers — pure integer arithmetic, zero float caveats)
+SELECT 'spec', doc_id * 10 + f, (dc * dc)::BIGINT,
+       (((re2 * re2 + im2 * im2) * 31 + nyq * nyq)
+        % 1000000007)::INT
+FROM (
+  SELECT doc_id, f,
+         list_sum(w)::BIGINT AS dc,
+         (w[1] - w[3] + w[5] - w[7])::BIGINT AS re2,
+         (w[2] - w[4] + w[6] - w[8])::BIGINT AS im2,
+         (w[1]-w[2]+w[3]-w[4]+w[5]-w[6]+w[7]-w[8])::BIGINT AS nyq
+  FROM (
+    SELECT doc_id, f,
+           list_slice(list_transform(range(0, 128), i ->
+               (('0x' || substring(md5(doc_id::VARCHAR || '|a' ||
+                                       (i // 8)::VARCHAR),
+                                   (i % 8) * 4 + 3, 2)
+                      || substring(md5(doc_id::VARCHAR || '|a' ||
+                                       (i // 8)::VARCHAR),
+                                   (i % 8) * 4 + 1, 2))::BIGINT
+                + 32768) % 65536 - 32768),
+             f * 8 + 1, f * 8 + 8) AS w
+    FROM documents, unnest(range(0, 4)) AS t(f)
+  )
+)
 UNION ALL
 -- the FingerprintStore arc: odds screen against committed evens —
 -- exactly the (odd, even) band-sharing pairs of the same banded

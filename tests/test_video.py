@@ -141,3 +141,39 @@ class TestNearDupPairs:
                                    "asset_id long, payload binary")
         with pytest.raises(ValueError, match="hash_size"):
             video_frame_hashes(df, hash_size=9)
+
+
+class TestAudioBandEnergies:
+    def test_matches_numpy_fft_bins(self, spark):
+        """p_dc/p_mid/p_nyq are EXACTLY |X_0|², |X_2|², |X_4|² of the
+        8-point DFT — checked against np.fft on random int16 frames."""
+        from faisssearcher_spark.operators.multimodal import (
+            audio_band_energies, build_wav)
+
+        rng = np.random.default_rng(9)
+        mono = rng.integers(-32768, 32768, size=24).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(build_wav(mono, 8000)))],
+            "asset_id long, payload binary")
+        got = {r["frame_idx"]: r for r in
+               audio_band_energies(df).collect()}
+        assert sorted(got) == [0, 1, 2]
+        for f in range(3):
+            X = np.fft.fft(mono[f * 8:(f + 1) * 8].astype(np.float64))
+            assert got[f]["p_dc"] == round(abs(X[0]) ** 2)
+            assert got[f]["p_mid"] == round(abs(X[2]) ** 2)
+            assert got[f]["p_nyq"] == round(abs(X[4]) ** 2)
+
+    def test_frame_cap_and_null(self, spark):
+        from faisssearcher_spark.operators.multimodal import (
+            audio_band_energies, build_wav)
+
+        mono = np.zeros(64, dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(build_wav(mono, 8000))), (2, None)],
+            "asset_id long, payload binary")
+        got = audio_band_energies(df, max_frames=2).collect()
+        assert {(r["asset_id"], r["frame_idx"]) for r in got} \
+            == {(1, 0), (1, 1)}
+        with pytest.raises(ValueError, match="max_frames"):
+            audio_band_energies(df, max_frames=0)
