@@ -542,9 +542,22 @@ def hamming_band_rows(fps: DataFrame, *, id_col: str = "id",
             return col
         return col.bitwiseAND(F.lit((1 << widths[b]) - 1))
 
+    fpc = F.col(fp_col).cast("long")
+    if bits < 64:
+        # an IntegerType fingerprint with its sign bit set would
+        # SIGN-EXTEND through the long cast (0x80000000 → 0xFFFF...
+        # 80000000), inflating XOR popcounts by the 32 extension bits
+        # and silently dropping true pairs — mask to the declared
+        # width (value-preserving for every in-range non-negative fp)
+        fpc = fpc.bitwiseAND(F.lit((1 << bits) - 1))
     extras = [F.col(c) for c in extra_cols]
-    src = fps.select(*extras, F.col(id_col).alias("id"),
-                     F.col(fp_col).cast("long").alias("fp"))
+    # NULL fingerprints never pair on the non-folded path (NULL
+    # band_val equality is false) but would COLLAPSE onto one folded
+    # band_key per band (xxhash64 skips NULL inputs) — a permanent
+    # quadratic candidate bucket in the stores; drop them here so both
+    # layouts share the rows-without-fingerprints-never-pair contract
+    src = fps.filter(F.col(fp_col).isNotNull()) \
+        .select(*extras, F.col(id_col).alias("id"), fpc.alias("fp"))
     banded = src.select(
         *extra_cols, "id", "fp",
         F.posexplode(F.array(*[_band(b) for b in range(len(widths))]))
@@ -1439,16 +1452,26 @@ def select_canonical(df: DataFrame, clusters: DataFrame, *,
     # drop_near_duplicates a silent no-op (review catch)
     idc = F.col(id_col)
     if policy == "min_id":
-        key = F.struct(F.lit(0).alias("k"), idc.alias("cid"))
-    elif policy == "longest":
+        # content-blind: no df column feeds the ordering, so skip the
+        # corpus-sized membership join outright (cluster members are
+        # drawn from df by every producer here — dedup_clusters over
+        # pairs over df)
+        return (clusters.groupBy(cluster_col)
+                .agg(F.min("id").alias("canonical_id")))
+    if policy == "longest":
         # NULL text counts 0 chars (coalesce — a NULL inside the struct
         # would sort engine-dependently)
         key = F.struct(
             (-F.length(F.coalesce(F.col(text_col), F.lit(""))))
             .cast("long").alias("k"), idc.alias("cid"))
     else:
-        key = F.struct((-F.col(score_col)).cast("double").alias("k"),
-                       idc.alias("cid"))
+        # an unscored (NULL) member must LOSE, not win: NULL struct
+        # fields sort FIRST under min, so coalesce the negated score
+        # to +inf (review catch — the inverse of 'keep the best')
+        key = F.struct(
+            F.coalesce((-F.col(score_col)).cast("double"),
+                       F.lit(float("inf"))).alias("k"),
+            idc.alias("cid"))
     members = clusters.select(F.col("id").alias(id_col), cluster_col) \
         .join(df.select(id_col, key.alias("__k")), id_col)
     return (members.groupBy(cluster_col)

@@ -608,6 +608,11 @@ class FingerprintStore(_IncrementalStore):
         committed one — candidates from the banded equi-join, verified
         with XOR + popcount; the n×|history| space is never formed."""
         h = self.max_hamming if max_hamming is None else int(max_hamming)
+        if h < 0:
+            raise ValueError(
+                f"screen radius must be >= 0 (got {h}) — a negative "
+                "radius matches nothing and filter_new would silently "
+                "pass every near-duplicate as new")
         if h > self.max_hamming:
             raise ValueError(
                 f"screen radius {h} exceeds the store's banding "

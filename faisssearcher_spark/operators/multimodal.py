@@ -700,7 +700,12 @@ def video_frame_features(df: DataFrame, *, max_frames: int = 64,
     whole decode→frame→feature arc crosses engines with zero float
     caveats (the audio_features discipline). Frames cap at
     ``max_frames`` (sample longer videos upstream via
-    :func:`frame_sample` offsets)."""
+    :func:`frame_sample` offsets). NULL payloads are SKIPPED (they
+    emit no rows) — the deliberate contract for the whole Y4M/spectrum
+    family: a decode-failure row is an upstream data issue, and a
+    100 TB pass should not die on one asset; count them with
+    asset_stats or a payload-isNotNull audit if loss must be loud
+    (audio_features, by contrast, raises — the older convention)."""
     src = df.select(F.col(id_col).alias("asset_id"),
                     F.col(payload_col).alias("__p"))
 
@@ -863,7 +868,8 @@ def audio_band_energies(df: DataFrame, *, max_frames: int = 64,
 
     Output: ``(asset_id, frame_idx, p_dc, p_mid, p_nyq)`` longs, one
     row per non-overlapping 8-sample frame (trailing partial frame
-    dropped; frames capped at ``max_frames``)."""
+    dropped; frames capped at ``max_frames``). NULL payloads emit no
+    rows (the Y4M-family skip contract — see video_frame_features)."""
     if max_frames < 1:
         raise ValueError(f"max_frames must be >= 1 (got {max_frames})")
     src = df.select(F.col(id_col).alias("asset_id"),

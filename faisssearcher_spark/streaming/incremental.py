@@ -28,6 +28,8 @@ replay of the same prefix.
 
 from __future__ import annotations
 
+import json
+
 from typing import Iterator  # noqa: F401  (doc parity with siblings)
 
 from pyspark.sql import DataFrame
@@ -73,6 +75,48 @@ def watermark_exact_screen(stream_df: DataFrame, *,
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     return (stream_df.withWatermark(event_time_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def _guard_sink_meta(spark, store_dir: str, params: dict,
+                     batch_id: int) -> None:
+    """Parameter-identity guard for the screen sinks — the store-class
+    meta discipline applied to the function sinks: state banded or
+    signed under one parameter plan never matches state from another,
+    so a checkpoint RESUME (batch_id > 0) under changed parameters
+    would silently stop screening. Batch 0 (fresh/reset checkpoint —
+    epochs are truncated anyway) clears old markers and stamps
+    ``<store_dir>/_sink_meta-<md5(params)>``; every later batch
+    requires the marker to match. The marker is an empty file whose
+    NAME carries the identity, so validation is one fs.exists — no
+    content reads through the JVM gateway, no Spark jobs."""
+    import hashlib
+
+    tag = hashlib.md5(json.dumps(params, sort_keys=True)
+                      .encode()).hexdigest()[:16]
+    fs, _ = _fs_path(spark, store_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker = jpath(f"{store_dir}/_sink_meta-{tag}")
+    if batch_id == 0:
+        stale = fs.globStatus(jpath(f"{store_dir}/_sink_meta-*"))
+        for st in (stale or []):
+            fs.delete(st.getPath(), False)
+        fs.mkdirs(jpath(store_dir))
+        fs.create(marker, True).close()
+        return
+    if fs.exists(marker):
+        return
+    others = fs.globStatus(jpath(f"{store_dir}/_sink_meta-*"))
+    if others is not None and len(others) > 0:
+        raise ValueError(
+            f"sink state at {store_dir!r} was written under different "
+            f"parameters than {params} — a checkpoint resume under a "
+            "changed plan appends state that never matches and the "
+            "screen silently stops catching duplicates; keep the "
+            "original parameters or start a fresh checkpoint + "
+            "store_dir")
+    # pre-guard state (no marker at all): stamp and continue — the
+    # caller's parameters are the only identity we have
+    fs.create(marker, True).close()
 
 
 def _truncate_stale_epochs(spark, roots, batch_id: int) -> None:
@@ -130,6 +174,10 @@ def minhash_screen_sink(stream_df: DataFrame, *, store_dir: str,
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _truncate_stale_epochs(spark, (store_dir, out_dir), batch_id)
+        _guard_sink_meta(spark, store_dir,
+                         {"num_hashes": num_hashes, "bands": bands,
+                          "shingle_n": shingle_n, "seed": seed},
+                         batch_id)
         sigs = banded_signatures(
             batch_df, id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
@@ -247,6 +295,10 @@ def embedding_screen_sink(stream_df: DataFrame, *, store_dir: str,
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _truncate_stale_epochs(spark, (store_dir, out_dir), batch_id)
+        _guard_sink_meta(spark, store_dir,
+                         {"dim": dim, "tables": tables, "bits": bits,
+                          "seed": seed, "planes_mode": planes_mode,
+                          "codec": "f16"}, batch_id)
         rows = _rows(batch_df)
         vecs = batch_df.select(F.col(id_col).alias("__vid"),
                                F.col(vec_col).alias("__nv"))
@@ -364,6 +416,9 @@ def fingerprint_screen_sink(stream_df: DataFrame, *, store_dir: str,
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _truncate_stale_epochs(spark, (store_dir, out_dir), batch_id)
+        _guard_sink_meta(spark, store_dir,
+                         {"bits": bits, "max_hamming": max_hamming},
+                         batch_id)
         rows = _rows(batch_df)
         prior = [e for e in _epochs(spark, store_dir) if e < batch_id]
         batch = batch_df

@@ -625,3 +625,48 @@ class TestCanonicalSelection:
             select_canonical(docs, clusters, policy="nope")
         with _pt.raises(ValueError, match="score_col"):
             select_canonical(docs, clusters, policy="best")
+
+    def test_best_never_picks_null_score(self, spark):
+        """An unscored (NULL) member must LOSE — NULL struct fields
+        sort first under min, which made NULL the canonical (review
+        catch)."""
+        from faisssearcher_spark.operators.dedup import select_canonical
+
+        docs = spark.createDataFrame(
+            [(1, "x", 0.9), (2, "y", None)],
+            "doc_id long, text string, q double")
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "id long, cluster_id long")
+        got = select_canonical(docs, clusters, policy="best",
+                               score_col="q").collect()
+        assert got[0]["canonical_id"] == 1
+
+
+class TestHammingBandRowsEdges:
+    def test_integer_fp_sign_bit_still_pairs(self, spark):
+        """An IntegerType fingerprint with bit 31 set must not
+        sign-extend through the long cast — that inflated XOR
+        popcounts by 32 and silently dropped true pairs (review
+        catch)."""
+        from faisssearcher_spark.operators.dedup import hamming_pairs
+
+        fps = spark.createDataFrame(
+            [(0, -2147483648), (1, 0)], "id long, fp int")
+        got = hamming_pairs(fps, bits=32, max_hamming=3).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] \
+            == [(0, 1, 1)]
+
+    def test_null_fps_never_pair_and_never_bucket(self, spark):
+        """NULL fingerprints emit no band rows on either layout — on
+        the folded path they previously collapsed onto one band_key
+        per band, a permanent quadratic candidate bucket (review
+        catch)."""
+        from faisssearcher_spark.operators.dedup import (hamming_band_rows,
+                                                         hamming_pairs)
+
+        fps = spark.createDataFrame(
+            [(0, None), (1, None), (2, 7)], "id long, fp long")
+        assert hamming_pairs(fps, bits=64, max_hamming=3).count() == 0
+        folded = hamming_band_rows(fps, bits=64, max_hamming=3,
+                                   fold_key=True)
+        assert {r["id"] for r in folded.collect()} == {2}

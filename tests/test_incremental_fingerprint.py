@@ -91,6 +91,15 @@ class TestFingerprintStore:
         with pytest.raises(ValueError, match="original parameters"):
             FingerprintStore(spark, uri, bits=64, max_hamming=2)
 
+    def test_negative_screen_radius_refused(self, spark, planted,
+                                            tmp_path):
+        hist, batch = planted
+        st = FingerprintStore(spark, str(tmp_path / "s"), bits=64,
+                              max_hamming=3)
+        st.commit(_fps(spark, hist))
+        with pytest.raises(ValueError, match=">= 0"):
+            st.screen(_fps(spark, batch), max_hamming=-1)
+
     def test_bucketed_mode_matches_path_mode_without_state_shuffle(
             self, spark, planted, tmp_path):
         hist, batch = planted
@@ -160,3 +169,26 @@ class TestFingerprintScreenSink:
                 | {100 + i for i in range(10)}  # fresh survive
                 | {2000})                       # in-batch pair: min id
         assert got == want
+
+
+class TestSinkMetaGuard:
+    def test_resume_under_changed_params_refused(self, spark, tmp_path):
+        """Batch 0 stamps the parameter marker; a later batch under
+        DIFFERENT parameters (a checkpoint resume after an arg change)
+        must fail loudly — mixed band/signature plans silently stop
+        screening. A fresh batch 0 restamps (epochs are truncated
+        there anyway), so legitimate reconfiguration works."""
+        from faisssearcher_spark.streaming.incremental import \
+            _guard_sink_meta
+
+        d = str(tmp_path / "store")
+        a = {"bits": 64, "max_hamming": 3}
+        b = {"bits": 32, "max_hamming": 3}
+        _guard_sink_meta(spark, d, a, batch_id=0)
+        _guard_sink_meta(spark, d, a, batch_id=3)       # same: ok
+        with pytest.raises(ValueError, match="different"):
+            _guard_sink_meta(spark, d, b, batch_id=3)   # resume mismatch
+        _guard_sink_meta(spark, d, b, batch_id=0)       # fresh restamp
+        _guard_sink_meta(spark, d, b, batch_id=1)
+        with pytest.raises(ValueError, match="different"):
+            _guard_sink_meta(spark, d, a, batch_id=1)
