@@ -548,7 +548,24 @@ def hamming_band_rows(fps: DataFrame, *, id_col: str = "id",
         # SIGN-EXTEND through the long cast (0x80000000 → 0xFFFF...
         # 80000000), inflating XOR popcounts by the 32 extension bits
         # and silently dropping true pairs — mask to the declared
-        # width (value-preserving for every in-range non-negative fp)
+        # width (value-preserving for every in-range non-negative fp).
+        # The mask is GUARDED: a fp whose value cannot be a bits-wide
+        # quantity (outside [-2^(bits-1), 2^bits), i.e. not explainable
+        # as either an unsigned bits-wide value or its sign-extended
+        # two's complement) means the declared width is WRONG — silent
+        # truncation there would report false near-dup pairs, so the
+        # job fails loudly instead (r9 advice). Anchored on the fp
+        # expression itself, like the sign-LSH dim assert, so column
+        # pruning can never delete the check.
+        lo, hi = -(1 << (bits - 1)), 1 << bits
+        fpc = F.when(
+            F.assert_true(
+                (fpc >= F.lit(lo)) & (fpc < F.lit(hi)),
+                F.concat(
+                    F.lit(f"fingerprint outside declared {bits}-bit "
+                          f"range [{lo}, {hi}): got "),
+                    fpc.cast("string"))
+            ).isNull(), fpc)
         fpc = fpc.bitwiseAND(F.lit((1 << bits) - 1))
     extras = [F.col(c) for c in extra_cols]
     # NULL fingerprints never pair on the non-folded path (NULL
@@ -1422,6 +1439,150 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
         drop_empty_docs=drop_empty_docs, removed_col="n_dup_tokens")
 
 
+def _exsub_marks(wins: DataFrame, *, id_col: str,
+                 keep: str) -> DataFrame:
+    """``(id, start)`` duplicated window occurrences under the
+    ExactSubstr keep policy — shared by :func:`exact_substring_spans`
+    and :func:`remove_exact_substrings` so the corpus tokenizes once.
+
+    ``keep="none"`` marks EVERY occurrence of a window whose text
+    occurs more than once corpus-wide (the suffix-array duplication
+    criterion: total occurrences, within-document repeats included);
+    ``keep="first"`` exempts the globally first occurrence per window
+    text — exactly :func:`_span_marks`."""
+    if keep == "first":
+        return _span_marks(wins, id_col=id_col)
+    if keep != "none":
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    dupw = (wins.groupBy("__w")
+            .agg(F.count("*").alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+            .select("__w"))
+    # both sides descend from the tiny pre-explode scan — pin the
+    # shuffled hash join with the (smaller, distinct-window) build side
+    # (NOTES.md trap #2)
+    return (wins.join(dupw.hint("shuffle_hash"), "__w")
+            .select(id_col, "start"))
+
+
+def _merge_window_runs(marks: DataFrame, *, id_col: str,
+                       n: int) -> DataFrame:
+    """Per-document maximal merged coverage intervals ``(id, start,
+    end)`` from ``(id, start)`` n-token window marks — gaps-and-islands
+    over window STARTS (no position explode): starts are ascending per
+    document, so a window overlaps-or-abuts the running interval iff
+    its start is within ``n`` of the previous start, and each island
+    covers ``[min(start), max(start) + n)`` exactly.
+
+    The one per-document sort this needs runs over DUPLICATED window
+    starts only (≪ tokens for any corpus worth deduplicating), and the
+    partition key is the document id — bounded by document length, so
+    no skew amplification at 100 TB."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("start")
+    gap = F.when(F.col("start") - F.lag("start").over(w) > n,
+                 F.lit(1)).otherwise(F.lit(0))
+    return (marks.withColumn("__isl",
+                             F.sum(gap).over(
+                                 w.rowsBetween(W.unboundedPreceding, 0)))
+            .groupBy(id_col, "__isl")
+            .agg(F.min("start").alias("start"),
+                 (F.max("start") + F.lit(n)).alias("end"))
+            .select(id_col, "start", "end"))
+
+
+def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", min_len: int = 50,
+                          keep: str = "none",
+                          tokens_col: str | None = None) -> DataFrame:
+    """Maximal per-document spans covered by EXACT duplicated
+    substrings of ANY length ≥ ``min_len`` tokens — the suffix-array
+    ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 §4.1) re-expressed
+    as a relational plan, EXACT at token granularity, arbitrary match
+    length included.
+
+    Why fixed windows suffice for arbitrary-length semantics: a token
+    position lies inside some duplicated substring of length ≥ L iff
+    it lies inside some duplicated L-token window — every L-window of
+    a duplicated substring is itself duplicated (at the matching
+    offset of the other copy), and a duplicated L-window IS a
+    duplicated substring of length L. So the COVERED-POSITION SET this
+    computes equals what a suffix array marks at threshold L: exact
+    recall, exact precision, no approximation. What the window form
+    does NOT enumerate is the distinct maximal repeats themselves: the
+    output intervals are per-document maximal UNIONS of overlapping /
+    abutting matches (gaps-and-islands over duplicated window starts),
+    so one interval may span several repeats with different partners
+    and need not itself occur twice in full — the right granularity
+    for removal, stated here because it is the one semantic difference
+    from a suffix-tree maximal-repeat enumeration.
+
+    Duplication counts TOTAL occurrences corpus-wide (within-document
+    repeats count, matching suffix-array semantics). ``keep="none"``
+    covers every occurrence (the released ExactSubstr tool's behavior:
+    a duplicated span is template, drop it everywhere);
+    ``keep="first"`` exempts each window text's globally first
+    occurrence by ``(id, start)`` — the keep-one-copy policy, matching
+    :func:`duplicate_spans`.
+
+    Output ``(id, start, end)`` intervals, 0-based token offsets,
+    end-exclusive, disjoint per document, each of length ≥ min_len.
+
+    Scale shape: one window-text agg (map-side combine absorbs hot
+    windows) → one equi-join back → per-DOC window-function merge over
+    duplicated starts only. Shuffle ∝ windows; no pairs, no global
+    sort, no position explode.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    _, wins = _token_windows(df, id_col=id_col, text_col=text_col,
+                             n=min_len, tokens_col=tokens_col)
+    marks = _exsub_marks(wins, id_col=id_col, keep=keep)
+    return _merge_window_runs(marks, id_col=id_col, n=min_len)
+
+
+def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", min_len: int = 50,
+                            keep: str = "none",
+                            drop_empty_docs: bool = False,
+                            tokens_col: str | None = None) -> DataFrame:
+    """Remove every token covered by an exact duplicated substring of
+    length ≥ ``min_len`` (:func:`exact_substring_spans` — the Lee et
+    al. 2022 ExactSubstr removal, exact at token granularity for
+    matches of ARBITRARY length) and reassemble each document from the
+    survivors in order.
+
+    Output ``(id, text, n_tokens, n_exsub_tokens)``; cleaned ``text``
+    is ``''`` when the whole document was duplicated material. With
+    ``keep="first"`` the covered set equals
+    :func:`remove_duplicate_spans` at ``n=min_len`` (that function's
+    per-window explode+distinct path is kept for streaming-shaped
+    reuse); the default ``keep="none"`` drops ALL occurrences.
+
+    Scale shape: the interval merge happens BEFORE the position
+    explode — disjoint merged intervals explode to exactly the covered
+    positions, so no distinct is needed and the exploded row count is
+    the true removed-token count, not windows × min_len."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if id_col in ("start", "end", "pos", "n_tokens", "n_exsub_tokens"):
+        raise ValueError(f"id_col {id_col!r} collides with an "
+                         "ExactSubstr output column; rename it first")
+    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col,
+                                 n=min_len, tokens_col=tokens_col)
+    marks = _exsub_marks(wins, id_col=id_col, keep=keep)
+    spans = _merge_window_runs(marks, id_col=id_col, n=min_len)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"),
+                             F.col("end") - F.lit(1))).alias("pos"))
+    return _rebuild_without_positions(
+        toked, covered, id_col=id_col, text_col=text_col,
+        drop_empty_docs=drop_empty_docs, removed_col="n_exsub_tokens")
+
+
 def select_canonical(df: DataFrame, clusters: DataFrame, *,
                      id_col: str = "doc_id",
                      cluster_col: str = "cluster_id",
@@ -1553,10 +1714,19 @@ def _boilerplate_marks(df: DataFrame, wins: DataFrame, *, id_col: str,
              .agg(F.count("*").alias("__ndocs")))
     gtot = (df.select(group_col, id_col).distinct()
             .groupBy(group_col).agg(F.count("*").alias("__gdocs")))
+    # the frac threshold compares in EXACT decimal space: a float
+    # multiply wobbles the boundary (frac=0.3, gdocs=10 → 3.0000000...4,
+    # so ndocs=3 would fail although 3 >= 3 exactly) and could diverge
+    # from an oracle computing the threshold differently (r9 advice).
+    # Decimal(str(frac)) is the decimal literal the caller wrote
+    # (0.3 → 3/10 exactly); long × small-scale decimal is exact and
+    # overflow-safe in both Spark and DuckDB.
+    from decimal import Decimal
+
+    dfrac = Decimal(str(float(min_doc_frac)))
     bp = (wdocs.join(gtot, group_col)
           .filter((F.col("__ndocs") >= min_docs)
-                  & (F.col("__ndocs")
-                     >= F.col("__gdocs") * F.lit(float(min_doc_frac))))
+                  & (F.col("__ndocs") >= F.col("__gdocs") * F.lit(dfrac)))
           .select(group_col, "__w"))
     # both sides descend from explodes/aggregates with pre-explode
     # static estimates — pin the shuffled hash join (NOTES trap #2)

@@ -209,13 +209,27 @@ class _IncrementalStore:
         # the cluster's filesystem config is the only correct client.
         p = self._meta_local_path()
         if p is not None:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             if not os.path.isdir(p) and not os.path.isfile(p):
                 return None
             try:
                 tbl = pq.read_table(p, columns=["meta"])
-            except Exception:
+            except pa.ArrowInvalid as exc:
+                # corrupt / partially-written meta only — "absent" is
+                # the right read (the next commit rewrites it), but say
+                # so: a silent None here would bypass the parameter-
+                # identity validation the meta exists for (r9 advice).
+                # I/O errors (permissions, transient fs) PROPAGATE —
+                # overwriting a store's meta because of an EACCES would
+                # be destructive, not idempotent.
+                import warnings
+
+                warnings.warn(
+                    f"unreadable store meta at {p} ({exc}); treating "
+                    f"as absent — the next commit will rewrite it",
+                    RuntimeWarning, stacklevel=3)
                 return None
             if tbl.num_rows == 0:
                 return None
@@ -229,19 +243,31 @@ class _IncrementalStore:
     def _write_meta(self) -> None:
         p = self._meta_local_path()
         if p is not None:
-            import shutil
-
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            # only ever called when no readable meta exists — clear any
-            # unreadable leftovers so the dir holds exactly one file
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            # only ever called when no readable meta exists. Two
+            # processes opening a fresh store concurrently is a case
+            # _meta_present deems idempotent — so NO rmtree (one writer
+            # could delete the dir mid-write of the other, r9 advice):
+            # write to a dot-prefixed temp (pyarrow dataset discovery
+            # skips `.`/`_` names, so a concurrent reader never sees a
+            # half-written file) and os.replace into place atomically.
+            # Stale leftovers (old Spark part-*/_SUCCESS layouts or an
+            # unreadable meta) are cleared best-effort AFTER the
+            # replace so the dir is never left without a meta.
             os.makedirs(p, exist_ok=True)
+            final = os.path.join(p, "meta-0.parquet")
+            tmp = os.path.join(p, f".meta-{os.getpid()}.tmp")
             pq.write_table(
-                pa.table({"meta": [json.dumps(self._meta_dict())]}),
-                os.path.join(p, "meta-0.parquet"))
+                pa.table({"meta": [json.dumps(self._meta_dict())]}), tmp)
+            os.replace(tmp, final)
+            for name in os.listdir(p):
+                if name != "meta-0.parquet":
+                    try:
+                        os.remove(os.path.join(p, name))
+                    except OSError:
+                        pass
             return
         self.spark.createDataFrame(
             [(json.dumps(self._meta_dict()),)], "meta string") \

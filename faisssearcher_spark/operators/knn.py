@@ -380,12 +380,35 @@ def radius_join(
                                       *payload_cols)
 
 
+class RadiusFrames(dict):
+    """``{radius: DataFrame}`` from :func:`radius_join_multi`, plus an
+    :meth:`unpersist` handle for the ONE shared cached pair frame every
+    value derives from. Radius output is UNBOUNDED (a loose radius can
+    materialize a large fraction of m×n pairs — unlike the top-k frame
+    ``knn_join_multi_k`` caches), so callers that are done with every
+    derived frame should release the cache explicitly; it otherwise
+    lives until the session evicts it (MEMORY_AND_DISK, the DataFrame
+    default — spills rather than OOMs, but still holds disk)."""
+
+    def __init__(self, frames: "Mapping[float, DataFrame]",
+                 base: DataFrame) -> None:
+        super().__init__(frames)
+        self._base = base
+
+    def unpersist(self, blocking: bool = False) -> "RadiusFrames":
+        """Release the shared cached scan all values derive from.
+        Derived frames stay valid afterwards — they recompute from the
+        source scan instead of the cache."""
+        self._base.unpersist(blocking)
+        return self
+
+
 def radius_join_multi(
     queries: DataFrame,
     items: DataFrame,
     radii: Iterable[float],
     **kwargs,
-) -> Mapping[float, DataFrame]:
+) -> "RadiusFrames":
     """Multi-radius range search: scan once at the LOOSEST radius and
     derive every tighter radius by a filter over the cached pair frame
     — :func:`knn_join_multi_k`'s compute-once/filter-many discipline
@@ -394,7 +417,12 @@ def radius_join_multi(
     condition is ``sim_val > r``), max(radii) for distances
     (``sim_val < r``); ``score_scale`` rounding happens inside the one
     shared scan exactly as it would per call, so each derived frame
-    equals its standalone :func:`radius_join` row-for-row."""
+    equals its standalone :func:`radius_join` row-for-row.
+
+    Returns a :class:`RadiusFrames` (a plain ``dict`` subclass): call
+    ``.unpersist()`` when done — radius output is unbounded, so the
+    shared cache can pin a large pair frame for the session otherwise.
+    """
     radii = sorted({float(r) for r in radii})
     if not radii:
         raise ValueError("radii must be non-empty")
@@ -411,10 +439,12 @@ def radius_join_multi(
     loosest = radii[0] if higher_is_closer else radii[-1]
     base = radius_join(queries, items, radius=loosest, **kwargs).cache()
     if higher_is_closer:
-        return {r: base if r == loosest
-                else base.filter(F.col("sim_val") > r) for r in radii}
-    return {r: base if r == loosest
-            else base.filter(F.col("sim_val") < r) for r in radii}
+        frames = {r: base if r == loosest
+                  else base.filter(F.col("sim_val") > r) for r in radii}
+    else:
+        frames = {r: base if r == loosest
+                  else base.filter(F.col("sim_val") < r) for r in radii}
+    return RadiusFrames(frames, base)
 
 
 def _attach_payload(ranked: DataFrame, items: DataFrame, *,

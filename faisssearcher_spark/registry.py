@@ -2814,6 +2814,28 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                             tokens_col="__toks").select(
         "doc_id", "n_bp_tokens", F.md5("text").alias("bp_clean_hash"))
 
+    # EXTENDED AGAIN (round 10) with ARBITRARY-LENGTH ExactSubstr
+    # dedup (dedup.exact_substring_spans / remove_exact_substrings —
+    # the Lee et al. 2022 suffix-array semantics, exact at token
+    # granularity: window coverage equals duplicated-substring coverage
+    # for every match length ≥ min_len). keep='none' (ALL occurrences
+    # drop — the released tool's behavior, vs the keep-first span leg
+    # above); 8-token threshold so the leg differs from both the n=10
+    # span leg and the n=5 boilerplate leg. n_exsub_spans /
+    # exsub_max_len oracle-check the gaps-and-islands interval merge
+    # itself, not just the rebuilt text.
+    from faisssearcher_spark.operators.dedup import (
+        exact_substring_spans, remove_exact_substrings)
+
+    exr = remove_exact_substrings(toked, min_len=8,
+                                  tokens_col="__toks").select(
+        "doc_id", "n_exsub_tokens", F.md5("text").alias("exsub_clean_hash"))
+    exs = (exact_substring_spans(toked, min_len=8, tokens_col="__toks")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("int").alias("n_exsub_spans"),
+                F.max(F.col("end") - F.col("start")).cast("int")
+                 .alias("exsub_max_len")))
+
     chunks = chunk_documents(toked, max_tokens=10, overlap=0,
                              tokens_col="__toks")
     totals = chunks.groupBy("doc_id").agg(
@@ -2852,6 +2874,8 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(rebuilt, "doc_id", "left")
               .join(spans, "doc_id", "left")
               .join(bp, "doc_id", "left")
+              .join(exr, "doc_id", "left")
+              .join(exs, "doc_id", "left")
               .join(diff, "doc_id", "left")
               .select("doc_id", "fingerprint", "rolling_hash", "norm_hash",
                       "diff_status",
@@ -2867,7 +2891,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("n_bp_tokens", F.lit(0))
                        .alias("n_bp_tokens"),
                       F.coalesce("bp_clean_hash", F.lit(""))
-                       .alias("bp_clean_hash")))
+                       .alias("bp_clean_hash"),
+                      F.coalesce("n_exsub_tokens", F.lit(0))
+                       .alias("n_exsub_tokens"),
+                      F.coalesce("exsub_clean_hash", F.lit(""))
+                       .alias("exsub_clean_hash"),
+                      F.coalesce("n_exsub_spans", F.lit(0))
+                       .alias("n_exsub_spans"),
+                      F.coalesce("exsub_max_len", F.lit(0))
+                       .alias("exsub_max_len")))
 
 
 ORACLE_FINGERPRINTS = rf"""
@@ -2936,6 +2968,37 @@ WITH t AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
      breb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
                      md5(string_agg(tok, ' ' ORDER BY pos)) AS bp_clean_hash
               FROM bkeep GROUP BY doc_id),
+     ewin AS (SELECT doc_id, s - 1 AS start,
+                     array_to_string(list_slice(toks, s, s + 7), ' ') AS w
+              FROM (SELECT doc_id, toks, len(toks) AS ntok
+                    FROM t WHERE len(toks) >= 8) d,
+                   unnest(generate_series(1, ntok - 8 + 1)) AS u(s)),
+     edup AS (SELECT doc_id, start
+              FROM (SELECT doc_id, start,
+                           count(*) OVER (PARTITION BY w) AS c FROM ewin)
+              WHERE c > 1),
+     eisl AS (SELECT doc_id, start,
+                     sum(CASE WHEN prev IS NULL OR start - prev > 8
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start) AS isl
+              FROM (SELECT doc_id, start,
+                           lag(start) OVER (PARTITION BY doc_id
+                                            ORDER BY start) AS prev
+                    FROM edup)),
+     espans AS (SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+                FROM eisl GROUP BY doc_id, isl),
+     estat AS (SELECT doc_id, count(*)::INT AS n_exsub_spans,
+                      max(e - s)::INT AS exsub_max_len
+               FROM espans GROUP BY doc_id),
+     ecov AS (SELECT doc_id, s + o AS pos
+              FROM espans, unnest(generate_series(0, e - s - 1)) AS g(o)),
+     ekeep AS (SELECT tp.doc_id, tp.pos, tp.tok
+               FROM tp LEFT JOIN ecov
+                 ON tp.doc_id = ecov.doc_id AND tp.pos = ecov.pos
+               WHERE ecov.pos IS NULL),
+     ereb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS exsub_clean_hash
+              FROM ekeep GROUP BY doc_id),
      ntok AS (SELECT doc_id, len(toks)::INT AS n_tok FROM t)
 SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        CASE WHEN f.doc_id % 11 = 0 THEN 'removed'
@@ -2947,12 +3010,18 @@ SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        (ntok.n_tok - coalesce(spanreb.n_kept_tok, 0)) AS n_dup_span_tokens,
        coalesce(spanreb.span_clean_hash, md5('')) AS span_clean_hash,
        (ntok.n_tok - coalesce(breb.n_kept_tok, 0)) AS n_bp_tokens,
-       coalesce(breb.bp_clean_hash, md5('')) AS bp_clean_hash
+       coalesce(breb.bp_clean_hash, md5('')) AS bp_clean_hash,
+       (ntok.n_tok - coalesce(ereb.n_kept_tok, 0)) AS n_exsub_tokens,
+       coalesce(ereb.exsub_clean_hash, md5('')) AS exsub_clean_hash,
+       coalesce(estat.n_exsub_spans, 0) AS n_exsub_spans,
+       coalesce(estat.exsub_max_len, 0) AS exsub_max_len
 FROM f
 LEFT JOIN tot ON f.doc_id = tot.doc_id
 LEFT JOIN reb ON f.doc_id = reb.doc_id
 LEFT JOIN spanreb ON f.doc_id = spanreb.doc_id
 LEFT JOIN breb ON f.doc_id = breb.doc_id
+LEFT JOIN ereb ON f.doc_id = ereb.doc_id
+LEFT JOIN estat ON f.doc_id = estat.doc_id
 JOIN ntok ON f.doc_id = ntok.doc_id
 """
 

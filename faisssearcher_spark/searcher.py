@@ -407,8 +407,12 @@ class SparkSearcher:
             res = radius_join(queries, corpus, radius=radius, **kwargs)
             return self._post(res, keep_rank_no=False)
         multi = radius_join_multi(queries, corpus, radius, **kwargs)
-        return {r: self._post(df, keep_rank_no=False)
-                for r, df in multi.items()}
+        # preserve the unpersist handle for the shared cached scan —
+        # the returned mapping is knn.RadiusFrames either way
+        from faisssearcher_spark.operators.knn import RadiusFrames
+        return RadiusFrames(
+            {r: self._post(df, keep_rank_no=False)
+             for r, df in multi.items()}, multi._base)
 
     def _post(self, res: DataFrame, keep_rank_no: bool) -> DataFrame:
         """Apply the feature-sep splits (faiss_searcher.py:150-156)."""

@@ -139,3 +139,116 @@ def test_randomized_against_python_oracle(spark):
         got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_dup_tokens"])
                for r in remove_duplicate_spans(df, n=n).collect()}
         assert got == py_remove(n), f"mismatch at n={n}"
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr (arbitrary-length) exact substring dedup
+# (operators/dedup.py:exact_substring_spans / remove_exact_substrings)
+# ---------------------------------------------------------------------------
+
+from faisssearcher_spark.operators.dedup import (exact_substring_spans,
+                                                 remove_exact_substrings)
+
+
+def test_exsub_spans_merge_and_boundaries(spark):
+    """Overlapping matches merge into one maximal interval; ONE unique
+    token between two duplicated regions keeps them separate (no window
+    straddling a unique token can be duplicated, so coverage runs never
+    touch)."""
+    rows = [
+        (1, "p q r s t u X p q r s t u"),     # intra-doc repeat, gap X
+        (2, "a a a a a a"),                   # overlapping self-matches
+        (3, "m n o"),                         # unique, no coverage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {(r["doc_id"], r["start"], r["end"])
+             for r in exact_substring_spans(df, min_len=3).collect()}
+    # doc 1: "p q r s t u" occurs at 0 and 7 -> two intervals of len 6,
+    # NOT merged across the unique X at position 6
+    assert (1, 0, 6) in spans and (1, 7, 13) in spans
+    # doc 2: every 3-window of "a a a a a a" repeats -> one full run
+    assert (2, 0, 6) in spans
+    assert not any(d == 3 for d, _, _ in spans)
+    # intervals are disjoint, >= min_len long
+    by_doc = {}
+    for d, s, e in spans:
+        assert e - s >= 3
+        for s2, e2 in by_doc.get(d, []):
+            assert e <= s2 or s >= e2, "overlapping intervals"
+        by_doc.setdefault(d, []).append((s, e))
+
+
+def test_exsub_keep_first_matches_window_dedup(spark):
+    """keep='first' coverage is exactly remove_duplicate_spans at
+    n=min_len — the generalization collapses to the existing operator."""
+    import random
+
+    rng = random.Random(99)
+    rows = [(i, " ".join(rng.choice("abcd") for _ in range(rng.randint(0, 20))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_exsub_tokens"])
+           for r in remove_exact_substrings(df, min_len=3,
+                                            keep="first").collect()}
+    ref = {r["doc_id"]: (r["text"], r["n_dup_tokens"])
+           for r in remove_duplicate_spans(df, n=3).collect()}
+    assert got == ref
+
+
+def test_exsub_against_arbitrary_length_brute_force(spark):
+    """THE recall/precision contract: positions covered by duplicated
+    substrings of ANY length >= L (brute-force enumeration, the
+    suffix-array semantics of Lee et al. 2022) must equal the operator's
+    covered set exactly — window coverage is not an approximation."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(4321)
+    docs = {did: [rng.choice("abc") for _ in range(rng.randint(0, 16))]
+            for did in range(12)}
+
+    def brute_covered(L):
+        occ = defaultdict(list)
+        for did, toks in docs.items():
+            for s in range(len(toks)):
+                for e in range(s + L, len(toks) + 1):
+                    occ[tuple(toks[s:e])].append((did, s, e))
+        covered = {did: set() for did in docs}
+        for lst in occ.values():
+            if len(lst) > 1:
+                for did, s, e in lst:
+                    covered[did].update(range(s, e))
+        return covered
+
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs.items()],
+        "doc_id long, text string")
+    for L in (2, 3, 4):
+        want = brute_covered(L)
+        got = {did: set() for did in docs}
+        for r in exact_substring_spans(df, min_len=L).collect():
+            got[r["doc_id"]].update(range(r["start"], r["end"]))
+        assert got == want, f"coverage mismatch at min_len={L}"
+        rem = {r["doc_id"]: r["n_exsub_tokens"]
+               for r in remove_exact_substrings(df, min_len=L).collect()}
+        assert rem == {d: len(c) for d, c in want.items()}
+
+
+def test_exsub_keep_none_drops_all_occurrences(spark):
+    rows = [(1, "u v p q r w"), (2, "x p q r y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_exact_substrings(df, min_len=3).collect()}
+    # BOTH occurrences of "p q r" go, first included
+    assert out == {1: "u v w", 2: "x y"}
+
+
+def test_exsub_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_exact_substrings(df, min_len=0)
+    with pytest.raises(ValueError):
+        remove_exact_substrings(df, min_len=2, keep="last")
+    with pytest.raises(ValueError):
+        remove_exact_substrings(df.withColumnRenamed("doc_id", "end"),
+                                id_col="end", min_len=2)
