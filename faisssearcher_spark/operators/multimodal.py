@@ -850,6 +850,72 @@ def video_shifted_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
             .filter(F.col("n_shared_hashes") >= min_shared_hashes))
 
 
+def video_minhash_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
+                                 max_frames: int = 64,
+                                 max_hamming: int = 4,
+                                 num_hashes: int = 16, bands: int = 4,
+                                 seed: int = 42,
+                                 verify_threshold: float | None = 0.15,
+                                 id_col: str = "asset_id",
+                                 payload_col: str = "payload"
+                                 ) -> DataFrame:
+    """Shift-AND-noise-tolerant video near-dup — the fourth quadrant of
+    the (aligned?, noisy?) matrix the other three matchers leave open:
+
+    - aligned + noisy → :func:`video_near_dup_pairs` (banded hamming,
+      frame_idx folded into the key);
+    - shifted + clean → :func:`video_shifted_near_dup_pairs` (exact
+      64-bit hash set intersection);
+    - shifted + NOISY → a trimmed/re-cut copy that was ALSO re-encoded
+      perturbs every frame hash, so exact-hash equality finds nothing
+      and frame alignment doesn't exist. This matcher closes it.
+
+    Construction: each video becomes the SET of pigeonhole band tokens
+    of its frame dHashes — :func:`dedup.hamming_band_rows`, the ONE
+    shared banding kernel, WITHOUT frame_idx (shift tolerance) — and
+    the sets go through the standard banded MinHash LSH
+    (:func:`dedup.minhash_lsh_join` via its pre-tokenized path). Per
+    the pigeonhole guarantee, a frame whose copy differs by ≤
+    ``max_hamming`` bits shares at least one of its ``max_hamming+1``
+    band tokens, so a shifted noisy twin sharing m of n frames has
+    band-token Jaccard ≥ m / ((max_hamming+1)·n) even when EVERY
+    shared frame was perturbed. Verification is exact Jaccard over the
+    band-token sets; LSH recall is the usual 1-(1-j^r)^b — size
+    ``bands`` to the target Jaccard (r=1, i.e. bands=num_hashes, for
+    small-set/high-recall screening).
+
+    Why MinHash instead of joining band tokens directly: a direct
+    equi-join on band tokens has key space 2^(bits/(max_hamming+1)) —
+    at max_hamming=4 that is 2^12..2^13, which goes quadratic once the
+    corpus dwarfs it (the fixed-resolution-LSH cliff, scalebench
+    module docstring). The MinHash signature re-keys candidates into
+    the 64-bit band-value space regardless of max_hamming, keeping the
+    join linear; the aligned matcher never needed this because folding
+    frame_idx into the key already shattered the collisions.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``; jaccard is
+    over band-token sets (a lower bound proxy for frame overlap, not a
+    frame count). NULL payloads emit no frame hashes and therefore no
+    pairs (the Y4M-family skip contract)."""
+    from faisssearcher_spark.operators.dedup import (hamming_band_rows,
+                                                     minhash_lsh_join)
+
+    fh = video_frame_hashes(df, hash_size=hash_size,
+                            max_frames=max_frames, id_col=id_col,
+                            payload_col=payload_col)
+    banded = hamming_band_rows(fh, id_col="asset_id", fp_col="fhash",
+                               bits=hash_size * hash_size,
+                               max_hamming=max_hamming)
+    toks = banded.groupBy("id").agg(
+        F.collect_set(F.concat_ws(
+            ":", F.col("band_idx").cast("string"),
+            F.col("band_val").cast("string"))).alias("__btoks"))
+    return minhash_lsh_join(toks, id_col="id", tokens_col="__btoks",
+                            num_hashes=num_hashes, bands=bands,
+                            seed=seed,
+                            verify_threshold=verify_threshold)
+
+
 def audio_band_energies(df: DataFrame, *, max_frames: int = 64,
                         id_col: str = "asset_id",
                         payload_col: str = "payload") -> DataFrame:

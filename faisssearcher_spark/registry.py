@@ -1459,6 +1459,33 @@ def _gate_video_twin_assets(docs: DataFrame) -> DataFrame:
                        F.unhex(F.concat(*parts)).alias("payload"))
 
 
+def _gate_video_shiftnoise_assets(docs: DataFrame) -> DataFrame:
+    """Shifted AND noisy video twins for the ``vmh`` leg — the fourth
+    quadrant of the (aligned?, noisy?) matrix: 3-frame videos where the
+    ODD twin shows the even base's frames 1..3 (temporal shift by one)
+    and zeroes pixel (0,0) on the two SHARED frames (re-encode noise:
+    per-frame dHash hamming ≤ 1, so exact-hash set matching can miss
+    them and frame-index alignment never exists). Salt prefix ``|w``
+    keeps this corpus independent of the ``|v`` twin corpora."""
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    odd = F.col("doc_id") % 2 == 1
+    parts = [F.lit(_Y4M_HEADER_HEX)]
+    for pos in range(3):
+        parts.append(F.lit(_Y4M_FRAME_HEX))
+        for idx in range(72):
+            even_hx = F.substring(
+                F.md5(F.concat(base, F.lit(f"|w{pos}|{idx}"))), 1, 2)
+            odd_hx = (F.lit("00") if pos < 2 and idx == 0
+                      else F.substring(
+                          F.md5(F.concat(base,
+                                         F.lit(f"|w{pos + 1}|{idx}"))),
+                          1, 2))
+            parts.append(F.when(odd, odd_hx).otherwise(even_hx))
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("video").alias("modality"),
+                       F.unhex(F.concat(*parts)).alias("payload"))
+
+
 #: per-process memo of the fingerprint-store leg's rows by sf_dir —
 #: the _INC_LEG_CACHE discipline: the arc's eager store I/O runs once
 #: per corpus per session; the bench entry re-runs it fresh
@@ -1617,6 +1644,26 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vshift").alias("leg"), "id_a", "id_b",
         F.col("n_shared_hashes").cast("int").alias("hamming"))
 
+    # tag-union leg 12 (round 10): shift+NOISE-tolerant video matching
+    # (multimodal.video_minhash_near_dup_pairs) — videos as sets of
+    # pigeonhole band tokens of their frame dHashes (the shared
+    # hamming_band_rows kernel, frame_idx-free) through the standard
+    # banded MinHash LSH (minhash_lsh_join's pre-tokenized path).
+    # Twins (_gate_video_shiftnoise_assets) are shifted one frame AND
+    # per-frame perturbed, so exact-hash set matching (vshift) has no
+    # guaranteed hit while each shared frame still shares its low band
+    # token; r=1 (bands=num_hashes=16) for high LSH recall at the
+    # planted jaccard ≈ 0.2. hamming slot carries round(jaccard·1e4).
+    from faisssearcher_spark.operators.multimodal import \
+        video_minhash_near_dup_pairs
+
+    vmh_leg = video_minhash_near_dup_pairs(
+        _gate_video_shiftnoise_assets(docs), hash_size=8,
+        max_hamming=1, num_hashes=16, bands=16,
+        verify_threshold=0.15).select(
+        F.lit("vmh").alias("leg"), "id_a", "id_b",
+        F.round(F.col("jaccard") * 10000).cast("int").alias("hamming"))
+
     # tag-union leg 11 (round 9): integer-exact coarse spectrum
     # (multimodal.audio_band_energies) — the {0,±1}-twiddle DFT bins
     # (DC / quarter-band / Nyquist powers) over the same SQL-built
@@ -1645,7 +1692,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(frames_leg).unionByName(audio_leg)
             .unionByName(afp_leg).unionByName(video_leg)
             .unionByName(vfp_leg).unionByName(vshift_leg)
-            .unionByName(fpstore_leg).unionByName(spec_leg))
+            .unionByName(fpstore_leg).unionByName(spec_leg)
+            .unionByName(vmh_leg))
 
 
 def _dhash_case_terms(var: str = "vs") -> str:
@@ -1761,7 +1809,47 @@ WITH fp AS ({ORACLE_SIMHASH.strip().rstrip()}),
                         1, 2))::BIGINT END) AS vs
        FROM documents, unnest(range(0, 2)) AS t(f)),
      wfp AS (SELECT doc_id, f, ({_dhash_case_terms('vs')})::BIGINT AS fhash
-             FROM wvals)
+             FROM wvals),
+     zvals AS (
+       -- shift+noise twin corpus (salt |w): odd doc shows the even
+       -- base's frames pos+1, pixel (0,0) zeroed on shared frames
+       SELECT doc_id, pos,
+              list_transform(range(0, 72), idx ->
+                CASE WHEN doc_id % 2 = 1 AND pos < 2 AND idx = 0 THEN 0
+                ELSE ('0x' || substring(md5(
+                        (doc_id - doc_id % 2)::VARCHAR || '|w'
+                        || (CASE WHEN doc_id % 2 = 1 THEN pos + 1
+                            ELSE pos END)::VARCHAR
+                        || '|' || idx::VARCHAR),
+                        1, 2))::BIGINT END) AS vs
+       FROM documents, unnest(range(0, 3)) AS t(pos)),
+     zfp AS (SELECT doc_id, ({_dhash_case_terms('vs')})::BIGINT AS fhash
+             FROM zvals),
+     ztok AS (SELECT DISTINCT doc_id,
+                     -- every band masks to its width (hamming_band_rows
+                     -- masks band 1 too: (fp >> 32) & 0xFFFFFFFF, so
+                     -- band values are ALWAYS non-negative strings)
+                     b.band_idx::VARCHAR || ':' ||
+                     (CASE WHEN b.band_idx = 0 THEN fhash & 4294967295
+                           ELSE (fhash >> 32) & 4294967295
+                      END)::VARCHAR AS tok
+              FROM zfp, (SELECT unnest(range(0, 2)) AS band_idx) b),
+     zset AS (SELECT doc_id, list(tok) AS g FROM ztok GROUP BY doc_id),
+     zsig AS (SELECT doc_id, g, {_oracle_minhash_sig()} AS sg FROM zset),
+     zband AS (SELECT doc_id, b.band_idx, sg[b.band_idx + 1] AS band_val
+               FROM zsig, (SELECT unnest(range(0, 16)) AS band_idx) b),
+     zcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM zband a JOIN zband b
+                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id),
+     zver AS (SELECT id_a, id_b,
+                     len(list_filter(sa.g, x -> list_contains(sb.g, x)))::DOUBLE
+                     / (len(sa.g) + len(sb.g)
+                        - len(list_filter(sa.g, x -> list_contains(sb.g, x))))
+                     AS j
+              FROM zcand
+              JOIN zset sa ON sa.doc_id = id_a
+              JOIN zset sb ON sb.doc_id = id_b)
 SELECT 'text' AS leg, id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 UNION ALL
@@ -1867,6 +1955,12 @@ SELECT 'fpstore',
        bit_count(xor(fp_a, fp_b))::INT
 FROM cand
 WHERE bit_count(xor(fp_a, fp_b)) <= 3 AND (id_a + id_b) % 2 = 1
+UNION ALL
+-- shift+noise-tolerant video matching: banded MinHash LSH (r=1, 16
+-- slots) over per-video band-token sets, exact band-token Jaccard
+-- verified at >= 0.15, packed as round(j*1e4)
+SELECT 'vmh', id_a, id_b, round(j * 10000)::INT
+FROM zver WHERE j >= 0.15
 """
 
 

@@ -169,6 +169,12 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # replica token-salting keeps windows replica-local, so duplicate
         # spans (and their removal cost) grow linearly with the corpus
         "dedup_spans": lambda: dedup.remove_duplicate_spans(docs, n=10),
+        # arbitrary-length ExactSubstr (r10): same window agg + recovery
+        # join as dedup_spans, plus the per-doc gaps-and-islands merge
+        # over duplicated starts — the merge's window sort is bounded by
+        # doc length, so the leg must track windows linearly too
+        "dedup_exsub": lambda: dedup.remove_exact_substrings(
+            docs, min_len=10),
         # per-source boilerplate strip (r9): groups stay ~25 sources
         # while docs grow 10× — the (group, window, doc)-distinct agg
         # and recovery join must track windows linearly; replica
@@ -389,6 +395,15 @@ def _bm25_fit_search(docs: DataFrame) -> DataFrame:
 #: which is what prices the batched-insertion kernel (r6 verdict #4)
 DEEP_LEGS = ("embedding_lsh", "knn_grid", "ann_nsw")
 
+#: document-corpus legs that also run at the deep point (r9 verdict #3:
+#: these are the 100-TB-critical dedup candidate-generation joins —
+#: banded minhash equi-join, pigeonhole hamming band join, boilerplate
+#: distinct-count + recovery join — and 10× alone can hide a quadratic
+#: term that only dominates past it). They need a deep DOCUMENTS
+#: corpus, which the embedding-only deep point never built before.
+DEEP_DOC_LEGS = ("dedup_minhash_lsh", "hamming_pairs",
+                 "dedup_boilerplate")
+
 
 def run_scale_sweep(spark: SparkSession, sf_dir: str, *,
                     factor: int = 10, n_queries: int = 20,
@@ -464,14 +479,18 @@ def run_scale_sweep(spark: SparkSession, sf_dir: str, *,
         if deep_factor:
             dfac = int(deep_factor)
             epath = f"{tmp}/embeddings_x{dfac}"
+            dpath = f"{tmp}/documents_x{dfac}"
             scaled_embeddings(emb_base, dfac).write.parquet(epath)
+            scaled_documents(docs_base, dfac).write.parquet(dpath)
             n_part = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             emb_deep = spark.read.parquet(epath).repartition(n_part)
+            docs_deep = spark.read.parquet(dpath).repartition(n_part)
             n_deep = emb_deep.count()
-            result["corpus_rows"][f"x{dfac}"] = {"embeddings": n_deep}
-            sqs = _scale_queries(emb_deep, frames[factor][1], queries,
+            result["corpus_rows"][f"x{dfac}"] = {
+                "embeddings": n_deep, "documents": docs_deep.count()}
+            sqs = _scale_queries(emb_deep, docs_deep, queries,
                                  n_deep, factor=dfac)
-            for name in DEEP_LEGS:
+            for name in DEEP_LEGS + DEEP_DOC_LEGS:
                 # best-of-2, NOT single-shot: the deep point runs at
                 # the END of a long bench session, exactly where
                 # first-execution costs inflate (the r4 uptime effect)

@@ -177,3 +177,44 @@ class TestAudioBandEnergies:
             == {(1, 0), (1, 1)}
         with pytest.raises(ValueError, match="max_frames"):
             audio_band_energies(df, max_frames=0)
+
+
+class TestMinhashMatcher:
+    def test_minhash_matcher_catches_shifted_noisy_copy(self, spark):
+        """The fourth quadrant of the (aligned?, noisy?) matrix: a copy
+        both SHIFTED by one frame and PER-FRAME PERTURBED. Every shared
+        frame's dHash provably changes (pixel (0,0) flips its one
+        comparison bit), so the exact-hash set matcher finds nothing;
+        the band-token MinHash matcher must find the pair — each
+        perturbed frame still shares its unchanged low band."""
+        from faisssearcher_spark.operators.multimodal import (
+            video_minhash_near_dup_pairs, video_shifted_near_dup_pairs)
+
+        base = _frames(11, n=4)
+        # force comparison j=0 deterministic: p(0,1)=128, p(0,0)=0
+        base[:, 0, 0], base[:, 0, 1] = 0, 128
+        noisy_shift = base[1:].copy()
+        noisy_shift[:, 0, 0] = 255       # flips ONLY bit j=0 per frame
+        other = _frames(12, n=4)
+        df = spark.createDataFrame(
+            [(0, bytearray(build_y4m(base))),
+             (1, bytearray(build_y4m(noisy_shift))),
+             (2, bytearray(build_y4m(other)))],
+            "asset_id long, payload binary")
+        # exact-hash set matching: all shared frames perturbed -> no hit
+        assert video_shifted_near_dup_pairs(df).count() == 0
+        got = video_minhash_near_dup_pairs(
+            df, max_hamming=1, num_hashes=16, bands=16,
+            verify_threshold=0.1).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+        # jaccard over band tokens: 3 shared low bands of
+        # union(4*2, 3*2) - 3 = 11 tokens
+        assert abs(got[0]["jaccard"] - 3 / 11) < 1e-9
+
+    def test_minhash_matcher_null_payload_skips(self, spark):
+        from faisssearcher_spark.operators.multimodal import \
+            video_minhash_near_dup_pairs
+
+        df = spark.createDataFrame([(0, None), (1, None)],
+                                   "asset_id long, payload binary")
+        assert video_minhash_near_dup_pairs(df).count() == 0
