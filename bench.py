@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     # flagship minhash gate, which then reuses the memoized arc rows —
     # per-query cold numbers stay attributable (r6 verdict #7)
     "dedup_incremental_screen",
+    "dedup_upsert_screen",
     "dedup_estore_screen",
     "dedup_fpstore_screen",
     "dedup_minhash_lsh",

@@ -174,7 +174,44 @@ class _IncrementalStore:
     # -- state layout ------------------------------------------------------
 
     def _state_path(self) -> str:
-        return os.path.join(self.path, "state")
+        return os.path.join(self.path, self._active_state_name())
+
+    def _local_root(self) -> "str | None":
+        """Local filesystem root of ``path`` (bare or ``file:`` paths),
+        or None for remote schemes (hdfs://, s3a://, ...)."""
+        from urllib.parse import urlparse
+
+        parsed = urlparse(self.path)
+        if parsed.scheme == "":
+            return self.path
+        if parsed.scheme == "file":
+            return parsed.path
+        return None
+
+    def _pointer_path(self) -> "str | None":
+        root = self._local_root()
+        return None if root is None else os.path.join(root, "_current")
+
+    def _active_state_name(self) -> str:
+        """Name of the live state directory. Append-only stores never
+        move off the default ``state``; :meth:`upsert` / :meth:`compact`
+        rewrite into a fresh directory and atomically retarget the
+        ``_current`` pointer file (underscore-prefixed: Spark and
+        pyarrow dataset discovery both skip it)."""
+        p = self._pointer_path()
+        if p is not None and os.path.isfile(p):
+            with open(p) as fh:
+                name = fh.read().strip()
+            if name:
+                return name
+        return "state"
+
+    def _set_active_state_name(self, name: str) -> None:
+        p = self._pointer_path()
+        tmp = f"{p}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, p)
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "meta")
@@ -189,14 +226,8 @@ class _IncrementalStore:
         make every existence check False (silently skipping the
         parameter-identity validation) and os.makedirs would create a
         junk relative directory literally named ``file:...``."""
-        from urllib.parse import urlparse
-
-        parsed = urlparse(self.path)
-        if parsed.scheme == "":
-            return self._meta_path()
-        if parsed.scheme == "file":
-            return os.path.join(parsed.path, "meta")
-        return None
+        root = self._local_root()
+        return None if root is None else os.path.join(root, "meta")
 
     def _read_meta(self) -> "dict | None":
         # meta is ONE tiny row — on a local/file: path read it driver-
@@ -308,6 +339,98 @@ class _IncrementalStore:
         else:
             rows.write.mode("append").parquet(self._state_path())
 
+    def _merge_state(self, rows: DataFrame, ids: DataFrame) -> None:
+        """Keyed MERGE (delete-matched + insert) of a batch's state
+        rows: every existing state row whose ``id`` appears in the
+        batch is deleted, then the batch's rows land — the maintenance
+        story append-only commits lack (re-committing a corrected
+        batch would otherwise leave STALE rows that screens keep
+        matching until a full rebuild). On an empty store this is
+        exactly a commit.
+
+        Cost contract: a merge REWRITES the whole state (read → anti-
+        join on the batch's ids → write to a fresh epoch → atomic
+        pointer swap). That is the honest price of MERGE on plain
+        parquet — this is the occasional-correction path, not the
+        ingest path; a deployment merging constantly wants a
+        transactional table format (Delta/Iceberg) whose MERGE
+        rewrites only matched files.
+
+        ``ids`` is the batch's id frame (one ``id`` column). It must
+        come from the BATCH, not from the derived state rows: a row
+        corrected to produce no state (empty text, NULL fingerprint)
+        still has to clear its stale rows."""
+        cur = self.state()
+        if cur is None:
+            self._append_state(rows)
+            return
+        keep = cur.join(ids.select("id").distinct(), "id", "left_anti")
+        self._rewrite_state(keep.unionByName(rows.select(*cur.columns)))
+
+    def compact(self) -> None:
+        """Rewrite the state as ONE de-duplicated epoch: collapses
+        rows duplicated by replayed commits (screens were already
+        correct — the candidate join de-dups pairs — but the state
+        paid for the copies every screen) and merges the per-commit
+        small files a long append history accumulates. No-op before
+        the first commit."""
+        cur = self.state()
+        if cur is None:
+            return
+        self._rewrite_state(cur.distinct())
+
+    def _rewrite_state(self, merged: DataFrame) -> None:
+        """Replace the state with ``merged``, atomically for readers.
+
+        Bucketed-table mode: stage to a temp parquet path first (Spark
+        refuses to overwrite a table it is reading), then overwrite
+        the table under the same bucketing and re-stamp the identity
+        property (overwrite drops table properties). Plain-parquet
+        mode: write a FRESH ``state-<id>`` directory and retarget the
+        ``_current`` pointer via tmp-file + os.replace — readers see
+        the old state until the pointer flips, never a half-written
+        directory; requires a local/``file:`` path (a remote object
+        store has no atomic rename — that deployment wants the
+        bucketed-table mode or a transactional table format). The old
+        epoch directory is deleted right after the swap: a query
+        ALREADY EXECUTING against it can fail mid-job (there is no
+        retention window on plain parquet — schedule merges when no
+        screen is in flight; Delta/Iceberg's vacuum-with-retention is
+        the upgrade path)."""
+        if self.bucketed_table:
+            import shutil
+            import tempfile
+
+            tmpdir = tempfile.mkdtemp(prefix="store_merge_")
+            try:
+                staged_path = os.path.join(tmpdir, "staged")
+                merged.write.parquet(staged_path)
+                staged = self.spark.read.parquet(staged_path)
+                (staged.write.bucketBy(self.n_buckets, self._BUCKET_COL)
+                 .sortBy(self._BUCKET_COL).mode("overwrite")
+                 .format("parquet").saveAsTable(self.bucketed_table))
+            finally:
+                shutil.rmtree(tmpdir, ignore_errors=True)
+            self._stamp_table_meta()
+            return
+        root = self._local_root()
+        if root is None:
+            raise NotImplementedError(
+                "upsert/compact on a plain-parquet store require a "
+                "local path in this build: a remote object-store "
+                "rewrite needs an atomic swap (use bucketed_table mode "
+                "on a metastore, or a transactional table format like "
+                "Delta/Iceberg)")
+        import shutil
+        import uuid
+
+        new_name = f"state-{uuid.uuid4().hex[:12]}"
+        merged.write.parquet(os.path.join(self.path, new_name))
+        old = self._active_state_name()
+        self._set_active_state_name(new_name)
+        if old != new_name:
+            shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
     def state(self) -> "DataFrame | None":
         """The accumulated state table, or None before the first
         commit (screening an empty store legitimately finds nothing)."""
@@ -370,6 +493,15 @@ class MinHashStore(_IncrementalStore):
         """Append the batch's banded signatures to the state (see
         ``_IncrementalStore._append_state`` for replay semantics)."""
         self._append_state(self._signatures(docs, id_col, text_col))
+
+    def upsert(self, docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> None:
+        """MERGE the batch by document id: committed signature rows
+        for these ids are deleted and replaced by the batch's — the
+        corrected-batch maintenance path (see
+        ``_IncrementalStore._merge_state`` for the rewrite contract)."""
+        self._merge_state(self._signatures(docs, id_col, text_col),
+                          docs.select(F.col(id_col).alias("id")))
 
     def screen(self, docs: DataFrame, *, id_col: str = "doc_id",
                text_col: str = "text",
@@ -494,6 +626,14 @@ class EmbeddingStore(_IncrementalStore):
         """Append the batch's (bucket_key, fp16 code) rows to the state
         (see ``_IncrementalStore._append_state`` for replay semantics)."""
         self._append_state(self._bucket_code_rows(vecs, id_col, vec_col))
+
+    def upsert(self, vecs: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+        """MERGE the batch by vector id: committed bucket/code rows for
+        these ids are deleted and replaced by the batch's (see
+        ``_IncrementalStore._merge_state`` for the rewrite contract)."""
+        self._merge_state(self._bucket_code_rows(vecs, id_col, vec_col),
+                          vecs.select(F.col(id_col).alias("id")))
 
     def screen(self, vecs: DataFrame, *, id_col: str = "vec_id",
                vec_col: str = "embedding",
@@ -625,6 +765,14 @@ class FingerprintStore(_IncrementalStore):
         """Append the batch's banded fingerprint rows to the state (see
         ``_IncrementalStore._append_state`` for replay semantics)."""
         self._append_state(self._band_rows(fps, id_col, fp_col))
+
+    def upsert(self, fps: DataFrame, *, id_col: str = "id",
+               fp_col: str = "fp") -> None:
+        """MERGE the batch by fingerprint id: committed band rows for
+        these ids are deleted and replaced by the batch's (see
+        ``_IncrementalStore._merge_state`` for the rewrite contract)."""
+        self._merge_state(self._band_rows(fps, id_col, fp_col),
+                          fps.select(F.col(id_col).alias("id")))
 
     def screen(self, fps: DataFrame, *, id_col: str = "id",
                fp_col: str = "fp",

@@ -1212,7 +1212,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc_rows, "leg string, id_a long, id_b long, jaccard double") \
         if inc_rows else spark.createDataFrame(
         [], "leg string, id_a long, id_b long, jaccard double")
-    return pairs.unionByName(inc)
+
+    # tag-union leg (round 10): the MERGE/upsert maintenance arc —
+    # commit a corpus with planted WRONG vintages (every doc_id%10==0
+    # even carries its odd neighbor's text), upsert the corrected
+    # batch (delete-matched + insert), compact, screen. The expected
+    # hits are EXACTLY the 'incremental' leg's (post-merge state ==
+    # the true even corpus), so the oracle twin is a one-line
+    # duplicate — but a broken merge fails LOUDLY: a surviving stale
+    # row k is its odd neighbor's signature, so screening odd k+1
+    # yields a guaranteed extra (k+1, k, est=1.0) hit the oracle
+    # doesn't expect.
+    up_rows = _upsert_arc_rows(spark, sf_dir)
+    up = spark.createDataFrame(
+        up_rows, "leg string, id_a long, id_b long, jaccard double") \
+        if up_rows else spark.createDataFrame(
+        [], "leg string, id_a long, id_b long, jaccard double")
+    return pairs.unionByName(inc).unionByName(up)
 
 
 def _incremental_arc_rows(spark: SparkSession, sf_dir: str,
@@ -1245,6 +1261,59 @@ def _incremental_arc_rows(spark: SparkSession, sf_dir: str,
             F.round("est_jaccard", 4).alias("jaccard")).collect()
     _INC_LEG_CACHE[sf_dir] = inc_rows
     return inc_rows
+
+
+#: memo for the upsert arc — same discipline as _INC_LEG_CACHE
+_UPSERT_LEG_CACHE: dict[str, list] = {}
+
+
+def _upsert_arc_rows(spark: SparkSession, sf_dir: str,
+                     use_memo: bool = True) -> list:
+    """The MinHashStore MERGE arc: commit the even half with PLANTED
+    WRONG vintages (doc_id % 10 == 0 evens carry their odd neighbor's
+    text), ``upsert`` the corrected batch, ``compact``, then screen the
+    odd half at est ≥ 0.5. Post-merge state equals the true even
+    corpus, so the expected hits are the 'incremental' leg's — while a
+    merge that leaves stale rows produces guaranteed extra est=1.0
+    hits (the stale signature IS an odd document's), and a compact
+    that loses rows drops expected hits. All three stores share this
+    one _merge_state/_rewrite_state code path; the other two are
+    parity-pinned in tests/test_incremental_merge.py."""
+    import tempfile
+
+    from faisssearcher_spark.operators.incremental import MinHashStore
+
+    if use_memo and sf_dir in _UPSERT_LEG_CACHE:
+        return _UPSERT_LEG_CACHE[sf_dir]
+    docs = load_table(spark, sf_dir, "documents")
+    capped = docs.filter(F.col("doc_id") < INC_CAP).select("doc_id", "text")
+    evens = capped.filter(F.col("doc_id") % 2 == 0)
+    odds = capped.filter(F.col("doc_id") % 2 == 1)
+    # planted wrong vintage: doc_id%10==0 evens carry doc_id+1's text
+    nxt = capped.select((F.col("doc_id") - 1).alias("doc_id"),
+                        F.col("text").alias("__next"))
+    planted = (evens.join(nxt, "doc_id", "left")
+               .withColumn("text",
+                           F.when((F.col("doc_id") % 10 == 0)
+                                  & F.col("__next").isNotNull(),
+                                  F.col("__next"))
+                           .otherwise(F.col("text")))
+               .drop("__next"))
+    corrected = evens.filter(F.col("doc_id") % 10 == 0)
+    with tempfile.TemporaryDirectory(prefix="mhstore_upsert_") as tmp:
+        store = MinHashStore(spark, tmp, num_hashes=16, bands=4,
+                             shingle_n=3)
+        store.commit(planted)
+        store.upsert(corrected)
+        store.compact()
+        hits = store.screen(odds, threshold=0.5)
+        up_rows = hits.select(
+            F.lit("upsert").alias("leg"),
+            F.col("new_id").alias("id_a"),
+            F.col("known_id").alias("id_b"),
+            F.round("est_jaccard", 4).alias("jaccard")).collect()
+    _UPSERT_LEG_CACHE[sf_dir] = up_rows
+    return up_rows
 
 
 def _oracle_minhash_sig() -> str:
@@ -1316,6 +1385,12 @@ SELECT 'pairs' AS leg, id_a, id_b, round(jaccard, 4) AS jaccard
 FROM verified WHERE jaccard >= 0.3
 UNION ALL
 SELECT 'incremental', new_id, known_id, round(est, 4)
+FROM inc WHERE est >= 0.5
+UNION ALL
+-- the MERGE/upsert arc: post-merge state == the true even corpus, so
+-- the expected hits are the incremental leg's exactly; stale rows
+-- surviving a broken merge would add est=1.0 hits this set lacks
+SELECT 'upsert', new_id, known_id, round(est, 4)
 FROM inc WHERE est >= 0.5
 """
 
@@ -5868,6 +5943,20 @@ def q_dedup_incremental_screen(spark: SparkSession,
             else spark.createDataFrame([], schema))
 
 
+def q_dedup_upsert_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the MinHashStore MERGE arc under its own name (the
+    store-arc pricing discipline) — commit with planted wrong
+    vintages, keyed upsert (full-state rewrite + atomic pointer swap),
+    compact (second rewrite), screen; timed fresh on every invocation
+    (no memo). Prices the maintenance path the three stores share, so
+    the append-only dedup_incremental_screen number stays comparable
+    across rounds."""
+    rows = _upsert_arc_rows(spark, sf_dir, use_memo=False)
+    schema = "leg string, id_a long, id_b long, jaccard double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
 def q_dedup_fpstore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: the FingerprintStore commit→screen arc under its own
     name (the store-arc pricing discipline) — simhash pass, banded
@@ -5912,6 +6001,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     "retrieval_eval": q_retrieval_eval,
     "dedup_incremental_screen": q_dedup_incremental_screen,
+    "dedup_upsert_screen": q_dedup_upsert_screen,
     "dedup_estore_screen": q_dedup_estore_screen,
     "dedup_fpstore_screen": q_dedup_fpstore_screen,
     "knn_blocked_cos_top5": q_knn_blocked_cos_top5,

@@ -1,0 +1,208 @@
+"""MERGE/upsert + compaction on the three incremental stores
+(operators/incremental.py:_merge_state/_rewrite_state — one shared
+code path): stale vintages are deleted and replaced, compaction
+collapses replayed duplicates without changing screen results, the
+pointer swap is visible to fresh instances, and the bucketed-table
+mode rewrites under the same bucketing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.incremental import (EmbeddingStore,
+                                                       FingerprintStore,
+                                                       MinHashStore)
+
+BASE = ("the quick brown fox jumps over the lazy dog near the river "
+        "bank at dawn while birds sing softly and the cold morning "
+        "mist drifts slowly across the quiet water meadow toward the "
+        "old stone bridge")
+OTHER = ("spark shuffles hash partitions across the cluster under "
+         "adaptive query execution with columnar parquet readers and "
+         "vectorized expression evaluation in every single stage today")
+
+
+def _mh(spark, path, **kw):
+    return MinHashStore(spark, path, num_hashes=16, bands=4,
+                        shingle_n=3, **kw)
+
+
+class TestMinHashUpsert:
+    def test_upsert_replaces_stale_vintage(self, spark, tmp_path):
+        store = _mh(spark, str(tmp_path / "s"))
+        # WRONG vintage: doc 0 committed with OTHER's text
+        store.commit(spark.createDataFrame([(0, OTHER)],
+                                           "doc_id long, text string"))
+        store.upsert(spark.createDataFrame([(0, BASE)],
+                                           "doc_id long, text string"))
+        probe_other = spark.createDataFrame([(100, OTHER)],
+                                            "doc_id long, text string")
+        probe_base = spark.createDataFrame([(101, BASE)],
+                                           "doc_id long, text string")
+        # the stale vintage is GONE ...
+        assert store.screen(probe_other, threshold=0.5).count() == 0
+        # ... and the corrected one answers
+        hits = store.screen(probe_base, threshold=0.5).collect()
+        assert [(r["new_id"], r["known_id"], r["est_jaccard"])
+                for r in hits] == [(101, 0, 1.0)]
+
+    def test_upsert_on_empty_store_is_commit(self, spark, tmp_path):
+        a = _mh(spark, str(tmp_path / "a"))
+        b = _mh(spark, str(tmp_path / "b"))
+        batch = spark.createDataFrame([(0, BASE), (1, OTHER)],
+                                      "doc_id long, text string")
+        a.commit(batch)
+        b.upsert(batch)
+        probe = spark.createDataFrame([(9, BASE)],
+                                      "doc_id long, text string")
+        assert sorted(map(tuple, a.screen(probe, threshold=0.5)
+                          .collect())) == \
+            sorted(map(tuple, b.screen(probe, threshold=0.5).collect()))
+
+    def test_upsert_untouched_ids_survive(self, spark, tmp_path):
+        store = _mh(spark, str(tmp_path / "s"))
+        store.commit(spark.createDataFrame([(0, BASE), (1, OTHER)],
+                                           "doc_id long, text string"))
+        store.upsert(spark.createDataFrame(
+            [(0, "totally new corrected body of text entirely")],
+            "doc_id long, text string"))
+        probe = spark.createDataFrame([(9, OTHER)],
+                                      "doc_id long, text string")
+        hits = store.screen(probe, threshold=0.5).collect()
+        assert [(r["new_id"], r["known_id"]) for r in hits] == [(9, 1)]
+
+    def test_compact_collapses_replays_screen_identical(self, spark,
+                                                        tmp_path):
+        """Replayed commits duplicate state rows; compact() removes
+        them and the screen result is row-identical to a single-commit
+        store's."""
+        once = _mh(spark, str(tmp_path / "once"))
+        twice = _mh(spark, str(tmp_path / "twice"))
+        batch = spark.createDataFrame([(0, BASE), (1, OTHER)],
+                                      "doc_id long, text string")
+        once.commit(batch)
+        twice.commit(batch)
+        twice.commit(batch)          # replay
+        n_dup = twice.state().count()
+        twice.compact()
+        assert twice.state().count() == n_dup // 2 == once.state().count()
+        probe = spark.createDataFrame([(9, BASE)],
+                                      "doc_id long, text string")
+        assert sorted(map(tuple, once.screen(probe, threshold=0.5)
+                          .collect())) == \
+            sorted(map(tuple, twice.screen(probe, threshold=0.5)
+                       .collect()))
+
+    def test_pointer_swap_visible_to_fresh_instance(self, spark,
+                                                    tmp_path):
+        path = str(tmp_path / "s")
+        store = _mh(spark, path)
+        store.commit(spark.createDataFrame([(0, OTHER)],
+                                           "doc_id long, text string"))
+        store.upsert(spark.createDataFrame([(0, BASE)],
+                                           "doc_id long, text string"))
+        reopened = _mh(spark, path)
+        probe = spark.createDataFrame([(9, BASE)],
+                                      "doc_id long, text string")
+        hits = reopened.screen(probe, threshold=0.5).collect()
+        assert [(r["new_id"], r["known_id"]) for r in hits] == [(9, 0)]
+        # and a later append lands in the ACTIVE (post-swap) directory
+        reopened.commit(spark.createDataFrame([(1, OTHER)],
+                                              "doc_id long, text string"))
+        probe2 = spark.createDataFrame([(8, OTHER)],
+                                       "doc_id long, text string")
+        assert _mh(spark, path).screen(probe2, threshold=0.5).count() == 1
+
+    def test_upsert_to_empty_text_clears_state(self, spark, tmp_path):
+        """A row corrected to produce NO state rows still clears its
+        stale rows — the delete-key set comes from the batch."""
+        store = _mh(spark, str(tmp_path / "s"))
+        store.commit(spark.createDataFrame([(0, BASE)],
+                                           "doc_id long, text string"))
+        store.upsert(spark.createDataFrame([(0, "")],
+                                           "doc_id long, text string"))
+        probe = spark.createDataFrame([(9, BASE)],
+                                      "doc_id long, text string")
+        assert store.screen(probe, threshold=0.5).count() == 0
+
+    def test_bucketed_mode_upsert(self, spark, tmp_path):
+        store = _mh(spark, str(tmp_path / "b"),
+                    bucketed_table="t_mh_merge_test", n_buckets=8)
+        try:
+            store.commit(spark.createDataFrame(
+                [(0, OTHER)], "doc_id long, text string"))
+            store.upsert(spark.createDataFrame(
+                [(0, BASE)], "doc_id long, text string"))
+            probe = spark.createDataFrame([(9, BASE)],
+                                          "doc_id long, text string")
+            hits = store.screen(probe, threshold=0.5).collect()
+            assert [(r["new_id"], r["known_id"]) for r in hits] == [(9, 0)]
+            probe_o = spark.createDataFrame([(8, OTHER)],
+                                            "doc_id long, text string")
+            assert store.screen(probe_o, threshold=0.5).count() == 0
+            # overwrite preserved the bucketed layout + identity stamp
+            plan = store.screen(probe, threshold=0.5)._jdf \
+                .queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert store._read_table_meta() == store._meta_dict()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mh_merge_test")
+
+
+class TestEmbeddingUpsert:
+    def test_upsert_and_compact_parity(self, spark, tmp_path):
+        dim = 8
+        v = [1.0] + [0.0] * (dim - 1)
+        w = [0.0] * (dim - 1) + [1.0]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        store = EmbeddingStore(spark, str(tmp_path / "e"), dim=dim,
+                               tables=2, bits=2)
+        store.commit(mk([(0, w)]))           # wrong vintage
+        store.upsert(mk([(0, v)]))
+        hits = store.screen(mk([(9, v)]), threshold=0.9).collect()
+        assert [(r["new_id"], r["known_id"]) for r in hits] == [(9, 0)]
+        assert store.screen(mk([(8, w)]), threshold=0.9).count() == 0
+        store.commit(mk([(1, w)]))
+        store.commit(mk([(1, w)]))           # replay
+        before = sorted(map(tuple, store.screen(mk([(8, w)]),
+                                                threshold=0.9).collect()))
+        n = store.state().count()
+        store.compact()
+        assert store.state().count() < n
+        after = sorted(map(tuple, store.screen(mk([(8, w)]),
+                                               threshold=0.9).collect()))
+        assert before == after and after
+
+
+class TestFingerprintUpsert:
+    def test_upsert_and_compact_parity(self, spark, tmp_path):
+        mk = lambda rows: spark.createDataFrame(rows, "id long, fp long")
+        store = FingerprintStore(spark, str(tmp_path / "f"), bits=32,
+                                 max_hamming=3)
+        store.commit(mk([(0, 0xDEADBEEF)]))      # wrong vintage
+        store.upsert(mk([(0, 0x12345678)]))
+        hits = store.screen(mk([(9, 0x12345678)])).collect()
+        assert [(r["new_id"], r["known_id"], r["hamming"])
+                for r in hits] == [(9, 0, 0)]
+        assert store.screen(mk([(8, 0xDEADBEEF)])).count() == 0
+        store.commit(mk([(1, 0xCAFEBABE)]))
+        store.commit(mk([(1, 0xCAFEBABE)]))      # replay
+        before = sorted(map(tuple,
+                            store.screen(mk([(7, 0xCAFEBABE)])).collect()))
+        n = store.state().count()
+        store.compact()
+        assert store.state().count() < n
+        after = sorted(map(tuple,
+                           store.screen(mk([(7, 0xCAFEBABE)])).collect()))
+        assert before == after and after
+
+    def test_upsert_with_null_fp_clears_state(self, spark, tmp_path):
+        store = FingerprintStore(spark, str(tmp_path / "f"), bits=32,
+                                 max_hamming=3)
+        store.commit(spark.createDataFrame([(0, 0x12345678)],
+                                           "id long, fp long"))
+        store.upsert(spark.createDataFrame([(0, None)],
+                                           "id long, fp long"))
+        assert store.screen(spark.createDataFrame(
+            [(9, 0x12345678)], "id long, fp long")).count() == 0
