@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_token_frequency",
     "dedup_bloom_screen",
     "dedup_span_removal",
+    "dedup_exsub_removal",
     "dedup_semantic",
     "sample_dsir",
     "ann_pq_topk",

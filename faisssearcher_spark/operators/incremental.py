@@ -178,11 +178,16 @@ class _IncrementalStore:
 
     def _local_root(self) -> "str | None":
         """Local filesystem root of ``path`` (bare or ``file:`` paths),
-        or None for remote schemes (hdfs://, s3a://, ...)."""
+        or None for remote schemes (hdfs://, s3a://, ...). A bare path
+        is ASSUMED driver-local (true in local/client deployments
+        where fs.defaultFS is file://); _rewrite_state re-verifies the
+        assumption after its Spark write and fails loudly on a remote
+        defaultFS rather than split-braining the pointer. One-char
+        'schemes' are Windows drive letters, not schemes."""
         from urllib.parse import urlparse
 
         parsed = urlparse(self.path)
-        if parsed.scheme == "":
+        if len(parsed.scheme) <= 1:
             return self.path
         if parsed.scheme == "file":
             return parsed.path
@@ -398,19 +403,26 @@ class _IncrementalStore:
         screen is in flight; Delta/Iceberg's vacuum-with-retention is
         the upgrade path)."""
         if self.bucketed_table:
-            import shutil
-            import tempfile
+            import uuid
 
-            tmpdir = tempfile.mkdtemp(prefix="store_merge_")
+            # stage UNDER the store's own path so the staged copy
+            # lives on whatever filesystem Spark resolves self.path to
+            # (a driver-local tempfile here would leak a state-sized
+            # dir on a cluster whose defaultFS is remote, and on a
+            # multi-node file:// cluster each executor would write its
+            # own machine's /tmp — review catch); dot-prefixed so
+            # state()/meta dataset discovery never sees it, cleaned up
+            # through the Hadoop FileSystem API (scheme-aware)
+            staged_path = os.path.join(
+                self.path, f".staging-{uuid.uuid4().hex[:12]}")
             try:
-                staged_path = os.path.join(tmpdir, "staged")
                 merged.write.parquet(staged_path)
                 staged = self.spark.read.parquet(staged_path)
                 (staged.write.bucketBy(self.n_buckets, self._BUCKET_COL)
                  .sortBy(self._BUCKET_COL).mode("overwrite")
                  .format("parquet").saveAsTable(self.bucketed_table))
             finally:
-                shutil.rmtree(tmpdir, ignore_errors=True)
+                self._hadoop_delete(staged_path)
             self._stamp_table_meta()
             return
         root = self._local_root()
@@ -426,10 +438,32 @@ class _IncrementalStore:
 
         new_name = f"state-{uuid.uuid4().hex[:12]}"
         merged.write.parquet(os.path.join(self.path, new_name))
+        if not os.path.isdir(os.path.join(root, new_name)):
+            # Spark resolved the scheme-less path against a NON-local
+            # fs.defaultFS: the driver-local pointer file would be
+            # invisible to other sessions while the epochs live
+            # remotely — a silent split-brain (review catch). Undo the
+            # epoch write and refuse loudly.
+            self._hadoop_delete(os.path.join(self.path, new_name))
+            raise NotImplementedError(
+                f"store path {self.path!r} resolves to a non-local "
+                "filesystem (fs.defaultFS is remote): the plain-parquet "
+                "pointer swap needs a driver-visible local path — pass "
+                "an explicit file:// URI, or use bucketed_table mode / "
+                "a transactional table format for cluster deployments")
         old = self._active_state_name()
         self._set_active_state_name(new_name)
         if old != new_name:
             shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
+    def _hadoop_delete(self, path_str: str) -> None:
+        """Scheme-aware recursive delete through the Hadoop FileSystem
+        API — resolves ``path_str`` exactly as Spark's writers do, so
+        cleanup hits the same filesystem the data landed on."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        hpath.getFileSystem(conf).delete(hpath, True)
 
     def state(self) -> "DataFrame | None":
         """The accumulated state table, or None before the first

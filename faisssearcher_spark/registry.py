@@ -1207,11 +1207,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dedup_incremental_screen, ordered before this query in bench.py)
     # so this flagship gate's cold number prices only its declarative
     # legs (r6 verdict #7)
-    inc_rows = _incremental_arc_rows(spark, sf_dir)
-    inc = spark.createDataFrame(
-        inc_rows, "leg string, id_a long, id_b long, jaccard double") \
-        if inc_rows else spark.createDataFrame(
-        [], "leg string, id_a long, id_b long, jaccard double")
+    inc = _mh_leg_df(spark, _incremental_arc_rows(spark, sf_dir))
 
     # tag-union leg (round 10): the MERGE/upsert maintenance arc —
     # commit a corpus with planted WRONG vintages (every doc_id%10==0
@@ -1223,12 +1219,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row k is its odd neighbor's signature, so screening odd k+1
     # yields a guaranteed extra (k+1, k, est=1.0) hit the oracle
     # doesn't expect.
-    up_rows = _upsert_arc_rows(spark, sf_dir)
-    up = spark.createDataFrame(
-        up_rows, "leg string, id_a long, id_b long, jaccard double") \
-        if up_rows else spark.createDataFrame(
-        [], "leg string, id_a long, id_b long, jaccard double")
+    up = _mh_leg_df(spark, _upsert_arc_rows(spark, sf_dir))
     return pairs.unionByName(inc).unionByName(up)
+
+
+#: the MinHash-arc legs' row schema — single-sourced for the four
+#: construction sites (review catch: the idiom was copy-pasted)
+_MH_LEG_SCHEMA = "leg string, id_a long, id_b long, jaccard double"
+
+
+def _mh_leg_df(spark: SparkSession, rows: list) -> DataFrame:
+    """Driver rows → a leg frame (empty-safe) under _MH_LEG_SCHEMA."""
+    return (spark.createDataFrame(rows, _MH_LEG_SCHEMA) if rows
+            else spark.createDataFrame([], _MH_LEG_SCHEMA))
 
 
 def _incremental_arc_rows(spark: SparkSession, sf_dir: str,
@@ -5918,6 +5921,17 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, n=10)
 
 
+def q_dedup_exsub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: arbitrary-length ExactSubstr removal (keep='none')
+    over 10-token minimum matches (the text_fingerprints gate carries
+    the hash-checked twin at min_len=8; this times the full operator —
+    window agg + recovery join + gaps-and-islands merge + rebuild —
+    standalone)."""
+    from faisssearcher_spark.operators.dedup import remove_exact_substrings
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_exact_substrings(docs, min_len=10)
+
+
 def q_dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Bloom incremental-ingest screen on the FAST path
     (xxhash64): fit on the src1 keys (eager — includes the bitmap
@@ -5937,10 +5951,8 @@ def q_dedup_incremental_screen(spark: SparkSession,
     every invocation (no memo). Ordered before dedup_minhash_lsh in
     BENCH_QUERIES, so that gate's cold number prices only its
     declarative legs while the arc's real cost stays visible here."""
-    rows = _incremental_arc_rows(spark, sf_dir, use_memo=False)
-    schema = "leg string, id_a long, id_b long, jaccard double"
-    return (spark.createDataFrame(rows, schema) if rows
-            else spark.createDataFrame([], schema))
+    return _mh_leg_df(spark,
+                      _incremental_arc_rows(spark, sf_dir, use_memo=False))
 
 
 def q_dedup_upsert_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5951,10 +5963,8 @@ def q_dedup_upsert_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no memo). Prices the maintenance path the three stores share, so
     the append-only dedup_incremental_screen number stays comparable
     across rounds."""
-    rows = _upsert_arc_rows(spark, sf_dir, use_memo=False)
-    schema = "leg string, id_a long, id_b long, jaccard double"
-    return (spark.createDataFrame(rows, schema) if rows
-            else spark.createDataFrame([], schema))
+    return _mh_leg_df(spark,
+                      _upsert_arc_rows(spark, sf_dir, use_memo=False))
 
 
 def q_dedup_fpstore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6021,6 +6031,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_frequency": q_text_token_frequency,
     "dedup_bloom_screen": q_dedup_bloom_screen,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_exsub_removal": q_dedup_exsub_removal,
     "dedup_semantic": q_dedup_semantic,
     "sample_dsir": q_sample_dsir,
     "ann_nsw_topk": q_ann_nsw_topk,

@@ -145,6 +145,28 @@ class TestMinHashUpsert:
                 .queryExecution().executedPlan().toString()
             assert "Bucketed: true" in plan
             assert store._read_table_meta() == store._meta_dict()
+            # bucketed COMPACT: replay a commit, compact, screen rows
+            # identical, layout + stamp survive the second overwrite
+            store.commit(spark.createDataFrame(
+                [(1, OTHER)], "doc_id long, text string"))
+            store.commit(spark.createDataFrame(
+                [(1, OTHER)], "doc_id long, text string"))
+            probe_o2 = spark.createDataFrame([(7, OTHER)],
+                                             "doc_id long, text string")
+            before = sorted(map(tuple, store.screen(probe_o2,
+                                                    threshold=0.5)
+                                .collect()))
+            n = store.state().count()
+            store.compact()
+            assert store.state().count() < n
+            after = sorted(map(tuple, store.screen(probe_o2,
+                                                   threshold=0.5)
+                               .collect()))
+            assert before == after and after
+            plan = store.screen(probe_o2, threshold=0.5)._jdf \
+                .queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert store._read_table_meta() == store._meta_dict()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_merge_test")
 

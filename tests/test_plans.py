@@ -242,6 +242,28 @@ class TestSpanRemovalPlan:
         assert "BroadcastHashJoin" not in plan
 
 
+class TestExactSubstrPlan:
+    def test_merge_and_rebuild_stay_jvm_side(self, documents):
+        """remove_exact_substrings shares the span-removal join
+        discipline (window-text recovery + anti + rebuild joins all
+        shuffle_hash — every input descends from the tiny pre-explode
+        estimate) and adds the gaps-and-islands interval merge: ONE
+        per-document window sort over duplicated starts only (a
+        running-sum Window, no rank limit to push), still pure
+        Catalyst with no pair blowup."""
+        from faisssearcher_spark.operators.dedup import \
+            remove_exact_substrings
+
+        plan = inspect.executed_plan(
+            remove_exact_substrings(documents, min_len=5))
+        assert "ShuffledHashJoin" in plan
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" not in plan
+
+
 class TestBoilerplatePlan:
     def test_strip_is_shuffled_hash_never_python(self, documents):
         """remove_boilerplate shares remove_duplicate_spans' join

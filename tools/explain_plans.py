@@ -55,6 +55,19 @@ AUDITS = {
         ("ArrowEvalPython", False,
          "pure Catalyst: windowing, marking, and rebuild never leave the JVM"),
     ],
+    "dedup_exsub_removal": [
+        ("ShuffledHashJoin", True,
+         "window-text recovery, anti and rebuild joins pinned "
+         "shuffle_hash — every input descends from the tiny pre-explode "
+         "scan, so static estimates would broadcast billion-window sides"),
+        ("Window", True,
+         "the gaps-and-islands interval merge: ONE per-document "
+         "running-sum window over duplicated starts only"),
+        ("CartesianProduct", False,
+         "windows meet only through the window-text equi-join"),
+        ("ArrowEvalPython", False,
+         "arbitrary-length ExactSubstr coverage is pure Catalyst"),
+    ],
     "ann_pq_topk": [
         ("MapInPandas", True,
          "ADC scoring is one numpy LUT-gather per Arrow batch over the "
