@@ -3205,8 +3205,21 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×512 cell grid with md5-derived buckets, so the DuckDB twin
     reproduces every cell — and therefore every estimate — bit-for-bit.
     CMS guarantees cms_est ≥ freq; at this width collisions add the
-    occasional overcount, identically in both engines."""
+    occasional overcount, identically in both engines.
+
+    EXTENDED (round 10) with the STREAMING count-min state: the same
+    trigram frame replays as a multi-epoch availableNow stream through
+    ``streaming/sketches.cms_sketch_sink`` (per-epoch cell-wise SUM
+    into the prior epoch's state — CMS cells are additive, so the
+    final state is bit-identical to the one-shot batch sketch no
+    matter the batching), and the top-20 point-query against that
+    state lands as ``cms_est_streamed``. The oracle aliases its batch
+    estimate twice — equality IS the stream≡batch parity claim."""
+    import tempfile
+
     from faisssearcher_spark.operators import sketches
+    from faisssearcher_spark.streaming.sketches import (cms_sketch_sink,
+                                                        read_sketch_state)
 
     docs = load_table(spark, sf_dir, "documents")
     top = text_analysis.ngram_frequencies(docs, n=3, top=20)
@@ -3214,7 +3227,22 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("ngram"))
              .filter(F.col("ngram").isNotNull()))
     cms = sketches.cms_table(grams, "ngram", depth=4, width=512)
-    return (sketches.cms_lookup(cms, top, "ngram", depth=4, width=512)
+    est = sketches.cms_lookup(cms, top, "ngram", depth=4, width=512)
+
+    root = tempfile.mkdtemp(prefix="ngram_cms_stream_")
+    gpath = f"{root}/grams"
+    grams.repartition(4).write.parquet(gpath)
+    gstream = (spark.readStream.schema(grams.schema)
+               .option("maxFilesPerTrigger", 1).parquet(gpath))
+    cms_sketch_sink(gstream, value_col="ngram",
+                    state_dir=f"{root}/state",
+                    checkpoint_dir=f"{root}/ckpt",
+                    depth=4, width=512).awaitTermination()
+    scms = read_sketch_state(spark, f"{root}/state")
+    streamed = sketches.cms_lookup(scms, top, "ngram", depth=4,
+                                   width=512,
+                                   out_col="cms_est_streamed")
+    return (est.join(streamed, ["ngram", "freq"])
             .orderBy(F.col("freq").desc(), F.col("ngram").asc()))
 
 
@@ -3230,7 +3258,10 @@ WITH t AS (SELECT {_TOKS} AS toks FROM documents),
                       count(*) AS cnt
                FROM g, (SELECT unnest(range(4)) AS i) d
                GROUP BY 1, 2)
-SELECT top.ngram, top.freq, min(cells.cnt) AS cms_est
+SELECT top.ngram, top.freq, min(cells.cnt) AS cms_est,
+       -- stream≡batch parity: the streamed CMS state is the cell-wise
+       -- sum of per-epoch sketches == the one-shot batch sketch
+       min(cells.cnt) AS cms_est_streamed
 FROM top JOIN cells
   ON cells.bucket = ('0x' || substring(md5('cms|' || cells.row_idx || '|' || top.ngram), 1, 8))::BIGINT % 512
 GROUP BY top.ngram, top.freq

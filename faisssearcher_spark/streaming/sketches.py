@@ -122,3 +122,62 @@ def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
     path = _epoch_path(state_dir, epochs[-1])
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
+
+
+def cms_sketch_sink(stream_df: DataFrame, *, value_col: str,
+                    state_dir: str, checkpoint_dir: str,
+                    depth: int = 4, width: int = 1024,
+                    salt: str = "cms",
+                    query_name: str = "cms_sketch_sink",
+                    available_now: bool = True) -> StreamingQuery:
+    """Maintain a count-min sketch under a stream — the frequency
+    (heavy-hitter) sibling of :func:`hll_sketch_sink`: HLL answers
+    "how many DISTINCT", CMS answers "how often is THIS one", both
+    from a fixed-size state table the raw stream never has to be
+    rescanned for.
+
+    Mergeability here is CELL ADDITIVITY: a CMS over a union of
+    streams is the cell-wise SUM of the per-stream sketches (counts
+    add; the bucket hash is content-only), so each epoch sums the
+    micro-batch's cell table (operators/sketches.cms_table — ≤
+    depth×width rows leave each partition no matter the batch size)
+    into the prior epoch's state and overwrites ``epoch=<N>``. The
+    final state is therefore bit-identical to ONE batch
+    ``cms_table`` over all delivered rows, regardless of arrival
+    order or batching — the exact stream≡batch parity the gate leg
+    hashes. Replay safety and batch-0 stale-state truncation follow
+    the hll sink's epoch discipline verbatim.
+
+    Query the state any time with :func:`read_sketch_state` +
+    ``operators.sketches.cms_lookup`` (same depth/width/salt).
+    """
+    from faisssearcher_spark.operators.sketches import cms_table
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id == 0:
+            fs, _ = _fs_path(spark, state_dir)
+            jpath = spark._jvm.org.apache.hadoop.fs.Path
+            for e in _epochs(spark, state_dir):
+                fs.delete(jpath(_epoch_path(state_dir, e)), True)
+        new = cms_table(batch_df, value_col, depth=depth, width=width,
+                        salt=salt)
+        prior = [e for e in _epochs(spark, state_dir) if e < batch_id]
+        if prior:
+            prev_path = _epoch_path(state_dir, prior[-1])
+            spark.catalog.refreshByPath(prev_path)
+            prev = spark.read.parquet(prev_path)
+            merged = (prev.unionByName(new)
+                      .groupBy("row_idx", "bucket")
+                      .agg(F.sum("cnt").alias("cnt")))
+        else:
+            merged = new
+        (merged.write.mode("overwrite")
+         .parquet(_epoch_path(state_dir, batch_id)))
+
+    writer = (stream_df.writeStream.foreachBatch(_merge)
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

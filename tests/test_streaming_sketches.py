@@ -107,3 +107,50 @@ class TestStaleStateTruncation:
                sketches.hll_rollup(read_sketch_state(spark, state),
                                    ["event_type"]).collect()}
         assert len(est) == 5 and all(v > 0 for v in est.values())
+
+
+class TestCmsSketchSink:
+    def _run_cms(self, spark, src, state, ckpt):
+        from faisssearcher_spark.streaming.sketches import cms_sketch_sink
+
+        stream = sev.read_events_stream(spark, src,
+                                        max_files_per_trigger=1)
+        cms_sketch_sink(stream, value_col="event_type",
+                        state_dir=state, checkpoint_dir=ckpt,
+                        depth=4, width=64).awaitTermination()
+
+    def test_streamed_cells_equal_batch_sketch(self, spark, sf_dir,
+                                               multi_file_events,
+                                               tmp_path_factory):
+        """Cell additivity: the multi-epoch streamed state must be
+        row-identical to one batch cms_table over all events —
+        regardless of batching, the stream≡batch parity the gate leg
+        hashes."""
+        import os
+
+        base = tmp_path_factory.mktemp("cms_state")
+        state, ckpt = str(base / "state"), str(base / "ckpt")
+        self._run_cms(spark, multi_file_events, state, ckpt)
+        epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+        assert len(epochs) >= 2      # genuinely incremental
+        streamed = sorted(map(tuple,
+                              read_sketch_state(spark, state).collect()))
+        batch = sorted(map(tuple, sketches.cms_table(
+            load_table(spark, sf_dir, "events"), "event_type",
+            depth=4, width=64).collect()))
+        assert streamed == batch and batch
+
+    def test_replay_converges(self, spark, multi_file_events,
+                              tmp_path_factory):
+        """Same input through two fresh checkpoints -> identical final
+        state (epoch overwrite + batch-0 truncation, the hll sink's
+        replay discipline)."""
+        base = tmp_path_factory.mktemp("cms_replay")
+        s1, c1 = str(base / "s1"), str(base / "c1")
+        self._run_cms(spark, multi_file_events, s1, c1)
+        first = sorted(map(tuple, read_sketch_state(spark, s1).collect()))
+        shutil.rmtree(c1)
+        self._run_cms(spark, multi_file_events, s1, c1)
+        second = sorted(map(tuple,
+                            read_sketch_state(spark, s1).collect()))
+        assert first == second
