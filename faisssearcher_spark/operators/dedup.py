@@ -1537,6 +1537,9 @@ def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if id_col in ("start", "end"):
+        raise ValueError(f"id_col {id_col!r} collides with an "
+                         "ExactSubstr output column; rename it first")
     _, wins = _token_windows(df, id_col=id_col, text_col=text_col,
                              n=min_len, tokens_col=tokens_col)
     marks = _exsub_marks(wins, id_col=id_col, keep=keep)
@@ -1547,7 +1550,8 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
                             text_col: str = "text", min_len: int = 50,
                             keep: str = "none",
                             drop_empty_docs: bool = False,
-                            tokens_col: str | None = None) -> DataFrame:
+                            tokens_col: str | None = None,
+                            spans: DataFrame | None = None) -> DataFrame:
     """Remove every token covered by an exact duplicated substring of
     length ≥ ``min_len`` (:func:`exact_substring_spans` — the Lee et
     al. 2022 ExactSubstr removal, exact at token granularity for
@@ -1564,7 +1568,16 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
     Scale shape: the interval merge happens BEFORE the position
     explode — disjoint merged intervals explode to exactly the covered
     positions, so no distinct is needed and the exploded row count is
-    the true removed-token count, not windows × min_len."""
+    the true removed-token count, not windows × min_len.
+
+    ``spans`` reuses a precomputed :func:`exact_substring_spans` frame
+    (the share-one-scan discipline, like ``tokens_col``): a caller
+    needing BOTH the interval report and the removal passes the spans
+    frame here so the two plans share one identical spans subtree —
+    Spark's exchange reuse then evaluates the heavy window-agg half
+    once per action instead of twice (review catch on the gate query).
+    The frame must come from the same corpus with the same ``min_len``
+    and ``keep``; mismatched spans silently mis-remove."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if id_col in ("start", "end", "pos", "n_tokens", "n_exsub_tokens"):
@@ -1572,8 +1585,9 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
                          "ExactSubstr output column; rename it first")
     toked, wins = _token_windows(df, id_col=id_col, text_col=text_col,
                                  n=min_len, tokens_col=tokens_col)
-    marks = _exsub_marks(wins, id_col=id_col, keep=keep)
-    spans = _merge_window_runs(marks, id_col=id_col, n=min_len)
+    if spans is None:
+        marks = _exsub_marks(wins, id_col=id_col, keep=keep)
+        spans = _merge_window_runs(marks, id_col=id_col, n=min_len)
     covered = spans.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("start"),

@@ -165,11 +165,20 @@ class _IncrementalStore:
                 "parameters or use a fresh table")
         if (bucketed_table and table_meta is None
                 and spark.catalog.tableExists(bucketed_table)):
-            raise ValueError(
-                f"bucketed table {bucketed_table!r} exists but carries "
-                f"no {self._META_PROP} property — it was not created by "
-                f"{type(self).__name__}; refusing to append "
-                "unverifiable state")
+            if existing is not None:
+                # crash recovery, not a foreign table: the PATH meta
+                # proves this store identity already committed here,
+                # and a rewrite's mode('overwrite') drops table
+                # properties — a crash between the overwrite and the
+                # re-stamp would otherwise brick the store behind the
+                # refusal below (review catch). Re-stamp and continue.
+                self._stamp_table_meta()
+            else:
+                raise ValueError(
+                    f"bucketed table {bucketed_table!r} exists but "
+                    f"carries no {self._META_PROP} property — it was "
+                    f"not created by {type(self).__name__}; refusing "
+                    "to append unverifiable state")
 
     # -- state layout ------------------------------------------------------
 
@@ -298,8 +307,14 @@ class _IncrementalStore:
             pq.write_table(
                 pa.table({"meta": [json.dumps(self._meta_dict())]}), tmp)
             os.replace(tmp, final)
+            # clear only files dataset discovery would SEE (not `.`/`_`
+            # prefixed): a concurrent writer's .meta-<pid>.tmp must
+            # survive until ITS os.replace, or we reintroduce the
+            # mid-write interference dropping rmtree fixed (review
+            # catch); invisible leftovers are harmless either way
             for name in os.listdir(p):
-                if name != "meta-0.parquet":
+                if name != "meta-0.parquet" and not name.startswith(
+                        (".", "_")):
                     try:
                         os.remove(os.path.join(p, name))
                     except OSError:
@@ -387,6 +402,11 @@ class _IncrementalStore:
     def _rewrite_state(self, merged: DataFrame) -> None:
         """Replace the state with ``merged``, atomically for readers.
 
+        Rewrites carry the same ensure-meta duty as appends: a store
+        whose meta was unreadable (warned as absent) and then only
+        ever merged/compacted would otherwise never restore the
+        parameter-identity validation (review catch).
+
         Bucketed-table mode: stage to a temp parquet path first (Spark
         refuses to overwrite a table it is reading), then overwrite
         the table under the same bucketing and re-stamp the identity
@@ -402,6 +422,9 @@ class _IncrementalStore:
         retention window on plain parquet — schedule merges when no
         screen is in flight; Delta/Iceberg's vacuum-with-retention is
         the upgrade path)."""
+        if not self._meta_present:
+            self._write_meta()
+            self._meta_present = True
         if self.bucketed_table:
             import uuid
 

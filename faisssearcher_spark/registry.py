@@ -2999,11 +2999,16 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.dedup import (
         exact_substring_spans, remove_exact_substrings)
 
-    exr = remove_exact_substrings(toked, min_len=8,
-                                  tokens_col="__toks").select(
+    exspans = exact_substring_spans(toked, min_len=8,
+                                    tokens_col="__toks")
+    # ONE spans subtree feeds both the interval stats and the removal
+    # (the spans= share-one-scan hook): the two legs' plans contain an
+    # identical spans fragment, so exchange reuse evaluates the heavy
+    # window-agg half once per action instead of twice
+    exr = remove_exact_substrings(toked, min_len=8, tokens_col="__toks",
+                                  spans=exspans).select(
         "doc_id", "n_exsub_tokens", F.md5("text").alias("exsub_clean_hash"))
-    exs = (exact_substring_spans(toked, min_len=8, tokens_col="__toks")
-           .groupBy("doc_id")
+    exs = (exspans.groupBy("doc_id")
            .agg(F.count("*").cast("int").alias("n_exsub_spans"),
                 F.max(F.col("end") - F.col("start")).cast("int")
                  .alias("exsub_max_len")))
@@ -3214,12 +3219,12 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state is bit-identical to the one-shot batch sketch no
     matter the batching), and the top-20 point-query against that
     state lands as ``cms_est_streamed``. The oracle aliases its batch
-    estimate twice — equality IS the stream≡batch parity claim."""
-    import tempfile
-
+    estimate twice — equality IS the stream≡batch parity claim. The
+    eager stream run is memoized per corpus per session (the
+    _INC_LEG_CACHE discipline) and priced FRESH under its own bench
+    entry (text_cms_stream, ordered before this query in bench.py)."""
     from faisssearcher_spark.operators import sketches
-    from faisssearcher_spark.streaming.sketches import (cms_sketch_sink,
-                                                        read_sketch_state)
+    from faisssearcher_spark.streaming.sketches import read_sketch_state
 
     docs = load_table(spark, sf_dir, "documents")
     top = text_analysis.ngram_frequencies(docs, n=3, top=20)
@@ -3229,6 +3234,34 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = sketches.cms_table(grams, "ngram", depth=4, width=512)
     est = sketches.cms_lookup(cms, top, "ngram", depth=4, width=512)
 
+    scms = read_sketch_state(spark,
+                             _cms_stream_state(spark, sf_dir, grams))
+    streamed = sketches.cms_lookup(scms, top, "ngram", depth=4,
+                                   width=512,
+                                   out_col="cms_est_streamed")
+    return (est.join(streamed, ["ngram", "freq"])
+            .orderBy(F.col("freq").desc(), F.col("ngram").asc()))
+
+
+#: memo of the streamed-CMS state dir by sf_dir — the _INC_LEG_CACHE
+#: discipline: the eager multi-epoch stream runs once per corpus per
+#: session; the bench entry re-runs it fresh
+_CMS_STREAM_CACHE: dict[str, str] = {}
+
+
+def _cms_stream_state(spark: SparkSession, sf_dir: str,
+                      grams: DataFrame,
+                      use_memo: bool = True) -> str:
+    """Replay ``grams`` as a 4-file availableNow stream through the
+    count-min sink and return the state directory (memoized per
+    corpus per session unless ``use_memo=False`` — the fresh-timing
+    path for the bench entry)."""
+    import tempfile
+
+    from faisssearcher_spark.streaming.sketches import cms_sketch_sink
+
+    if use_memo and sf_dir in _CMS_STREAM_CACHE:
+        return _CMS_STREAM_CACHE[sf_dir]
     root = tempfile.mkdtemp(prefix="ngram_cms_stream_")
     gpath = f"{root}/grams"
     grams.repartition(4).write.parquet(gpath)
@@ -3238,12 +3271,8 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     state_dir=f"{root}/state",
                     checkpoint_dir=f"{root}/ckpt",
                     depth=4, width=512).awaitTermination()
-    scms = read_sketch_state(spark, f"{root}/state")
-    streamed = sketches.cms_lookup(scms, top, "ngram", depth=4,
-                                   width=512,
-                                   out_col="cms_est_streamed")
-    return (est.join(streamed, ["ngram", "freq"])
-            .orderBy(F.col("freq").desc(), F.col("ngram").asc()))
+    _CMS_STREAM_CACHE[sf_dir] = f"{root}/state"
+    return f"{root}/state"
 
 
 ORACLE_NGRAM_FREQ = f"""
@@ -5952,6 +5981,29 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, n=10)
 
 
+def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the streamed count-min arc under its own name (the
+    store-arc pricing discipline) — trigram re-land as 4 files, the
+    multi-epoch cms_sketch_sink replay, the state read and the top-20
+    point-query, timed fresh on every invocation (no memo; refreshes
+    the gate memo so text_ngram_topk's cold number prices only its
+    declarative legs)."""
+    from faisssearcher_spark.operators import sketches
+    from faisssearcher_spark.streaming.sketches import read_sketch_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = text_analysis.ngram_frequencies(docs, n=3, top=20)
+    grams = (docs.select(F.explode_outer(T.word_ngrams("text", 3))
+                         .alias("ngram"))
+             .filter(F.col("ngram").isNotNull()))
+    state = _cms_stream_state(spark, sf_dir, grams, use_memo=False)
+    _CMS_STREAM_CACHE[sf_dir] = state
+    scms = read_sketch_state(spark, state)
+    return (sketches.cms_lookup(scms, top, "ngram", depth=4, width=512,
+                                out_col="cms_est_streamed")
+            .orderBy(F.col("freq").desc(), F.col("ngram").asc()))
+
+
 def q_dedup_exsub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: arbitrary-length ExactSubstr removal (keep='none')
     over 10-token minimum matches (the text_fingerprints gate carries
@@ -6063,6 +6115,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom_screen": q_dedup_bloom_screen,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_exsub_removal": q_dedup_exsub_removal,
+    "text_cms_stream": q_text_cms_stream,
     "dedup_semantic": q_dedup_semantic,
     "sample_dsir": q_sample_dsir,
     "ann_nsw_topk": q_ann_nsw_topk,

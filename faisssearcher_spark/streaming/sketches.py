@@ -59,46 +59,41 @@ def _epochs(spark: SparkSession, state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
-                    value_col: str, state_dir: str, checkpoint_dir: str,
-                    lg_k: int = 12,
-                    query_name: str = "hll_sketch_sink",
-                    available_now: bool = True) -> StreamingQuery:
-    """Maintain per-group HLL sketch state under a stream.
+def _epoch_sink(stream_df: DataFrame, *, sketch_fn, merge_fn,
+                state_dir: str, checkpoint_dir: str, query_name: str,
+                available_now: bool) -> StreamingQuery:
+    """THE shared epoch discipline behind every sketch sink — one copy
+    of the replay-safety-critical plumbing (review catch: it was
+    duplicated per sink), parameterized by how a micro-batch becomes a
+    sketch table (``sketch_fn``) and how two sketch tables merge
+    (``merge_fn``):
 
-    Each epoch: sketch the micro-batch (one aggregation of batch rows),
-    union with the latest PRIOR epoch's state (a sketch-table-sized
-    read — KBs, not the corpus), overwrite this epoch's directory.
-    Query the state any time with :func:`read_sketch_state` +
-    ``operators.sketches.hll_rollup``.
+    - batch 0 means a fresh (or reset) checkpoint: every input file
+      will be re-delivered, so any surviving epoch dirs are STALE
+      state from a previous run — keeping them would let
+      read_sketch_state return old data (a reset run can write fewer,
+      lower-numbered epochs) and would double-count on merge.
+      Truncate; the guarantee is "state matches THIS checkpoint's
+      delivered input".
+    - epoch N = merge(epoch N-1's state, sketch(batch N)), written by
+      OVERWRITING ``epoch=<N>`` — a re-delivered batch recomputes
+      byte-identical state over itself.
     """
-    if not group_cols:
-        raise ValueError("group_cols must be non-empty")
-    group_cols = list(group_cols)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
-            # batch 0 means a fresh (or reset) checkpoint: every input
-            # file will be re-delivered, so any surviving epoch dirs are
-            # STALE state from a previous run — keeping them would let
-            # read_sketch_state return old data (a reset run can write
-            # fewer, lower-numbered epochs) and would double-count on
-            # merge. Truncate; the guarantee is "state matches THIS
-            # checkpoint's delivered input".
             fs, _ = _fs_path(spark, state_dir)
             jpath = spark._jvm.org.apache.hadoop.fs.Path
             for e in _epochs(spark, state_dir):
                 fs.delete(jpath(_epoch_path(state_dir, e)), True)
-        new = hll_sketches(batch_df, group_cols, value_col, lg_k=lg_k)
+        new = sketch_fn(batch_df)
         prior = [e for e in _epochs(spark, state_dir) if e < batch_id]
         if prior:
             prev_path = _epoch_path(state_dir, prior[-1])
             spark.catalog.refreshByPath(prev_path)
             prev = spark.read.parquet(prev_path)
-            merged = (prev.unionByName(new)
-                      .groupBy(*group_cols)
-                      .agg(F.hll_union_agg("hll").alias("hll")))
+            merged = merge_fn(prev, new)
         else:
             merged = new
         (merged.write.mode("overwrite")
@@ -110,6 +105,33 @@ def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_sketch_sink(stream_df: DataFrame, *, group_cols: Sequence[str],
+                    value_col: str, state_dir: str, checkpoint_dir: str,
+                    lg_k: int = 12,
+                    query_name: str = "hll_sketch_sink",
+                    available_now: bool = True) -> StreamingQuery:
+    """Maintain per-group HLL sketch state under a stream.
+
+    Each epoch: sketch the micro-batch (one aggregation of batch rows),
+    union with the latest PRIOR epoch's state (a sketch-table-sized
+    read — KBs, not the corpus), overwrite this epoch's directory (the
+    :func:`_epoch_sink` replay discipline). Query the state any time
+    with :func:`read_sketch_state` + ``operators.sketches.hll_rollup``.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    group_cols = list(group_cols)
+    return _epoch_sink(
+        stream_df,
+        sketch_fn=lambda b: hll_sketches(b, group_cols, value_col,
+                                         lg_k=lg_k),
+        merge_fn=lambda prev, new: (
+            prev.unionByName(new).groupBy(*group_cols)
+            .agg(F.hll_union_agg("hll").alias("hll"))),
+        state_dir=state_dir, checkpoint_dir=checkpoint_dir,
+        query_name=query_name, available_now=available_now)
 
 
 def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -145,39 +167,20 @@ def cms_sketch_sink(stream_df: DataFrame, *, value_col: str,
     final state is therefore bit-identical to ONE batch
     ``cms_table`` over all delivered rows, regardless of arrival
     order or batching — the exact stream≡batch parity the gate leg
-    hashes. Replay safety and batch-0 stale-state truncation follow
-    the hll sink's epoch discipline verbatim.
+    hashes. Replay safety and batch-0 stale-state truncation are the
+    shared :func:`_epoch_sink` discipline.
 
     Query the state any time with :func:`read_sketch_state` +
     ``operators.sketches.cms_lookup`` (same depth/width/salt).
     """
     from faisssearcher_spark.operators.sketches import cms_table
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if batch_id == 0:
-            fs, _ = _fs_path(spark, state_dir)
-            jpath = spark._jvm.org.apache.hadoop.fs.Path
-            for e in _epochs(spark, state_dir):
-                fs.delete(jpath(_epoch_path(state_dir, e)), True)
-        new = cms_table(batch_df, value_col, depth=depth, width=width,
-                        salt=salt)
-        prior = [e for e in _epochs(spark, state_dir) if e < batch_id]
-        if prior:
-            prev_path = _epoch_path(state_dir, prior[-1])
-            spark.catalog.refreshByPath(prev_path)
-            prev = spark.read.parquet(prev_path)
-            merged = (prev.unionByName(new)
-                      .groupBy("row_idx", "bucket")
-                      .agg(F.sum("cnt").alias("cnt")))
-        else:
-            merged = new
-        (merged.write.mode("overwrite")
-         .parquet(_epoch_path(state_dir, batch_id)))
-
-    writer = (stream_df.writeStream.foreachBatch(_merge)
-              .queryName(query_name)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _epoch_sink(
+        stream_df,
+        sketch_fn=lambda b: cms_table(b, value_col, depth=depth,
+                                      width=width, salt=salt),
+        merge_fn=lambda prev, new: (
+            prev.unionByName(new).groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))),
+        state_dir=state_dir, checkpoint_dir=checkpoint_dir,
+        query_name=query_name, available_now=available_now)

@@ -228,3 +228,36 @@ class TestFingerprintUpsert:
                                            "id long, fp long"))
         assert store.screen(spark.createDataFrame(
             [(9, 0x12345678)], "id long, fp long")).count() == 0
+
+
+class TestCrashRecovery:
+    def test_propertyless_table_heals_when_path_meta_proves_ownership(
+            self, spark, tmp_path):
+        """A crash between a rewrite's overwrite and its property
+        re-stamp leaves the table property-less; reopening with the
+        PATH meta present must re-stamp and continue (crash recovery),
+        while a fresh path against a property-less table still
+        refuses (foreign-table guard)."""
+        path = str(tmp_path / "b")
+        store = _mh(spark, path, bucketed_table="t_mh_crash_test",
+                    n_buckets=8)
+        try:
+            store.commit(spark.createDataFrame(
+                [(0, BASE)], "doc_id long, text string"))
+            spark.sql("ALTER TABLE t_mh_crash_test UNSET TBLPROPERTIES "
+                      f"('{store._META_PROP}')")
+            reopened = _mh(spark, path, bucketed_table="t_mh_crash_test",
+                           n_buckets=8)
+            assert reopened._read_table_meta() == reopened._meta_dict()
+            probe = spark.createDataFrame([(9, BASE)],
+                                          "doc_id long, text string")
+            assert reopened.screen(probe, threshold=0.5).count() == 1
+            # a FRESH path (no meta) against a property-less table
+            # still refuses
+            spark.sql("ALTER TABLE t_mh_crash_test UNSET TBLPROPERTIES "
+                      f"('{store._META_PROP}')")
+            with pytest.raises(ValueError, match="refusing"):
+                _mh(spark, str(tmp_path / "fresh"),
+                    bucketed_table="t_mh_crash_test", n_buckets=8)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mh_crash_test")
