@@ -237,6 +237,19 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # aggregates over replica 0, constant at both points), score
         # the growing corpus — explode → Zipf-small LM equi-joins
         "text_bigram_lm": lambda: _bigram_leg(docs, factor),
+        # the multimodal dedup path's first MEASURED scale point (r10;
+        # it was plan-argued only): shift+noise video twins SQL-
+        # synthesized from the scaled doc ids (every even/odd pair is
+        # a planted match — pairs ∝ corpus), decoded by the real Y4M
+        # parser, banded, and matched through the band-token MinHash.
+        # Payload bytes stay inside the one decode stage; only band
+        # tokens and signatures shuffle — the leg must track videos
+        # linearly. The absolute floor is the one-time Janino compile
+        # of the 219-part synth concat (~7 s, measured flat x1→x10 at
+        # sf0.1: 7.3 → 8.3 s), so the ratio understates growth until
+        # the corpus outweighs the compile — rows are the linearity
+        # evidence here
+        "video_vmh": lambda: _video_vmh(docs),
         # margin-based bitext mining over planted translations, in the
         # SERVING shape: a FIXED src batch (the base corpus — replica 0
         # of the scaled frame) mines against the growing tgt corpus, so
@@ -269,6 +282,22 @@ def _hamming_planted(docs: DataFrame) -> DataFrame:
         .otherwise(base.bitwiseXOR(flip))
     fps = docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
     return hamming_pairs(fps, bits=64, max_hamming=3)
+
+
+def _video_vmh(docs: DataFrame) -> DataFrame:
+    """Shift+noise-tolerant video matching over the synthesized twin
+    corpus (registry._gate_video_shiftnoise_assets — pure-SQL Y4M
+    payloads keyed on the scaled doc ids, so every even/odd pair is a
+    planted shifted+perturbed match and pair output grows linearly
+    with the corpus)."""
+    from faisssearcher_spark.operators.multimodal import \
+        video_minhash_near_dup_pairs
+    from faisssearcher_spark.registry import _gate_video_shiftnoise_assets
+
+    assets = _gate_video_shiftnoise_assets(docs.select("doc_id"))
+    return video_minhash_near_dup_pairs(assets, hash_size=8,
+                                        max_hamming=1, num_hashes=16,
+                                        bands=16, verify_threshold=0.15)
 
 
 def _bitext_planted(emb: DataFrame, factor: int = 1) -> DataFrame:
