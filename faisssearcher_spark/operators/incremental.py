@@ -125,9 +125,30 @@ class _IncrementalStore:
 
     def __init__(self, spark: SparkSession, path: str, *,
                  bucketed_table: "str | None" = None,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, layout: str = "flat"):
         self.spark = spark
         self.path = path
+        # layout="epoch": state lands in epoch=<N> partition subdirs and
+        # upserts become BOUNDED merges (append a new epoch + tombstone
+        # the batch ids) instead of full-state rewrites — the Delta-ish
+        # middle step documented in _merge_state. Part of the store's
+        # identity (epoch state read under flat rules, or vice versa,
+        # would silently mis-resolve).
+        if layout not in ("flat", "epoch"):
+            raise ValueError(
+                f"layout must be 'flat' or 'epoch', got {layout!r}")
+        if layout == "epoch" and bucketed_table:
+            raise ValueError(
+                "layout='epoch' and bucketed_table are mutually "
+                "exclusive (a bucketed table cannot also partition by "
+                "epoch; bucketed rewrites already stage+overwrite)")
+        self.layout = layout
+        if layout == "epoch" and self._local_root() is None:
+            raise NotImplementedError(
+                "layout='epoch' needs a local/file: path in this build "
+                "(epoch listing and the compaction pointer swap are "
+                "local-fs operations; remote deployments want "
+                "bucketed_table mode or a transactional table format)")
         # bucketed mode: state lands via saveAsTable bucketed on the
         # key column, so every screen's candidate join reads the
         # history BUCKET-ALIGNED — zero shuffle on the state side, only
@@ -137,7 +158,7 @@ class _IncrementalStore:
         # lives at `path` so parameter identity is validated either way.
         self.bucketed_table = bucketed_table
         self.n_buckets = n_buckets
-        mine = self._meta_dict()
+        mine = self._identity()
         existing = self._read_meta()
         # per-instance memo of "meta is on disk": __init__ just read it,
         # so _append_state never re-reads per commit (each re-read was a
@@ -182,8 +203,36 @@ class _IncrementalStore:
 
     # -- state layout ------------------------------------------------------
 
+    def _identity(self) -> dict:
+        """The validated parameter identity: the subclass's hash
+        parameters plus the storage layout when it is not the default
+        (so metas written by pre-layout stores keep validating)."""
+        d = dict(self._meta_dict())
+        if self.layout != "flat":
+            d["layout"] = self.layout
+        return d
+
     def _state_path(self) -> str:
         return os.path.join(self.path, self._active_state_name())
+
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def _epoch_numbers(self) -> "list[int]":
+        """Existing epoch partition numbers in the active state dir
+        (epoch layout only; local paths — the layout's contract)."""
+        root = self._local_root()
+        state = os.path.join(root, self._active_state_name())
+        if not os.path.isdir(state):
+            return []
+        out = []
+        for name in os.listdir(state):
+            if name.startswith("epoch="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     def _local_root(self) -> "str | None":
         """Local filesystem root of ``path`` (bare or ``file:`` paths),
@@ -305,7 +354,7 @@ class _IncrementalStore:
             final = os.path.join(p, "meta-0.parquet")
             tmp = os.path.join(p, f".meta-{os.getpid()}.tmp")
             pq.write_table(
-                pa.table({"meta": [json.dumps(self._meta_dict())]}), tmp)
+                pa.table({"meta": [json.dumps(self._identity())]}), tmp)
             os.replace(tmp, final)
             # clear only files dataset discovery would SEE (not `.`/`_`
             # prefixed): a concurrent writer's .meta-<pid>.tmp must
@@ -321,7 +370,7 @@ class _IncrementalStore:
                         pass
             return
         self.spark.createDataFrame(
-            [(json.dumps(self._meta_dict()),)], "meta string") \
+            [(json.dumps(self._identity()),)], "meta string") \
             .coalesce(1).write.mode("overwrite").parquet(self._meta_path())
 
     def _read_table_meta(self) -> "dict | None":
@@ -334,7 +383,7 @@ class _IncrementalStore:
         return json.loads(raw) if raw else None
 
     def _stamp_table_meta(self) -> None:
-        payload = json.dumps(self._meta_dict()).replace("'", "''")
+        payload = json.dumps(self._identity()).replace("'", "''")
         self.spark.sql(
             f"ALTER TABLE {self.bucketed_table} SET TBLPROPERTIES "
             f"('{self._META_PROP}' = '{payload}')")
@@ -356,6 +405,11 @@ class _IncrementalStore:
              .format("parquet").saveAsTable(self.bucketed_table))
             if not stamped:
                 self._stamp_table_meta()
+        elif self.layout == "epoch":
+            epochs = self._epoch_numbers()
+            nxt = (epochs[-1] + 1) if epochs else 0
+            rows.write.parquet(
+                os.path.join(self._state_path(), f"epoch={nxt}"))
         else:
             rows.write.mode("append").parquet(self._state_path())
 
@@ -379,7 +433,33 @@ class _IncrementalStore:
         ``ids`` is the batch's id frame (one ``id`` column). It must
         come from the BATCH, not from the derived state rows: a row
         corrected to produce no state (empty text, NULL fingerprint)
-        still has to clear its stale rows."""
+        still has to clear its stale rows.
+
+        ``layout="epoch"`` stores merge BOUNDED instead: the batch's
+        rows land as a NEW epoch partition and the batch's ids append
+        to a tombstone table ``(id, upto_epoch)`` that the state read
+        resolves (keep a row iff its epoch exceeds the id's highest
+        tombstone) — cost ∝ batch, not state, the Delta-ish middle
+        step between full rewrites and a transactional table format.
+        The epoch writes BEFORE the tombstone, so a crash between the
+        two leaves BOTH vintages visible (duplicate screen hits, never
+        loss) until the next upsert or compact; ``compact()`` folds
+        epochs + tombstones back to one partition."""
+        if self.layout == "epoch":
+            if not self._meta_present:
+                self._write_meta()
+                self._meta_present = True
+            epochs = self._epoch_numbers()
+            if not epochs:
+                self._append_state(rows)
+                return
+            nxt = epochs[-1] + 1
+            rows.write.parquet(
+                os.path.join(self._state_path(), f"epoch={nxt}"))
+            (ids.select("id").distinct()
+             .withColumn("upto_epoch", F.lit(nxt - 1))
+             .write.mode("append").parquet(self._tombstone_path()))
+            return
         cur = self.state()
         if cur is None:
             self._append_state(rows)
@@ -460,7 +540,16 @@ class _IncrementalStore:
         import uuid
 
         new_name = f"state-{uuid.uuid4().hex[:12]}"
-        merged.write.parquet(os.path.join(self.path, new_name))
+        target = os.path.join(self.path, new_name)
+        if self.layout == "epoch":
+            # the compacted partition's number must EXCEED every live
+            # tombstone's upto_epoch (≤ the old max epoch), or stale
+            # tombstones would kill the compacted rows in the window
+            # before they are cleared below
+            epochs = self._epoch_numbers()
+            target = os.path.join(
+                target, f"epoch={(epochs[-1] + 1) if epochs else 0}")
+        merged.write.parquet(target)
         if not os.path.isdir(os.path.join(root, new_name)):
             # Spark resolved the scheme-less path against a NON-local
             # fs.defaultFS: the driver-local pointer file would be
@@ -478,6 +567,12 @@ class _IncrementalStore:
         self._set_active_state_name(new_name)
         if old != new_name:
             shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+        if self.layout == "epoch":
+            # folded state carries no deletions; stale tombstones can't
+            # affect it (its epoch outranks them) and are cleared here.
+            # A failed clear stays CORRECT, just unpruned.
+            shutil.rmtree(os.path.join(root, "tombstones"),
+                          ignore_errors=True)
 
     def _hadoop_delete(self, path_str: str) -> None:
         """Scheme-aware recursive delete through the Hadoop FileSystem
@@ -498,9 +593,31 @@ class _IncrementalStore:
                 if not self.spark.catalog.tableExists(self.bucketed_table):
                     return None
                 return self.spark.table(self.bucketed_table)
-            return self.spark.read.parquet(self._state_path())
+            df = self.spark.read.parquet(self._state_path())
+            if self.layout == "epoch":
+                df = self._resolve_epochs(df)
+            return df
         except AnalysisException:
             return None
+
+    def _resolve_epochs(self, df: DataFrame) -> DataFrame:
+        """Tombstone resolution for epoch-layout state: a row survives
+        iff its epoch exceeds its id's highest tombstone. The tombstone
+        table is correction-sized (ids of upserted batches), so AQE
+        broadcasts it when it fits; the partition-discovered ``epoch``
+        column never leaves this method — screens see the same schema
+        as flat stores."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            tomb = self.spark.read.parquet(self._tombstone_path())
+        except AnalysisException:
+            return df.drop("epoch")
+        t = tomb.groupBy("id").agg(F.max("upto_epoch").alias("__upto"))
+        return (df.join(t, "id", "left")
+                .filter(F.col("epoch")
+                        > F.coalesce(F.col("__upto"), F.lit(-1)))
+                .drop("__upto", "epoch"))
 
 
 class MinHashStore(_IncrementalStore):
@@ -521,7 +638,7 @@ class MinHashStore(_IncrementalStore):
                  num_hashes: int = 16, bands: int = 4,
                  shingle_n: int | None = 3, seed: int = 42,
                  bucketed_table: "str | None" = None,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, layout: str = "flat"):
         if num_hashes % bands:
             raise ValueError(
                 f"bands ({bands}) must divide num_hashes ({num_hashes})")
@@ -530,7 +647,7 @@ class MinHashStore(_IncrementalStore):
         self.shingle_n = shingle_n
         self.seed = seed
         super().__init__(spark, path, bucketed_table=bucketed_table,
-                         n_buckets=n_buckets)
+                         n_buckets=n_buckets, layout=layout)
 
     def _meta_dict(self) -> dict:
         return {"num_hashes": self.num_hashes, "bands": self.bands,
@@ -635,7 +752,7 @@ class EmbeddingStore(_IncrementalStore):
                  tables: int = 8, bits: int = 8, seed: int = 42,
                  planes_mode: str = "random",
                  bucketed_table: "str | None" = None,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, layout: str = "flat"):
         if dim < 1:
             raise ValueError(f"dim must be >= 1 (got {dim})")
         self.dim = int(dim)
@@ -644,7 +761,7 @@ class EmbeddingStore(_IncrementalStore):
         self.seed = seed
         self.planes_mode = planes_mode
         super().__init__(spark, path, bucketed_table=bucketed_table,
-                         n_buckets=n_buckets)
+                         n_buckets=n_buckets, layout=layout)
 
     def _meta_dict(self) -> dict:
         return {"dim": self.dim, "tables": self.tables,
@@ -788,7 +905,7 @@ class FingerprintStore(_IncrementalStore):
     def __init__(self, spark: SparkSession, path: str, *,
                  bits: int = 64, max_hamming: int = 3,
                  bucketed_table: "str | None" = None,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, layout: str = "flat"):
         if not 1 <= bits <= 64:
             raise ValueError(f"bits must be in [1, 64]; got {bits}")
         if not 0 <= max_hamming < bits:
@@ -797,7 +914,7 @@ class FingerprintStore(_IncrementalStore):
         self.bits = int(bits)
         self.max_hamming = int(max_hamming)
         super().__init__(spark, path, bucketed_table=bucketed_table,
-                         n_buckets=n_buckets)
+                         n_buckets=n_buckets, layout=layout)
 
     def _meta_dict(self) -> dict:
         return {"bits": self.bits, "max_hamming": self.max_hamming}

@@ -261,3 +261,110 @@ class TestCrashRecovery:
                     bucketed_table="t_mh_crash_test", n_buckets=8)
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_crash_test")
+
+
+class TestEpochLayout:
+    """layout='epoch': bounded merges (append an epoch + tombstones)
+    must behave EXACTLY like the flat layout's full-rewrite merges."""
+
+    def test_upsert_parity_with_flat_and_is_bounded(self, spark,
+                                                    tmp_path):
+        import os
+
+        flat = _mh(spark, str(tmp_path / "f"))
+        ep = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        b0 = spark.createDataFrame([(0, OTHER), (1, BASE)],
+                                   "doc_id long, text string")
+        fix1 = spark.createDataFrame([(0, BASE)],
+                                     "doc_id long, text string")
+        fix2 = spark.createDataFrame(
+            [(0, "a third completely different corrected body")],
+            "doc_id long, text string")
+        for s in (flat, ep):
+            s.commit(b0)
+            s.upsert(fix1)
+            s.upsert(fix1)     # replayed correction
+            s.upsert(fix2)     # re-correction of the SAME id
+        for probe_text, expect in ((BASE, {(9, 1)}), (OTHER, set())):
+            probe = spark.createDataFrame([(9, probe_text)],
+                                          "doc_id long, text string")
+            got_f = {(r["new_id"], r["known_id"]) for r in
+                     flat.screen(probe, threshold=0.5).collect()}
+            got_e = {(r["new_id"], r["known_id"]) for r in
+                     ep.screen(probe, threshold=0.5).collect()}
+            assert got_f == got_e == expect
+        # BOUNDED: the original epoch was never rewritten — all four
+        # epochs exist and tombstones accumulated
+        sdir = str(tmp_path / "e" / "state")
+        assert sorted(os.listdir(sdir))[:1] == ["epoch=0"]
+        assert len([d for d in os.listdir(sdir)
+                    if d.startswith("epoch=")]) == 4
+        assert os.path.isdir(str(tmp_path / "e" / "tombstones"))
+
+    def test_compact_folds_epochs_and_clears_tombstones(self, spark,
+                                                        tmp_path):
+        import os
+
+        ep = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        ep.commit(spark.createDataFrame([(0, OTHER), (1, BASE)],
+                                        "doc_id long, text string"))
+        ep.upsert(spark.createDataFrame([(0, BASE)],
+                                        "doc_id long, text string"))
+        before = sorted(map(tuple, ep.state().collect()))
+        ep.compact()
+        after = sorted(map(tuple, ep.state().collect()))
+        assert before == after and after
+        assert not os.path.isdir(str(tmp_path / "e" / "tombstones"))
+        active = ep._active_state_name()
+        subdirs = [d for d in os.listdir(str(tmp_path / "e" / active))
+                   if d.startswith("epoch=")]
+        assert len(subdirs) == 1
+        probe = spark.createDataFrame([(9, OTHER)],
+                                      "doc_id long, text string")
+        assert ep.screen(probe, threshold=0.5).count() == 0
+
+    def test_empty_correction_clears_state(self, spark, tmp_path):
+        ep = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        ep.commit(spark.createDataFrame([(0, BASE)],
+                                        "doc_id long, text string"))
+        ep.upsert(spark.createDataFrame([(0, "")],
+                                        "doc_id long, text string"))
+        probe = spark.createDataFrame([(9, BASE)],
+                                      "doc_id long, text string")
+        assert ep.screen(probe, threshold=0.5).count() == 0
+
+    def test_layout_is_part_of_the_identity(self, spark, tmp_path):
+        path = str(tmp_path / "e")
+        ep = _mh(spark, path, layout="epoch")
+        ep.commit(spark.createDataFrame([(0, BASE)],
+                                        "doc_id long, text string"))
+        with pytest.raises(ValueError, match="created with"):
+            _mh(spark, path)              # flat reopen refused
+        with pytest.raises(ValueError, match="layout"):
+            _mh(spark, str(tmp_path / "x"), layout="zorder")
+        with pytest.raises(ValueError, match="mutually"):
+            _mh(spark, str(tmp_path / "y"), layout="epoch",
+                bucketed_table="t_nope")
+
+    def test_epoch_layout_on_other_stores(self, spark, tmp_path):
+        mk = lambda rows: spark.createDataFrame(rows, "id long, fp long")
+        fp = FingerprintStore(spark, str(tmp_path / "fp"), bits=32,
+                              max_hamming=3, layout="epoch")
+        fp.commit(mk([(0, 0xDEADBEEF)]))
+        fp.upsert(mk([(0, 0x12345678)]))
+        assert [(r["new_id"], r["known_id"]) for r in
+                fp.screen(mk([(9, 0x12345678)])).collect()] == [(9, 0)]
+        assert fp.screen(mk([(8, 0xDEADBEEF)])).count() == 0
+        dim = 8
+        v = [1.0] + [0.0] * (dim - 1)
+        w = [0.0] * (dim - 1) + [1.0]
+        mkv = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        es = EmbeddingStore(spark, str(tmp_path / "es"), dim=dim,
+                            tables=2, bits=2, layout="epoch")
+        es.commit(mkv([(0, w)]))
+        es.upsert(mkv([(0, v)]))
+        assert [(r["new_id"], r["known_id"]) for r in
+                es.screen(mkv([(9, v)]), threshold=0.9).collect()] \
+            == [(9, 0)]
+        assert es.screen(mkv([(8, w)]), threshold=0.9).count() == 0
