@@ -1279,9 +1279,12 @@ def _upsert_arc_rows(spark: SparkSession, sf_dir: str,
     corpus, so the expected hits are the 'incremental' leg's — while a
     merge that leaves stale rows produces guaranteed extra est=1.0
     hits (the stale signature IS an odd document's), and a compact
-    that loses rows drops expected hits. All three stores share this
-    one _merge_state/_rewrite_state code path; the other two are
-    parity-pinned in tests/test_incremental_merge.py."""
+    that loses rows drops expected hits. The store runs
+    ``layout='epoch'``, so the arc gates the BOUNDED merge path
+    (epoch append + tombstone + epoch-outranks-tombstone resolution +
+    fold compaction); the flat full-rewrite path is pinned EQUAL to
+    it in tests/test_incremental_merge.py, and all three stores share
+    the one _merge_state/_rewrite_state code path."""
     import tempfile
 
     from faisssearcher_spark.operators.incremental import MinHashStore
@@ -1305,7 +1308,7 @@ def _upsert_arc_rows(spark: SparkSession, sf_dir: str,
     corrected = evens.filter(F.col("doc_id") % 10 == 0)
     with tempfile.TemporaryDirectory(prefix="mhstore_upsert_") as tmp:
         store = MinHashStore(spark, tmp, num_hashes=16, bands=4,
-                             shingle_n=3)
+                             shingle_n=3, layout="epoch")
         store.commit(planted)
         store.upsert(corrected)
         store.compact()
