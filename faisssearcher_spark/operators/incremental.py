@@ -388,16 +388,55 @@ class _IncrementalStore:
             f"ALTER TABLE {self.bucketed_table} SET TBLPROPERTIES "
             f"('{self._META_PROP}' = '{payload}')")
 
+    def _ensure_meta(self) -> None:
+        if not self._meta_present:
+            self._write_meta()
+            self._meta_present = True
+
+    def _write_epoch(self, rows: DataFrame) -> int:
+        """Write ``rows`` as the next epoch partition and return its
+        number — THE one epoch-assignment site (commit and upsert both
+        route here, so a numbering fix can never diverge them).
+
+        Epoch numbering is listdir-max+1 and therefore SINGLE-WRITER:
+        tombstone ordering needs a total order of epochs, which
+        concurrent uncoordinated writers cannot produce (two could
+        claim the same number — the problem Delta's commit protocol
+        exists to solve). Concurrent ingest wants layout='flat'
+        (mode('append') tolerates it) or a transactional table format.
+
+        After the Spark write, the partition's LOCAL visibility is
+        re-verified exactly like _rewrite_state's pointer check: a
+        scheme-less path on a remote-defaultFS cluster would land the
+        epoch where the driver-side listing can never see it, making
+        every later commit recompute the same number and die on
+        'path already exists' — fail loudly instead (review catch)."""
+        epochs = self._epoch_numbers()
+        nxt = (epochs[-1] + 1) if epochs else 0
+        target = os.path.join(self._state_path(), f"epoch={nxt}")
+        rows.write.parquet(target)
+        local = os.path.join(self._local_root(),
+                             self._active_state_name(), f"epoch={nxt}")
+        if not os.path.isdir(local):
+            self._hadoop_delete(target)
+            raise NotImplementedError(
+                f"store path {self.path!r} resolves to a non-local "
+                "filesystem (fs.defaultFS is remote): epoch layout "
+                "needs a driver-visible local path — pass an explicit "
+                "file:// URI, or use layout='flat'/bucketed_table for "
+                "cluster deployments")
+        return nxt
+
     def _append_state(self, rows: DataFrame) -> None:
         """Append a batch's state rows (meta written on first commit).
         Re-running a commit appends duplicate rows — screens stay
         CORRECT (the candidate join de-duplicates pairs) but the state
         grows; gate commits behind your pipeline's exactly-once
         bookkeeping (the streaming/sinks.py discipline) when replays
-        are possible."""
-        if not self._meta_present:
-            self._write_meta()
-            self._meta_present = True
+        are possible. Epoch-layout stores are SINGLE-WRITER (see
+        _write_epoch); flat mode('append') tolerates concurrent
+        committers."""
+        self._ensure_meta()
         if self.bucketed_table:
             stamped = self._read_table_meta() is not None
             (rows.write.bucketBy(self.n_buckets, self._BUCKET_COL)
@@ -406,10 +445,7 @@ class _IncrementalStore:
             if not stamped:
                 self._stamp_table_meta()
         elif self.layout == "epoch":
-            epochs = self._epoch_numbers()
-            nxt = (epochs[-1] + 1) if epochs else 0
-            rows.write.parquet(
-                os.path.join(self._state_path(), f"epoch={nxt}"))
+            self._write_epoch(rows)
         else:
             rows.write.mode("append").parquet(self._state_path())
 
@@ -443,19 +479,18 @@ class _IncrementalStore:
         step between full rewrites and a transactional table format.
         The epoch writes BEFORE the tombstone, so a crash between the
         two leaves BOTH vintages visible (duplicate screen hits, never
-        loss) until the next upsert or compact; ``compact()`` folds
-        epochs + tombstones back to one partition."""
+        loss). The REPAIR is re-running the upsert for that batch (its
+        tombstone then outranks both) — NOT compact(): compaction
+        folds whatever the resolved state shows, so it would bake the
+        duplicate vintage in permanently (review catch).
+        ``compact()`` after a clean merge folds epochs + tombstones
+        back to one partition."""
         if self.layout == "epoch":
-            if not self._meta_present:
-                self._write_meta()
-                self._meta_present = True
-            epochs = self._epoch_numbers()
-            if not epochs:
+            self._ensure_meta()
+            if not self._epoch_numbers():
                 self._append_state(rows)
                 return
-            nxt = epochs[-1] + 1
-            rows.write.parquet(
-                os.path.join(self._state_path(), f"epoch={nxt}"))
+            nxt = self._write_epoch(rows)
             (ids.select("id").distinct()
              .withColumn("upto_epoch", F.lit(nxt - 1))
              .write.mode("append").parquet(self._tombstone_path()))
@@ -502,9 +537,7 @@ class _IncrementalStore:
         retention window on plain parquet — schedule merges when no
         screen is in flight; Delta/Iceberg's vacuum-with-retention is
         the upgrade path)."""
-        if not self._meta_present:
-            self._write_meta()
-            self._meta_present = True
+        self._ensure_meta()
         if self.bucketed_table:
             import uuid
 
@@ -607,12 +640,14 @@ class _IncrementalStore:
         broadcasts it when it fits; the partition-discovered ``epoch``
         column never leaves this method — screens see the same schema
         as flat stores."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            tomb = self.spark.read.parquet(self._tombstone_path())
-        except AnalysisException:
+        # existence is one LOCAL stat (the layout's contract is a
+        # local path) — append-only epoch stores that never upserted
+        # skip the tombstone read entirely, the per-call overhead
+        # class this file already avoids for meta (review catch)
+        if not os.path.isdir(os.path.join(self._local_root(),
+                                          "tombstones")):
             return df.drop("epoch")
+        tomb = self.spark.read.parquet(self._tombstone_path())
         t = tomb.groupBy("id").agg(F.max("upto_epoch").alias("__upto"))
         return (df.join(t, "id", "left")
                 .filter(F.col("epoch")
