@@ -368,3 +368,56 @@ class TestEpochLayout:
                 es.screen(mkv([(9, v)]), threshold=0.9).collect()] \
             == [(9, 0)]
         assert es.screen(mkv([(8, w)]), threshold=0.9).count() == 0
+
+
+class TestRandomizedModelParity:
+    @pytest.mark.parametrize("seed", [7, 23, 91])
+    def test_epoch_store_matches_rebuilt_flat_store(self, spark,
+                                                    tmp_path, seed):
+        """Model-based randomized pin: after ANY sequence of
+        commit/upsert/compact on an epoch store, its screens must
+        equal a FRESH flat store committed with exactly the model's
+        final contents — the strongest single statement of the
+        layout's resolution semantics."""
+        import random
+
+        rng = random.Random(seed)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+        def text():
+            return " ".join(rng.choice(words) for _ in range(12))
+
+        ep = _mh(spark, str(tmp_path / f"e{seed}"), layout="epoch")
+        model: dict[int, str] = {}
+        next_id = 0
+        for step in range(6):
+            op = rng.choice(["commit", "upsert", "upsert", "compact"])
+            if op == "commit":
+                batch = [(next_id + i, text()) for i in range(2)]
+                next_id += 2
+                for i, t in batch:
+                    model[i] = t
+                ep.commit(spark.createDataFrame(
+                    batch, "doc_id long, text string"))
+            elif op == "upsert" and model:
+                ids = rng.sample(sorted(model), k=min(2, len(model)))
+                batch = [(i, text()) for i in ids]
+                for i, t in batch:
+                    model[i] = t
+                ep.upsert(spark.createDataFrame(
+                    batch, "doc_id long, text string"))
+            elif op == "compact":
+                ep.compact()
+        if not model:
+            return
+        ref = _mh(spark, str(tmp_path / f"r{seed}"))
+        ref.commit(spark.createDataFrame(sorted(model.items()),
+                                         "doc_id long, text string"))
+        probes = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(model.values())],
+            "doc_id long, text string")
+        got = sorted(map(tuple,
+                         ep.screen(probes, threshold=0.5).collect()))
+        want = sorted(map(tuple,
+                          ref.screen(probes, threshold=0.5).collect()))
+        assert got == want and want
