@@ -97,3 +97,99 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *,
         train_tokens_col=train_tokens_col
     ).select(F.col("train_id").alias(train_id_col)).distinct()
     return train.join(flagged, train_id_col, "left_anti")
+
+
+def contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
+                       min_len: int = 8,
+                       train_id_col: str = "doc_id",
+                       train_text_col: str = "text",
+                       eval_text_col: str = "text",
+                       train_tokens_col: str | None = None,
+                       eval_tokens_col: str | None = None) -> DataFrame:
+    """Maximal per-TRAIN-document spans covered by any substring of
+    length ≥ ``min_len`` tokens that ALSO occurs in the eval set — the
+    SURGICAL decontamination granularity (Lee et al. 2022,
+    arXiv:2107.06499: cut the overlapping span, keep the document)
+    that :func:`decontaminate`'s drop-whole-documents policy wastes
+    data on.
+
+    Exactness is the ExactSubstr coverage equivalence
+    (``dedup.exact_substring_spans``), applied CROSS-corpus: a train
+    position lies inside a shared substring of length ≥ L iff it lies
+    inside an L-window whose text occurs in the eval set — every
+    L-window of a shared substring is itself shared. So the covered
+    set equals what a cross-corpus suffix automaton would mark at
+    threshold L: exact recall and precision at token granularity.
+
+    Output ``(id, start, end)`` — disjoint 0-based end-exclusive
+    token intervals per train document, each ≥ min_len long.
+
+    Scale shape: eval windows deduplicate to a distinct window-text
+    frame (eval-set-sized — tiny next to the corpus, AQE broadcasts
+    it on real estimates) and the train windows LEFT-SEMI join it;
+    the per-doc gaps-and-islands merge runs over matched starts only.
+    Shuffle ∝ train windows; no pairs, no position explode."""
+    from faisssearcher_spark.operators.dedup import (_merge_window_runs,
+                                                     _token_windows)
+
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if train_id_col in ("start", "end"):
+        raise ValueError(f"train_id_col {train_id_col!r} collides with "
+                         "an output column; rename it first")
+    _, twins = _token_windows(train, id_col=train_id_col,
+                              text_col=train_text_col, n=min_len,
+                              tokens_col=train_tokens_col)
+    _, ewins = _token_windows(
+        eval_df.select(F.lit(0).alias("__eid"),
+                       F.col(eval_tokens_col if eval_tokens_col
+                             else eval_text_col)),
+        id_col="__eid",
+        text_col=eval_text_col, n=min_len,
+        tokens_col=eval_tokens_col)
+    marks = (twins.join(ewins.select("__w").distinct(), "__w",
+                        "left_semi")
+             .select(train_id_col, "start"))
+    return _merge_window_runs(marks, id_col=train_id_col, n=min_len)
+
+
+def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
+                              min_len: int = 8,
+                              train_id_col: str = "doc_id",
+                              train_text_col: str = "text",
+                              eval_text_col: str = "text",
+                              drop_empty_docs: bool = False,
+                              train_tokens_col: str | None = None,
+                              eval_tokens_col: str | None = None
+                              ) -> DataFrame:
+    """Cut every eval-shared substring of length ≥ ``min_len`` out of
+    the training documents (:func:`contaminated_spans`) and reassemble
+    the survivors in order — benchmark-honest decontamination that
+    keeps each document's uncontaminated remainder instead of dropping
+    the document. Output ``(id, text, n_tokens, n_contam_tokens)``;
+    cleaned ``text`` is ``''`` when the whole document was eval
+    material."""
+    from faisssearcher_spark.operators.dedup import (
+        _rebuild_without_positions, _token_windows)
+
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if train_id_col in ("start", "end", "pos", "n_tokens",
+                        "n_contam_tokens"):
+        raise ValueError(f"train_id_col {train_id_col!r} collides with "
+                         "an output column; rename it first")
+    toked, _ = _token_windows(train, id_col=train_id_col,
+                              text_col=train_text_col, n=min_len,
+                              tokens_col=train_tokens_col)
+    spans = contaminated_spans(
+        train, eval_df, min_len=min_len, train_id_col=train_id_col,
+        train_text_col=train_text_col, eval_text_col=eval_text_col,
+        train_tokens_col=train_tokens_col,
+        eval_tokens_col=eval_tokens_col)
+    covered = spans.select(
+        F.col(train_id_col),
+        F.explode(F.sequence(F.col("start"),
+                             F.col("end") - F.lit(1))).alias("pos"))
+    return _rebuild_without_positions(
+        toked, covered, id_col=train_id_col, text_col=train_text_col,
+        drop_empty_docs=drop_empty_docs, removed_col="n_contam_tokens")

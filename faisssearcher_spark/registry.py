@@ -3016,6 +3016,23 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.col("end") - F.col("start")).cast("int")
                  .alias("exsub_max_len")))
 
+    # EXTENDED AGAIN (round 10) with SURGICAL span-level
+    # decontamination (decontam.remove_contaminated_spans — cut every
+    # eval-shared substring >= 8 tokens, keep the remainder; the
+    # cross-corpus ExactSubstr coverage equivalence): eval set =
+    # doc_id < 40 (those docs therefore clean to '' against
+    # themselves), same 8-token windows as the exsub legs so the
+    # oracle derives eval windows from the SAME ewin CTE.
+    from faisssearcher_spark.operators.decontam import \
+        remove_contaminated_spans
+
+    evdocs = toked.filter(F.col("doc_id") < 40)
+    ct = remove_contaminated_spans(
+        toked, evdocs, min_len=8, train_tokens_col="__toks",
+        eval_tokens_col="__toks").select(
+        "doc_id", "n_contam_tokens",
+        F.md5("text").alias("contam_clean_hash"))
+
     chunks = chunk_documents(toked, max_tokens=10, overlap=0,
                              tokens_col="__toks")
     totals = chunks.groupBy("doc_id").agg(
@@ -3056,6 +3073,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(bp, "doc_id", "left")
               .join(exr, "doc_id", "left")
               .join(exs, "doc_id", "left")
+              .join(ct, "doc_id", "left")
               .join(diff, "doc_id", "left")
               .select("doc_id", "fingerprint", "rolling_hash", "norm_hash",
                       "diff_status",
@@ -3079,7 +3097,11 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("n_exsub_spans", F.lit(0))
                        .alias("n_exsub_spans"),
                       F.coalesce("exsub_max_len", F.lit(0))
-                       .alias("exsub_max_len")))
+                       .alias("exsub_max_len"),
+                      F.coalesce("n_contam_tokens", F.lit(0))
+                       .alias("n_contam_tokens"),
+                      F.coalesce("contam_clean_hash", F.lit(""))
+                       .alias("contam_clean_hash")))
 
 
 ORACLE_FINGERPRINTS = rf"""
@@ -3179,6 +3201,28 @@ WITH t AS (SELECT doc_id, text, source, {_TOKS} AS toks FROM documents),
      ereb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
                      md5(string_agg(tok, ' ' ORDER BY pos)) AS exsub_clean_hash
               FROM ekeep GROUP BY doc_id),
+     cwin AS (SELECT DISTINCT w FROM ewin WHERE doc_id < 40),
+     cdup AS (SELECT e.doc_id, e.start
+              FROM ewin e JOIN cwin ON e.w = cwin.w),
+     cisl AS (SELECT doc_id, start,
+                     sum(CASE WHEN prev IS NULL OR start - prev > 8
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start) AS isl
+              FROM (SELECT doc_id, start,
+                           lag(start) OVER (PARTITION BY doc_id
+                                            ORDER BY start) AS prev
+                    FROM cdup)),
+     cspan AS (SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+               FROM cisl GROUP BY doc_id, isl),
+     ccov AS (SELECT doc_id, s + o AS pos
+              FROM cspan, unnest(generate_series(0, e - s - 1)) AS g(o)),
+     ckeep AS (SELECT tp.doc_id, tp.pos, tp.tok
+               FROM tp LEFT JOIN ccov
+                 ON tp.doc_id = ccov.doc_id AND tp.pos = ccov.pos
+               WHERE ccov.pos IS NULL),
+     creb AS (SELECT doc_id, count(*)::INT AS n_kept_tok,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS contam_clean_hash
+              FROM ckeep GROUP BY doc_id),
      ntok AS (SELECT doc_id, len(toks)::INT AS n_tok FROM t)
 SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        CASE WHEN f.doc_id % 11 = 0 THEN 'removed'
@@ -3194,7 +3238,9 @@ SELECT f.doc_id, f.fingerprint, f.rolling_hash, f.norm_hash,
        (ntok.n_tok - coalesce(ereb.n_kept_tok, 0)) AS n_exsub_tokens,
        coalesce(ereb.exsub_clean_hash, md5('')) AS exsub_clean_hash,
        coalesce(estat.n_exsub_spans, 0) AS n_exsub_spans,
-       coalesce(estat.exsub_max_len, 0) AS exsub_max_len
+       coalesce(estat.exsub_max_len, 0) AS exsub_max_len,
+       (ntok.n_tok - coalesce(creb.n_kept_tok, 0)) AS n_contam_tokens,
+       coalesce(creb.contam_clean_hash, md5('')) AS contam_clean_hash
 FROM f
 LEFT JOIN tot ON f.doc_id = tot.doc_id
 LEFT JOIN reb ON f.doc_id = reb.doc_id
@@ -3202,6 +3248,7 @@ LEFT JOIN spanreb ON f.doc_id = spanreb.doc_id
 LEFT JOIN breb ON f.doc_id = breb.doc_id
 LEFT JOIN ereb ON f.doc_id = ereb.doc_id
 LEFT JOIN estat ON f.doc_id = estat.doc_id
+LEFT JOIN creb ON f.doc_id = creb.doc_id
 JOIN ntok ON f.doc_id = ntok.doc_id
 """
 

@@ -171,3 +171,76 @@ class TestBlocklistReviewRegressions:
         import pytest as _pt
         with _pt.raises(ValueError, match="non-empty strings"):
             blocklist_screen(df, ["ok", ""])
+
+
+class TestContaminatedSpans:
+    def test_surgical_removal_keeps_remainder(self, spark):
+        ev = spark.createDataFrame(
+            [(0, "the secret benchmark answer is forty two")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "intro words the secret benchmark answer is forty "
+                 "two and some novel analysis follows here"),
+             (2, "completely original content with no overlap at all"),
+             (3, "the secret benchmark answer is forty two")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in decontam.remove_contaminated_spans(
+            train, ev, min_len=4).collect()}
+        assert out[1]["text"] == ("intro words and some novel analysis "
+                                  "follows here")
+        assert out[1]["n_contam_tokens"] == 7
+        assert out[2]["text"].startswith("completely original")
+        assert out[2]["n_contam_tokens"] == 0
+        assert out[3]["text"] == "" and out[3]["n_contam_tokens"] == 7
+
+    def test_against_cross_corpus_brute_force(self, spark):
+        """Coverage equivalence, CROSS-corpus: positions covered by any
+        train/eval-shared substring of length >= L (brute force) must
+        equal the operator's covered set exactly."""
+        import random
+        rng = random.Random(77)
+        evals = [[rng.choice("abc") for _ in range(rng.randint(0, 12))]
+                 for _ in range(4)]
+        train = {i: [rng.choice("abc") for _ in range(rng.randint(0, 15))]
+                 for i in range(10)}
+
+        def brute(L):
+            esubs = {tuple(t[s:e]) for t in evals
+                     for s in range(len(t))
+                     for e in range(s + L, len(t) + 1)}
+            cov = {}
+            for did, toks in train.items():
+                c = set()
+                for s in range(len(toks)):
+                    for e in range(s + L, len(toks) + 1):
+                        if tuple(toks[s:e]) in esubs:
+                            c.update(range(s, e))
+                cov[did] = c
+            return cov
+
+        evdf = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(evals)],
+            "doc_id long, text string")
+        tdf = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in train.items()],
+            "doc_id long, text string")
+        for L in (2, 3):
+            want = brute(L)
+            got = {i: set() for i in train}
+            for r in decontam.contaminated_spans(tdf, evdf,
+                                                 min_len=L).collect():
+                got[r["doc_id"]].update(range(r["start"], r["end"]))
+            assert got == want, f"mismatch at min_len={L}"
+            rem = {r["doc_id"]: r["n_contam_tokens"]
+                   for r in decontam.remove_contaminated_spans(
+                       tdf, evdf, min_len=L).collect()}
+            assert rem == {d: len(c) for d, c in want.items()}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            decontam.remove_contaminated_spans(df, df, min_len=0)
+        with pytest.raises(ValueError):
+            decontam.contaminated_spans(
+                df.withColumnRenamed("doc_id", "end"), df,
+                train_id_col="end", min_len=2)
