@@ -160,7 +160,8 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
                               eval_text_col: str = "text",
                               drop_empty_docs: bool = False,
                               train_tokens_col: str | None = None,
-                              eval_tokens_col: str | None = None
+                              eval_tokens_col: str | None = None,
+                              spans: DataFrame | None = None
                               ) -> DataFrame:
     """Cut every eval-shared substring of length ≥ ``min_len`` out of
     the training documents (:func:`contaminated_spans`) and reassemble
@@ -168,7 +169,14 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
     keeps each document's uncontaminated remainder instead of dropping
     the document. Output ``(id, text, n_tokens, n_contam_tokens)``;
     cleaned ``text`` is ``''`` when the whole document was eval
-    material."""
+    material.
+
+    ``spans`` reuses a precomputed :func:`contaminated_spans` frame
+    (the share-one-scan discipline, mirroring
+    ``dedup.remove_exact_substrings``): a caller needing both the span
+    report and the removal passes it here so the two plans share one
+    identical spans subtree. Must come from the same corpora with the
+    same ``min_len``; mismatched spans silently mis-remove."""
     from faisssearcher_spark.operators.dedup import (
         _rebuild_without_positions, _token_windows)
 
@@ -181,11 +189,12 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
     toked, _ = _token_windows(train, id_col=train_id_col,
                               text_col=train_text_col, n=min_len,
                               tokens_col=train_tokens_col)
-    spans = contaminated_spans(
-        train, eval_df, min_len=min_len, train_id_col=train_id_col,
-        train_text_col=train_text_col, eval_text_col=eval_text_col,
-        train_tokens_col=train_tokens_col,
-        eval_tokens_col=eval_tokens_col)
+    if spans is None:
+        spans = contaminated_spans(
+            train, eval_df, min_len=min_len, train_id_col=train_id_col,
+            train_text_col=train_text_col, eval_text_col=eval_text_col,
+            train_tokens_col=train_tokens_col,
+            eval_tokens_col=eval_tokens_col)
     covered = spans.select(
         F.col(train_id_col),
         F.explode(F.sequence(F.col("start"),

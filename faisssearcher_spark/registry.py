@@ -3020,8 +3020,9 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontamination (decontam.remove_contaminated_spans — cut every
     # eval-shared substring >= 8 tokens, keep the remainder; the
     # cross-corpus ExactSubstr coverage equivalence): eval set =
-    # doc_id < 40 (those docs therefore clean to '' against
-    # themselves), same 8-token windows as the exsub legs so the
+    # doc_id < 40 (those docs clean to '' against themselves WHEN they
+    # have >= 8 tokens — shorter ones yield no windows on either side
+    # and pass through), same 8-token windows as the exsub legs so the
     # oracle derives eval windows from the SAME ewin CTE.
     from faisssearcher_spark.operators.decontam import \
         remove_contaminated_spans
