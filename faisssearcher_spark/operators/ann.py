@@ -383,60 +383,108 @@ class IVFIndex:
 
 
 def _train_pq_codebooks(mat: np.ndarray, m: int, ksub: int,
-                        iters: int, seed: int) -> np.ndarray:
+                        iters: int, seed: int,
+                        init: "np.ndarray | None" = None) -> np.ndarray:
     """Seeded per-subspace Lloyd: (m, ksub, d/m) codebooks from a sample
     matrix. Empty clusters reseed on a random point; a sample smaller
-    than ksub pads with the first centroid (degenerate-corpus guard)."""
+    than ksub pads with the first centroid (degenerate-corpus guard).
+    ``init`` warm-starts from existing (m, ksub, dsub) codebooks (the
+    OPQ alternation refreshes rather than retrains — Ge et al. 2013's
+    non-parametric form).
+
+    All m subspaces run BATCHED through 3-D numpy per Lloyd iteration
+    (one (m, n, dsub) @ (m, dsub, k) matmul + one argmax + dsub
+    bincounts, all into PREALLOCATED buffers — a fresh (m, n, k) score
+    tensor per iteration pays its size over again in page faults:
+    65 MB allocated-per-call measured 247 ms/iter vs 19 ms with
+    ``out=``) instead of m sequential 2-D fits: at bench sample sizes
+    the sequential form was dispatch-overhead-bound — OPQ's 6
+    alternations × 16 subspaces × 5 inner iterations + the final
+    16 × 20 made 800 Python-level Lloyd steps at ~3 ms each (~2.7 s of
+    the ann_opq_topk bench leg, on a 2000 × 64 sample whose actual
+    flops are microseconds). Scores run float32 (centroid update still
+    accumulates float64 via bincount); rows chunk so the (m, chunk, k)
+    score tensor stays ≲256 MB at the 100k default train_sample."""
     rng = np.random.default_rng(seed)
     n, d = mat.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
     k = min(ksub, n)
+    # (m, n, dsub): row layout is [sub0 | sub1 | ...], so the reshape
+    # splits subspaces exactly like the column slices did. Centroids
+    # and their updates stay float64 (the lossless-corpus contract:
+    # when Lloyd lands on the points, ADC must equal brute force to
+    # 1e-9 — f32 centroid storage broke it); only the SCORE tensor and
+    # its GEMM inputs run float32, where rounding can at worst flip a
+    # near-tie assignment.
+    subs = np.ascontiguousarray(
+        mat.reshape(n, m, dsub).transpose(1, 0, 2)).astype(np.float64)
+    subs32 = subs.astype(np.float32)
+    if init is not None:
+        cents = np.ascontiguousarray(init[:, :k]).astype(np.float64)
+    else:
+        cents = np.stack([subs[j, rng.choice(n, size=k, replace=False)]
+                          for j in range(m)]).copy()   # (m, k, dsub)
+    subs_f8 = subs.reshape(m * n, dsub)
+    assign = np.empty((m, n), dtype=np.int64)
+    off = (np.arange(m) * k)[:, None]
+    chunk = min(n, max(1024, int(256e6 / (m * k * 4))))
+    scores = np.empty((m, chunk, k), dtype=np.float32)
+    for _ in range(iters):
+        # argmin_c ||x−c||² == argmax_c (x·c − ||c||²/2): the ||x||²
+        # row term is constant per row
+        half = (0.5 * (cents * cents).sum(2)).astype(np.float32)
+        ct = np.ascontiguousarray(cents.transpose(0, 2, 1)) \
+            .astype(np.float32)
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sc = scores[:, :e - s]
+            np.matmul(subs32[:, s:e], ct, out=sc)
+            np.subtract(sc, half[:, None, :], out=sc)
+            np.argmax(sc, axis=2, out=assign[:, s:e])
+        flat = (assign + off).ravel()
+        # bincount-with-weights per dim beats np.add.at (unbuffered
+        # ufunc) by ~10× at the 100k-sample scale
+        counts = np.bincount(flat, minlength=m * k)
+        sums = np.empty((m * k, dsub))
+        for c in range(dsub):
+            sums[:, c] = np.bincount(flat, weights=subs_f8[:, c],
+                                     minlength=m * k)
+        filled = counts > 0
+        c2 = cents.reshape(m * k, dsub)
+        c2[filled] = sums[filled] / counts[filled, None]
+        ej, ec = np.nonzero(~filled.reshape(m, k))
+        if len(ej):   # empty cells: reseed on random same-subspace points
+            cents[ej, ec] = subs[ej, rng.integers(n, size=len(ej))]
     books = np.zeros((m, ksub, dsub))
-    # preallocated (n, k) score buffer shared across subspaces/iterations:
-    # a fresh 4 MB temporary per iteration goes through mmap and costs
-    # ~15 ms in page faults alone (measured) — `out=` keeps it resident
-    scores = np.empty((n, k))
-    for j in range(m):
-        sub = np.ascontiguousarray(mat[:, j * dsub:(j + 1) * dsub])
-        cents = sub[rng.choice(n, size=k, replace=False)].copy()
-        for _ in range(iters):
-            # argmin_c ||x−c||² == argmax_c (x·c − ||c||²/2): the ||x||²
-            # row term is constant per row, so one GEMM + one in-place
-            # subtract replaces three full (n, k) temporaries
-            np.matmul(sub, cents.T, out=scores)
-            np.subtract(scores, 0.5 * (cents * cents).sum(1)[None, :],
-                        out=scores)
-            assign = scores.argmax(1)
-            # vectorized centroid update (a per-cluster Python loop here
-            # measured ~3 s/fit at ksub=256 — scatter-add instead)
-            sums = np.zeros((k, dsub))
-            np.add.at(sums, assign, sub)
-            counts = np.bincount(assign, minlength=k)
-            filled = counts > 0
-            cents[filled] = sums[filled] / counts[filled, None]
-            n_empty = int((~filled).sum())
-            if n_empty:   # empty cells: reseed on random points
-                cents[~filled] = sub[rng.integers(n, size=n_empty)]
-        books[j, :k] = cents
-        if k < ksub:   # degenerate tiny corpus: repeat centroids
-            books[j, k:] = cents[0]
+    books[:, :k] = cents
+    if k < ksub:   # degenerate tiny corpus: repeat centroids
+        books[:, k:] = cents[:, :1]
     return books
 
 
 def _pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, m) nearest-centroid codes of ``mat`` under ``books`` —
     the driver-side twin of the encode pandas_udf (shared by OPQ
-    training, which needs encode/decode inside its alternation)."""
-    m, _, dsub = books.shape
-    codes = np.empty((len(mat), m), dtype=np.int64)
-    for j in range(m):
-        sub = mat[:, j * dsub:(j + 1) * dsub]
-        cb = books[j]
-        d2 = ((sub * sub).sum(1, keepdims=True)
-              - 2.0 * sub @ cb.T + (cb * cb).sum(1)[None, :])
-        codes[:, j] = d2.argmin(1)
+    training, which needs encode/decode inside its alternation).
+    Batched over subspaces like :func:`_train_pq_codebooks`; chunked
+    so the (m, chunk, ksub) score tensor stays ≲256 MB."""
+    m, ksub, dsub = books.shape
+    n = len(mat)
+    subs = np.ascontiguousarray(
+        mat.reshape(n, m, dsub).transpose(1, 0, 2)).astype(np.float64)
+    half = 0.5 * (books * books).sum(2)              # (m, ksub)
+    bt = np.ascontiguousarray(books.transpose(0, 2, 1))
+    codes = np.empty((n, m), dtype=np.int64)
+    chunk = min(n, max(1024, int(256e6 / (m * ksub * 8))))
+    scores = np.empty((m, chunk, ksub))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        sc = scores[:, :e - s]
+        np.matmul(subs[:, s:e], bt, out=sc)
+        np.subtract(sc, half[:, None, :], out=sc)
+        codes[s:e] = sc.argmax(2).T
     return codes
 
 
@@ -474,15 +522,24 @@ def _train_opq_rotation(mat: np.ndarray, m: int, ksub: int, iters: int,
     # point whenever the axis-aligned split is already a local minimum —
     # a random start escapes it (FAISS inits OPQ randomly too)
     r_mat, _ = np.linalg.qr(rng.standard_normal((d, d)))
-    inner = max(4, iters // 4)   # cheap refreshes inside the alternation
+    inner = max(4, iters // 4)
     books = None
-    for _ in range(max(1, opq_iters)):
+    for it in range(max(1, opq_iters)):
         rotated = mat @ r_mat
-        books = _train_pq_codebooks(rotated, m, ksub, inner, seed)
+        # first alternation trains codebooks properly; later ones
+        # REFRESH the previous books with a couple of Lloyd steps (the
+        # Ge et al. non-parametric alternation updates codebooks
+        # incrementally — the rotation moves slowly, so a from-scratch
+        # retrain per alternation re-paid the whole convergence cost
+        # opq_iters times over)
+        books = _train_pq_codebooks(
+            rotated, m, ksub, inner if it == 0 else 2, seed,
+            init=None if it == 0 else books)
         recon = _pq_reconstruct(_pq_assign(rotated, books), books)
         u, _, vt = np.linalg.svd(mat.T @ recon)
         r_mat = u @ vt
-    books = _train_pq_codebooks(mat @ r_mat, m, ksub, iters, seed)
+    books = _train_pq_codebooks(mat @ r_mat, m, ksub, iters, seed,
+                                init=books)
     return r_mat, books
 
 
