@@ -150,7 +150,12 @@ def contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
     marks = (twins.join(ewins.select("__w").distinct(), "__w",
                         "left_semi")
              .select(train_id_col, "start"))
-    return _merge_window_runs(marks, id_col=train_id_col, n=min_len)
+    from faisssearcher_spark.operators.dedup import _stamp_spans
+
+    return _stamp_spans(
+        _merge_window_runs(marks, id_col=train_id_col, n=min_len),
+        producer="contaminated_spans", min_len=min_len,
+        id_col=train_id_col)
 
 
 def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
@@ -176,9 +181,13 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
     ``dedup.remove_exact_substrings``): a caller needing both the span
     report and the removal passes it here so the two plans share one
     identical spans subtree. Must come from the same corpora with the
-    same ``min_len``; mismatched spans silently mis-remove."""
+    same ``min_len``. Frames still carrying their in-session
+    :func:`contaminated_spans` stamp are VALIDATED (mismatched
+    ``min_len``/``train_id_col``/producer raises); an unstamped frame
+    (e.g. round-tripped through parquet) falls back to the documented
+    same-parameters contract — mismatches silently mis-remove."""
     from faisssearcher_spark.operators.dedup import (
-        _rebuild_without_positions, _token_windows)
+        _check_spans, _rebuild_without_positions, _token_windows)
 
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
@@ -186,6 +195,10 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
                         "n_contam_tokens"):
         raise ValueError(f"train_id_col {train_id_col!r} collides with "
                          "an output column; rename it first")
+    if spans is not None:
+        _check_spans(spans, "remove_contaminated_spans",
+                     producer="contaminated_spans", min_len=min_len,
+                     id_col=train_id_col)
     toked, _ = _token_windows(train, id_col=train_id_col,
                               text_col=train_text_col, n=min_len,
                               tokens_col=train_tokens_col)

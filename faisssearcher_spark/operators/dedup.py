@@ -1324,13 +1324,35 @@ def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
                    ) -> tuple[DataFrame, DataFrame]:
     """(tokenized frame, sliding n-token window occurrences).
 
-    Returns ``toked = (id, __toks)`` and ``wins = (id, start, __w)`` where
-    ``start`` is the 0-based token offset and ``__w`` the space-joined
-    window text. Tokenization runs ONCE per document (the array
-    materializes as an attribute before any lambda touches it — the
-    NOTES.md interpreted-projection trap), and short documents yield no
-    windows via a ``when``-guarded sequence instead of a filter (a filter
-    on ``size(__toks)`` would push back through the projection and
+    Returns ``toked = (id, __toks)`` and ``wins = (id, start, __w)``
+    where ``start`` is the 0-based token offset and ``__w`` the window
+    KEY: ``xxhash64`` of the sliced token array, NOT the window text.
+    Every spans/exsub/boilerplate/decontam groupBy and join shuffles
+    this key — at min_len=50 the space-joined string it replaced was
+    ~300 bytes per window where the long is 8, a 20-40× shuffle-byte
+    cut on the 100-TB-critical operators (r10 verdict #2; measured
+    locally where shuffle is in-memory: spans/exsub wall at parity,
+    boilerplate x10 23.9 → 5.3 s and 4.8 → 1.35 per decade, because
+    its (group, window, id)-distinct shuffled the string THRICE).
+    Hashing the ARRAY (element boundaries included) rather than the
+    joined string also removes the token-containing-separator
+    ambiguity. Exactness contract: two distinct window texts equi-key
+    with probability 2⁻⁶⁴ per pair — the budget minhash_lsh_join's
+    band keys already accept, explicitly sanctioned for this operator
+    family (r10 verdict #2); even at 10¹² windows the birthday bound
+    expects ~3·10⁴ colliding TEXT pairs corpus-wide, each at worst
+    marking one min_len-token window spuriously duplicated — noise at
+    that corpus size, and detectable by re-verifying marked spans
+    against the token arrays if a deployment needs certainty. (A
+    96-bit struct(xxhash64, murmur3) key was measured first: it
+    doubles window-gen compute for sub-2⁻⁶⁴ risk and cost spans/exsub
+    ~35% wall at x10.)
+
+    Tokenization runs ONCE per document (the array materializes as an
+    attribute before any lambda touches it — the NOTES.md
+    interpreted-projection trap), and short documents yield no windows
+    via a ``when``-guarded sequence instead of a filter (a filter on
+    ``size(__toks)`` would push back through the projection and
     re-inline the split). ``tokens_col`` reuses an already-tokenized
     array column instead (the share-one-tokenize-scan discipline)."""
     toks = (F.col(tokens_col) if tokens_col is not None
@@ -1344,7 +1366,7 @@ def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
         F.col(id_col), *[F.col(c) for c in extra_cols],
         F.posexplode(F.transform(
             starts,
-            lambda s: F.array_join(F.slice(F.col("__toks"), s, n), " ")))
+            lambda s: F.xxhash64(F.slice(F.col("__toks"), s, n))))
         .alias("start", "__w"))
     return toked, wins
 
@@ -1492,6 +1514,34 @@ def _merge_window_runs(marks: DataFrame, *, id_col: str,
             .select(id_col, "start", "end"))
 
 
+def _stamp_spans(spans: DataFrame, **meta) -> DataFrame:
+    """Stamp a spans frame with its producer parameters (Python-side
+    attribute) so the ``spans=`` reuse hooks can raise on a mismatched
+    frame instead of silently mis-removing (r10 verdict #6). The stamp
+    does not survive a parquet round-trip — unstamped frames fall back
+    to the documented same-parameters contract."""
+    spans._fs_spans_meta = meta
+    return spans
+
+
+def _check_spans(spans: DataFrame, consumer: str, **expect) -> None:
+    """Raise when a stamped ``spans=`` frame was produced with
+    different parameters than the removal call expects."""
+    meta = getattr(spans, "_fs_spans_meta", None)
+    if meta is None:
+        return
+    bad = {k: (meta.get(k), v) for k, v in expect.items()
+           if meta.get(k) != v}
+    if bad:
+        detail = ", ".join(f"{k}: spans={got!r} vs call={want!r}"
+                           for k, (got, want) in sorted(bad.items()))
+        raise ValueError(
+            f"{consumer}(spans=...) got a spans frame produced with "
+            f"different parameters ({detail}); a mismatched frame "
+            "would silently mis-remove — recompute the spans with the "
+            "call's parameters or fix the call")
+
+
 def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
                           text_col: str = "text", min_len: int = 50,
                           keep: str = "none",
@@ -1543,7 +1593,10 @@ def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
     _, wins = _token_windows(df, id_col=id_col, text_col=text_col,
                              n=min_len, tokens_col=tokens_col)
     marks = _exsub_marks(wins, id_col=id_col, keep=keep)
-    return _merge_window_runs(marks, id_col=id_col, n=min_len)
+    return _stamp_spans(
+        _merge_window_runs(marks, id_col=id_col, n=min_len),
+        producer="exact_substring_spans", min_len=min_len, keep=keep,
+        id_col=id_col)
 
 
 def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
@@ -1577,12 +1630,21 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
     Spark's exchange reuse then evaluates the heavy window-agg half
     once per action instead of twice (review catch on the gate query).
     The frame must come from the same corpus with the same ``min_len``
-    and ``keep``; mismatched spans silently mis-remove."""
+    and ``keep``. Frames still carrying their in-session
+    :func:`exact_substring_spans` stamp are VALIDATED (mismatched
+    ``min_len``/``keep``/``id_col``/producer raises); an unstamped
+    frame (e.g. round-tripped through parquet) falls back to the
+    documented same-parameters contract — mismatches silently
+    mis-remove."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if id_col in ("start", "end", "pos", "n_tokens", "n_exsub_tokens"):
         raise ValueError(f"id_col {id_col!r} collides with an "
                          "ExactSubstr output column; rename it first")
+    if spans is not None:
+        _check_spans(spans, "remove_exact_substrings",
+                     producer="exact_substring_spans", min_len=min_len,
+                     keep=keep, id_col=id_col)
     toked, wins = _token_windows(df, id_col=id_col, text_col=text_col,
                                  n=min_len, tokens_col=tokens_col)
     if spans is None:

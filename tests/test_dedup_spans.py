@@ -252,3 +252,50 @@ def test_exsub_validation(spark):
     with pytest.raises(ValueError):
         remove_exact_substrings(df.withColumnRenamed("doc_id", "end"),
                                 id_col="end", min_len=2)
+
+
+def test_exsub_spans_reuse_stamp_guard(spark):
+    """The spans= reuse hook validates the producer stamp: a frame
+    computed under different min_len/keep (or from a different
+    producer) raises instead of silently mis-removing (r10 verdict #6);
+    a matching stamp and an unstamped frame both pass through."""
+    rows = [(1, "u v p q r w"), (2, "x p q r y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans3 = exact_substring_spans(df, min_len=3)
+    # matching stamp: works, result equals the self-computed path
+    got = {r["doc_id"]: r["text"]
+           for r in remove_exact_substrings(df, min_len=3,
+                                            spans=spans3).collect()}
+    assert got == {1: "u v w", 2: "x y"}
+    with pytest.raises(ValueError, match="min_len"):
+        remove_exact_substrings(df, min_len=4, spans=spans3)
+    with pytest.raises(ValueError, match="keep"):
+        remove_exact_substrings(df, min_len=3, keep="first",
+                                spans=spans3)
+    with pytest.raises(ValueError, match="id_col"):
+        remove_exact_substrings(
+            df.withColumnRenamed("doc_id", "docid"), id_col="docid",
+            min_len=3, spans=spans3)
+    # cross-producer mixup: contaminated_spans frame into the exsub hook
+    from faisssearcher_spark.operators import decontam
+
+    ev = spark.createDataFrame([(9, "p q r")], "doc_id long, text string")
+    cspans = decontam.contaminated_spans(df, ev, min_len=3)
+    with pytest.raises(ValueError, match="producer"):
+        remove_exact_substrings(df, min_len=3, spans=cspans)
+    with pytest.raises(ValueError, match="producer"):
+        decontam.remove_contaminated_spans(df, ev, min_len=3,
+                                           spans=spans3)
+    with pytest.raises(ValueError, match="min_len"):
+        decontam.remove_contaminated_spans(df, ev, min_len=4,
+                                           spans=cspans)
+    # matching decontam stamp passes
+    out = {r["doc_id"]: r["text"]
+           for r in decontam.remove_contaminated_spans(
+               df, ev, min_len=3, spans=cspans).collect()}
+    assert out == {1: "u v w", 2: "x y"}
+    # unstamped frame (parquet round-trip analog): documented contract,
+    # no raise
+    bare = spans3.select("doc_id", "start", "end")
+    bare2 = remove_exact_substrings(df, min_len=3, spans=bare)
+    assert bare2.count() == 2
