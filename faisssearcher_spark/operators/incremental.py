@@ -188,11 +188,15 @@ class _IncrementalStore:
                 and spark.catalog.tableExists(bucketed_table)):
             if existing is not None:
                 # crash recovery, not a foreign table: the PATH meta
-                # proves this store identity already committed here,
-                # and a rewrite's mode('overwrite') drops table
-                # properties — a crash between the overwrite and the
-                # re-stamp would otherwise brick the store behind the
-                # refusal below (review catch). Re-stamp and continue.
+                # proves this store identity already committed here —
+                # including THIS table name, since _identity() records
+                # bucketed_table and existing==mine was enforced above
+                # (a foreign/typo'd table can't inherit a re-stamp from
+                # some other store's path meta, r10 advice) — and a
+                # rewrite's mode('overwrite') drops table properties,
+                # so a crash between the overwrite and the re-stamp
+                # would otherwise brick the store behind the refusal
+                # below (review catch). Re-stamp and continue.
                 self._stamp_table_meta()
             else:
                 raise ValueError(
@@ -206,10 +210,18 @@ class _IncrementalStore:
     def _identity(self) -> dict:
         """The validated parameter identity: the subclass's hash
         parameters plus the storage layout when it is not the default
-        (so metas written by pre-layout stores keep validating)."""
+        (so metas written by pre-layout stores keep validating), plus
+        the bucketed table NAME in bucketed mode — the path meta must
+        prove which table this store's state lives in, or the crash-
+        recovery re-stamp below could silently claim a pre-existing
+        property-less FOREIGN table (r10 advice). A bucketed store's
+        path also can't reopen as flat: its path state dir is empty,
+        so every screen would vacuously pass."""
         d = dict(self._meta_dict())
         if self.layout != "flat":
             d["layout"] = self.layout
+        if self.bucketed_table:
+            d["bucketed_table"] = self.bucketed_table
         return d
 
     def _state_path(self) -> str:
@@ -308,8 +320,16 @@ class _IncrementalStore:
 
             if not os.path.isdir(p) and not os.path.isfile(p):
                 return None
+            # prefer the FIXED filename _write_meta lands (meta-0.parquet):
+            # reading the directory during a concurrent rewrite could see
+            # a stale visible leftover PLUS the new file and fail the
+            # multi-file read, warn-treating a healthy meta as absent
+            # (r10 advice). The directory read remains as the fallback
+            # for old Spark-written layouts (part-* + _SUCCESS).
+            fixed = os.path.join(p, "meta-0.parquet")
+            src = fixed if os.path.isfile(fixed) else p
             try:
-                tbl = pq.read_table(p, columns=["meta"])
+                tbl = pq.read_table(src, columns=["meta"])
             except pa.ArrowInvalid as exc:
                 # corrupt / partially-written meta only — "absent" is
                 # the right read (the next commit rewrites it), but say

@@ -853,7 +853,8 @@ def video_shifted_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
 def video_minhash_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
                                  max_frames: int = 64,
                                  max_hamming: int = 4,
-                                 num_hashes: int = 16, bands: int = 4,
+                                 num_hashes: int = 16,
+                                 bands: "int | None" = None,
                                  seed: int = 42,
                                  verify_threshold: float | None = 0.15,
                                  id_col: str = "asset_id",
@@ -881,8 +882,12 @@ def video_minhash_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
     band-token Jaccard ≥ m / ((max_hamming+1)·n) even when EVERY
     shared frame was perturbed. Verification is exact Jaccard over the
     band-token sets; LSH recall is the usual 1-(1-j^r)^b — size
-    ``bands`` to the target Jaccard (r=1, i.e. bands=num_hashes, for
-    small-set/high-recall screening).
+    ``bands`` to the target Jaccard. ``bands`` DEFAULTS to
+    ``num_hashes`` (r=1): the shifted+noisy-twin scenario this
+    function exists for produces band-token Jaccard around 0.2, where
+    r=4 banding recalls under 1% (r10 advice) — r=1 is the
+    small-set/high-recall screening setting; lower ``bands`` only to
+    trade recall for candidate volume on huge corpora.
 
     Why MinHash instead of joining band tokens directly: a direct
     equi-join on band tokens has key space 2^(bits/(max_hamming+1)) —
@@ -900,6 +905,8 @@ def video_minhash_near_dup_pairs(df: DataFrame, *, hash_size: int = 8,
     from faisssearcher_spark.operators.dedup import (hamming_band_rows,
                                                      minhash_lsh_join)
 
+    if bands is None:
+        bands = num_hashes
     fh = video_frame_hashes(df, hash_size=hash_size,
                             max_frames=max_frames, id_col=id_col,
                             payload_col=payload_col)

@@ -3307,6 +3307,9 @@ def _cms_stream_state(spark: SparkSession, sf_dir: str,
     count-min sink and return the state directory (memoized per
     corpus per session unless ``use_memo=False`` — the fresh-timing
     path for the bench entry)."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     from faisssearcher_spark.streaming.sketches import cms_sketch_sink
@@ -3322,6 +3325,18 @@ def _cms_stream_state(spark: SparkSession, sf_dir: str,
                     state_dir=f"{root}/state",
                     checkpoint_dir=f"{root}/ckpt",
                     depth=4, width=512).awaitTermination()
+    # keep only the LIVE memoized dir: a superseded one (the bench's
+    # fresh-timing path re-runs this per invocation) is orphaned /tmp
+    # state that long sessions accumulate without bound (r10 advice) —
+    # remove it now, and the survivor at exit.
+    old = _CMS_STREAM_CACHE.get(sf_dir)
+    if old:
+        shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+    if not _CMS_STREAM_CACHE:
+        atexit.register(
+            lambda: [shutil.rmtree(os.path.dirname(p),
+                                   ignore_errors=True)
+                     for p in _CMS_STREAM_CACHE.values()])
     _CMS_STREAM_CACHE[sf_dir] = f"{root}/state"
     return f"{root}/state"
 

@@ -249,7 +249,7 @@ def _scale_queries(emb: DataFrame, docs: DataFrame, queries: DataFrame,
         # sf0.1: 7.3 → 8.3 s), so the ratio understates growth until
         # the corpus outweighs the compile — rows are the linearity
         # evidence here
-        "video_vmh": lambda: _video_vmh(docs),
+        "video_vmh": lambda: _video_vmh(docs, factor),
         # margin-based bitext mining over planted translations, in the
         # SERVING shape: a FIXED src batch (the base corpus — replica 0
         # of the scaled frame) mines against the growing tgt corpus, so
@@ -284,17 +284,41 @@ def _hamming_planted(docs: DataFrame) -> DataFrame:
     return hamming_pairs(fps, bits=64, max_hamming=3)
 
 
-def _video_vmh(docs: DataFrame) -> DataFrame:
+#: per-(docs frame, factor) parquet of synthesized video payloads —
+#: built on the leg's FIRST execution, read thereafter, so best-of-N
+#: timing measures the operator (decode → band → MinHash), not the
+#: one-time ~7 s Janino compile of the 219-part synth concat that
+#: dominated both r10 sweep points (r10 verdict #5). Cleaned at exit.
+_VMH_ASSET_CACHE: dict = {}
+
+
+def _video_vmh(docs: DataFrame, factor: int = 1) -> DataFrame:
     """Shift+noise-tolerant video matching over the synthesized twin
     corpus (registry._gate_video_shiftnoise_assets — pure-SQL Y4M
     payloads keyed on the scaled doc ids, so every even/odd pair is a
     planted shifted+perturbed match and pair output grows linearly
-    with the corpus)."""
+    with the corpus). Payloads materialize to parquet once per
+    (corpus, factor) — see _VMH_ASSET_CACHE."""
     from faisssearcher_spark.operators.multimodal import \
         video_minhash_near_dup_pairs
     from faisssearcher_spark.registry import _gate_video_shiftnoise_assets
 
-    assets = _gate_video_shiftnoise_assets(docs.select("doc_id"))
+    key = (id(docs), factor)
+    path = _VMH_ASSET_CACHE.get(key)
+    if path is None:
+        import atexit
+
+        root = tempfile.mkdtemp(prefix="vmh_assets_")
+        path = f"{root}/assets"
+        _gate_video_shiftnoise_assets(docs.select("doc_id")) \
+            .write.parquet(path)
+        if not _VMH_ASSET_CACHE:
+            atexit.register(
+                lambda: [shutil.rmtree(os.path.dirname(p),
+                                       ignore_errors=True)
+                         for p in _VMH_ASSET_CACHE.values()])
+        _VMH_ASSET_CACHE[key] = path
+    assets = docs.sparkSession.read.parquet(path)
     return video_minhash_near_dup_pairs(assets, hash_size=8,
                                         max_hamming=1, num_hashes=16,
                                         bands=16, verify_threshold=0.15)

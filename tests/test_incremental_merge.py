@@ -144,7 +144,7 @@ class TestMinHashUpsert:
             plan = store.screen(probe, threshold=0.5)._jdf \
                 .queryExecution().executedPlan().toString()
             assert "Bucketed: true" in plan
-            assert store._read_table_meta() == store._meta_dict()
+            assert store._read_table_meta() == store._identity()
             # bucketed COMPACT: replay a commit, compact, screen rows
             # identical, layout + stamp survive the second overwrite
             store.commit(spark.createDataFrame(
@@ -166,7 +166,7 @@ class TestMinHashUpsert:
             plan = store.screen(probe_o2, threshold=0.5)._jdf \
                 .queryExecution().executedPlan().toString()
             assert "Bucketed: true" in plan
-            assert store._read_table_meta() == store._meta_dict()
+            assert store._read_table_meta() == store._identity()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_merge_test")
 
@@ -248,7 +248,7 @@ class TestCrashRecovery:
                       f"('{store._META_PROP}')")
             reopened = _mh(spark, path, bucketed_table="t_mh_crash_test",
                            n_buckets=8)
-            assert reopened._read_table_meta() == reopened._meta_dict()
+            assert reopened._read_table_meta() == reopened._identity()
             probe = spark.createDataFrame([(9, BASE)],
                                           "doc_id long, text string")
             assert reopened.screen(probe, threshold=0.5).count() == 1
@@ -421,3 +421,39 @@ class TestRandomizedModelParity:
         want = sorted(map(tuple,
                           ref.screen(probes, threshold=0.5).collect()))
         assert got == want and want
+
+
+class TestForeignTableGuard:
+    """The path meta records WHICH bucketed table the store's state
+    lives in (r10 advice): a crash-recovery re-stamp may only claim a
+    property-less table the path meta proves ownership of — an old
+    path meta from a DIFFERENT table (or from flat mode) must refuse,
+    not silently ALTER the foreign table and append to it."""
+
+    def test_path_meta_from_another_table_cannot_claim(self, spark,
+                                                       tmp_path):
+        path = str(tmp_path / "own")
+        mine = _mh(spark, path, bucketed_table="t_mh_guard_a",
+                   n_buckets=8)
+        try:
+            mine.commit(spark.createDataFrame(
+                [(0, BASE)], "doc_id long, text string"))
+            # an unrelated property-less table pre-exists
+            spark.sql("DROP TABLE IF EXISTS t_mh_guard_b")
+            spark.createDataFrame([(1,)], "x long").write \
+                .saveAsTable("t_mh_guard_b")
+            # same path, other table: the identity mismatch refuses
+            # BEFORE any re-stamp could touch t_mh_guard_b
+            with pytest.raises(ValueError, match="created with"):
+                _mh(spark, path, bucketed_table="t_mh_guard_b",
+                    n_buckets=8)
+            props = {r["key"] for r in spark.sql(
+                "SHOW TBLPROPERTIES t_mh_guard_b").collect()}
+            assert mine._META_PROP not in props
+            # and a bucketed store's path cannot reopen as flat (its
+            # path state dir is empty -> screens would vacuously pass)
+            with pytest.raises(ValueError, match="created with"):
+                _mh(spark, path)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mh_guard_a")
+            spark.sql("DROP TABLE IF EXISTS t_mh_guard_b")
