@@ -503,8 +503,9 @@ class _IncrementalStore:
         tombstone then outranks both) — NOT compact(): compaction
         folds whatever the resolved state shows, so it would bake the
         duplicate vintage in permanently (review catch).
-        ``compact()`` after a clean merge folds epochs + tombstones
-        back to one partition."""
+        ``compact()`` after a clean merge folds the tombstone-touched
+        epochs (bounded, id-range-pruned; ``full=True`` for the whole
+        state) and clears the tombstones."""
         if self.layout == "epoch":
             self._ensure_meta()
             if not self._epoch_numbers():
@@ -522,17 +523,184 @@ class _IncrementalStore:
         keep = cur.join(ids.select("id").distinct(), "id", "left_anti")
         self._rewrite_state(keep.unionByName(rows.select(*cur.columns)))
 
-    def compact(self) -> None:
-        """Rewrite the state as ONE de-duplicated epoch: collapses
-        rows duplicated by replayed commits (screens were already
-        correct — the candidate join de-dups pairs — but the state
-        paid for the copies every screen) and merges the per-commit
-        small files a long append history accumulates. No-op before
-        the first commit."""
-        cur = self.state()
-        if cur is None:
+    def compact(self, full: bool = False) -> None:
+        """Fold tombstoned state back into clean epochs.
+
+        ``full=True`` (and every flat/bucketed-layout compact, where
+        bounded has no meaning) rewrites the WHOLE state as one
+        de-duplicated epoch: collapses rows duplicated by replayed
+        commits and merges the per-commit small files of a long append
+        history — cost ∝ state.
+
+        Epoch-layout default is the BOUNDED compact (r10 verdict #4):
+        a manifest of per-epoch id ranges — derived on demand from the
+        epochs' parquet FOOTER statistics, so it is self-consistent
+        with the files by construction (no separate manifest file, no
+        write-ordering crash window) — prunes compaction to the
+        epochs a tombstone could actually touch (an epoch e is
+        affected iff some tombstone has ``upto_epoch >= e`` AND its id
+        inside e's [min_id, max_id]; epochs without usable footer
+        stats are conservatively affected). Affected epochs fold,
+        tombstone-resolved and de-duplicated, into one fresh epoch
+        numbered above every live tombstone; UNAFFECTED epochs carry
+        over by hardlink (cost ∝ their file count, not bytes); the
+        pointer swap stays atomic for readers and all tombstones clear
+        (every row they could kill lived in an affected epoch). Cost ∝
+        touched epochs + tombstones — the Delta-style bounded MERGE's
+        maintenance half. Duplicate rows from replayed commits collapse
+        only when their epochs fold; run ``full=True`` occasionally for
+        whole-state dedup + small-file compaction. No-op before the
+        first commit; a no-tombstone epoch store is already clean."""
+        if full or self.layout != "epoch":
+            cur = self.state()
+            if cur is None:
+                return
+            self._rewrite_state(cur.distinct())
             return
-        self._rewrite_state(cur.distinct())
+        import shutil
+        import uuid
+        from functools import reduce
+
+        root = self._local_root()
+        tomb_dir = os.path.join(root, "tombstones")
+        if not os.path.isdir(tomb_dir):
+            return
+        epochs = self._epoch_numbers()
+        if not epochs:
+            shutil.rmtree(tomb_dir, ignore_errors=True)
+            return
+        manifest = self._epoch_manifest()
+        tomb = self.spark.read.parquet(self._tombstone_path())
+        aggs = []
+        for e in epochs:
+            cond = F.col("upto_epoch") >= F.lit(e)
+            bounds = manifest.get(e)
+            if bounds is not None:
+                cond = cond & F.col("id").between(F.lit(bounds[0]),
+                                                  F.lit(bounds[1]))
+            aggs.append(F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                        .alias(f"e{e}"))
+        flags = tomb.agg(*aggs).first()
+        affected = [e for e in epochs if flags[f"e{e}"] == 1]
+        if not affected:
+            # every tombstone misses every epoch's id range: they kill
+            # nothing, and any concurrent reader resolving against a
+            # partially-removed tombstone set deletes a subset of
+            # nothing — safe to clear without a state rewrite
+            shutil.rmtree(tomb_dir, ignore_errors=True)
+            return
+        old_name = self._active_state_name()
+        parts = [self.spark.read.parquet(
+                    os.path.join(self._state_path(), f"epoch={e}"))
+                 .withColumn("epoch", F.lit(e)) for e in affected]
+        t = tomb.groupBy("id").agg(F.max("upto_epoch").alias("__upto"))
+        surv = (reduce(DataFrame.unionByName, parts)
+                .join(t, "id", "left")
+                .filter(F.col("epoch")
+                        > F.coalesce(F.col("__upto"), F.lit(-1)))
+                .drop("__upto", "epoch").distinct())
+        nxt = epochs[-1] + 1
+        new_name = f"state-{uuid.uuid4().hex[:12]}"
+        surv.write.parquet(
+            os.path.join(self.path, new_name, f"epoch={nxt}"))
+        local_new = os.path.join(root, new_name)
+        if not os.path.isdir(os.path.join(local_new, f"epoch={nxt}")):
+            self._hadoop_delete(os.path.join(self.path, new_name))
+            raise NotImplementedError(
+                f"store path {self.path!r} resolves to a non-local "
+                "filesystem (fs.defaultFS is remote): the plain-parquet "
+                "pointer swap needs a driver-visible local path — pass "
+                "an explicit file:// URI, or use bucketed_table mode / "
+                "a transactional table format for cluster deployments")
+        for e in epochs:
+            if e in affected:
+                continue
+            src = os.path.join(root, old_name, f"epoch={e}")
+            dst = os.path.join(local_new, f"epoch={e}")
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                try:
+                    os.link(os.path.join(src, fn),
+                            os.path.join(dst, fn))
+                except OSError:
+                    shutil.copy2(os.path.join(src, fn),
+                                 os.path.join(dst, fn))
+        self._ensure_meta()
+        self._set_active_state_name(new_name)
+        if old_name != new_name:
+            shutil.rmtree(os.path.join(root, old_name),
+                          ignore_errors=True)
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+
+    def _epoch_manifest(self) -> "dict[int, tuple | None]":
+        """Per-epoch ``(min_id, max_id)`` bounds derived from the
+        epoch files' parquet footer statistics — pure driver-side
+        metadata reads, no Spark job, and self-consistent with the
+        state by construction (the files ARE the manifest). ``None``
+        marks an epoch with unusable stats (missing id column stats,
+        zero-row files): the bounded compact treats it as matching
+        every tombstone. Parquet string stats may be TRUNCATED bounds;
+        the spec keeps them valid outer bounds, which is all range
+        pruning needs (a false positive costs a fold, never a miss)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as papq
+
+        root = self._local_root()
+        state = os.path.join(root, self._active_state_name())
+
+        def _file_bounds(path: str) -> "tuple | None":
+            """(min, max) of the id column from one file's footer, or
+            None when unusable."""
+            try:
+                md = papq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            idx = next((i for i in range(md.num_columns)
+                        if md.schema.column(i).name == "id"), None)
+            if idx is None:
+                return None
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            return None if lo is None else (lo, hi)
+
+        epochs = self._epoch_numbers()
+        files: "list[tuple[int, str]]" = []
+        n_files: "dict[int, int]" = {}
+        for e in epochs:
+            d = os.path.join(state, f"epoch={e}")
+            names = [n for n in os.listdir(d)
+                     if not n.startswith((".", "_"))
+                     and n.endswith(".parquet")]
+            n_files[e] = len(names)
+            files.extend((e, os.path.join(d, n)) for n in names)
+        # footer reads are I/O-bound metadata fetches and pyarrow
+        # releases the GIL — a long append history is hundreds of
+        # epochs x dozens of part files, where the sequential form
+        # dominated the whole bounded compact (measured ~1 ms/file)
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            bounds = list(pool.map(lambda ef: _file_bounds(ef[1]), files))
+        out: "dict[int, tuple | None]" = {e: None for e in epochs}
+        acc: "dict[int, list]" = {}
+        for (e, _), b in zip(files, bounds):
+            acc.setdefault(e, []).append(b)
+        for e in epochs:
+            got = acc.get(e, [])
+            # zero-row files carry no stats and bound nothing; a file
+            # that EXISTS but is unusable poisons the epoch (must stay
+            # conservative). Distinguish: unusable == None from
+            # _file_bounds on a non-empty file... a zero-row file also
+            # returns None, so an all-None epoch stays conservative
+            # (correct either way: None => always affected).
+            ok = [b for b in got if b is not None]
+            if len(ok) == len(got) and ok:
+                out[e] = (min(b[0] for b in ok), max(b[1] for b in ok))
+        return out
 
     def _rewrite_state(self, merged: DataFrame) -> None:
         """Replace the state with ``merged``, atomically for readers.

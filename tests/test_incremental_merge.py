@@ -316,12 +316,62 @@ class TestEpochLayout:
         assert before == after and after
         assert not os.path.isdir(str(tmp_path / "e" / "tombstones"))
         active = ep._active_state_name()
-        subdirs = [d for d in os.listdir(str(tmp_path / "e" / active))
-                   if d.startswith("epoch=")]
-        assert len(subdirs) == 1
+        subdirs = sorted(d for d in
+                         os.listdir(str(tmp_path / "e" / active))
+                         if d.startswith("epoch="))
+        # BOUNDED: the tombstone (id 0, upto 0) touches only epoch 0,
+        # whose survivors folded into a fresh epoch 2; epoch 1 (id 0's
+        # corrected rows) carried over UNTOUCHED by hardlink
+        assert subdirs == ["epoch=1", "epoch=2"]
         probe = spark.createDataFrame([(9, OTHER)],
                                       "doc_id long, text string")
         assert ep.screen(probe, threshold=0.5).count() == 0
+        # full=True folds the whole state to one epoch
+        ep.compact(full=True)
+        assert sorted(map(tuple, ep.state().collect())) == after
+        active = ep._active_state_name()
+        subdirs = [d for d in os.listdir(str(tmp_path / "e" / active))
+                   if d.startswith("epoch=")]
+        assert len(subdirs) == 1
+        assert ep.screen(probe, threshold=0.5).count() == 0
+
+    def test_bounded_compact_prunes_by_id_range(self, spark, tmp_path):
+        """Id-range pruning: tombstones confined to one epoch's id
+        range leave the OTHER epochs' files untouched (same inode
+        after compact — hardlinked, not rewritten), and a no-op
+        tombstone set clears without any state rewrite."""
+        import os
+
+        ep = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        for base in (0, 100, 200):
+            ep.commit(spark.createDataFrame(
+                [(base + i, f"{BASE} marker {base + i}") for i in range(3)],
+                "doc_id long, text string"))
+        root = str(tmp_path / "e")
+
+        def _inodes(name, epoch):
+            d = os.path.join(root, name, f"epoch={epoch}")
+            return {fn: os.stat(os.path.join(d, fn)).st_ino
+                    for fn in os.listdir(d) if fn.endswith(".parquet")}
+
+        old_active = ep._active_state_name()
+        ino0, ino2 = _inodes(old_active, 0), _inodes(old_active, 2)
+        # correction inside epoch 1's id range only
+        ep.upsert(spark.createDataFrame([(101, OTHER)],
+                                        "doc_id long, text string"))
+        before = sorted(map(tuple, ep.state().collect()))
+        ep.compact()
+        assert sorted(map(tuple, ep.state().collect())) == before
+        new_active = ep._active_state_name()
+        assert new_active != old_active
+        # epochs 0 and 2 hardlinked (same inodes); epoch 1 folded away
+        assert _inodes(new_active, 0) == ino0
+        assert _inodes(new_active, 2) == ino2
+        dirs = sorted(d for d in
+                      os.listdir(os.path.join(root, new_active))
+                      if d.startswith("epoch="))
+        assert "epoch=1" not in dirs and "epoch=4" in dirs
+        assert not os.path.isdir(os.path.join(root, "tombstones"))
 
     def test_empty_correction_clears_state(self, spark, tmp_path):
         ep = _mh(spark, str(tmp_path / "e"), layout="epoch")
@@ -368,6 +418,21 @@ class TestEpochLayout:
                 es.screen(mkv([(9, v)]), threshold=0.9).collect()] \
             == [(9, 0)]
         assert es.screen(mkv([(8, w)]), threshold=0.9).count() == 0
+        # bounded compact holds screen parity on BOTH stores (the
+        # base-class path all three stores share) and clears tombstones
+        import os
+
+        fp.compact()
+        es.compact()
+        assert not os.path.isdir(str(tmp_path / "fp" / "tombstones"))
+        assert not os.path.isdir(str(tmp_path / "es" / "tombstones"))
+        assert [(r["new_id"], r["known_id"]) for r in
+                fp.screen(mk([(9, 0x12345678)])).collect()] == [(9, 0)]
+        assert fp.screen(mk([(8, 0xDEADBEEF)])).count() == 0
+        assert [(r["new_id"], r["known_id"]) for r in
+                es.screen(mkv([(9, v)]), threshold=0.9).collect()] \
+            == [(9, 0)]
+        assert es.screen(mkv([(8, w)]), threshold=0.9).count() == 0
 
 
 class TestRandomizedModelParity:
@@ -407,7 +472,9 @@ class TestRandomizedModelParity:
                 ep.upsert(spark.createDataFrame(
                     batch, "doc_id long, text string"))
             elif op == "compact":
-                ep.compact()
+                # both maintenance modes fuzz the same model: bounded
+                # (manifest-pruned fold) and full (whole-state rewrite)
+                ep.compact(full=rng.random() < 0.5)
         if not model:
             return
         ref = _mh(spark, str(tmp_path / f"r{seed}"))
