@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_span_removal",
     "dedup_exsub_removal",
     "dedup_semantic",
+    "dedup_profile",
     "sample_dsir",
     "ann_pq_topk",
     "ann_b1_topk",

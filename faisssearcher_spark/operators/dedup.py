@@ -1659,6 +1659,116 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
         drop_empty_docs=drop_empty_docs, removed_col="n_exsub_tokens")
 
 
+def duplication_profile(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        lengths: "tuple[int, ...]" = (1, 2, 4, 8, 16,
+                                                      32, 64),
+                        tokens_col: str | None = None) -> DataFrame:
+    """Corpus duplication SPECTRUM — the tuning diagnostic to run
+    before committing to a dedup recipe: for each probe window length
+    ``L`` (doubling by default), how much of the corpus is duplicated
+    material at that granularity.
+
+    Output, one row per length, ordered ascending:
+
+    - ``length`` — the probe L;
+    - ``n_windows`` — total L-token window occurrences corpus-wide;
+    - ``n_dup_windows`` — distinct window TEXTS occurring more than
+      once (total occurrences, within-document repeats included — the
+      suffix-array duplication criterion);
+    - ``n_dup_occurrences`` — total occurrences of those texts;
+    - ``n_covered_tokens`` — token positions inside ≥1 duplicated
+      L-window. By the ExactSubstr coverage equivalence
+      (:func:`exact_substring_spans`) this EQUALS the tokens that
+      ``remove_exact_substrings(min_len=L, keep='none')`` would
+      remove — so ``n_covered_tokens / n_tokens`` as a function of L
+      is exactly the removal-rate curve, and the knee of that curve is
+      the principled ``min_len``/``n`` choice (Lee et al. 2022 pick 50
+      for crawled corpora; a corpus's own curve says whether that is
+      conservative or aggressive for it);
+    - ``n_tokens`` — corpus token count (constant across rows).
+
+    Scale shape: ONE tokenize + window-explode pass emits EVERY
+    length's windows as ``(length, start, xxhash64(window))`` structs
+    (the corpus scans once, not |lengths| times), then one aggregation
+    keyed ``(length, __w)``, one equi-join back, and one
+    gaps-and-islands merge partitioned ``(length, id)`` compute the
+    whole spectrum in a single plan. Shuffle ∝ windows × |lengths|;
+    no pairs, no position explode (coverage sums merged intervals).
+    """
+    from pyspark.sql import Window as W
+
+    if not lengths or any(n < 1 for n in lengths):
+        raise ValueError(f"lengths must be positive, got {lengths!r}")
+    if id_col in ("start", "end", "length"):
+        raise ValueError(f"id_col {id_col!r} collides with an internal "
+                         "column; rename it first")
+    ls = sorted(set(int(x) for x in lengths))
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else T.tokens(text_col))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    nt = F.size("__toks")
+
+    def _win_arr(n: int):
+        starts = F.when(nt >= n, F.sequence(F.lit(1), nt - n + 1)) \
+                  .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.lit(n).cast("int").alias("length"),
+                (s - 1).cast("int").alias("start"),
+                F.xxhash64(F.slice(F.col("__toks"), s, n))
+                .alias("__w")))
+
+    wins = (toked.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*[_win_arr(n) for n in ls])))
+        .alias("__win"))
+        .select(F.col(id_col), "__win.length", "__win.start",
+                "__win.__w"))
+    dupw = (wins.groupBy("length", "__w")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > 1))
+    dstats = dupw.groupBy("length").agg(
+        F.count("*").cast("long").alias("n_dup_windows"),
+        F.sum("__c").cast("long").alias("n_dup_occurrences"))
+    nwin = wins.groupBy("length").agg(
+        F.count("*").cast("long").alias("n_windows"))
+    marks = (wins.join(dupw.select("length", "__w")
+                       .hint("shuffle_hash"), ["length", "__w"])
+             .select("length", F.col(id_col), "start"))
+    w = W.partitionBy("length", id_col).orderBy("start")
+    gap = F.when(F.col("start") - F.lag("start").over(w)
+                 > F.col("length"), F.lit(1)).otherwise(F.lit(0))
+    cov = (marks.withColumn(
+        "__isl", F.sum(gap).over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("length", id_col, "__isl")
+        .agg(F.min("start").alias("s"),
+             (F.max("start") + F.col("length")).alias("e"))
+        .groupBy("length")
+        .agg(F.sum(F.col("e") - F.col("s")).cast("long")
+             .alias("n_covered_tokens")))
+    n_tok = toked.agg(
+        F.coalesce(F.sum(nt), F.lit(0)).cast("long").alias("n_tokens"))
+    base = df.sparkSession.createDataFrame(
+        [(n,) for n in ls], "length int")
+    out = (base.join(nwin, "length", "left")
+           .join(dstats, "length", "left")
+           .join(cov, "length", "left")
+           .crossJoin(n_tok)
+           .select("length",
+                   F.coalesce("n_windows", F.lit(0)).cast("long")
+                   .alias("n_windows"),
+                   F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                   .alias("n_dup_windows"),
+                   F.coalesce("n_dup_occurrences", F.lit(0))
+                   .cast("long").alias("n_dup_occurrences"),
+                   F.coalesce("n_covered_tokens", F.lit(0))
+                   .cast("long").alias("n_covered_tokens"),
+                   "n_tokens"))
+    return out.orderBy("length")
+
+
 def select_canonical(df: DataFrame, clusters: DataFrame, *,
                      id_col: str = "doc_id",
                      cluster_col: str = "cluster_id",

@@ -160,6 +160,18 @@ class _IncrementalStore:
         self.n_buckets = n_buckets
         mine = self._identity()
         existing = self._read_meta()
+        if (existing is not None and bucketed_table
+                and "bucketed_table" not in existing
+                and {k: v for k, v in mine.items()
+                     if k != "bucketed_table"} == existing):
+            # legacy meta from before bucketed_table joined the
+            # identity: the original parameters match, so accept the
+            # open and MIGRATE the meta with the table binding now —
+            # old stores stay openable (the 'layout' back-compat
+            # precedent) and the foreign-table guard closes for them
+            # from the first post-upgrade open onward.
+            self._write_meta()
+            existing = mine
         # per-instance memo of "meta is on disk": __init__ just read it,
         # so _append_state never re-reads per commit (each re-read was a
         # full Spark job on the Spark path). Two processes opening the
@@ -360,7 +372,10 @@ class _IncrementalStore:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            # only ever called when no readable meta exists. Two
+            # called when no readable meta exists, or to migrate a
+            # legacy meta in place (the bucketed_table back-compat
+            # path — content moves to the current identity, which the
+            # open just validated parameter-for-parameter). Two
             # processes opening a fresh store concurrently is a case
             # _meta_present deems idempotent — so NO rmtree (one writer
             # could delete the dir mid-write of the other, r9 advice):
@@ -550,26 +565,28 @@ class _IncrementalStore:
         maintenance half. Duplicate rows from replayed commits collapse
         only when their epochs fold; run ``full=True`` occasionally for
         whole-state dedup + small-file compaction. No-op before the
-        first commit; a no-tombstone epoch store is already clean."""
-        if full or self.layout != "epoch":
+        first commit. A TOMBSTONE-FREE epoch store takes the full path
+        too: there is nothing bounded to fold, and the pre-bounded
+        contract (collapse replayed commits, merge small files) must
+        keep holding for append-only callers."""
+        import shutil
+        import uuid
+        from functools import reduce
+
+        root = None if self.layout != "epoch" else self._local_root()
+        tomb_dir = None if root is None else \
+            os.path.join(root, "tombstones")
+        if full or tomb_dir is None or not os.path.isdir(tomb_dir):
             cur = self.state()
             if cur is None:
                 return
             self._rewrite_state(cur.distinct())
             return
-        import shutil
-        import uuid
-        from functools import reduce
-
-        root = self._local_root()
-        tomb_dir = os.path.join(root, "tombstones")
-        if not os.path.isdir(tomb_dir):
-            return
         epochs = self._epoch_numbers()
         if not epochs:
             shutil.rmtree(tomb_dir, ignore_errors=True)
             return
-        manifest = self._epoch_manifest()
+        manifest = self._epoch_manifest(epochs)
         tomb = self.spark.read.parquet(self._tombstone_path())
         aggs = []
         for e in epochs:
@@ -632,7 +649,8 @@ class _IncrementalStore:
                           ignore_errors=True)
         shutil.rmtree(tomb_dir, ignore_errors=True)
 
-    def _epoch_manifest(self) -> "dict[int, tuple | None]":
+    def _epoch_manifest(self, epochs: "list[int] | None" = None
+                        ) -> "dict[int, tuple | None]":
         """Per-epoch ``(min_id, max_id)`` bounds derived from the
         epoch files' parquet footer statistics — pure driver-side
         metadata reads, no Spark job, and self-consistent with the
@@ -669,16 +687,15 @@ class _IncrementalStore:
                 hi = st.max if hi is None else max(hi, st.max)
             return None if lo is None else (lo, hi)
 
-        epochs = self._epoch_numbers()
+        if epochs is None:
+            epochs = self._epoch_numbers()
         files: "list[tuple[int, str]]" = []
-        n_files: "dict[int, int]" = {}
         for e in epochs:
             d = os.path.join(state, f"epoch={e}")
-            names = [n for n in os.listdir(d)
-                     if not n.startswith((".", "_"))
-                     and n.endswith(".parquet")]
-            n_files[e] = len(names)
-            files.extend((e, os.path.join(d, n)) for n in names)
+            files.extend(
+                (e, os.path.join(d, n)) for n in os.listdir(d)
+                if not n.startswith((".", "_"))
+                and n.endswith(".parquet"))
         # footer reads are I/O-bound metadata fetches and pyarrow
         # releases the GIL — a long append history is hundreds of
         # epochs x dozens of part files, where the sequential form

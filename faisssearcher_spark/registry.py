@@ -1769,12 +1769,31 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_schema = "leg string, id_a long, id_b long, hamming int"
     fpstore_leg = (spark.createDataFrame(fp_rows, fp_schema) if fp_rows
                    else spark.createDataFrame([], fp_schema))
+
+    # tag-union leg 12 (round 11): the corpus duplication SPECTRUM
+    # (dedup.duplication_profile) — per probe length L the duplicated-
+    # window counts and the covered-token mass (== what ExactSubstr at
+    # min_len=L removes, by the coverage equivalence), melted into the
+    # pair schema as (leg='profile_<metric>', id_a=L, id_b=value).
+    prof_leg = dedup.duplication_profile(
+        docs, lengths=_PROFILE_LENGTHS).select(
+        "length",
+        F.explode(F.create_map(
+            F.lit("n_windows"), F.col("n_windows"),
+            F.lit("n_dup_windows"), F.col("n_dup_windows"),
+            F.lit("n_dup_occurrences"), F.col("n_dup_occurrences"),
+            F.lit("n_covered_tokens"), F.col("n_covered_tokens"),
+            F.lit("n_tokens"), F.col("n_tokens"))).alias("k", "v")) \
+        .select(F.concat(F.lit("profile_"), F.col("k")).alias("leg"),
+                F.col("length").cast("long").alias("id_a"),
+                F.col("v").alias("id_b"),
+                F.lit(-1).cast("int").alias("hamming"))
     return (text_leg.unionByName(fp_leg).unionByName(pair_leg)
             .unionByName(frames_leg).unionByName(audio_leg)
             .unionByName(afp_leg).unionByName(video_leg)
             .unionByName(vfp_leg).unionByName(vshift_leg)
             .unionByName(fpstore_leg).unionByName(spec_leg)
-            .unionByName(vmh_leg))
+            .unionByName(vmh_leg).unionByName(prof_leg))
 
 
 def _dhash_case_terms(var: str = "vs") -> str:
@@ -1831,6 +1850,58 @@ def _oracle_hamming_banded(bits: int, max_hamming: int) -> str:
         parts.append(f"SELECT doc_id AS id, simhash, {b} AS band_idx, "
                      f"{val} AS band_val FROM fp")
     return "\nUNION ALL\n".join(parts)
+
+
+#: probe lengths for the duplication-spectrum leg — doubling, capped
+#: at 16 (the gate corpus's docs run ~40-60 tokens; longer probes are
+#: all-zero rows that check nothing)
+_PROFILE_LENGTHS = (1, 2, 4, 8, 16)
+
+
+def _oracle_dup_profile(lengths: "tuple[int, ...]" = _PROFILE_LENGTHS
+                        ) -> str:
+    """DuckDB twin of the duplication_profile leg: per probe length,
+    the window CTE pattern of the exsub twin (windows are STRINGS here
+    where the engine keys on xxhash64 of the token array — __w never
+    leaves the operator, so the outputs agree), gaps-and-islands for
+    the covered mass, melted to (leg, L, value, -1) rows."""
+    blocks = []
+    for L in lengths:
+        blocks.append(f"""
+SELECT leg, {L}::BIGINT AS id_a, v AS id_b, -1 AS hamming
+FROM (
+  WITH dpt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+       dpw AS (SELECT doc_id, s - 1 AS start,
+                      array_to_string(list_slice(toks, s, s + {L} - 1),
+                                      ' ') AS w
+               FROM (SELECT doc_id, toks, len(toks) AS ntok
+                     FROM dpt WHERE len(toks) >= {L}) d,
+                    unnest(generate_series(1, ntok - {L} + 1)) AS u(s)),
+       dpd AS (SELECT w, count(*) AS c FROM dpw GROUP BY w
+               HAVING count(*) > 1),
+       dpi AS (SELECT doc_id, start,
+                      sum(CASE WHEN prev IS NULL OR start - prev > {L}
+                               THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id
+                                ORDER BY start) AS isl
+               FROM (SELECT doc_id, start,
+                            lag(start) OVER (PARTITION BY doc_id
+                                             ORDER BY start) AS prev
+                     FROM dpw JOIN dpd USING (w))),
+       dps AS (SELECT doc_id, min(start) AS s, max(start) + {L} AS e
+               FROM dpi GROUP BY doc_id, isl)
+  SELECT 'profile_n_windows' AS leg,
+         (SELECT count(*) FROM dpw)::BIGINT AS v
+  UNION ALL SELECT 'profile_n_dup_windows',
+         (SELECT count(*) FROM dpd)::BIGINT
+  UNION ALL SELECT 'profile_n_dup_occurrences',
+         (SELECT coalesce(sum(c), 0) FROM dpd)::BIGINT
+  UNION ALL SELECT 'profile_n_covered_tokens',
+         (SELECT coalesce(sum(e - s), 0) FROM dps)::BIGINT
+  UNION ALL SELECT 'profile_n_tokens',
+         (SELECT coalesce(sum(len(toks)), 0) FROM dpt)::BIGINT
+)""")
+    return "\nUNION ALL\n".join(blocks)
 
 
 ORACLE_SIMHASH_PAIRS = f"""
@@ -2042,6 +2113,10 @@ UNION ALL
 -- verified at >= 0.15, packed as round(j*1e4)
 SELECT 'vmh', id_a, id_b, round(j * 10000)::INT
 FROM zver WHERE j >= 0.15
+UNION ALL
+-- corpus duplication spectrum: per probe length the duplicated-window
+-- counts and covered-token mass (the ExactSubstr removal-rate curve)
+{_oracle_dup_profile()}
 """
 
 
@@ -6026,6 +6101,17 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                               key_col="doc_id")
 
 
+def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the corpus duplication spectrum
+    (dedup.duplication_profile) at the doubling probe lengths — one
+    tokenize pass, |lengths| window aggregations + equi-joins +
+    gaps-and-islands merges unioned into one plan. The oracle-checked
+    twin rides the dedup_simhash_pairs gate ('profile_*' legs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplication_profile(docs,
+                                     lengths=(1, 2, 4, 8, 16, 32))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: SemDeDup end-to-end (k-means fit + within-cell pairs
     + components + anti-join) on the embeddings corpus; the
@@ -6183,6 +6269,7 @@ ALL_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exsub_removal": q_dedup_exsub_removal,
     "text_cms_stream": q_text_cms_stream,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_profile": q_dedup_profile,
     "sample_dsir": q_sample_dsir,
     "ann_nsw_topk": q_ann_nsw_topk,
     "ann_pq_topk": q_ann_pq_topk,

@@ -303,7 +303,18 @@ def _video_vmh(docs: DataFrame, factor: int = 1) -> DataFrame:
         video_minhash_near_dup_pairs
     from faisssearcher_spark.registry import _gate_video_shiftnoise_assets
 
-    key = (id(docs), factor)
+    # key on a marker ATTRIBUTE stamped onto the docs frame, not
+    # id(docs): a CPython address recycles after GC, so a later sweep
+    # over a different corpus could silently hit the previous corpus's
+    # payloads — a fresh object at a reused address lacks the marker
+    # and gets its own entry (review catch)
+    marker = getattr(docs, "_fs_vmh_marker", None)
+    if marker is None:
+        import uuid
+
+        marker = uuid.uuid4().hex
+        docs._fs_vmh_marker = marker
+    key = (marker, factor)
     path = _VMH_ASSET_CACHE.get(key)
     if path is None:
         import atexit

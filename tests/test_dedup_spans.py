@@ -299,3 +299,57 @@ def test_exsub_spans_reuse_stamp_guard(spark):
     bare = spans3.select("doc_id", "start", "end")
     bare2 = remove_exact_substrings(df, min_len=3, spans=bare)
     assert bare2.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# duplication_profile (operators/dedup.py) — the spectrum diagnostic
+# ---------------------------------------------------------------------------
+
+from faisssearcher_spark.operators.dedup import duplication_profile
+
+
+def test_duplication_profile_against_brute_force(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(77)
+    docs = {did: [rng.choice("abc") for _ in range(rng.randint(0, 14))]
+            for did in range(14)}
+    df = spark.createDataFrame(
+        [(did, " ".join(t)) for did, t in docs.items()],
+        "doc_id long, text string")
+    lengths = (1, 2, 3, 5, 8)
+    got = {r["length"]: r.asDict() for r in
+           duplication_profile(df, lengths=lengths).collect()}
+    n_tokens = sum(len(t) for t in docs.values())
+    assert set(got) == set(lengths)
+    for L in lengths:
+        wins = Counter()
+        occ = defaultdict(list)
+        for did, toks in docs.items():
+            for s in range(len(toks) - L + 1):
+                w = tuple(toks[s:s + L])
+                wins[w] += 1
+                occ[w].append((did, s))
+        dup = {w: c for w, c in wins.items() if c > 1}
+        covered = set()
+        for w in dup:
+            for did, s in occ[w]:
+                covered.update((did, p) for p in range(s, s + L))
+        row = got[L]
+        assert row["n_windows"] == sum(wins.values())
+        assert row["n_dup_windows"] == len(dup)
+        assert row["n_dup_occurrences"] == sum(dup.values())
+        assert row["n_covered_tokens"] == len(covered)
+        assert row["n_tokens"] == n_tokens
+    # the spectrum is monotone: covered mass can only shrink as L grows
+    covs = [got[L]["n_covered_tokens"] for L in sorted(lengths)]
+    assert all(a >= b for a, b in zip(covs, covs[1:]))
+
+
+def test_duplication_profile_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplication_profile(df, lengths=())
+    with pytest.raises(ValueError):
+        duplication_profile(df, lengths=(0, 2))

@@ -524,3 +524,65 @@ class TestForeignTableGuard:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_guard_a")
             spark.sql("DROP TABLE IF EXISTS t_mh_guard_b")
+
+
+class TestCompactAndMetaBackCompat:
+    def test_no_tombstone_compact_keeps_full_clean_contract(
+            self, spark, tmp_path):
+        """An append-only epoch store (no tombstones) calling plain
+        compact() must still get the pre-bounded contract: replayed
+        commit rows collapse and epochs fold to one (review catch —
+        a silent no-op here would leave callers believing their
+        documented maintenance step ran)."""
+        import os
+
+        ep = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        batch = spark.createDataFrame([(0, BASE)],
+                                      "doc_id long, text string")
+        ep.commit(batch)
+        ep.commit(batch)   # replay
+        assert ep.state().count() == 2 * ep.state().distinct().count()
+        ep.compact()
+        assert ep.state().count() == ep.state().distinct().count()
+        active = ep._active_state_name()
+        subdirs = [d for d in os.listdir(str(tmp_path / "e" / active))
+                   if d.startswith("epoch=")]
+        assert len(subdirs) == 1
+
+    def test_legacy_meta_without_table_binding_migrates(self, spark,
+                                                        tmp_path):
+        """A bucketed store persisted before bucketed_table joined the
+        identity (its meta lacks the key) must reopen with the original
+        parameters — and the open MIGRATES the meta so the foreign-
+        table guard holds from then on (review catch: raising here
+        would brick every pre-upgrade store)."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        path = str(tmp_path / "b")
+        store = _mh(spark, path, bucketed_table="t_mh_legacy_meta",
+                    n_buckets=8)
+        try:
+            store.commit(spark.createDataFrame(
+                [(0, BASE)], "doc_id long, text string"))
+            # simulate the pre-upgrade meta: same parameters, no
+            # bucketed_table key
+            legacy = dict(store._meta_dict())
+            papq.write_table(
+                pa.table({"meta": [json.dumps(legacy)]}),
+                str(tmp_path / "b" / "meta" / "meta-0.parquet"))
+            reopened = _mh(spark, path,
+                           bucketed_table="t_mh_legacy_meta",
+                           n_buckets=8)
+            assert reopened._read_meta() == reopened._identity()
+            probe = spark.createDataFrame([(9, BASE)],
+                                          "doc_id long, text string")
+            assert reopened.screen(probe, threshold=0.5).count() == 1
+            # wrong table name against the legacy-migrated meta refuses
+            with pytest.raises(ValueError, match="created with"):
+                _mh(spark, path, bucketed_table="t_mh_other",
+                    n_buckets=8)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mh_legacy_meta")
