@@ -1693,14 +1693,19 @@ def duplication_profile(df: DataFrame, *, id_col: str = "doc_id",
     (the corpus scans once, not |lengths| times), then one aggregation
     keyed ``(length, __w)``, one equi-join back, and one
     gaps-and-islands merge partitioned ``(length, id)`` compute the
-    whole spectrum in a single plan. Shuffle ∝ windows × |lengths|;
-    no pairs, no position explode (coverage sums merged intervals).
+    duplication stats in a single plan; ``n_windows``/``n_tokens``
+    are ARITHMETIC on per-doc token counts (Σ max(nt−L+1, 0), Σ nt),
+    one tiny explode-free aggregate rather than two more corpus
+    passes (review catch). Shuffle ∝ windows × |lengths|; no pairs,
+    no position explode (coverage sums merged intervals).
     """
+    from itertools import chain
+
     from pyspark.sql import Window as W
 
     if not lengths or any(n < 1 for n in lengths):
         raise ValueError(f"lengths must be positive, got {lengths!r}")
-    if id_col in ("start", "end", "length"):
+    if id_col in ("start", "length") or id_col.startswith("__"):
         raise ValueError(f"id_col {id_col!r} collides with an internal "
                          "column; rename it first")
     ls = sorted(set(int(x) for x in lengths))
@@ -1732,8 +1737,6 @@ def duplication_profile(df: DataFrame, *, id_col: str = "doc_id",
     dstats = dupw.groupBy("length").agg(
         F.count("*").cast("long").alias("n_dup_windows"),
         F.sum("__c").cast("long").alias("n_dup_occurrences"))
-    nwin = wins.groupBy("length").agg(
-        F.count("*").cast("long").alias("n_windows"))
     marks = (wins.join(dupw.select("length", "__w")
                        .hint("shuffle_hash"), ["length", "__w"])
              .select("length", F.col(id_col), "start"))
@@ -1743,22 +1746,23 @@ def duplication_profile(df: DataFrame, *, id_col: str = "doc_id",
     cov = (marks.withColumn(
         "__isl", F.sum(gap).over(w.rowsBetween(W.unboundedPreceding, 0)))
         .groupBy("length", id_col, "__isl")
-        .agg(F.min("start").alias("s"),
-             (F.max("start") + F.col("length")).alias("e"))
+        .agg(F.min("start").alias("__s"),
+             (F.max("start") + F.col("length")).alias("__e"))
         .groupBy("length")
-        .agg(F.sum(F.col("e") - F.col("s")).cast("long")
+        .agg(F.sum(F.col("__e") - F.col("__s")).cast("long")
              .alias("n_covered_tokens")))
-    n_tok = toked.agg(
-        F.coalesce(F.sum(nt), F.lit(0)).cast("long").alias("n_tokens"))
-    base = df.sparkSession.createDataFrame(
-        [(n,) for n in ls], "length int")
-    out = (base.join(nwin, "length", "left")
-           .join(dstats, "length", "left")
+    per_len = toked.agg(
+        F.coalesce(F.sum(nt), F.lit(0)).cast("long").alias("n_tokens"),
+        *[F.coalesce(F.sum(F.greatest(nt - F.lit(n) + 1, F.lit(0))),
+                     F.lit(0)).cast("long").alias(f"__nw{n}")
+          for n in ls]) \
+        .select("n_tokens",
+                F.explode(F.create_map(*chain.from_iterable(
+                    (F.lit(n).cast("int"), F.col(f"__nw{n}"))
+                    for n in ls))).alias("length", "n_windows"))
+    out = (per_len.join(dstats, "length", "left")
            .join(cov, "length", "left")
-           .crossJoin(n_tok)
-           .select("length",
-                   F.coalesce("n_windows", F.lit(0)).cast("long")
-                   .alias("n_windows"),
+           .select("length", "n_windows",
                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
                    .alias("n_dup_windows"),
                    F.coalesce("n_dup_occurrences", F.lit(0))

@@ -166,12 +166,31 @@ class _IncrementalStore:
                      if k != "bucketed_table"} == existing):
             # legacy meta from before bucketed_table joined the
             # identity: the original parameters match, so accept the
-            # open and MIGRATE the meta with the table binding now —
-            # old stores stay openable (the 'layout' back-compat
+            # open and MIGRATE the meta with the table binding — old
+            # stores stay openable (the 'layout' back-compat
             # precedent) and the foreign-table guard closes for them
-            # from the first post-upgrade open onward.
-            self._write_meta()
-            existing = mine
+            # from the first post-upgrade open onward. The binding
+            # only becomes authoritative when the TABLE corroborates
+            # it (its property carries these parameters): a typo'd —
+            # or not-yet-existing — name on the first post-upgrade
+            # open must not get stamped into the meta, bricking every
+            # later open with the CORRECT name while the wrong one
+            # screens a foreign/empty table (review catch).
+            tm = self._read_table_meta()
+            table_corroborates = (
+                tm is not None
+                and {k: v for k, v in tm.items()
+                     if k != "bucketed_table"} == existing)
+            if table_corroborates:
+                self._write_meta()
+                existing = mine
+            else:
+                raise ValueError(
+                    f"store at {path!r} carries a legacy meta (no "
+                    f"table binding) and table {bucketed_table!r} "
+                    "does not corroborate this store's parameters — "
+                    "pass the table this store was actually committed "
+                    "to (its property must match), or rebuild")
         # per-instance memo of "meta is on disk": __init__ just read it,
         # so _append_state never re-reads per commit (each re-read was a
         # full Spark job on the Spark path). Two processes opening the
@@ -610,12 +629,8 @@ class _IncrementalStore:
         parts = [self.spark.read.parquet(
                     os.path.join(self._state_path(), f"epoch={e}"))
                  .withColumn("epoch", F.lit(e)) for e in affected]
-        t = tomb.groupBy("id").agg(F.max("upto_epoch").alias("__upto"))
-        surv = (reduce(DataFrame.unionByName, parts)
-                .join(t, "id", "left")
-                .filter(F.col("epoch")
-                        > F.coalesce(F.col("__upto"), F.lit(-1)))
-                .drop("__upto", "epoch").distinct())
+        surv = self._apply_tombstones(
+            reduce(DataFrame.unionByName, parts), tomb).distinct()
         nxt = epochs[-1] + 1
         new_name = f"state-{uuid.uuid4().hex[:12]}"
         surv.write.parquet(
@@ -853,6 +868,15 @@ class _IncrementalStore:
                                           "tombstones")):
             return df.drop("epoch")
         tomb = self.spark.read.parquet(self._tombstone_path())
+        return self._apply_tombstones(df, tomb)
+
+    @staticmethod
+    def _apply_tombstones(df: DataFrame, tomb: DataFrame) -> DataFrame:
+        """keep-iff-epoch-outranks-tombstone — THE one definition of
+        epoch resolution, shared by reads (:meth:`_resolve_epochs`)
+        and the bounded :meth:`compact` fold so the compacted state
+        can never diverge from what screens resolved (review catch).
+        Consumes and drops the ``epoch`` column."""
         t = tomb.groupBy("id").agg(F.max("upto_epoch").alias("__upto"))
         return (df.join(t, "id", "left")
                 .filter(F.col("epoch")

@@ -3374,6 +3374,10 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: session; the bench entry re-runs it fresh
 _CMS_STREAM_CACHE: dict[str, str] = {}
 
+#: superseded state dirs awaiting exit-time cleanup (deletion is
+#: deferred — see the comment in _cms_stream_state)
+_CMS_STREAM_RETIRED: list[str] = []
+
 
 def _cms_stream_state(spark: SparkSession, sf_dir: str,
                       grams: DataFrame,
@@ -3400,18 +3404,22 @@ def _cms_stream_state(spark: SparkSession, sf_dir: str,
                     state_dir=f"{root}/state",
                     checkpoint_dir=f"{root}/ckpt",
                     depth=4, width=512).awaitTermination()
-    # keep only the LIVE memoized dir: a superseded one (the bench's
-    # fresh-timing path re-runs this per invocation) is orphaned /tmp
-    # state that long sessions accumulate without bound (r10 advice) —
-    # remove it now, and the survivor at exit.
+    # track every created dir and clean them ALL at exit (r10 advice:
+    # long sessions accumulated unbounded /tmp state). Deletion is
+    # DEFERRED to exit rather than done on supersede: a previously
+    # returned state path may still back a lazy, not-yet-executed
+    # plan, and an eager rmtree here would be a use-after-free the
+    # moment callers interleave (review catch) — the cost is at most
+    # one extra live dir per (sf_dir, invocation) until exit.
     old = _CMS_STREAM_CACHE.get(sf_dir)
     if old:
-        shutil.rmtree(os.path.dirname(old), ignore_errors=True)
-    if not _CMS_STREAM_CACHE:
+        _CMS_STREAM_RETIRED.append(old)
+    if not _CMS_STREAM_CACHE and not _CMS_STREAM_RETIRED:
         atexit.register(
             lambda: [shutil.rmtree(os.path.dirname(p),
                                    ignore_errors=True)
-                     for p in _CMS_STREAM_CACHE.values()])
+                     for p in (list(_CMS_STREAM_CACHE.values())
+                               + _CMS_STREAM_RETIRED)])
     _CMS_STREAM_CACHE[sf_dir] = f"{root}/state"
     return f"{root}/state"
 

@@ -584,5 +584,20 @@ class TestCompactAndMetaBackCompat:
             with pytest.raises(ValueError, match="created with"):
                 _mh(spark, path, bucketed_table="t_mh_other",
                     n_buckets=8)
+            # ...and a legacy (pre-migration) meta refuses to bind a
+            # name the table side cannot corroborate — a typo'd first
+            # post-upgrade open must not become the authoritative
+            # binding (review catch)
+            legacy = dict(store._meta_dict())
+            papq.write_table(
+                pa.table({"meta": [json.dumps(legacy)]}),
+                str(tmp_path / "b" / "meta" / "meta-0.parquet"))
+            with pytest.raises(ValueError, match="corroborate"):
+                _mh(spark, path, bucketed_table="t_mh_typo",
+                    n_buckets=8)
+            # the correct name still migrates after the failed attempt
+            again = _mh(spark, path, bucketed_table="t_mh_legacy_meta",
+                        n_buckets=8)
+            assert again._read_meta() == again._identity()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_legacy_meta")
