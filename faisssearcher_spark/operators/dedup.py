@@ -1773,6 +1773,87 @@ def duplication_profile(df: DataFrame, *, id_col: str = "doc_id",
     return out.orderBy("length")
 
 
+def longest_duplicated_substring(df: DataFrame, *,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 tokens_col: str | None = None,
+                                 max_len: int | None = None) -> dict:
+    """Length (in tokens) of the LONGEST substring occurring more than
+    once corpus-wide, plus one witness occurrence — the "how bad is
+    the worst duplication" diagnostic that pairs with
+    :func:`duplication_profile`'s spectrum (the profile tells you the
+    mass at each length; this tells you the tail's end).
+
+    Returns ``{"length": L, "id": witness_doc, "start": offset,
+    "n_occurrences": count}`` — or ``{"length": 0, ...}`` when no
+    token occurs twice. The witness is deterministic (min
+    ``(id, start)`` among the most-frequent longest windows).
+
+    Driver-adaptive search, NOT one declarative plan: "some L-window
+    occurs twice" is monotone in L (any window of a duplicated
+    substring is duplicated — the ExactSubstr coverage-equivalence
+    direction), so exponential doubling finds an upper bound in
+    O(log L*) probe jobs and binary search pins L* in O(log L*) more.
+    Each probe is ONE window aggregation + ``limit(1)`` (shuffle ∝
+    windows at that length); the max probed length is bounded by the
+    corpus's longest document, and ``max_len`` caps it explicitly for
+    corpora with pathological near-total duplication. Because the
+    loop is driver-adaptive there is no single-SQL twin; the probe
+    predicate itself (duplicated L-window existence) is the
+    oracle-gated :func:`duplication_profile` machinery, and the
+    result is pinned against a brute-force oracle in pytest.
+    """
+    if id_col in ("start", "length") or id_col.startswith("__"):
+        raise ValueError(f"id_col {id_col!r} collides with an internal "
+                         "column; rename it first")
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else T.tokens(text_col))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    longest = toked.agg(F.coalesce(F.max(F.size("__toks")),
+                                   F.lit(0))).first()[0]
+    cap = min(longest, max_len) if max_len else longest
+    empty = {"length": 0, "id": None, "start": None,
+             "n_occurrences": 0}
+    if cap < 1:
+        return empty
+
+    def _dup_exists(n: int) -> bool:
+        _, wins = _token_windows(toked, id_col=id_col,
+                                 text_col="__toks", n=n,
+                                 tokens_col="__toks")
+        return bool(wins.groupBy("__w")
+                    .agg(F.count("*").alias("__c"))
+                    .filter(F.col("__c") > 1).limit(1).count())
+
+    if not _dup_exists(1):
+        return empty
+    # exponential upper bound, then binary search on the monotone
+    # predicate: lo always duplicated, hi never (or past the cap)
+    lo = 1
+    while lo * 2 <= cap and _dup_exists(lo * 2):
+        lo *= 2
+    hi = min(lo * 2, cap + 1)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if _dup_exists(mid):
+            lo = mid
+        else:
+            hi = mid
+    _, wins = _token_windows(toked, id_col=id_col, text_col="__toks",
+                             n=lo, tokens_col="__toks")
+    witness = (wins.groupBy("__w")
+               .agg(F.count("*").alias("__c"),
+                    F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("start").alias("s")))
+                    .alias("__first"))
+               .filter(F.col("__c") > 1)
+               .orderBy(F.col("__c").desc(), F.col("__first").asc())
+               .limit(1).first())
+    return {"length": lo, "id": witness["__first"]["i"],
+            "start": witness["__first"]["s"],
+            "n_occurrences": witness["__c"]}
+
+
 def select_canonical(df: DataFrame, clusters: DataFrame, *,
                      id_col: str = "doc_id",
                      cluster_col: str = "cluster_id",

@@ -353,3 +353,61 @@ def test_duplication_profile_validation(spark):
         duplication_profile(df, lengths=())
     with pytest.raises(ValueError):
         duplication_profile(df, lengths=(0, 2))
+
+
+# ---------------------------------------------------------------------------
+# longest_duplicated_substring (operators/dedup.py) — the tail diagnostic
+# ---------------------------------------------------------------------------
+
+from faisssearcher_spark.operators.dedup import longest_duplicated_substring
+
+
+def test_longest_duplicated_substring_against_brute_force(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(123)
+    for trial in range(4):
+        docs = {did: [rng.choice("ab") for _ in
+                      range(rng.randint(0, 12))]
+                for did in range(8)}
+        df = spark.createDataFrame(
+            [(did, " ".join(t)) for did, t in docs.items()],
+            "doc_id long, text string")
+        got = longest_duplicated_substring(df)
+        # brute force: longest window length with any count > 1
+        best = 0
+        counts_at_best = Counter()
+        L = 1
+        while True:
+            wins = Counter()
+            for toks in docs.values():
+                for s in range(len(toks) - L + 1):
+                    wins[tuple(toks[s:s + L])] += 1
+            dup = {w: c for w, c in wins.items() if c > 1}
+            if not dup:
+                break
+            best, counts_at_best = L, Counter(dup)
+            L += 1
+        assert got["length"] == best, f"trial {trial}"
+        if best:
+            assert got["n_occurrences"] == max(counts_at_best.values())
+            w = tuple(docs[got["id"]][got["start"]:got["start"] + best])
+            assert counts_at_best[w] == got["n_occurrences"]
+
+
+def test_longest_duplicated_substring_edges(spark):
+    # no duplication at all
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")],
+                               "doc_id long, text string")
+    assert longest_duplicated_substring(df)["length"] == 0
+    # empty corpus
+    assert longest_duplicated_substring(df.limit(0))["length"] == 0
+    # whole-document twin: the longest dup is the full document
+    df2 = spark.createDataFrame([(1, "x y z w"), (2, "x y z w")],
+                                "doc_id long, text string")
+    got = longest_duplicated_substring(df2)
+    assert got == {"length": 4, "id": 1, "start": 0,
+                   "n_occurrences": 2}
+    # max_len cap
+    assert longest_duplicated_substring(df2, max_len=2)["length"] == 2
