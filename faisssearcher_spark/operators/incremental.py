@@ -183,6 +183,15 @@ class _IncrementalStore:
                      if k != "bucketed_table"} == existing)
             if table_corroborates:
                 self._write_meta()
+                # migrate the TABLE property too: on a true pre-upgrade
+                # store it is also the legacy dict (no bucketed_table
+                # key), and leaving it legacy would fail the
+                # table_meta != mine check just below — on THIS open
+                # and on every later open, since the path meta is
+                # already migrated by then (the legacy branch no longer
+                # fires) while the property stays legacy. One brick,
+                # two symptoms (r11 advice).
+                self._stamp_table_meta()
                 existing = mine
             else:
                 raise ValueError(

@@ -601,3 +601,47 @@ class TestCompactAndMetaBackCompat:
             assert again._read_meta() == again._identity()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_legacy_meta")
+
+    def test_true_pre_upgrade_store_both_metas_legacy(self, spark,
+                                                      tmp_path):
+        """A TRUE pre-upgrade store has the legacy dict in BOTH places —
+        the path meta AND the table property were stamped by old code
+        (no 'bucketed_table' key in either). The migrating open must
+        re-stamp both and every later open must succeed (r11 ADVICE:
+        migrating only the path meta left the property legacy, so the
+        table_meta != mine check raised on the migrating open and on
+        every open after it)."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        path = str(tmp_path / "b")
+        store = _mh(spark, path, bucketed_table="t_mh_legacy_both",
+                    n_buckets=8)
+        try:
+            store.commit(spark.createDataFrame(
+                [(0, BASE)], "doc_id long, text string"))
+            legacy = dict(store._meta_dict())  # no bucketed_table key
+            papq.write_table(
+                pa.table({"meta": [json.dumps(legacy)]}),
+                str(tmp_path / "b" / "meta" / "meta-0.parquet"))
+            payload = json.dumps(legacy).replace("'", "''")
+            spark.sql(
+                "ALTER TABLE t_mh_legacy_both SET TBLPROPERTIES "
+                f"('{store._META_PROP}' = '{payload}')")
+            # first post-upgrade open: migrates path meta AND property
+            reopened = _mh(spark, path,
+                           bucketed_table="t_mh_legacy_both",
+                           n_buckets=8)
+            assert reopened._read_meta() == reopened._identity()
+            assert reopened._read_table_meta() == reopened._identity()
+            # second open (the other half of the brick: path meta
+            # already migrated, property must not still be legacy)
+            again = _mh(spark, path, bucketed_table="t_mh_legacy_both",
+                        n_buckets=8)
+            probe = spark.createDataFrame([(9, BASE)],
+                                          "doc_id long, text string")
+            assert again.screen(probe, threshold=0.5).count() == 1
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mh_legacy_both")
