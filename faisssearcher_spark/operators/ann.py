@@ -121,7 +121,34 @@ class SignLSH:
             "source_item", "sim_item", "sim_val", "rank_no")
 
 
-class IVFIndex:
+class _ItemsLifecycleMixin:
+    """FAISS free/reset analogue for the Spark cache layer. The reference
+    releases an index by dropping the Python object
+    (faiss_searcher.py:189-190 rebuilds in place); a Spark index pins its
+    encoded state in executor storage via ``.cache()``, which outlives the
+    Python reference until the session garbage-collects it — a long-lived
+    service rotating many indexes needs the explicit handle.
+
+    ``unpersist()`` hands executor storage back but keeps the index
+    usable: the encoded state recomputes lazily from its lineage on the
+    next search (one re-encode pass at worst). ``close()`` is terminal —
+    it also drops the state reference, so a closed index raises the
+    existing not-fitted guard instead of silently re-encoding a 100 TB
+    corpus nobody asked for."""
+
+    _items: "DataFrame | None"
+
+    def unpersist(self, blocking: bool = False):
+        if self._items is not None:
+            self._items.unpersist(blocking)
+        return self
+
+    def close(self) -> None:
+        self.unpersist(blocking=True)
+        self._items = None
+
+
+class IVFIndex(_ItemsLifecycleMixin):
     """IVF-style coarse quantization: k-means cells + nprobe search.
 
     Parity target: FAISS ``index_factory(dim, "IVF<n>,Flat", metric)``
@@ -675,7 +702,7 @@ def mrl_rerank_topk(queries: DataFrame, items: DataFrame, *, k: int = 10,
         "source_item", "sim_item", "sim_val", "rank_no")
 
 
-class PQIndex:
+class PQIndex(_ItemsLifecycleMixin):
     """Product quantization with asymmetric-distance (ADC) search — the
     native-Spark analog of FAISS ``PQ<m>`` (and the PQ half of
     ``IVF<n>,PQ<m>``: compose with :class:`IVFIndex` cells upstream),
@@ -965,7 +992,7 @@ class PQIndex:
         return index
 
 
-class SQIndex:
+class SQIndex(_ItemsLifecycleMixin):
     """Scalar quantization (FAISS ``SQ8``/``SQ4`` via index_factory,
     faiss_searcher.py:104): a per-DIMENSION linear quantizer — trained
     ``[vmin, vmax]`` bounds on a bounded driver sample — stores each
@@ -1117,7 +1144,7 @@ class SQIndex:
                                  keep_rank_no=keep_rank_no)
 
 
-class IVFPQIndex:
+class IVFPQIndex(_ItemsLifecycleMixin):
     """IVF + residual PQ — the FAISS workhorse ``IVF<n>,PQ<m>``
     (index_factory strings the reference forwards verbatim,
     faiss_searcher.py:104), natively in Spark, cosine/inner-product only.

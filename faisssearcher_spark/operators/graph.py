@@ -426,6 +426,27 @@ class NSWIndex:
                                  payload_cols=payloads,
                                  keep_rank_no=keep_rank_no)
 
+    # -- lifecycle (the ann.py _ItemsLifecycleMixin contract; the NSW
+    # state is the persisted GRAPH table, not an encoded-items cache) ------
+
+    def unpersist(self, blocking: bool = False) -> "NSWIndex":
+        """Release the persisted graph table back to executor storage.
+        The index stays usable — the graph recomputes from its lineage
+        (a full per-shard rebuild) on the next search, so prefer
+        ``save()``/``load()`` when the rebuild matters."""
+        if self.graph is not None:
+            self.graph.unpersist(blocking)
+        return self
+
+    def close(self) -> None:
+        """Terminal release: unpersist and drop the graph/state refs so a
+        closed index raises the not-fitted guard instead of silently
+        rebuilding."""
+        self.unpersist(blocking=True)
+        self.graph = None
+        self.n_items = None
+        self._items = None
+
     # -- persistence (S2/S3: parquet + revalidation, no pickle) ------------
 
     def save(self, path: str) -> None:

@@ -455,6 +455,30 @@ class SparkSearcher:
         return cal_sim(qv, cv, query_vec_col=_VEC, cand_vec_col=_VEC,
                        cand_key_col=cand_text).withColumnRenamed(cand_text, "item")
 
+    # -- lifecycle (FAISS frees by dropping the object,
+    # faiss_searcher.py:189-190; the Spark cache layer needs a handle) -----
+
+    def unpersist(self, blocking: bool = False) -> "SparkSearcher":
+        """Release the cached encoded corpus (and any fitted ANN state)
+        back to executor storage. The searcher stays usable — the corpus
+        recomputes from its encode lineage on the next search."""
+        if self.corpus is not None:
+            self.corpus.unpersist(blocking)
+        if self._index is not None:
+            self._index.unpersist(blocking)
+        return self
+
+    def close(self) -> None:
+        """Terminal release: unpersist and drop the trained state so a
+        closed searcher raises the not-trained guard instead of silently
+        re-encoding the corpus."""
+        self.unpersist(blocking=True)
+        if self._index is not None:
+            self._index.close()
+        self._index = None
+        self.corpus = None
+        self.vec_dim = None
+
     # -- persistence (replaces pickle, faiss_searcher.py:200-208) -------------
 
     def save(self, path: str) -> None:

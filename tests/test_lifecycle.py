@@ -1,0 +1,92 @@
+"""Index/searcher cache lifecycle (unpersist/close).
+
+The reference frees an index by dropping the Python object
+(faiss_searcher.py:189-190); a Spark index pins encoded state in executor
+storage, so the family exposes an explicit handle. Pinned here:
+``unpersist()`` releases the cache but leaves the index usable (lineage
+recompute); ``close()`` is terminal — storage released AND later searches
+raise the not-fitted/not-trained guard.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faisssearcher_spark.operators.ann import (IVFIndex, IVFPQIndex,
+                                               PQIndex, SQIndex)
+from faisssearcher_spark.operators.graph import NSWIndex
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark, embeddings):
+    return embeddings.limit(200).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, embeddings):
+    return embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding")
+
+
+@pytest.mark.parametrize("make", [
+    lambda: PQIndex(m=4, metric="cos", seed=1),
+    lambda: SQIndex(nbits=8, metric="cos"),
+    lambda: IVFIndex(n_cells=4, nprobe=4, seed=1, max_iter=2),
+    lambda: IVFPQIndex(n_cells=4, nprobe=4, m=4, metric="cos", seed=1,
+                       kmeans_max_iter=2),
+], ids=["pq", "sq", "ivf", "ivfpq"])
+def test_unpersist_releases_then_close_bricks(spark, emb_small, queries,
+                                              make):
+    idx = make().fit(emb_small, item_key_col="vec_id",
+                     item_vec_col="embedding")
+    assert idx._items.is_cached
+    # unpersist: storage back, index still answers (lineage recompute)
+    assert idx.unpersist() is idx
+    assert not idx._items.is_cached
+    assert idx.search(queries, k=3, query_item_col="qid").count() > 0
+    # close: terminal — the not-fitted guard takes over
+    idx.close()
+    with pytest.raises(RuntimeError, match="fit"):
+        idx.search(queries, k=3, query_item_col="qid")
+
+
+def test_nsw_close(spark, emb_small, queries):
+    idx = NSWIndex(m=4, ef_construction=8, ef_search=16, metric="cos",
+                   n_shards=2).fit(emb_small, item_key_col="vec_id",
+                                   item_vec_col="embedding")
+    assert idx.graph.is_cached
+    idx.unpersist()
+    assert not idx.graph.is_cached
+    assert idx.search(queries, k=3, query_item_col="qid").count() > 0
+    idx.close()
+    with pytest.raises(ValueError, match="fit"):
+        idx.search(queries, k=3, query_item_col="qid")
+
+
+def test_searcher_close(spark, documents):
+    from faisssearcher_spark import SparkSearcher
+    from faisssearcher_spark.encoders import HashingEncoder
+
+    s = SparkSearcher(documents.limit(100).select("text", "lang"),
+                      encoder=HashingEncoder(dim=8),
+                      measurement="cos").train()
+    assert s.corpus.is_cached
+    s.unpersist()
+    assert not s.corpus.is_cached
+    assert s.search(["spark join merge"], topK=3).count() == 3
+    s.close()
+    with pytest.raises(RuntimeError, match="train"):
+        s.search(["spark join merge"], topK=3)
+
+
+def test_searcher_close_releases_fitted_index(spark, documents):
+    from faisssearcher_spark import SparkSearcher
+    from faisssearcher_spark.encoders import HashingEncoder
+
+    s = SparkSearcher(documents.limit(100).select("text", "lang"),
+                      encoder=HashingEncoder(dim=8), measurement="cos",
+                      index_param="IVF4").train()
+    inner = s._index
+    assert inner is not None and inner._items.is_cached
+    s.close()
+    assert s._index is None
+    assert inner._items is None
