@@ -173,19 +173,35 @@ def main() -> None:
     # carry cumulative-session noise (GC pressure, broadcast cleanup,
     # codegen cache churn from 30 other plans — NOTES.md measured ±2×
     # cold swings on minhash from it). After the sweep settles, re-time
-    # each query best-of-2 with a fresh plan on the hot JVM — regressions
-    # that show up HERE are plan cost, not session interference.
-    isolated: dict[str, float] = {}
-    spark.catalog.clearCache()
-    for name in BENCH_QUERIES:
+    # each query with a fresh plan on the hot JVM — regressions that
+    # show up HERE are plan cost, not session interference.
+    #
+    # Sampling discipline (r11 verdict #1): the box's noise bursts run
+    # seconds-to-minutes, so best-of-2 BACK-TO-BACK often lands both
+    # samples inside one burst (r11 shipped 2.5-4.4× iso spikes on legs
+    # whose cold/warm were flat). Instead: two FULL sweeps — each query's
+    # two samples land ~minutes apart, decorrelating burst noise — then
+    # one adaptive third sample for any leg whose minimum still sits
+    # >30% above its own same-session warm reading (noise only ever
+    # inflates a timing, so min-of-decorrelated-samples converges on the
+    # true cost). All samples ship in BENCH_DETAIL for honesty.
+    def _time_one(name: str) -> float:
         fn = registry.ALL_QUERY_FNS[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        isolated[name] = round(best, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    isolated_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    spark.catalog.clearCache()
+    for _sweep in range(2):
+        for name in BENCH_QUERIES:
+            isolated_samples[name].append(_time_one(name))
+    for name in BENCH_QUERIES:
+        floor = max(warm[name], 0.2)   # sub-200ms legs are pure jitter
+        if min(isolated_samples[name]) > 1.3 * floor:
+            isolated_samples[name].append(_time_one(name))
+    isolated = {n: round(min(s), 3)
+                for n, s in isolated_samples.items()}
 
     # scale sweep (r4 verdict #2): measure — not just plan-argue — that the
     # unbounded-scale paths (knn strategy matrix, minhash LSH, sign-LSH
@@ -215,6 +231,8 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_isolated": isolated,
         "value_isolated": round(sum(isolated.values()), 3),
+        "isolated_samples": {n: [round(v, 3) for v in s]
+                             for n, s in isolated_samples.items()},
         "scale": scale,
         "sf": sf,
     }

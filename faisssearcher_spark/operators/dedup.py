@@ -1773,6 +1773,97 @@ def duplication_profile(df: DataFrame, *, id_col: str = "doc_id",
     return out.orderBy("length")
 
 
+def recommend_min_len(df: DataFrame | None = None, *,
+                      profile: DataFrame | None = None,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      tokens_col: str | None = None,
+                      lengths: "tuple[int, ...]" = (2, 4, 8, 16, 32,
+                                                    64, 128),
+                      flat_tol: float = 0.005) -> dict:
+    """Turn :func:`duplication_profile`'s removal-rate curve into a
+    recommended ``min_len`` for :func:`remove_exact_substrings` — the
+    knee of the curve, found by max-distance-to-chord (the Kneedle
+    construction on the normalized ``(log2 L, removal_rate)`` points).
+
+    Rationale: ``n_covered_tokens / n_tokens`` as a function of L is
+    EXACTLY the fraction ``remove_exact_substrings(min_len=L,
+    keep='none')`` deletes (the coverage equivalence documented on the
+    profile). Small L removes natural n-gram collisions along with real
+    duplication (the steep head of the curve); the curve flattens where
+    collisions die out and only genuinely duplicated material remains —
+    the smallest L on that plateau removes the duplication with the
+    least collateral. Lee et al. 2022 pick 50 for crawled corpora; a
+    corpus's own knee says whether 50 is conservative or aggressive
+    for it.
+
+    Pass either ``df`` (the profile is computed over ``lengths``) or a
+    precomputed ``profile`` frame. The profile is |lengths| rows — the
+    driver collect is bounded by construction.
+
+    Returns ``{"min_len": L | None, "removal_rate": r,
+    "curve": [(length, removal_rate), ...]}``:
+
+    - no duplication anywhere (all rates ≈ 0) → ``min_len=None``
+      (nothing to remove; running ExactSubstr would be a no-op scan);
+    - flat curve (head and tail within ``flat_tol``) → the LARGEST
+      probed L: every probe removes the same mass, so take the one
+      demanding the longest — most conservative — match evidence;
+    - otherwise the maximum-curvature point: the interior probe
+      furthest (in absolute distance) from the first→last chord. A
+      collision-head-then-plateau curve runs BELOW its chord and the
+      pick is the plateau start (aggressive edge: smallest L past the
+      collision regime); a plateau-then-cliff curve (all duplication in
+      blocks of some length B) runs ABOVE it and the pick is the cliff
+      edge — the largest L still catching the blocks. Endpoints anchor
+      the chord and cannot be knees, so probe past the expected knee on
+      both sides.
+    """
+    import math
+
+    if (df is None) == (profile is None):
+        raise ValueError("pass exactly one of df or profile")
+    if profile is None:
+        profile = duplication_profile(df, id_col=id_col,
+                                      text_col=text_col,
+                                      tokens_col=tokens_col,
+                                      lengths=lengths)
+    rows = sorted(profile.collect(), key=lambda r: r["length"])
+    if len(rows) < 3:
+        raise ValueError("recommend_min_len needs >= 3 probe lengths "
+                         f"to locate a knee, got {len(rows)}")
+    curve = [(int(r["length"]),
+              (r["n_covered_tokens"] / r["n_tokens"])
+              if r["n_tokens"] else 0.0) for r in rows]
+    out = {"curve": curve}
+    rates = [c[1] for c in curve]
+    if max(rates) <= flat_tol:
+        return {**out, "min_len": None, "removal_rate": 0.0}
+    if rates[0] - rates[-1] <= flat_tol:
+        return {**out, "min_len": curve[-1][0],
+                "removal_rate": curve[-1][1]}
+    # normalize to the unit square (x = log2 L — the doubling grid
+    # becomes uniform; y = removal rate, decreasing by the coverage
+    # monotonicity) and take the interior point of max |distance| to
+    # the first→last chord — the max-curvature corner
+    xs = [math.log2(c[0]) for c in curve]
+    x0, x1 = xs[0], xs[-1]
+    y0, y1 = rates[0], rates[-1]
+    best_i, best_d = None, 0.0
+    for i in range(1, len(curve) - 1):
+        xn = (xs[i] - x0) / (x1 - x0)
+        yn = (rates[i] - y1) / (y0 - y1)
+        d = abs((1.0 - xn) - yn)     # |chord height - curve height|
+        if d > best_d:
+            best_i, best_d = i, d
+    if best_i is None:
+        # linear-in-normalized-space curve: no distinguished knee —
+        # take the largest L still removing real mass (conservative)
+        cands = [i for i, r in enumerate(rates) if r > flat_tol]
+        best_i = cands[-1] if cands else len(curve) - 1
+    return {**out, "min_len": curve[best_i][0],
+            "removal_rate": curve[best_i][1]}
+
+
 def longest_duplicated_substring(df: DataFrame, *,
                                  id_col: str = "doc_id",
                                  text_col: str = "text",
@@ -1808,50 +1899,59 @@ def longest_duplicated_substring(df: DataFrame, *,
                          "column; rename it first")
     toks = (F.col(tokens_col) if tokens_col is not None
             else T.tokens(text_col))
-    toked = df.select(F.col(id_col), toks.alias("__toks"))
-    longest = toked.agg(F.coalesce(F.max(F.size("__toks")),
-                                   F.lit(0))).first()[0]
-    cap = min(longest, max_len) if max_len else longest
-    empty = {"length": 0, "id": None, "start": None,
-             "n_occurrences": 0}
-    if cap < 1:
-        return empty
+    # the probe loop re-reads the tokenized corpus O(log L*) times —
+    # cache it for the loop's lifetime so each probe is one window agg
+    # over the cached tokens, not tokenize + agg (at 100 TB, 2·log L*
+    # corpus scans vs log L* is the difference between a diagnostic and
+    # a job); released in the finally whatever path returns (r11
+    # verdict #6)
+    toked = df.select(F.col(id_col), toks.alias("__toks")).cache()
+    try:
+        longest = toked.agg(F.coalesce(F.max(F.size("__toks")),
+                                       F.lit(0))).first()[0]
+        cap = min(longest, max_len) if max_len else longest
+        empty = {"length": 0, "id": None, "start": None,
+                 "n_occurrences": 0}
+        if cap < 1:
+            return empty
 
-    def _dup_exists(n: int) -> bool:
-        _, wins = _token_windows(toked, id_col=id_col,
-                                 text_col="__toks", n=n,
-                                 tokens_col="__toks")
-        return bool(wins.groupBy("__w")
-                    .agg(F.count("*").alias("__c"))
-                    .filter(F.col("__c") > 1).limit(1).count())
+        def _dup_exists(n: int) -> bool:
+            _, wins = _token_windows(toked, id_col=id_col,
+                                     text_col="__toks", n=n,
+                                     tokens_col="__toks")
+            return bool(wins.groupBy("__w")
+                        .agg(F.count("*").alias("__c"))
+                        .filter(F.col("__c") > 1).limit(1).count())
 
-    if not _dup_exists(1):
-        return empty
-    # exponential upper bound, then binary search on the monotone
-    # predicate: lo always duplicated, hi never (or past the cap)
-    lo = 1
-    while lo * 2 <= cap and _dup_exists(lo * 2):
-        lo *= 2
-    hi = min(lo * 2, cap + 1)
-    while hi - lo > 1:
-        mid = (lo + hi) // 2
-        if _dup_exists(mid):
-            lo = mid
-        else:
-            hi = mid
-    _, wins = _token_windows(toked, id_col=id_col, text_col="__toks",
-                             n=lo, tokens_col="__toks")
-    witness = (wins.groupBy("__w")
-               .agg(F.count("*").alias("__c"),
-                    F.min(F.struct(F.col(id_col).alias("i"),
-                                   F.col("start").alias("s")))
-                    .alias("__first"))
-               .filter(F.col("__c") > 1)
-               .orderBy(F.col("__c").desc(), F.col("__first").asc())
-               .limit(1).first())
-    return {"length": lo, "id": witness["__first"]["i"],
-            "start": witness["__first"]["s"],
-            "n_occurrences": witness["__c"]}
+        if not _dup_exists(1):
+            return empty
+        # exponential upper bound, then binary search on the monotone
+        # predicate: lo always duplicated, hi never (or past the cap)
+        lo = 1
+        while lo * 2 <= cap and _dup_exists(lo * 2):
+            lo *= 2
+        hi = min(lo * 2, cap + 1)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if _dup_exists(mid):
+                lo = mid
+            else:
+                hi = mid
+        _, wins = _token_windows(toked, id_col=id_col, text_col="__toks",
+                                 n=lo, tokens_col="__toks")
+        witness = (wins.groupBy("__w")
+                   .agg(F.count("*").alias("__c"),
+                        F.min(F.struct(F.col(id_col).alias("i"),
+                                       F.col("start").alias("s")))
+                        .alias("__first"))
+                   .filter(F.col("__c") > 1)
+                   .orderBy(F.col("__c").desc(), F.col("__first").asc())
+                   .limit(1).first())
+        return {"length": lo, "id": witness["__first"]["i"],
+                "start": witness["__first"]["s"],
+                "n_occurrences": witness["__c"]}
+    finally:
+        toked.unpersist()
 
 
 def select_canonical(df: DataFrame, clusters: DataFrame, *,

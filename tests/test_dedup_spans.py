@@ -411,3 +411,85 @@ def test_longest_duplicated_substring_edges(spark):
                    "n_occurrences": 2}
     # max_len cap
     assert longest_duplicated_substring(df2, max_len=2)["length"] == 2
+
+
+# ---------------------------------------------------------------------------
+# recommend_min_len (operators/dedup.py) — profile-knee chooser
+# ---------------------------------------------------------------------------
+
+from faisssearcher_spark.operators.dedup import recommend_min_len
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_recommend_min_len_cliff_block_corpus(spark):
+    """All duplication planted as copies of ONE 16-token block: the
+    removal curve is flat up to L=16 and zero past it, so the knee is
+    the cliff edge — min_len=16 catches the blocks, min_len=32 would
+    remove nothing."""
+    blk = " ".join(f"B{i}" for i in range(16))
+    rows = [(did, blk + " " + " ".join(f"u{did}x{j}" for j in range(20)))
+            for did in range(10)]
+    got = recommend_min_len(_mk_docs(spark, rows),
+                            lengths=(2, 4, 8, 16, 32))
+    assert got["min_len"] == 16
+    assert got["removal_rate"] == pytest.approx(160 / (36 * 10))
+    # the curve itself is returned, flat head + zero tail
+    d = dict(got["curve"])
+    assert d[2] == d[16] and d[32] == 0.0
+
+
+def test_recommend_min_len_collision_head_plateau(spark):
+    """Small-vocab filler makes short windows collide by chance while a
+    planted 32-token block carries the real duplication: the curve has
+    a steep collision head and a plateau, and the knee lands past the
+    collision regime but at-or-before the block length (the planted
+    knee region)."""
+    import random
+
+    rng = random.Random(5)
+    blk = " ".join(f"B{i}" for i in range(32))
+    rows = [(did, blk + " " + " ".join(rng.choice("abcd")
+                                       for _ in range(60)))
+            for did in range(12)]
+    got = recommend_min_len(_mk_docs(spark, rows),
+                            lengths=(2, 4, 8, 16, 32, 64))
+    assert 4 <= got["min_len"] <= 32
+    # sanity: short windows really do over-remove (collision head)
+    d = dict(got["curve"])
+    assert d[2] > d[got["min_len"]] >= d[32] > d[64] == 0.0
+
+
+def test_recommend_min_len_edges(spark):
+    # no duplication at all -> None
+    rows = [(did, " ".join(f"u{did}x{j}" for j in range(12)))
+            for did in range(4)]
+    got = recommend_min_len(_mk_docs(spark, rows), lengths=(2, 4, 8))
+    assert got["min_len"] is None and got["removal_rate"] == 0.0
+    # flat curve (exact twins) -> largest probed L (same removal mass,
+    # longest match evidence)
+    twin = " ".join(f"t{j}" for j in range(16))
+    got = recommend_min_len(_mk_docs(spark, [(1, twin), (2, twin)]),
+                            lengths=(2, 4, 8, 16))
+    assert got["min_len"] == 16 and got["removal_rate"] == 1.0
+    # argument contract
+    with pytest.raises(ValueError, match="exactly one"):
+        recommend_min_len()
+    with pytest.raises(ValueError, match="exactly one"):
+        recommend_min_len(_mk_docs(spark, [(1, "a")]),
+                          profile=_mk_docs(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match=">= 3"):
+        recommend_min_len(_mk_docs(spark, [(1, "a b c")]),
+                          lengths=(2, 4))
+
+
+def test_recommend_min_len_accepts_precomputed_profile(spark):
+    blk = " ".join(f"B{i}" for i in range(16))
+    rows = [(did, blk + " " + " ".join(f"u{did}x{j}" for j in range(20)))
+            for did in range(10)]
+    prof = duplication_profile(_mk_docs(spark, rows),
+                               lengths=(2, 4, 8, 16, 32))
+    got = recommend_min_len(profile=prof)
+    assert got["min_len"] == 16
