@@ -125,6 +125,43 @@ def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
 
     return [(lang, hit_counter(sw)) for lang, sw in LANG_STOPWORDS.items()]
 
+def language_confidence(c: ColumnOrName, *,
+                        temperature: float = 0.05) -> Column:
+    """Calibrated confidence in ``[1/K, 1]`` for
+    :func:`detect_language`'s argmax: softmax over LENGTH-INVARIANT
+    per-language stopword rates (hits / token count — raw hit counts
+    grow with document length, so they cannot share one temperature
+    across lengths).
+
+    ``conf = exp(r_best / τ) / Σ_lang exp(r_lang / τ)`` with
+    ``τ = temperature``. Properties downstream curation recipes can
+    threshold on:
+
+    - strictly monotone in the rate margin between the top and the
+      other languages (pinned in tests);
+    - a document with NO stopword signal (``lang_pred = 'und'``) scores
+      exactly the uniform ``1/K`` — the honest "no evidence" value;
+    - τ = 0.05 calibrates one extra stopword hit per 20 tokens
+      (rate margin 0.05) to an e-fold (~2.7×) odds bump, putting typical
+      clean prose (rate ≈ 0.2-0.4 for the true language, ≈ 0 for the
+      rest) above 0.99 and genuinely mixed text near 1/2.
+
+    Pure Catalyst expression (one tokenize + K filtered counts + exp
+    arithmetic) — replayable verbatim in the DuckDB oracle twin."""
+    from functools import reduce
+    from operator import add
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    # NULL text must score the uniform 1/K (no evidence), not NULL —
+    # size(tokens(NULL)) is NULL and would poison the softmax
+    safe = F.coalesce(_col(c), F.lit(""))
+    nt = F.greatest(token_count(safe), F.lit(1))
+    es = [F.exp(s / nt / F.lit(float(temperature)))
+          for _, s in lang_scores(safe)]
+    return F.greatest(*es) / reduce(add, es)
+
+
 def detect_language(c: ColumnOrName, default: str = "und") -> Column:
     """Stopword-hit language-id heuristic: argmax of per-language stopword
     counts; ``default`` when no list matches. Ties break by language name

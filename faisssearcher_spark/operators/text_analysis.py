@@ -183,11 +183,18 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def detect_languages(df: DataFrame, *, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Stopword-heuristic language id per document."""
+                     text_col: str = "text",
+                     temperature: float = 0.05) -> DataFrame:
+    """Stopword-heuristic language id per document, with a calibrated
+    ``lang_conf`` in [1/K, 1] (softmax over length-invariant stopword
+    rates — :func:`faisssearcher_spark.functions.text.
+    language_confidence`) so curation recipes can threshold on id
+    certainty instead of the raw argmax."""
     return df.select(
         F.col(id_col),
         T.detect_language(text_col).alias("lang_pred"),
+        T.language_confidence(text_col,
+                              temperature=temperature).alias("lang_conf"),
     )
 
 

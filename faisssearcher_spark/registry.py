@@ -2955,7 +2955,12 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                        suppress_below_k)
 
     docs = load_table(spark, sf_dir, "documents")
-    base = text_analysis.detect_languages(docs)
+    # r12: + lang_conf — softmax confidence over length-invariant
+    # stopword rates (functions/text.py:language_confidence), rounded to
+    # the gate's 4dp float convention; the oracle replays the identical
+    # exp arithmetic (the classifier-gate precedent)
+    base = text_analysis.detect_languages(docs) \
+        .withColumn("lang_conf", F.round("lang_conf", 4))
     screened = blocklist_screen(docs, BLOCKLIST_TERMS) \
         .select("doc_id", "n_blocked_terms")
     kept = suppress_below_k(docs, ["lang", "source"], k=3) \
@@ -2978,12 +2983,21 @@ def _oracle_langid() -> str:
             f"len(list_filter(toks, x -> list_contains({arr}, lower(x)))) AS s_{lang}")
     structs = ", ".join(
         f"{{'hits': s_{lang}, 'lang': '{lang}'}}" for lang in sorted(LANG_STOPWORDS))
+    # the language_confidence softmax, replayed term-for-term (rates =
+    # hits / max(n_tokens, 1), temperature 0.05)
+    exps = [f"exp(s_{lang} / nt / 0.05)" for lang in sorted(LANG_STOPWORDS)]
+    conf = f"greatest({', '.join(exps)}) / ({' + '.join(exps)})"
     pat = "(?i)\\b(" + "|".join(BLOCKLIST_TERMS) + ")\\b"
+    # null-safe tokens: lang_conf on NULL text must be the uniform 1/K
+    # (the Spark side coalesces to '' inside language_confidence)
+    toks_sql = _TOKS.replace("trim(text)", "trim(coalesce(text, ''))")
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-     s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
+WITH t AS (SELECT doc_id, {toks_sql} AS toks FROM documents),
+     s AS (SELECT doc_id, greatest(len(toks), 1) AS nt,
+                  {', '.join(score_cols)} FROM t),
      best AS (SELECT doc_id,
-                     list_max(list_filter([{structs}], p -> p.hits > 0)) AS b
+                     list_max(list_filter([{structs}], p -> p.hits > 0)) AS b,
+                     round({conf}, 4) AS lang_conf
               FROM s),
      scr AS (SELECT doc_id,
                     len(regexp_extract_all(coalesce(text, ''),
@@ -2999,6 +3013,7 @@ WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
                     min(n) >= 3 AS is_k_anonymous
              FROM gs)
 SELECT best.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+       best.lang_conf,
        scr.n_blocked_terms,
        coalesce(gs.n < 3, TRUE) AS suppressed,
        rep.k, rep.n_groups, rep.min_group_size, rep.n_violating_groups,

@@ -33,6 +33,48 @@ class TestTextFunctions:
         out = [r[0] for r in df.select(T.detect_language("text")).collect()]
         assert out == ["en", "es", "und"]
 
+    def test_language_confidence_monotone_in_margin(self, spark):
+        """Confidence grows strictly with the stopword-rate margin: the
+        same 8-token doc with 1..5 English stopword hits (rest neutral)
+        must score strictly increasing lang_conf."""
+        filler = ["zzz"] * 8
+        rows = []
+        for hits in range(1, 6):
+            toks = ["the"] * hits + filler[: 8 - hits]
+            rows.append((hits, " ".join(toks)))
+        df = spark.createDataFrame(rows, "hits int, text string")
+        out = {r["hits"]: r["c"] for r in df.select(
+            "hits", T.language_confidence("text").alias("c")).collect()}
+        seq = [out[h] for h in range(1, 6)]
+        assert all(b > a for a, b in zip(seq, seq[1:])), seq
+        assert all(0.0 < c <= 1.0 for c in seq)
+
+    def test_language_confidence_edges(self, spark):
+        from faisssearcher_spark.functions.text import LANG_STOPWORDS
+        k = len(LANG_STOPWORDS)
+        df = spark.createDataFrame(
+            [("zzz qqq xxx",),   # no stopword signal -> uniform 1/K
+             (None,),            # NULL text -> same (no evidence)
+             ("the of and to in is it that for a " * 3,)],  # pure en
+            "text string")
+        out = [r[0] for r in
+               df.select(T.language_confidence("text")).collect()]
+        assert out[0] == pytest.approx(1.0 / k)
+        assert out[1] == pytest.approx(1.0 / k)
+        assert out[2] > 0.99
+        with pytest.raises(ValueError, match="temperature"):
+            T.language_confidence("text", temperature=0.0)
+
+    def test_detect_languages_operator_carries_confidence(self, spark):
+        from faisssearcher_spark.operators.text_analysis import \
+            detect_languages
+        df = spark.createDataFrame(
+            [(1, "the cat of the house and the dog"), (2, "zzz")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in detect_languages(df).collect()}
+        assert out[1]["lang_pred"] == "en" and out[1]["lang_conf"] > 0.5
+        assert out[2]["lang_pred"] == "und"
+
     def test_fingerprint_order_insensitive(self, spark):
         df = spark.createDataFrame(
             [("alpha beta gamma",), ("gamma alpha beta",), ("alpha beta",)],
