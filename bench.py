@@ -196,10 +196,15 @@ def main() -> None:
     for _sweep in range(2):
         for name in BENCH_QUERIES:
             isolated_samples[name].append(_time_one(name))
-    for name in BENCH_QUERIES:
-        floor = max(warm[name], 0.2)   # sub-200ms legs are pure jitter
-        if min(isolated_samples[name]) > 1.3 * floor:
-            isolated_samples[name].append(_time_one(name))
+    # decide the full flagged set FIRST, then sample it in list order:
+    # a tail leg's second sample just finished, so running its third
+    # back-to-back would sit inside the same burst — the front flagged
+    # legs' runtime is the decorrelation delay (review catch)
+    flagged = [n for n in BENCH_QUERIES
+               # sub-200ms legs are pure jitter
+               if min(isolated_samples[n]) > 1.3 * max(warm[n], 0.2)]
+    for name in flagged:
+        isolated_samples[name].append(_time_one(name))
     isolated = {n: round(min(s), 3)
                 for n, s in isolated_samples.items()}
 

@@ -115,15 +115,21 @@ def token_array_stopword_ratio(toks: Column,
     return F.when(F.size(toks) > 0, hits / F.size(toks))
 
 
-def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
-    toks = tokens(c)
-
+def lang_scores_from_tokens(toks: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword hit counts over an already-materialized
+    token-array column (tokenize-once discipline; see quality_score
+    notes — the HOF expressions are CodegenFallback and the interpreted
+    projection does not CSE repeated tokenizations)."""
     def hit_counter(sw: tuple[str, ...]):
         # NB: the predicate must be a 1-arg lambda — F.filter treats a
         # second parameter as the element *index*.
         return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
 
     return [(lang, hit_counter(sw)) for lang, sw in LANG_STOPWORDS.items()]
+
+
+def lang_scores(c: ColumnOrName) -> list[tuple[str, Column]]:
+    return lang_scores_from_tokens(tokens(c))
 
 def language_confidence(c: ColumnOrName, *,
                         temperature: float = 0.05) -> Column:
@@ -148,25 +154,34 @@ def language_confidence(c: ColumnOrName, *,
 
     Pure Catalyst expression (one tokenize + K filtered counts + exp
     arithmetic) — replayable verbatim in the DuckDB oracle twin."""
+    # NULL text must score the uniform 1/K (no evidence), not NULL —
+    # size(tokens(NULL)) is NULL and would poison the softmax
+    return language_confidence_from_tokens(
+        tokens(F.coalesce(_col(c), F.lit(""))), temperature=temperature)
+
+
+def language_confidence_from_tokens(toks: Column, *,
+                                    temperature: float = 0.05) -> Column:
+    """:func:`language_confidence` over an already-materialized token
+    array (the tokenize-once discipline; NULL arrays score the uniform
+    1/K like NULL text)."""
     from functools import reduce
     from operator import add
 
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    # NULL text must score the uniform 1/K (no evidence), not NULL —
-    # size(tokens(NULL)) is NULL and would poison the softmax
-    safe = F.coalesce(_col(c), F.lit(""))
-    nt = F.greatest(token_count(safe), F.lit(1))
+    safe = F.coalesce(toks, F.array().cast("array<string>"))
+    nt = F.greatest(F.size(safe), F.lit(1))
     es = [F.exp(s / nt / F.lit(float(temperature)))
-          for _, s in lang_scores(safe)]
+          for _, s in lang_scores_from_tokens(safe)]
     return F.greatest(*es) / reduce(add, es)
 
 
-def detect_language(c: ColumnOrName, default: str = "und") -> Column:
-    """Stopword-hit language-id heuristic: argmax of per-language stopword
-    counts; ``default`` when no list matches. Ties break by language name
-    (deterministic, oracle-checkable)."""
-    scores = lang_scores(c)
+def detect_language_from_tokens(toks: Column,
+                                default: str = "und") -> Column:
+    """:func:`detect_language` over an already-materialized token array
+    (the tokenize-once discipline)."""
+    scores = lang_scores_from_tokens(toks)
     pairs = F.array(*[F.struct(s.alias("hits"), F.lit(lang).alias("lang"))
                       for lang, s in sorted(scores, key=lambda kv: kv[0])])
     best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
@@ -175,6 +190,13 @@ def detect_language(c: ColumnOrName, default: str = "und") -> Column:
     # ordering on (hits, reversed rank) instead: simpler to keep max-lang
     # semantics and mirror it in the oracle.
     return F.coalesce(best["lang"], F.lit(default))
+
+
+def detect_language(c: ColumnOrName, default: str = "und") -> Column:
+    """Stopword-hit language-id heuristic: argmax of per-language stopword
+    counts; ``default`` when no list matches. Ties break by language name
+    (deterministic, oracle-checkable)."""
+    return detect_language_from_tokens(tokens(c), default)
 
 
 def word_ngrams(c: ColumnOrName, n: int, *,

@@ -189,12 +189,20 @@ def detect_languages(df: DataFrame, *, id_col: str = "doc_id",
     ``lang_conf`` in [1/K, 1] (softmax over length-invariant stopword
     rates — :func:`faisssearcher_spark.functions.text.
     language_confidence`) so curation recipes can threshold on id
-    certainty instead of the raw argmax."""
-    return df.select(
+    certainty instead of the raw argmax.
+
+    The token array materializes ONCE and feeds both the argmax and the
+    softmax (2K+1 tokenizations otherwise — the HOF expressions are
+    CodegenFallback and the interpreted projection does not CSE; the
+    quality_scores discipline). NULL text coalesces to '' (lang 'und',
+    confidence 1/K — identical to the per-column functions)."""
+    arrs = df.withColumn(
+        "__lt", T.tokens(F.coalesce(F.col(text_col), F.lit(""))))
+    return arrs.select(
         F.col(id_col),
-        T.detect_language(text_col).alias("lang_pred"),
-        T.language_confidence(text_col,
-                              temperature=temperature).alias("lang_conf"),
+        T.detect_language_from_tokens(F.col("__lt")).alias("lang_pred"),
+        T.language_confidence_from_tokens(
+            F.col("__lt"), temperature=temperature).alias("lang_conf"),
     )
 
 

@@ -5825,11 +5825,29 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_INDEX_CACHE: dict = {}
 
 
-def _fitted_ann_index(sf_dir: str, spec: str, builder):
-    key = (sf_dir, spec)
+def _fitted_ann_index(spark: SparkSession, sf_dir: str, spec: str,
+                      builder):
+    # keyed by applicationId too: the memo holds LIVE session-bound
+    # DataFrames (unlike _INC_LEG_CACHE's collected rows), and a second
+    # session in the same process must re-fit, not inherit handles into
+    # a stopped session (review catch)
+    key = (spark.sparkContext.applicationId, sf_dir, spec)
     if key not in _ANN_INDEX_CACHE:
         _ANN_INDEX_CACHE[key] = builder()
-    return _ANN_INDEX_CACHE[key]
+    idx = _ANN_INDEX_CACHE[key]
+    # bench.py's isolated pass clearCache()s the session, which drops
+    # the fitted index's encoded-state cache registration permanently —
+    # re-register on hit (lazy + idempotent) so isolated samples price
+    # the SEARCH, not encode+search (review catch: ann_pq iso read
+    # 1.7x warm from exactly this). NB: is_cached stays True after
+    # clearCache (stale registration flag); the honest signal is the
+    # storageLevel collapsing to NONE (measured: re-cache restores the
+    # 1.2s search-only reading vs 2.6s without).
+    if idx._items is not None:
+        sl = idx._items.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            idx._items.cache()
+    return idx
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5841,7 +5859,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
     pq = _fitted_ann_index(
-        sf_dir, "pq16", lambda: ann.PQIndex(m=16, metric="cos", seed=42)
+        spark, sf_dir, "pq16",
+        lambda: ann.PQIndex(m=16, metric="cos", seed=42)
         .fit(emb, item_key_col="vec_id", item_vec_col="embedding"))
     return pq.search(q, k=10, query_item_col="qid",
                      payload_cols=["label"])
@@ -5880,7 +5899,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
     idx = _fitted_ann_index(
-        sf_dir, "ivf16pq16",
+        spark, sf_dir, "ivf16pq16",
         lambda: ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
                                seed=42, kmeans_max_iter=8)
         .fit(emb, item_key_col="vec_id", item_vec_col="embedding"))
@@ -5897,7 +5916,7 @@ def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
     pq = _fitted_ann_index(
-        sf_dir, "opq16",
+        spark, sf_dir, "opq16",
         lambda: ann.PQIndex(m=16, metric="cos", seed=42, opq=True,
                             opq_iters=6)
         .fit(emb, item_key_col="vec_id", item_vec_col="embedding"))
@@ -5912,7 +5931,8 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
     sq = _fitted_ann_index(
-        sf_dir, "sq8", lambda: ann.SQIndex(nbits=8, metric="cos")
+        spark, sf_dir, "sq8",
+        lambda: ann.SQIndex(nbits=8, metric="cos")
         .fit(emb, item_key_col="vec_id", item_vec_col="embedding"))
     return sq.search(q, k=10, query_item_col="qid",
                      payload_cols=["label"])
