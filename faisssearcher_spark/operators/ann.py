@@ -1143,6 +1143,65 @@ class SQIndex(_ItemsLifecycleMixin):
                                  payload_cols=list(payload_cols or []),
                                  keep_rank_no=keep_rank_no)
 
+    # -- persistence (S2/S3 parity: data + config as parquet; the last
+    # family member to gain it — PQ/IVF/IVFPQ/NSW had theirs) -------------
+
+    def save(self, path: str) -> None:
+        if self._items is None or self.vmin is None:
+            raise RuntimeError("SQIndex is not fit; nothing to save")
+        import json
+        import os
+
+        spark = self._items.sparkSession
+        self._items.write.mode("overwrite").parquet(
+            os.path.join(path, "items"))
+        meta = {
+            "nbits": self.nbits, "metric": self.metric,
+            "train_sample": self.train_sample,
+            "item_key": self._item_key, "vec_col": self._vec_col,
+            "vmin": [float(x) for x in self.vmin],
+            "vmax": [float(x) for x in self.vmax],
+        }
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SQIndex":
+        """Load + revalidate (reference asserts on load,
+        faiss_searcher.py:112-114): corpus non-empty, every code within
+        the level range, code width equal to the trained dimension."""
+        import json
+        import os
+
+        meta = json.loads(
+            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        index = cls(meta["nbits"], meta["metric"], meta["train_sample"])
+        index.vmin = np.array(meta["vmin"], dtype=np.float64)
+        index.vmax = np.array(meta["vmax"], dtype=np.float64)
+        if index.vmin.shape != index.vmax.shape or not index.vmin.size:
+            raise ValueError("stored SQ bounds inconsistent — corrupt "
+                             "index?")
+        index._item_key = meta["item_key"]
+        index._vec_col = meta.get("vec_col")
+        items = spark.read.parquet(os.path.join(path, "items"))
+        stats = items.select(
+            F.count("*").alias("n"),
+            F.max(F.array_max("__codes")).alias("max_code"),
+            F.min(F.array_min("__codes")).alias("min_code"),
+            F.min(F.size("__codes")).alias("min_d"),
+            F.max(F.size("__codes")).alias("max_d")).first()
+        if not stats["n"]:
+            raise ValueError("loaded SQ index has an empty corpus")
+        if (stats["min_d"] != index.vmin.size
+                or stats["max_d"] != index.vmin.size
+                or stats["min_code"] < 0
+                or stats["max_code"] > index.levels):
+            raise ValueError("stored codes inconsistent with bounds — "
+                             "corrupt index?")
+        index._items = items.cache()
+        return index
+
 
 class IVFPQIndex(_ItemsLifecycleMixin):
     """IVF + residual PQ — the FAISS workhorse ``IVF<n>,PQ<m>``

@@ -306,6 +306,37 @@ class TestSQ:
         with pytest.raises(RuntimeError):
             SQIndex().add_items(extra)
 
+    def test_sq_save_load_roundtrip(self, spark, lossless, tmp_path):
+        from faisssearcher_spark.operators.ann import SQIndex
+
+        q = lossless.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        sq = SQIndex(nbits=8, metric="cos").fit(
+            lossless, item_key_col="vec_id", item_vec_col="embedding")
+        before = {(r["source_item"], r["sim_item"]): r["sim_val"]
+                  for r in sq.search(q, k=3,
+                                     query_item_col="qid").collect()}
+        path = str(tmp_path / "sq")
+        sq.save(path)
+        loaded = SQIndex.load(spark, path)
+        after = {(r["source_item"], r["sim_item"]): r["sim_val"]
+                 for r in loaded.search(q, k=3,
+                                        query_item_col="qid").collect()}
+        assert before == after   # codes stored, decode deterministic
+        with pytest.raises(RuntimeError):   # save before fit
+            SQIndex().save(str(tmp_path / "unfit"))
+        # load-time revalidation: corrupt the stored bounds width
+        import json
+
+        meta_dir = str(tmp_path / "sq" / "meta")
+        meta = json.loads(
+            spark.read.parquet(meta_dir).first()["meta"])
+        meta["vmin"] = meta["vmin"][:-1]
+        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+            .coalesce(1).write.mode("overwrite").parquet(meta_dir)
+        with pytest.raises(ValueError, match="inconsistent"):
+            SQIndex.load(spark, str(tmp_path / "sq"))
+
     def test_facade_routes_sq8(self, embeddings):
         from faisssearcher_spark.searcher import SparkSearcher
 
