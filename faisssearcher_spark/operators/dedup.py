@@ -1600,7 +1600,8 @@ def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
-                            text_col: str = "text", min_len: int = 50,
+                            text_col: str = "text",
+                            min_len: "int | str" = 50,
                             keep: str = "none",
                             drop_empty_docs: bool = False,
                             tokens_col: str | None = None,
@@ -1635,8 +1636,31 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
     ``min_len``/``keep``/``id_col``/producer raises); an unstamped
     frame (e.g. round-tripped through parquet) falls back to the
     documented same-parameters contract — mismatches silently
-    mis-remove."""
-    if min_len < 1:
+    mis-remove.
+
+    ``min_len="auto"`` resolves the threshold from the corpus's own
+    removal-rate curve (:func:`recommend_min_len` over the default
+    doubling grid) before building the plan — NB this makes the call
+    EAGER (the |lengths|-row profile runs immediately) and is mutually
+    exclusive with ``spans`` (a precomputed frame already fixed its
+    min_len). When the corpus has no duplication at any probe length
+    the removal would be a no-op scan, so 'auto' raises with the knee
+    report in the message rather than silently scanning 100 TB for
+    nothing."""
+    if min_len == "auto":
+        if spans is not None:
+            raise ValueError("min_len='auto' cannot combine with a "
+                             "precomputed spans frame (its min_len is "
+                             "already fixed); resolve the knee first")
+        rec = recommend_min_len(df, id_col=id_col, text_col=text_col,
+                                tokens_col=tokens_col)
+        if rec["min_len"] is None:
+            raise ValueError(
+                "min_len='auto' found no duplication at any probe "
+                f"length (curve: {rec['curve']}); removal would be a "
+                "no-op — skip the pass or pass an explicit min_len")
+        min_len = rec["min_len"]
+    if not isinstance(min_len, int) or min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if id_col in ("start", "end", "pos", "n_tokens", "n_exsub_tokens"):
         raise ValueError(f"id_col {id_col!r} collides with an "

@@ -493,3 +493,30 @@ def test_recommend_min_len_accepts_precomputed_profile(spark):
                                lengths=(2, 4, 8, 16, 32))
     got = recommend_min_len(profile=prof)
     assert got["min_len"] == 16
+
+
+def test_remove_exact_substrings_auto_min_len(spark):
+    """min_len='auto' resolves the knee from the corpus's own curve and
+    removes exactly what the explicit call at that knee removes."""
+    blk = " ".join(f"B{i}" for i in range(16))
+    rows = [(did, blk + " " + " ".join(f"u{did}x{j}" for j in range(20)))
+            for did in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rec = recommend_min_len(df)
+    auto = {r["doc_id"]: r["text"]
+            for r in remove_exact_substrings(df, min_len="auto").collect()}
+    explicit = {r["doc_id"]: r["text"]
+                for r in remove_exact_substrings(
+                    df, min_len=rec["min_len"]).collect()}
+    assert auto == explicit
+    assert all(not t.startswith("B0 ") for t in auto.values())
+    # no duplication anywhere -> loud refusal, not a no-op scan
+    uniq = spark.createDataFrame(
+        [(d, " ".join(f"u{d}x{j}" for j in range(12))) for d in range(4)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="no duplication"):
+        remove_exact_substrings(uniq, min_len="auto")
+    # mutually exclusive with a precomputed spans frame
+    spans = exact_substring_spans(df, min_len=16)
+    with pytest.raises(ValueError, match="auto"):
+        remove_exact_substrings(df, min_len="auto", spans=spans)
