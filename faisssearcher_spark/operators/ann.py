@@ -147,6 +147,14 @@ class _ItemsLifecycleMixin:
         self.unpersist(blocking=True)
         self._items = None
 
+    # context-manager sugar: `with PQIndex(...).fit(items) as idx:`
+    # guarantees the executor-storage release on any exit path
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
 
 class IVFIndex(_ItemsLifecycleMixin):
     """IVF-style coarse quantization: k-means cells + nprobe search.

@@ -447,6 +447,12 @@ class NSWIndex:
         self.n_items = None
         self._items = None
 
+    def __enter__(self) -> "NSWIndex":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- persistence (S2/S3: parquet + revalidation, no pickle) ------------
 
     def save(self, path: str) -> None:

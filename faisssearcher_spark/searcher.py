@@ -479,6 +479,12 @@ class SparkSearcher:
         self.corpus = None
         self.vec_dim = None
 
+    def __enter__(self) -> "SparkSearcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- persistence (replaces pickle, faiss_searcher.py:200-208) -------------
 
     def save(self, path: str) -> None:

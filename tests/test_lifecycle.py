@@ -78,6 +78,29 @@ def test_searcher_close(spark, documents):
         s.search(["spark join merge"], topK=3)
 
 
+def test_context_manager_closes(spark, emb_small, queries, documents):
+    from faisssearcher_spark import SparkSearcher
+    from faisssearcher_spark.encoders import HashingEncoder
+
+    with PQIndex(m=4, metric="cos", seed=1).fit(
+            emb_small, item_key_col="vec_id",
+            item_vec_col="embedding") as idx:
+        assert idx.search(queries, k=3, query_item_col="qid").count() > 0
+    assert idx._items is None
+    with SparkSearcher(documents.limit(50).select("text", "lang"),
+                       encoder=HashingEncoder(dim=8),
+                       measurement="cos").train() as s:
+        assert s.search(["spark join"], topK=2).count() == 2
+    assert s.corpus is None
+    # close() runs on the exception path too
+    with pytest.raises(RuntimeError, match="boom"):
+        with NSWIndex(m=4, ef_construction=8, n_shards=2).fit(
+                emb_small, item_key_col="vec_id",
+                item_vec_col="embedding") as nsw:
+            raise RuntimeError("boom")
+    assert nsw.graph is None
+
+
 def test_searcher_close_releases_fitted_index(spark, documents):
     from faisssearcher_spark import SparkSearcher
     from faisssearcher_spark.encoders import HashingEncoder
