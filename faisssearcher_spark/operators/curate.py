@@ -33,6 +33,7 @@ def curate_documents(
     text_col: str = "text",
     min_quality: float = 0.3,
     languages: tuple[str, ...] | None = None,
+    min_lang_conf: float | None = None,
     near_dup_threshold: float | None = 0.5,
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
@@ -44,7 +45,12 @@ def curate_documents(
 
     Output: ``(doc_id, quality, lang_pred, n_tokens)`` — one row per
     surviving document, deterministic (min doc_id survives each exact and
-    near-dup group).
+    near-dup group). With ``min_lang_conf`` set, a ``lang_conf`` column
+    joins the output and documents whose language-id confidence
+    (:func:`faisssearcher_spark.functions.text.language_confidence`)
+    falls below the threshold drop — the argmax alone trusts a single
+    stopword hit; the calibrated softmax lets recipes demand real
+    evidence. Opt-in (None) keeps the established output contract.
 
     Driver-memory note: the near-dup stage resolves clusters through
     ``dedup.dedup_clusters``, whose default routes up to 1M near-dup
@@ -65,12 +71,16 @@ def curate_documents(
         F.col(text_col).alias("text"),
         F.round(T.quality_score(text_col), 4).alias("quality"),
         T.detect_language(text_col).alias("lang_pred"),
+        *([F.round(T.language_confidence(text_col), 4)
+           .alias("lang_conf")] if min_lang_conf is not None else []),
         T.token_count(text_col).alias("n_tokens"),
         T.fingerprint(text_col).alias("__fp"),
     )
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
+    if min_lang_conf is not None:
+        kept = kept.filter(F.col("lang_conf") >= min_lang_conf)
 
     # opt-in Gopher repetition thresholds (Rae et al. 2021 Table A1 —
     # the repetition_signals integers turned into the paper's fractions):
@@ -129,7 +139,9 @@ def curate_documents(
             .select(F.col("id").alias("doc_id"))
         kept = kept.join(drop, "doc_id", "left_anti")
 
-    return kept.select("doc_id", "quality", "lang_pred", "n_tokens")
+    return kept.select("doc_id", "quality", "lang_pred",
+                       *(["lang_conf"] if min_lang_conf is not None
+                         else []), "n_tokens")
 
 
 def prepare_pretraining_data(

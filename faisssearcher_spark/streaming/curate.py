@@ -33,23 +33,30 @@ def curate_stream(stream: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", ts_col: str = "ingest_ts",
                   min_quality: float = 0.3,
                   languages: tuple[str, ...] | None = None,
+                  min_lang_conf: float | None = None,
                   sample_fraction: float | None = None,
                   seed: int = 42,
                   watermark: str = "1 hour") -> DataFrame:
     """Curate a streaming document source. Returns the surviving rows with
     ``(id, quality, lang_pred, n_tokens, fingerprint, ts)`` — one row per
-    first-seen content fingerprint that passed every filter."""
+    first-seen content fingerprint that passed every filter.
+    ``min_lang_conf`` mirrors the batch pipeline's opt-in confidence
+    threshold (a ``lang_conf`` column joins the output when set)."""
     scored = stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("ingest_ts"),
         F.round(T.quality_score(text_col), 4).alias("quality"),
         T.detect_language(text_col).alias("lang_pred"),
+        *([F.round(T.language_confidence(text_col), 4)
+           .alias("lang_conf")] if min_lang_conf is not None else []),
         T.token_count(text_col).alias("n_tokens"),
         T.fingerprint(text_col).alias("fingerprint"),
     )
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
+    if min_lang_conf is not None:
+        kept = kept.filter(F.col("lang_conf") >= min_lang_conf)
     if sample_fraction is not None:
         # before dedup: membership is a pure function of doc_id, so the
         # sampled set is identical to the batch pipeline's regardless of

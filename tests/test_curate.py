@@ -55,6 +55,29 @@ class TestCurate:
                                       near_dup_threshold=None)
         assert [r["doc_id"] for r in out.collect()] == [1]
 
+    def test_min_lang_conf_threshold(self, spark):
+        """Opt-in confidence gate: a doc whose argmax rests on one
+        stopword hit drops at a threshold a clean-prose doc clears;
+        default (None) keeps the established contract (no lang_conf
+        column)."""
+        # one 'the' in otherwise-neutral text: argmax says 'en' but the
+        # softmax stays near uniform
+        weak = "the " + " ".join(f"zz{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, GOOD), (2, weak)], "doc_id long, text string")
+        base = curate.curate_documents(docs, min_quality=0.0,
+                                       languages=("en",),
+                                       near_dup_threshold=None)
+        assert sorted(r["doc_id"] for r in base.collect()) == [1, 2]
+        assert "lang_conf" not in base.columns
+        conf = curate.curate_documents(docs, min_quality=0.0,
+                                       languages=("en",),
+                                       min_lang_conf=0.5,
+                                       near_dup_threshold=None)
+        rows = {r["doc_id"]: r for r in conf.collect()}
+        assert sorted(rows) == [1]
+        assert rows[1]["lang_conf"] > 0.5
+
     def test_near_dup_disabled(self, spark):
         docs = spark.createDataFrame(
             [(1, GOOD), (2, GOOD + " today")],

@@ -130,6 +130,36 @@ class TestStreaming:
         want_ids = {r["doc_id"] for r in batch.collect()}
         assert {r["doc_id"] for r in got.collect()} <= want_ids
 
+    def test_streaming_min_lang_conf_matches_batch(self, spark,
+                                                   tmp_path_factory):
+        """The opt-in lang_conf gate is a stateless filter — the
+        streaming survivors must equal the batch expression's."""
+        from faisssearcher_spark.streaming import curate as scur
+        from faisssearcher_spark.functions import text as T
+        from pyspark.sql import functions as FF
+
+        good = ("the quick brown fox jumps over the lazy dog and it is "
+                "a fine day in the field for a fox to run and jump")
+        weak = "the " + " ".join(f"zz{i}" for i in range(30))
+        src = spark.createDataFrame(
+            [(1, good), (2, weak)], "doc_id long, text string").select(
+            "doc_id", "text",
+            FF.timestamp_micros((FF.col("doc_id") + 86_400) * 1_000_000)
+            .alias("ingest_ts"))
+        path = str(tmp_path_factory.mktemp("conf_stream") / "landing")
+        src.write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(src.schema).parquet(path)
+        out = scur.curate_stream(stream, min_quality=0.0,
+                                 min_lang_conf=0.5, watermark="1 hour")
+        (out.writeStream.format("memory").queryName("conf_docs")
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination())
+        got = spark.table("conf_docs")
+        want = {r["doc_id"] for r in src.filter(
+            FF.round(T.language_confidence("text"), 4) >= 0.5).collect()}
+        assert {r["doc_id"] for r in got.collect()} == want == {1}
+        assert "lang_conf" in got.columns
+
     def test_streaming_hash_sample_matches_batch(self, spark, sf_dir,
                                                  events_stream):
         """The deterministic samplers are stateless filters, so they apply
