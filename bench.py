@@ -191,11 +191,26 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    # ambient-drift canary: the same trivial pure-Catalyst plan
+    # (tpch_q6's scan+filter+agg), re-timed every few legs through the
+    # isolated pass. Its plan never changes, so its reading series IS
+    # the session's ambient drift — when a leg's isolated number sits
+    # 1.3-1.5x its early-session warm AND the canary drifted by the
+    # same factor, the record itself attributes the movement to the
+    # session, not the plan (r11's unattributable-spike lesson).
+    canary: list[float] = []
+
+    def _canary() -> None:
+        canary.append(round(_time_one("tpch_q6_revenue"), 3))
+
     isolated_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     spark.catalog.clearCache()
+    _canary()                      # baseline right after the warm sweep
     for _sweep in range(2):
-        for name in BENCH_QUERIES:
+        for i, name in enumerate(BENCH_QUERIES):
             isolated_samples[name].append(_time_one(name))
+            if (i + 1) % 16 == 0:
+                _canary()
     # decide the full flagged set FIRST, then sample it in list order:
     # a tail leg's second sample just finished, so running its third
     # back-to-back would sit inside the same burst — the front flagged
@@ -205,6 +220,7 @@ def main() -> None:
                if min(isolated_samples[n]) > 1.3 * max(warm[n], 0.2)]
     for name in flagged:
         isolated_samples[name].append(_time_one(name))
+    _canary()                      # closing drift reading
     isolated = {n: round(min(s), 3)
                 for n, s in isolated_samples.items()}
 
@@ -238,6 +254,7 @@ def main() -> None:
         "value_isolated": round(sum(isolated.values()), 3),
         "isolated_samples": {n: [round(v, 3) for v in s]
                              for n, s in isolated_samples.items()},
+        "isolated_canary": canary,
         "scale": scale,
         "sf": sf,
     }
