@@ -54,6 +54,28 @@ def _rank_topk(scored: DataFrame, k: int, higher_is_closer: bool) -> DataFrame:
             .withColumn("rank_no", F.col("__rn") - 1).drop("__rn"))
 
 
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    """One-row JSON-in-parquet config blob — the index family's shared
+    persistence idiom ("data + config as parquet", no pickle). Single-
+    sourced so the five family members (IVF/PQ/SQ/IVFPQ/NSW) cannot
+    diverge on the meta layout (review catch: the block was copy-pasted
+    per class)."""
+    import json
+    import os
+
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "meta"))
+
+
+def _read_index_meta(spark, path: str) -> dict:
+    import json
+    import os
+
+    return json.loads(
+        spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+
+
 class SignLSH:
     """Random-hyperplane sign-bucket LSH for cosine similarity.
 
@@ -376,7 +398,6 @@ class IVFIndex(_ItemsLifecycleMixin):
         faiss.write_index; an IVF 'index' here is data + config)."""
         if self._items is None or self.centroids is None:
             raise RuntimeError("IVFIndex is not fit; nothing to save")
-        import json
         import os
 
         spark = self._items.sparkSession
@@ -387,20 +408,16 @@ class IVFIndex(_ItemsLifecycleMixin):
             "item_key": self._item_key, "item_vec": self._item_vec,
             "centroids": [[float(x) for x in c] for c in self.centroids],
         }
-        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "meta"))
+        _write_index_meta(spark, path, meta)
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFIndex":
         """Load + revalidate (the reference asserts ntotal/dim/is_trained on
         load, faiss_searcher.py:112-114; here: corpus non-empty and cell ids
         within range)."""
-        import json
         import os
 
-        meta = json.loads(
-            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        meta = _read_index_meta(spark, path)
         index = cls(meta["n_cells"], meta["nprobe"], meta["seed"], meta["metric"])
         index.centroids = np.array(meta["centroids"])
         index._item_key, index._item_vec = meta["item_key"], meta["item_vec"]
@@ -940,7 +957,6 @@ class PQIndex(_ItemsLifecycleMixin):
     def save(self, path: str) -> None:
         if self._items is None or self.codebooks is None:
             raise RuntimeError("PQIndex is not fit; nothing to save")
-        import json
         import os
 
         spark = self._items.sparkSession
@@ -957,20 +973,16 @@ class PQIndex(_ItemsLifecycleMixin):
             "codebooks": [[[float(x) for x in c] for c in book]
                           for book in self.codebooks],
         }
-        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "meta"))
+        _write_index_meta(spark, path, meta)
 
     @classmethod
     def load(cls, spark, path: str) -> "PQIndex":
         """Load + revalidate (reference asserts on load,
         faiss_searcher.py:112-114): corpus non-empty, every code within
         the codebook range."""
-        import json
         import os
 
-        meta = json.loads(
-            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        meta = _read_index_meta(spark, path)
         index = cls(meta["m"], meta["nbits"], meta["seed"], meta["metric"],
                     meta["train_sample"], meta["train_iters"],
                     opq=meta.get("opq", False),
@@ -1157,7 +1169,6 @@ class SQIndex(_ItemsLifecycleMixin):
     def save(self, path: str) -> None:
         if self._items is None or self.vmin is None:
             raise RuntimeError("SQIndex is not fit; nothing to save")
-        import json
         import os
 
         spark = self._items.sparkSession
@@ -1170,20 +1181,16 @@ class SQIndex(_ItemsLifecycleMixin):
             "vmin": [float(x) for x in self.vmin],
             "vmax": [float(x) for x in self.vmax],
         }
-        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "meta"))
+        _write_index_meta(spark, path, meta)
 
     @classmethod
     def load(cls, spark, path: str) -> "SQIndex":
         """Load + revalidate (reference asserts on load,
         faiss_searcher.py:112-114): corpus non-empty, every code within
         the level range, code width equal to the trained dimension."""
-        import json
         import os
 
-        meta = json.loads(
-            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        meta = _read_index_meta(spark, path)
         index = cls(meta["nbits"], meta["metric"], meta["train_sample"])
         index.vmin = np.array(meta["vmin"], dtype=np.float64)
         index.vmax = np.array(meta["vmax"], dtype=np.float64)
@@ -1434,7 +1441,6 @@ class IVFPQIndex(_ItemsLifecycleMixin):
     def save(self, path: str) -> None:
         if self._items is None or self.codebooks is None:
             raise RuntimeError("IVFPQIndex is not fit; nothing to save")
-        import json
         import os
 
         spark = self._items.sparkSession
@@ -1455,19 +1461,15 @@ class IVFPQIndex(_ItemsLifecycleMixin):
             "codebooks": [[[float(x) for x in c] for c in book]
                           for book in self.codebooks],
         }
-        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "meta"))
+        _write_index_meta(spark, path, meta)
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFPQIndex":
         """Load + revalidate: corpus non-empty, cells and codes in
         range (reference asserts on load, faiss_searcher.py:112-114)."""
-        import json
         import os
 
-        meta = json.loads(
-            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        meta = _read_index_meta(spark, path)
         index = cls(meta["n_cells"], meta["nprobe"], meta["m"],
                     meta["nbits"], meta["seed"], meta["metric"],
                     meta["train_sample"], meta["train_iters"],

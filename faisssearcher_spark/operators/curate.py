@@ -66,16 +66,33 @@ def curate_documents(
     # tokens costs storage ∝ corpus where re-tokenizing cached text is
     # one cheap regex pass. The tokens_col plumbing stays available for
     # callers that already carry a token array.
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.round(T.quality_score(text_col), 4).alias("quality"),
-        T.detect_language(text_col).alias("lang_pred"),
-        *([F.round(T.language_confidence(text_col), 4)
-           .alias("lang_conf")] if min_lang_conf is not None else []),
-        T.token_count(text_col).alias("n_tokens"),
-        T.fingerprint(text_col).alias("__fp"),
-    )
+    if min_lang_conf is not None:
+        # confidence doubles the langid tokenize load (K more filtered
+        # counts), so the opted-in path materializes the token array
+        # once and feeds argmax + softmax + count from it (the
+        # detect_languages discipline; the HOF expressions are
+        # CodegenFallback and the projection does not CSE). The default
+        # path keeps its measured single-select shape untouched.
+        scored = docs.withColumn("__lt", T.tokens(text_col)).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.round(T.quality_score(text_col), 4).alias("quality"),
+            T.detect_language_from_tokens(F.col("__lt"))
+            .alias("lang_pred"),
+            F.round(T.language_confidence_from_tokens(F.col("__lt")), 4)
+            .alias("lang_conf"),
+            F.size("__lt").alias("n_tokens"),
+            T.fingerprint(text_col).alias("__fp"),
+        )
+    else:
+        scored = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.round(T.quality_score(text_col), 4).alias("quality"),
+            T.detect_language(text_col).alias("lang_pred"),
+            T.token_count(text_col).alias("n_tokens"),
+            T.fingerprint(text_col).alias("__fp"),
+        )
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))

@@ -1660,8 +1660,12 @@ def remove_exact_substrings(df: DataFrame, *, id_col: str = "doc_id",
                 f"length (curve: {rec['curve']}); removal would be a "
                 "no-op — skip the pass or pass an explicit min_len")
         min_len = rec["min_len"]
-    if not isinstance(min_len, int) or min_len < 1:
-        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    # exact int check: bool is an int subclass (True would silently run
+    # at window length 1 and gut the corpus), and a typo'd string like
+    # 'Auto' should point at the supported spelling
+    if type(min_len) is not int or min_len < 1:
+        raise ValueError(f"min_len must be an int >= 1 or 'auto', "
+                         f"got {min_len!r}")
     if id_col in ("start", "end", "pos", "n_tokens", "n_exsub_tokens"):
         raise ValueError(f"id_col {id_col!r} collides with an "
                          "ExactSubstr output column; rename it first")

@@ -456,26 +456,24 @@ class NSWIndex:
     # -- persistence (S2/S3: parquet + revalidation, no pickle) ------------
 
     def save(self, path: str) -> None:
-        import json
         import os
+
+        from faisssearcher_spark.operators.ann import _write_index_meta
 
         graph = self._require_fitted()
         graph.write.mode("overwrite").parquet(os.path.join(path, "graph"))
         meta = {"m": self.m, "ef_construction": self.ef_construction,
                 "ef_search": self.ef_search, "metric": self.metric,
                 "n_items": self.n_items}
-        spark = graph.sparkSession
-        spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "meta"))
+        _write_index_meta(graph.sparkSession, path, meta)
 
     @classmethod
     def load(cls, spark, path: str) -> "NSWIndex":
-        import json
         import os
 
-        meta = json.loads(
-            spark.read.parquet(os.path.join(path, "meta")).first()["meta"])
+        from faisssearcher_spark.operators.ann import _read_index_meta
+
+        meta = _read_index_meta(spark, path)
         graph = spark.read.parquet(os.path.join(path, "graph"))
         if set(cls._COLS) - set(graph.columns):
             raise ValueError("stored graph table missing columns — "

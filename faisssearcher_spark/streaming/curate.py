@@ -42,16 +42,29 @@ def curate_stream(stream: DataFrame, *, text_col: str = "text",
     first-seen content fingerprint that passed every filter.
     ``min_lang_conf`` mirrors the batch pipeline's opt-in confidence
     threshold (a ``lang_conf`` column joins the output when set)."""
-    scored = stream.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(ts_col).alias("ingest_ts"),
-        F.round(T.quality_score(text_col), 4).alias("quality"),
-        T.detect_language(text_col).alias("lang_pred"),
-        *([F.round(T.language_confidence(text_col), 4)
-           .alias("lang_conf")] if min_lang_conf is not None else []),
-        T.token_count(text_col).alias("n_tokens"),
-        T.fingerprint(text_col).alias("fingerprint"),
-    )
+    if min_lang_conf is not None:
+        # tokenize-once for the opted-in confidence path (the batch
+        # pipeline's discipline — see operators/curate.py)
+        scored = stream.withColumn("__lt", T.tokens(text_col)).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("ingest_ts"),
+            F.round(T.quality_score(text_col), 4).alias("quality"),
+            T.detect_language_from_tokens(F.col("__lt"))
+            .alias("lang_pred"),
+            F.round(T.language_confidence_from_tokens(F.col("__lt")), 4)
+            .alias("lang_conf"),
+            F.size("__lt").alias("n_tokens"),
+            T.fingerprint(text_col).alias("fingerprint"),
+        )
+    else:
+        scored = stream.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("ingest_ts"),
+            F.round(T.quality_score(text_col), 4).alias("quality"),
+            T.detect_language(text_col).alias("lang_pred"),
+            T.token_count(text_col).alias("n_tokens"),
+            T.fingerprint(text_col).alias("fingerprint"),
+        )
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
