@@ -673,6 +673,78 @@ class _IncrementalStore:
                           ignore_errors=True)
         shutil.rmtree(tomb_dir, ignore_errors=True)
 
+    def expire(self, *, upto_epoch: "int | None" = None,
+               keep_last: "int | None" = None) -> "list[int]":
+        """Drop WHOLE epochs from an epoch-layout store — the retention
+        step that turns unbounded dedup history into a SLIDING WINDOW
+        (screen new batches against the last N ingest windows only; at
+        100 TB the #1 operational problem of an append-forever state
+        is that it never shrinks). Pass exactly one of:
+
+        - ``upto_epoch`` — drop every epoch ``<= upto_epoch``;
+        - ``keep_last``  — keep only the newest N epochs.
+
+        Zero Spark jobs: kept epochs carry into a fresh state dir by
+        HARDLINK (cost ∝ their file count, not bytes), the pointer
+        swap is atomic for readers, dropped epochs delete after the
+        swap — the compact() machinery's retention half. Tombstones
+        stay untouched: kept epochs keep their numbers, so every
+        surviving (id, upto_epoch) still resolves identically; entries
+        whose targets were dropped are dead weight that the next
+        ``compact()`` clears. Refuses to drop EVERY epoch (a store
+        with no state screens vacuously — rebuild instead). Returns
+        the dropped epoch numbers ([] when nothing qualified).
+        Single-writer, like upsert/compact."""
+        import shutil
+        import uuid
+
+        if (upto_epoch is None) == (keep_last is None):
+            raise ValueError("pass exactly one of upto_epoch or "
+                             "keep_last")
+        if self.layout != "epoch":
+            raise NotImplementedError(
+                "expire() needs layout='epoch' — flat/bucketed stores "
+                "have no epoch structure to retire; rebuild the store "
+                "from the retained corpus instead")
+        if keep_last is not None and keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        epochs = self._epoch_numbers()
+        if keep_last is not None:
+            dropped = epochs[:-keep_last]
+        else:
+            dropped = [e for e in epochs if e <= upto_epoch]
+        if not dropped:
+            return []
+        if len(dropped) == len(epochs):
+            raise ValueError(
+                f"expire() would drop every epoch ({epochs}); a store "
+                "with no state screens vacuously — keep at least one "
+                "epoch, or rebuild a fresh store")
+        root = self._local_root()
+        old_name = self._active_state_name()
+        new_name = f"state-{uuid.uuid4().hex[:12]}"
+        local_new = os.path.join(root, new_name)
+        gone = set(dropped)
+        for e in epochs:
+            if e in gone:
+                continue
+            src = os.path.join(root, old_name, f"epoch={e}")
+            dst = os.path.join(local_new, f"epoch={e}")
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                try:
+                    os.link(os.path.join(src, fn),
+                            os.path.join(dst, fn))
+                except OSError:
+                    shutil.copy2(os.path.join(src, fn),
+                                 os.path.join(dst, fn))
+        self._ensure_meta()
+        self._set_active_state_name(new_name)
+        if old_name != new_name:
+            shutil.rmtree(os.path.join(root, old_name),
+                          ignore_errors=True)
+        return dropped
+
     def _epoch_manifest(self, epochs: "list[int] | None" = None
                         ) -> "dict[int, tuple | None]":
         """Per-epoch ``(min_id, max_id)`` bounds derived from the

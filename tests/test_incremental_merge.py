@@ -645,3 +645,102 @@ class TestCompactAndMetaBackCompat:
             assert again.screen(probe, threshold=0.5).count() == 1
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_legacy_both")
+
+
+THIRD = ("distributed training data pipelines require careful corpus "
+         "deduplication quality filtering and language identification "
+         "before any tokenizer ever sees a single byte of raw text")
+
+
+class TestExpire:
+    def _df(self, spark, doc_id, text):
+        return spark.createDataFrame([(doc_id, text)],
+                                     "doc_id long, text string")
+
+    def test_sliding_window_forgets_old_epochs(self, spark, tmp_path):
+        import os
+
+        store = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        store.commit(self._df(spark, 0, BASE))     # epoch 0
+        store.commit(self._df(spark, 10, OTHER))   # epoch 1
+        store.commit(self._df(spark, 20, THIRD))   # epoch 2
+        for probe in (BASE, OTHER, THIRD):
+            assert store.screen(self._df(spark, 99, probe),
+                                threshold=0.5).count() == 1
+        assert store.expire(keep_last=2) == [0]
+        # the oldest window is forgotten; the recent two still screen
+        assert store.screen(self._df(spark, 99, BASE),
+                            threshold=0.5).count() == 0
+        for probe in (OTHER, THIRD):
+            assert store.screen(self._df(spark, 99, probe),
+                                threshold=0.5).count() == 1
+        active = store._active_state_name()
+        dirs = sorted(os.listdir(str(tmp_path / "e" / active)))
+        assert [d for d in dirs if d.startswith("epoch=")] == \
+            ["epoch=1", "epoch=2"]
+        # a fresh instance sees the swapped pointer
+        again = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        assert again.screen(self._df(spark, 99, BASE),
+                            threshold=0.5).count() == 0
+        # commits continue above the kept epochs
+        store.commit(self._df(spark, 30, BASE))    # epoch 3
+        assert store._epoch_numbers() == [1, 2, 3]
+        assert store.screen(self._df(spark, 99, BASE),
+                            threshold=0.5).count() == 1
+
+    def test_upto_epoch_form_and_hardlink_carry(self, spark, tmp_path):
+        import os
+
+        store = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        store.commit(self._df(spark, 0, BASE))
+        store.commit(self._df(spark, 10, OTHER))
+        root = str(tmp_path / "e")
+        before = {
+            f: os.stat(os.path.join(root, store._active_state_name(),
+                                    "epoch=1", f)).st_ino
+            for f in os.listdir(os.path.join(
+                root, store._active_state_name(), "epoch=1"))}
+        assert store.expire(upto_epoch=0) == [0]
+        after_dir = os.path.join(root, store._active_state_name(),
+                                 "epoch=1")
+        after = {f: os.stat(os.path.join(after_dir, f)).st_ino
+                 for f in os.listdir(after_dir)}
+        assert before == after   # carried by hardlink, not rewrite
+        # nothing qualified -> no-op, pointer unchanged
+        name = store._active_state_name()
+        assert store.expire(upto_epoch=0) == []
+        assert store._active_state_name() == name
+
+    def test_expire_then_compact_with_tombstones(self, spark, tmp_path):
+        store = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        store.commit(self._df(spark, 0, BASE))     # epoch 0
+        store.commit(self._df(spark, 10, OTHER))   # epoch 1
+        # tombstone doc 10 via upsert (correction), then expire epoch 0
+        store.upsert(self._df(spark, 10, THIRD))   # epoch 2 + tombstone
+        assert store.expire(upto_epoch=0) == [0]
+        # tombstones survived the expiry and still resolve
+        assert store.screen(self._df(spark, 99, OTHER),
+                            threshold=0.5).count() == 0
+        assert store.screen(self._df(spark, 99, THIRD),
+                            threshold=0.5).count() == 1
+        store.compact()                            # clears dead weight
+        assert store.screen(self._df(spark, 99, THIRD),
+                            threshold=0.5).count() == 1
+        assert store.screen(self._df(spark, 99, BASE),
+                            threshold=0.5).count() == 0
+
+    def test_expire_errors(self, spark, tmp_path):
+        store = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        store.commit(self._df(spark, 0, BASE))
+        with pytest.raises(ValueError, match="exactly one"):
+            store.expire()
+        with pytest.raises(ValueError, match="exactly one"):
+            store.expire(upto_epoch=0, keep_last=1)
+        with pytest.raises(ValueError, match="keep_last"):
+            store.expire(keep_last=0)
+        with pytest.raises(ValueError, match="every epoch"):
+            store.expire(upto_epoch=99)
+        flat = _mh(spark, str(tmp_path / "f"))
+        flat.commit(self._df(spark, 0, BASE))
+        with pytest.raises(NotImplementedError, match="epoch"):
+            flat.expire(keep_last=1)
