@@ -729,6 +729,30 @@ class TestExpire:
         assert store.screen(self._df(spark, 99, BASE),
                             threshold=0.5).count() == 0
 
+    def test_expire_on_other_stores(self, spark, tmp_path):
+        """expire() rides the shared base-class machinery — smoke the
+        forget/keep split on the fingerprint and embedding stores."""
+        mk = lambda rows: spark.createDataFrame(rows, "id long, fp long")
+        fp = FingerprintStore(spark, str(tmp_path / "fp"), bits=32,
+                              max_hamming=3, layout="epoch")
+        fp.commit(mk([(0, 0xDEADBEEF)]))      # epoch 0
+        fp.commit(mk([(1, 0x12345678)]))      # epoch 1
+        assert fp.expire(keep_last=1) == [0]
+        assert fp.screen(mk([(9, 0xDEADBEEF)])).count() == 0
+        assert fp.screen(mk([(9, 0x12345678)])).count() == 1
+        dim = 8
+        v = [1.0] + [0.0] * (dim - 1)
+        w = [0.0] * (dim - 1) + [1.0]
+        mkv = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        es = EmbeddingStore(spark, str(tmp_path / "es"), dim=dim,
+                            tables=2, bits=2, layout="epoch")
+        es.commit(mkv([(0, w)]))              # epoch 0
+        es.commit(mkv([(1, v)]))              # epoch 1
+        assert es.expire(upto_epoch=0) == [0]
+        assert es.screen(mkv([(9, w)]), threshold=0.9).count() == 0
+        assert es.screen(mkv([(9, v)]), threshold=0.9).count() == 1
+
     def test_expire_errors(self, spark, tmp_path):
         store = _mh(spark, str(tmp_path / "e"), layout="epoch")
         store.commit(self._df(spark, 0, BASE))
