@@ -204,6 +204,15 @@ def main() -> None:
         canary.append(round(_time_one("tpch_q6_revenue"), 3))
 
     isolated_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    # pass-boundary teardown (r12 verdict #2): the ANN/text memos hold
+    # fitted indexes whose encoded corpora re-cache LAZILY after the
+    # clearCache below — that re-materialization otherwise lands inside
+    # whichever unrelated leg runs nearby in the isolated pass (the r12
+    # knn_self_similar weak's prime suspect). close() them through the
+    # lifecycle API: the first isolated sample of each memoized leg
+    # repays one fit, the second sweep's sample is steady-state, and
+    # min-of-samples keeps pricing the search.
+    registry.close_bench_caches(spark)
     spark.catalog.clearCache()
     _canary()                      # baseline right after the warm sweep
     for _sweep in range(2):

@@ -160,6 +160,13 @@ class _ItemsLifecycleMixin:
 
     _items: "DataFrame | None"
 
+    def _cached_state(self):
+        """The frames this index pins in executor storage — the generic
+        hook the bench memo re-registers after a session clearCache()
+        and close() releases (BM25Index/SparkSearcher implement the same
+        protocol over their own state frames)."""
+        return [] if self._items is None else [self._items]
+
     def unpersist(self, blocking: bool = False):
         if self._items is not None:
             self._items.unpersist(blocking)

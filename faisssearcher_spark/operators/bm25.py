@@ -177,6 +177,39 @@ class BM25Index:
                              "rank_no", *payload)
 
 
+    # -- lifecycle (the ann.py _ItemsLifecycleMixin contract; BM25 pins
+    # TWO frames — the postings and the frozen fit-time idf table) ---------
+
+    def _cached_state(self):
+        """The frames this index pins in executor storage (lifecycle
+        protocol hook shared with the ANN family)."""
+        return [f for f in (self._idf, self._postings) if f is not None]
+
+    def unpersist(self, blocking: bool = False) -> "BM25Index":
+        """Release the cached postings/idf back to executor storage. The
+        index stays usable — both frames recompute from their tokenize +
+        join lineage on the next search."""
+        for f in self._cached_state():
+            f.unpersist(blocking)
+        return self
+
+    def close(self) -> None:
+        """Terminal release: unpersist and drop the fitted state so a
+        closed index raises the not-fit guard instead of silently
+        re-tokenizing the corpus."""
+        self.unpersist(blocking=True)
+        self._postings = None
+        self._idf = None
+        self._docs = None
+        self.n_docs = None
+        self.avgdl = None
+
+    def __enter__(self) -> "BM25Index":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- persistence (S2/S3 parity: data + config as parquet) --------------
 
     def save(self, path: str) -> None:

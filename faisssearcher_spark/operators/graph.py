@@ -429,6 +429,11 @@ class NSWIndex:
     # -- lifecycle (the ann.py _ItemsLifecycleMixin contract; the NSW
     # state is the persisted GRAPH table, not an encoded-items cache) ------
 
+    def _cached_state(self):
+        """The frames this index pins in executor storage (lifecycle
+        protocol hook) — the NSW state is the graph table."""
+        return [] if self.graph is None else [self.graph]
+
     def unpersist(self, blocking: bool = False) -> "NSWIndex":
         """Release the persisted graph table back to executor storage.
         The index stays usable — the graph recomputes from its lineage

@@ -692,13 +692,22 @@ FROM ranked WHERE rn <= 2
 def _q_searcher_text_hash_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The encoder-mode vector leg on its own (reference mode 1,
     README.md:27-41) — shared by the searcher_text_knn composite and the
-    rerank gate (which must rerank ONE candidate set, not the union)."""
+    rerank gate (which must rerank ONE candidate set, not the union).
+    The trained searcher (corpus encode = the pandas_udf hash pass) is
+    memoized per session — the reference's train-once/search-many
+    contract (faiss_searcher.py:116-125 vs :161), same discipline the
+    ANN bench family follows."""
     from faisssearcher_spark.searcher import SparkSearcher
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.select("text", "lang", "source")
-    searcher = SparkSearcher(corpus, encoder=HashingEncoder(dim=8),
-                             measurement="cos")
-    searcher.train(validate=False)
+
+    def _build():
+        corpus = docs.select("text", "lang", "source")
+        s = SparkSearcher(corpus, encoder=HashingEncoder(dim=8),
+                          measurement="cos")
+        s.train(validate=False)
+        return s
+
+    searcher = _fitted_index(spark, sf_dir, "searcher_hash8", _build)
     queries = [r["text"] for r in
                docs.filter(F.col("doc_id") < 5).orderBy("doc_id").collect()]
     res = searcher.search(queries, topK=3, keep_rank_no=True, score_scale=4)
@@ -733,7 +742,13 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hash_leg = _landed(_q_searcher_text_hash_leg(spark, sf_dir))
 
-    bm = BM25Index().fit(docs, id_col="doc_id", text_col="text")
+    # fit memoized per session (train-once/search-many, the pattern the
+    # ANN family follows — r12 verdict #3: the leg re-fit BM25 and
+    # re-encoded the corpus every invocation; the fitted postings/idf
+    # frames are the index's _cached_state, re-registered on hit)
+    bm = _fitted_index(
+        spark, sf_dir, "bm25_docs",
+        lambda: BM25Index().fit(docs, id_col="doc_id", text_col="text"))
     qdf = docs.filter(F.col("doc_id") < 5).select(
         F.col("text").alias("qid"), "text")
     raw = bm.search(qdf, k=3, query_item_col="qid", query_text_col="text",
@@ -5822,19 +5837,50 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: read as a search regression (r11 verdict #2). The _INC_LEG_CACHE
 #: discipline applied to indexes: the fit is priced ONCE in the cold
 #: pass; warm/isolated price the steady-state search.
-_ANN_INDEX_CACHE: dict = {}
+_FITTED_INDEX_CACHE: dict = {}
 
 
-def _fitted_ann_index(spark: SparkSession, sf_dir: str, spec: str,
+def close_bench_caches(spark: SparkSession) -> int:
+    """Release every session-bound bench memo through the lifecycle API.
+
+    The ANN memo holds FITTED indexes whose encoded corpora sit in
+    executor storage; bench.py calls this at pass boundaries so the
+    isolated pass doesn't inherit storage pressure (or lazy re-cache
+    jobs) from the cold/warm passes' fits, and a long-lived process can
+    call it between sessions. close() is terminal — the next
+    ``_fitted_index`` hit re-fits once, then steady-state. Returns
+    the number of entries released."""
+    n = len(_FITTED_INDEX_CACHE)
+    for idx in _FITTED_INDEX_CACHE.values():
+        try:
+            idx.close()
+        except Exception:
+            # a stopped session makes unpersist() throw; the dict clear
+            # below still drops the python references
+            pass
+    _FITTED_INDEX_CACHE.clear()
+    return n
+
+
+def _fitted_index(spark: SparkSession, sf_dir: str, spec: str,
                       builder):
     # keyed by applicationId too: the memo holds LIVE session-bound
     # DataFrames (unlike _INC_LEG_CACHE's collected rows), and a second
     # session in the same process must re-fit, not inherit handles into
     # a stopped session (review catch)
-    key = (spark.sparkContext.applicationId, sf_dir, spec)
-    if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = builder()
-    idx = _ANN_INDEX_CACHE[key]
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, spec)
+    # evict entries bound to a dead session (r12 ADVICE): they pin
+    # DataFrames/plans of a stopped SparkContext for the process
+    # lifetime; any lookup under a NEW applicationId proves the old
+    # session's entries unreachable, so drop them (close() would throw
+    # against the stopped context — python deref is the release here)
+    stale = [k for k in _FITTED_INDEX_CACHE if k[0] != app_id]
+    for k in stale:
+        del _FITTED_INDEX_CACHE[k]
+    if key not in _FITTED_INDEX_CACHE:
+        _FITTED_INDEX_CACHE[key] = builder()
+    idx = _FITTED_INDEX_CACHE[key]
     # bench.py's isolated pass clearCache()s the session, which drops
     # the fitted index's encoded-state cache registration permanently —
     # re-register on hit (lazy + idempotent) so isolated samples price
@@ -5843,10 +5889,10 @@ def _fitted_ann_index(spark: SparkSession, sf_dir: str, spec: str,
     # clearCache (stale registration flag); the honest signal is the
     # storageLevel collapsing to NONE (measured: re-cache restores the
     # 1.2s search-only reading vs 2.6s without).
-    if idx._items is not None:
-        sl = idx._items.storageLevel
+    for frame in idx._cached_state():
+        sl = frame.storageLevel
         if not (sl.useMemory or sl.useDisk):
-            idx._items.cache()
+            frame.cache()
     return idx
 
 
@@ -5854,11 +5900,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: PQ16 ADC search end-to-end (driver Lloyd codebooks +
     one encode pass + distributed LUT-gather top-10 for 20 queries); the
     ann_ivf_recall gate carries the recall-contract twin. Fit memoized
-    per session (train-once/search-many, _ANN_INDEX_CACHE)."""
+    per session (train-once/search-many, _FITTED_INDEX_CACHE)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    pq = _fitted_ann_index(
+    pq = _fitted_index(
         spark, sf_dir, "pq16",
         lambda: ann.PQIndex(m=16, metric="cos", seed=42)
         .fit(emb, item_key_col="vec_id", item_vec_col="embedding"))
@@ -5898,7 +5944,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    idx = _fitted_ann_index(
+    idx = _fitted_index(
         spark, sf_dir, "ivf16pq16",
         lambda: ann.IVFPQIndex(n_cells=16, nprobe=8, m=16, metric="cos",
                                seed=42, kmeans_max_iter=8)
@@ -5915,7 +5961,7 @@ def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    pq = _fitted_ann_index(
+    pq = _fitted_index(
         spark, sf_dir, "opq16",
         lambda: ann.PQIndex(m=16, metric="cos", seed=42, opq=True,
                             opq_iters=6)
@@ -5930,7 +5976,7 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    sq = _fitted_ann_index(
+    sq = _fitted_index(
         spark, sf_dir, "sq8",
         lambda: ann.SQIndex(nbits=8, metric="cos")
         .fit(emb, item_key_col="vec_id", item_vec_col="embedding"))
@@ -5947,7 +5993,10 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.bm25 import BM25Index
 
     docs = load_table(spark, sf_dir, "documents")
-    bm = BM25Index().fit(docs)
+    # same fit (defaults over documents) as the searcher_text_knn bm25
+    # leg -> same memo key; whichever leg runs first prices the fit
+    bm = _fitted_index(spark, sf_dir, "bm25_docs",
+                       lambda: BM25Index().fit(docs))
     q = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "text")
     return bm.search(q, k=10, query_item_col="qid",
@@ -6011,7 +6060,10 @@ def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.maxsim import maxsim_rerank
 
     docs = load_table(spark, sf_dir, "documents")
-    bm = BM25Index().fit(docs)
+    # same fit (defaults over documents) as the searcher_text_knn bm25
+    # leg -> same memo key; whichever leg runs first prices the fit
+    bm = _fitted_index(spark, sf_dir, "bm25_docs",
+                       lambda: BM25Index().fit(docs))
     q = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "text")
     raw = bm.search(q, k=10, query_item_col="qid")

@@ -458,6 +458,15 @@ class SparkSearcher:
     # -- lifecycle (FAISS frees by dropping the object,
     # faiss_searcher.py:189-190; the Spark cache layer needs a handle) -----
 
+    def _cached_state(self):
+        """The frames this searcher pins in executor storage (lifecycle
+        protocol hook): the encoded corpus plus the inner index's own
+        state when one is composed."""
+        state = [] if self.corpus is None else [self.corpus]
+        if self._index is not None:
+            state += self._index._cached_state()
+        return state
+
     def unpersist(self, blocking: bool = False) -> "SparkSearcher":
         """Release the cached encoded corpus (and any fitted ANN state)
         back to executor storage. The searcher stays usable — the corpus

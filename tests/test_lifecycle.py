@@ -113,3 +113,87 @@ def test_searcher_close_releases_fitted_index(spark, documents):
     s.close()
     assert s._index is None
     assert inner._items is None
+
+
+def test_bm25_lifecycle(spark, documents):
+    from faisssearcher_spark.operators.bm25 import BM25Index
+
+    docs = documents.limit(100)
+    bm = BM25Index().fit(docs)
+    state = bm._cached_state()
+    assert len(state) == 2 and all(f.is_cached for f in state)
+    q = docs.limit(3).select(F.col("doc_id").alias("qid"), "text")
+    bm.unpersist()
+    assert not any(f.is_cached for f in bm._cached_state())
+    # still usable: lineage recompute
+    assert bm.search(q, k=2, query_item_col="qid").count() > 0
+    bm.close()
+    assert bm._cached_state() == []
+    with pytest.raises(RuntimeError, match="fit"):
+        bm.search(q, k=2, query_item_col="qid")
+    # context-manager protocol
+    with BM25Index().fit(docs) as bm2:
+        assert bm2.search(q, k=2, query_item_col="qid").count() > 0
+    assert bm2._postings is None
+
+
+def test_searcher_cached_state_includes_inner_index(spark, documents):
+    from faisssearcher_spark import SparkSearcher
+    from faisssearcher_spark.encoders import HashingEncoder
+
+    s = SparkSearcher(documents.limit(100).select("text", "lang"),
+                      encoder=HashingEncoder(dim=8), measurement="cos",
+                      index_param="IVF4").train()
+    state = s._cached_state()
+    # corpus + the IVF index's encoded items
+    assert s.corpus in state and s._index._items in state
+    s.close()
+    assert s._cached_state() == []
+
+
+def test_close_bench_caches_releases_memo(spark, sf_dir):
+    from faisssearcher_spark import registry
+    from faisssearcher_spark.operators.ann import PQIndex
+
+    emb = registry.load_table(spark, sf_dir, "embeddings")
+    idx = registry._fitted_index(
+        spark, sf_dir, "test_pq4",
+        lambda: PQIndex(m=4, metric="cos", seed=1).fit(
+            emb, item_key_col="vec_id", item_vec_col="embedding"))
+    assert registry._FITTED_INDEX_CACHE   # populated
+    n = registry.close_bench_caches(spark)
+    assert n >= 1
+    assert not registry._FITTED_INDEX_CACHE
+    # close() is terminal on the released index
+    q = emb.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(RuntimeError, match="fit"):
+        idx.search(q, k=2, query_item_col="qid")
+    # a later lookup re-fits (train-once per SESSION, not per process)
+    idx2 = registry._fitted_index(
+        spark, sf_dir, "test_pq4",
+        lambda: PQIndex(m=4, metric="cos", seed=1).fit(
+            emb, item_key_col="vec_id", item_vec_col="embedding"))
+    assert idx2 is not idx
+    assert idx2.search(q, k=2, query_item_col="qid").count() > 0
+    registry.close_bench_caches(spark)
+
+
+def test_fitted_index_evicts_dead_session_entries(spark, sf_dir):
+    from faisssearcher_spark import registry
+    from faisssearcher_spark.operators.ann import PQIndex
+
+    class _Dummy:
+        def _cached_state(self):
+            return []
+
+        def close(self):
+            pass
+
+    registry._FITTED_INDEX_CACHE[("dead-app-id", "/x", "spec")] = _Dummy()
+    emb = registry.load_table(spark, sf_dir, "embeddings")
+    registry._fitted_index(
+        spark, sf_dir, "test_pq4_evict",
+        lambda: PQIndex(m=4, metric="cos", seed=1).fit(
+            emb, item_key_col="vec_id", item_vec_col="embedding"))
+    assert ("dead-app-id", "/x", "spec") not in registry._FITTED_INDEX_CACHE
+    registry.close_bench_caches(spark)
