@@ -591,6 +591,9 @@ def _knn_join_blocked(
         # deterministic tie-break: pre-order items by key so equal scores
         # resolve to the smallest key, matching the catalyst window order
         order = np.argsort(fkeys, kind="stable")
+        full_o = full[order]
+        fsq_o = fsq[order]
+        n_items = full_o.shape[0]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -598,31 +601,59 @@ def _knn_join_blocked(
             if nrm:
                 qn = np.linalg.norm(q, axis=1, keepdims=True)
                 q = q / np.where(qn == 0, 1.0, qn)
-            if met == "l2":
-                # ||q-x||^2 = ||q||^2 - 2 q·x + ||x||^2 (FAISS squared-L2)
-                sims = (q * q).sum(axis=1, keepdims=True) \
-                    - 2.0 * (q @ full.T) + fsq[None, :]
-                sims = np.maximum(sims, 0.0)
-            else:
-                sims = q @ full.T
-            if scale is not None:
-                sims = np.round(sims, scale)
-            sims_o = sims[:, order]
-            rank_key = sims_o if not higher_is_closer else -sims_o
-            n_items = sims_o.shape[1]
+            q_sq = (q * q).sum(axis=1, keepdims=True)
             kc = min(kk, n_items)
-            # full-row STABLE argsort: columns are in key order, so equal
-            # scores resolve to the smallest key — exactly the catalyst
-            # window's (score, key) order. O(n log n) per query is noise
-            # next to the O(n·d) GEMM; an argpartition would tie-break
-            # arbitrarily at the k boundary (common with rounded scores).
-            idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+            # bound the score temporary at ~256 MB instead of
+            # q_rows × n_items × 8B: an uncapped m=n GEMM materializes
+            # multi-GB scratch per Arrow batch — at the corpus cap it
+            # would OOM the worker outright, and below it the alloc/
+            # page-zero churn makes the leg's wall time track ambient
+            # memory state (the r12 knn_self_similar iso elevation:
+            # reproduced as first-run-after-other-work in
+            # tools/ab_selfsim.py). Items stream through in key-ordered
+            # blocks with an exact top-k candidate merge.
+            blk = max(kc, min(n_items,
+                              (256 << 20) // (8 * max(len(q), 1))))
+            cand_pos: list = []        # global key-order positions
+            cand_val: list = []
+            for s in range(0, n_items, blk):
+                e = min(s + blk, n_items)
+                if met == "l2":
+                    # ||q-x||^2 = ||q||^2 - 2 q·x + ||x||^2 (FAISS
+                    # squared-L2)
+                    sims_b = q_sq - 2.0 * (q @ full_o[s:e].T) \
+                        + fsq_o[None, s:e]
+                    sims_b = np.maximum(sims_b, 0.0)
+                else:
+                    sims_b = q @ full_o[s:e].T
+                if scale is not None:
+                    sims_b = np.round(sims_b, scale)
+                rank_key = sims_b if not higher_is_closer else -sims_b
+                # per-block STABLE argsort: columns are in key order, so
+                # equal scores resolve to the smallest key — exactly the
+                # catalyst window's (score, key) order. O(blk log blk)
+                # per query is noise next to the O(blk·d) GEMM; an
+                # argpartition would tie-break arbitrarily at the k
+                # boundary (common with rounded scores).
+                kb = min(kc, e - s)
+                idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kb]
+                cand_pos.append(idx + s)
+                cand_val.append(np.take_along_axis(sims_b, idx, axis=1))
+            pos = np.concatenate(cand_pos, axis=1)
+            val = np.concatenate(cand_val, axis=1)
+            # merge: blocks were appended in ascending position order and
+            # each block's ties are already position-ascending, so one
+            # stable argsort on the score alone reproduces the global
+            # (score, key) order
+            rank_key = val if not higher_is_closer else -val
+            sel = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+            top_pos = np.take_along_axis(pos, sel, axis=1)
+            top_val = np.take_along_axis(val, sel, axis=1)
             rows_src, rows_item, rows_val, rows_rank = [], [], [], []
-            for i in range(len(sims_o)):
-                cand = idx[i]
+            for i in range(len(q)):
                 rows_src.extend([pdf["__qid"].iloc[i]] * kc)
-                rows_item.extend(fkeys[order[cand]])
-                rows_val.extend(sims_o[i, cand])
+                rows_item.extend(fkeys[order[top_pos[i]]])
+                rows_val.extend(top_val[i])
                 rows_rank.extend(range(kc))
             yield pd.DataFrame({"source_item": rows_src,
                                 "sim_item": rows_item,
