@@ -40,12 +40,17 @@ def curate_documents(
     shingle_n: int = 3,
     gopher_max_dup_line_frac: float | None = None,
     gopher_max_dup_ngram_frac: float | None = None,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Return the curated survivor set with per-doc quality metadata.
 
     Output: ``(doc_id, quality, lang_pred, n_tokens)`` — one row per
     surviving document, deterministic (min doc_id survives each exact and
-    near-dup group). With ``min_lang_conf`` set, a ``lang_conf`` column
+    near-dup group). ``keep_text=True`` appends the ``text`` column —
+    the survivor frame already carries it internally, so composing
+    pipelines (:func:`prepare_pretraining_data`) read the corpus ONCE
+    instead of re-scanning and re-joining the source table to recover
+    the text of the surviving ids. With ``min_lang_conf`` set, a ``lang_conf`` column
     joins the output and documents whose language-id confidence
     (:func:`faisssearcher_spark.functions.text.language_confidence`)
     falls below the threshold drop — the argmax alone trusts a single
@@ -158,7 +163,8 @@ def curate_documents(
 
     return kept.select("doc_id", "quality", "lang_pred",
                        *(["lang_conf"] if min_lang_conf is not None
-                         else []), "n_tokens")
+                         else []), "n_tokens",
+                       *(["text"] if keep_text else []))
 
 
 def prepare_pretraining_data(
@@ -223,16 +229,20 @@ def prepare_pretraining_data(
 
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
+    # keep_text: the curate stage returns the survivor TEXT alongside the
+    # ids — one corpus scan for the whole pipeline head, instead of a
+    # second full scan + id join to recover the surviving rows (r12
+    # verdict #4 scan audit)
     survivors = curate_documents(
         base, min_quality=min_quality, languages=languages,
-        near_dup_threshold=near_dup_threshold).select("doc_id")
+        near_dup_threshold=near_dup_threshold,
+        keep_text=True).select("doc_id", "text")
     # the persisted survivor frame carries its token array: every
     # downstream consumer (perplexity scoring, classifier scoring,
     # decontamination shingles, chunking) reuses it via tokens_col —
     # ONE tokenize pass over the corpus instead of one per stage
     # (round-5 verdict #5: stages re-tokenized the persisted text)
-    kept = (base.join(survivors, "doc_id")
-            .withColumn("__toks", T.tokens("text")).persist())
+    kept = survivors.withColumn("__toks", T.tokens("text")).persist()
 
     if reference is not None:
         lm = fit_token_frequencies(reference, text_col=text_col)
