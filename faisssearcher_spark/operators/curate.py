@@ -34,6 +34,7 @@ def curate_documents(
     min_quality: float = 0.3,
     languages: tuple[str, ...] | None = None,
     min_lang_conf: float | None = None,
+    lang_conf_temperature: float = 0.05,
     near_dup_threshold: float | None = 0.5,
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
@@ -84,7 +85,8 @@ def curate_documents(
             F.round(T.quality_score(text_col), 4).alias("quality"),
             T.detect_language_from_tokens(F.col("__lt"))
             .alias("lang_pred"),
-            F.round(T.language_confidence_from_tokens(F.col("__lt")), 4)
+            F.round(T.language_confidence_from_tokens(
+                F.col("__lt"), temperature=lang_conf_temperature), 4)
             .alias("lang_conf"),
             F.size("__lt").alias("n_tokens"),
             T.fingerprint(text_col).alias("__fp"),
@@ -177,6 +179,7 @@ def prepare_pretraining_data(
     min_quality: float = 0.3,
     languages: tuple[str, ...] | None = None,
     near_dup_threshold: float | None = 0.5,
+    exsub_min_len: "int | str | None" = None,
     ppl_keep_buckets: tuple[int, ...] = (1, 2),
     ppl_thresholds: "list[float] | str | None" = None,
     classifier_alpha: float | None = 9.0,
@@ -191,6 +194,12 @@ def prepare_pretraining_data(
     real 100 TB pipeline runs, built from the engine's gated stages:
 
         heuristics + exact/near dedup     (curate_documents — oracle-gated)
+        → ExactSubstr removal             (remove_exact_substrings, when
+                                           ``exsub_min_len`` is given —
+                                           an int threshold or ``"auto"``
+                                           for the duplication-profile
+                                           knee; batch-only, loud on
+                                           no-duplication corpora)
         → CCNet perplexity head/middle    (unigram_logppl + buckets, when
           keep                             ``reference`` is given)
         → GPT-3 classifier + Pareto keep  (fit on reference-vs-pool,
@@ -243,6 +252,32 @@ def prepare_pretraining_data(
     # ONE tokenize pass over the corpus instead of one per stage
     # (round-5 verdict #5: stages re-tokenized the persisted text)
     kept = survivors.withColumn("__toks", T.tokens("text")).persist()
+
+    if exsub_min_len is not None:
+        # ExactSubstr removal (Lee et al. 2022) between dedup and
+        # scoring: rewrite survivor text with every duplicated run of
+        # ≥ exsub_min_len tokens removed, so perplexity/classifier
+        # score the CLEANED text and chunks never carry boilerplate
+        # runs. ``"auto"`` fits the threshold from the corpus's own
+        # duplication-profile knee (dedup.recommend_min_len) — EAGER by
+        # documentation, and LOUD (raises) on a corpus with no
+        # duplication signal: a silent no-op scan at 100 TB is worse
+        # than an error. Batch-only — the profile and the span
+        # self-join need the whole corpus (streaming/curate.py refuses
+        # the kwarg for the same reason near-dup stays a batch
+        # post-pass).
+        from faisssearcher_spark.operators.dedup import (
+            remove_exact_substrings)
+        cleaned = remove_exact_substrings(
+            kept, id_col="doc_id", text_col="text",
+            min_len=exsub_min_len, keep="none", drop_empty_docs=True,
+            tokens_col="__toks")
+        # the rewritten text needs a fresh token array for the
+        # downstream tokens_col consumers; the pre-clean frame stays
+        # persisted — the span machinery references it from several
+        # subplans
+        kept = cleaned.select("doc_id", "text") \
+            .withColumn("__toks", T.tokens("text")).persist()
 
     if reference is not None:
         lm = fit_token_frequencies(reference, text_col=text_col)

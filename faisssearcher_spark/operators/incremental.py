@@ -660,6 +660,12 @@ class _IncrementalStore:
             dst = os.path.join(local_new, f"epoch={e}")
             os.makedirs(dst, exist_ok=True)
             for fn in os.listdir(src):
+                # regular files only (matching _epoch_manifest's name
+                # filtering): a stray subdirectory would slip past
+                # os.link's caught OSError into shutil.copy2 and abort
+                # the carry mid-build
+                if not os.path.isfile(os.path.join(src, fn)):
+                    continue
                 try:
                     os.link(os.path.join(src, fn),
                             os.path.join(dst, fn))
@@ -694,7 +700,11 @@ class _IncrementalStore:
         ``compact()`` clears. Refuses to drop EVERY epoch (a store
         with no state screens vacuously — rebuild instead). Returns
         the dropped epoch numbers ([] when nothing qualified).
-        Single-writer, like upsert/compact."""
+        Single-writer, like upsert/compact — and like
+        ``_rewrite_state``, there is NO retention window for in-flight
+        READERS either: the old state directory deletes right after
+        the pointer swap, so a screen already executing against it can
+        fail mid-job. Schedule expiry when no screen is in flight."""
         import shutil
         import uuid
 
@@ -732,6 +742,12 @@ class _IncrementalStore:
             dst = os.path.join(local_new, f"epoch={e}")
             os.makedirs(dst, exist_ok=True)
             for fn in os.listdir(src):
+                # regular files only (matching _epoch_manifest's name
+                # filtering): a stray subdirectory would slip past
+                # os.link's caught OSError into shutil.copy2 and abort
+                # the carry mid-build
+                if not os.path.isfile(os.path.join(src, fn)):
+                    continue
                 try:
                     os.link(os.path.join(src, fn),
                             os.path.join(dst, fn))

@@ -457,7 +457,11 @@ def _bm25_fit_search(docs: DataFrame) -> DataFrame:
 #: grid GEMM cells), plus the NSW graph build — at 100× the corpus its
 #: per-shard insertion loop runs on shards 10× the 10×-point's size,
 #: which is what prices the batched-insertion kernel (r6 verdict #4)
-DEEP_LEGS = ("embedding_lsh", "knn_grid", "ann_nsw")
+#: mine_bitext joined in r13 (the r12 sweep's second-worst 10× ratio,
+#: 1.68, had no deep point): fixed src batch against the 100× tgt
+#: corpus — candidates stay k·(n_src + m), rows fixed at n_src by
+#: best_per_src, so the deep ratio isolates the GEMM + margin join.
+DEEP_LEGS = ("embedding_lsh", "knn_grid", "ann_nsw", "mine_bitext")
 
 #: document-corpus legs that also run at the deep point (r9 verdict #3:
 #: these are the 100-TB-critical dedup candidate-generation joins —
@@ -465,8 +469,12 @@ DEEP_LEGS = ("embedding_lsh", "knn_grid", "ann_nsw")
 #: distinct-count + recovery join — and 10× alone can hide a quadratic
 #: term that only dominates past it). They need a deep DOCUMENTS
 #: corpus, which the embedding-only deep point never built before.
+#: video_vmh joined in r13 (the r12 sweep's worst 10× ratio, 1.9, had
+#: no deep point): at x100 the planted shift+noise pairs grow with the
+#: corpus while the Janino-compile floor stays one-time, so the deep
+#: ratio is the first reading where decode+band work dominates compile.
 DEEP_DOC_LEGS = ("dedup_minhash_lsh", "hamming_pairs",
-                 "dedup_boilerplate")
+                 "dedup_boilerplate", "video_vmh")
 
 
 def run_scale_sweep(spark: SparkSession, sf_dir: str, *,

@@ -34,6 +34,8 @@ def curate_stream(stream: DataFrame, *, text_col: str = "text",
                   min_quality: float = 0.3,
                   languages: tuple[str, ...] | None = None,
                   min_lang_conf: float | None = None,
+                  lang_conf_temperature: float = 0.05,
+                  exsub_min_len: "int | str | None" = None,
                   sample_fraction: float | None = None,
                   seed: int = 42,
                   watermark: str = "1 hour") -> DataFrame:
@@ -41,7 +43,25 @@ def curate_stream(stream: DataFrame, *, text_col: str = "text",
     ``(id, quality, lang_pred, n_tokens, fingerprint, ts)`` — one row per
     first-seen content fingerprint that passed every filter.
     ``min_lang_conf`` mirrors the batch pipeline's opt-in confidence
-    threshold (a ``lang_conf`` column joins the output when set)."""
+    threshold (a ``lang_conf`` column joins the output when set), with
+    ``lang_conf_temperature`` threading the same softmax temperature the
+    batch surface takes — a tuned temperature keeps identical threshold
+    semantics across both.
+
+    ``exsub_min_len`` is REFUSED here (loudly, not ignored): ExactSubstr
+    removal is a duplicated-run self-join over the whole corpus, and the
+    ``"auto"`` spelling additionally eager-profiles the corpus's
+    duplication spectrum — neither exists incrementally with bounded
+    state. Run it where near-dup dedup already runs: the batch
+    compaction pass over the landing table
+    (``prepare_pretraining_data(exsub_min_len=...)``)."""
+    if exsub_min_len is not None:
+        raise ValueError(
+            "exsub_min_len is batch-only: ExactSubstr removal needs a "
+            "whole-corpus self-join (and 'auto' an eager duplication "
+            "profile), which a stream cannot express with bounded "
+            "state. Run prepare_pretraining_data(exsub_min_len=...) on "
+            "the landing table instead.")
     if min_lang_conf is not None:
         # tokenize-once for the opted-in confidence path (the batch
         # pipeline's discipline — see operators/curate.py)
@@ -51,7 +71,8 @@ def curate_stream(stream: DataFrame, *, text_col: str = "text",
             F.round(T.quality_score(text_col), 4).alias("quality"),
             T.detect_language_from_tokens(F.col("__lt"))
             .alias("lang_pred"),
-            F.round(T.language_confidence_from_tokens(F.col("__lt")), 4)
+            F.round(T.language_confidence_from_tokens(
+                F.col("__lt"), temperature=lang_conf_temperature), 4)
             .alias("lang_conf"),
             F.size("__lt").alias("n_tokens"),
             T.fingerprint(text_col).alias("fingerprint"),

@@ -85,3 +85,75 @@ class TestCurate:
         out = curate.curate_documents(docs, min_quality=0.0,
                                       near_dup_threshold=None)
         assert out.count() == 2
+
+    def test_keep_text_appends_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, GOOD), (2, GOOD)], "doc_id long, text string")
+        out = curate.curate_documents(docs, min_quality=0.0,
+                                      near_dup_threshold=None,
+                                      keep_text=True)
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["text"] == GOOD
+
+    def test_lang_conf_temperature_threads(self, spark):
+        """A hotter softmax flattens confidence: the same doc reads a
+        LOWER lang_conf at temperature 1.0 than at the 0.05 default —
+        recipes tuning detect_languages' temperature keep threshold
+        semantics consistent on the pipeline surface."""
+        docs = spark.createDataFrame([(1, GOOD)],
+                                     "doc_id long, text string")
+        cold = curate.curate_documents(
+            docs, min_quality=0.0, min_lang_conf=0.0,
+            near_dup_threshold=None).collect()[0]["lang_conf"]
+        hot = curate.curate_documents(
+            docs, min_quality=0.0, min_lang_conf=0.0,
+            lang_conf_temperature=1.0,
+            near_dup_threshold=None).collect()[0]["lang_conf"]
+        assert hot < cold
+
+    def test_exsub_stage_cleans_chunks(self, spark):
+        """Opt-in ExactSubstr removal between dedup and chunking: the
+        planted duplicated run vanishes from every training chunk while
+        unique text survives."""
+        run = " ".join(f"boiler{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(1, GOOD + " " + run),
+             (2, run + " " + "the cat sat on a mat and it is a very "
+                 "fine mat for cats to sit on all day in the warm sun")],
+            "doc_id long, text string")
+        out = curate.prepare_pretraining_data(
+            docs, near_dup_threshold=None, exsub_min_len=10,
+            chunk_max_tokens=64, pack_budget=256)
+        texts = [r["chunk_text"] for r in out.collect()]
+        assert texts, "pipeline dropped everything"
+        assert all("boiler0" not in t for t in texts)
+        assert any("quick brown fox" in t for t in texts)
+
+    def test_exsub_auto_spelling(self, spark):
+        """min_len='auto' composes through the recipe: the planted-block
+        corpus has a knee, so auto resolves and removes the block."""
+        block = " ".join(f"dup{i}" for i in range(32))
+        rows = [(i, f"unique{i} " + block + f" tail{i} " + " ".join(
+            f"w{i}_{j}" for j in range(16))) for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = curate.prepare_pretraining_data(
+            docs, min_quality=0.0, near_dup_threshold=None,
+            exsub_min_len="auto", chunk_max_tokens=64, pack_budget=256)
+        texts = [r["chunk_text"] for r in out.collect()]
+        assert texts
+        assert all("dup0 " not in t + " " for t in texts)
+
+    def test_exsub_streaming_refusal(self, spark, tmp_path):
+        """Streaming parity: curate_stream refuses exsub_min_len loudly
+        (whole-corpus self-join + eager profile cannot stream)."""
+        import pytest
+
+        from faisssearcher_spark.streaming.curate import curate_stream
+
+        src = spark.readStream.format("rate").load().select(
+            F.col("value").alias("doc_id"),
+            F.lit(GOOD).alias("text"),
+            F.col("timestamp").alias("ingest_ts"))
+        with pytest.raises(ValueError, match="batch-only"):
+            curate_stream(src, exsub_min_len=10)

@@ -768,3 +768,29 @@ class TestExpire:
         flat.commit(self._df(spark, 0, BASE))
         with pytest.raises(NotImplementedError, match="epoch"):
             flat.expire(keep_last=1)
+
+
+class TestCarryGuards:
+    def _df(self, spark, base_id, text):
+        return spark.createDataFrame([(base_id, text)],
+                                     "doc_id long, text string")
+
+    def test_expire_skips_stray_subdirectory(self, spark, tmp_path):
+        """The hardlink carry guards against non-regular-file entries
+        (r12 ADVICE): a stray subdirectory inside a kept epoch dir must
+        not abort the carry mid-build."""
+        import os
+
+        store = _mh(spark, str(tmp_path / "e"), layout="epoch")
+        store.commit(self._df(spark, 0, BASE))     # epoch 0
+        store.commit(self._df(spark, 10, OTHER))   # epoch 1
+        stray = os.path.join(str(tmp_path / "e"),
+                             store._active_state_name(), "epoch=1",
+                             "_stray_dir")
+        os.makedirs(stray)
+        assert store.expire(upto_epoch=0) == [0]
+        assert store.screen(self._df(spark, 99, OTHER),
+                            threshold=0.5).count() == 1
+        carried = os.path.join(str(tmp_path / "e"),
+                               store._active_state_name(), "epoch=1")
+        assert "_stray_dir" not in os.listdir(carried)
