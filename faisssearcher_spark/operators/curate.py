@@ -26,6 +26,36 @@ from faisssearcher_spark.functions import text as T
 from faisssearcher_spark.operators import dedup
 
 
+def _release_with(result: DataFrame, frames: "list[DataFrame]"
+                  ) -> DataFrame:
+    """Tie the lifetime of internally persisted ``frames`` to the
+    RESULT frame's Python object: when the caller drops the result, the
+    landing-table caches release back to executor storage.
+
+    Why not plan-keyed cache reuse across invocations: the pipeline
+    embeds driver-collected literal frames (cluster maps, fitted
+    thresholds), which classic PySpark lands as RDD-backed plans —
+    never plan-equal across calls — so every invocation would otherwise
+    ADD cache entries that nothing ever drops (measured: +2 entries per
+    ``prepare_pretraining_data`` call). A dropped result may still be
+    referenced through derived frames; those stay correct and recompute
+    from lineage (the ``unpersist`` contract everywhere else in the
+    engine)."""
+    import weakref
+
+    def _release(fs=tuple(frames)):
+        for f in fs:
+            try:
+                f.unpersist()
+            except Exception:
+                # a stopped SparkContext makes unpersist throw; the
+                # python deref is the release then
+                pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def curate_documents(
     docs: DataFrame,
     *,
@@ -146,6 +176,7 @@ def curate_documents(
     kept = (kept.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn", "__fp"))
 
+    landed: "list[DataFrame]" = []
     if near_dup_threshold is not None:
         # the survivor frame feeds BOTH the near-dup pair generation and
         # the final anti-join; persist it so the quality scoring + exact
@@ -153,6 +184,7 @@ def curate_documents(
         # pipeline scale this is the landing-table materialization the
         # streaming half writes anyway (streaming/curate.py)
         kept = kept.persist()
+        landed.append(kept)
         pairs = dedup.minhash_lsh_join(
             kept, id_col="doc_id", text_col="text",
             num_hashes=minhash_hashes, bands=minhash_bands,
@@ -163,10 +195,11 @@ def curate_documents(
             .select(F.col("id").alias("doc_id"))
         kept = kept.join(drop, "doc_id", "left_anti")
 
-    return kept.select("doc_id", "quality", "lang_pred",
-                       *(["lang_conf"] if min_lang_conf is not None
-                         else []), "n_tokens",
-                       *(["text"] if keep_text else []))
+    out = kept.select("doc_id", "quality", "lang_pred",
+                      *(["lang_conf"] if min_lang_conf is not None
+                        else []), "n_tokens",
+                      *(["text"] if keep_text else []))
+    return _release_with(out, landed) if landed else out
 
 
 def prepare_pretraining_data(
@@ -174,6 +207,7 @@ def prepare_pretraining_data(
     *,
     reference: DataFrame | None = None,
     eval_docs: DataFrame | None = None,
+    curated: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
@@ -193,7 +227,10 @@ def prepare_pretraining_data(
     """The COMPLETE pretraining-prep path, one call — the composition a
     real 100 TB pipeline runs, built from the engine's gated stages:
 
-        heuristics + exact/near dedup     (curate_documents — oracle-gated)
+        heuristics + exact/near dedup     (curate_documents — oracle-gated;
+                                           skipped when a pre-curated
+                                           landing frame is passed via
+                                           ``curated``)
         → ExactSubstr removal             (remove_exact_substrings, when
                                            ``exsub_min_len`` is given —
                                            an int threshold or ``"auto"``
@@ -241,17 +278,35 @@ def prepare_pretraining_data(
     # keep_text: the curate stage returns the survivor TEXT alongside the
     # ids — one corpus scan for the whole pipeline head, instead of a
     # second full scan + id join to recover the surviving rows (r12
-    # verdict #4 scan audit)
-    survivors = curate_documents(
-        base, min_quality=min_quality, languages=languages,
-        near_dup_threshold=near_dup_threshold,
-        keep_text=True).select("doc_id", "text")
+    # verdict #4 scan audit). The curate RESULT object must stay
+    # referenced until the pipeline result dies: its finalizer releases
+    # the curate-internal landing cache (_release_with), which the
+    # pipeline's consumers still read through.
+    #
+    # ``curated`` skips the stage entirely: the LANDING-TABLE shape —
+    # a production pipeline materializes curate_documents(
+    # keep_text=True) once (or streams into it, streaming/curate.py)
+    # and runs prep epochs on top, so re-running heuristics + dedup per
+    # epoch would price the same work n times. The frame needs
+    # (doc_id, text); quality/near-dup knobs are ignored with it.
+    landed: "list[DataFrame]" = []
+    if curated is None:
+        curated = curate_documents(
+            base, min_quality=min_quality, languages=languages,
+            near_dup_threshold=near_dup_threshold, keep_text=True)
+        # internally-built only: a passed-in landing frame's lifetime
+        # (and any cache behind it) belongs to the CALLER — releasing
+        # it here would tear down a session-scoped landing table the
+        # first time one epoch's result is dropped
+        landed.append(curated)
+    survivors = curated.select("doc_id", "text")
     # the persisted survivor frame carries its token array: every
     # downstream consumer (perplexity scoring, classifier scoring,
     # decontamination shingles, chunking) reuses it via tokens_col —
     # ONE tokenize pass over the corpus instead of one per stage
     # (round-5 verdict #5: stages re-tokenized the persisted text)
     kept = survivors.withColumn("__toks", T.tokens("text")).persist()
+    landed.append(kept)
 
     if exsub_min_len is not None:
         # ExactSubstr removal (Lee et al. 2022) between dedup and
@@ -278,6 +333,7 @@ def prepare_pretraining_data(
         # subplans
         kept = cleaned.select("doc_id", "text") \
             .withColumn("__toks", T.tokens("text")).persist()
+        landed.append(kept)
 
     if reference is not None:
         lm = fit_token_frequencies(reference, text_col=text_col)
@@ -293,6 +349,7 @@ def prepare_pretraining_data(
             # fit + bucket filter) — without it the explode+vocab-join
             # scoring plan runs twice.
             scored = scored.persist()
+            landed.append(scored)
             n_b = max(len(ppl_keep_buckets) + 1, 3)
             qs = [i / n_b for i in range(1, n_b)]
             ppl_thresholds = (scored.filter(F.col("logppl").isNotNull())
@@ -334,8 +391,9 @@ def prepare_pretraining_data(
     packed = pack_token_budget(chunks, budget=pack_budget,
                                size_col="n_tokens", key_col="__pack_key",
                                n_shards=pack_shards, seed=seed)
-    return packed.select("doc_id", "chunk_idx", "chunk_text", "n_tokens",
-                         "shard", "bin")
+    return _release_with(
+        packed.select("doc_id", "chunk_idx", "chunk_text", "n_tokens",
+                      "shard", "bin"), landed)
 
 
 def write_training_shards(packed: DataFrame, path: str) -> dict:

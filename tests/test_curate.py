@@ -157,3 +157,52 @@ class TestCurate:
             F.col("timestamp").alias("ingest_ts"))
         with pytest.raises(ValueError, match="batch-only"):
             curate_stream(src, exsub_min_len=10)
+
+    def test_internal_caches_release_with_result(self, spark):
+        """The landing caches' lifetime is tied to the result object
+        (_release_with): invocations no longer accumulate executor
+        storage once their results are dropped."""
+        import gc
+
+        docs = spark.createDataFrame(
+            [(i, GOOD + f" extra{i}") for i in range(8)],
+            "doc_id long, text string")
+        out = curate.curate_documents(docs, min_quality=0.0,
+                                      near_dup_threshold=0.3)
+        out.count()   # materializes the internal landing persist
+        sc = spark.sparkContext
+        assert sc._jsc.sc().getRDDStorageInfo(), "expected cached state"
+        del out
+        gc.collect()
+        assert not sc._jsc.sc().getRDDStorageInfo()
+
+    def test_prepare_accepts_landing_frame(self, spark):
+        """curated= skips the curate stage: same chunks as the internal
+        path, and the caller-owned landing cache survives the result."""
+        import gc
+
+        docs = spark.createDataFrame(
+            [(1, GOOD), (2, GOOD),
+             (3, "the cat sat on a mat and it is a very fine mat for "
+                 "cats to sit on all day in the warm sun by the door")],
+            "doc_id long, text string")
+        internal = curate.prepare_pretraining_data(
+            docs, near_dup_threshold=0.3, chunk_max_tokens=32,
+            pack_budget=128)
+        expected = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"])
+                          for r in internal.collect())
+        del internal
+        gc.collect()
+        landing = curate.curate_documents(
+            docs, near_dup_threshold=0.3, keep_text=True) \
+            .select("doc_id", "text").persist()
+        got_df = curate.prepare_pretraining_data(
+            docs, curated=landing, chunk_max_tokens=32, pack_budget=128)
+        got = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"])
+                     for r in got_df.collect())
+        assert got == expected
+        del got_df
+        gc.collect()
+        # caller-owned landing frame still cached
+        assert landing.storageLevel.useMemory
+        landing.unpersist(True)
