@@ -26,6 +26,31 @@ from faisssearcher_spark.functions import text as T
 from faisssearcher_spark.operators import dedup
 
 
+def _release_on_error(landed: "list[DataFrame]"):
+    """Context manager: a build step raising AFTER frames were persisted
+    but BEFORE :func:`_release_with` could attach the result finalizer
+    would otherwise leak those caches for the session (review catch —
+    ``exsub_min_len='auto'`` raising on a no-duplication corpus is a
+    documented, EXPECTED path, and a caller that catches and retries
+    would accumulate one orphaned cache per attempt). Reads ``landed``
+    at unwind time, so frames appended after entry are covered."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        try:
+            yield
+        except BaseException:
+            for f in landed:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+            raise
+
+    return _cm()
+
+
 def _release_with(result: DataFrame, frames: "list[DataFrame]"
                   ) -> DataFrame:
     """Tie the lifetime of internally persisted ``frames`` to the
@@ -185,11 +210,14 @@ def curate_documents(
         # streaming half writes anyway (streaming/curate.py)
         kept = kept.persist()
         landed.append(kept)
-        pairs = dedup.minhash_lsh_join(
-            kept, id_col="doc_id", text_col="text",
-            num_hashes=minhash_hashes, bands=minhash_bands,
-            shingle_n=shingle_n, verify_threshold=near_dup_threshold)
-        clusters = dedup.dedup_clusters(pairs)
+        with _release_on_error(landed):
+            pairs = dedup.minhash_lsh_join(
+                kept, id_col="doc_id", text_col="text",
+                num_hashes=minhash_hashes, bands=minhash_bands,
+                shingle_n=shingle_n, verify_threshold=near_dup_threshold)
+            # dedup_clusters probes its edge list EAGERLY — a driver
+            # collect failure here must not orphan the persist above
+            clusters = dedup.dedup_clusters(pairs)
         # non-minimal cluster members are the near-dup casualties
         drop = clusters.filter(F.col("id") != F.col("cluster_id")) \
             .select(F.col("id").alias("doc_id"))
@@ -307,90 +335,95 @@ def prepare_pretraining_data(
     # (round-5 verdict #5: stages re-tokenized the persisted text)
     kept = survivors.withColumn("__toks", T.tokens("text")).persist()
     landed.append(kept)
+    # several stages below run EAGER driver work (duplication profile,
+    # approxQuantile, MLlib fits, decontam span checks) — any raise
+    # must release the persists registered so far (review catch)
+    with _release_on_error(landed):
 
-    if exsub_min_len is not None:
-        # ExactSubstr removal (Lee et al. 2022) between dedup and
-        # scoring: rewrite survivor text with every duplicated run of
-        # ≥ exsub_min_len tokens removed, so perplexity/classifier
-        # score the CLEANED text and chunks never carry boilerplate
-        # runs. ``"auto"`` fits the threshold from the corpus's own
-        # duplication-profile knee (dedup.recommend_min_len) — EAGER by
-        # documentation, and LOUD (raises) on a corpus with no
-        # duplication signal: a silent no-op scan at 100 TB is worse
-        # than an error. Batch-only — the profile and the span
-        # self-join need the whole corpus (streaming/curate.py refuses
-        # the kwarg for the same reason near-dup stays a batch
-        # post-pass).
-        from faisssearcher_spark.operators.dedup import (
-            remove_exact_substrings)
-        cleaned = remove_exact_substrings(
-            kept, id_col="doc_id", text_col="text",
-            min_len=exsub_min_len, keep="none", drop_empty_docs=True,
-            tokens_col="__toks")
-        # the rewritten text needs a fresh token array for the
-        # downstream tokens_col consumers; the pre-clean frame stays
-        # persisted — the span machinery references it from several
-        # subplans
-        kept = cleaned.select("doc_id", "text") \
-            .withColumn("__toks", T.tokens("text")).persist()
-        landed.append(kept)
+        if exsub_min_len is not None:
+            # ExactSubstr removal (Lee et al. 2022) between dedup and
+            # scoring: rewrite survivor text with every duplicated run of
+            # ≥ exsub_min_len tokens removed, so perplexity/classifier
+            # score the CLEANED text and chunks never carry boilerplate
+            # runs. ``"auto"`` fits the threshold from the corpus's own
+            # duplication-profile knee (dedup.recommend_min_len) — EAGER by
+            # documentation, and LOUD (raises) on a corpus with no
+            # duplication signal: a silent no-op scan at 100 TB is worse
+            # than an error. Batch-only — the profile and the span
+            # self-join need the whole corpus (streaming/curate.py refuses
+            # the kwarg for the same reason near-dup stays a batch
+            # post-pass).
+            from faisssearcher_spark.operators.dedup import (
+                remove_exact_substrings)
+            cleaned = remove_exact_substrings(
+                kept, id_col="doc_id", text_col="text",
+                min_len=exsub_min_len, keep="none", drop_empty_docs=True,
+                tokens_col="__toks")
+            # the rewritten text needs a fresh token array for the
+            # downstream tokens_col consumers; the pre-clean frame stays
+            # persisted — the span machinery references it from several
+            # subplans
+            kept = cleaned.select("doc_id", "text") \
+                .withColumn("__toks", T.tokens("text")).persist()
+            landed.append(kept)
 
-    if reference is not None:
-        lm = fit_token_frequencies(reference, text_col=text_col)
-        scored = unigram_logppl(kept, lm, tokens_col="__toks")
-        if ppl_thresholds == "fit":
-            # the scale path, self-contained: fit the cut points from
-            # one bounded approxQuantile sketch pass over the scored
-            # survivors, then bucket with the scan-only CASE — no
-            # global ntile window anywhere (r6 verdict #6). CCNet
-            # itself fixes thresholds from a held-out run; "fit" is
-            # the single-job equivalent for a self-training epoch.
-            # The scored frame persists across the two passes (quantile
-            # fit + bucket filter) — without it the explode+vocab-join
-            # scoring plan runs twice.
-            scored = scored.persist()
-            landed.append(scored)
-            n_b = max(len(ppl_keep_buckets) + 1, 3)
-            qs = [i / n_b for i in range(1, n_b)]
-            ppl_thresholds = (scored.filter(F.col("logppl").isNotNull())
-                              .approxQuantile("logppl", qs, 0.001))
-        n_b = max(len(ppl_keep_buckets) + 1,
-                  (len(ppl_thresholds) + 1) if ppl_thresholds else 3)
-        bucketed = perplexity_buckets(scored, n_buckets=n_b,
-                                      thresholds=ppl_thresholds)
-        keep_ids = bucketed.filter(
-            F.col("ppl_bucket").isin(*ppl_keep_buckets)) \
-            .select("doc_id")
-        kept = kept.join(keep_ids, "doc_id")
+        if reference is not None:
+            lm = fit_token_frequencies(reference, text_col=text_col)
+            scored = unigram_logppl(kept, lm, tokens_col="__toks")
+            if ppl_thresholds == "fit":
+                # the scale path, self-contained: fit the cut points from
+                # one bounded approxQuantile sketch pass over the scored
+                # survivors, then bucket with the scan-only CASE — no
+                # global ntile window anywhere (r6 verdict #6). CCNet
+                # itself fixes thresholds from a held-out run; "fit" is
+                # the single-job equivalent for a self-training epoch.
+                # The scored frame persists across the two passes (quantile
+                # fit + bucket filter) — without it the explode+vocab-join
+                # scoring plan runs twice.
+                scored = scored.persist()
+                landed.append(scored)
+                n_b = max(len(ppl_keep_buckets) + 1, 3)
+                qs = [i / n_b for i in range(1, n_b)]
+                ppl_thresholds = (scored.filter(F.col("logppl").isNotNull())
+                                  .approxQuantile("logppl", qs, 0.001))
+            n_b = max(len(ppl_keep_buckets) + 1,
+                      (len(ppl_thresholds) + 1) if ppl_thresholds else 3)
+            bucketed = perplexity_buckets(scored, n_buckets=n_b,
+                                          thresholds=ppl_thresholds)
+            keep_ids = bucketed.filter(
+                F.col("ppl_bucket").isin(*ppl_keep_buckets)) \
+                .select("doc_id")
+            kept = kept.join(keep_ids, "doc_id")
 
-        if classifier_alpha is not None:
-            qc = fit_quality_classifier(
-                reference.select(F.col(text_col).alias("text")),
-                kept.select("text"), max_iter=classifier_max_iter)
-            kept = pareto_keep(qc.score(kept, tokens_col="__toks"),
-                               key_col="doc_id",
-                               alpha=classifier_alpha, seed=seed) \
-                .drop("quality_score")
+            if classifier_alpha is not None:
+                qc = fit_quality_classifier(
+                    reference.select(F.col(text_col).alias("text")),
+                    kept.select("text"), max_iter=classifier_max_iter)
+                kept = pareto_keep(qc.score(kept, tokens_col="__toks"),
+                                   key_col="doc_id",
+                                   alpha=classifier_alpha, seed=seed) \
+                    .drop("quality_score")
 
-    if eval_docs is not None:
-        kept = decontaminate(kept, eval_docs,
-                             eval_id_col=id_col, eval_text_col=text_col,
-                             train_tokens_col="__toks")
+        if eval_docs is not None:
+            kept = decontaminate(kept, eval_docs,
+                                 eval_id_col=id_col, eval_text_col=text_col,
+                                 train_tokens_col="__toks")
 
-    chunks = chunk_documents(kept, max_tokens=chunk_max_tokens,
-                             overlap=chunk_overlap, tokens_col="__toks")
-    # chunk_documents already reports the slice length — reusing it
-    # saves a full re-split of the exploded chunk corpus (the largest
-    # frame in the pipeline); chunk_text is space-joined non-empty
-    # tokens, so the counts are identical by construction
-    chunks = chunks.withColumn("n_tokens", F.col("n_chunk_tokens"))
-    chunks = chunks.withColumn(
-        "__pack_key",
-        F.concat_ws("#", F.col("doc_id").cast("string"),
-                    F.col("chunk_idx").cast("string")))
-    packed = pack_token_budget(chunks, budget=pack_budget,
-                               size_col="n_tokens", key_col="__pack_key",
-                               n_shards=pack_shards, seed=seed)
+        chunks = chunk_documents(kept, max_tokens=chunk_max_tokens,
+                                 overlap=chunk_overlap, tokens_col="__toks")
+        # chunk_documents already reports the slice length — reusing it
+        # saves a full re-split of the exploded chunk corpus (the largest
+        # frame in the pipeline); chunk_text is space-joined non-empty
+        # tokens, so the counts are identical by construction
+        chunks = chunks.withColumn("n_tokens", F.col("n_chunk_tokens"))
+        chunks = chunks.withColumn(
+            "__pack_key",
+            F.concat_ws("#", F.col("doc_id").cast("string"),
+                        F.col("chunk_idx").cast("string")))
+        packed = pack_token_budget(chunks, budget=pack_budget,
+                                   size_col="n_tokens",
+                                   key_col="__pack_key",
+                                   n_shards=pack_shards, seed=seed)
     return _release_with(
         packed.select("doc_id", "chunk_idx", "chunk_text", "n_tokens",
                       "shard", "bin"), landed)

@@ -50,6 +50,26 @@ __all__ = ["EmbeddingStore", "FingerprintStore", "MinHashStore",
            "banded_signatures"]
 
 
+
+def _carry_epoch_files(src: str, dst: str) -> None:
+    """Hardlink-carry one epoch directory into a fresh state dir (cost
+    ∝ file count, not bytes), copy2 fallback for cross-device layouts.
+    Regular files only (matching _epoch_manifest's name filtering): a
+    stray subdirectory would slip past os.link's caught OSError into
+    shutil.copy2 and abort the carry mid-build. Shared by compact()'s
+    and expire()'s state rewrites."""
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for fn in os.listdir(src):
+        if not os.path.isfile(os.path.join(src, fn)):
+            continue
+        try:
+            os.link(os.path.join(src, fn), os.path.join(dst, fn))
+        except OSError:
+            shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+
+
 def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int | None = None,
@@ -658,20 +678,7 @@ class _IncrementalStore:
                 continue
             src = os.path.join(root, old_name, f"epoch={e}")
             dst = os.path.join(local_new, f"epoch={e}")
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                # regular files only (matching _epoch_manifest's name
-                # filtering): a stray subdirectory would slip past
-                # os.link's caught OSError into shutil.copy2 and abort
-                # the carry mid-build
-                if not os.path.isfile(os.path.join(src, fn)):
-                    continue
-                try:
-                    os.link(os.path.join(src, fn),
-                            os.path.join(dst, fn))
-                except OSError:
-                    shutil.copy2(os.path.join(src, fn),
-                                 os.path.join(dst, fn))
+            _carry_epoch_files(src, dst)
         self._ensure_meta()
         self._set_active_state_name(new_name)
         if old_name != new_name:
@@ -740,20 +747,7 @@ class _IncrementalStore:
                 continue
             src = os.path.join(root, old_name, f"epoch={e}")
             dst = os.path.join(local_new, f"epoch={e}")
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                # regular files only (matching _epoch_manifest's name
-                # filtering): a stray subdirectory would slip past
-                # os.link's caught OSError into shutil.copy2 and abort
-                # the carry mid-build
-                if not os.path.isfile(os.path.join(src, fn)):
-                    continue
-                try:
-                    os.link(os.path.join(src, fn),
-                            os.path.join(dst, fn))
-                except OSError:
-                    shutil.copy2(os.path.join(src, fn),
-                                 os.path.join(dst, fn))
+            _carry_epoch_files(src, dst)
         self._ensure_meta()
         self._set_active_state_name(new_name)
         if old_name != new_name:

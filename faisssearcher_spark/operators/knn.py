@@ -580,6 +580,14 @@ def _knn_join_blocked(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1.0, norms)  # keep 0-vec rows zero
     keys = item_pdf[item_key_col].to_numpy()
+    # key-sort ONCE on the driver so equal scores resolve to the
+    # smallest key in the kernel's stable argsorts: broadcasting the
+    # pre-ordered matrix spares every task its own argsort AND an n×d
+    # matrix copy (a per-worker corpus duplicate at the materialization
+    # cap — review catch on the block-merge rewrite)
+    order = np.argsort(keys, kind="stable")
+    mat = mat[order]
+    keys = keys[order]
     b_mat = spark.sparkContext.broadcast(mat)
     b_keys = spark.sparkContext.broadcast(keys)
     b_sq = spark.sparkContext.broadcast((mat * mat).sum(axis=1))
@@ -587,12 +595,10 @@ def _knn_join_blocked(
     met, kk, nrm, scale = metric, k, normalize, score_scale
 
     def _score(batches):
-        full, fkeys, fsq = b_mat.value, b_keys.value, b_sq.value
-        # deterministic tie-break: pre-order items by key so equal scores
-        # resolve to the smallest key, matching the catalyst window order
-        order = np.argsort(fkeys, kind="stable")
-        full_o = full[order]
-        fsq_o = fsq[order]
+        # full/fkeys/fsq arrive KEY-ORDERED from the driver: column
+        # position == key rank, so the stable argsorts below reproduce
+        # the catalyst window's (score, key) tie-break directly
+        full_o, fkeys, fsq_o = b_mat.value, b_keys.value, b_sq.value
         n_items = full_o.shape[0]
         for pdf in batches:
             if not len(pdf):
@@ -652,7 +658,7 @@ def _knn_join_blocked(
             rows_src, rows_item, rows_val, rows_rank = [], [], [], []
             for i in range(len(q)):
                 rows_src.extend([pdf["__qid"].iloc[i]] * kc)
-                rows_item.extend(fkeys[order[top_pos[i]]])
+                rows_item.extend(fkeys[top_pos[i]])
                 rows_val.extend(top_val[i])
                 rows_rank.extend(range(kc))
             yield pd.DataFrame({"source_item": rows_src,

@@ -746,9 +746,7 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANN family follows — r12 verdict #3: the leg re-fit BM25 and
     # re-encoded the corpus every invocation; the fitted postings/idf
     # frames are the index's _cached_state, re-registered on hit)
-    bm = _fitted_index(
-        spark, sf_dir, "bm25_docs",
-        lambda: BM25Index().fit(docs, id_col="doc_id", text_col="text"))
+    bm = _bm25_docs(spark, sf_dir, docs)
     qdf = docs.filter(F.col("doc_id") < 5).select(
         F.col("text").alias("qid"), "text")
     raw = bm.search(qdf, k=3, query_item_col="qid", query_text_col="text",
@@ -5862,6 +5860,18 @@ def close_bench_caches(spark: SparkSession) -> int:
     return n
 
 
+def _bm25_docs(spark: SparkSession, sf_dir: str, docs: DataFrame):
+    """The ONE session-memoized BM25 fit over documents — every bench
+    leg that searches it goes through here, so the memo key and the fit
+    parameters cannot diverge by call site (review catch: three hand-
+    synchronized builders under one key)."""
+    from faisssearcher_spark.operators.bm25 import BM25Index
+
+    return _fitted_index(spark, sf_dir, "bm25_docs",
+                         lambda: BM25Index().fit(docs, id_col="doc_id",
+                                                 text_col="text"))
+
+
 class _LandedFrame:
     """Minimal lifecycle-protocol wrapper (the _ItemsLifecycleMixin
     contract) for a bench-memoized LANDING frame — a persisted
@@ -6015,10 +6025,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.bm25 import BM25Index
 
     docs = load_table(spark, sf_dir, "documents")
-    # same fit (defaults over documents) as the searcher_text_knn bm25
-    # leg -> same memo key; whichever leg runs first prices the fit
-    bm = _fitted_index(spark, sf_dir, "bm25_docs",
-                       lambda: BM25Index().fit(docs))
+    bm = _bm25_docs(spark, sf_dir, docs)
     q = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "text")
     return bm.search(q, k=10, query_item_col="qid",
@@ -6082,10 +6089,7 @@ def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.maxsim import maxsim_rerank
 
     docs = load_table(spark, sf_dir, "documents")
-    # same fit (defaults over documents) as the searcher_text_knn bm25
-    # leg -> same memo key; whichever leg runs first prices the fit
-    bm = _fitted_index(spark, sf_dir, "bm25_docs",
-                       lambda: BM25Index().fit(docs))
+    bm = _bm25_docs(spark, sf_dir, docs)
     q = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "text")
     raw = bm.search(q, k=10, query_item_col="qid")

@@ -167,14 +167,17 @@ class TestCurate:
         docs = spark.createDataFrame(
             [(i, GOOD + f" extra{i}") for i in range(8)],
             "doc_id long, text string")
+        sc = spark.sparkContext
+        # delta-based: other fixtures (conftest's cached tables) may
+        # legitimately hold storage in a shared session
+        base = len(sc._jsc.sc().getRDDStorageInfo())
         out = curate.curate_documents(docs, min_quality=0.0,
                                       near_dup_threshold=0.3)
         out.count()   # materializes the internal landing persist
-        sc = spark.sparkContext
-        assert sc._jsc.sc().getRDDStorageInfo(), "expected cached state"
+        assert len(sc._jsc.sc().getRDDStorageInfo()) > base
         del out
         gc.collect()
-        assert not sc._jsc.sc().getRDDStorageInfo()
+        assert len(sc._jsc.sc().getRDDStorageInfo()) == base
 
     def test_prepare_accepts_landing_frame(self, spark):
         """curated= skips the curate stage: same chunks as the internal
@@ -206,3 +209,21 @@ class TestCurate:
         # caller-owned landing frame still cached
         assert landing.storageLevel.useMemory
         landing.unpersist(True)
+
+    def test_exsub_auto_error_releases_caches(self, spark):
+        """The documented-eager 'auto' raise on a no-duplication corpus
+        must not orphan the already-persisted landing frames
+        (_release_on_error)."""
+        import pytest
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"tok{i}_{j}" for j in range(30)))
+             for i in range(6)],
+            "doc_id long, text string")
+        sc = spark.sparkContext
+        base = len(sc._jsc.sc().getRDDStorageInfo())
+        with pytest.raises(ValueError):
+            curate.prepare_pretraining_data(
+                docs, min_quality=0.0, near_dup_threshold=None,
+                exsub_min_len="auto")
+        assert len(sc._jsc.sc().getRDDStorageInfo()) == base
