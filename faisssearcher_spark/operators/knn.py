@@ -33,7 +33,7 @@ Determinism: FAISS breaks distance ties by index order; we order by
 
 from __future__ import annotations
 
-from typing import Iterable, Mapping, Sequence, Union
+from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -144,12 +144,14 @@ def knn_join(
     - ``"catalyst"`` (default): the pure-plan path above. Scales in BOTH
       dimensions (nothing is collected anywhere) — the safe default.
     - ``"blocked"``: SURVEY §7 hard-part (a)'s mitigation for LARGE query
-      sets — the corpus matrix broadcasts to executors and each Arrow
-      batch of queries scores against it with ONE numpy float64 matmul +
-      ``argpartition`` top-k inside ``mapInPandas``. O(m·n·d) flops in
-      BLAS instead of m·n interpreted expression evaluations (~10× at
-      bench scale), shuffle-free until the small ranked output. Requires
-      the corpus (n·d doubles + keys) to fit executor memory; supports
+      sets — the key-ordered corpus matrix broadcasts to executors and
+      each Arrow batch of queries scores against it with numpy float64
+      matmuls over bounded item blocks (~256 MB score scratch, so worker
+      memory stays flat at the corpus cap) + stable-argsort top-k merge
+      inside ``mapInPandas``. O(m·n·d) flops in BLAS instead of m·n
+      interpreted expression evaluations (~10× at bench scale),
+      shuffle-free until the small ranked output. Requires the corpus
+      (n·d doubles + keys) to fit executor memory; supports
       ``cos``/``ip``/``l2``. Results are bit-identically ranked (float64
       accumulation, ties by item key) and gate-checked against the same
       DuckDB oracle as the catalyst path.
