@@ -789,7 +789,9 @@ def embedding_cosine_pairs(df: DataFrame, *, id_col: str = "vec_id",
             bm = bm / bn
             sims = bm @ full.T                       # (block, n)
             if scale is not None:
-                sims = np.round(sims, scale)
+                from faisssearcher_spark.operators.knn import \
+                    _np_round_exact
+                sims = _np_round_exact(sims, scale)
             bids = block["id"].to_numpy()
             mask = (sims >= thr) & (bids[:, None] < all_ids[None, :])
             bi, fj = np.nonzero(mask)

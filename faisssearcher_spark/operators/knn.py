@@ -109,8 +109,8 @@ def knn_join(
     score_scale: int | None = None,
     broadcast_queries: bool | None = None,
     strategy: str = "catalyst",
-    n_query_blocks: int = 4,
-    n_item_shards: int = 4,
+    n_query_blocks: "int | None" = None,
+    n_item_shards: "int | None" = None,
 ) -> DataFrame:
     """For each query row, find the top-``k`` item rows under ``metric``.
 
@@ -449,6 +449,72 @@ def radius_join_multi(
     return RadiusFrames(frames, base)
 
 
+
+def _np_round_exact(sims, scale: int):
+    """``np.round(sims, scale)`` minus numpy's ``around`` overhead:
+    ``rint(x·10^s)/10^s`` is the exact computation ``np.round`` performs
+    internally (ties-to-even), verified bit-identical, but ~4× faster on
+    the multi-hundred-MB score matrices the GEMM kernels round (np.round
+    measured 11 s vs 2.9 s on a 25M-element cell — it was the single
+    largest step of the bitext deep point's grid cells)."""
+    import numpy as np
+
+    f = float(10 ** scale)
+    return np.rint(sims * f) / f
+
+
+
+def _gemm_topk(q, full_o, fsq_o, *, metric: str, kc: int, scale,
+               higher_is_closer: bool, scratch_bytes: int = 256 << 20):
+    """Exact top-``kc`` of one query batch against a KEY-ORDERED item
+    matrix, with the score temporary bounded at ``scratch_bytes``.
+
+    Shared by the blocked kernel (per Arrow batch against the broadcast
+    corpus) and the grid kernel (per block × shard cell): items stream
+    through in position-order blocks; each block takes a STABLE argsort
+    (columns are in key order, so equal scores resolve to the smallest
+    key — the catalyst window's (score, key) order), and one stable
+    merge argsort on the concatenated candidates reproduces the global
+    order (blocks concatenate position-ascending, and stability
+    preserves that among score ties). An uncapped GEMM materializes
+    q_rows × n_items × 8 B — an OOM at the corpus cap and multi-GB
+    alloc churn below it.
+
+    Returns ``(top_pos, top_val)`` — (len(q) × kc) arrays of key-order
+    positions and scores."""
+    import numpy as np
+
+    n_items = full_o.shape[0]
+    q_sq = (q * q).sum(axis=1, keepdims=True)
+    blk = max(kc, min(n_items,
+                      scratch_bytes // (8 * max(len(q), 1))))
+    cand_pos: list = []
+    cand_val: list = []
+    for s in range(0, n_items, blk):
+        e = min(s + blk, n_items)
+        if metric == "l2":
+            # ||q-x||^2 = ||q||^2 - 2 q·x + ||x||^2 (FAISS squared-L2)
+            sims_b = q_sq - 2.0 * (q @ full_o[s:e].T) + fsq_o[None, s:e]
+            sims_b = np.maximum(sims_b, 0.0)
+        else:
+            sims_b = q @ full_o[s:e].T
+        if scale is not None:
+            sims_b = _np_round_exact(sims_b, scale)
+        rank_key = sims_b if not higher_is_closer else -sims_b
+        kb = min(kc, e - s)
+        idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kb]
+        cand_pos.append(idx + s)
+        cand_val.append(np.take_along_axis(sims_b, idx, axis=1))
+    if len(cand_pos) == 1:
+        return cand_pos[0], cand_val[0]
+    pos = np.concatenate(cand_pos, axis=1)
+    val = np.concatenate(cand_val, axis=1)
+    rank_key = val if not higher_is_closer else -val
+    sel = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+    return (np.take_along_axis(pos, sel, axis=1),
+            np.take_along_axis(val, sel, axis=1))
+
+
 def _attach_payload(ranked: DataFrame, items: DataFrame, *,
                     item_key_col: str,
                     payload_cols: Sequence[str],
@@ -609,54 +675,13 @@ def _knn_join_blocked(
             if nrm:
                 qn = np.linalg.norm(q, axis=1, keepdims=True)
                 q = q / np.where(qn == 0, 1.0, qn)
-            q_sq = (q * q).sum(axis=1, keepdims=True)
             kc = min(kk, n_items)
-            # bound the score temporary at ~256 MB instead of
-            # q_rows × n_items × 8B: an uncapped m=n GEMM materializes
-            # multi-GB scratch per Arrow batch — at the corpus cap it
-            # would OOM the worker outright, and below it the alloc/
-            # page-zero churn makes the leg's wall time track ambient
-            # memory state (the r12 knn_self_similar iso elevation:
-            # reproduced as first-run-after-other-work in
-            # tools/ab_selfsim.py). Items stream through in key-ordered
-            # blocks with an exact top-k candidate merge.
-            blk = max(kc, min(n_items,
-                              (256 << 20) // (8 * max(len(q), 1))))
-            cand_pos: list = []        # global key-order positions
-            cand_val: list = []
-            for s in range(0, n_items, blk):
-                e = min(s + blk, n_items)
-                if met == "l2":
-                    # ||q-x||^2 = ||q||^2 - 2 q·x + ||x||^2 (FAISS
-                    # squared-L2)
-                    sims_b = q_sq - 2.0 * (q @ full_o[s:e].T) \
-                        + fsq_o[None, s:e]
-                    sims_b = np.maximum(sims_b, 0.0)
-                else:
-                    sims_b = q @ full_o[s:e].T
-                if scale is not None:
-                    sims_b = np.round(sims_b, scale)
-                rank_key = sims_b if not higher_is_closer else -sims_b
-                # per-block STABLE argsort: columns are in key order, so
-                # equal scores resolve to the smallest key — exactly the
-                # catalyst window's (score, key) order. O(blk log blk)
-                # per query is noise next to the O(blk·d) GEMM; an
-                # argpartition would tie-break arbitrarily at the k
-                # boundary (common with rounded scores).
-                kb = min(kc, e - s)
-                idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kb]
-                cand_pos.append(idx + s)
-                cand_val.append(np.take_along_axis(sims_b, idx, axis=1))
-            pos = np.concatenate(cand_pos, axis=1)
-            val = np.concatenate(cand_val, axis=1)
-            # merge: blocks were appended in ascending position order and
-            # each block's ties are already position-ascending, so one
-            # stable argsort on the score alone reproduces the global
-            # (score, key) order
-            rank_key = val if not higher_is_closer else -val
-            sel = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
-            top_pos = np.take_along_axis(pos, sel, axis=1)
-            top_val = np.take_along_axis(val, sel, axis=1)
+            # bounded-scratch block merge (see _gemm_topk: the r12
+            # knn_self_similar investigation found the uncapped m=n
+            # GEMM materializing multi-GB scratch per Arrow batch)
+            top_pos, top_val = _gemm_topk(
+                q, full_o, fsq_o, metric=met, kc=kc, scale=scale,
+                higher_is_closer=higher_is_closer)
             rows_src, rows_item, rows_val, rows_rank = [], [], [], []
             for i in range(len(q)):
                 rows_src.extend([pdf["__qid"].iloc[i]] * kc)
@@ -730,14 +755,13 @@ def _knn_join_sharded(
     spark = items.sparkSession
     b_q = spark.sparkContext.broadcast(qmat)
     b_qid = spark.sparkContext.broadcast(q_pdf[query_item_col].to_numpy())
-    b_qsq = spark.sparkContext.broadcast((qmat * qmat).sum(axis=1))
 
     key_field = items.schema[item_key_col]
     q_key_field = queries.schema[query_item_col]
     met, kk, nrm, scale, higher = metric, k, normalize, score_scale, higher_is_closer
 
     def _local(batches):
-        q, qids, qsq = b_q.value, b_qid.value, b_qsq.value
+        q, qids = b_q.value, b_qid.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -750,21 +774,18 @@ def _knn_join_sharded(
             if nrm:
                 n = np.linalg.norm(mat, axis=1, keepdims=True)
                 mat = mat / np.where(n == 0, 1.0, n)
-            if met == "l2":
-                sims = qsq[:, None] - 2.0 * (q @ mat.T) \
-                    + (mat * mat).sum(axis=1)[None, :]
-                sims = np.maximum(sims, 0.0)
-            else:
-                sims = q @ mat.T
-            if scale is not None:
-                sims = np.round(sims, scale)
-            kc = min(kk, sims.shape[1])
-            rank_key = -sims if higher else sims
-            idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+            kc = min(kk, mat.shape[0])
+            # bounded-scratch block merge shared with blocked/grid
+            # (_gemm_topk): an uncapped m_queries × batch GEMM scratch
+            # grows with the query matrix the strategy broadcasts
+            top_pos, top_val = _gemm_topk(
+                q, mat, (mat * mat).sum(axis=1), metric=met, kc=kc,
+                scale=scale, higher_is_closer=higher,
+                scratch_bytes=64 << 20)
             yield pd.DataFrame({
                 "source_item": np.repeat(qids, kc),
-                "sim_item": keys[idx.ravel()],
-                "sim_val": np.take_along_axis(sims, idx, axis=1).ravel(),
+                "sim_item": keys[top_pos.ravel()],
+                "sim_val": top_val.ravel(),
             })
 
     cand_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
@@ -796,8 +817,8 @@ def _knn_join_grid(
     keep_rank_no: bool,
     normalize: bool | None,
     score_scale: int | None,
-    n_query_blocks: int,
-    n_item_shards: int,
+    n_query_blocks: "int | None",
+    n_item_shards: "int | None",
 ) -> DataFrame:
     """Grid GEMM exact top-k for the "both sides too big for one machine"
     quadrant: query-block × item-shard cells via cogrouped applyInPandas,
@@ -811,6 +832,20 @@ def _knn_join_grid(
     if normalize is None:
         normalize = metric == "cos"
     higher_is_closer = metric in ("cos", "ip")
+    if n_query_blocks is None or n_item_shards is None:
+        # auto (the default): blocks × shards IS the stage's max
+        # parallelism — a fixed 4×4 grid caps every cluster at 16
+        # tasks (measured: the x100 bitext deep point ran its whole
+        # GEMM on 11 concurrent tasks of a 32-core box). Square grid
+        # sized to ~2 tasks per core; replication cost grows only with
+        # sqrt(cells) per side.
+        spark = items.sparkSession
+        par = spark.sparkContext.defaultParallelism or 8
+        side = 1
+        while side * side < 2 * par:
+            side += 1
+        n_query_blocks = side if n_query_blocks is None else n_query_blocks
+        n_item_shards = side if n_item_shards is None else n_item_shards
     if n_query_blocks < 1 or n_item_shards < 1:
         raise ValueError("n_query_blocks and n_item_shards must be >= 1")
 
@@ -867,21 +902,19 @@ def _knn_join_grid(
             q = q / np.where(qn == 0, 1.0, qn)  # keep 0-vec rows zero
             n = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.where(n == 0, 1.0, n)
-        if met == "l2":
-            sims = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ mat.T) \
-                + (mat * mat).sum(axis=1)[None, :]
-            sims = np.maximum(sims, 0.0)
-        else:
-            sims = q @ mat.T
-        if scale is not None:
-            sims = np.round(sims, scale)
-        kc = min(kk, sims.shape[1])
-        rank_key = -sims if higher else sims
-        idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+        kc = min(kk, mat.shape[0])
+        # bounded-scratch block merge shared with the blocked kernel
+        # (_gemm_topk); the tighter 64 MB cap reflects that grid cells
+        # run MANY concurrent tasks per executor where the blocked
+        # kernel streams one Arrow batch at a time
+        top_pos, top_val = _gemm_topk(
+            q, mat, (mat * mat).sum(axis=1), metric=met, kc=kc,
+            scale=scale, higher_is_closer=higher,
+            scratch_bytes=64 << 20)
         return pd.DataFrame({
             "source_item": np.repeat(left["__qid"].to_numpy(), kc),
-            "sim_item": keys[idx.ravel()],
-            "sim_val": np.take_along_axis(sims, idx, axis=1).ravel(),
+            "sim_item": keys[top_pos.ravel()],
+            "sim_val": top_val.ravel(),
         })
 
     cand_schema = (f"source_item {q_key_field.dataType.simpleString()}, "
