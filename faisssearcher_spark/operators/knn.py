@@ -459,37 +459,59 @@ def _np_round_exact(sims, scale: int):
     largest step of the bitext deep point's grid cells)."""
     import numpy as np
 
+    if scale < 0:
+        # numpy rounds negative decimals divide-FIRST (rint(x/10^-d) *
+        # 10^-d) — a different float sequence; defer to np.round there
+        # rather than silently diverge from the catalyst F.round path
+        return np.round(sims, scale)
     f = float(10 ** scale)
     return np.rint(sims * f) / f
 
 
 
-def _gemm_topk(q, full_o, fsq_o, *, metric: str, kc: int, scale,
-               higher_is_closer: bool, scratch_bytes: int = 256 << 20):
+def _gemm_topk(q, full_o, fsq_o=None, *, metric: str, kc: int, scale,
+               higher_is_closer: bool, scratch_bytes: int = 256 << 20,
+               q_sq=None):
     """Exact top-``kc`` of one query batch against a KEY-ORDERED item
-    matrix, with the score temporary bounded at ``scratch_bytes``.
+    matrix, with peak memory bounded by ``scratch_bytes`` + the running
+    candidate set (len(q) × 2·kc).
 
     Shared by the blocked kernel (per Arrow batch against the broadcast
-    corpus) and the grid kernel (per block × shard cell): items stream
+    corpus), the sharded kernel (broadcast queries against each item
+    batch) and the grid kernel (per block × shard cell): items stream
     through in position-order blocks; each block takes a STABLE argsort
     (columns are in key order, so equal scores resolve to the smallest
-    key — the catalyst window's (score, key) order), and one stable
-    merge argsort on the concatenated candidates reproduces the global
-    order (blocks concatenate position-ascending, and stability
-    preserves that among score ties). An uncapped GEMM materializes
-    q_rows × n_items × 8 B — an OOM at the corpus cap and multi-GB
-    alloc churn below it.
+    key — the catalyst window's (score, key) order) and folds into a
+    RUNNING top-kc. The fold preserves the global order: running
+    candidates hold strictly smaller positions than the incoming
+    block's, both parts are position-ascending among score ties, and
+    the stable merge argsort keeps running-before-block on ties —
+    position order. Accumulating every block's candidates and merging
+    once at the end would grow ∝ n_items/blk and defeat the cap
+    (review catch).
+
+    ``fsq_o``/``q_sq`` (item and query squared norms) are only read for
+    ``metric='l2'`` — pass precomputed values to avoid re-deriving them
+    per call (the sharded kernel broadcasts q_sq once), or omit them
+    for cos/ip. An uncapped GEMM materializes q_rows × n_items × 8 B —
+    an OOM at the corpus cap and multi-GB alloc churn below it.
 
     Returns ``(top_pos, top_val)`` — (len(q) × kc) arrays of key-order
     positions and scores."""
     import numpy as np
 
     n_items = full_o.shape[0]
-    q_sq = (q * q).sum(axis=1, keepdims=True)
+    if metric == "l2":
+        if fsq_o is None:
+            fsq_o = (full_o * full_o).sum(axis=1)
+        if q_sq is None:
+            q_sq = (q * q).sum(axis=1, keepdims=True)
+        elif q_sq.ndim == 1:
+            q_sq = q_sq[:, None]
     blk = max(kc, min(n_items,
                       scratch_bytes // (8 * max(len(q), 1))))
-    cand_pos: list = []
-    cand_val: list = []
+    run_pos = None
+    run_val = None
     for s in range(0, n_items, blk):
         e = min(s + blk, n_items)
         if metric == "l2":
@@ -503,16 +525,18 @@ def _gemm_topk(q, full_o, fsq_o, *, metric: str, kc: int, scale,
         rank_key = sims_b if not higher_is_closer else -sims_b
         kb = min(kc, e - s)
         idx = np.argsort(rank_key, kind="stable", axis=1)[:, :kb]
-        cand_pos.append(idx + s)
-        cand_val.append(np.take_along_axis(sims_b, idx, axis=1))
-    if len(cand_pos) == 1:
-        return cand_pos[0], cand_val[0]
-    pos = np.concatenate(cand_pos, axis=1)
-    val = np.concatenate(cand_val, axis=1)
-    rank_key = val if not higher_is_closer else -val
-    sel = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
-    return (np.take_along_axis(pos, sel, axis=1),
-            np.take_along_axis(val, sel, axis=1))
+        blk_pos = idx + s
+        blk_val = np.take_along_axis(sims_b, idx, axis=1)
+        if run_pos is None:
+            run_pos, run_val = blk_pos, blk_val
+            continue
+        pos = np.concatenate([run_pos, blk_pos], axis=1)
+        val = np.concatenate([run_val, blk_val], axis=1)
+        rank_key = val if not higher_is_closer else -val
+        sel = np.argsort(rank_key, kind="stable", axis=1)[:, :kc]
+        run_pos = np.take_along_axis(pos, sel, axis=1)
+        run_val = np.take_along_axis(val, sel, axis=1)
+    return run_pos[:, :kc], run_val[:, :kc]
 
 
 def _attach_payload(ranked: DataFrame, items: DataFrame, *,
@@ -658,7 +682,10 @@ def _knn_join_blocked(
     keys = keys[order]
     b_mat = spark.sparkContext.broadcast(mat)
     b_keys = spark.sparkContext.broadcast(keys)
-    b_sq = spark.sparkContext.broadcast((mat * mat).sum(axis=1))
+    # squared norms are only read by the l2 decomposition — don't ship
+    # a dead corpus-sized array for cos/ip (review catch)
+    b_sq = spark.sparkContext.broadcast(
+        (mat * mat).sum(axis=1) if metric == "l2" else None)
 
     met, kk, nrm, scale = metric, k, normalize, score_scale
 
@@ -755,13 +782,18 @@ def _knn_join_sharded(
     spark = items.sparkSession
     b_q = spark.sparkContext.broadcast(qmat)
     b_qid = spark.sparkContext.broadcast(q_pdf[query_item_col].to_numpy())
+    # query squared norms: computed ONCE on the driver and broadcast —
+    # recomputing them inside the kernel would read the whole broadcast
+    # query matrix on every item batch (review catch); l2 only
+    b_qsq = spark.sparkContext.broadcast(
+        (qmat * qmat).sum(axis=1) if metric == "l2" else None)
 
     key_field = items.schema[item_key_col]
     q_key_field = queries.schema[query_item_col]
     met, kk, nrm, scale, higher = metric, k, normalize, score_scale, higher_is_closer
 
     def _local(batches):
-        q, qids = b_q.value, b_qid.value
+        q, qids, qsq = b_q.value, b_qid.value, b_qsq.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -779,9 +811,9 @@ def _knn_join_sharded(
             # (_gemm_topk): an uncapped m_queries × batch GEMM scratch
             # grows with the query matrix the strategy broadcasts
             top_pos, top_val = _gemm_topk(
-                q, mat, (mat * mat).sum(axis=1), metric=met, kc=kc,
+                q, mat, metric=met, kc=kc,
                 scale=scale, higher_is_closer=higher,
-                scratch_bytes=64 << 20)
+                scratch_bytes=64 << 20, q_sq=qsq)
             yield pd.DataFrame({
                 "source_item": np.repeat(qids, kc),
                 "sim_item": keys[top_pos.ravel()],
@@ -837,12 +869,17 @@ def _knn_join_grid(
         # parallelism — a fixed 4×4 grid caps every cluster at 16
         # tasks (measured: the x100 bitext deep point ran its whole
         # GEMM on 11 concurrent tasks of a 32-core box). Square grid
-        # sized to ~2 tasks per core; replication cost grows only with
-        # sqrt(cells) per side.
+        # sized to ~2 tasks per core — but each side also multiplies
+        # the OPPOSITE side's shuffle replication, so auto caps at 16
+        # (≤256 cells, ≤16× replication): on clusters larger than that
+        # the right grid depends on the shuffle budget vs the corpus
+        # sizes, which only the caller knows — set explicit counts
+        # there (review catch: uncapped auto on a 2048-core cluster
+        # would 64×-replicate both multi-TB inputs).
         spark = items.sparkSession
         par = spark.sparkContext.defaultParallelism or 8
         side = 1
-        while side * side < 2 * par:
+        while side * side < 2 * par and side < 16:
             side += 1
         n_query_blocks = side if n_query_blocks is None else n_query_blocks
         n_item_shards = side if n_item_shards is None else n_item_shards
@@ -908,7 +945,7 @@ def _knn_join_grid(
         # run MANY concurrent tasks per executor where the blocked
         # kernel streams one Arrow batch at a time
         top_pos, top_val = _gemm_topk(
-            q, mat, (mat * mat).sum(axis=1), metric=met, kc=kc,
+            q, mat, metric=met, kc=kc,
             scale=scale, higher_is_closer=higher,
             scratch_bytes=64 << 20)
         return pd.DataFrame({

@@ -564,3 +564,38 @@ class TestInputValidation:
         with pytest.raises(ValueError, match="payload_cols.*ghost"):
             knn_join(q, embeddings, query_item_col="qid",
                      item_key_col="vec_id", payload_cols=["ghost"])
+
+
+class TestGemmTopkHelper:
+    def test_running_merge_matches_single_block(self):
+        """The bounded running top-k fold must reproduce the one-shot
+        full-width (score, key-position) ranking exactly — including
+        ties created by rounding."""
+        import numpy as np
+
+        from faisssearcher_spark.operators.knn import _gemm_topk
+
+        rng = np.random.default_rng(11)
+        q = rng.standard_normal((64, 8))
+        # coarse values force many score ties across blocks
+        mat = rng.integers(-2, 3, size=(257, 8)).astype(np.float64)
+        for metric in ("ip", "l2"):
+            one_pos, one_val = _gemm_topk(
+                q, mat, metric=metric, kc=7, scale=1,
+                higher_is_closer=metric == "ip",
+                scratch_bytes=1 << 40)          # single block
+            many_pos, many_val = _gemm_topk(
+                q, mat, metric=metric, kc=7, scale=1,
+                higher_is_closer=metric == "ip",
+                scratch_bytes=8 * 64 * 16)      # 16-wide blocks
+            assert (one_pos == many_pos).all(), metric
+            assert (one_val == many_val).all(), metric
+
+    def test_np_round_exact_matches_numpy(self):
+        import numpy as np
+
+        from faisssearcher_spark.operators.knn import _np_round_exact
+
+        a = np.random.default_rng(3).standard_normal((100, 40)) * 1e3
+        for s in (-2, 0, 2, 4, 6):
+            assert (_np_round_exact(a, s) == np.round(a, s)).all(), s
