@@ -63,6 +63,52 @@ def quality_scores(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def _tagged_gram_explode(base: DataFrame, id_col: str,
+                         sizes: "list[int]",
+                         *, with_pos: bool) -> DataFrame:
+    """Explode the concatenation of ``base``'s per-size gram arrays
+    (``__g{n}`` for n in ``sizes``, ascending) in ONE scan, tagging
+    each element with its size ``__n`` — recovered from the explode
+    position against the running array lengths, a codegen'd CASE chain
+    (never a per-element struct transform: those run interpreted,
+    measured slower than even one scan per size). With ``with_pos``,
+    also emits ``__gpos``: the element's position within its own
+    size's array (explode position minus the band offset) — exactly
+    what a per-size ``posexplode`` would have produced.
+
+    Each ``__g{n}`` attribute is referenced by both the concat and a
+    ``size()`` band bound, so CollapseProject keeps the producing
+    projection separate and the (CodegenFallback, no-CSE) gram arrays
+    materialize once per row."""
+    cat = F.concat(*[F.col(f"__g{n}") for n in sizes])
+    bands = [F.size(f"__g{n}").alias(f"__s{n}") for n in sizes[:-1]]
+    g = base.select(id_col, *bands, F.posexplode(cat).alias("__p",
+                                                            "__gram"))
+    running = None
+    tag = None
+    off = None
+    prev_running = F.lit(0)
+    for n in sizes[:-1]:
+        s = F.col(f"__s{n}")
+        running = s if running is None else running + s
+        cond = F.col("__p") < running
+        tag = (F.when(cond, F.lit(n)) if tag is None
+               else tag.when(cond, F.lit(n)))
+        if with_pos:
+            o = F.col("__p") - prev_running
+            off = (F.when(cond, o) if off is None
+                   else off.when(cond, o))
+        prev_running = running
+    tag = (F.lit(sizes[-1]) if tag is None
+           else tag.otherwise(F.lit(sizes[-1])))
+    cols = [F.col(id_col), tag.alias("__n")]
+    if with_pos:
+        off = ((F.col("__p") - prev_running) if off is None
+               else off.otherwise(F.col("__p") - prev_running))
+        cols.append(off.alias("__gpos"))
+    return g.select(*cols, "__gram")
+
+
 def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text",
                        top_ns: tuple[int, ...] = (2, 3, 4),
@@ -126,16 +172,17 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
 
     out = totals.join(dup_lines, id_col, "left")
     if top_ns:
-        # per-n explodes unioned: measured FASTER than fusing all sizes
-        # into one explode of tagged structs (the struct-building
-        # transform runs interpreted per gram and beat the saved scans
-        # 3.3 s vs 1.9 s at sf0.1) — scans are cheap, HOF struct
-        # construction is not
-        tops = None
-        for n in top_ns:
-            g = base.select(id_col, F.lit(n).alias("__n"),
-                            F.explode(f"__g{n}").alias("__gram"))
-            tops = g if tops is None else tops.unionByName(g)
+        # ONE scan for all top sizes: concat the per-size gram arrays
+        # and recover each element's size from its explode position
+        # against the running array lengths (a codegen'd CASE — no
+        # per-element struct transform, which r4 measured interpreted
+        # and slower than unioned scans, 3.3 s vs 1.9 s at sf0.1). The
+        # union form this replaces re-paid the CodegenFallback token
+        # array build once per size (guide §4); counts per (id, n,
+        # gram) are identical — concat preserves every element and the
+        # position bands are exactly the per-size array extents.
+        tops = _tagged_gram_explode(base, id_col, sorted(top_ns),
+                                    with_pos=False)
         top_cols = (tops.groupBy(id_col, "__n", "__gram")
                     .agg(F.count(F.lit(1)).alias("__c"))
                     .groupBy(id_col, "__n")
@@ -151,27 +198,38 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
                            .alias(f"top{n}_chars") for n in top_ns]))
         out = out.join(top_cols, id_col, "left")
     tokpos = base.select(id_col, F.posexplode("__t").alias("__pos", "__tok"))
-    for n in dup_ns:
+    if dup_ns:
         # one pass over the gram frame: count + positions in the same
         # groupBy (a join back onto the explode would evaluate the
         # gram-string build twice and shuffle it twice — measured 2×
         # the whole dup path at sf0.1); the position list is bounded by
-        # the document's own length
-        dup_pos = (base.select(
-            id_col, F.posexplode(f"__g{n}").alias("__gpos", "__gram"))
-            .groupBy(id_col, "__gram")
-            .agg(F.count(F.lit(1)).alias("__c"),
-                 F.collect_list("__gpos").alias("__ps"))
-            .filter(F.col("__c") >= 2)
-            .select(id_col, F.explode("__ps").alias("__gpos"))
-            .select(id_col, F.explode(
-                F.sequence(F.col("__gpos"),
-                           F.col("__gpos") + (n - 1))).alias("__pos"))
-            .distinct())
+        # the document's own length. The dup sizes run as ONE tagged
+        # union through a single groupBy → distinct → coverage-join →
+        # final agg (r13: the per-n loop paid that four-exchange
+        # pipeline once per size; the union shuffles the same bytes
+        # through one pipeline — guide §2.4), and the branches are ONE
+        # concat-explode scan tagged by position (see the tops comment)
+        # instead of one tokenize+scan per size, with the in-array gram
+        # position recovered by subtracting the band offset
+        dups = _tagged_gram_explode(base, id_col, sorted(dup_ns),
+                                    with_pos=True)
+        dup_pos = (dups
+                   .groupBy(id_col, "__n", "__gram")
+                   .agg(F.count(F.lit(1)).alias("__c"),
+                        F.collect_list("__gpos").alias("__ps"))
+                   .filter(F.col("__c") >= 2)
+                   .select(id_col, "__n",
+                           F.explode("__ps").alias("__gpos"))
+                   .select(id_col, "__n", F.explode(
+                       F.sequence(F.col("__gpos"),
+                                  F.col("__gpos") + (F.col("__n") - 1)))
+                       .alias("__pos"))
+                   .distinct())
         cov = (dup_pos.join(tokpos, [id_col, "__pos"])
                .groupBy(id_col)
-               .agg(F.sum(F.length("__tok").cast("long"))
-                    .alias(f"dup{n}_chars")))
+               .agg(*[F.sum(F.when(F.col("__n") == n,
+                                   F.length("__tok").cast("long")))
+                      .alias(f"dup{n}_chars") for n in dup_ns]))
         out = out.join(cov, id_col, "left")
     # totals included: a NULL text propagates NULL through the
     # aggregates while the SQL twin coalesces to 0

@@ -3381,15 +3381,21 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.streaming.sketches import read_sketch_state
 
     docs = load_table(spark, sf_dir, "documents")
-    top = text_analysis.ngram_frequencies(docs, n=3, top=20)
     grams = (docs.select(F.explode_outer(T.word_ngrams("text", 3))
                          .alias("ngram"))
              .filter(F.col("ngram").isNotNull()))
-    cms = sketches.cms_table(grams, "ngram", depth=4, width=512)
+    state = _cms_stream_state(spark, sf_dir, grams)
+    # top-20 and the batch sketch both read the LANDED gram files (the
+    # stream build materialized them) instead of re-tokenizing the
+    # corpus once per subtree — identical multiset, identical counts
+    landed = _cms_landed_grams(spark, state)
+    top = (landed.groupBy("ngram").agg(F.count("*").alias("freq"))
+           .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+           .limit(20))
+    cms = sketches.cms_table(landed, "ngram", depth=4, width=512)
     est = sketches.cms_lookup(cms, top, "ngram", depth=4, width=512)
 
-    scms = read_sketch_state(spark,
-                             _cms_stream_state(spark, sf_dir, grams))
+    scms = read_sketch_state(spark, state)
     streamed = sketches.cms_lookup(scms, top, "ngram", depth=4,
                                    width=512,
                                    out_col="cms_est_streamed")
@@ -3425,7 +3431,13 @@ def _cms_stream_state(spark: SparkSession, sf_dir: str,
         return _CMS_STREAM_CACHE[sf_dir]
     root = tempfile.mkdtemp(prefix="ngram_cms_stream_")
     gpath = f"{root}/grams"
-    grams.repartition(4).write.parquet(gpath)
+    # HASH-partitioned by ngram, not round-robin repartition(4): round
+    # robin pays sortBeforeRepartition (a full sort of every trigram
+    # string per task — retry determinism Spark enforces on round-robin
+    # only); any 4-way split yields the identical additive CMS state,
+    # so take the sort-free one (guide §2.3: shuffle fewer/cheaper
+    # bytes). r13 measured: leg iso 4.93 → see OPTIMIZATION_r13.md.
+    grams.repartition(4, F.col("ngram")).write.parquet(gpath)
     gstream = (spark.readStream.schema(grams.schema)
                .option("maxFilesPerTrigger", 1).parquet(gpath))
     cms_sketch_sink(gstream, value_col="ngram",
@@ -3450,6 +3462,23 @@ def _cms_stream_state(spark: SparkSession, sf_dir: str,
                                + _CMS_STREAM_RETIRED)])
     _CMS_STREAM_CACHE[sf_dir] = f"{root}/state"
     return f"{root}/state"
+
+
+def _cms_landed_grams(spark: SparkSession, state: str) -> DataFrame:
+    """The trigram frame LANDED next to a stream state by
+    :func:`_cms_stream_state` — the same multiset of ngrams the state
+    was built from, as a columnar parquet read. Both CMS queries derive
+    their batch-side legs (top-20, batch cms_table) from THIS frame
+    instead of re-tokenizing + re-exploding the corpus per subtree
+    (guide §1.2/#2: the tokenize HOFs are CodegenFallback and each
+    subtree re-paid them; counts over the landed multiset are identical
+    by construction, so the oracle hash is untouched). The files
+    outlive the call — cleanup is deferred to exit with the state dir
+    (see _cms_stream_state)."""
+    import os
+
+    return spark.read.parquet(os.path.join(os.path.dirname(state),
+                                           "grams"))
 
 
 ORACLE_NGRAM_FREQ = f"""
@@ -6307,12 +6336,17 @@ def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.streaming.sketches import read_sketch_state
 
     docs = load_table(spark, sf_dir, "documents")
-    top = text_analysis.ngram_frequencies(docs, n=3, top=20)
     grams = (docs.select(F.explode_outer(T.word_ngrams("text", 3))
                          .alias("ngram"))
              .filter(F.col("ngram").isNotNull()))
     state = _cms_stream_state(spark, sf_dir, grams, use_memo=False)
     _CMS_STREAM_CACHE[sf_dir] = state
+    # top-20 from the landed gram files, not a second tokenize+explode
+    # of the corpus (same multiset — see _cms_landed_grams)
+    landed = _cms_landed_grams(spark, state)
+    top = (landed.groupBy("ngram").agg(F.count("*").alias("freq"))
+           .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+           .limit(20))
     scms = read_sketch_state(spark, state)
     return (sketches.cms_lookup(scms, top, "ngram", depth=4, width=512,
                                 out_col="cms_est_streamed")

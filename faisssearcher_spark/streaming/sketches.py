@@ -92,7 +92,11 @@ def _epoch_sink(stream_df: DataFrame, *, sketch_fn, merge_fn,
         if prior:
             prev_path = _epoch_path(state_dir, prior[-1])
             spark.catalog.refreshByPath(prev_path)
-            prev = spark.read.parquet(prev_path)
+            # prior state has the sketch schema by construction (it was
+            # written from this same merge) — pass it instead of paying
+            # a footer-inference read per epoch (guide §1.2/#2: the
+            # epoch loop's fixed costs multiply by epoch count)
+            prev = spark.read.schema(new.schema).parquet(prev_path)
             merged = merge_fn(prev, new)
         else:
             merged = new
