@@ -43,7 +43,12 @@ def _release_on_error(landed: "list[DataFrame]"):
         except BaseException:
             for f in landed:
                 try:
-                    f.unpersist()
+                    # if a live overlapping invocation refcounts this
+                    # plan (_LANDING_REFS), our persist was a no-op on
+                    # its entry — unpersisting here would evict a cache
+                    # someone else is still executing against
+                    if _LANDING_REFS.get(f.semanticHash(), 0) == 0:
+                        f.unpersist()
                 except Exception:
                     pass
             raise
@@ -51,11 +56,24 @@ def _release_on_error(landed: "list[DataFrame]"):
     return _cm()
 
 
+#: live refcounts for landing-frame plans, keyed by semanticHash —
+#: Spark's CacheManager keys cache entries by SEMANTIC PLAN, and the
+#: deterministic landing plans (pre-cluster survivor frames) ARE
+#: plan-equal across invocations: without the refcount, invocation
+#: N−1's deferred finalizer uncached the very entry invocation N had
+#: just persisted and was still executing against (r13 measured: the
+#: curate exec phase re-paid the whole scored+window pipeline, 1.4–1.8 s
+#: vs 0.6 s with the cache intact, every warm bench pass)
+_LANDING_REFS: dict[int, int] = {}
+
+
 def _release_with(result: DataFrame, frames: "list[DataFrame]"
                   ) -> DataFrame:
     """Tie the lifetime of internally persisted ``frames`` to the
     RESULT frame's Python object: when the caller drops the result, the
-    landing-table caches release back to executor storage.
+    landing-table caches release back to executor storage — refcounted
+    by semantic plan (``_LANDING_REFS``), so overlapping invocations
+    whose landing plans are identical don't uncache each other.
 
     Why not plan-keyed cache reuse across invocations: the pipeline
     embeds driver-collected literal frames (cluster maps, fitted
@@ -68,8 +86,27 @@ def _release_with(result: DataFrame, frames: "list[DataFrame]"
     engine)."""
     import weakref
 
-    def _release(fs=tuple(frames)):
-        for f in fs:
+    keyed = []
+    for f in frames:
+        try:
+            h = f.semanticHash()
+        except Exception:
+            h = None
+        if h is not None:
+            _LANDING_REFS[h] = _LANDING_REFS.get(h, 0) + 1
+        keyed.append((f, h))
+
+    def _release(fs=tuple(keyed)):
+        for f, h in fs:
+            if h is not None:
+                left = _LANDING_REFS.get(h, 1) - 1
+                if left > 0:
+                    # an overlapping invocation still holds this plan's
+                    # cache entry (a semanticHash collision at worst
+                    # defers the unpersist to the last holder)
+                    _LANDING_REFS[h] = left
+                    continue
+                _LANDING_REFS.pop(h, None)
             try:
                 f.unpersist()
             except Exception:
