@@ -30,6 +30,13 @@ from faisssearcher_spark.operators import (ann, dedup, events, temporal,
 from faisssearcher_spark.operators.knn import cal_sim, knn_join
 from faisssearcher_spark.operators.whitening import VecsWhitening
 from faisssearcher_spark.sources.catalog import load_table
+# scale-adaptive split floor (no-op on production-sized tables): legs
+# whose MAP side is the cost — interpreted tokenize/codec work before
+# the first shuffle — opt in per call site; legs that fan one scan into
+# many shuffling subtrees measured SLOWER with it (each subtree pays an
+# extra exchange: text_fingerprints 4.4 -> 6.1 s) and stay on the raw
+# loader. See OPTIMIZATION_r13.md.
+from faisssearcher_spark.sources.catalog import load_table_parallel
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
@@ -729,7 +736,7 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       hybrid-search shape; fused sim_val is exact rational arithmetic
       on the legs' ranks, so it hash-matches with NO rounding."""
     from faisssearcher_spark.operators.bm25 import BM25Index, rrf_fuse
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
 
     # the rrf leg re-reads BOTH base legs, so each retrieval must not
     # execute twice in the union — and persist() here would accumulate
@@ -1154,7 +1161,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered variant stays selectable for hot-shingle-skewed
     corpora and is proven result-identical in
     tests/test_dedup.py::TestPrefixFilter)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     res = dedup.ngram_jaccard_join(docs, n=3, threshold=0.3)
     return res.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -1192,7 +1199,7 @@ _INC_LEG_CACHE: dict[str, list] = {}
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates over 3-gram shingles, verified
     with exact shingle-set Jaccard ≥ 0.3."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     res = dedup.minhash_lsh_join(docs, num_hashes=16, bands=4, shingle_n=3,
                                  verify_threshold=0.3)
     pairs = res.select(F.lit("pairs").alias("leg"), "id_a", "id_b",
@@ -1260,7 +1267,7 @@ def _incremental_arc_rows(spark: SparkSession, sf_dir: str,
 
     if use_memo and sf_dir in _INC_LEG_CACHE:
         return _INC_LEG_CACHE[sf_dir]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     capped = docs.filter(F.col("doc_id") < INC_CAP)
     with tempfile.TemporaryDirectory(prefix="mhstore_gate_") as tmp:
         store = MinHashStore(spark, tmp, num_hashes=16, bands=4,
@@ -1304,7 +1311,7 @@ def _upsert_arc_rows(spark: SparkSession, sf_dir: str,
 
     if use_memo and sf_dir in _UPSERT_LEG_CACHE:
         return _UPSERT_LEG_CACHE[sf_dir]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     capped = docs.filter(F.col("doc_id") < INC_CAP).select("doc_id", "text")
     evens = capped.filter(F.col("doc_id") % 2 == 0)
     odds = capped.filter(F.col("doc_id") % 2 == 1)
@@ -1416,7 +1423,7 @@ FROM inc WHERE est >= 0.5
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (tf-weighted bit votes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32).withColumnRenamed("id", "doc_id")
 
 
@@ -1601,7 +1608,7 @@ def _fpstore_arc_rows(spark: SparkSession, sf_dir: str,
 
     if use_memo and sf_dir in _FPSTORE_LEG_CACHE:
         return _FPSTORE_LEG_CACHE[sf_dir]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     fps = dedup.simhash(docs, bits=32)
     with tempfile.TemporaryDirectory(prefix="fpstore_gate_") as tmp:
         store = FingerprintStore(spark, tmp, bits=32, max_hamming=3)
@@ -1635,7 +1642,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.multimodal import (
         image_near_dup_pairs, perceptual_hash)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     text_leg = dedup.simhash_pairs(docs, bits=32, max_hamming=3).select(
         F.lit("text").alias("leg"), "id_a", "id_b", "hamming")
     assets = _gate_image_assets(docs)
@@ -2135,7 +2142,7 @@ UNION ALL
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ 0.45 over the embeddings table."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     res = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4)
     return res
 
@@ -2157,7 +2164,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replicates the EXACT plane constants and bucket
     assignment in SQL, so the gate checks the full candidate-generation
     + verify pipeline, not just the survivors' scores."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     res = dedup.embedding_cosine_pairs(emb, threshold=0.45, score_scale=4,
                                        strategy="lsh", lsh_tables=8,
                                        lsh_bits=4, lsh_dim=64)
@@ -2233,7 +2240,7 @@ def _estore_arc_rows(spark: SparkSession, sf_dir: str,
 
     if use_memo and sf_dir in _ESTORE_LEG_CACHE:
         return _ESTORE_LEG_CACHE[sf_dir]
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     with tempfile.TemporaryDirectory(prefix="estore_gate_") as tmp:
         store = EmbeddingStore(spark, tmp, dim=64, tables=tables,
                                bits=bits, planes_mode="axis")
@@ -2264,7 +2271,7 @@ def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the exact bucket assignment; the estore oracle
     replays buckets, f16 encode, DECODE and the screen cosine, so the
     whole store arc is value-checked cross-engine, not just tested."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     blocked = dedup.embedding_cosine_pairs(emb, threshold=0.45,
                                            score_scale=4,
                                            strategy="blocked")
@@ -2799,7 +2806,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars beyond first, top-{2,3,4}-gram char weight, duplicated-
     {5,10}-gram span-union coverage, total token chars); the oracle
     replays each from positional n-gram CTEs (_rep_ctes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     ref = docs.filter(F.col("source") == "src1")
     bg = text_analysis.bigram_backoff_logppl(docs, ref) \
         .select("doc_id", "bigram_logppl")
@@ -2967,7 +2974,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                        k_anonymity_report,
                                                        suppress_below_k)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # r12: + lang_conf — softmax confidence over length-invariant
     # stopword rates (functions/text.py:language_confidence), rounded to
     # the gate's 4dp float convention; the oracle replays the identical
@@ -3380,7 +3387,7 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators import sketches
     from faisssearcher_spark.streaming.sketches import read_sketch_state
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     grams = (docs.select(F.explode_outer(T.word_ngrams("text", 3))
                          .alias("ngram"))
              .filter(F.col("ngram").isNotNull()))
@@ -4104,7 +4111,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties to min id), value-checked per member against a window twin."""
     from faisssearcher_spark.operators.sampling import leakage_safe_split
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(docs, num_hashes=16, bands=4,
                                    shingle_n=3, verify_threshold=0.3)
     clusters = dedup.dedup_clusters(pairs)
@@ -4622,7 +4629,7 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.curate import curate_documents
     from faisssearcher_spark.operators.sampling import SAMPLE_DENOM
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
 
     def pad(df, **over):
         cols = {"n_turns": F.lit(-1), "n_user_turns": F.lit(-1),
@@ -5795,7 +5802,7 @@ def q_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: contamination check of the corpus against a 20-doc
     eval slice (inverted-index n-gram collision join)."""
     from faisssearcher_spark.operators.decontam import contamination_pairs
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     ev = docs.limit(20).select("doc_id", "text")
     return contamination_pairs(docs, ev, n=8)
 
@@ -6053,7 +6060,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bm25 + rrf tag-union legs)."""
     from faisssearcher_spark.operators.bm25 import BM25Index
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     bm = _bm25_docs(spark, sf_dir, docs)
     q = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "text")
@@ -6117,7 +6124,7 @@ def q_text_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.bm25 import BM25Index
     from faisssearcher_spark.operators.maxsim import maxsim_rerank
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     bm = _bm25_docs(spark, sf_dir, docs)
     q = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "text")
@@ -6299,7 +6306,7 @@ def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize pass, |lengths| window aggregations + equi-joins +
     gaps-and-islands merges unioned into one plan. The oracle-checked
     twin rides the dedup_simhash_pairs gate ('profile_*' legs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return dedup.duplication_profile(docs,
                                      lengths=(1, 2, 4, 8, 16, 32))
 
@@ -6335,7 +6342,7 @@ def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators import sketches
     from faisssearcher_spark.streaming.sketches import read_sketch_state
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     grams = (docs.select(F.explode_outer(T.word_ngrams("text", 3))
                          .alias("ngram"))
              .filter(F.col("ngram").isNotNull()))

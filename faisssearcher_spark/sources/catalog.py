@@ -27,6 +27,66 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: split keys for the hash repartition in load_table_parallel — an id
+#: column gives an even, sort-free split (round-robin repartition pays
+#: sortBeforeRepartition over the full rows); tables without an entry
+#: fall back to round-robin
+_SPLIT_KEYS = {"documents": "doc_id", "embeddings": "vec_id",
+               "orders": "o_orderkey", "customer": "c_custkey",
+               "part": "p_partkey", "supplier": "s_suppkey"}
+
+#: parquet row-group counts by path — driver-side footer probe, cached
+#: so query-builder loops don't re-open footers
+_ROW_GROUP_CACHE: dict[str, int] = {}
+
+
+def _parquet_row_groups(path: str) -> "int | None":
+    """Total row-group count across a parquet file/directory via
+    pyarrow footers (no Spark job). None when the probe cannot read
+    the footprint (remote scheme pyarrow lacks, etc.)."""
+    if path in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[path]
+    try:
+        import pyarrow.dataset as ds
+
+        total = 0
+        for frag in ds.dataset(path, format="parquet").get_fragments():
+            total += frag.metadata.num_row_groups
+    except Exception:
+        return None
+    _ROW_GROUP_CACHE[path] = total
+    return total
+
+
+def load_table_parallel(spark: SparkSession, sf_dir: str,
+                        name: str) -> DataFrame:
+    """:func:`load_table` with a scale-adaptive SPLIT FLOOR for
+    map-heavy consumers (tokenize HOFs, codec encodes — interpreted
+    CodegenFallback work that runs BEFORE the first shuffle).
+
+    Parquet splits at row-group granularity, so when a table's files
+    carry fewer row groups than the session has cores, no split config
+    can raise the scan's parallelism and everything up to the first
+    exchange runs on a handful of tasks (guide §2.6 idle capacity /
+    §6 input splits — measured at sf0.1: the whole tokenize+gram build
+    of repetition_signals in ONE task, 3.2 s vs 2.3 s repartitioned).
+    In that case repartition to the default parallelism, hashed by the
+    table's id column when one is known (sort-free, evenly spread). On
+    data with real file/row-group counts — any production-sized table —
+    the condition never fires and the plan is exactly load_table's.
+
+    Scan-only consumers (codegen'd relational queries, plans with
+    pinned scan shapes) should keep :func:`load_table`: for them the
+    added exchange buys nothing."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    rg = _parquet_row_groups(os.path.join(sf_dir, f"{name}.parquet"))
+    if rg is None or rg >= par:
+        return df
+    key = _SPLIT_KEYS.get(name)
+    return df.repartition(par, F.col(key)) if key else df.repartition(par)
+
+
 def _events_ts_kind(path: str) -> str:
     """Driver-side parquet-footer probe for the ``ts`` column's storage:
 
