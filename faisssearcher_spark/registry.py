@@ -6264,7 +6264,10 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_layout.py."""
     from faisssearcher_spark.operators import layout
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # split floor: the Hilbert walk's Generate barriers are the heavy
+    # map work (zorder's codegen'd integer key measured a wash and
+    # stays raw) — r13: 5.7 -> 3.4 s
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return layout.hilbert_layout(li, ["l_orderkey", "l_partkey"],
                                  n_files=32, bits=6)
 

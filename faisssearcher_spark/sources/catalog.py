@@ -33,7 +33,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: fall back to round-robin
 _SPLIT_KEYS = {"documents": "doc_id", "embeddings": "vec_id",
                "orders": "o_orderkey", "customer": "c_custkey",
-               "part": "p_partkey", "supplier": "s_suppkey"}
+               "part": "p_partkey", "supplier": "s_suppkey",
+               "lineitem": "l_orderkey"}
 
 #: parquet row-group counts by path — driver-side footer probe, cached
 #: so query-builder loops don't re-open footers
