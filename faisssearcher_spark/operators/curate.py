@@ -26,14 +26,65 @@ from faisssearcher_spark.functions import text as T
 from faisssearcher_spark.operators import dedup
 
 
-def _release_on_error(landed: "list[DataFrame]"):
-    """Context manager: a build step raising AFTER frames were persisted
+#: live refcounts for landing-frame plans, keyed by semanticHash —
+#: Spark's CacheManager keys cache entries by SEMANTIC PLAN, and the
+#: deterministic landing plans (pre-cluster survivor frames) ARE
+#: plan-equal across invocations: without the refcount, invocation
+#: N−1's deferred finalizer (GC timing is arbitrary under reference
+#: cycles) uncached the very entry invocation N had just persisted and
+#: was still executing against (r13 measured: the curate exec phase
+#: re-paid the whole scored+window pipeline, 1.4–1.8 s vs 0.6 s with
+#: the cache intact, every warm bench pass)
+_LANDING_REFS: dict[int, int] = {}
+
+
+def _land(frame: DataFrame,
+          landed: "list[tuple[DataFrame, int | None]]") -> DataFrame:
+    """Persist a landing frame and refcount its plan IN THE SAME STEP
+    (review catch: retaining only at :func:`_release_with` time left a
+    window — persist → eager driver stages → retain — in which a
+    previous invocation's deferred finalizer could still evict the
+    plan-equal entry this invocation was executing against)."""
+    f = frame.persist()
+    try:
+        h = f.semanticHash()
+    except Exception:
+        h = None
+    if h is not None:
+        _LANDING_REFS[h] = _LANDING_REFS.get(h, 0) + 1
+    landed.append((f, h))
+    return f
+
+
+def _release_one(f: DataFrame, h: "int | None") -> None:
+    """Drop one refcount; unpersist when the last holder releases. A
+    semanticHash collision at worst defers the unpersist to the last
+    holder; a hash FAILURE (h None) unpersists unconditionally — the
+    conservative direction for a leak guard."""
+    if h is not None:
+        left = _LANDING_REFS.get(h, 1) - 1
+        if left > 0:
+            _LANDING_REFS[h] = left
+            return
+        _LANDING_REFS.pop(h, None)
+    try:
+        f.unpersist()
+    except Exception:
+        # a stopped SparkContext makes unpersist throw; the python
+        # deref is the release then
+        pass
+
+
+def _release_on_error(landed: "list[tuple[DataFrame, int | None]]"):
+    """Context manager: a build step raising AFTER frames were landed
     but BEFORE :func:`_release_with` could attach the result finalizer
     would otherwise leak those caches for the session (review catch —
     ``exsub_min_len='auto'`` raising on a no-duplication corpus is a
     documented, EXPECTED path, and a caller that catches and retries
     would accumulate one orphaned cache per attempt). Reads ``landed``
-    at unwind time, so frames appended after entry are covered."""
+    at unwind time, so frames landed after entry are covered; releases
+    are refcount-aware, so an overlapping invocation's live entry is
+    never evicted."""
     import contextlib
 
     @contextlib.contextmanager
@@ -41,36 +92,18 @@ def _release_on_error(landed: "list[DataFrame]"):
         try:
             yield
         except BaseException:
-            for f in landed:
-                try:
-                    # if a live overlapping invocation refcounts this
-                    # plan (_LANDING_REFS), our persist was a no-op on
-                    # its entry — unpersisting here would evict a cache
-                    # someone else is still executing against
-                    if _LANDING_REFS.get(f.semanticHash(), 0) == 0:
-                        f.unpersist()
-                except Exception:
-                    pass
+            for f, h in landed:
+                _release_one(f, h)
             raise
 
     return _cm()
 
 
-#: live refcounts for landing-frame plans, keyed by semanticHash —
-#: Spark's CacheManager keys cache entries by SEMANTIC PLAN, and the
-#: deterministic landing plans (pre-cluster survivor frames) ARE
-#: plan-equal across invocations: without the refcount, invocation
-#: N−1's deferred finalizer uncached the very entry invocation N had
-#: just persisted and was still executing against (r13 measured: the
-#: curate exec phase re-paid the whole scored+window pipeline, 1.4–1.8 s
-#: vs 0.6 s with the cache intact, every warm bench pass)
-_LANDING_REFS: dict[int, int] = {}
-
-
-def _release_with(result: DataFrame, frames: "list[DataFrame]"
+def _release_with(result: DataFrame,
+                  landed: "list[tuple[DataFrame, int | None]]"
                   ) -> DataFrame:
-    """Tie the lifetime of internally persisted ``frames`` to the
-    RESULT frame's Python object: when the caller drops the result, the
+    """Tie the lifetime of the :func:`_land`-ed frames to the RESULT
+    frame's Python object: when the caller drops the result, the
     landing-table caches release back to executor storage — refcounted
     by semantic plan (``_LANDING_REFS``), so overlapping invocations
     whose landing plans are identical don't uncache each other.
@@ -86,33 +119,9 @@ def _release_with(result: DataFrame, frames: "list[DataFrame]"
     engine)."""
     import weakref
 
-    keyed = []
-    for f in frames:
-        try:
-            h = f.semanticHash()
-        except Exception:
-            h = None
-        if h is not None:
-            _LANDING_REFS[h] = _LANDING_REFS.get(h, 0) + 1
-        keyed.append((f, h))
-
-    def _release(fs=tuple(keyed)):
+    def _release(fs=tuple(landed)):
         for f, h in fs:
-            if h is not None:
-                left = _LANDING_REFS.get(h, 1) - 1
-                if left > 0:
-                    # an overlapping invocation still holds this plan's
-                    # cache entry (a semanticHash collision at worst
-                    # defers the unpersist to the last holder)
-                    _LANDING_REFS[h] = left
-                    continue
-                _LANDING_REFS.pop(h, None)
-            try:
-                f.unpersist()
-            except Exception:
-                # a stopped SparkContext makes unpersist throw; the
-                # python deref is the release then
-                pass
+            _release_one(f, h)
 
     weakref.finalize(result, _release)
     return result
@@ -238,15 +247,15 @@ def curate_documents(
     kept = (kept.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn", "__fp"))
 
-    landed: "list[DataFrame]" = []
+    landed: "list[tuple[DataFrame, int | None]]" = []
     if near_dup_threshold is not None:
         # the survivor frame feeds BOTH the near-dup pair generation and
-        # the final anti-join; persist it so the quality scoring + exact
-        # dedup window (tokenize-heavy) computes once, not twice — at
-        # pipeline scale this is the landing-table materialization the
-        # streaming half writes anyway (streaming/curate.py)
-        kept = kept.persist()
-        landed.append(kept)
+        # the final anti-join; land (persist + refcount) it so the
+        # quality scoring + exact dedup window (tokenize-heavy) computes
+        # once, not twice — at pipeline scale this is the landing-table
+        # materialization the streaming half writes anyway
+        # (streaming/curate.py)
+        kept = _land(kept, landed)
         with _release_on_error(landed):
             pairs = dedup.minhash_lsh_join(
                 kept, id_col="doc_id", text_col="text",
@@ -354,7 +363,7 @@ def prepare_pretraining_data(
     # and runs prep epochs on top, so re-running heuristics + dedup per
     # epoch would price the same work n times. The frame needs
     # (doc_id, text); quality/near-dup knobs are ignored with it.
-    landed: "list[DataFrame]" = []
+    landed: "list[tuple[DataFrame, int | None]]" = []
     if curated is None:
         curated = curate_documents(
             base, min_quality=min_quality, languages=languages,
@@ -362,16 +371,18 @@ def prepare_pretraining_data(
         # internally-built only: a passed-in landing frame's lifetime
         # (and any cache behind it) belongs to the CALLER — releasing
         # it here would tear down a session-scoped landing table the
-        # first time one epoch's result is dropped
-        landed.append(curated)
+        # first time one epoch's result is dropped. key None: curated
+        # itself is not persisted (its internal caches release through
+        # its OWN finalizer once this strong reference drops); the
+        # entry exists to hold that reference until the result dies
+        landed.append((curated, None))
     survivors = curated.select("doc_id", "text")
     # the persisted survivor frame carries its token array: every
     # downstream consumer (perplexity scoring, classifier scoring,
     # decontamination shingles, chunking) reuses it via tokens_col —
     # ONE tokenize pass over the corpus instead of one per stage
     # (round-5 verdict #5: stages re-tokenized the persisted text)
-    kept = survivors.withColumn("__toks", T.tokens("text")).persist()
-    landed.append(kept)
+    kept = _land(survivors.withColumn("__toks", T.tokens("text")), landed)
     # several stages below run EAGER driver work (duplication profile,
     # approxQuantile, MLlib fits, decontam span checks) — any raise
     # must release the persists registered so far (review catch)
@@ -400,9 +411,8 @@ def prepare_pretraining_data(
             # downstream tokens_col consumers; the pre-clean frame stays
             # persisted — the span machinery references it from several
             # subplans
-            kept = cleaned.select("doc_id", "text") \
-                .withColumn("__toks", T.tokens("text")).persist()
-            landed.append(kept)
+            kept = _land(cleaned.select("doc_id", "text")
+                         .withColumn("__toks", T.tokens("text")), landed)
 
         if reference is not None:
             lm = fit_token_frequencies(reference, text_col=text_col)
@@ -417,8 +427,7 @@ def prepare_pretraining_data(
                 # The scored frame persists across the two passes (quantile
                 # fit + bucket filter) — without it the explode+vocab-join
                 # scoring plan runs twice.
-                scored = scored.persist()
-                landed.append(scored)
+                scored = _land(scored, landed)
                 n_b = max(len(ppl_keep_buckets) + 1, 3)
                 qs = [i / n_b for i in range(1, n_b)]
                 ppl_thresholds = (scored.filter(F.col("logppl").isNotNull())

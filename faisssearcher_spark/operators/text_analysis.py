@@ -147,6 +147,11 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
     string work — scan bandwidth is the cheap resource, cluster memory
     is not. Callers at small/medium scale who want one pass can persist
     ``df`` themselves before calling."""
+    # normalize once: duplicate sizes would alias duplicate band/agg
+    # columns downstream (the concat-explode tagging AND the final agg
+    # build one column per size — review catch)
+    top_ns = tuple(sorted(set(top_ns)))
+    dup_ns = tuple(sorted(set(dup_ns)))
     base = df.select(id_col, T.tokens(text_col).alias("__t"),
                      T.lines(text_col).alias("__ls"))
     for n in sorted(set(top_ns) | set(dup_ns)):

@@ -3396,9 +3396,7 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream build materialized them) instead of re-tokenizing the
     # corpus once per subtree — identical multiset, identical counts
     landed = _cms_landed_grams(spark, state)
-    top = (landed.groupBy("ngram").agg(F.count("*").alias("freq"))
-           .orderBy(F.col("freq").desc(), F.col("ngram").asc())
-           .limit(20))
+    top = _landed_top_ngrams(landed)
     cms = sketches.cms_table(landed, "ngram", depth=4, width=512)
     est = sketches.cms_lookup(cms, top, "ngram", depth=4, width=512)
 
@@ -3469,6 +3467,16 @@ def _cms_stream_state(spark: SparkSession, sf_dir: str,
                                + _CMS_STREAM_RETIRED)])
     _CMS_STREAM_CACHE[sf_dir] = f"{root}/state"
     return f"{root}/state"
+
+
+def _landed_top_ngrams(landed: DataFrame, top: int = 20) -> DataFrame:
+    """Top-``top`` ngrams of a landed gram frame with the
+    ngram_frequencies tie-break contract (freq desc, ngram asc — ties
+    toward the lexicographically smallest shingle) in ONE place for
+    both CMS gate legs (review catch: the contract was inlined twice)."""
+    return (landed.groupBy("ngram").agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+            .limit(top))
 
 
 def _cms_landed_grams(spark: SparkSession, state: str) -> DataFrame:
@@ -5803,7 +5811,12 @@ def q_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval slice (inverted-index n-gram collision join)."""
     from faisssearcher_spark.operators.decontam import contamination_pairs
     docs = load_table_parallel(spark, sf_dir, "documents")
-    ev = docs.limit(20).select("doc_id", "text")
+    # the eval slice takes the RAW loader: a limit above the split
+    # floor's exchange would pick whichever shuffle blocks land first
+    # (nondeterministic, and the plan evaluates the slice subtree twice
+    # — the two legs could disagree within one run; review catch)
+    ev = (load_table(spark, sf_dir, "documents")
+          .limit(20).select("doc_id", "text"))
     return contamination_pairs(docs, ev, n=8)
 
 
@@ -6354,9 +6367,7 @@ def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-20 from the landed gram files, not a second tokenize+explode
     # of the corpus (same multiset — see _cms_landed_grams)
     landed = _cms_landed_grams(spark, state)
-    top = (landed.groupBy("ngram").agg(F.count("*").alias("freq"))
-           .orderBy(F.col("freq").desc(), F.col("ngram").asc())
-           .limit(20))
+    top = _landed_top_ngrams(landed)
     scms = read_sketch_state(spark, state)
     return (sketches.cms_lookup(scms, top, "ngram", depth=4, width=512,
                                 out_col="cms_est_streamed")

@@ -3,10 +3,10 @@ plans/r13/<query>_{before,after}.txt.
 
 'after' comes from the current repo; 'before' from a worktree of the
 round's baseline commit (65fbb7f — inherited HEAD + baseline record),
-selected via PYTHONPATH by the caller:
+selected via $PLANS_CODE_ROOT:
 
     python tools/dump_r13_plans.py after
-    PYTHONPATH=/tmp/r13_base python tools/dump_r13_plans.py before
+    PLANS_CODE_ROOT=/tmp/r13_base python tools/dump_r13_plans.py before
 
 Store-arc legs whose work is EAGER driver composition (the returned
 frame is a local-rows frame) get the note header plus the plan of the
@@ -18,8 +18,10 @@ import os
 import sys
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if not os.environ.get("PYTHONPATH"):
-    sys.path.insert(0, repo)
+# explicit code-root selection — keying off PYTHONPATH emptiness would
+# silently dump from whatever an unrelated pre-existing PYTHONPATH
+# resolves (review catch); the engine path is also stamped per header
+sys.path.insert(0, os.environ.get("PLANS_CODE_ROOT", repo))
 
 QUERIES = [
     "text_cms_stream", "text_ngram_topk", "text_quality_scores",
