@@ -36,6 +36,17 @@ def tokens(c: ColumnOrName) -> Column:
     return F.filter(F.split(F.trim(_col(c)), r"\s+"), lambda t: t != "")
 
 
+def tokens_sql(c: str) -> str:
+    """SQL text of :func:`tokens` over the column expression ``c`` —
+    same operators, same lambda-variable name, so the parsed tree is
+    plan-identical (pinned in tests/test_sqltext_parity.py). Exists
+    because the hot signature builders render their whole tree as one
+    SQL string to avoid per-node py4j round-trips (functions/sqltext.py)."""
+    from faisssearcher_spark.functions.sqltext import sql_str
+
+    return f"filter(split(trim({c}), {sql_str(chr(92) + 's+')}), t -> t != '')"
+
+
 def token_count(c: ColumnOrName) -> Column:
     return F.size(tokens(c))
 
@@ -218,6 +229,19 @@ def word_ngrams(c: ColumnOrName, n: int, *,
     for j in range(2, n + 1):
         acc = F.zip_with(acc, F.slice(toks, j, m),
                          lambda x, y: F.concat_ws(" ", x, y))
+    return acc
+
+
+def word_ngrams_sql(c: str, n: int, *, pre_tokenized: bool = False) -> str:
+    """SQL text of :func:`word_ngrams` (same fold shape, same lambda
+    names; parity pinned in tests/test_sqltext_parity.py). See
+    :func:`tokens_sql` for why the SQL-text twin exists."""
+    toks = c if pre_tokenized else tokens_sql(c)
+    m = f"greatest((size({toks}) - {n - 1}), 0)"
+    acc = f"slice({toks}, 1, {m})"
+    for j in range(2, n + 1):
+        acc = (f"zip_with({acc}, slice({toks}, {j}, {m}), "
+               f"(x, y) -> concat_ws(' ', x, y))")
     return acc
 
 

@@ -232,6 +232,63 @@ def _f16_stage3(t: Column) -> Column:
     return F.when(u >= 32768, u - 65536).otherwise(u).cast("smallint")
 
 
+def _f16_stage1_sql(x: str) -> str:
+    """SQL text of :func:`_f16_stage1` over element expression ``x``."""
+    s = f"CASE WHEN ({x} < 0) THEN 1 ELSE 0 END"
+    a = f"abs({x})"
+    safe = f"CASE WHEN ({a} = 0.0D) THEN 1.0D ELSE {a} END"
+    e0 = f"CAST(FLOOR(LOG2({safe})) AS INT)"
+    p0 = f"power(2.0D, CAST({e0} AS DOUBLE))"
+    e = (f"CASE WHEN ({safe} >= (2.0D * {p0})) THEN ({e0} + 1) "
+         f"WHEN ({safe} < {p0}) THEN ({e0} - 1) ELSE {e0} END")
+    return (f"struct({s} AS s, {a} AS a, "
+            f"greatest({e}, -14) AS e)")
+
+
+def _f16_stage2_sql(t: str) -> str:
+    """SQL text of :func:`_f16_stage2` over struct expression ``t``."""
+    y = f"({t}.a * power(2.0D, CAST((10 - {t}.e) AS DOUBLE)))"
+    fl = f"CAST(FLOOR({y}) AS BIGINT)"
+    r = f"({y} - CAST({fl} AS DOUBLE))"
+    m = (f"CASE WHEN ({r} > 0.5D) THEN ({fl} + 1) "
+         f"WHEN ({r} < 0.5D) THEN {fl} "
+         f"ELSE ({fl} + ({fl} % 2)) END")
+    return f"struct({t}.s AS s, {t}.e AS e, {m} AS m)"
+
+
+def _f16_stage3_sql(t: str) -> str:
+    """SQL text of :func:`_f16_stage3` over struct expression ``t``."""
+    ee = f"CASE WHEN ({t}.m = 2048) THEN ({t}.e + 1) ELSE {t}.e END"
+    mm = (f"CASE WHEN ({t}.m = 2048) THEN CAST(1024 AS BIGINT) "
+          f"ELSE {t}.m END")
+    u = (f"CASE WHEN ({mm} < 1024) THEN (({t}.s * 32768) + {mm}) "
+         f"ELSE ((({t}.s * 32768) + ((CAST({ee} AS BIGINT) + 15) * 1024))"
+         f" + ({mm} - 1024)) END")
+    u2 = (f"CASE WHEN ({ee} > 15) THEN (({t}.s * 32768) + {0x7BFF}) "
+          f"ELSE {u} END")
+    return (f"CAST(CASE WHEN ({u2} >= 32768) THEN ({u2} - 65536) "
+            f"ELSE {u2} END AS SMALLINT)")
+
+
+def quantize_f16_sql(c: str) -> str:
+    """SQL text of :func:`quantize_f16` over column name ``c`` — one
+    parse instead of ~1,100 py4j round-trips (functions/sqltext.py;
+    plan parity pinned in tests/test_sqltext_parity.py)."""
+    v = f"CAST({c} AS ARRAY<DOUBLE>)"
+    inf = "CAST('Infinity' AS DOUBLE)"
+    sane = (f"transform({v}, x -> CASE WHEN (isnan(x) OR "
+            f"(abs(x) = {inf})) THEN 0.0D ELSE x END)")
+    codes = (f"transform(transform(transform({sane}, "
+             f"x -> {_f16_stage1_sql('x')}), "
+             f"t -> {_f16_stage2_sql('t')}), "
+             f"t -> {_f16_stage3_sql('t')})")
+    return (f"zip_with({v}, {codes}, (x, code) -> "
+            f"CAST(CASE WHEN isnan(x) THEN {0x7E00} "
+            f"WHEN (x = {inf}) THEN {0x7BFF} "
+            f"WHEN (x = -{inf}) THEN {0xFBFF - 0x10000} "
+            f"ELSE code END AS SMALLINT))")
+
+
 def quantize_f16(c: ColumnOrName) -> Column:
     """``array<smallint>`` of IEEE 754 binary16 bit patterns — round to
     nearest even, gradual underflow, saturating overflow. Codes match
@@ -244,6 +301,12 @@ def quantize_f16(c: ColumnOrName) -> Column:
     ±65504 — the same saturate-to-max-finite rule as finite overflow,
     a deliberate deviation from numpy's inf-preserving cast so decode
     always returns finite values for non-NaN input."""
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+
+    if is_simple_name(c):
+        # one SQL parse instead of ~1,100 py4j round-trips; plan
+        # parity pinned in tests/test_sqltext_parity.py
+        return F.expr(quantize_f16_sql(c))
     v = as_double(c)
     inf = F.lit(float("inf"))
     # non-finite elements take a safe 0.0 through the stages (their
@@ -261,11 +324,40 @@ def quantize_f16(c: ColumnOrName) -> Column:
         .otherwise(code).cast("smallint"))
 
 
+def dequantize_f16_sql(c: str) -> str:
+    """SQL text of :func:`dequantize_f16` over column name ``c`` (see
+    :func:`quantize_f16_sql`; parity pinned in
+    tests/test_sqltext_parity.py)."""
+    from faisssearcher_spark.functions.sqltext import sql_double
+
+    ci = "CAST(code AS INT)"
+    u = f"CASE WHEN ({ci} < 0) THEN ({ci} + 65536) ELSE {ci} END"
+    sgn = f"CASE WHEN ({u} >= 32768) THEN -1.0D ELSE 1.0D END"
+    ub = f"({u} % 32768)"
+    ef = f"shiftright({ub}, 10)"
+    m = f"({ub} % 1024)"
+    mag = (f"CASE WHEN ({ef} = 0) THEN (CAST({m} AS DOUBLE) * "
+           f"{sql_double(2.0 ** -24)}) "
+           f"WHEN ({ef} = 31) THEN CASE WHEN ({m} = 0) "
+           f"THEN CAST('Infinity' AS DOUBLE) "
+           f"ELSE CAST('NaN' AS DOUBLE) END "
+           f"ELSE (CAST(({m} + 1024) AS DOUBLE) * "
+           f"power(2.0D, CAST(({ef} - 25) AS DOUBLE))) END")
+    return (f"transform({c}, code -> "
+            f"CAST(({sgn} * {mag}) AS FLOAT))")
+
+
 def dequantize_f16(c: ColumnOrName) -> Column:
     """array<float> from :func:`quantize_f16` codes — every decoded
     value is exactly representable in float32, so the decode is
     bit-deterministic across engines. Inf/NaN patterns (never produced
     by the saturating encoder) decode to their IEEE values."""
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+
+    if is_simple_name(c):
+        # one SQL parse instead of ~330 py4j round-trips; plan parity
+        # pinned in tests/test_sqltext_parity.py
+        return F.expr(dequantize_f16_sql(c))
     codes = _col(c)
 
     def _dec(code: Column) -> Column:

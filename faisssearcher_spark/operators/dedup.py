@@ -286,6 +286,51 @@ def minhash_slot_start(slot: int) -> int:
     return 1 + 8 * (slot % MINHASH_SLOTS_PER_MD5)
 
 
+def minhash_sig_sql_parts(num_hashes: int, seed: int = 42) -> tuple:
+    """The three SQL-text expression lists every banded-MinHash builder
+    shares (r13: one SQL parse per select instead of ~60 py4j
+    round-trips per slot — functions/sqltext.py has the measurement;
+    parity with the Column form pinned in tests/test_sqltext_parity.py):
+
+    - ``hash_exprs``: per-group salted md5 digests over the exploded
+      shingle column ``__t`` (aliased ``__hg<g>``),
+    - ``agg_exprs``: per-slot lexicographic mins over the fixed-length
+      hex windows (aliased ``__x<i>``),
+    - ``conv_exprs``: the one-per-slot radix conversions to signed
+      longs (aliased ``__s<i>``).
+
+    Same salts, same windows, same arithmetic as
+    :func:`minhash_slot_salt` / the DuckDB oracle replica."""
+    from faisssearcher_spark.functions.sqltext import sql_str
+
+    n_groups = -(-num_hashes // MINHASH_SLOTS_PER_MD5)
+    hash_exprs = [
+        f"md5(concat({sql_str(minhash_slot_salt(gi * MINHASH_SLOTS_PER_MD5, seed))}, __t)) AS __hg{gi}"
+        for gi in range(n_groups)]
+    agg_exprs = [
+        f"min(substring(__hg{i // MINHASH_SLOTS_PER_MD5}, "
+        f"{minhash_slot_start(i)}, 8)) AS __x{i}"
+        for i in range(num_hashes)]
+    conv_exprs = [f"CAST(conv(__x{i}, 16, 10) AS BIGINT) AS __s{i}"
+                  for i in range(num_hashes)]
+    return hash_exprs, agg_exprs, conv_exprs
+
+
+def minhash_band_sql_parts(num_hashes: int, bands: int) -> tuple:
+    """SQL text of the band-array pieces over the ``__s<i>`` slot
+    columns: per-band ``'|'``-joined component strings (list, one per
+    band) and the full signature array. Shared by the two banded
+    builders so band composition can never drift between them."""
+    r = num_hashes // bands
+    band_vals = [
+        "concat_ws('|', " + ", ".join(
+            f"CAST(__s{bi * r + j} AS STRING)" for j in range(r)) + ")"
+        for bi in range(bands)]
+    sig_arr = "array(" + ", ".join(
+        f"__s{i}" for i in range(num_hashes)) + ")"
+    return band_vals, sig_arr
+
+
 def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        shingle_n: int | None = None,
@@ -360,41 +405,50 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
     """
     if num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    r = num_hashes // bands
-    if tokens_col is not None:
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+
+    src_col = tokens_col if tokens_col is not None else text_col
+    if is_simple_name(id_col) and is_simple_name(src_col):
+        units_sql = (T.word_ngrams_sql(
+            src_col, shingle_n, pre_tokenized=tokens_col is not None)
+            if shingle_n else
+            (src_col if tokens_col is not None else T.tokens_sql(src_col)))
+        base = df.selectExpr(f"{id_col} AS id",
+                             f"array_distinct({units_sql}) AS token_set")
+    elif tokens_col is not None:
         # share-one-tokenize-scan: shingle the caller's token array
         units = (T.word_ngrams(tokens_col, shingle_n, pre_tokenized=True)
                  if shingle_n else F.col(tokens_col))
+        base = df.select(F.col(id_col).alias("id"),
+                         F.array_distinct(units).alias("token_set"))
     else:
         units = (T.word_ngrams(text_col, shingle_n) if shingle_n
                  else T.tokens(text_col))
-    base = df.select(F.col(id_col).alias("id"),
-                     F.array_distinct(units).alias("token_set"))
+        base = df.select(F.col(id_col).alias("id"),
+                         F.array_distinct(units).alias("token_set"))
     # explode_outer + isNotNull: a plain explode gets `size(token_set)>0`
     # inferred beneath it and pushdown inlines the whole tokenize/shingle
     # expression into that filter (see ngram_jaccard_join); empty docs
     # yield a null token that dies on the cheap attribute filter, so they
     # still produce no signature row.
-    n_groups = -(-num_hashes // MINHASH_SLOTS_PER_MD5)
+    #
+    # The per-slot sections render as SQL text (one parse per select)
+    # instead of per-node F.* calls — the py4j round-trip wall
+    # (functions/sqltext.py); plan parity with the Column form is
+    # pinned in tests/test_sqltext_parity.py.
+    hash_exprs, agg_exprs, conv_exprs = minhash_sig_sql_parts(
+        num_hashes, seed)
     # group digests materialize in the projection BELOW the aggregate so
     # each md5 computes once per exploded shingle per group (the slot
     # mins then read cheap substrings; aggregates do not CSE)
-    hashed = base.select("id", F.explode_outer("token_set").alias("__t")) \
-        .filter(F.col("__t").isNotNull()) \
-        .select("id", *[
-            F.md5(F.concat(
-                F.lit(minhash_slot_salt(gi * MINHASH_SLOTS_PER_MD5, seed)),
-                F.col("__t"))).alias(f"__hg{gi}")
-            for gi in range(n_groups)])
+    hashed = base.selectExpr("id", "explode_outer(token_set) AS __t") \
+        .filter("__t IS NOT NULL") \
+        .selectExpr("id", *hash_exprs)
     # slot mins run on the fixed-length lowercase-hex windows
     # (lexicographic == numeric order); ONE radix conversion per doc per
     # slot happens after the aggregate, not per shingle
-    sigs = hashed.groupBy("id").agg(*[
-        F.min(F.substring(F.col(f"__hg{i // MINHASH_SLOTS_PER_MD5}"),
-                          minhash_slot_start(i), 8)).alias(f"__x{i}")
-        for i in range(num_hashes)]) \
-        .select("id", *[F.conv(F.col(f"__x{i}"), 16, 10).cast("long")
-                        .alias(f"__s{i}") for i in range(num_hashes)])
+    sigs = hashed.groupBy("id").agg(*[F.expr(e) for e in agg_exprs]) \
+        .selectExpr("id", *conv_exprs)
 
     # '|'-joined so distinct component sequences can't collide as strings,
     # then xxhash64'd to an 8-byte join key — the bucket self-join shuffles
@@ -402,13 +456,11 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
     # hash collision only merges two buckets, i.e. adds a candidate pair
     # that exact verification below filters out; with verification off a
     # collision could emit one false pair at ~2^-64 per bucket pair.
-    band_arr = F.array(*[
-        F.concat_ws("|", *[F.col(f"__s{bi * r + j}").cast("string")
-                           for j in range(r)])
-        for bi in range(bands)])
-    banded = sigs.select(
-        "id", F.posexplode(band_arr).alias("band_idx", "band_val")) \
-        .select("id", "band_idx", F.xxhash64("band_val").alias("band_key"))
+    band_vals, _sig_arr = minhash_band_sql_parts(num_hashes, bands)
+    banded = sigs.selectExpr(
+        "id",
+        f"posexplode(array({', '.join(band_vals)})) AS (band_idx, band_val)") \
+        .selectExpr("id", "band_idx", "xxhash64(band_val) AS band_key")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -439,6 +491,26 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash_expr_sql(c: str, bits: int = 32) -> str:
+    """SQL text of :func:`simhash_expr` over column name ``c`` — one
+    parse instead of ~400 py4j round-trips at 32 bits
+    (functions/sqltext.py; parity pinned in
+    tests/test_sqltext_parity.py)."""
+    hashes = (f"transform({T.tokens_sql(c)}, t -> "
+              f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))")
+    bits_of = "array(" + ", ".join(
+        f"CASE WHEN ((shiftright(h, {j}) & 1) = 1) THEN 1 ELSE -1 END"
+        for j in range(bits)) + ")"
+    votes = (f"aggregate({hashes}, array({', '.join(['0'] * bits)}), "
+             f"(acc, h) -> zip_with(acc, {bits_of}, (v, b) -> (v + b)))")
+    masks = "array(" + ", ".join(
+        f"CAST({1 << j} AS BIGINT)" for j in range(bits)) + ")"
+    packed = (f"zip_with({votes}, {masks}, (v, m) -> "
+              f"CASE WHEN (v > 0) THEN m ELSE CAST(0 AS BIGINT) END)")
+    return (f"aggregate({packed}, CAST(0 AS BIGINT), "
+            f"(a, x) -> (a + x))")
+
+
 def simhash_expr(text_col: str | Column, bits: int = 32) -> Column:
     """``bits``-bit SimHash of the whitespace token stream (term-frequency
     weighted: duplicate tokens vote once per occurrence).
@@ -453,6 +525,13 @@ def simhash_expr(text_col: str | Column, bits: int = 32) -> Column:
     votes into the fingerprint — O(tokens · bits) work with no repeated
     tokenization or hashing.
     """
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+
+    if is_simple_name(text_col) and bits < 64:
+        # bits=64 falls through: its top mask (1 << 63) exceeds long
+        # range in BOTH constructions, and the Column path's
+        # construction-time error is the pre-r13 contract
+        return F.expr(simhash_expr_sql(text_col, bits))
     hashes = F.transform(T.tokens(text_col), lambda t: T.md5_int(t))
 
     def bits_of(h: Column) -> Column:
@@ -573,8 +652,30 @@ def hamming_band_rows(fps: DataFrame, *, id_col: str = "id",
     # band_key per band (xxhash64 skips NULL inputs) — a permanent
     # quadratic candidate bucket in the stores; drop them here so both
     # layouts share the rows-without-fingerprints-never-pair contract
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+
     src = fps.filter(F.col(fp_col).isNotNull()) \
         .select(*extras, F.col(id_col).alias("id"), fpc.alias("fp"))
+    if all(is_simple_name(c) for c in extra_cols):
+        # SQL-text fast path over the staged simple names (one parse
+        # per select — functions/sqltext.py; parity pinned in
+        # tests/test_sqltext_parity.py)
+        def _band_sql(b: int) -> str:
+            col = (f"shiftright(fp, {offsets[b]})" if offsets[b]
+                   else "fp")
+            if widths[b] >= 64:
+                return col
+            return f"({col} & {(1 << widths[b]) - 1})"
+
+        bands = ", ".join(_band_sql(b) for b in range(len(widths)))
+        banded = src.selectExpr(
+            *extra_cols, "id", "fp",
+            f"posexplode(array({bands})) AS (band_idx, band_val)")
+        if fold_key:
+            return banded.selectExpr(
+                *extra_cols, "id",
+                "xxhash64(band_idx, band_val) AS band_key", "fp")
+        return banded
     banded = src.select(
         *extra_cols, "id", "fp",
         F.posexplode(F.array(*[_band(b) for b in range(len(widths))]))
@@ -981,10 +1082,54 @@ def lsh_bucket_rows(df: DataFrame, *, id_col: str, vec_col: str,
                             "t int", "bucket int"])
         tb = src.mapInPandas(_buckets, schema=schema)
     else:
-        tb = df.select(
-            idc.alias("id"), *payload,
-            F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
-            .alias("t", "bucket"))
+        from faisssearcher_spark.functions.sqltext import (is_simple_name,
+                                                           sql_double,
+                                                           sql_str)
+
+        if (is_simple_name(id_col) and is_simple_name(vec_col)
+                and all(is_simple_name(p) for p in payload)):
+            # SQL-text rendering of the same bucket trees: the random-
+            # planes form carries tables*bits*dim literal nodes, i.e.
+            # thousands of py4j round-trips when built per-node
+            # (functions/sqltext.py; parity pinned in
+            # tests/test_sqltext_parity.py)
+            v_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+            if not probe_dim:
+                msg = (f"sign-LSH vector length != declared "
+                       f"dim {vec_len}: got ")
+                v_sql = (
+                    f"CASE WHEN (assert_true((size({vec_col}) = "
+                    f"{vec_len}), concat({sql_str(msg)}, "
+                    f"coalesce(CAST(size({vec_col}) AS STRING), "
+                    f"'NULL'))) IS NULL) THEN {v_sql} END")
+
+            if planes_mode == "axis":
+                def proj_sql(t: int, j: int) -> str:
+                    return f"element_at({v_sql}, {t * bits + j + 1})"
+            else:
+                def proj_sql(t: int, j: int) -> str:
+                    hp = ", ".join(sql_double(x)
+                                   for x in planes[t * bits + j])
+                    return (f"aggregate(zip_with({v_sql}, array({hp}), "
+                            f"(x, y) -> (x * y)), 0.0D, "
+                            f"(a, x) -> (a + x))")
+
+            def bucket_sql(t: int) -> str:
+                out = "0"
+                for j in range(bits):
+                    out = (f"({out} + CASE WHEN ({proj_sql(t, j)} >= 0) "
+                           f"THEN {1 << j} ELSE 0 END)")
+                return f"CAST({out} AS INT)"
+
+            buckets = ", ".join(bucket_sql(t) for t in range(tables))
+            tb = df.selectExpr(
+                f"{id_col} AS id", *payload,
+                f"posexplode(array({buckets})) AS (t, bucket)")
+        else:
+            tb = df.select(
+                idc.alias("id"), *payload,
+                F.posexplode(F.array(*[bucket(t) for t in range(tables)]))
+                .alias("t", "bucket"))
     return tb
 
 

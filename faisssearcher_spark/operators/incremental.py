@@ -41,10 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from faisssearcher_spark.functions import text as T
-from faisssearcher_spark.operators.dedup import (MINHASH_SLOTS_PER_MD5,
-                                                 lsh_bucket_rows,
-                                                 minhash_slot_salt,
-                                                 minhash_slot_start)
+from faisssearcher_spark.operators.dedup import lsh_bucket_rows
 
 __all__ = ["EmbeddingStore", "FingerprintStore", "MinHashStore",
            "banded_signatures"]
@@ -86,32 +83,32 @@ def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
     if num_hashes % bands:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    r = num_hashes // bands
-    units = (T.word_ngrams(text_col, shingle_n) if shingle_n
-             else T.tokens(text_col))
-    base = df.select(F.col(id_col).alias("id"),
-                     F.array_distinct(units).alias("__ts"))
-    n_groups = -(-num_hashes // MINHASH_SLOTS_PER_MD5)
-    hashed = base.select("id", F.explode_outer("__ts").alias("__t")) \
-        .filter(F.col("__t").isNotNull()) \
-        .select("id", *[
-            F.md5(F.concat(
-                F.lit(minhash_slot_salt(gi * MINHASH_SLOTS_PER_MD5, seed)),
-                F.col("__t"))).alias(f"__hg{gi}")
-            for gi in range(n_groups)])
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+    from faisssearcher_spark.operators.dedup import (minhash_band_sql_parts,
+                                                     minhash_sig_sql_parts)
+
+    if is_simple_name(id_col) and is_simple_name(text_col):
+        units_sql = (T.word_ngrams_sql(text_col, shingle_n) if shingle_n
+                     else T.tokens_sql(text_col))
+        base = df.selectExpr(f"{id_col} AS id",
+                             f"array_distinct({units_sql}) AS __ts")
+    else:
+        units = (T.word_ngrams(text_col, shingle_n) if shingle_n
+                 else T.tokens(text_col))
+        base = df.select(F.col(id_col).alias("id"),
+                         F.array_distinct(units).alias("__ts"))
+    # per-slot sections render as SQL text — the py4j round-trip wall
+    # (functions/sqltext.py; parity pinned in test_sqltext_parity.py)
+    hash_exprs, agg_exprs, conv_exprs = minhash_sig_sql_parts(
+        num_hashes, seed)
+    hashed = base.selectExpr("id", "explode_outer(__ts) AS __t") \
+        .filter("__t IS NOT NULL") \
+        .selectExpr("id", *hash_exprs)
     # string-window mins (lexicographic == numeric on fixed-length
     # lowercase hex), one radix conversion per doc per slot post-agg
-    sigs = hashed.groupBy("id").agg(*[
-        F.min(F.substring(F.col(f"__hg{i // MINHASH_SLOTS_PER_MD5}"),
-                          minhash_slot_start(i), 8)).alias(f"__x{i}")
-        for i in range(num_hashes)]) \
-        .select("id", *[F.conv(F.col(f"__x{i}"), 16, 10).cast("long")
-                        .alias(f"__s{i}") for i in range(num_hashes)])
-    band_arr = F.array(*[
-        F.concat_ws("|", *[F.col(f"__s{bi * r + j}").cast("string")
-                           for j in range(r)])
-        for bi in range(bands)])
-    sig_arr = F.array(*[F.col(f"__s{i}") for i in range(num_hashes)])
+    sigs = hashed.groupBy("id").agg(*[F.expr(e) for e in agg_exprs]) \
+        .selectExpr("id", *conv_exprs)
+    band_vals, sig_arr = minhash_band_sql_parts(num_hashes, bands)
     # band_idx folds INTO the 8-byte key (xxhash64 of idx + value), so
     # candidate joins run on the SINGLE band_key column — the layout
     # that lets a bucketed state table join with ZERO history-side
@@ -120,12 +117,11 @@ def banded_signatures(df: DataFrame, *, id_col: str = "doc_id",
     # gets "Bucketed: false (disabled by query planner)"). Cross-band
     # value collisions now cost one 2^-64 hash collision, the same
     # budget minhash_lsh_join already accepts for its band_key.
-    return sigs.select(
-        "id", sig_arr.alias("sig"),
-        F.posexplode(band_arr).alias("band_idx", "band_val")) \
-        .select("id", "band_idx",
-                F.xxhash64("band_idx", "band_val").alias("band_key"),
-                "sig")
+    return sigs.selectExpr(
+        "id", f"{sig_arr} AS sig",
+        f"posexplode(array({', '.join(band_vals)})) AS (band_idx, band_val)") \
+        .selectExpr("id", "band_idx",
+                    "xxhash64(band_idx, band_val) AS band_key", "sig")
 
 
 class _IncrementalStore:
