@@ -25,7 +25,39 @@ from __future__ import annotations
 
 import re
 
-_SIMPLE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_SIMPLE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+# Words that Spark's parser resolves as something OTHER than a column
+# reference even when a column of that name exists: the literal
+# keywords, and the niladic-function grammar forms that parse as
+# function calls without parentheses. Splicing one raw would silently
+# read the literal/function instead of the column ``F.col`` resolves.
+_NON_COLUMN_WORDS = frozenset({
+    "null", "true", "false",
+    "current_date", "current_timestamp", "current_time",
+    "current_user", "session_user", "user",
+    "localtime", "localtimestamp",
+})
+
+
+def _session_splice_safe() -> bool:
+    """False when the active session carries a parser config under which
+    the rendered SQL would mean something different from the Column
+    construction: ``escapedStringLiterals=true`` disables backslash
+    processing (breaking :func:`sql_str` / the ``\\s+`` tokenizer
+    pattern), and ``ansi.enforceReservedKeywords=true`` turns
+    reserved-word identifiers that ``F.col`` resolves fine into parse
+    errors. Both default false; checking per call (two conf reads,
+    ~0.5 ms) keeps runtime ``spark.conf.set`` honest."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    return (spark.conf.get("spark.sql.parser.escapedStringLiterals",
+                           "false").lower() != "true"
+            and spark.conf.get("spark.sql.ansi.enforceReservedKeywords",
+                               "false").lower() != "true")
 
 
 def is_simple_name(s: object) -> bool:
@@ -34,8 +66,13 @@ def is_simple_name(s: object) -> bool:
     (no dots — ``F.col("a.b")`` is a qualified/struct reference, which
     raw SQL splicing would also honor, but quoting rules differ; no
     spaces/backticks — those need quoting that ``F.col`` applies
-    differently). Callers fall back to the Column path otherwise."""
-    return isinstance(s, str) and bool(_SIMPLE.match(s))
+    differently; no keyword-literals or bare niladic-function names —
+    those parse as non-column expressions; and no session parser
+    configs that change what the rendered text means). Callers fall
+    back to the Column path otherwise."""
+    return (isinstance(s, str) and bool(_SIMPLE.fullmatch(s))
+            and s.lower() not in _NON_COLUMN_WORDS
+            and _session_splice_safe())
 
 
 def sql_str(s: str) -> str:

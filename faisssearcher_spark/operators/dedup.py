@@ -415,15 +415,14 @@ def minhash_lsh_join(df: DataFrame, *, id_col: str = "doc_id",
             (src_col if tokens_col is not None else T.tokens_sql(src_col)))
         base = df.selectExpr(f"{id_col} AS id",
                              f"array_distinct({units_sql}) AS token_set")
-    elif tokens_col is not None:
-        # share-one-tokenize-scan: shingle the caller's token array
-        units = (T.word_ngrams(tokens_col, shingle_n, pre_tokenized=True)
-                 if shingle_n else F.col(tokens_col))
-        base = df.select(F.col(id_col).alias("id"),
-                         F.array_distinct(units).alias("token_set"))
     else:
-        units = (T.word_ngrams(text_col, shingle_n) if shingle_n
-                 else T.tokens(text_col))
+        if tokens_col is not None:
+            # share-one-tokenize-scan: shingle the caller's token array
+            units = (T.word_ngrams(tokens_col, shingle_n, pre_tokenized=True)
+                     if shingle_n else F.col(tokens_col))
+        else:
+            units = (T.word_ngrams(text_col, shingle_n) if shingle_n
+                     else T.tokens(text_col))
         base = df.select(F.col(id_col).alias("id"),
                          F.array_distinct(units).alias("token_set"))
     # explode_outer + isNotNull: a plain explode gets `size(token_set)>0`

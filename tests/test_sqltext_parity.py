@@ -70,6 +70,39 @@ def test_word_ngrams_sql_parity(docs):
     assert_plan_and_rows_equal(new, old)
 
 
+def test_word_ngrams_sql_pre_tokenized_parity(docs):
+    # the minhash_lsh_join tokens_col+shingle_n fast path renders this
+    # form — pin it against the Column construction over the same array
+    toked = docs.select("doc_id", T.tokens("text").alias("toks"))
+    new = toked.selectExpr(
+        "doc_id",
+        f"{T.word_ngrams_sql('toks', 3, pre_tokenized=True)} AS g")
+    old = toked.select(
+        "doc_id", T.word_ngrams("toks", 3, pre_tokenized=True).alias("g"))
+    assert_plan_and_rows_equal(new, old)
+
+
+def test_is_simple_name_rejects_non_column_words(spark):
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+    # words the parser resolves as literals / bare function calls, and
+    # a trailing-newline name that `$`-anchored match would accept
+    for bad in ("null", "TRUE", "false", "current_date", "CURRENT_USER",
+                "user", "text\n", "a.b", "a b", "`a`", "", 7, None):
+        assert not is_simple_name(bad)
+    assert is_simple_name("text") and is_simple_name("_c0")
+
+
+def test_is_simple_name_respects_escaped_string_literals_conf(spark):
+    from faisssearcher_spark.functions.sqltext import is_simple_name
+    key = "spark.sql.parser.escapedStringLiterals"
+    try:
+        spark.conf.set(key, "true")
+        assert not is_simple_name("text")
+    finally:
+        spark.conf.unset(key)
+    assert is_simple_name("text")
+
+
 # ---------------------------------------------------------------------------
 # banded minhash builders: full-plan parity against pre-r13 replicas
 # ---------------------------------------------------------------------------
@@ -203,6 +236,17 @@ def test_minhash_lsh_join_parity_no_verify(docs):
     old = _minhash_lsh_join_r12(docs, shingle_n=None,
                                 verify_threshold=None)
     assert_plan_and_rows_equal(new, old)
+
+
+def test_minhash_lsh_join_tokens_col_shingle_matches_text_mode(docs):
+    # the tokens_col+shingle_n SQL fast path must emit the same pairs
+    # as text mode when the token array is the library tokenizer's
+    from faisssearcher_spark.operators.dedup import minhash_lsh_join
+    toked = docs.select("doc_id", T.tokens("text").alias("toks"))
+    via_tokens = minhash_lsh_join(toked, tokens_col="toks", shingle_n=3)
+    via_text = minhash_lsh_join(docs, shingle_n=3)
+    assert (sorted(map(tuple, via_tokens.collect()))
+            == sorted(map(tuple, via_text.collect())))
 
 
 # ---------------------------------------------------------------------------
