@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2581,6 +2582,71 @@ uni_doc AS (SELECT bwx.doc_id,
             GROUP BY bwx.doc_id)"""
 
 
+def _fused_subword_expr(bpe_tok, uni_tok, wp_tok, text_col: str):
+    """ONE Arrow boundary crossing for all three subword encoders
+    (r13, guide §4): the text column ships to the Python worker once
+    instead of three times, the ASCII-whitespace word split runs once
+    per text instead of once per tokenizer, and the three per-word
+    kernels (BPE merge loop, Unigram Viterbi, WordPiece greedy scan)
+    run over the shared split with their own Zipf caches. Returns a
+    ``struct<bpe,uni,wp>`` of the three ``array<string>`` encodings —
+    field-for-field identical to the tokenizers' independent
+    ``encode_expr`` passes (pinned in tests/test_token_stats.py;
+    the kernels and the split are shared code, not copies)."""
+    import re
+
+    from faisssearcher_spark.operators.bpe import _encode_word
+    from faisssearcher_spark.operators.unigram import viterbi_segment
+    from faisssearcher_spark.operators.wordpiece import \
+        encode_word as _wp_encode_word
+
+    ranks = {p: i for i, p in enumerate(bpe_tok.merges)}
+    ulogp, umpl = uni_tok.pieces, uni_tok.max_piece_len
+    wvocab, wmpl, wmwl = (wp_tok._set, wp_tok.max_piece_len,
+                          wp_tok.max_word_len)
+    # MUST split exactly like functions/text.tokens — see the bpe.py
+    # Unicode-whitespace trap note
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("struct<bpe:array<string>,uni:array<string>,"
+                  "wp:array<string>>")
+    def _enc3(batch: pd.Series) -> pd.DataFrame:
+        bcache: dict[str, list[str]] = {}
+        ucache: dict[str, list[str]] = {}
+        wcache: dict[str, list[str]] = {}
+
+        def enc_text(text):
+            if text is None:
+                return ([], [], [])
+            b_out: list[str] = []
+            u_out: list[str] = []
+            w_out: list[str] = []
+            for w in ascii_ws.split(text.strip(" \t\n\x0b\f\r")):
+                if not w:
+                    continue
+                got = bcache.get(w)
+                if got is None:
+                    got = bcache[w] = _encode_word(w, ranks)
+                b_out.extend(got)
+                got = ucache.get(w)
+                if got is None:
+                    got = ucache[w] = viterbi_segment(w, ulogp, umpl)
+                u_out.extend(got)
+                got = wcache.get(w)
+                if got is None:
+                    got = wcache[w] = _wp_encode_word(w, wvocab, wmpl,
+                                                      wmwl)
+                w_out.extend(got)
+            return (b_out, u_out, w_out)
+
+        res = batch.map(enc_text)
+        return pd.DataFrame({"bpe": res.map(lambda t: t[0]),
+                             "uni": res.map(lambda t: t[1]),
+                             "wp": res.map(lambda t: t[2])})
+
+    return _enc3(F.col(text_col))
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token stats, EXTENDED (50-cap column pattern) with the
     CCNet-style reference-frequency score: a vocabulary is fit on the
@@ -2636,25 +2702,30 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.token_stats(docs)
-    enc = BPETokenizer(FIXED_BPE_MERGES).encode_expr("text")
-    # one Arrow encode pass: materialize the array once, derive both
-    # columns from the attribute (two references to the pandas_udf
+    # one FUSED Arrow encode pass for all three subword tokenizers
+    # (r13, guide §4 — was three ArrowEvalPython nodes each shipping
+    # the full text column to Python and re-splitting it): materialize
+    # the struct once, derive all six columns from the attribute (the
+    # r7 lesson stands: repeated references to the pandas_udf
     # expression would not reliably CSE)
-    bpe = docs.select("doc_id", enc.alias("__bpe")).select(
+    e3 = _fused_subword_expr(BPETokenizer(FIXED_BPE_MERGES),
+                             UnigramTokenizer(dict(FIXED_UNIGRAM_PIECES)),
+                             WordPieceTokenizer(FIXED_WORDPIECE_VOCAB),
+                             "text")
+    # split floor on THIS subtree only: with the three encode subtrees
+    # fused the floor's price fell from three exchanges to one, and the
+    # ab pair flipped (fused subtree 1.33 flat vs 0.79 floored steady —
+    # the r13 revert note measured the 3-exchange form); the remaining
+    # subtrees keep the raw scan shape that measurement pinned
+    subw = load_table_parallel(spark, sf_dir, "documents") \
+        .select("doc_id", e3.alias("__e3")).select(
         "doc_id",
-        F.size("__bpe").alias("n_bpe_real"),
-        F.md5(F.concat_ws(" ", "__bpe")).alias("bpe_hash"))
-    uenc = UnigramTokenizer(dict(FIXED_UNIGRAM_PIECES)) \
-        .encode_expr("text")
-    uni = docs.select("doc_id", uenc.alias("__uni")).select(
-        "doc_id",
-        F.size("__uni").alias("n_uni_real"),
-        F.md5(F.concat_ws(" ", "__uni")).alias("uni_hash"))
-    wpenc = WordPieceTokenizer(FIXED_WORDPIECE_VOCAB).encode_expr("text")
-    wp = docs.select("doc_id", wpenc.alias("__wp")).select(
-        "doc_id",
-        F.size("__wp").alias("n_wp_real"),
-        F.md5(F.concat_ws(" ", "__wp")).alias("wp_hash"))
+        F.size(F.col("__e3.bpe")).alias("n_bpe_real"),
+        F.md5(F.concat_ws(" ", F.col("__e3.bpe"))).alias("bpe_hash"),
+        F.size(F.col("__e3.uni")).alias("n_uni_real"),
+        F.md5(F.concat_ws(" ", F.col("__e3.uni"))).alias("uni_hash"),
+        F.size(F.col("__e3.wp")).alias("n_wp_real"),
+        F.md5(F.concat_ws(" ", F.col("__e3.wp"))).alias("wp_hash"))
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     score = text_analysis.token_frequency_score(docs, ref) \
@@ -2668,8 +2739,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=3) \
         .select("doc_id", "logppl", "ppl_bucket")
     return (stats.join(score, "doc_id").join(dsir, "doc_id")
-            .join(ppl, "doc_id").join(bpe, "doc_id")
-            .join(uni, "doc_id").join(wp, "doc_id"))
+            .join(ppl, "doc_id").join(subw, "doc_id"))
 
 
 ORACLE_TOKEN_STATS = f"""

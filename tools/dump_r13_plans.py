@@ -30,7 +30,7 @@ QUERIES = [
     "searcher_text_knn", "text_language_id", "text_bm25_topk",
     "text_maxsim_rerank", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_estore_screen", "dedup_fpstore_screen", "dedup_upsert_screen",
-    "dedup_incremental_screen",
+    "dedup_incremental_screen", "text_token_stats",
 ]
 
 
