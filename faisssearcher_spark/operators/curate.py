@@ -37,21 +37,45 @@ from faisssearcher_spark.operators import dedup
 #: the cache intact, every warm bench pass)
 _LANDING_REFS: dict[int, int] = {}
 
+#: guards _LANDING_REFS read-modify-writes: releases run from weakref
+#: finalizers, whose GC timing can interleave with a live _land call on
+#: another thread (r13 ADVICE — the persist-then-retain window)
+_LANDING_LOCK = None
+
+
+def _landing_lock():
+    global _LANDING_LOCK
+    if _LANDING_LOCK is None:
+        import threading
+        _LANDING_LOCK = threading.RLock()
+    return _LANDING_LOCK
+
 
 def _land(frame: DataFrame,
           landed: "list[tuple[DataFrame, int | None]]") -> DataFrame:
-    """Persist a landing frame and refcount its plan IN THE SAME STEP
-    (review catch: retaining only at :func:`_release_with` time left a
-    window — persist → eager driver stages → retain — in which a
-    previous invocation's deferred finalizer could still evict the
-    plan-equal entry this invocation was executing against)."""
-    f = frame.persist()
+    """Refcount the plan BEFORE persisting it (r13 ADVICE: persisting
+    first left a window in which a prior invocation's GC-triggered
+    finalizer could still unpersist the plan-equal cache entry between
+    this call's persist() and its refcount bump — semanticHash is a
+    plan property, so computing it pre-persist retains the same key)."""
     try:
-        h = f.semanticHash()
+        h = frame.semanticHash()
     except Exception:
         h = None
     if h is not None:
-        _LANDING_REFS[h] = _LANDING_REFS.get(h, 0) + 1
+        with _landing_lock():
+            _LANDING_REFS[h] = _LANDING_REFS.get(h, 0) + 1
+    try:
+        f = frame.persist()
+    except BaseException:
+        if h is not None:
+            with _landing_lock():
+                left = _LANDING_REFS.get(h, 1) - 1
+                if left > 0:
+                    _LANDING_REFS[h] = left
+                else:
+                    _LANDING_REFS.pop(h, None)
+        raise
     landed.append((f, h))
     return f
 
@@ -62,11 +86,12 @@ def _release_one(f: DataFrame, h: "int | None") -> None:
     holder; a hash FAILURE (h None) unpersists unconditionally — the
     conservative direction for a leak guard."""
     if h is not None:
-        left = _LANDING_REFS.get(h, 1) - 1
-        if left > 0:
-            _LANDING_REFS[h] = left
-            return
-        _LANDING_REFS.pop(h, None)
+        with _landing_lock():
+            left = _LANDING_REFS.get(h, 1) - 1
+            if left > 0:
+                _LANDING_REFS[h] = left
+                return
+            _LANDING_REFS.pop(h, None)
     try:
         f.unpersist()
     except Exception:

@@ -105,7 +105,9 @@ def contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
                        train_text_col: str = "text",
                        eval_text_col: str = "text",
                        train_tokens_col: str | None = None,
-                       eval_tokens_col: str | None = None) -> DataFrame:
+                       eval_tokens_col: str | None = None,
+                       train_wins: DataFrame | None = None,
+                       eval_wins: DataFrame | None = None) -> DataFrame:
     """Maximal per-TRAIN-document spans covered by any substring of
     length ≥ ``min_len`` tokens that ALSO occurs in the eval set — the
     SURGICAL decontamination granularity (Lee et al. 2022,
@@ -137,16 +139,35 @@ def contaminated_spans(train: DataFrame, eval_df: DataFrame, *,
     if train_id_col in ("start", "end"):
         raise ValueError(f"train_id_col {train_id_col!r} collides with "
                          "an output column; rename it first")
-    _, twins = _token_windows(train, id_col=train_id_col,
-                              text_col=train_text_col, n=min_len,
-                              tokens_col=train_tokens_col)
-    _, ewins = _token_windows(
-        eval_df.select(F.lit(0).alias("__eid"),
-                       F.col(eval_tokens_col if eval_tokens_col
-                             else eval_text_col)),
-        id_col="__eid",
-        text_col=eval_text_col, n=min_len,
-        tokens_col=eval_tokens_col)
+    # ``train_wins`` / ``eval_wins`` reuse precomputed window-occurrence
+    # frames (one dedup.token_windows_multi pass shared across a
+    # composite's span consumers — the share-one-scan discipline).
+    # Eval windows only contribute their distinct ``__w`` keys, so any
+    # frame carrying the eval set's size-min_len window hashes works.
+    if train_wins is not None:
+        from faisssearcher_spark.operators.dedup import _check_wins
+        _check_wins(train_wins, "contaminated_spans", n=min_len,
+                    id_col=train_id_col)
+        twins = train_wins
+    else:
+        _, twins = _token_windows(train, id_col=train_id_col,
+                                  text_col=train_text_col, n=min_len,
+                                  tokens_col=train_tokens_col)
+    if eval_wins is not None:
+        meta = getattr(eval_wins, "_fs_spans_meta", None)
+        if meta is not None and meta.get("n") != min_len:
+            raise ValueError(
+                f"contaminated_spans(eval_wins=...) got windows of size "
+                f"{meta.get('n')!r}, call expects {min_len}")
+        ewins = eval_wins
+    else:
+        _, ewins = _token_windows(
+            eval_df.select(F.lit(0).alias("__eid"),
+                           F.col(eval_tokens_col if eval_tokens_col
+                                 else eval_text_col)),
+            id_col="__eid",
+            text_col=eval_text_col, n=min_len,
+            tokens_col=eval_tokens_col)
     marks = (twins.join(ewins.select("__w").distinct(), "__w",
                         "left_semi")
              .select(train_id_col, "start"))

@@ -651,11 +651,17 @@ def hamming_band_rows(fps: DataFrame, *, id_col: str = "id",
     # band_key per band (xxhash64 skips NULL inputs) — a permanent
     # quadratic candidate bucket in the stores; drop them here so both
     # layouts share the rows-without-fingerprints-never-pair contract
-    from faisssearcher_spark.functions.sqltext import is_simple_name
+    from faisssearcher_spark.functions.sqltext import (_session_splice_safe,
+                                                       is_simple_name)
 
     src = fps.filter(F.col(fp_col).isNotNull()) \
         .select(*extras, F.col(id_col).alias("id"), fpc.alias("fp"))
-    if all(is_simple_name(c) for c in extra_cols):
+    # the session gate is consulted EXPLICITLY: with empty extra_cols
+    # the all() is vacuously true and is_simple_name (which embeds the
+    # gate) never runs — the splice path would silently bypass the
+    # never-splice-under-unsafe-parser-configs invariant (r13 ADVICE)
+    if _session_splice_safe() and all(is_simple_name(c)
+                                      for c in extra_cols):
         # SQL-text fast path over the staged simple names (one parse
         # per select — functions/sqltext.py; parity pinned in
         # tests/test_sqltext_parity.py)
@@ -686,6 +692,52 @@ def hamming_band_rows(fps: DataFrame, *, id_col: str = "id",
     return banded
 
 
+#: band-density warn threshold (r13 verdict #7): expected random
+#: same-band collisions are ~n²/2^width per band, so candidate volume
+#: stays near-linear only while n ≲ 2^width. Once the corpus estimate
+#: exceeds RATIO × 2^width the banding plan is undersized for the
+#: corpus (the documented bits-∝-log₂(n) sizing discipline says widen
+#: ``bits``) — the guard warns loudly instead of silently going
+#: quadratic. 16 ≈ one order of magnitude of headroom past linear.
+BAND_DENSITY_WARN_RATIO = 16
+
+
+def _estimate_rows(df: DataFrame) -> "int | None":
+    """Catalyst's optimized-plan row-count estimate, or None when the
+    optimizer doesn't carry one (no CBO stats) — module-level so tests
+    can monkeypatch it, mirroring :func:`_plan_size_bytes`."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
+
+
+def _band_density_guard(fps: DataFrame, *, bits: int,
+                        max_hamming: int) -> None:
+    """Warn when the corpus size estimate says the pigeonhole bands are
+    too narrow for the corpus (n > RATIO·2^width ⇒ ~n²/2^width random
+    collisions per band dominate the candidate join). Estimate-based
+    and advisory only: plans without a row-count estimate pass silently
+    — the sizing contract stays documented either way."""
+    width = min(hamming_band_widths(bits, max_hamming))
+    if width >= 62:
+        return
+    est = _estimate_rows(fps)
+    if est is not None and est > BAND_DENSITY_WARN_RATIO * (1 << width):
+        import warnings
+        warnings.warn(
+            f"hamming_pairs: ~{est} fingerprints over {width}-bit bands "
+            f"(bits={bits}, max_hamming={max_hamming}) expects "
+            f"~n²/2^{width} ≈ {est * est >> width} random same-band "
+            "collisions per band — the candidate join is effectively "
+            "quadratic at this corpus size. Widen `bits` (keep "
+            "bits ≳ log2(n)·(max_hamming+1)) or split the corpus.",
+            RuntimeWarning, stacklevel=3)
+
+
 def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
                   fp_col: str = "fp", bits: int, max_hamming: int
                   ) -> DataFrame:
@@ -707,6 +759,7 @@ def hamming_pairs(fps: DataFrame, *, id_col: str = "id",
     arithmetic shiftright + mask extracts bands correctly for negative
     64-bit values — two's-complement low bits equal the logical ones).
     """
+    _band_density_guard(fps, bits=bits, max_hamming=max_hamming)
     banded = hamming_band_rows(fps, id_col=id_col, fp_col=fp_col,
                                bits=bits, max_hamming=max_hamming)
 
@@ -1517,6 +1570,117 @@ def _token_windows(df: DataFrame, *, id_col: str, text_col: str,
     return toked, wins
 
 
+def token_windows_multi(df: DataFrame, *, ns: "Sequence[int]",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        tokens_col: str | None = None,
+                        extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """ONE tokenize + ONE explode producing the sliding-window
+    occurrence rows for SEVERAL window sizes at once — the tagged union
+    of :func:`_token_windows` at each ``n`` in ``ns``. Output
+    ``(id, *extra_cols, __n, start, __w)`` where ``__n`` is the window
+    size, ``start`` the 0-based token offset and ``__w`` the xxhash64
+    window key, all bit-identical to the per-size frames.
+
+    Why: composite reports (the ``text_fingerprints`` gate) run span
+    dedup, boilerplate stripping, ExactSubstr and decontamination over
+    the SAME corpus at different window lengths — each re-scanning and
+    re-tokenizing the corpus for its own window build (guide §2.3:
+    shuffle/scan the bytes once, tag, don't repeat). One pass builds
+    all the arrays off one token split; the size tag is recovered from
+    the explode position against the running array lengths, a
+    codegen'd CASE chain (the ``_tagged_gram_explode`` discipline —
+    per-element struct transforms run interpreted and slower). Callers
+    persist the result and carve per-size frames with
+    :func:`window_slice`."""
+    sizes = sorted({int(n) for n in ns})
+    if not sizes or sizes[0] < 1:
+        raise ValueError(f"ns must be a non-empty set of ints >= 1, "
+                         f"got {ns!r}")
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else T.tokens(text_col))
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                     toks.alias("__toks"))
+    nt = F.size("__toks")
+
+    # one-positional-arg lambda per size (a `n=n` default would make
+    # pyspark treat it as the two-arg (element, index) HOF form and
+    # bind n to the INDEX column)
+    def _whash(n: int):
+        return lambda s: F.xxhash64(F.slice(F.col("__toks"), s, n))
+
+    for n in sizes:
+        starts = F.when(nt >= n, F.sequence(F.lit(1), nt - n + 1)) \
+                  .otherwise(F.array().cast("array<int>"))
+        base = base.withColumn(f"__wa{n}",
+                               F.transform(starts, _whash(n)))
+    cat = F.concat(*[F.col(f"__wa{n}") for n in sizes])
+    bands = [F.size(f"__wa{n}").alias(f"__s{n}") for n in sizes[:-1]]
+    g = base.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                    *bands, F.posexplode(cat).alias("__p", "__w"))
+    running = None
+    tag = None
+    off = None
+    prev = F.lit(0)
+    for n in sizes[:-1]:
+        s = F.col(f"__s{n}")
+        running = s if running is None else running + s
+        cond = F.col("__p") < running
+        tag = (F.when(cond, F.lit(n)) if tag is None
+               else tag.when(cond, F.lit(n)))
+        o = F.col("__p") - prev
+        off = F.when(cond, o) if off is None else off.when(cond, o)
+        prev = running
+    tag = (F.lit(sizes[-1]) if tag is None
+           else tag.otherwise(F.lit(sizes[-1])))
+    off = ((F.col("__p") - prev) if off is None
+           else off.otherwise(F.col("__p") - prev))
+    out = g.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                   tag.alias("__n"), off.alias("start"), F.col("__w"))
+    return _stamp_spans(out, producer="token_windows_multi",
+                        ns=tuple(sizes), id_col=id_col,
+                        extra_cols=tuple(extra_cols))
+
+
+def window_slice(wall: DataFrame, n: int, *, id_col: str = "doc_id",
+                 extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """Carve the size-``n`` windows frame ``(id, *extra_cols, start,
+    __w)`` out of a :func:`token_windows_multi` union — row-identical
+    to ``_token_windows(df, n=n)``'s occurrence frame, so the span
+    consumers' ``wins=`` hooks accept it. Validates the union's stamp
+    (a size the union never built would silently slice empty)."""
+    n = int(n)
+    meta = getattr(wall, "_fs_spans_meta", None)
+    if meta is not None:
+        if meta.get("producer") != "token_windows_multi":
+            raise ValueError(
+                "window_slice expects a token_windows_multi frame, got "
+                f"producer={meta.get('producer')!r}")
+        if n not in meta.get("ns", ()):
+            raise ValueError(
+                f"window_slice(n={n}): the union was built for sizes "
+                f"{meta.get('ns')!r} — slicing an unbuilt size would "
+                "be silently empty")
+        missing = [c for c in extra_cols
+                   if c not in meta.get("extra_cols", ())]
+        if missing:
+            raise ValueError(
+                f"window_slice extra_cols {missing!r} were not carried "
+                f"by the union (has {meta.get('extra_cols')!r})")
+    out = (wall.filter(F.col("__n") == n)
+           .select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                   "start", "__w"))
+    return _stamp_spans(out, producer="token_windows", n=n,
+                        id_col=id_col, extra_cols=tuple(extra_cols))
+
+
+def _check_wins(wins: DataFrame, consumer: str, *, n: int, id_col: str,
+                extra_cols: "tuple[str, ...]" = ()) -> None:
+    """Validate a ``wins=`` occurrence frame against the consumer's
+    window parameters (the :func:`_check_spans` discipline)."""
+    _check_spans(wins, consumer, producer="token_windows", n=int(n),
+                 id_col=id_col, extra_cols=tuple(extra_cols))
+
+
 def duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 10) -> DataFrame:
     """Corpus-global exact duplicate n-token spans (the substring-dedup
@@ -1568,7 +1732,8 @@ def _span_marks(wins: DataFrame, *, id_col: str) -> DataFrame:
 def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 10,
                            drop_empty_docs: bool = False,
-                           tokens_col: str | None = None) -> DataFrame:
+                           tokens_col: str | None = None,
+                           wins: DataFrame | None = None) -> DataFrame:
     """Remove corpus-global exact duplicate n-token spans from each
     document (Lee et al. 2022 ExactSubstr dedup, relational form): every
     token covered by a non-first duplicate window (:func:`duplicate_spans`)
@@ -1594,8 +1759,17 @@ def remove_duplicate_spans(df: DataFrame, *, id_col: str = "doc_id",
     if id_col in ("start", "pos", "n_tokens", "n_dup_tokens"):
         raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
                          "output column; rename it first")
-    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col, n=n,
-                                 tokens_col=tokens_col)
+    # ``wins`` reuses a precomputed window-occurrence frame (one
+    # token_windows_multi pass shared across a composite's span
+    # consumers — the share-one-scan discipline, like ``tokens_col``)
+    if wins is not None:
+        _check_wins(wins, "remove_duplicate_spans", n=n, id_col=id_col)
+        toked, _ = _token_windows(df, id_col=id_col, text_col=text_col,
+                                  n=n, tokens_col=tokens_col)
+    else:
+        toked, wins = _token_windows(df, id_col=id_col,
+                                     text_col=text_col, n=n,
+                                     tokens_col=tokens_col)
     dup = _span_marks(wins, id_col=id_col)
     covered = (dup.select(
         F.col(id_col),
@@ -1691,7 +1865,8 @@ def _check_spans(spans: DataFrame, consumer: str, **expect) -> None:
 def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
                           text_col: str = "text", min_len: int = 50,
                           keep: str = "none",
-                          tokens_col: str | None = None) -> DataFrame:
+                          tokens_col: str | None = None,
+                          wins: DataFrame | None = None) -> DataFrame:
     """Maximal per-document spans covered by EXACT duplicated
     substrings of ANY length ≥ ``min_len`` tokens — the suffix-array
     ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
@@ -1736,8 +1911,15 @@ def exact_substring_spans(df: DataFrame, *, id_col: str = "doc_id",
     if id_col in ("start", "end"):
         raise ValueError(f"id_col {id_col!r} collides with an "
                          "ExactSubstr output column; rename it first")
-    _, wins = _token_windows(df, id_col=id_col, text_col=text_col,
-                             n=min_len, tokens_col=tokens_col)
+    # ``wins`` reuses a precomputed window-occurrence frame (one
+    # token_windows_multi pass shared across a composite — the
+    # share-one-scan discipline, like ``tokens_col``)
+    if wins is not None:
+        _check_wins(wins, "exact_substring_spans", n=min_len,
+                    id_col=id_col)
+    else:
+        _, wins = _token_windows(df, id_col=id_col, text_col=text_col,
+                                 n=min_len, tokens_col=tokens_col)
     marks = _exsub_marks(wins, id_col=id_col, keep=keep)
     return _stamp_spans(
         _merge_window_runs(marks, id_col=id_col, n=min_len),
@@ -2284,7 +2466,8 @@ def remove_boilerplate(df: DataFrame, *, id_col: str = "doc_id",
                        group_col: str = "source", n: int = 10,
                        min_docs: int = 2, min_doc_frac: float = 0.0,
                        drop_empty_docs: bool = False,
-                       tokens_col: str | None = None) -> DataFrame:
+                       tokens_col: str | None = None,
+                       wins: DataFrame | None = None) -> DataFrame:
     """Strip per-group boilerplate spans (:func:`boilerplate_spans`)
     from each document and reassemble the survivors in order — the
     same position-union rebuild as :func:`remove_duplicate_spans`.
@@ -2301,9 +2484,19 @@ def remove_boilerplate(df: DataFrame, *, id_col: str = "doc_id",
     if id_col in ("start", "pos", "n_tokens", "n_bp_tokens"):
         raise ValueError(f"id_col {id_col!r} collides with a span-dedup "
                          "output column; rename it first")
-    toked, wins = _token_windows(df, id_col=id_col, text_col=text_col,
-                                 n=n, tokens_col=tokens_col,
-                                 extra_cols=(group_col,))
+    # ``wins`` reuses a precomputed (grouped) window-occurrence frame
+    # (one token_windows_multi pass shared across a composite)
+    if wins is not None:
+        _check_wins(wins, "remove_boilerplate", n=n, id_col=id_col,
+                    extra_cols=(group_col,))
+        toked, _ = _token_windows(df, id_col=id_col, text_col=text_col,
+                                  n=n, tokens_col=tokens_col,
+                                  extra_cols=(group_col,))
+    else:
+        toked, wins = _token_windows(df, id_col=id_col,
+                                     text_col=text_col,
+                                     n=n, tokens_col=tokens_col,
+                                     extra_cols=(group_col,))
     marks = _boilerplate_marks(df, wins, id_col=id_col,
                                group_col=group_col, min_docs=min_docs,
                                min_doc_frac=min_doc_frac) \

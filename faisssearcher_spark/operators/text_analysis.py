@@ -149,9 +149,12 @@ def repetition_signals(df: DataFrame, *, id_col: str = "doc_id",
     ``df`` themselves before calling."""
     # normalize once: duplicate sizes would alias duplicate band/agg
     # columns downstream (the concat-explode tagging AND the final agg
-    # build one column per size — review catch)
-    top_ns = tuple(sorted(set(top_ns)))
-    dup_ns = tuple(sorted(set(dup_ns)))
+    # build one column per size — review catch). Dedupe PRESERVING the
+    # caller's order (r13 ADVICE: sorted() silently reordered the
+    # output columns for callers passing unsorted tuples like
+    # top_ns=(4, 2) — positional consumers would break)
+    top_ns = tuple(dict.fromkeys(top_ns))
+    dup_ns = tuple(dict.fromkeys(dup_ns))
     base = df.select(id_col, T.tokens(text_col).alias("__t"),
                      T.lines(text_col).alias("__ls"))
     for n in sorted(set(top_ns) | set(dup_ns)):

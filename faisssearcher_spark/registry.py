@@ -3150,7 +3150,30 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                         T.tokens("text").alias("__toks"))
     fp = text_analysis.fingerprints(toked, tokens_col="__toks")
 
-    spans = remove_duplicate_spans(toked, n=10, tokens_col="__toks").select(
+    # r14 (r13 verdict #2): the four span consumers below (keep-first
+    # spans n=10, boilerplate n=5, ExactSubstr n=8, decontam n=8) each
+    # re-scanned + re-tokenized the corpus for their own window build —
+    # 5 window-build scans in the plan. ONE tagged multi-size window
+    # pass now lands (persist, refcounted like curate's landing caches)
+    # and every consumer slices its size out of it via the wins= hooks;
+    # window VALUES are bit-identical (same xxhash64 over the same
+    # slices), so every consumer's output — and the gate hash — is
+    # unchanged by construction. The narrow (id, source, n, start,
+    # hash) landing frame is the guide-§8 lightweight proxy: at scale
+    # it is ~25 bytes/window vs re-reading the text corpus per subtree.
+    from faisssearcher_spark.operators.curate import _land, _release_with
+
+    landed: list = []
+    wall = _land(dedup.token_windows_multi(
+        toked, ns=(5, 8, 10), id_col="doc_id", tokens_col="__toks",
+        extra_cols=("source",)), landed)
+    w10 = dedup.window_slice(wall, 10, id_col="doc_id")
+    w8 = dedup.window_slice(wall, 8, id_col="doc_id")
+    w5 = dedup.window_slice(wall, 5, id_col="doc_id",
+                            extra_cols=("source",))
+
+    spans = remove_duplicate_spans(toked, n=10, tokens_col="__toks",
+                                   wins=w10).select(
         "doc_id",
         F.col("n_dup_tokens").alias("n_dup_span_tokens"),
         F.md5("text").alias("span_clean_hash"))
@@ -3166,7 +3189,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.dedup import remove_boilerplate
 
     bp = remove_boilerplate(toked, n=5, min_docs=2,
-                            tokens_col="__toks").select(
+                            tokens_col="__toks", wins=w5).select(
         "doc_id", "n_bp_tokens", F.md5("text").alias("bp_clean_hash"))
 
     # EXTENDED AGAIN (round 10) with ARBITRARY-LENGTH ExactSubstr
@@ -3183,7 +3206,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substring_spans, remove_exact_substrings)
 
     exspans = exact_substring_spans(toked, min_len=8,
-                                    tokens_col="__toks")
+                                    tokens_col="__toks", wins=w8)
     # ONE spans subtree feeds both the interval stats and the removal
     # (the spans= share-one-scan hook): the two legs' plans contain an
     # identical spans fragment, so exchange reuse evaluates the heavy
@@ -3204,13 +3227,20 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # have >= 8 tokens — shorter ones yield no windows on either side
     # and pass through), same 8-token windows as the exsub legs so the
     # oracle derives eval windows from the SAME ewin CTE.
-    from faisssearcher_spark.operators.decontam import \
-        remove_contaminated_spans
+    from faisssearcher_spark.operators.decontam import (
+        contaminated_spans, remove_contaminated_spans)
 
     evdocs = toked.filter(F.col("doc_id") < 40)
+    # eval docs are a slice of the SAME corpus, so their windows are a
+    # filter of the landed union — no separate eval window build
+    ew8 = dedup.window_slice(wall.filter(F.col("doc_id") < 40), 8,
+                             id_col="doc_id")
+    ctspans = contaminated_spans(
+        toked, evdocs, min_len=8, train_tokens_col="__toks",
+        eval_tokens_col="__toks", train_wins=w8, eval_wins=ew8)
     ct = remove_contaminated_spans(
         toked, evdocs, min_len=8, train_tokens_col="__toks",
-        eval_tokens_col="__toks").select(
+        eval_tokens_col="__toks", spans=ctspans).select(
         "doc_id", "n_contam_tokens",
         F.md5("text").alias("contam_clean_hash"))
 
@@ -3248,7 +3278,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = corpus_diff(toked.select("doc_id", "text"), refreshed).select(
         F.col("key").alias("doc_id"), F.col("status").alias("diff_status"))
 
-    return (fp.join(totals, "doc_id", "left")
+    out = (fp.join(totals, "doc_id", "left")
               .join(rebuilt, "doc_id", "left")
               .join(spans, "doc_id", "left")
               .join(bp, "doc_id", "left")
@@ -3283,6 +3313,9 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("n_contam_tokens"),
                       F.coalesce("contam_clean_hash", F.lit(""))
                        .alias("contam_clean_hash")))
+    # the landed window union releases when the result frame dies
+    # (refcounted — overlapping invocations share the plan-equal entry)
+    return _release_with(out, landed)
 
 
 ORACLE_FINGERPRINTS = rf"""

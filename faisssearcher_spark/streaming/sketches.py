@@ -80,6 +80,14 @@ def _epoch_sink(stream_df: DataFrame, *, sketch_fn, merge_fn,
       byte-identical state over itself.
     """
 
+    # one footer-schema compatibility check per STREAM (r13 ADVICE):
+    # forcing new.schema onto every prior epoch skips footer inference,
+    # but state persisted by an older library version with a different
+    # sketch schema would be silently misread (missing columns become
+    # nulls feeding merge_fn) — verify the first prior epoch actually
+    # carries the expected columns, then keep the fast path
+    checked: set = set()
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
@@ -92,6 +100,18 @@ def _epoch_sink(stream_df: DataFrame, *, sketch_fn, merge_fn,
         if prior:
             prev_path = _epoch_path(state_dir, prior[-1])
             spark.catalog.refreshByPath(prev_path)
+            if not checked:
+                footer = {f.name.lower()
+                          for f in spark.read.parquet(prev_path).schema}
+                want = {f.name.lower() for f in new.schema}
+                if not want <= footer:
+                    raise ValueError(
+                        f"sketch state at {prev_path} is missing columns "
+                        f"{sorted(want - footer)} (footer has "
+                        f"{sorted(footer)}); the persisted state was "
+                        "written with an incompatible sketch schema — "
+                        "reset state_dir or migrate it")
+                checked.add(True)
             # prior state has the sketch schema by construction (it was
             # written from this same merge) — pass it instead of paying
             # a footer-inference read per epoch (guide §1.2/#2: the

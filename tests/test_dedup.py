@@ -670,3 +670,52 @@ class TestHammingBandRowsEdges:
         folded = hamming_band_rows(fps, bits=64, max_hamming=3,
                                    fold_key=True)
         assert {r["id"] for r in folded.collect()} == {2}
+
+
+class TestBandDensityGuard:
+    """r13 verdict #7: warn loudly when the corpus estimate outgrows
+    the pigeonhole band width (n > RATIO·2^width ⇒ the candidate join
+    is ~n²/2^width per band — effectively quadratic)."""
+
+    def test_warns_when_estimate_exceeds_band_capacity(self, spark,
+                                                       monkeypatch):
+        import warnings
+
+        from faisssearcher_spark.operators import dedup as D
+
+        fps = spark.createDataFrame([(0, 1), (1, 2)], "id long, fp long")
+        # bits=32, max_hamming=3 → four 8-bit bands; pretend 10M rows
+        monkeypatch.setattr(D, "_estimate_rows", lambda df: 10_000_000)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            D.hamming_pairs(fps, bits=32, max_hamming=3)
+        msgs = [str(x.message) for x in w
+                if issubclass(x.category, RuntimeWarning)]
+        assert any("quadratic" in m and "Widen" in m for m in msgs)
+
+    def test_silent_when_sized_or_unknown(self, spark, monkeypatch):
+        import warnings
+
+        from faisssearcher_spark.operators import dedup as D
+
+        fps = spark.createDataFrame([(0, 1), (1, 2)], "id long, fp long")
+        for est in (None, 100):   # no estimate / comfortably linear
+            monkeypatch.setattr(D, "_estimate_rows", lambda df, e=est: e)
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                D.hamming_pairs(fps, bits=32, max_hamming=3)
+            assert not [x for x in w
+                        if issubclass(x.category, RuntimeWarning)]
+
+    def test_results_unchanged_under_warning(self, spark, monkeypatch):
+        from faisssearcher_spark.operators import dedup as D
+
+        fps = spark.createDataFrame(
+            [(0, 0b1010), (1, 0b1011), (2, 0b1010)], "id long, fp long")
+        want = D.hamming_pairs(fps, bits=32, max_hamming=3).collect()
+        monkeypatch.setattr(D, "_estimate_rows", lambda df: 1 << 30)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = D.hamming_pairs(fps, bits=32, max_hamming=3).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

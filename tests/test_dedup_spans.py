@@ -520,3 +520,95 @@ def test_remove_exact_substrings_auto_min_len(spark):
     spans = exact_substring_spans(df, min_len=16)
     with pytest.raises(ValueError, match="auto"):
         remove_exact_substrings(df, min_len="auto", spans=spans)
+
+
+class TestTokenWindowsMulti:
+    """r14: ONE tagged multi-size window pass shared across a
+    composite's span consumers — slices must be row-identical to the
+    per-size _token_windows frames, and every wins= consumer must
+    return exactly its build-my-own-windows result."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "a b p q r s c d", "s1"),
+            (2, "x p q r s y z", "s1"),
+            (3, "p q r s", "s2"),
+            (4, "u v", "s2"),               # shorter than every n
+            (5, "m n o m n o m n o", "s2"),
+            (6, "", "s1"),                  # empty text edge
+        ]
+        return spark.createDataFrame(rows,
+                                     "doc_id long, text string, "
+                                     "source string")
+
+    def test_slices_equal_per_size_frames(self, spark, docs):
+        from faisssearcher_spark.operators.dedup import (_token_windows,
+                                                         token_windows_multi,
+                                                         window_slice)
+
+        wall = token_windows_multi(docs, ns=(2, 3, 5), id_col="doc_id",
+                                   extra_cols=("source",))
+        for n in (2, 3, 5):
+            got = sorted(map(tuple, window_slice(
+                wall, n, id_col="doc_id",
+                extra_cols=("source",)).collect()))
+            _, wins = _token_windows(docs, id_col="doc_id",
+                                     text_col="text", n=n,
+                                     extra_cols=("source",))
+            want = sorted(map(tuple, wins.select(
+                "doc_id", "source", "start", "__w").collect()))
+            assert got == want, f"n={n}"
+
+    def test_slice_validation(self, spark, docs):
+        from faisssearcher_spark.operators.dedup import (token_windows_multi,
+                                                         window_slice)
+
+        wall = token_windows_multi(docs, ns=(2, 3), id_col="doc_id")
+        with pytest.raises(ValueError, match="unbuilt size"):
+            window_slice(wall, 7, id_col="doc_id")
+        with pytest.raises(ValueError, match="not carried"):
+            window_slice(wall, 2, id_col="doc_id",
+                         extra_cols=("source",))
+
+    def test_wins_consumers_match_plain_paths(self, spark, docs):
+        from faisssearcher_spark.operators.decontam import (
+            contaminated_spans)
+        from faisssearcher_spark.operators.dedup import (
+            exact_substring_spans, remove_boilerplate,
+            remove_duplicate_spans, token_windows_multi, window_slice)
+
+        wall = token_windows_multi(docs, ns=(2, 3), id_col="doc_id",
+                                   extra_cols=("source",))
+        w3 = window_slice(wall, 3, id_col="doc_id")
+        w2s = window_slice(wall, 2, id_col="doc_id",
+                           extra_cols=("source",))
+        pairs = [
+            (remove_duplicate_spans(docs, n=3, wins=w3),
+             remove_duplicate_spans(docs, n=3)),
+            (remove_boilerplate(docs, n=2, min_docs=2, wins=w2s),
+             remove_boilerplate(docs, n=2, min_docs=2)),
+            (exact_substring_spans(docs, min_len=3, wins=w3),
+             exact_substring_spans(docs, min_len=3)),
+        ]
+        ev = docs.filter(F.col("doc_id") < 3)
+        ew3 = window_slice(wall.filter(F.col("doc_id") < 3), 3,
+                           id_col="doc_id")
+        w3b = window_slice(wall, 3, id_col="doc_id")
+        pairs.append(
+            (contaminated_spans(docs, ev, min_len=3, train_wins=w3b,
+                                eval_wins=ew3),
+             contaminated_spans(docs, ev, min_len=3)))
+        for got_df, want_df in pairs:
+            got = sorted(map(tuple, got_df.collect()))
+            want = sorted(map(tuple, want_df.collect()))
+            assert got == want
+
+    def test_wins_stamp_mismatch_raises(self, spark, docs):
+        from faisssearcher_spark.operators.dedup import (
+            remove_duplicate_spans, token_windows_multi, window_slice)
+
+        wall = token_windows_multi(docs, ns=(2, 3), id_col="doc_id")
+        w2 = window_slice(wall, 2, id_col="doc_id")
+        with pytest.raises(ValueError, match="different parameters"):
+            remove_duplicate_spans(docs, n=3, wins=w2)

@@ -154,3 +154,37 @@ class TestCmsSketchSink:
         second = sorted(map(tuple,
                             read_sketch_state(spark, s1).collect()))
         assert first == second
+
+
+class TestPriorStateSchemaGuard:
+    def test_incompatible_prior_state_raises(self, spark, sf_dir,
+                                             tmp_path_factory):
+        """r13 ADVICE: the schema-on-read fast path must verify (once
+        per stream) that the prior epoch's footer actually carries the
+        sketch columns — state from an incompatible older layout must
+        fail loudly, not be silently misread as nulls."""
+        import os
+
+        base = tmp_path_factory.mktemp("hll_bad_state")
+        src = str(base / "src")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        state, ckpt = str(base / "state"), str(base / "ckpt")
+        _run(spark, src, state, ckpt)
+
+        epochs = sorted(int(d.split("=")[1]) for d in os.listdir(state)
+                        if d.startswith("epoch="))
+        assert len(epochs) >= 2
+        # simulate an older library version's state: rename every column
+        last = f"{state}/epoch={epochs[-1]}"
+        old = spark.read.parquet(last)
+        renamed = old.select([F.col(c).alias(c + "_v0")
+                              for c in old.columns])
+        tmp_dir = str(base / "tmp_epoch")
+        renamed.write.mode("overwrite").parquet(tmp_dir)
+        shutil.rmtree(last)
+        shutil.move(tmp_dir, last)
+        # one more source file -> one more micro-batch on the same ckpt
+        ev.limit(5).coalesce(1).write.mode("append").parquet(src)
+        with pytest.raises(Exception, match="incompatible sketch schema"):
+            _run(spark, src, state, ckpt)

@@ -697,3 +697,26 @@ class TestC4Signals:
         assert got[2]["n_lines"] == 0 and got[2]["n_sentences"] == 0
         # NULL text behaves as empty: zero counters, flags false
         assert got[1]["n_lines"] == 0 and not got[1]["has_lorem"]
+
+
+class TestRepetitionSignalsColumnOrder:
+    def test_caller_order_preserved(self, spark):
+        """r13 ADVICE: sorted(set(...)) silently reordered the output
+        columns for unsorted size tuples; dedupe must preserve the
+        caller's order (duplicates still collapse)."""
+        from faisssearcher_spark.operators.text_analysis import (
+            repetition_signals)
+
+        df = spark.createDataFrame([(1, "a b a b a b")],
+                                   "doc_id long, text string")
+        out = repetition_signals(df, top_ns=(4, 2, 4), dup_ns=(10, 5))
+        assert [c for c in out.columns if c.startswith("top")] \
+            == ["top4_chars", "top2_chars"]
+        assert [c for c in out.columns
+                if c.startswith("dup") and c != "dup_line_chars"] \
+            == ["dup10_chars", "dup5_chars"]
+        # values identical to the sorted-call equivalents
+        got = out.collect()[0].asDict()
+        ref = repetition_signals(df, top_ns=(2, 4), dup_ns=(5, 10)) \
+            .collect()[0].asDict()
+        assert got == ref
