@@ -441,7 +441,11 @@ def prepare_pretraining_data(
 
         if reference is not None:
             lm = fit_token_frequencies(reference, text_col=text_col)
-            scored = unigram_logppl(kept, lm, tokens_col="__toks")
+            # landed: the projected LM table executes twice per epoch
+            # (normalizer collect + scoring join side) — persist it
+            # with the pipeline's other landing frames (guide §2.4)
+            scored = unigram_logppl(kept, lm, tokens_col="__toks",
+                                    landed=landed)
             if ppl_thresholds == "fit":
                 # the scale path, self-contained: fit the cut points from
                 # one bounded approxQuantile sketch pass over the scored

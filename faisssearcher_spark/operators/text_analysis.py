@@ -432,7 +432,8 @@ def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
                      raw_vocab: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text", token_col: str = "token",
                      tf_col: str = "tf", smoothing: float = 1.0,
-                     score_scale: int | None = 4) -> DataFrame:
+                     score_scale: int | None = 4,
+                     landed: "list | None" = None) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
     per-document log-likelihood ratio between a TARGET distribution
     (the domain you want more of) and the RAW distribution (the pool you
@@ -475,6 +476,13 @@ def dsir_log_weights(df: DataFrame, target_vocab: DataFrame,
              .select("__tok",
                      F.coalesce("__tf_t", F.lit(0.0)).alias("__tf_t"),
                      F.coalesce("__tf_r", F.lit(0.0)).alias("__tf_r")))
+    # ``landed``: the union vocab executes twice per invocation (the
+    # normalizer collect + the __lr join side) and its inputs are two
+    # full LM fits — a caller passing a landed-list gets the Zipf-small
+    # union persisted and owns the release (curate.py discipline)
+    if landed is not None:
+        from faisssearcher_spark.operators.curate import _land
+        vocab = _land(vocab, landed)
     tot = vocab.agg(F.sum("__tf_t"), F.sum("__tf_r"),
                     F.count("*")).collect()[0]
     n_t, n_r = float(tot[0] or 0.0), float(tot[1] or 0.0)
@@ -520,7 +528,8 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
                    token_col: str = "token", tf_col: str = "tf",
                    smoothing: float = 1.0, ngram: int = 1,
                    score_scale: int | None = 4,
-                   tokens_col: str | None = None) -> DataFrame:
+                   tokens_col: str | None = None,
+                   landed: "list | None" = None) -> DataFrame:
     """Per-document cross-entropy under an add-``smoothing`` unigram
     language model fit on a reference corpus (CCNet-style perplexity
     filtering, Wenzek et al. 2020, arXiv:1911.00359 — the paper scores a
@@ -558,6 +567,15 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     v_rows = lm_vocab.select(F.col(token_col).alias("__tok"),
                              F.col(tf_col).cast("double").alias("__tf"))
+    # ``landed``: the projected LM table executes twice per invocation
+    # (the normalizer collect below + the __nlp join side of the main
+    # plan) — a caller passing a landed-list gets it persisted (it is
+    # vocab-sized, Zipf-small — legitimately cacheable at any corpus
+    # scale) and OWNS the release (the curate.py _land/_release_with
+    # refcount discipline). Values are unchanged either way.
+    if landed is not None:
+        from faisssearcher_spark.operators.curate import _land
+        v_rows = _land(v_rows, landed)
     tot = v_rows.agg(F.sum("__tf"), F.count("*")).collect()[0]
     n_lm = float(tot[0] or 0.0)
     v_lm = int(tot[1])
@@ -605,7 +623,8 @@ def unigram_logppl(df: DataFrame, lm_vocab: DataFrame, *,
 def bigram_backoff_logppl(df: DataFrame, ref: DataFrame, *,
                           id_col: str = "doc_id", text_col: str = "text",
                           backoff: float = 0.4,
-                          score_scale: int | None = 4) -> DataFrame:
+                          score_scale: int | None = 4,
+                          landed: "list | None" = None) -> DataFrame:
     """Per-document cross-entropy under a CONDITIONAL bigram LM with
     stupid backoff (Brants et al. 2007, "Large Language Models in
     Machine Translation" — the backoff scheme built for web-scale
@@ -641,6 +660,15 @@ def bigram_backoff_logppl(df: DataFrame, ref: DataFrame, *,
     uni = (ref.select(F.explode_outer(T.tokens(text_col)).alias("__w"))
            .filter(F.col("__w").isNotNull())
            .groupBy("__w").agg(F.count("*").alias("__c1")))
+    # ``landed``: the unigram count table executes THREE times per
+    # invocation (the N collect below, the __u_nlp join side, and the
+    # __c1 side of the bigram-conditional join), each a full reference
+    # tokenize+aggregate — a caller passing a landed-list gets the
+    # Zipf-small table persisted and owns the release (curate.py
+    # _land/_release_with discipline). Values unchanged either way.
+    if landed is not None:
+        from faisssearcher_spark.operators.curate import _land
+        uni = _land(uni, landed)
     n_ref = uni.agg(F.sum("__c1")).collect()[0][0] or 0
     if n_ref == 0:
         raise ValueError("reference corpus has no tokens")

@@ -2732,20 +2732,32 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.col("__e3.uni"))).alias("uni_hash"),
         F.size(F.col("__e3.wp")).alias("n_wp_real"),
         F.md5(F.concat_ws(" ", F.col("__e3.wp"))).alias("wp_hash"))
-    ref = text_analysis.fit_token_frequencies(
-        docs.filter(F.col("source") == "src1"))
+    from faisssearcher_spark.operators.curate import _land, _release_with
+
+    # land the two LM tables for the invocation (r14, guide §2.4): the
+    # src1 vocabulary feeds the frequency score, the DSIR target side
+    # AND the perplexity LM (≈5 executions of the same tokenize+count
+    # otherwise — the dsir/ppl normalizer collects re-run it eagerly
+    # too), and the raw vocabulary feeds DSIR twice. Both are
+    # Zipf-small count tables — cacheable at any corpus scale. Values
+    # unchanged; released when the result frame dies.
+    landed: list = []
+    ref = _land(text_analysis.fit_token_frequencies(
+        docs.filter(F.col("source") == "src1")), landed)
     score = text_analysis.token_frequency_score(docs, ref) \
         .select("doc_id", "sum_ref_tf", "n_oov")
-    raw_ref = text_analysis.fit_token_frequencies(docs)
+    raw_ref = _land(text_analysis.fit_token_frequencies(docs), landed)
     dsir = text_analysis.dsir_log_weights(docs, ref, raw_ref,
-                                          score_scale=4) \
+                                          score_scale=4, landed=landed) \
         .select("doc_id", F.col("logw").alias("dsir_logw"))
     ppl = text_analysis.perplexity_buckets(
-        text_analysis.unigram_logppl(docs, ref, score_scale=4),
+        text_analysis.unigram_logppl(docs, ref, score_scale=4,
+                                     landed=landed),
         n_buckets=3) \
         .select("doc_id", "logppl", "ppl_bucket")
-    return (stats.join(score, "doc_id").join(dsir, "doc_id")
-            .join(ppl, "doc_id").join(subw, "doc_id"))
+    out = (stats.join(score, "doc_id").join(dsir, "doc_id")
+           .join(ppl, "doc_id").join(subw, "doc_id"))
+    return _release_with(out, landed)
 
 
 ORACLE_TOKEN_STATS = f"""
@@ -2882,13 +2894,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars beyond first, top-{2,3,4}-gram char weight, duplicated-
     {5,10}-gram span-union coverage, total token chars); the oracle
     replays each from positional n-gram CTEs (_rep_ctes)."""
+    from faisssearcher_spark.operators.curate import _release_with
+
     docs = load_table_parallel(spark, sf_dir, "documents")
     ref = docs.filter(F.col("source") == "src1")
-    bg = text_analysis.bigram_backoff_logppl(docs, ref) \
+    # landed: the bigram LM's unigram table executed 3x per invocation
+    # (normalizer collect + two join sides) — persist it for the
+    # invocation, released when the result dies (r14, guide §2.4)
+    landed: list = []
+    bg = text_analysis.bigram_backoff_logppl(docs, ref, landed=landed) \
         .select("doc_id", "bigram_logppl")
     rep = text_analysis.repetition_signals(docs)
-    return (text_analysis.quality_scores(docs)
-            .join(bg, "doc_id").join(rep, "doc_id"))
+    out = (text_analysis.quality_scores(docs)
+           .join(bg, "doc_id").join(rep, "doc_id"))
+    return _release_with(out, landed)
 
 
 _SW_EN = "['the','a','of','and','to','in','is','it','that','for']"
