@@ -3175,30 +3175,35 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                         T.tokens("text").alias("__toks"))
     fp = text_analysis.fingerprints(toked, tokens_col="__toks")
 
-    # r14 (r13 verdict #2): the four span consumers below (keep-first
-    # spans n=10, boilerplate n=5, ExactSubstr n=8, decontam n=8) each
-    # re-scanned + re-tokenized the corpus for their own window build —
-    # 5 window-build scans in the plan. ONE tagged multi-size window
-    # pass now lands (persist, refcounted like curate's landing caches)
-    # and every consumer slices its size out of it via the wins= hooks;
-    # window VALUES are bit-identical (same xxhash64 over the same
-    # slices), so every consumer's output — and the gate hash — is
-    # unchanged by construction. The narrow (id, source, n, start,
-    # hash) landing frame is the guide-§8 lightweight proxy: at scale
-    # it is ~25 bytes/window vs re-reading the text corpus per subtree.
-    from faisssearcher_spark.operators.curate import _land, _release_with
+    # r14 (r13 verdict #2): the ExactSubstr and decontam subtrees both
+    # build 8-token windows over the SAME corpus — ONE wins frame now
+    # feeds both (the wins= reuse hooks), and the decontam EVAL windows
+    # are a filter of it (the eval set is a slice of this corpus), so
+    # the separate eval tokenize+window subtree is gone. Window VALUES
+    # are identical by construction (same xxhash64 over the same
+    # slices) ⇒ the gate hash is unchanged. The landed
+    # token_windows_multi union (one tagged pass for n∈{5,8,10},
+    # persisted+refcounted) was built, tested and MEASURED here too:
+    # it wins first-execution (11.1 → 7.7 interleaved single-session)
+    # and is the right shape when the corpus scan dominates (real
+    # scale), but at the single-row-group local shape its steady state
+    # pays cache churn + a 1-task materialization every consumer waits
+    # on (3.8–4.5 → 4.9+ steady; bench cold 4.91 → 8.18) — reverted to
+    # the share-without-landing form, which measured at-or-better
+    # steady (5.46 vs 5.79 mean) with no churn. The operator API
+    # (token_windows_multi/window_slice + wins= hooks) stays for
+    # scan-bound callers, parity-pinned in tests/test_dedup_spans.py.
+    from faisssearcher_spark.operators.dedup import (_stamp_spans,
+                                                     _token_windows)
 
-    landed: list = []
-    wall = _land(dedup.token_windows_multi(
-        toked, ns=(5, 8, 10), id_col="doc_id", tokens_col="__toks",
-        extra_cols=("source",)), landed)
-    w10 = dedup.window_slice(wall, 10, id_col="doc_id")
-    w8 = dedup.window_slice(wall, 8, id_col="doc_id")
-    w5 = dedup.window_slice(wall, 5, id_col="doc_id",
-                            extra_cols=("source",))
+    _, w8raw = _token_windows(toked, id_col="doc_id", text_col="text",
+                              n=8, tokens_col="__toks")
+    w8 = _stamp_spans(w8raw.select("doc_id", "start", "__w"),
+                      producer="token_windows", n=8, id_col="doc_id",
+                      extra_cols=())
 
-    spans = remove_duplicate_spans(toked, n=10, tokens_col="__toks",
-                                   wins=w10).select(
+    spans = remove_duplicate_spans(toked, n=10,
+                                   tokens_col="__toks").select(
         "doc_id",
         F.col("n_dup_tokens").alias("n_dup_span_tokens"),
         F.md5("text").alias("span_clean_hash"))
@@ -3214,7 +3219,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.dedup import remove_boilerplate
 
     bp = remove_boilerplate(toked, n=5, min_docs=2,
-                            tokens_col="__toks", wins=w5).select(
+                            tokens_col="__toks").select(
         "doc_id", "n_bp_tokens", F.md5("text").alias("bp_clean_hash"))
 
     # EXTENDED AGAIN (round 10) with ARBITRARY-LENGTH ExactSubstr
@@ -3257,9 +3262,8 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     evdocs = toked.filter(F.col("doc_id") < 40)
     # eval docs are a slice of the SAME corpus, so their windows are a
-    # filter of the landed union — no separate eval window build
-    ew8 = dedup.window_slice(wall.filter(F.col("doc_id") < 40), 8,
-                             id_col="doc_id")
+    # filter of the shared wins frame — no separate eval window build
+    ew8 = w8.filter(F.col("doc_id") < 40)
     ctspans = contaminated_spans(
         toked, evdocs, min_len=8, train_tokens_col="__toks",
         eval_tokens_col="__toks", train_wins=w8, eval_wins=ew8)
@@ -3338,9 +3342,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("n_contam_tokens"),
                       F.coalesce("contam_clean_hash", F.lit(""))
                        .alias("contam_clean_hash")))
-    # the landed window union releases when the result frame dies
-    # (refcounted — overlapping invocations share the plan-equal entry)
-    return _release_with(out, landed)
+    return out
 
 
 ORACLE_FINGERPRINTS = rf"""
@@ -6434,14 +6436,19 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
     ∝ exp(logw); the text_token_stats gate carries the hash-checked
     dsir_logw twin."""
+    from faisssearcher_spark.operators.curate import _release_with
     from faisssearcher_spark.operators.sampling import gumbel_topk_sample
     docs = load_table(spark, sf_dir, "documents")
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     raw_ref = text_analysis.fit_token_frequencies(docs)
-    w = text_analysis.dsir_log_weights(docs, ref, raw_ref)
-    return gumbel_topk_sample(w, k=100, weight_col="logw",
-                              key_col="doc_id")
+    # landed: the union vocab (two LM fits) executes twice per
+    # invocation otherwise (normalizer collect + scoring join side)
+    landed: list = []
+    w = text_analysis.dsir_log_weights(docs, ref, raw_ref, landed=landed)
+    return _release_with(
+        gumbel_topk_sample(w, k=100, weight_col="logw",
+                           key_col="doc_id"), landed)
 
 
 def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

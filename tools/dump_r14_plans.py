@@ -27,6 +27,7 @@ QUERIES = [
     "text_fingerprints", "pipeline_pretrain_prep", "curate_documents",
     "dedup_estore_screen", "dedup_fpstore_screen", "dedup_upsert_screen",
     "searcher_text_knn", "text_cms_stream", "text_quality_scores",
+    "text_token_stats", "sample_dsir",
 ]
 
 
