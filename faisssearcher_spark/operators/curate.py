@@ -441,11 +441,14 @@ def prepare_pretraining_data(
 
         if reference is not None:
             lm = fit_token_frequencies(reference, text_col=text_col)
-            # landed: the projected LM table executes twice per epoch
-            # (normalizer collect + scoring join side) — persist it
-            # with the pipeline's other landing frames (guide §2.4)
-            scored = unigram_logppl(kept, lm, tokens_col="__toks",
-                                    landed=landed)
+            # NOT landed (r14, measured): unlike the text_token_stats
+            # shape (one vocab feeding ~5 consumers), the LM here has
+            # exactly two executions (normalizer collect + scoring join
+            # side) and the collect is agg-pruned — persisting it paid
+            # full-vocab cache materialization on the FIRST epoch for
+            # no steady-state gain (fresh-session probe: cold 25-29 s
+            # landed vs 19.8-20.2 unlanded, warm 7.0 vs 6.8 flat)
+            scored = unigram_logppl(kept, lm, tokens_col="__toks")
             if ppl_thresholds == "fit":
                 # the scale path, self-contained: fit the cut points from
                 # one bounded approxQuantile sketch pass over the scored
