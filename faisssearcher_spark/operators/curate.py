@@ -19,6 +19,8 @@ oracle-checked (query ``curate_documents``), not just its parts.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,15 +41,14 @@ _LANDING_REFS: dict[int, int] = {}
 
 #: guards _LANDING_REFS read-modify-writes: releases run from weakref
 #: finalizers, whose GC timing can interleave with a live _land call on
-#: another thread (r13 ADVICE — the persist-then-retain window)
-_LANDING_LOCK = None
+#: another thread (r13 ADVICE — the persist-then-retain window).
+#: Created unconditionally at import (review catch: a lazy
+#: double-checked init is itself unsynchronized — two first callers
+#: could each mint their own lock and race anyway).
+_LANDING_LOCK = threading.RLock()
 
 
 def _landing_lock():
-    global _LANDING_LOCK
-    if _LANDING_LOCK is None:
-        import threading
-        _LANDING_LOCK = threading.RLock()
     return _LANDING_LOCK
 
 

@@ -1212,7 +1212,16 @@ class EmbeddingStore(_IncrementalStore):
         # replace semantics. The one-element explode barrier stages the
         # decode so cosine's dot and norm branches share it (Catalyst
         # does not CSE across those aggregate branches).
-        kdec = (known.select("id", "code").dropDuplicates(["id"])
+        # decode only ids that actually appear as candidates (review
+        # catch: decoding ALL history would invert the optimization in
+        # the small-batch-vs-large-history regime — a 100-vector batch
+        # against 1M committed vectors has ~thousands of candidates);
+        # the semi-join runs BEFORE the per-id dedup so the dedup
+        # shuffle also carries candidates only
+        kids = cand.select(F.col("known_id").alias("id")).distinct()
+        kdec = (known.select("id", "code")
+                .join(kids, "id", "left_semi")
+                .dropDuplicates(["id"])
                 .select(F.col("id").alias("known_id"),
                         F.explode(F.array(dequantize_f16("code")))
                         .alias("__kv"))
@@ -1350,6 +1359,29 @@ class FingerprintStore(_IncrementalStore):
                                F.col("id").alias("known_id"),
                                F.lit(0).alias("hamming"))
                     .limit(0))
+        # band-density guard on the STATE side (review catch: the
+        # store is the consumer whose corpus grows without bound —
+        # hamming_pairs warns, the screen should too). The state holds
+        # one row per (fingerprint, band); estimate fingerprints as
+        # rows / n_bands. Advisory, estimate-based, results untouched.
+        from faisssearcher_spark.operators.dedup import (
+            BAND_DENSITY_WARN_RATIO, _estimate_rows, hamming_band_widths)
+
+        widths = hamming_band_widths(self.bits, self.max_hamming)
+        width = min(widths)
+        est = _estimate_rows(known)
+        if (width < 62 and est is not None
+                and est // len(widths)
+                > BAND_DENSITY_WARN_RATIO * (1 << width)):
+            import warnings
+            warnings.warn(
+                f"FingerprintStore.screen: ~{est // len(widths)} "
+                f"committed fingerprints over {width}-bit bands "
+                f"(bits={self.bits}, max_hamming={self.max_hamming}) — "
+                "the banded candidate join is effectively quadratic at "
+                "this state size; rebuild the store with wider bits "
+                "(keep bits ≳ log2(n)·(max_hamming+1)).",
+                RuntimeWarning, stacklevel=2)
         return (new.alias("n")
                 .join(known.alias("k"),
                       (F.col("n.band_key") == F.col("k.band_key"))

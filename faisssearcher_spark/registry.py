@@ -2732,7 +2732,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.col("__e3.uni"))).alias("uni_hash"),
         F.size(F.col("__e3.wp")).alias("n_wp_real"),
         F.md5(F.concat_ws(" ", F.col("__e3.wp"))).alias("wp_hash"))
-    from faisssearcher_spark.operators.curate import _land, _release_with
+    from faisssearcher_spark.operators.curate import (_land,
+                                                      _release_on_error,
+                                                      _release_with)
 
     # land the two LM tables for the invocation (r14, guide §2.4): the
     # src1 vocabulary feeds the frequency score, the DSIR target side
@@ -2740,23 +2742,28 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise — the dsir/ppl normalizer collects re-run it eagerly
     # too), and the raw vocabulary feeds DSIR twice. Both are
     # Zipf-small count tables — cacheable at any corpus scale. Values
-    # unchanged; released when the result frame dies.
+    # unchanged; released when the result frame dies; error guard per
+    # the q_text_quality note. unigram_logppl does NOT re-land its
+    # projection of the already-landed ref (review catch: a duplicate
+    # cache entry of the same Zipf table, churn for no recompute saved).
     landed: list = []
-    ref = _land(text_analysis.fit_token_frequencies(
-        docs.filter(F.col("source") == "src1")), landed)
-    score = text_analysis.token_frequency_score(docs, ref) \
-        .select("doc_id", "sum_ref_tf", "n_oov")
-    raw_ref = _land(text_analysis.fit_token_frequencies(docs), landed)
-    dsir = text_analysis.dsir_log_weights(docs, ref, raw_ref,
-                                          score_scale=4, landed=landed) \
-        .select("doc_id", F.col("logw").alias("dsir_logw"))
-    ppl = text_analysis.perplexity_buckets(
-        text_analysis.unigram_logppl(docs, ref, score_scale=4,
-                                     landed=landed),
-        n_buckets=3) \
-        .select("doc_id", "logppl", "ppl_bucket")
-    out = (stats.join(score, "doc_id").join(dsir, "doc_id")
-           .join(ppl, "doc_id").join(subw, "doc_id"))
+    with _release_on_error(landed):
+        ref = _land(text_analysis.fit_token_frequencies(
+            docs.filter(F.col("source") == "src1")), landed)
+        score = text_analysis.token_frequency_score(docs, ref) \
+            .select("doc_id", "sum_ref_tf", "n_oov")
+        raw_ref = _land(text_analysis.fit_token_frequencies(docs),
+                        landed)
+        dsir = text_analysis.dsir_log_weights(docs, ref, raw_ref,
+                                              score_scale=4,
+                                              landed=landed) \
+            .select("doc_id", F.col("logw").alias("dsir_logw"))
+        ppl = text_analysis.perplexity_buckets(
+            text_analysis.unigram_logppl(docs, ref, score_scale=4),
+            n_buckets=3) \
+            .select("doc_id", "logppl", "ppl_bucket")
+        out = (stats.join(score, "doc_id").join(dsir, "doc_id")
+               .join(ppl, "doc_id").join(subw, "doc_id"))
     return _release_with(out, landed)
 
 
@@ -2894,19 +2901,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars beyond first, top-{2,3,4}-gram char weight, duplicated-
     {5,10}-gram span-union coverage, total token chars); the oracle
     replays each from positional n-gram CTEs (_rep_ctes)."""
-    from faisssearcher_spark.operators.curate import _release_with
+    from faisssearcher_spark.operators.curate import (_release_on_error,
+                                                      _release_with)
 
     docs = load_table_parallel(spark, sf_dir, "documents")
     ref = docs.filter(F.col("source") == "src1")
     # landed: the bigram LM's unigram table executed 3x per invocation
     # (normalizer collect + two join sides) — persist it for the
-    # invocation, released when the result dies (r14, guide §2.4)
+    # invocation, released when the result dies (r14, guide §2.4).
+    # The error guard covers the operator's eager collects and
+    # documented raises between landing and the finalizer attach
+    # (review catch — same leak class _release_on_error exists for)
     landed: list = []
-    bg = text_analysis.bigram_backoff_logppl(docs, ref, landed=landed) \
-        .select("doc_id", "bigram_logppl")
-    rep = text_analysis.repetition_signals(docs)
-    out = (text_analysis.quality_scores(docs)
-           .join(bg, "doc_id").join(rep, "doc_id"))
+    with _release_on_error(landed):
+        bg = text_analysis.bigram_backoff_logppl(docs, ref,
+                                                 landed=landed) \
+            .select("doc_id", "bigram_logppl")
+        rep = text_analysis.repetition_signals(docs)
+        out = (text_analysis.quality_scores(docs)
+               .join(bg, "doc_id").join(rep, "doc_id"))
     return _release_with(out, landed)
 
 
@@ -6436,19 +6449,23 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (target = src1 slice, raw = corpus) + Gumbel-top-k draw of 100 docs
     ∝ exp(logw); the text_token_stats gate carries the hash-checked
     dsir_logw twin."""
-    from faisssearcher_spark.operators.curate import _release_with
+    from faisssearcher_spark.operators.curate import (_release_on_error,
+                                                      _release_with)
     from faisssearcher_spark.operators.sampling import gumbel_topk_sample
     docs = load_table(spark, sf_dir, "documents")
     ref = text_analysis.fit_token_frequencies(
         docs.filter(F.col("source") == "src1"))
     raw_ref = text_analysis.fit_token_frequencies(docs)
     # landed: the union vocab (two LM fits) executes twice per
-    # invocation otherwise (normalizer collect + scoring join side)
+    # invocation otherwise (normalizer collect + scoring join side);
+    # error guard per the q_text_quality note
     landed: list = []
-    w = text_analysis.dsir_log_weights(docs, ref, raw_ref, landed=landed)
-    return _release_with(
-        gumbel_topk_sample(w, k=100, weight_col="logw",
-                           key_col="doc_id"), landed)
+    with _release_on_error(landed):
+        w = text_analysis.dsir_log_weights(docs, ref, raw_ref,
+                                           landed=landed)
+        out = gumbel_topk_sample(w, k=100, weight_col="logw",
+                                 key_col="doc_id")
+    return _release_with(out, landed)
 
 
 def q_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

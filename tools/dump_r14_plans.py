@@ -1,12 +1,12 @@
 """Dump .explain('formatted') for the round-14-touched queries into
-plans/r13/<query>_{before,after}.txt.
+plans/r14/<query>_{before,after}.txt.
 
 'after' comes from the current repo; 'before' from a worktree of the
-round's baseline commit (65fbb7f — inherited HEAD + baseline record),
-selected via $PLANS_CODE_ROOT:
+round's baseline commit (2a5b656 — the round-13 close), selected via
+$PLANS_CODE_ROOT:
 
     python tools/dump_r14_plans.py after
-    PLANS_CODE_ROOT=/tmp/r13_base python tools/dump_r14_plans.py before
+    PLANS_CODE_ROOT=/tmp/r14_base python tools/dump_r14_plans.py before
 
 Store-arc legs whose work is EAGER driver composition (the returned
 frame is a local-rows frame) get the note header plus the plan of the
