@@ -748,24 +748,44 @@ def q_searcher_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _landed(df: DataFrame) -> DataFrame:
         return spark.createDataFrame(df.collect(), df.schema)
 
-    hash_leg = _landed(_q_searcher_text_hash_leg(spark, sf_dir))
+    def _hash_leg() -> DataFrame:
+        return _landed(_q_searcher_text_hash_leg(spark, sf_dir))
 
-    # fit memoized per session (train-once/search-many, the pattern the
-    # ANN family follows — r12 verdict #3: the leg re-fit BM25 and
-    # re-encoded the corpus every invocation; the fitted postings/idf
-    # frames are the index's _cached_state, re-registered on hit)
-    bm = _bm25_docs(spark, sf_dir, docs)
-    qdf = docs.filter(F.col("doc_id") < 5).select(
-        F.col("text").alias("qid"), "text")
-    raw = bm.search(qdf, k=3, query_item_col="qid", query_text_col="text",
-                    score_scale=4)
-    # the index ids by doc_id (texts are not guaranteed unique at every
-    # sf) — map sim_item to the text + payload for the shared schema
-    side = docs.select(F.col("doc_id").alias("sim_item"),
-                       F.col("text").alias("__sim_text"), "lang", "source")
-    bm25_leg = _landed(raw.join(side, "sim_item").select(
-        "source_item", F.col("__sim_text").alias("sim_item"), "sim_val",
-        "rank_no", "lang", "source"))
+    def _bm25_leg() -> DataFrame:
+        # fit memoized per session (train-once/search-many, the pattern
+        # the ANN family follows — r12 verdict #3: the leg re-fit BM25
+        # and re-encoded the corpus every invocation; the fitted
+        # postings/idf frames are the index's _cached_state,
+        # re-registered on hit)
+        bm = _bm25_docs(spark, sf_dir, docs)
+        qdf = docs.filter(F.col("doc_id") < 5).select(
+            F.col("text").alias("qid"), "text")
+        raw = bm.search(qdf, k=3, query_item_col="qid",
+                        query_text_col="text", score_scale=4)
+        # the index ids by doc_id (texts are not guaranteed unique at
+        # every sf) — map sim_item to the text + payload for the shared
+        # schema
+        side = docs.select(F.col("doc_id").alias("sim_item"),
+                           F.col("text").alias("__sim_text"), "lang",
+                           "source")
+        return _landed(raw.join(side, "sim_item").select(
+            "source_item", F.col("__sim_text").alias("sim_item"),
+            "sim_val", "rank_no", "lang", "source"))
+
+    # the two retrieval legs are INDEPENDENT until the rrf fusion (each
+    # lands as a literal frame), and each one's arc is a sequential
+    # driver composition (fit memo → search plan → collect) — overlap
+    # them on two driver threads so the second leg's jobs back-fill the
+    # first's scheduling gaps (guide §2.6). Rows are computed by the
+    # exact same plans as the sequential form and landed before fusion,
+    # so results are identical; FIFO scheduling favors the earlier-
+    # submitted hash leg, matching the old execution order.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_hash = pool.submit(_hash_leg)
+        f_bm25 = pool.submit(_bm25_leg)
+        hash_leg = f_hash.result()
+        bm25_leg = f_bm25.result()
 
     fused = rrf_fuse(
         [hash_leg.select("source_item", "sim_item", "rank_no"),
@@ -6029,6 +6049,16 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pass; warm/isolated price the steady-state search.
 _FITTED_INDEX_CACHE: dict = {}
 
+#: guards _FITTED_INDEX_CACHE reads/writes: composite legs overlap their
+#: independent retrieval legs on driver threads (guide §2.6 — the
+#: searcher_text_knn hash/bm25 pair), and an unguarded stale-eviction
+#: scan racing an insert raises "dict changed size during iteration".
+#: Builders run OUTSIDE the lock so two different fits can overlap; a
+#: same-key race keeps the first build and closes the loser.
+import threading as _threading
+
+_FITTED_INDEX_LOCK = _threading.RLock()
+
 
 def close_bench_caches(spark: SparkSession) -> int:
     """Release every session-bound bench memo through the lifecycle API.
@@ -6099,12 +6129,26 @@ def _fitted_index(spark: SparkSession, sf_dir: str, spec: str,
     # lifetime; any lookup under a NEW applicationId proves the old
     # session's entries unreachable, so drop them (close() would throw
     # against the stopped context — python deref is the release here)
-    stale = [k for k in _FITTED_INDEX_CACHE if k[0] != app_id]
-    for k in stale:
-        del _FITTED_INDEX_CACHE[k]
-    if key not in _FITTED_INDEX_CACHE:
-        _FITTED_INDEX_CACHE[key] = builder()
-    idx = _FITTED_INDEX_CACHE[key]
+    with _FITTED_INDEX_LOCK:
+        stale = [k for k in _FITTED_INDEX_CACHE if k[0] != app_id]
+        for k in stale:
+            del _FITTED_INDEX_CACHE[k]
+        idx = _FITTED_INDEX_CACHE.get(key)
+    if idx is None:
+        # build outside the lock: overlapped legs fit CONCURRENTLY
+        # (different keys); on a same-key race the first insert wins
+        # and the loser's fit releases its caches via the lifecycle API
+        built = builder()
+        with _FITTED_INDEX_LOCK:
+            idx = _FITTED_INDEX_CACHE.get(key)
+            if idx is None:
+                _FITTED_INDEX_CACHE[key] = built
+                idx = built
+        if idx is not built:
+            try:
+                built.close()
+            except Exception:
+                pass
     # bench.py's isolated pass clearCache()s the session, which drops
     # the fitted index's encoded-state cache registration permanently —
     # re-register on hit (lazy + idempotent) so isolated samples price

@@ -178,6 +178,99 @@ def test_close_bench_caches_releases_memo(spark, sf_dir):
     registry.close_bench_caches(spark)
 
 
+def test_fitted_index_concurrent_distinct_keys_overlap(spark, sf_dir):
+    """Two threads fitting DIFFERENT specs must both land in the memo,
+    each builder running exactly once, and the builds must be able to
+    OVERLAP (the guide §2.6 composite-leg pattern: searcher_text_knn
+    submits its hash and bm25 fits from two driver threads) — i.e. the
+    lock guards the dict, not the builder call."""
+    import threading
+
+    from faisssearcher_spark import registry
+
+    calls = {"a": 0, "b": 0}
+    inside = threading.Barrier(2, timeout=10)
+
+    class _Idx:
+        def _cached_state(self):
+            return []
+
+        def close(self):
+            pass
+
+    def make(tag):
+        def build():
+            calls[tag] += 1
+            # both builders must be in flight at once; a builder running
+            # under the lock would deadlock this barrier (caught by the
+            # timeout instead of hanging the suite)
+            inside.wait()
+            return _Idx()
+        return build
+
+    out = {}
+
+    def run(tag):
+        out[tag] = registry._fitted_index(
+            spark, sf_dir, f"test_conc_{tag}", make(tag))
+
+    ts = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=15)
+    assert calls == {"a": 1, "b": 1}
+    app = spark.sparkContext.applicationId
+    assert (app, sf_dir, "test_conc_a") in registry._FITTED_INDEX_CACHE
+    assert (app, sf_dir, "test_conc_b") in registry._FITTED_INDEX_CACHE
+    registry.close_bench_caches(spark)
+
+
+def test_fitted_index_same_key_race_closes_loser(spark, sf_dir):
+    """A same-key build race keeps exactly one entry; the losing build
+    is released through the lifecycle API (close), not leaked."""
+    import threading
+
+    from faisssearcher_spark import registry
+
+    closed = []
+    built = []
+    gate = threading.Barrier(2, timeout=10)
+
+    class _Idx:
+        def __init__(self, n):
+            self.n = n
+
+        def _cached_state(self):
+            return []
+
+        def close(self):
+            closed.append(self.n)
+
+    def build():
+        i = _Idx(len(built))
+        built.append(i)
+        gate.wait()   # force both builders to finish after both started
+        return i
+
+    out = []
+
+    def run():
+        out.append(registry._fitted_index(
+            spark, sf_dir, "test_conc_same", build))
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=15)
+    assert len(built) == 2
+    assert out[0] is out[1]          # both callers see the same entry
+    assert len(closed) == 1          # the loser was closed, winner kept
+    assert out[0].n not in closed
+    registry.close_bench_caches(spark)
+
+
 def test_fitted_index_evicts_dead_session_entries(spark, sf_dir):
     from faisssearcher_spark import registry
     from faisssearcher_spark.operators.ann import PQIndex
