@@ -5676,10 +5676,13 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sf (per-shard recall composes)."""
     import math
 
+    from faisssearcher_spark.sources.catalog import table_num_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding")
-    n_vec = emb.count()
+    # exact footer count — identical to emb.count(), no Spark job
+    n_vec = table_num_rows(spark, sf_dir, "embeddings")
     n_cells = max(4, 2 ** int(math.log2(max(n_vec, 16) ** 0.5)))
     nprobe = max(2, n_cells * 5 // 8)
     # PQ code budget also grows with the corpus: at n=2000 the exact
@@ -5713,7 +5716,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faisssearcher_spark.operators.dedup import (semantic_cell_pairs,
                                                      semantic_dedup)
     thr, cells = 0.35, 8
-    n_emb = emb.count()
+    n_emb = n_vec   # same table; the footer count above is exact
     pairs = semantic_cell_pairs(emb, threshold=thr, n_cells=cells,
                                 seed=42).cache()
     # pass the SAME pair set into dedup: one k-means fit, and the
@@ -6646,7 +6649,12 @@ def q_dedup_estore_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     19 s at sf0.1 fixed vs ~2 s sized)."""
     import math
 
-    n = load_table(spark, sf_dir, "embeddings").count()
+    from faisssearcher_spark.sources.catalog import table_num_rows
+
+    # sizing only needs the corpus row count — the parquet footers hold
+    # it exactly, no distributed count() job (guide §5: keep metadata
+    # work off the cluster)
+    n = table_num_rows(spark, sf_dir, "embeddings")
     bits = min(8, max(4, math.ceil(math.log2(max(n, 2) / 8))))
     tables = min(ESTORE_TABLES, 64 // bits)   # axis mode: tables*bits<=dim
     rows = _estore_arc_rows(spark, sf_dir, use_memo=False,

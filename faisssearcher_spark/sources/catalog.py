@@ -59,6 +59,41 @@ def _parquet_row_groups(path: str) -> "int | None":
     return total
 
 
+#: exact parquet row counts by path — same footer-probe discipline as
+#: _ROW_GROUP_CACHE (metadata, not results: the count is a property of
+#: the file set, re-read per process)
+_NUM_ROWS_CACHE: dict[str, int] = {}
+
+
+def parquet_num_rows(path: str) -> "int | None":
+    """EXACT row count from parquet footers via pyarrow (no Spark job) —
+    for corpus-sizing decisions (LSH bits, cell counts) that otherwise
+    pay a distributed ``count()`` job for a number the footers already
+    hold. None when the probe cannot read the files (remote scheme
+    pyarrow lacks, etc.) — callers fall back to ``df.count()``."""
+    if path in _NUM_ROWS_CACHE:
+        return _NUM_ROWS_CACHE[path]
+    try:
+        import pyarrow.dataset as ds
+
+        total = 0
+        for frag in ds.dataset(path, format="parquet").get_fragments():
+            total += frag.metadata.num_rows
+    except Exception:
+        return None
+    _NUM_ROWS_CACHE[path] = total
+    return total
+
+
+def table_num_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a catalog table: footer probe first, Spark count
+    fallback — always exact."""
+    n = parquet_num_rows(os.path.join(sf_dir, f"{name}.parquet"))
+    if n is None:
+        n = load_table(spark, sf_dir, name).count()
+    return n
+
+
 def load_table_parallel(spark: SparkSession, sf_dir: str,
                         name: str) -> DataFrame:
     """:func:`load_table` with a scale-adaptive SPLIT FLOOR for
