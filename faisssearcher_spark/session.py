@@ -28,6 +28,13 @@ ENGINE_CONF: dict[str, str] = {
     # Never silently produce a cartesian product by accident; the knn
     # operator requests its cross joins explicitly via crossJoin().
     "spark.sql.crossJoin.enabled": "true",
+    # NOT set (r14, measured): spark.sql.join.preferSortMergeJoin=false
+    # (guide §3.1 — let the planner pick shuffled-hash joins) read
+    # neutral-to-worse on the join-heavy legs in interleaved iso pairs
+    # with flat controls (ngram_jaccard 1.55→1.75, text_fingerprints
+    # 5.34→6.13, curate 5.56→6.01): at this shape the sorts SMJ pays
+    # are over AQE-coalesced tiny partitions while SHJ's per-partition
+    # hash maps add allocation churn. Revisit on real cluster data.
 }
 
 
