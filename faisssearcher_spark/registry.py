@@ -6056,11 +6056,15 @@ _FITTED_INDEX_CACHE: dict = {}
 #: independent retrieval legs on driver threads (guide §2.6 — the
 #: searcher_text_knn hash/bm25 pair), and an unguarded stale-eviction
 #: scan racing an insert raises "dict changed size during iteration".
-#: Builders run OUTSIDE the lock so two different fits can overlap; a
-#: same-key race keeps the first build and closes the loser.
+#: Builders run OUTSIDE the lock (two DIFFERENT fits overlap) but
+#: SERIALIZE per key via _FITTED_KEY_LOCKS: a double-build on one key
+#: cannot simply be closed away, because Spark's CacheManager dedups
+#: cached data by LOGICAL PLAN — a plan-equal loser's blocking
+#: unpersist would evict the winner's cache entries too (review catch).
 import threading as _threading
 
 _FITTED_INDEX_LOCK = _threading.RLock()
+_FITTED_KEY_LOCKS: dict = {}
 
 
 def close_bench_caches(spark: SparkSession) -> int:
@@ -6073,16 +6077,22 @@ def close_bench_caches(spark: SparkSession) -> int:
     call it between sessions. close() is terminal — the next
     ``_fitted_index`` hit re-fits once, then steady-state. Returns
     the number of entries released."""
-    n = len(_FITTED_INDEX_CACHE)
-    for idx in _FITTED_INDEX_CACHE.values():
+    # snapshot+clear under the lock (review catch: an unlocked
+    # iteration racing a composite leg's insert raises "dict changed
+    # size during iteration"); close() runs outside it so a slow
+    # blocking unpersist doesn't stall concurrent lookups
+    with _FITTED_INDEX_LOCK:
+        entries = list(_FITTED_INDEX_CACHE.values())
+        _FITTED_INDEX_CACHE.clear()
+        _FITTED_KEY_LOCKS.clear()
+    for idx in entries:
         try:
             idx.close()
         except Exception:
-            # a stopped session makes unpersist() throw; the dict clear
-            # below still drops the python references
+            # a stopped session makes unpersist() throw; the snapshot
+            # going out of scope still drops the python references
             pass
-    _FITTED_INDEX_CACHE.clear()
-    return n
+    return len(entries)
 
 
 def _bm25_docs(spark: SparkSession, sf_dir: str, docs: DataFrame):
@@ -6136,22 +6146,23 @@ def _fitted_index(spark: SparkSession, sf_dir: str, spec: str,
         stale = [k for k in _FITTED_INDEX_CACHE if k[0] != app_id]
         for k in stale:
             del _FITTED_INDEX_CACHE[k]
+            _FITTED_KEY_LOCKS.pop(k, None)
         idx = _FITTED_INDEX_CACHE.get(key)
+        klock = (_FITTED_KEY_LOCKS.setdefault(key, _threading.Lock())
+                 if idx is None else None)
     if idx is None:
-        # build outside the lock: overlapped legs fit CONCURRENTLY
-        # (different keys); on a same-key race the first insert wins
-        # and the loser's fit releases its caches via the lifecycle API
-        built = builder()
-        with _FITTED_INDEX_LOCK:
-            idx = _FITTED_INDEX_CACHE.get(key)
+        # build outside the GLOBAL lock (overlapped legs fit
+        # concurrently on different keys) but under the PER-KEY lock:
+        # a same-key racer waits and reads the winner's entry instead
+        # of double-building
+        with klock:
+            with _FITTED_INDEX_LOCK:
+                idx = _FITTED_INDEX_CACHE.get(key)
             if idx is None:
-                _FITTED_INDEX_CACHE[key] = built
-                idx = built
-        if idx is not built:
-            try:
-                built.close()
-            except Exception:
-                pass
+                idx = builder()
+                with _FITTED_INDEX_LOCK:
+                    _FITTED_INDEX_CACHE[key] = idx
+                    _FITTED_KEY_LOCKS.pop(key, None)
     # bench.py's isolated pass clearCache()s the session, which drops
     # the fitted index's encoded-state cache registration permanently —
     # re-register on hit (lazy + idempotent) so isolated samples price

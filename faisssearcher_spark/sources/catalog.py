@@ -36,33 +36,41 @@ _SPLIT_KEYS = {"documents": "doc_id", "embeddings": "vec_id",
                "part": "p_partkey", "supplier": "s_suppkey",
                "lineitem": "l_orderkey"}
 
-#: parquet row-group counts by path — driver-side footer probe, cached
-#: so query-builder loops don't re-open footers
-_ROW_GROUP_CACHE: dict[str, int] = {}
+#: (row_groups, num_rows) by path — ONE driver-side footer probe feeds
+#: both the split floor and corpus sizing, cached so query-builder
+#: loops don't re-open footers (review catch: two line-for-line probe
+#: copies parsed the same footers twice per process)
+_FOOTER_CACHE: dict[str, "tuple[int, int]"] = {}
 
 
-def _parquet_row_groups(path: str) -> "int | None":
-    """Total row-group count across a parquet file/directory via
-    pyarrow footers (no Spark job). None when the probe cannot read
-    the footprint (remote scheme pyarrow lacks, etc.)."""
-    if path in _ROW_GROUP_CACHE:
-        return _ROW_GROUP_CACHE[path]
+def _parquet_footer_totals(path: str) -> "tuple[int, int] | None":
+    """(total row groups, total rows) across a parquet file/directory
+    via pyarrow footers (no Spark job). None when the probe cannot
+    read the footprint (remote scheme pyarrow lacks, etc.)."""
+    if path in _FOOTER_CACHE:
+        return _FOOTER_CACHE[path]
     try:
         import pyarrow.dataset as ds
 
-        total = 0
+        groups = rows = 0
         for frag in ds.dataset(path, format="parquet").get_fragments():
-            total += frag.metadata.num_row_groups
+            groups += frag.metadata.num_row_groups
+            rows += frag.metadata.num_rows
     except Exception:
         return None
-    _ROW_GROUP_CACHE[path] = total
-    return total
+    _FOOTER_CACHE[path] = (groups, rows)
+    return groups, rows
 
 
-#: exact parquet row counts by path — same footer-probe discipline as
-#: _ROW_GROUP_CACHE (metadata, not results: the count is a property of
-#: the file set, re-read per process)
-_NUM_ROWS_CACHE: dict[str, int] = {}
+def _parquet_row_groups(path: str) -> "int | None":
+    totals = _parquet_footer_totals(path)
+    return None if totals is None else totals[0]
+
+
+#: exact Spark-count fallbacks by path (review catch: on storage the
+#: pyarrow probe can't read, an unmemoized fallback would repay a
+#: distributed count job on EVERY sizing call)
+_COUNT_FALLBACK_CACHE: dict[str, int] = {}
 
 
 def parquet_num_rows(path: str) -> "int | None":
@@ -71,26 +79,20 @@ def parquet_num_rows(path: str) -> "int | None":
     pay a distributed ``count()`` job for a number the footers already
     hold. None when the probe cannot read the files (remote scheme
     pyarrow lacks, etc.) — callers fall back to ``df.count()``."""
-    if path in _NUM_ROWS_CACHE:
-        return _NUM_ROWS_CACHE[path]
-    try:
-        import pyarrow.dataset as ds
-
-        total = 0
-        for frag in ds.dataset(path, format="parquet").get_fragments():
-            total += frag.metadata.num_rows
-    except Exception:
-        return None
-    _NUM_ROWS_CACHE[path] = total
-    return total
+    totals = _parquet_footer_totals(path)
+    return None if totals is None else totals[1]
 
 
 def table_num_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count of a catalog table: footer probe first, Spark count
-    fallback — always exact."""
-    n = parquet_num_rows(os.path.join(sf_dir, f"{name}.parquet"))
+    fallback (memoized per path — exact either way)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    n = parquet_num_rows(path)
     if n is None:
-        n = load_table(spark, sf_dir, name).count()
+        n = _COUNT_FALLBACK_CACHE.get(path)
+        if n is None:
+            n = load_table(spark, sf_dir, name).count()
+            _COUNT_FALLBACK_CACHE[path] = n
     return n
 
 

@@ -226,32 +226,31 @@ def test_fitted_index_concurrent_distinct_keys_overlap(spark, sf_dir):
     registry.close_bench_caches(spark)
 
 
-def test_fitted_index_same_key_race_closes_loser(spark, sf_dir):
-    """A same-key build race keeps exactly one entry; the losing build
-    is released through the lifecycle API (close), not leaked."""
+def test_fitted_index_same_key_race_builds_once(spark, sf_dir):
+    """A same-key race must build exactly ONCE (per-key serialization):
+    closing a double-built loser is NOT safe — Spark's CacheManager
+    dedups cached data by logical plan, so a plan-equal loser's
+    blocking unpersist would evict the winner's cache entries too."""
     import threading
+    import time
 
     from faisssearcher_spark import registry
 
-    closed = []
     built = []
-    gate = threading.Barrier(2, timeout=10)
+    started = threading.Event()
 
     class _Idx:
-        def __init__(self, n):
-            self.n = n
-
         def _cached_state(self):
             return []
 
         def close(self):
-            closed.append(self.n)
+            pass
 
     def build():
-        i = _Idx(len(built))
-        built.append(i)
-        gate.wait()   # force both builders to finish after both started
-        return i
+        started.set()
+        built.append(object())
+        time.sleep(0.3)   # hold the build window open so the racer
+        return _Idx()     # provably arrives while it is in flight
 
     out = []
 
@@ -259,15 +258,15 @@ def test_fitted_index_same_key_race_closes_loser(spark, sf_dir):
         out.append(registry._fitted_index(
             spark, sf_dir, "test_conc_same", build))
 
-    ts = [threading.Thread(target=run) for _ in range(2)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join(timeout=15)
-    assert len(built) == 2
-    assert out[0] is out[1]          # both callers see the same entry
-    assert len(closed) == 1          # the loser was closed, winner kept
-    assert out[0].n not in closed
+    t1 = threading.Thread(target=run)
+    t1.start()
+    assert started.wait(timeout=10)   # racer enters DURING the build
+    t2 = threading.Thread(target=run)
+    t2.start()
+    t1.join(timeout=15)
+    t2.join(timeout=15)
+    assert len(built) == 1            # the racer waited, no double build
+    assert out[0] is out[1]           # both callers see the same entry
     registry.close_bench_caches(spark)
 
 
