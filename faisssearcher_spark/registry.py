@@ -3206,6 +3206,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prepare_pretraining_data).
     toked = docs.select("doc_id", "text", "source",
                         T.tokens("text").alias("__toks"))
+    # r14 continuation, measured and NOT taken: a hash exchange AFTER
+    # this projection, hoping ReuseExchange would dedup the ~8 join
+    # branches' scan+tokenize into one pass. It cannot: per-branch
+    # column pruning rewrites each branch's exchange to a DIFFERENT
+    # projection of toked, so no two exchange subtrees are identical —
+    # plan went 46 -> 60 Exchanges with ReusedExchange still 0 and
+    # steady noop 4.1 -> 5.2 s (every branch kept its tokenize AND
+    # gained a shuffle). Sharing the tokens for real means persisting
+    # them, which is the r5-measured 6x serde loss.
     fp = text_analysis.fingerprints(toked, tokens_col="__toks")
 
     # r14 (r13 verdict #2): the ExactSubstr and decontam subtrees both
